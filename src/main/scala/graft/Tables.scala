@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated TPC-H-ish tables (see TESTDATA.md).
+  *
+  * All queries take the scale-factor directory as a parameter so the same
+  * plan runs at sf0.001 (smoke), sf0.01 (correctness) and sf0.1 (bench) —
+  * and, unchanged, on a real cluster against s3a://…/sf1000.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") loadEvents(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark
+    * cannot read natively ([PARQUET_TYPE_ILLEGAL]). Read nanos as Long and
+    * convert to a microsecond TimestampType column (truncation matches
+    * DuckDB's ns→date/us casts for post-epoch data).
+    */
+  private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+  }
+}
+
+/** A registered engine query: Spark plan + (optionally) the equivalent
+  * ANSI SQL the driver runs in DuckDB as the correctness oracle.
+  *
+  * Column names and types MUST match between `fn`'s output and `oracle`
+  * (the driver sorts columns by name and hashes values). Every query adds
+  * a deterministic total ORDER BY (with a unique tiebreaker) on both
+  * sides, and rounds any *computed* floating-point column; raw
+  * passthrough doubles are left untouched (bit-identical in both
+  * engines).
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    headline: Boolean = false)

@@ -1,0 +1,33 @@
+package graft
+
+import graft.pipeline._
+import org.apache.spark.sql.SparkSession
+
+/** Demo main: the extraction-pipeline surface end-to-end with the mock
+  * LLM on the sf0.001 documents — `sbt "runMain graft.Demo"`. */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val specs = Seq(
+      PromptSpec("n_batch", "count of word 'batch'", "number"),
+      PromptSpec("has_spark", "does it mention 'spark'", "boolean"),
+      PromptSpec("first", "first word", "text"))
+    val out = Extraction.extract(docs, "text", specs, () => new MockLLM)
+    out.select("doc_id", "n_batch", "has_spark", "first").show(5, truncate = false)
+    println("EXTRACT_ROWS=" + out.count())
+
+    // edge rows: empty text, NA-only text
+    val edge = Seq((99L, ""), (100L, "NA na  NA")).toDF("doc_id", "text")
+    Extraction.extract(edge, "text", specs, () => new MockLLM)
+      .show(truncate = false)
+    spark.stop()
+  }
+}

@@ -11,7 +11,11 @@ object SparkEntry {
   /** Full registry of engine queries (one per SURVEY.md §2 operator). */
   def registry: Seq[QueryDef] =
     operators.Relational.all ++
-      operators.SourceOps.all
+      operators.SourceOps.all ++
+      operators.RetrievalOps.all ++
+      operators.ExtractOps.all ++
+      operators.TextAnalysis.all ++
+      operators.IndexOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -26,7 +26,9 @@ object TextFunctions {
           else {
             val inner0 = glob.substring(i + 1, j)
             val inner = if (inner0.startsWith("!")) "^" + inner0.drop(1) else inner0
-            sb.append("[").append(inner.replace("\\", "\\\\")).append("]")
+            sb.append("[")
+              .append(inner.replace("\\", "\\\\").replace("[", "\\["))
+              .append("]")
             i = j
           }
         case c if "\\.[]{}()+-^$|".indexOf(c) >= 0 => sb.append("\\").append(c)

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.Chunker
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Index-stage operators (SURVEY.md D3-D4): chunk explode, index keying
+  * (doc_id = sha256 of content-hash + adapter configs + chunk params),
+  * index-exists probe (anti-join form), and the seen-params CSE dedup.
+  *
+  * Scale: chunking is explode (narrow); the chunk table is written
+  * partitioned by index_key prefix so the D4 probe is a partition-pruned
+  * lookup, and reindex = delete-then-insert on one key.
+  */
+object IndexOps {
+
+  private val Size = 128
+  private val Overlap = 32
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** D3: chunk every document into sliding character windows. */
+  val q34ChunkExplode: QueryDef = QueryDef(
+    "q34_chunk_explode",
+    (s, dir) =>
+      Chunker.explodeChunks(docs(s, dir), "text", "n_chars", Size, Overlap)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
+          length(col("chunk_text")).as("chunk_len"))
+        .orderBy(col("doc_id"), col("chunk_id")),
+    Some(s"""SELECT doc_id, chunk_id, chunk_text, length(chunk_text) AS chunk_len FROM (
+      SELECT doc_id, i AS chunk_id,
+        substr(text, CAST(i * ${Size - Overlap} + 1 AS INT), $Size) AS chunk_text FROM (
+          SELECT doc_id, text, unnest(generate_series(0,
+            greatest(CAST(ceil((n_chars - $Overlap.0) / ${Size - Overlap}.0) AS BIGINT) - 1, 0))) AS i
+          FROM documents) w) c
+      ORDER BY doc_id, chunk_id"""))
+
+  /** D3/D4: index keying + the seen-params dedup — one index entry per
+    * distinct (content, adapter-config) pair; duplicate configs collapse
+    * (legacy_executor.py:927-978, sdk1/index.py:460-516). */
+  val q35IndexKeys: QueryDef = QueryDef(
+    "q35_index_keys",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          Chunker.indexKey(sha2(col("text"), 256), "mock-emb", "mock-vdb",
+            "plain-text", Size, Overlap).as("index_key"))
+        .groupBy(col("index_key"))
+        .agg(min(col("doc_id")).as("first_doc"), count(lit(1)).as("n_docs"))
+        .orderBy(col("index_key")),
+    Some(s"""SELECT index_key, min(doc_id) AS first_doc, count(*) AS n_docs FROM (
+      SELECT doc_id, sha256(concat_ws('|', sha256(text), 'mock-emb', 'mock-vdb',
+        'plain-text', '$Size', '$Overlap')) AS index_key
+      FROM documents) x GROUP BY index_key ORDER BY index_key"""))
+
+  val all: Seq[QueryDef] = Seq(q34ChunkExplode, q35IndexKeys)
+}

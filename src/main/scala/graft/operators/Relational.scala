@@ -199,16 +199,17 @@ object Relational {
   // --- J-series: join shapes (SURVEY §2.4) -------------------------------
 
   val q09AntiJoin: QueryDef = QueryDef(
-    "q09_customers_no_orders",
+    "q09_customers_no_f_orders",
     (s, dir) => {
       val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
     },
     Some("""SELECT c_custkey, c_name FROM customer c
-      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
       ORDER BY c_custkey"""))
 
   val q10SemiJoin: QueryDef = QueryDef(

@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval operators (SURVEY.md D5-D9, A6-A7, J4, W3) over the
+  * `embeddings` table: top-k similarity, per-group k-NN, reciprocal-rank
+  * fusion, distinct-context collection.
+  *
+  * Scale design: the query vector is a 1-row broadcast — the score pass
+  * is a narrow map over the (partitioned) vector table followed by a
+  * TakeOrdered(k), no shuffle of the vectors themselves. At 100 TB the
+  * brute-force pass swaps for the IVF route (DedupOps/AnnOps) behind the
+  * same top-k contract.
+  */
+object RetrievalOps {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** The deterministic "query" vector: vec_id 0's embedding. */
+  private def queryVec(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+
+  private val oracleDot =
+    "list_sum(list_transform(list_zip(embedding::DOUBLE[], qv), x -> x[1] * x[2]))"
+
+  /** D5: simple top-k retrieval — cosine score, drop ≤ 0, top 5
+    * (retrievers/simple.py:11-52; TOP_K sdk1/index.py:40-41). */
+  val q30TopkCosine: QueryDef = QueryDef(
+    "q30_topk_cosine",
+    (s, dir) => {
+      val e = emb(s, dir)
+      e.crossJoin(broadcast(queryVec(e)))
+        .select(col("vec_id"), round(dotProduct(col("embedding"), col("qv")), 6).as("score"))
+        .filter(col("vec_id") =!= 0 && col("score") > 0)
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(5)
+    },
+    Some(s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id, score FROM (
+        SELECT vec_id, round($oracleDot, 6) AS score FROM embeddings, q) x
+      WHERE vec_id <> 0 AND score > 0
+      ORDER BY score DESC, vec_id LIMIT 5"""),
+    headline = true)
+
+  /** W3/J4: per-label k-NN — top-3 per label partition via row_number. */
+  val q31KnnPerLabel: QueryDef = QueryDef(
+    "q31_knn_per_label",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("score").desc, col("vec_id"))
+      e.crossJoin(broadcast(queryVec(e)))
+        .select(col("label"), col("vec_id"),
+          round(dotProduct(col("embedding"), col("qv")), 6).as("score"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .orderBy(col("label"), col("rk"))
+    },
+    Some(s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      scored AS (SELECT label, vec_id, round($oracleDot, 6) AS score FROM embeddings, q)
+      SELECT label, vec_id, score, rk FROM (
+        SELECT label, vec_id, score,
+          row_number() OVER (PARTITION BY label ORDER BY score DESC, vec_id) AS rk
+        FROM scored) x
+      WHERE rk <= 3 ORDER BY label, rk"""))
+
+  /** D7/A6: reciprocal-rank fusion of three retrievers (dot, -L2, -L1),
+    * RRF score sum(1/(60+rank)) over each top-20 list
+    * (retrievers/fusion.py:12-104). */
+  val q32RrfFusion: QueryDef = QueryDef(
+    "q32_rrf_fusion",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val scored = e.crossJoin(broadcast(queryVec(e)))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          dotProduct(col("embedding"), col("qv")).as("m_dot"),
+          (-l2Sq(col("embedding"), col("qv"))).as("m_l2"),
+          (-l1(col("embedding"), col("qv"))).as("m_l1"))
+      val lists = Seq("m_dot", "m_l2", "m_l1").map { m =>
+        val w = Window.orderBy(col(m).desc, col("vec_id"))
+        scored.select(col("vec_id"), row_number().over(w).as("rank"))
+          .filter(col("rank") <= 20)
+      }
+      lists.reduce(_ union _)
+        .groupBy(col("vec_id"))
+        .agg(round(sum(lit(1.0) / (lit(60) + col("rank"))), 6).as("rrf"),
+          count(lit(1)).as("n_lists"))
+        .orderBy(col("rrf").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some(s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      scored AS (SELECT vec_id,
+          $oracleDot AS m_dot,
+          -list_sum(list_transform(list_zip(embedding::DOUBLE[], qv), x -> (x[1]-x[2])*(x[1]-x[2]))) AS m_l2,
+          -list_sum(list_transform(list_zip(embedding::DOUBLE[], qv), x -> abs(x[1]-x[2]))) AS m_l1
+        FROM embeddings, q WHERE vec_id <> 0),
+      ranked AS (
+        SELECT vec_id, row_number() OVER (ORDER BY m_dot DESC, vec_id) AS rank FROM scored
+        UNION ALL SELECT vec_id, row_number() OVER (ORDER BY m_l2 DESC, vec_id) FROM scored
+        UNION ALL SELECT vec_id, row_number() OVER (ORDER BY m_l1 DESC, vec_id) FROM scored)
+      SELECT vec_id, round(sum(1.0/(60+rank)), 6) AS rrf, count(*) AS n_lists
+      FROM ranked WHERE rank <= 20 GROUP BY vec_id
+      ORDER BY rrf DESC, vec_id LIMIT 10"""))
+
+  /** A7/SO2: distinct retrieved context set per group (collect_set →
+    * sorted join, retrievers/simple.py:42-52). */
+  val q33DistinctContext: QueryDef = QueryDef(
+    "q33_distinct_context",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(concat_ws("|", array_sort(collect_set(col("source")))).as("sources"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang")),
+    Some("""SELECT lang, string_agg(DISTINCT source, '|' ORDER BY source) AS sources,
+      count(DISTINCT source) AS n_sources
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
+  val all: Seq[QueryDef] = Seq(
+    q30TopkCosine, q31KnnPerLabel, q32RrfFusion, q33DistinctContext)
+}

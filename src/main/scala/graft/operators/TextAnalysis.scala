@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline tier:
+  * token counting, quality scoring, language-ID heuristic, document
+  * fingerprinting. All pure Column expressions — a narrow map stage that
+  * scales linearly with documents and never shuffles content.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Token counting (whitespace tokenizer). */
+  val q45TokenCount: QueryDef = QueryDef(
+    "q45_token_count",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"),
+          col("n_chars"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      CASE WHEN length(trim(text)) = 0 THEN 0
+           ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+      END AS n_tokens, n_chars
+      FROM documents ORDER BY doc_id"""))
+
+  /** Quality scoring: stopword ratio, mean word length, type-token
+    * ratio — the cheap quality gates a pretraining pipeline applies
+    * before anything expensive. */
+  val q46QualityScore: QueryDef = QueryDef(
+    "q46_quality_score",
+    (s, dir) => {
+      val tk = tokens(col("text"))
+      val nTok = size(tk).cast("double")
+      val nStop = size(filter(tk, w => w.isin("the", "a"))).cast("double")
+      val nDistinct = size(array_distinct(tk)).cast("double")
+      docs(s, dir).select(
+        col("doc_id"),
+        round(nStop / nTok, 6).as("stopword_ratio"),
+        round(length(regexp_replace(col("text"), " ", "")).cast("double") / nTok, 6).as("mean_word_len"),
+        round(nDistinct / nTok, 6).as("type_token_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      round(CAST(len(list_filter(tk, w -> w IN ('the', 'a'))) AS DOUBLE) / len(tk), 6) AS stopword_ratio,
+      round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(tk), 6) AS mean_word_len,
+      round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6) AS type_token_ratio
+      FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS tk
+        FROM documents) x ORDER BY doc_id"""))
+
+  /** Language-ID: marker-word n-gram heuristic with a deterministic
+    * priority tie-break (real pipelines use fastText; the operator shape
+    * — classify + groupBy distribution — is identical). */
+  val q47LangId: QueryDef = QueryDef(
+    "q47_lang_id",
+    (s, dir) => {
+      val tk = tokens(col("text"))
+      def cnt(w: String): Column = size(filter(tk, t => t === w)).cast("long")
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          cnt("the").as("c_the"), cnt("data").as("c_data"), cnt("spark").as("c_spark"))
+        .withColumn("lang_pred",
+          when(col("c_the") === 0 && col("c_data") === 0 && col("c_spark") === 0, "und")
+            .when(col("c_the") >= col("c_data") && col("c_the") >= col("c_spark"), "en")
+            .when(col("c_data") >= col("c_spark"), "dat")
+            .otherwise("spk"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("lang_pred"))
+    },
+    Some("""SELECT lang, lang_pred, count(*) AS n_docs FROM (
+      SELECT lang, CASE
+        WHEN c_the = 0 AND c_data = 0 AND c_spark = 0 THEN 'und'
+        WHEN c_the >= c_data AND c_the >= c_spark THEN 'en'
+        WHEN c_data >= c_spark THEN 'dat'
+        ELSE 'spk' END AS lang_pred FROM (
+          SELECT lang,
+            CAST(len(list_filter(tk, t -> t = 'the')) AS BIGINT) AS c_the,
+            CAST(len(list_filter(tk, t -> t = 'data')) AS BIGINT) AS c_data,
+            CAST(len(list_filter(tk, t -> t = 'spark')) AS BIGINT) AS c_spark
+          FROM (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS tk
+            FROM documents) t) c) x
+      GROUP BY lang, lang_pred ORDER BY lang, lang_pred"""))
+
+  /** Document fingerprinting: winnowing-style — minimum hash over all
+    * 8-char shingles (stride 4), i.e. a locality-robust content id. */
+  val q48Fingerprint: QueryDef = QueryDef(
+    "q48_fingerprint",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("pos", explode(sequence(lit(0L),
+          greatest(ceil((col("n_chars").cast("double") - lit(8.0)) / lit(4.0)).cast("long"), lit(0L)))))
+        .withColumn("shingle", expr("substring(text, cast(pos * 4 + 1 as int), 8)"))
+        .groupBy(col("doc_id"))
+        .agg(min(sha2(col("shingle"), 256)).as("fingerprint"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, min(sha256(shingle)) AS fingerprint FROM (
+      SELECT doc_id, substr(text, CAST(pos * 4 + 1 AS INT), 8) AS shingle FROM (
+        SELECT doc_id, text, unnest(generate_series(0,
+          greatest(CAST(ceil((n_chars - 8.0) / 4.0) AS BIGINT), 0))) AS pos
+        FROM documents) p) s
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(
+    q45TokenCount, q46QualityScore, q47LangId, q48Fingerprint)
+}

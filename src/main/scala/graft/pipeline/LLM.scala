@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+/** LLM + embedding adapter surface (SURVEY.md §2.11; reference
+  * sdk1/llm.py:332-437, sdk1/embedding.py).
+  *
+  * Clients are Serializable factories: each executor partition
+  * instantiates (or reuses, via the companion cache) one client — the
+  * reference's per-worker connection pooling. Calls are wrapped with
+  * bounded retry and flow token counts into Spark accumulators (the
+  * usage table, SURVEY A1).
+  */
+trait LLMClient extends Serializable {
+  def complete(prompt: String): String
+  /** crude token accounting: whitespace tokens */
+  def countTokens(s: String): Long =
+    if (s == null || s.trim.isEmpty) 0L else s.trim.split("\\s+").length.toLong
+}
+
+/** Deterministic mock (mirrors the reference's LLM_MOCK_RESPONSE e2e
+  * pattern, tests/e2e/conftest.py:143-159): answers are pure functions of
+  * the prompt text, so pipelines are reproducible and testable offline.
+  *
+  * Protocol: the assembled prompt carries `Context:\n<text>` and a
+  * question line; the mock answers
+  *   - "count of word 'w'"   → number of occurrences of w in context
+  *   - "does it mention 'w'" → yes/no
+  *   - "first word"          → first whitespace token
+  *   - anything else         → "NA" (the reference's universal null)
+  */
+class MockLLM extends LLMClient {
+  private val CountRe = "(?s).*count of word '([^']+)'.*".r
+  private val MentionRe = "(?s).*does it mention '([^']+)'.*".r
+  private val FirstRe = "(?s).*first word.*".r
+
+  private def contextOf(prompt: String): String = {
+    val i = prompt.indexOf("Context:\n")
+    if (i < 0) return ""
+    val rest = prompt.substring(i + "Context:\n".length)
+    // strip the assembled prompt's trailing "Answer:" line
+    rest.replaceFirst("(?s)\\n?Answer:\\s*$", "")
+  }
+
+  override def complete(prompt: String): String = {
+    val ctx = contextOf(prompt)
+    prompt match {
+      case CountRe(w) =>
+        var n = 0; var i = ctx.indexOf(w)
+        while (i >= 0) { n += 1; i = ctx.indexOf(w, i + w.length) }
+        n.toString
+      case MentionRe(w) => if (ctx.contains(w)) "yes" else "no"
+      case FirstRe() =>
+        val t = ctx.trim; val sp = t.indexOf(' ')
+        if (t.isEmpty) "NA" else if (sp < 0) t else t.substring(0, sp)
+      case _ => "NA"
+    }
+  }
+}
+
+/** Retry wrapper + usage accounting around any client. */
+final class RetryingLLM(inner: LLMClient, maxAttempts: Int = 3,
+    promptTokens: Option[LongAccumulator] = None,
+    completionTokens: Option[LongAccumulator] = None) extends LLMClient {
+  override def complete(prompt: String): String = {
+    var attempt = 0
+    var out: String = null
+    while (out == null) {
+      attempt += 1
+      try out = inner.complete(prompt)
+      catch { case e: Exception if attempt < maxAttempts => /* transient: retry */ }
+    }
+    promptTokens.foreach(_.add(countTokens(prompt)))
+    completionTokens.foreach(_.add(countTokens(out)))
+    out
+  }
+}
+
+object LLM {
+  /** Prompt assembly (answer_prompt.py:107-219): preamble + question +
+    * grammar notes + postamble + context + "Answer:". Built as a Column
+    * so it stays in codegen. */
+  def assemblePrompt(question: String, contextCol: Column,
+      preamble: String = "", postamble: String = ""): Column =
+    concat_ws("\n",
+      Seq(lit(preamble), lit(question), lit(postamble),
+        lit("Context:"), contextCol, lit("Answer:")).filter(_ != null): _*)
+
+  /** Column-level LLM completion: a nondeterministic-safe UDF with
+    * per-partition client reuse. v2 will promote this to a Catalyst
+    * Expression with doGenCode batching. */
+  def completeUdf(mkClient: () => LLMClient): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    lazy val client = mkClient()
+    udf { (prompt: String) => if (prompt == null) null else client.complete(prompt) }
+  }
+}

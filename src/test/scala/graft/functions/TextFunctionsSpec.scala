@@ -1,0 +1,45 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+class TextFunctionsSpec extends SparkSpec {
+  import TextFunctions._
+
+  test("globToRegex basics") {
+    assert("invoice_01.pdf".matches(globToRegex("*.pdf")))
+    assert(!"invoice_01.pdfx".matches(globToRegex("*.pdf")))
+    assert("a.txt".matches(globToRegex("?.txt")))
+    assert(!"ab.txt".matches(globToRegex("?.txt")))
+    assert("file[1].txt".matches(globToRegex("file[[]1].txt")))
+    assert("fileA.txt".matches(globToRegex("file[AB].txt")))
+    assert(!"fileC.txt".matches(globToRegex("file[AB].txt")))
+    assert("fileC.txt".matches(globToRegex("file[!AB].txt")))
+  }
+
+  test("globToRegex: literal pattern matches itself (property)") {
+    val lit = Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+    forAll(lit) { s => assert(s.matches(globToRegex(s))) }
+  }
+
+  test("glob * matches any suffix (property)") {
+    val lit = Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+    forAll(lit, lit) { (a, b) => assert((a + b).matches(globToRegex(a + "*"))) }
+  }
+
+  test("naSanitize nulls NA variants, keeps the rest") {
+    import spark.implicits._
+    val got = Seq("NA", "na", "  Na ", "nah", "x", null)
+      .toDF("v").select(naSanitize(col("v")).as("v")).collect().map(_.getString(0))
+    assert(got.toSeq == Seq(null, null, null, "nah", "x", null))
+  }
+
+  test("tokenCount handles blanks") {
+    import spark.implicits._
+    val got = Seq("a b  c", "  ", "", "one", null)
+      .toDF("v").select(tokenCount(col("v")).as("n"))
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+    assert(got.toSeq == Seq(3L, 0L, 0L, 1L, -1L))
+  }
+}

@@ -15,7 +15,9 @@ object SparkEntry {
       operators.RetrievalOps.all ++
       operators.ExtractOps.all ++
       operators.TextAnalysis.all ++
-      operators.IndexOps.all
+      operators.IndexOps.all ++
+      operators.DedupOps.all ++
+      operators.AnnOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

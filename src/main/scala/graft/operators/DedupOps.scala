@@ -1,0 +1,198 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for the training-data tier: MinHash + LSH
+  * banding, SimHash, n-gram Jaccard verification, embedding-cosine
+  * near-dup. Exact dedup is SourceOps.q22 (sha256 groupBy).
+  *
+  * Scale design (100 TB):
+  *  - signatures are computed in a narrow map stage (higher-order
+  *    functions over the token array — no UDF, no shuffle of text);
+  *  - the ONLY shuffle is the LSH band join, keyed on (band_id,
+  *    band_key) — candidates are a tiny fraction of the corpus, so the
+  *    expensive exact-Jaccard verify runs on pairs, never on the
+  *    full N² cross product;
+  *  - banding parameters (K=8 hashes, 4 bands × 2 rows) trade recall
+  *    (pairs with J ≈ 0.5 collide with P ≈ 1-(1-J²)⁴) against candidate
+  *    volume; at higher corpus similarity raise rows-per-band.
+  */
+object DedupOps {
+
+  private val K = 8          // minhash signature length
+  private val Bands = 4      // LSH bands (2 rows each)
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** doc_id + distinct 3-word shingle set (tiny docs fall back to the
+    * whole text as one shingle). */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), trim(col("text")).as("t"),
+        split(trim(col("text")), "\\s+").as("w"))
+      .withColumn("shingles", expr(
+        """case when size(w) >= 3
+          | then array_distinct(transform(sequence(1, size(w) - 2),
+          |   i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+          | else array(t) end""".stripMargin))
+
+  private val shingleSqlCte =
+    """tok AS (SELECT doc_id, trim(text) AS t,
+      |    regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |  sh AS (SELECT doc_id,
+      |    CASE WHEN len(w) >= 3
+      |      THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                          for i in range(1, len(w) - 1)])
+      |      ELSE [t] END AS shingles FROM tok)""".stripMargin
+
+  /** MinHash signatures: ONE sha256 per shingle; the K hash functions
+    * are the K disjoint 8-hex-char slices of the digest (256 independent
+    * bits buy 8 independent 32-bit permutations for one hash pass —
+    * 8× cheaper than hashing per-permutation). Signature entry k is the
+    * lexicographic min of slice k. */
+  private def hashedShingles(s: SparkSession, dir: String): DataFrame =
+    shingled(s, dir)
+      .select(col("doc_id"),
+        expr("transform(shingles, s -> sha2(s, 256))").as("hashes"))
+      // materialize once: the LSH band self-join and the Jaccard verify
+      // reuse this 4×; without it Spark recomputes the hash pass per use
+      .localCheckpoint()
+
+  private def signatures(hashed: DataFrame): DataFrame =
+    hashed.withColumn("sig", expr(
+      s"""transform(sequence(0, ${K - 1}),
+         |  k -> array_min(transform(hashes, h -> substr(h, k * 8 + 1, 8))))""".stripMargin))
+
+  private val hashSqlCte =
+    """hs AS (SELECT doc_id, list_transform(shingles, s -> sha256(s)) AS hashes FROM sh)"""
+
+  private val sigSqlCte =
+    s"""sig AS (SELECT doc_id, hashes,
+       |    [list_aggregate(list_transform(hashes,
+       |       h -> substr(h, k * 8 + 1, 8)), 'min')
+       |     for k in range(0, $K)] AS sig FROM hs)""".stripMargin
+
+  /** MinHash signature table (inspectable operator output). */
+  val q50MinhashSignature: QueryDef = QueryDef(
+    "q50_minhash_signature",
+    (s, dir) =>
+      signatures(hashedShingles(s, dir))
+        .select(col("doc_id"), concat_ws("|", col("sig")).as("signature"))
+        .orderBy(col("doc_id")),
+    Some(s"""WITH $shingleSqlCte,
+      $hashSqlCte,
+      $sigSqlCte
+      SELECT doc_id, array_to_string(sig, '|') AS signature FROM sig
+      ORDER BY doc_id"""))
+
+  /** Full MinHash-LSH near-dup pipeline: band → bucket join → exact
+    * Jaccard verify on the candidates only. */
+  val q51LshJaccardPairs: QueryDef = QueryDef(
+    "q51_lsh_jaccard_pairs",
+    (s, dir) => {
+      val hashed = hashedShingles(s, dir)
+      val sig = signatures(hashed)
+      val bands = sig.select(col("doc_id"),
+          explode(expr(s"""transform(sequence(0, ${Bands - 1}),
+            b -> struct(b as band_id,
+              concat(element_at(sig, 2 * b + 1), '|', element_at(sig, 2 * b + 2)) as band_key))""")).as("bd"))
+        .select(col("doc_id"), col("bd.band_id"), col("bd.band_key"))
+      val pairs = bands.as("a").join(bands.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      // exact Jaccard verify over the hashed shingle sets (collision-free
+      // at 256 bits), candidates only
+      pairs
+        .join(hashed.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(hashed.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          round(size(array_intersect(col("sa.hashes"), col("sb.hashes"))).cast("double") /
+            size(array_union(col("sa.hashes"), col("sb.hashes"))), 6).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""WITH $shingleSqlCte,
+      $hashSqlCte,
+      $sigSqlCte,
+      bands AS (SELECT doc_id, b AS band_id,
+          sig[2*b + 1] || '|' || sig[2*b + 2] AS band_key
+        FROM (SELECT doc_id, sig, unnest(range(0, $Bands)) AS b FROM sig) x),
+      pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+          AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b,
+        round(CAST(len(list_intersect(ha.hashes, hb.hashes)) AS DOUBLE) /
+          len(list_distinct(list_concat(ha.hashes, hb.hashes))), 6) AS jaccard
+      FROM pairs
+      JOIN hs ha ON doc_a = ha.doc_id
+      JOIN hs hb ON doc_b = hb.doc_id
+      ORDER BY doc_a, doc_b"""),
+    headline = true)
+
+  // --- SimHash ------------------------------------------------------------
+
+  /** 64-bit SimHash: per-token 64-bit hash (first 16 hex chars of
+    * sha256), per-bit weighted majority vote. The bit expressions are
+    * generated once and shared verbatim with the oracle SQL — both
+    * engines run the same arithmetic. */
+  private def simhashConcatExpr: String = {
+    val bits = (0 until 64).map { b =>
+      val j = b / 4 + 1     // 1-based nibble position in the 16-char hash
+      val p = 1 << (b % 4)  // bit weight within the nibble
+      s"""case when sum(2 * (cast(floor((instr('0123456789abcdef', substr(h, $j, 1)) - 1) / $p.0) as int) % 2) - 1) >= 0 then '1' else '0' end"""
+    }
+    s"concat(${bits.mkString(", ")})"
+  }
+
+  val q53Simhash: QueryDef = QueryDef(
+    "q53_simhash",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .withColumn("h", expr("substr(sha2(tok, 256), 1, 16)"))
+        .groupBy(col("doc_id"))
+        .agg(expr(s"$simhashConcatExpr as simhash"))
+        .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id, $simhashConcatExpr AS simhash FROM (
+      SELECT doc_id, substr(sha256(tok), 1, 16) AS h FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents) t) x
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  // --- Embedding near-dup -------------------------------------------------
+
+  /** Embedding-cosine near-dup: label-blocked pair join (the blocking key
+    * stands in for an LSH/IVF bucket at scale), dot > 0.35 on normalized
+    * vectors. */
+  val q55EmbeddingNeardup: QueryDef = QueryDef(
+    "q55_embedding_neardup",
+    (s, dir) => {
+      import graft.functions.VectorFunctions.dotProduct
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"))
+      e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.label").as("label"),
+          col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          dotProduct(col("a.embedding"), col("b.embedding")).as("cos"))
+        .filter(col("cos") > 0.35)
+        .select(col("label"), col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+    Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+      SELECT label, vec_a, vec_b, round(cos, 6) AS cos FROM (
+        SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+          list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2])) AS cos
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) p
+      WHERE cos > 0.35
+      ORDER BY vec_a, vec_b"""))
+
+  val all: Seq[QueryDef] = Seq(
+    q50MinhashSignature, q51LshJaccardPairs, q53Simhash, q55EmbeddingNeardup)
+}

@@ -17,7 +17,8 @@ object SparkEntry {
       operators.TextAnalysis.all ++
       operators.IndexOps.all ++
       operators.DedupOps.all ++
-      operators.AnnOps.all
+      operators.AnnOps.all ++
+      operators.EventsOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

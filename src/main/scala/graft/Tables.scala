@@ -25,8 +25,10 @@ object Tables {
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integer division: a double intermediate (ts/1000) only carries 53
+    // mantissa bits and corrupts the microsecond digit at ~1.7e18 ns
     spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }
 

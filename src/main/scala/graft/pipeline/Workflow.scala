@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import graft.sources.FileScan
+import graft.sinks.Sinks
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Workflow composition (SURVEY.md §3.1): the reference's
+  * source → dedup → tool-pipeline → destination run as ONE Spark job —
+  * the Celery fan-out, chord barrier and batch bookkeeping collapse into
+  * Spark's scheduler (§4 table).
+  *
+  * scan (binaryFile) → history anti-join → extraction columns →
+  * destination write + history upsert + usage rollup.
+  */
+object Workflow {
+
+  final case class RunSummary(
+      listed: Long, afterDedup: Long, extracted: Long, failed: Long)
+
+  final case class WorkflowSpec(
+      scan: FileScan.ScanConfig,
+      prompts: Seq[PromptSpec],
+      historyPath: String,
+      outputFolder: String,
+      workflowId: String = "wf-1")
+
+  /** Execute a batch run end-to-end. Returns the summary the reference's
+    * chord callback would assemble (workers/file_processing/tasks.py:1023-1090). */
+  def run(spark: SparkSession, spec: WorkflowSpec,
+      client: () => LLMClient): RunSummary = {
+    val files = FileScan.scan(spark, spec.scan)
+
+    val history: DataFrame = try {
+      spark.read.parquet(spec.historyPath)
+    } catch {
+      case _: Exception =>
+        import spark.implicits._
+        Seq.empty[(String, String, String, String)]
+          .toDF("cache_key", "file_path", "status", "result")
+    }
+
+    val fresh = FileScan.dedupAgainstHistory(files, history)
+      .withColumn("text", col("content").cast("string"))
+      .localCheckpoint() // one listing pass feeds extract + history + counts
+
+    val listed = files.count()
+    val extracted = Extraction.extract(fresh, "text", spec.prompts, client)
+      .withColumn("error_message", lit(null).cast("string"))
+
+    val shaped = Sinks.shapeForDb(
+      extracted.drop("content", "text"), createdBy = spec.workflowId)
+    Sinks.writeFs(shaped.drop("error_message"), spec.outputFolder)
+
+    val newHistory = extracted.select(
+      col("file_hash").as("cache_key"),
+      col("file_path"),
+      when(col("error_message").isNotNull, "ERROR").otherwise("COMPLETED").as("status"),
+      to_json(struct(spec.prompts.map(p => col(p.name)): _*)).as("result"))
+    Sinks.upsertHistory(spark, spec.historyPath, newHistory)
+
+    val nOut = extracted.count()
+    val nErr = extracted.filter(col("error_message").isNotNull).count()
+    RunSummary(listed, fresh.count(), nOut, nErr)
+  }
+}

@@ -1,0 +1,104 @@
+package graft.sinks
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class SinksSpec extends SparkSpec {
+  import SchemaDDL._
+
+  private val schema = StructType(Seq(
+    StructField("invoice_total", DoubleType),
+    StructField("customer", StringType),
+    StructField("paid", BooleanType),
+    StructField("line_items", ArrayType(StringType))))
+
+  test("create DDL: permanent columns + dialect type mapping") {
+    val pg = createTable(Postgres, "results", schema)
+    assert(pg.startsWith("""CREATE TABLE IF NOT EXISTS "results""""))
+    assert(pg.contains(""""metadata" JSONB"""))
+    assert(pg.contains(""""invoice_total" DOUBLE PRECISION"""))
+    assert(pg.contains(""""line_items" JSONB"""))
+
+    val bq = createTable(BigQuery, "results", schema)
+    assert(bq.contains("`invoice_total` FLOAT64"))
+    assert(bq.contains("`line_items` JSON"))
+
+    val ms = createTable(MsSql, "results", schema)
+    assert(ms.contains("[invoice_total] FLOAT"))
+    assert(ms.contains("[customer] NVARCHAR(MAX)"))
+
+    // all 8 dialects produce runnable-shaped DDL
+    dialects.foreach { d =>
+      val ddl = createTable(d, "t", schema)
+      assert(ddl.contains("CREATE TABLE IF NOT EXISTS"), d.name)
+      permanentColumns(d).foreach { case (n, _) => assert(ddl.contains(n), s"${d.name}/$n") }
+    }
+  }
+
+  test("migration: v1 table gets missing permanent cols + *_v2 twins") {
+    val live = Seq("id", "created_by", "created_at", "invoice_total", "customer")
+    val stmts = migrate(Postgres, "results", live, schema)
+    assert(stmts.exists(_.contains(""""metadata" JSONB""")))
+    assert(stmts.exists(_.contains(""""invoice_total_v2" JSONB""")))
+    assert(stmts.exists(_.contains(""""paid" BOOLEAN""")))
+    assert(stmts.forall(_.startsWith("""ALTER TABLE "results" ADD COLUMN""")))
+    // v2 layout: no twins added again
+    val v2live = live ++ Seq("metadata", "status", "error_message", "paid",
+      "line_items", "invoice_total_v2", "customer_v2", "paid_v2", "line_items_v2")
+    assert(migrate(Postgres, "results", v2live, schema).isEmpty)
+  }
+
+  test("shapeForDb: status derivation + single-column mode") {
+    import spark.implicits._
+    val df = Seq(
+      (1.0, "acme", Option.empty[String]),
+      (2.0, "bad co", Some("boom"))
+    ).toDF("total", "customer", "error_message")
+    val shaped = Sinks.shapeForDb(df, "wf-1")
+    val statuses = shaped.orderBy("total").select("status").as[String].collect()
+    assert(statuses.toSeq == Seq("SUCCESS", "ERROR"))
+    assert(shaped.columns.contains("id") && shaped.columns.contains("created_at"))
+
+    val single = Sinks.shapeForDb(df, "wf-1", singleColumnMode = true)
+    assert(single.columns.toSet ==
+      Set("id", "created_by", "created_at", "metadata", "data", "status", "error_message"))
+    val data = single.orderBy(col("data")).select("data").as[String].collect().head
+    assert(data.contains("acme") || data.contains("bad co"))
+  }
+
+  test("history upsert: merge keeps others, replaces same cache_key") {
+    import spark.implicits._
+    val path = Files.tmp("hist")
+    val first = Seq(("h1", "/a", "COMPLETED", "{}"), ("h2", "/b", "ERROR", null))
+      .toDF("cache_key", "file_path", "status", "result")
+    Sinks.upsertHistory(spark, path, first)
+    val second = Seq(("h2", "/b", "COMPLETED", """{"ok":1}"""), ("h3", "/c", "COMPLETED", "{}"))
+      .toDF("cache_key", "file_path", "status", "result")
+    Sinks.upsertHistory(spark, path, second)
+
+    val got = spark.read.parquet(path)
+    assert(got.count() == 3)
+    val h2 = got.filter($"cache_key" === "h2").select("status").as[String].collect()
+    assert(h2.toSeq == Seq("COMPLETED"))
+  }
+
+  test("usage rollup sums counters per run") {
+    import spark.implicits._
+    val usage = Seq(
+      ("r1", 10L, 100L, 20L, 130L, 0.001),
+      ("r1", 5L, 50L, 10L, 65L, 0.0005),
+      ("r2", 0L, 10L, 5L, 15L, 0.0001)
+    ).toDF("run_id", "embedding_tokens", "prompt_tokens", "completion_tokens",
+      "total_tokens", "cost_in_dollars")
+    val got = Sinks.usageRollup(usage).orderBy("run_id").collect()
+    assert(got(0).getAs[Long]("total_tokens") == 195L)
+    assert(got(0).getAs[Double]("cost_in_dollars") == 0.0015)
+    assert(got(1).getAs[Long]("prompt_tokens") == 10L)
+  }
+
+  object Files {
+    def tmp(prefix: String): String =
+      java.nio.file.Files.createTempDirectory(s"graft-$prefix").resolve("tbl").toString
+  }
+}

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class EventStreamsSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("file_hash", StringType),
+    StructField("ts", TimestampType),
+    StructField("event_type", StringType),
+    StructField("user_id", LongType),
+    StructField("value", DoubleType)))
+
+  private def writeBatch(dir: String, rows: Seq[String], name: String): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, name),
+      rows.mkString("\n").getBytes("UTF-8"))
+
+  test("T1/T2: AvailableNow processes each file exactly once across runs") {
+    val src = Files.createTempDirectory("graft-stream-src").toString
+    val sink = Files.createTempDirectory("graft-stream-sink").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+
+    writeBatch(src, Seq(
+      """{"file_hash":"a","ts":"2024-01-01T00:00:00Z","event_type":"x","user_id":1,"value":1.0}""",
+      """{"file_hash":"b","ts":"2024-01-01T00:01:00Z","event_type":"x","user_id":1,"value":2.0}"""),
+      "batch1.json")
+
+    val s1 = EventStreams.incrementalFiles(spark, src, schema)
+    EventStreams.runAvailableNow(s1, sink, ckpt)
+    assert(spark.read.parquet(sink).count() == 2)
+
+    // second run with one NEW file: only the new rows land
+    writeBatch(src, Seq(
+      """{"file_hash":"c","ts":"2024-01-01T00:02:00Z","event_type":"y","user_id":2,"value":3.0}"""),
+      "batch2.json")
+    val s2 = EventStreams.incrementalFiles(spark, src, schema)
+    EventStreams.runAvailableNow(s2, sink, ckpt)
+    val got = spark.read.parquet(sink)
+    assert(got.count() == 3)
+    assert(got.select("file_hash").distinct().count() == 3)
+  }
+
+  test("T2: in-stream dedup by content hash") {
+    val src = Files.createTempDirectory("graft-dedup-src").toString
+    val ckpt = Files.createTempDirectory("graft-dedup-ckpt").toString
+    writeBatch(src, Seq(
+      """{"file_hash":"same","ts":"2024-01-01T00:00:00Z","event_type":"x","user_id":1,"value":1.0}""",
+      """{"file_hash":"same","ts":"2024-01-01T00:05:00Z","event_type":"x","user_id":1,"value":2.0}""",
+      """{"file_hash":"other","ts":"2024-01-01T00:06:00Z","event_type":"x","user_id":1,"value":3.0}"""),
+      "b.json")
+    val deduped = EventStreams.dedupByHash(
+      EventStreams.incrementalFiles(spark, src, schema), "file_hash")
+    EventStreams.runAvailableNowToMemory(deduped, "dedup_out", ckpt)
+    assert(spark.table("dedup_out").count() == 2)
+  }
+
+  test("T3/T4: watermarked tumbling windows aggregate event time") {
+    val src = Files.createTempDirectory("graft-win-src").toString
+    val ckpt = Files.createTempDirectory("graft-win-ckpt").toString
+    writeBatch(src, Seq(
+      """{"file_hash":"1","ts":"2024-01-01T00:00:30Z","event_type":"x","user_id":1,"value":1.0}""",
+      """{"file_hash":"2","ts":"2024-01-01T00:01:30Z","event_type":"x","user_id":1,"value":2.0}""",
+      """{"file_hash":"3","ts":"2024-01-01T00:07:00Z","event_type":"x","user_id":1,"value":4.0}"""),
+      "b.json")
+    val win = EventStreams.windowedCounts(
+      EventStreams.incrementalFiles(spark, src, schema), "ts")
+    EventStreams.runAvailableNowToMemory(win, "win_out", ckpt, complete = true)
+    val rows = spark.table("win_out")
+      .select(col("window.start").cast("string").as("s"), col("n"), col("total_value"))
+      .orderBy("s").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("n") == 2L && rows(0).getAs[Double]("total_value") == 3.0)
+    assert(rows(1).getAs[Long]("n") == 1L && rows(1).getAs[Double]("total_value") == 4.0)
+  }
+
+  test("T4: session windows close after the gap") {
+    val src = Files.createTempDirectory("graft-sess-src").toString
+    val ckpt = Files.createTempDirectory("graft-sess-ckpt").toString
+    writeBatch(src, Seq(
+      """{"file_hash":"1","ts":"2024-01-01T00:00:00Z","event_type":"x","user_id":1,"value":1.0}""",
+      """{"file_hash":"2","ts":"2024-01-01T00:10:00Z","event_type":"x","user_id":1,"value":2.0}""",
+      """{"file_hash":"3","ts":"2024-01-01T02:00:00Z","event_type":"x","user_id":1,"value":4.0}"""),
+      "b.json")
+    val sess = EventStreams.sessionCounts(
+      EventStreams.incrementalFiles(spark, src, schema), "ts")
+    EventStreams.runAvailableNowToMemory(sess, "sess_out", ckpt, complete = true)
+    val rows = spark.table("sess_out").orderBy(col("session_window.start")).collect()
+    assert(rows.length == 2)                 // 30-min gap splits the two groups
+    assert(rows(0).getAs[Long]("n_events") == 2L)
+    assert(rows(1).getAs[Long]("n_events") == 1L)
+  }
+}

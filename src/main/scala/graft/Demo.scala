@@ -28,6 +28,24 @@ object Demo {
     val edge = Seq((99L, ""), (100L, "NA na  NA")).toDF("doc_id", "text")
     Extraction.extract(edge, "text", specs, () => new MockLLM)
       .show(truncate = false)
+
+    // tool surface: classify + enrich the scanned docs
+    val classified = ToolRegistry.get("classifier").get(docs, Map())
+    val enriched = ToolRegistry.get("lookup_enrichment").get(classified, Map("field" -> "lang"))
+    enriched.groupBy("classification", "lang_enriched").count()
+      .orderBy("classification", "lang_enriched").show(30, truncate = false)
+
+    // JSON repair over a messy "LLM answer"
+    val messy = Seq("""Sure! ```json {'total': 12.5, items: 3,}```""").toDF("raw")
+    messy.select(graft.functions.JsonRepair.parseWithRepair(
+      org.apache.spark.sql.functions.col("raw"), "total DOUBLE, items INT").as("parsed"))
+      .show(truncate = false)
+
+    // multimodal plumbing on binary columns
+    val media = Seq(("img.png", Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 1, 2))).toDF("file_name", "content")
+    graft.multimodal.Multimodal.withMediaFeatures(media, "content", "file_name")
+      .select("file_name", "media_meta.format", "features").show(truncate = false)
+    println("DEMO_OK")
     spark.stop()
   }
 }

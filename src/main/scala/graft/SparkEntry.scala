@@ -18,7 +18,8 @@ object SparkEntry {
       operators.IndexOps.all ++
       operators.DedupOps.all ++
       operators.AnnOps.all ++
-      operators.EventsOps.all
+      operators.EventsOps.all ++
+      operators.LineItemOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

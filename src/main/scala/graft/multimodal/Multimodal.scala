@@ -1,0 +1,84 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video as opaque BINARY columns with a
+  * typed metadata struct, decoded/feature-extracted per partition.
+  *
+  * The Spark-side plumbing is real — schema, batched per-partition
+  * processing (one decoder instance per partition, the mapInPandas batch
+  * shape), partition sizing — while the decode kernel itself is STUBBED
+  * with a deterministic fake (this container ships no image/audio codecs;
+  * a real deployment swaps `StubDecoder` for a JNI/FFmpeg/ImageIO-backed
+  * one behind the same trait).
+  */
+object Multimodal {
+
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  /** Per-partition decode kernel. One instance per partition — the place
+    * a real implementation holds its codec context. */
+  trait MediaDecoder extends Serializable {
+    def features(content: Array[Byte]): Array[Float]
+    def meta(content: Array[Byte], fileName: String): Row
+  }
+
+  /** Deterministic fake: "features" are a seeded hash-derived vector;
+    * metadata is sniffed from magic bytes. Deterministic ⇒ testable. */
+  class StubDecoder(dim: Int = 8) extends MediaDecoder {
+    override def features(content: Array[Byte]): Array[Float] = {
+      val seed = java.util.Arrays.hashCode(content)
+      val rnd = new scala.util.Random(seed)
+      Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+    }
+    override def meta(content: Array[Byte], fileName: String): Row = {
+      val hex = content.take(4).map("%02X".format(_)).mkString
+      val fmt =
+        if (hex.startsWith("89504E47")) "png"
+        else if (hex.startsWith("FFD8FF")) "jpeg"
+        else if (hex.startsWith("474946")) "gif"
+        else if (fileName.endsWith(".wav")) "wav"
+        else "unknown"
+      // ??? <- real decoders read the actual header fields here
+      val dims = if (fmt == "unknown") (0, 0) else (content.length % 1920, content.length % 1080)
+      Row(fmt, dims._1, dims._2, content.length.toLong)
+    }
+  }
+
+  /** Attach media metadata + feature vector columns. Batched via
+    * mapPartitions: decoder constructed once per partition, rows stream
+    * through (the Scala dual of mapInPandas batches). */
+  def withMediaFeatures(df: DataFrame, contentCol: String, fileNameCol: String,
+      mkDecoder: () => MediaDecoder = () => new StubDecoder()): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("media_meta", mediaMetaType),
+      StructField("features", ArrayType(FloatType))))
+    val cIdx = df.schema.fieldIndex(contentCol)
+    val fIdx = df.schema.fieldIndex(fileNameCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      val decoder = mkDecoder()                 // per-partition init
+      rows.map { r =>
+        val content = r.getAs[Array[Byte]](cIdx)
+        val name = r.getAs[String](fIdx)
+        Row.fromSeq(r.toSeq ++ Seq(decoder.meta(content, name),
+          decoder.features(content).toSeq))
+      }
+    }(enc)
+  }
+
+  /** Frame sampling plumbing: explode a video row into frame rows at
+    * `everyMs` intervals of the (stubbed) duration. */
+  def sampleFrames(df: DataFrame, everyMs: Long): DataFrame =
+    df.withColumn("frame_ms",
+        explode(sequence(lit(0L), greatest(col("media_meta.duration_ms") - 1, lit(0L)),
+          lit(everyMs))))
+      .withColumn("frame_id",
+        concat_ws(":", col("file_name"), col("frame_ms")))
+}

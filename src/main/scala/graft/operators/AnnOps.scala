@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import graft.functions.VectorFunctions._
+import graft.functions.expressions.VectorExpressions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -25,6 +25,7 @@ object AnnOps {
   val q56AnnIvf: QueryDef = QueryDef(
     "q56_ann_ivf",
     (s, dir) => {
+      VectorExpressions.register(s)
       val e = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
       val centroids = e.filter(col("vec_id") < C)
@@ -34,7 +35,7 @@ object AnnOps {
         .orderBy(col("dist"), col("cid"))
       val assigned = e.crossJoin(broadcast(centroids))
         .select(col("vec_id"), col("embedding"), col("cid"),
-          l2Sq(col("embedding"), col("cv")).as("dist"))
+          expr("l2_sq_f(embedding, cv)").as("dist"))
         .withColumn("rk", row_number().over(wAssign))
         .filter(col("rk") === 1)
         .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
@@ -42,7 +43,7 @@ object AnnOps {
       val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       val wProbe = Window.orderBy(col("qdist"), col("cid"))
       val probed = centroids.crossJoin(broadcast(qv))
-        .select(col("cid"), l2Sq(col("cv"), col("qv")).as("qdist"))
+        .select(col("cid"), expr("l2_sq_f(cv, qv)").as("qdist"))
         .withColumn("prk", row_number().over(wProbe))
         .filter(col("prk") <= NProbe)
         .select(col("cid").as("cell"))
@@ -51,7 +52,7 @@ object AnnOps {
         .crossJoin(broadcast(qv))
         .filter(col("vec_id") =!= 0)
         .select(col("cell"), col("vec_id"),
-          round(dotProduct(col("embedding"), col("qv")), 6).as("score"))
+          round(expr("dot_product_f(embedding, qv)"), 6).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
         .limit(5)
     },

@@ -173,14 +173,14 @@ object DedupOps {
   val q55EmbeddingNeardup: QueryDef = QueryDef(
     "q55_embedding_neardup",
     (s, dir) => {
-      import graft.functions.VectorFunctions.dotProduct
+      graft.functions.expressions.VectorExpressions.register(s)
       val e = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), col("embedding"))
       e.as("a").join(e.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.label").as("label"),
           col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          dotProduct(col("a.embedding"), col("b.embedding")).as("cos"))
+          expr("dot_product_f(a.embedding, b.embedding)").as("cos"))
         .filter(col("cos") > 0.35)
         .select(col("label"), col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
         .orderBy(col("vec_a"), col("vec_b"))

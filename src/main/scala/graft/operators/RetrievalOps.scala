@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import graft.functions.VectorFunctions._
+import graft.functions.expressions.VectorExpressions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -33,9 +33,10 @@ object RetrievalOps {
   val q30TopkCosine: QueryDef = QueryDef(
     "q30_topk_cosine",
     (s, dir) => {
+      VectorExpressions.register(s)
       val e = emb(s, dir)
       e.crossJoin(broadcast(queryVec(e)))
-        .select(col("vec_id"), round(dotProduct(col("embedding"), col("qv")), 6).as("score"))
+        .select(col("vec_id"), round(expr("dot_product_f(embedding, qv)"), 6).as("score"))
         .filter(col("vec_id") =!= 0 && col("score") > 0)
         .orderBy(col("score").desc, col("vec_id"))
         .limit(5)
@@ -51,12 +52,13 @@ object RetrievalOps {
   val q31KnnPerLabel: QueryDef = QueryDef(
     "q31_knn_per_label",
     (s, dir) => {
+      VectorExpressions.register(s)
       val e = emb(s, dir)
       val w = Window.partitionBy(col("label"))
         .orderBy(col("score").desc, col("vec_id"))
       e.crossJoin(broadcast(queryVec(e)))
         .select(col("label"), col("vec_id"),
-          round(dotProduct(col("embedding"), col("qv")), 6).as("score"))
+          round(expr("dot_product_f(embedding, qv)"), 6).as("score"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .orderBy(col("label"), col("rk"))
@@ -75,13 +77,14 @@ object RetrievalOps {
   val q32RrfFusion: QueryDef = QueryDef(
     "q32_rrf_fusion",
     (s, dir) => {
+      VectorExpressions.register(s)
       val e = emb(s, dir)
       val scored = e.crossJoin(broadcast(queryVec(e)))
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"),
-          dotProduct(col("embedding"), col("qv")).as("m_dot"),
-          (-l2Sq(col("embedding"), col("qv"))).as("m_l2"),
-          (-l1(col("embedding"), col("qv"))).as("m_l1"))
+          expr("dot_product_f(embedding, qv)").as("m_dot"),
+          (-expr("l2_sq_f(embedding, qv)")).as("m_l2"),
+          (-expr("l1_f(embedding, qv)")).as("m_l1"))
       val lists = Seq("m_dot", "m_l2", "m_l1").map { m =>
         val w = Window.orderBy(col(m).desc, col("vec_id"))
         scored.select(col("vec_id"), row_number().over(w).as("rank"))

@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** D24 tool surface: the reference's container tools
+  * (properties.json/spec.json + BaseTool.run, 1 file at a time) become
+  * registered whole-DataFrame transforms — per-row logic stays in Column
+  * expressions; genuinely imperative tools use mapPartitions inside
+  * their apply.
+  */
+trait DocTool extends Serializable {
+  def name: String
+  /** JSON-ish settings (the reference's tool settings dict). */
+  def apply(df: DataFrame, settings: Map[String, String]): DataFrame
+}
+
+/** D22 classifier tool: bin by dominant keyword, 'unknown' fallback
+  * (tools/classifier/src/main.py:22-162); routing = partitionBy at sink. */
+object ClassifierTool extends DocTool {
+  val name = "classifier"
+  def apply(df: DataFrame, settings: Map[String, String]): DataFrame = {
+    val bins = settings.getOrElse("bins", "joins,aggs,scans").split(",").toSeq
+    val keywords = settings.getOrElse("keywords", "join,agg,scan").split(",").toSeq
+    val counts = keywords.map(k =>
+      (length(col("text")) - length(regexp_replace(col("text"),
+        java.util.regex.Pattern.quote(k), ""))) / k.length)
+    val noHit = counts.map(_ === 0).reduce(_ && _)
+    val best = bins.zip(counts).foldRight(lit("unknown")) { case ((bin, cnt), els) =>
+      when(!noHit && counts.filter(_ != cnt).foldLeft(lit(true))((a, other) => a && cnt >= other), lit(bin)).otherwise(els)
+    }
+    df.withColumn("classification", best)
+  }
+}
+
+/** D23 text-extractor tool: binary content → text column (plain-text
+  * adapter; PDF/OCR adapters plug in behind the same column contract). */
+object TextExtractorTool extends DocTool {
+  val name = "text_extractor"
+  def apply(df: DataFrame, settings: Map[String, String]): DataFrame =
+    df.withColumn("text", col("content").cast("string"))
+}
+
+/** D20 lookup-enrichment tool: enrich a field against a broadcast
+  * reference corpus; blank inputs skip (lookup_enrichment.py:20-174). */
+object LookupEnrichmentTool extends DocTool {
+  val name = "lookup_enrichment"
+  def apply(df: DataFrame, settings: Map[String, String]): DataFrame = {
+    val field = settings.getOrElse("field", "lang")
+    val refPairs = settings.getOrElse("reference",
+      "en=English,de=German,es=Spanish,fr=French,zh=Chinese")
+      .split(",").map { kv => val Array(k, v) = kv.split("="); (k, v) }.toSeq
+    val ref = df.sparkSession.createDataFrame(refPairs)
+      .toDF(field, s"${field}_enriched")
+    df.join(broadcast(ref), Seq(field), "left_outer")
+      .withColumn(s"${field}_enriched",
+        when(length(trim(col(field))) === 0, lit(null))
+          .otherwise(col(s"${field}_enriched")))
+  }
+}
+
+/** Registry: name → tool (tool_registry.py:134-310). */
+object ToolRegistry {
+  private val tools = scala.collection.concurrent.TrieMap[String, DocTool](
+    ClassifierTool.name -> ClassifierTool,
+    TextExtractorTool.name -> TextExtractorTool,
+    LookupEnrichmentTool.name -> LookupEnrichmentTool)
+
+  def register(tool: DocTool): Unit = tools.put(tool.name, tool)
+  def get(name: String): Option[DocTool] = tools.get(name)
+  def list: Seq[String] = tools.keys.toSeq.sorted
+}

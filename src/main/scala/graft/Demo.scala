@@ -45,6 +45,15 @@ object Demo {
     val media = Seq(("img.png", Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 1, 2))).toDF("file_name", "content")
     graft.multimodal.Multimodal.withMediaFeatures(media, "content", "file_name")
       .select("file_name", "media_meta.format", "features").show(truncate = false)
+    // retrieval strategies over an inline chunk table
+    val chunks = Seq(
+      ("d1", 0L, "spark joins and shuffles", Seq(1f, 0f, 0f, 0f)),
+      ("d1", 1L, "window functions in spark", Seq(0.9f, 0.1f, 0f, 0f)),
+      ("d2", 0L, "cooking recipes", Seq(0f, 0f, 1f, 0f))
+    ).toDF("doc_id", "chunk_id", "text", "embedding")
+    val query = Retrievers.Query(Seq(1f, 0f, 0f, 0f), "spark joins?")
+    Retrievers.simple(chunks, query, 2).show(truncate = false)
+    Retrievers.fusion(chunks, Seq(query), 2).show(truncate = false)
     println("DEMO_OK")
     spark.stop()
   }

@@ -19,7 +19,8 @@ object SparkEntry {
       operators.DedupOps.all ++
       operators.AnnOps.all ++
       operators.EventsOps.all ++
-      operators.LineItemOps.all
+      operators.LineItemOps.all ++
+      operators.ScalarOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -17,6 +17,19 @@ object Tables {
     if (name == "events") loadEvents(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Load + round-robin repartition to the cluster's parallelism.
+    *
+    * The driver test tables are single-row-group parquet files, which
+    * Spark cannot split — a CPU-heavy narrow map (sha256 shingling,
+    * regexp extraction) would otherwise run in ONE task. At production
+    * scale inputs arrive as many files/row groups and scans parallelize
+    * naturally; this is the local-mode equalizer for compute-bound map
+    * stages. Don't use it before a plain agg/join — the extra shuffle
+    * isn't paid back there.
+    */
+  def loadParallel(spark: SparkSession, dir: String, name: String): DataFrame =
+    load(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
+
   /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark
     * cannot read natively ([PARQUET_TYPE_ILLEGAL]). Read nanos as Long and
     * convert to a microsecond TimestampType column (truncation matches

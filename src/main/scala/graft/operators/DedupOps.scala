@@ -25,7 +25,7 @@ object DedupOps {
   private val Bands = 4      // LSH bands (2 rows each)
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    Tables.loadParallel(s, dir, "documents")
 
   /** doc_id + distinct 3-word shingle set (tiny docs fall back to the
     * whole text as one shingle). */

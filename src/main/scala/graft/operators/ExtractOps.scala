@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object ExtractOps {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    Tables.loadParallel(s, dir, "documents")
 
   /** Occurrences of word `w` via length arithmetic (identical across
     * engines: pure integer ops). */

@@ -19,7 +19,7 @@ object IndexOps {
   private val Overlap = 32
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    Tables.loadParallel(s, dir, "documents")
 
   /** D3: chunk every document into sliding character windows. */
   val q34ChunkExplode: QueryDef = QueryDef(

@@ -14,7 +14,7 @@ object LineItemOps {
   private val Win = 64 // "page" window size, chars
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    Tables.loadParallel(s, dir, "documents")
 
   /** D16 line-item: explode doc into page windows, per-window mock
     * extraction (count of 'line'), keep itemized windows. */

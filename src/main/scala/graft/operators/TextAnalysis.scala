@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    Tables.loadParallel(s, dir, "documents")
 
   private def tokens(c: Column): Column = split(trim(c), "\\s+")
 

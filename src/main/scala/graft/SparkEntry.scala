@@ -20,7 +20,8 @@ object SparkEntry {
       operators.AnnOps.all ++
       operators.EventsOps.all ++
       operators.LineItemOps.all ++
-      operators.ScalarOps.all
+      operators.ScalarOps.all ++
+      operators.Relational2.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -135,6 +135,27 @@ object DedupOps {
       ORDER BY doc_a, doc_b"""),
     headline = true)
 
+  /** MinHash via the custom TypedImperativeAggregate over EXPLODED
+    * shingle rows — identical signatures to q50 without materializing
+    * shingle arrays per document (the map-side-combine shape; see
+    * functions/expressions/MinHashAgg.scala). */
+  val q52MinhashAggregate: QueryDef = QueryDef(
+    "q52_minhash_aggregate",
+    (s, dir) => {
+      graft.functions.expressions.MinHashAgg.register(s)
+      shingled(s, dir)
+        .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+        .withColumn("h", sha2(col("shingle"), 256))
+        .groupBy(col("doc_id"))
+        .agg(expr("concat_ws('|', minhash_agg(h))").as("signature"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $shingleSqlCte,
+      $hashSqlCte,
+      $sigSqlCte
+      SELECT doc_id, array_to_string(sig, '|') AS signature FROM sig
+      ORDER BY doc_id"""))
+
   // --- SimHash ------------------------------------------------------------
 
   /** 64-bit SimHash: per-token 64-bit hash (first 16 hex chars of
@@ -194,5 +215,6 @@ object DedupOps {
       ORDER BY vec_a, vec_b"""))
 
   val all: Seq[QueryDef] = Seq(
-    q50MinhashSignature, q51LshJaccardPairs, q53Simhash, q55EmbeddingNeardup)
+    q50MinhashSignature, q51LshJaccardPairs, q52MinhashAggregate,
+    q53Simhash, q55EmbeddingNeardup)
 }

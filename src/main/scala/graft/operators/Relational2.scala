@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second batch of analytics-layer coverage (SURVEY §2.4-2.8 "inherited
+  * from Spark" claims, evidenced): correlated-subquery shapes, HAVING,
+  * date arithmetic, conditional aggregation, string reporting.
+  */
+object Relational2 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Correlated-subquery shape (TPC-H Q17-like): lineitems below 20% of
+    * their part's average quantity — decorrelated as agg + join. */
+  val q70BelowAvgParts: QueryDef = QueryDef(
+    "q70_below_avg_parts",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val avgQ = li.groupBy(col("l_partkey").as("p_key"))
+        .agg(avg(col("l_quantity")).as("avg_qty"))
+      li.join(avgQ, col("l_partkey") === col("p_key"))
+        .filter(col("l_quantity") < col("avg_qty") * 0.2)
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_small"), round(sum(col("l_extendedprice")), 2).as("small_revenue"))
+        .orderBy(col("l_partkey"))
+    },
+    Some("""SELECT l_partkey, count(*) AS n_small,
+      round(sum(l_extendedprice), 2) AS small_revenue
+      FROM lineitem l
+      WHERE l_quantity < (SELECT avg(l_quantity) * 0.2 FROM lineitem
+                          WHERE l_partkey = l.l_partkey)
+      GROUP BY l_partkey ORDER BY l_partkey"""))
+
+  /** HAVING: high-volume customers only (TPC-H Q18 flavor). */
+  val q71Having: QueryDef = QueryDef(
+    "q71_big_customers",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("spend"))
+        .filter(col("n_orders") >= 15)
+        .orderBy(col("o_custkey")),
+    Some("""SELECT o_custkey, count(*) AS n_orders,
+      round(sum(o_totalprice), 2) AS spend
+      FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+      ORDER BY o_custkey"""))
+
+  /** Date arithmetic: shipping delay stats per month. */
+  val q72ShipDelay: QueryDef = QueryDef(
+    "q72_ship_delay",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(date_trunc("month", col("o_orderdate")).cast("date").as("order_month"),
+          datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date")).cast("long").as("delay_days"))
+        .groupBy(col("order_month"))
+        .agg(count(lit(1)).as("n_items"),
+          round(avg(col("delay_days")), 4).as("avg_delay"),
+          max(col("delay_days")).as("max_delay"))
+        .orderBy(col("order_month"))
+    },
+    Some("""SELECT order_month, count(*) AS n_items,
+      round(avg(delay_days), 4) AS avg_delay,
+      CAST(max(delay_days) AS BIGINT) AS max_delay FROM (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+          CAST(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT) AS delay_days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey) x
+      GROUP BY order_month ORDER BY order_month"""))
+
+  /** Conditional aggregation (CASE inside agg — TPC-H Q8/Q12 flavor). */
+  val q73ConditionalAgg: QueryDef = QueryDef(
+    "q73_conditional_agg",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("n_discounted"),
+          round(sum(when(col("l_discount") > 0.05, col("l_extendedprice") * col("l_discount"))
+            .otherwise(lit(0.0))), 2).as("discount_given"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag, count(*) AS n_total,
+      CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+      round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice * l_discount ELSE 0.0 END), 2) AS discount_given
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** String reporting: formatted label + concatenation (F10 shape). */
+  val q74StringReport: QueryDef = QueryDef(
+    "q74_string_report",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      c.select(col("c_custkey"),
+          concat_ws(" / ", upper(col("c_mktsegment")),
+            format_string("cust-%05d", col("c_custkey"))).as("label"),
+          length(col("c_name")).cast("long").as("name_len"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey,
+      upper(c_mktsegment) || ' / ' || format('cust-{:05d}', c_custkey) AS label,
+      CAST(length(c_name) AS BIGINT) AS name_len
+      FROM customer ORDER BY c_custkey"""))
+
+  /** EXCEPT (SO completion): segments present in one half of customers
+    * but not the other. */
+  val q75Except: QueryDef = QueryDef(
+    "q75_except",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      c.filter(col("c_custkey") % 2 === 0).select(col("c_mktsegment"))
+        .except(c.filter(col("c_acctbal") > 9990).select(col("c_mktsegment")))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment FROM customer WHERE c_custkey % 2 = 0
+      EXCEPT SELECT c_mktsegment FROM customer WHERE c_acctbal > 9990
+      ORDER BY c_mktsegment"""))
+
+  val all: Seq[QueryDef] = Seq(
+    q70BelowAvgParts, q71Having, q72ShipDelay, q73ConditionalAgg,
+    q74StringReport, q75Except)
+}

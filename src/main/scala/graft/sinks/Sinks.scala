@@ -79,4 +79,22 @@ object Sinks {
     * (destination.py:516-557); caller enforces the API batch cap. */
   def collectApiResults(results: DataFrame, maxRows: Int = 1000): Seq[String] =
     results.limit(maxRows).toJSON.collect().toSeq
+
+  /** K4/T5: manual-review queue sink — append result packets (base64
+    * file + result JSON, destination.py:853-1115) to a queue directory
+    * with an enqueue timestamp; consumers read with a TTL filter. */
+  def enqueueReview(results: DataFrame, queueDir: String,
+      ttlSeconds: Long = 3600): Unit =
+    results
+      // epoch seconds, not a timestamp: JSON round-trips timestamps as
+      // ISO strings that the consumer would have to re-parse
+      .withColumn("enqueued_epoch", unix_timestamp(current_timestamp()))
+      .withColumn("ttl_seconds", lit(ttlSeconds))
+      .write.mode(SaveMode.Append).json(queueDir)
+
+  /** K4 consume side: only packets still within their TTL. */
+  def dequeueReview(spark: SparkSession, queueDir: String): DataFrame =
+    spark.read.json(queueDir)
+      .filter(unix_timestamp(current_timestamp()) <
+        col("enqueued_epoch") + col("ttl_seconds"))
 }

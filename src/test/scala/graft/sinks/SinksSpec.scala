@@ -97,6 +97,17 @@ class SinksSpec extends SparkSpec {
     assert(got(1).getAs[Long]("prompt_tokens") == 10L)
   }
 
+  test("review queue: enqueue with TTL, expired packets filtered on dequeue") {
+    import spark.implicits._
+    val qdir = Files.tmp("queue")
+    val fresh = Seq(("f1", "result-a")).toDF("file", "result")
+    Sinks.enqueueReview(fresh, qdir, ttlSeconds = 3600)
+    val expired = Seq(("f2", "result-b")).toDF("file", "result")
+    Sinks.enqueueReview(expired, qdir, ttlSeconds = -5)   // already past TTL
+    val got = Sinks.dequeueReview(spark, qdir).select("file").as[String].collect()
+    assert(got.toSeq == Seq("f1"))
+  }
+
   object Files {
     def tmp(prefix: String): String =
       java.nio.file.Files.createTempDirectory(s"graft-$prefix").resolve("tbl").toString

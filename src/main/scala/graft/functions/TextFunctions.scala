@@ -54,4 +54,17 @@ object TextFunctions {
   def tokenCount(c: Column): Column =
     when(length(trim(c)) === 0, lit(0L))
       .otherwise(size(split(trim(c), "\\s+")).cast("long"))
+
+  /** F9: unicode-unescape of tool output (`\uXXXX` sequences →
+    * characters; destination.py:629-635). Invalid escapes pass through. */
+  def unicodeUnescape(s: String): String = {
+    if (s == null) return null
+    val re = raw"\\u([0-9a-fA-F]{4})".r
+    re.replaceAllIn(s, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        Integer.parseInt(m.group(1), 16).toChar.toString))
+  }
+
+  val unicodeUnescapeUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => unicodeUnescape(s))
 }

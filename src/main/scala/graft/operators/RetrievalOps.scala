@@ -125,6 +125,64 @@ object RetrievalOps {
       count(DISTINCT source) AS n_sources
       FROM documents GROUP BY lang ORDER BY lang"""))
 
+  /** D8 keyword_table: inverted keyword index over documents — explode
+    * tokens, match the keyword set, rank by distinct hits then doc_id. */
+  val q44KeywordRetrieval: QueryDef = QueryDef(
+    "q44_keyword_retrieval",
+    (s, dir) =>
+      Tables.loadParallel(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .filter(col("tok").isin("spark", "vector", "stream"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("tok")).as("hits"))
+        .orderBy(col("hits").desc, col("doc_id"))
+        .limit(20),
+    Some("""SELECT doc_id, hits FROM (
+      SELECT doc_id, count(DISTINCT tok) AS hits FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        FROM documents) t
+      WHERE tok IN ('spark', 'vector', 'stream')
+      GROUP BY doc_id) x
+      ORDER BY hits DESC, doc_id LIMIT 20"""))
+
+  /** D6 subquestion: two decomposed sub-queries (vec 0 and vec 1), union
+    * of the per-sub top-5 retrievals, distinct vectors. */
+  val q57Subquestion: QueryDef = QueryDef(
+    "q57_subquestion",
+    (s, dir) => {
+      VectorExpressions.register(s)
+      val e = emb(s, dir)
+      def sub(qid: Int) = {
+        val qv = e.filter(col("vec_id") === qid).select(col("embedding").as("qv"))
+        e.crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= qid)
+          .select(col("vec_id"), round(expr("dot_product_f(embedding, qv)"), 6).as("score"))
+          .filter(col("score") > 0)
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(5)
+      }
+      sub(0).unionByName(sub(1))
+        .groupBy(col("vec_id"))
+        .agg(round(max(col("score")), 6).as("best_score"), count(lit(1)).as("n_subs"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH s0 AS (
+        SELECT vec_id, score FROM (
+          SELECT e.vec_id,
+            round(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), x -> x[1]*x[2])), 6) AS score
+          FROM embeddings e, embeddings q WHERE q.vec_id = 0 AND e.vec_id <> 0) x
+        WHERE score > 0 ORDER BY score DESC, vec_id LIMIT 5),
+      s1 AS (
+        SELECT vec_id, score FROM (
+          SELECT e.vec_id,
+            round(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), x -> x[1]*x[2])), 6) AS score
+          FROM embeddings e, embeddings q WHERE q.vec_id = 1 AND e.vec_id <> 1) x
+        WHERE score > 0 ORDER BY score DESC, vec_id LIMIT 5)
+      SELECT vec_id, round(max(score), 6) AS best_score, count(*) AS n_subs
+      FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1) u
+      GROUP BY vec_id ORDER BY vec_id"""))
+
   val all: Seq[QueryDef] = Seq(
-    q30TopkCosine, q31KnnPerLabel, q32RrfFusion, q33DistinctContext)
+    q30TopkCosine, q31KnnPerLabel, q32RrfFusion, q33DistinctContext,
+    q44KeywordRetrieval, q57Subquestion)
 }

@@ -35,6 +35,14 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got.toSeq == Seq(null, null, null, "nah", "x", null))
   }
 
+  test("unicodeUnescape: F9 tool-output decoding") {
+    import TextFunctions._
+    assert(unicodeUnescape("caf\\u00e9 \\u2603") == "caf\u00e9 \u2603")
+    assert(unicodeUnescape("no escapes") == "no escapes")
+    assert(unicodeUnescape("bad \\uZZZZ stays") == "bad \\uZZZZ stays")
+    assert(unicodeUnescape(null) == null)
+  }
+
   test("tokenCount handles blanks") {
     import spark.implicits._
     val got = Seq("a b  c", "  ", "", "one", null)

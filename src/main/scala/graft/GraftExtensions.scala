@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{DotProductFloat, L1Float, L2SqFloat}
+import graft.functions.expressions.{DotProductFloat, L1Float, L2SqFloat, LLMComplete, SinglePassFusion}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -27,5 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("l1_f"),
       info("l1_f", "l1_f(a, b) - L1 distance of float vectors"),
       (es: Seq[Expression]) => L1Float(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("llm_complete"),
+      info("llm_complete", "llm_complete(prompt, clientName) - LLM completion via a registered client"),
+      (es: Seq[Expression]) => LLMComplete(es.head, es(1).eval(null).toString)))
+    ext.injectOptimizerRule(_ => SinglePassFusion)
   }
 }

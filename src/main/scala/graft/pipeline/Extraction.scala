@@ -57,6 +57,20 @@ object Extraction {
     }
   }
 
+  /** Extraction through the NATIVE Catalyst expression
+    * (functions.expressions.LLMComplete via `call_function`): same
+    * semantics as `extract`, but the completion calls are visible to
+    * optimizer rules — with GraftExtensions' SinglePassFusion enabled,
+    * N per-field calls over one context fuse into ONE combined call.
+    * `clientName` must be registered in LLMClientRegistry on every JVM. */
+  def extractNative(df: DataFrame, contextCol: String, specs: Seq[PromptSpec],
+      clientName: String): DataFrame =
+    specs.foldLeft(df) { (acc, spec) =>
+      val prompt = LLM.assemblePrompt(spec.question, col(contextCol))
+      acc.withColumn(spec.name,
+        convert(call_function("llm_complete", prompt, lit(clientName)), spec.ftype))
+    }
+
   /** D17 single-pass: one completion returning `name: answer` lines for
     * all specs, parsed into the same typed columns. The mock honors this
     * by answering per-line; a real adapter returns JSON. */

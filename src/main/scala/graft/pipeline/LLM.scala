@@ -46,6 +46,14 @@ class MockLLM extends LLMClient {
 
   override def complete(prompt: String): String = {
     val ctx = contextOf(prompt)
+    if (prompt.startsWith("SINGLE_PASS_JSON")) singlePass(prompt, ctx)
+    else answerOne(prompt, ctx)
+  }
+
+  /** One question over one context (internal — single-pass recursion
+    * goes through here so subclasses wrapping complete() count only
+    * real round-trips). */
+  private def answerOne(prompt: String, ctx: String): String =
     prompt match {
       case CountRe(w) =>
         var n = 0; var i = ctx.indexOf(w)
@@ -57,6 +65,19 @@ class MockLLM extends LLMClient {
         if (t.isEmpty) "NA" else if (sp < 0) t else t.substring(0, sp)
       case _ => "NA"
     }
+
+  /** The single-pass combined-prompt protocol (D17 / SinglePassFusion):
+    * question lines `qN: <question>` answered individually, returned as
+    * one JSON object — the reference's combined-prompt contract. */
+  private def singlePass(prompt: String, ctx: String): String = {
+    val QLine = "^(q\\d+): (.*)$".r
+    val answers = prompt.linesIterator.takeWhile(_ != "Context:").collect {
+      case QLine(key, q) =>
+        val a = answerOne(s"$q\nContext:\n$ctx\nAnswer:", ctx)
+        val escaped = a.replace("\\", "\\\\").replace("\"", "\\\"")
+        s""""$key": "$escaped""""
+    }.toSeq
+    answers.mkString("{", ", ", "}")
   }
 }
 

@@ -55,5 +55,59 @@ object IndexOps {
         'plain-text', '$Size', '$Overlap')) AS index_key
       FROM documents) x GROUP BY index_key ORDER BY index_key"""))
 
-  val all: Seq[QueryDef] = Seq(q34ChunkExplode, q35IndexKeys)
+  /** D3+D5 capstone: the whole index pipeline in one query — chunk every
+    * document, embed each chunk with the deterministic mock embedder
+    * (8 dims from sha256 nibble pairs, zero-centered), then retrieve the
+    * top-5 chunks nearest the query chunk (doc 0, chunk 0) by dot
+    * product. Chunking and embedding are narrow maps; retrieval is a
+    * broadcast query vector + TakeOrdered — the same shape the real
+    * pipeline runs with an HTTP embedding adapter.
+    */
+  val q58IndexPipeline: QueryDef = QueryDef(
+    "q58_index_pipeline",
+    (s, dir) => {
+      // mock embedding: element k = (nibble(2k)*16 + nibble(2k+1))/255 - 0.5
+      val embedExpr =
+        """transform(sequence(0, 7), k ->
+          |  (
+          |    (instr('0123456789abcdef', substr(h, k * 2 + 1, 1)) - 1) * 16 +
+          |    (instr('0123456789abcdef', substr(h, k * 2 + 2, 1)) - 1)
+          |  ) / 255.0 - 0.5)""".stripMargin
+      val chunks = Chunker.explodeChunks(docs(s, dir), "text", "n_chars", Size, Overlap)
+        .select(col("doc_id"), col("chunk_id"),
+          expr("substr(sha2(chunk_text, 256), 1, 16)").as("h"))
+        .withColumn("emb", expr(embedExpr))
+        .drop("h")
+      val qv = chunks.filter(col("doc_id") === 0 && col("chunk_id") === 0)
+        .select(col("emb").as("qv"))
+      chunks.crossJoin(broadcast(qv))
+        .filter(!(col("doc_id") === 0 && col("chunk_id") === 0))
+        .select(col("doc_id"), col("chunk_id"),
+          round(expr("aggregate(zip_with(emb, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"), col("chunk_id"))
+        .limit(5)
+    },
+    Some(s"""WITH chunks AS (
+        SELECT doc_id, chunk_id,
+          substr(sha256(chunk_text), 1, 16) AS h FROM (
+          SELECT doc_id, i AS chunk_id,
+            substr(text, CAST(i * ${Size - Overlap} + 1 AS INT), $Size) AS chunk_text FROM (
+            SELECT doc_id, text, unnest(generate_series(0,
+              greatest(CAST(ceil((n_chars - $Overlap.0) / ${Size - Overlap}.0) AS BIGINT) - 1, 0))) AS i
+            FROM documents) w) c),
+      embedded AS (
+        SELECT doc_id, chunk_id,
+          [((instr('0123456789abcdef', substr(h, k * 2 + 1, 1)) - 1) * 16 +
+            (instr('0123456789abcdef', substr(h, k * 2 + 2, 1)) - 1)) / 255.0 - 0.5
+           for k in range(0, 8)] AS emb
+        FROM chunks),
+      q AS (SELECT emb AS qv FROM embedded WHERE doc_id = 0 AND chunk_id = 0)
+      SELECT doc_id, chunk_id,
+        round(list_sum(list_transform(list_zip(emb, qv), x -> x[1] * x[2])), 6) AS score
+      FROM embedded, q
+      WHERE NOT (doc_id = 0 AND chunk_id = 0)
+      ORDER BY score DESC, doc_id, chunk_id LIMIT 5"""),
+    headline = true)
+
+  val all: Seq[QueryDef] = Seq(q34ChunkExplode, q35IndexKeys, q58IndexPipeline)
 }

@@ -118,7 +118,25 @@ object Relational2 {
       EXCEPT SELECT c_mktsegment FROM customer WHERE c_acctbal > 9990
       ORDER BY c_mktsegment"""))
 
+  /** Exact percentiles (median/p90) — Spark `percentile` and DuckDB
+    * `quantile_cont` share the linear-interpolation definition. */
+  val q76Percentiles: QueryDef = QueryDef(
+    "q76_percentiles",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+      round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+      round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+      round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val all: Seq[QueryDef] = Seq(
     q70BelowAvgParts, q71Having, q72ShipDelay, q73ConditionalAgg,
-    q74StringReport, q75Except)
+    q74StringReport, q75Except, q76Percentiles)
 }

@@ -67,12 +67,14 @@ object IndexOps {
     "q58_index_pipeline",
     (s, dir) => {
       // mock embedding: element k = (nibble(2k)*16 + nibble(2k+1))/255 - 0.5
+      // 255.0D/0.5D: Spark parses bare decimal literals as DecimalType and
+      // the division would truncate to 6 digits; DuckDB computes in double
       val embedExpr =
         """transform(sequence(0, 7), k ->
           |  (
           |    (instr('0123456789abcdef', substr(h, k * 2 + 1, 1)) - 1) * 16 +
           |    (instr('0123456789abcdef', substr(h, k * 2 + 2, 1)) - 1)
-          |  ) / 255.0 - 0.5)""".stripMargin
+          |  ) / 255.0D - 0.5D)""".stripMargin
       val chunks = Chunker.explodeChunks(docs(s, dir), "text", "n_chars", Size, Overlap)
         .select(col("doc_id"), col("chunk_id"),
           expr("substr(sha2(chunk_text, 256), 1, 16)").as("h"))
@@ -83,7 +85,10 @@ object IndexOps {
       chunks.crossJoin(broadcast(qv))
         .filter(!(col("doc_id") === 0 && col("chunk_id") === 0))
         .select(col("doc_id"), col("chunk_id"),
-          round(expr("aggregate(zip_with(emb, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)"), 6).as("score"))
+          // raw double: both engines run the same sequential fold, so the
+          // bits match exactly; round() would diverge at half-ulp
+          // boundaries (seen at sf0.1)
+          expr("aggregate(zip_with(emb, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)").as("score"))
         .orderBy(col("score").desc, col("doc_id"), col("chunk_id"))
         .limit(5)
     },
@@ -103,7 +108,7 @@ object IndexOps {
         FROM chunks),
       q AS (SELECT emb AS qv FROM embedded WHERE doc_id = 0 AND chunk_id = 0)
       SELECT doc_id, chunk_id,
-        round(list_sum(list_transform(list_zip(emb, qv), x -> x[1] * x[2])), 6) AS score
+        list_sum(list_transform(list_zip(emb, qv), x -> x[1] * x[2])) AS score
       FROM embedded, q
       WHERE NOT (doc_id = 0 AND chunk_id = 0)
       ORDER BY score DESC, doc_id, chunk_id LIMIT 5"""),

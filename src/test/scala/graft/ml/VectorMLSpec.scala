@@ -1,0 +1,55 @@
+package graft.ml
+
+import graft.SparkSpec
+import graft.functions.expressions.VectorExpressions
+import org.apache.spark.sql.functions._
+
+class VectorMLSpec extends SparkSpec {
+
+  private lazy val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
+
+  test("k-means centroids: k cells, all vectors assigned") {
+    val cells = VectorML.assignCells(emb, "embedding", k = 8)
+    assert(cells.count() == 500)
+    val nCells = cells.select("cell").distinct().count()
+    assert(nCells == 8, s"expected 8 cells, got $nCells")
+    // cells are reasonably balanced (no empty/dominant cell)
+    val sizes = cells.groupBy("cell").count().select("count")
+      .collect().map(_.getLong(0))
+    assert(sizes.min > 0 && sizes.max < 500)
+  }
+
+  test("LSH nearest neighbors approximate the brute-force top-k") {
+    VectorExpressions.register(spark)
+    val qRow = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0)
+    val idx = new VectorML.LshIndex(emb, "embedding", bucketLength = 1.0, numTables = 5)
+    val approx = idx.nearest(qRow, 10).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+
+    // brute force: exact top-10 by L2 (excluding none — LSH sees all)
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val exact = emb.crossJoin(broadcast(qv))
+      .select(col("vec_id"), expr("l2_sq_f(embedding, qv)").as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (approx intersect exact).size / 10.0
+    assert(recall >= 0.5, s"LSH recall too low: $recall (approx=$approx exact=$exact)")
+  }
+
+  test("LSH self-join finds the close pairs the exact join finds") {
+    val idx = new VectorML.LshIndex(emb, "embedding", bucketLength = 1.0, numTables = 5)
+    val pairs = idx.neardupPairs(threshold = 1.1, idCol = "vec_id")
+    assert(pairs.count() > 0)
+    assert(pairs.filter(col("l2_dist") > 1.1).count() == 0)
+  }
+
+  test("embedding classifier separates labels far better than chance") {
+    val scored = VectorML.trainEmbeddingClassifier(emb, "embedding", "label")
+    val acc = scored.filter(col("prediction") === col("label")).count().toDouble /
+      scored.count()
+    // 10 labels → chance = 0.1; the synthetic clusters overlap heavily
+    // (within-label cosine max ≈ 0.47), so 3× chance is the sane bar
+    assert(acc > 0.3, s"train accuracy $acc")
+  }
+}

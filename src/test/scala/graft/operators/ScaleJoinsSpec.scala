@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ScaleJoinsSpec extends SparkSpec {
+
+  test("bucketed tables join without an exchange on the fact side") {
+    val li = graft.Tables.load(spark, sf("sf0.001"), "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val o = graft.Tables.load(spark, sf("sf0.001"), "orders")
+      .select("o_orderkey", "o_totalprice")
+    ScaleJoins.writeBucketed(li, "li_bucketed", "l_orderkey", 4)
+    ScaleJoins.writeBucketed(o.withColumnRenamed("o_orderkey", "l_orderkey"),
+      "o_bucketed", "l_orderkey", 4)
+    try {
+      // disable broadcast so the join strategy is genuinely sort-merge
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"), "l_orderkey")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan.take(400))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n${plan.take(800)}")
+      assert(joined.count() == li.count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+
+  test("salted join yields the same result as the plain join") {
+    import spark.implicits._
+    // hot key: 90% of fact rows share key 1
+    val fact = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong % 7, i))
+      .toDF("k", "v")
+    val dim = (0L to 6L).map(k => (k, s"dim-$k")).toDF("k", "name")
+    val plain = fact.join(dim, "k")
+    val salted = ScaleJoins.saltedJoin(fact, dim, "k", salt = 8)
+    assert(salted.count() == plain.count())
+    val a = salted.groupBy("k").count().orderBy("k").collect().map(_.toString)
+    val b = plain.groupBy("k").count().orderBy("k").collect().map(_.toString)
+    assert(a.toSeq == b.toSeq)
+    // the hot key's rows spread across multiple salt partitions pre-join
+    val spread = fact.withColumn("__salt",
+        pmod(hash(monotonically_increasing_id()), lit(8)))
+      .filter(col("k") === 1).select("__salt").distinct().count()
+    assert(spread > 1, s"salting failed to split the hot key (spread=$spread)")
+  }
+}

@@ -100,14 +100,19 @@ object Relational {
       val c = t(s, dir, "customer")
       val n = t(s, dir, "nation")
       val r = t(s, dir, "region")
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
+      // pre-aggregate the fact side by join key BEFORE the join chain:
+      // 4x fewer rows enter the orders shuffle, and the final rollup adds
+      // partial sums (sum of sums == sum, count via sum of counts)
+      val liByOrder = li.groupBy(col("l_orderkey"))
+        .agg(sum(netPrice).as("order_net"), count(lit(1)).as("order_items"))
+      liByOrder.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
-          round(sum(netPrice), 2).as("revenue"),
-          count(lit(1)).as("n_items"))
+          round(sum(col("order_net")), 2).as("revenue"),
+          sum(col("order_items")).as("n_items"))
         .orderBy(col("r_name"), col("n_name"))
     },
     Some("""SELECT r_name, n_name,

@@ -136,7 +136,23 @@ object Relational2 {
       round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Sketch tier: HyperLogLog distinct + approximate percentile. No
+    * DuckDB oracle (sketch algorithms differ across engines) — the
+    * driver records the weaker rows-only check; exact counterparts are
+    * oracle-checked in q33/q76. */
+  val q77Sketches: QueryDef = QueryDef(
+    "q77_sketches",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median_price"))
+        .orderBy(col("l_returnflag")),
+    None)
+
   val all: Seq[QueryDef] = Seq(
     q70BelowAvgParts, q71Having, q72ShipDelay, q73ConditionalAgg,
-    q74StringReport, q75Except, q76Percentiles)
+    q74StringReport, q75Except, q76Percentiles, q77Sketches)
 }

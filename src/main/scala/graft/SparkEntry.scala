@@ -23,9 +23,11 @@ object SparkEntry {
       operators.ScalarOps.all ++
       operators.Relational2.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The index-pipeline capstone: chunk → mock-embed → top-k retrieve —
+    * the engine's document-pipeline identity in one plan. */
   def entry(spark: SparkSession): DataFrame =
-    operators.Relational.q04RegionalRevenue.fn(spark, "/root/testdata/sf0.001")
+    operators.IndexOps.q58IndexPipeline.fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -28,24 +28,30 @@ object Bench {
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).schema)
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
-    // two passes per query, report the warm run: pass 1 pays one-time
+    // two passes per query, report min(cold, warm): pass 1 pays one-time
     // codegen compilation + AQE statistics; pass 2 is the steady-state
-    // throughput a long-running cluster job sees
+    // throughput a long-running cluster job sees. A query that throws
+    // reports -1, not a meaningless elapsed time.
     val results = SparkEntry.headlines.map { q =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e") }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable => System.err.println(s"[bench] ${q.name}: $e"); -1.0
+        }
       }
       val cold = once()
       val warm = once()
-      q.name -> math.min(cold, warm)
+      val best = if (cold < 0 || warm < 0) -1.0 else math.min(cold, warm)
+      q.name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.count(_._2 < 0)
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

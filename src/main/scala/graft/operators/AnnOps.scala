@@ -41,11 +41,12 @@ object AnnOps {
         .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
       // query: probe the NProbe nearest cells to the query vector
       val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      val wProbe = Window.orderBy(col("qdist"), col("cid"))
+      // nearest-NProbe cells: orderBy+limit (TakeOrdered) — the probe set
+      // is just the cell ids, no rank column needed, no window at all
       val probed = centroids.crossJoin(broadcast(qv))
         .select(col("cid"), expr("l2_sq_f(cv, qv)").as("qdist"))
-        .withColumn("prk", row_number().over(wProbe))
-        .filter(col("prk") <= NProbe)
+        .orderBy(col("qdist"), col("cid"))
+        .limit(NProbe)
         .select(col("cid").as("cell"))
       // exact rank within probed cells only
       assigned.join(broadcast(probed), "cell")

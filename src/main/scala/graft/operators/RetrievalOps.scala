@@ -86,9 +86,16 @@ object RetrievalOps {
           (-expr("l2_sq_f(embedding, qv)")).as("m_l2"),
           (-expr("l1_f(embedding, qv)")).as("m_l1"))
       val lists = Seq("m_dot", "m_l2", "m_l1").map { m =>
-        val w = Window.orderBy(col(m).desc, col("vec_id"))
-        scored.select(col("vec_id"), row_number().over(w).as("rank"))
-          .filter(col("rank") <= 20)
+        // orderBy+limit compiles to TakeOrderedAndProject (per-partition
+        // heaps, no full sort), so only the ≤20 survivors get ranked; a
+        // full-set unpartitioned window would funnel every vector through
+        // one task. Ranking the survivors uses the distributed
+        // sequence-number helper — no window at all.
+        val top = scored.select(col("vec_id"), col(m))
+          .orderBy(col(m).desc, col("vec_id"))
+          .limit(20)
+        Ranks.sequenceNumber(top, Seq(col(m).desc, col("vec_id")), "rank")
+          .select(col("vec_id"), col("rank"))
       }
       lists.reduce(_ union _)
         .groupBy(col("vec_id"))

@@ -27,8 +27,13 @@ object ScaleJoins {
     * runtime splitter can't fix (one key >> one partition). */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       salt: Int): DataFrame = {
+    // salt must be DETERMINISTIC per row: it becomes a shuffle join key,
+    // and a task retry that re-derives different salts than already-
+    // fetched map output would duplicate/drop rows. Hashing the full row
+    // content (all columns) gives a stable spread without requiring a
+    // unique id column.
     val saltedFact = fact.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(salt)))
+      pmod(hash(fact.columns.map(col).toIndexedSeq: _*), lit(salt)))
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")

@@ -106,20 +106,27 @@ object SourceOps {
       FROM documents WHERE lang IN ('en', 'de', 'es')
       GROUP BY lang ORDER BY lang"""))
 
-  /** W2: file_number sequence over the listing order (row_number). */
+  /** W2: file_number sequence over the listing order (row_number).
+    * The reference caps sortable listings at 40 000 files
+    * (endpoint_v2/constants.py:196-198); applying the same cap BEFORE the
+    * window bounds the sequence stage — TakeOrdered keeps the top rows
+    * per-partition and the numbering window only ever sees ≤40k rows,
+    * never the whole (100 TB) listing. */
   val q26FileNumber: QueryDef = QueryDef(
     "q26_file_number",
     (s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("source"), col("doc_id"))
-      docs(s, dir)
+      val capped = docs(s, dir)
         .select(col("doc_id"), col("source"))
-        .withColumn("file_number", row_number().over(w))
+        .orderBy(col("source"), col("doc_id"))
+        .limit(40000)
+      Ranks.sequenceNumber(capped, Seq(col("source"), col("doc_id")), "file_number")
         .orderBy(col("file_number"))
     },
     Some("""SELECT doc_id, source,
       row_number() OVER (ORDER BY source, doc_id) AS file_number
-      FROM documents ORDER BY file_number"""))
+      FROM (SELECT doc_id, source FROM documents
+            ORDER BY source, doc_id LIMIT 40000) capped
+      ORDER BY file_number"""))
 
   val all: Seq[QueryDef] = Seq(
     q20GlobFilter, q21ListingOrderLimit, q22ShaDedup, q23HistoryAntiJoin,

@@ -86,13 +86,18 @@ final class RetryingLLM(inner: LLMClient, maxAttempts: Int = 3,
     promptTokens: Option[LongAccumulator] = None,
     completionTokens: Option[LongAccumulator] = None) extends LLMClient {
   override def complete(prompt: String): String = {
+    // bounded by attempt count on BOTH failure modes: a thrown exception
+    // and a null return are each one failed attempt (a client that
+    // legitimately returns null must not spin forever)
     var attempt = 0
     var out: String = null
-    while (out == null) {
+    while (out == null && attempt < maxAttempts) {
       attempt += 1
       try out = inner.complete(prompt)
       catch { case e: Exception if attempt < maxAttempts => /* transient: retry */ }
     }
+    if (out == null)
+      throw new IllegalStateException(s"LLM returned null after $attempt attempts")
     promptTokens.foreach(_.add(countTokens(prompt)))
     completionTokens.foreach(_.add(countTokens(out)))
     out

@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Retrieval strategies (SURVEY.md D5-D9) over a chunk table
@@ -55,10 +54,15 @@ object Retrievers {
       q <- variations
       kk <- Seq(k, 2 * k, math.max(k / 2, 1))
     } yield {
-      val w = Window.orderBy(col("score").desc, col("chunk_id"))
-      scored(chunks, q)
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= kk)
+      // TakeOrdered the top-kk first, then rank only the survivors: the
+      // rank stage sees ≤kk rows instead of the entire chunk table, so no
+      // single-partition funnel of all vectors (and no window at all —
+      // Ranks.sequenceNumber numbers the sorted set in place).
+      val top = scored(chunks, q)
+        .orderBy(col("score").desc, col("chunk_id"))
+        .limit(kk)
+      graft.operators.Ranks
+        .sequenceNumber(top, Seq(col("score").desc, col("chunk_id")), "rank")
         .select(col("doc_id"), col("chunk_id"), col("text"), col("rank"))
     }
     lists.reduce(_ unionByName _)

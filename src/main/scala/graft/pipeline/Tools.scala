@@ -27,8 +27,15 @@ object ClassifierTool extends DocTool {
       (length(col("text")) - length(regexp_replace(col("text"),
         java.util.regex.Pattern.quote(k), ""))) / k.length)
     val noHit = counts.map(_ === 0).reduce(_ && _)
-    val best = bins.zip(counts).foldRight(lit("unknown")) { case ((bin, cnt), els) =>
-      when(!noHit && counts.filter(_ != cnt).foldLeft(lit(true))((a, other) => a && cnt >= other), lit(bin)).otherwise(els)
+    // compare counts positionally, not by Column identity — duplicate
+    // keywords produce structurally-equal Columns that an identity filter
+    // would silently drop from the comparison set
+    val best = bins.zip(counts).zipWithIndex.foldRight(lit("unknown")) {
+      case (((bin, cnt), i), els) =>
+        val geAllOthers = counts.zipWithIndex
+          .collect { case (other, j) if j != i => cnt >= other }
+          .foldLeft(lit(true))(_ && _)
+        when(!noHit && geAllOthers, lit(bin)).otherwise(els)
     }
     df.withColumn("classification", best)
   }

@@ -44,26 +44,68 @@ object Sinks {
 
   /** K5: FileHistory upsert (MERGE semantics on a parquet state table):
     * new rows replace same-cache_key rows, others survive. Parquet has no
-    * MERGE — rewrite = (existing ⟕anti new) ∪ new. On Delta this is a
-    * real MERGE INTO. */
+    * MERGE — on Delta this is a real MERGE INTO; here the table is
+    * partitioned by `key_prefix = substr(cache_key, 1, 2)` (≤256 buckets,
+    * sha256 keys spread uniformly) and an upsert reads + rewrites ONLY
+    * the buckets its update keys land in. A 1-row upsert into a 100 TB
+    * history touches ~1/256th of the table, not all of it.
+    *
+    * Crash safety: merged buckets are staged, then promoted per bucket as
+    * rename(current → __old), rename(staged → current), delete(__old) —
+    * at every instant either the old or the new bucket exists on disk;
+    * a crash mid-promote leaves `key_prefix=XX.__old` recoverable by
+    * renaming it back. */
   def upsertHistory(spark: SparkSession, historyPath: String,
       updates: DataFrame): Unit = {
-    val exists = try {
-      spark.read.parquet(historyPath).count() >= 0
-    } catch { case _: Exception => false }
-    val merged = if (exists) {
-      val current = spark.read.parquet(historyPath)
-      current.join(updates.select("cache_key"), Seq("cache_key"), "left_anti")
-        .unionByName(updates)
-    } else updates
-    // two-phase write: parquet can't overwrite a path being read
-    val tmp = historyPath + "__staged"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
     val dst = new org.apache.hadoop.fs.Path(historyPath)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    // resolve the FS from the path itself — fs.defaultFS may be a
+    // different filesystem (e.g. history on s3a, default hdfs)
+    val fs = dst.getFileSystem(conf)
+    // the "x" marker keeps partition-value type inference on STRING —
+    // an all-numeric bucket set ("12", "47") would otherwise infer INT
+    // and break later lookups of hex buckets like "ec"
+    val keyed = updates.withColumn("key_prefix",
+      concat(lit("x"), substring(col("cache_key"), 1, 2)))
+    if (!fs.exists(dst)) {
+      keyed.write.partitionBy("key_prefix").parquet(historyPath)
+      return
+    }
+    val currentAll = spark.read.parquet(historyPath)
+    val partitioned = currentAll.columns.contains("key_prefix")
+    val staged = historyPath + "__staged"
+    if (!partitioned) {
+      // one-time migration of a flat legacy table: merge everything and
+      // swap the whole directory (old copy set aside until promote lands)
+      val merged = currentAll
+        .join(updates.select("cache_key"), Seq("cache_key"), "left_anti")
+        .unionByName(updates)
+        .withColumn("key_prefix", concat(lit("x"), substring(col("cache_key"), 1, 2)))
+      merged.write.mode(SaveMode.Overwrite).partitionBy("key_prefix").parquet(staged)
+      val old = new org.apache.hadoop.fs.Path(historyPath + "__old")
+      if (fs.exists(old)) fs.delete(old, true)
+      fs.rename(dst, old)
+      fs.rename(new org.apache.hadoop.fs.Path(staged), dst)
+      fs.delete(old, true)
+      return
+    }
+    val prefixes = keyed.select("key_prefix").distinct()
+      .collect().map(_.getString(0)) // bounded: ≤256 values
+    val merged = currentAll
+      .filter(col("key_prefix").isin(prefixes.toIndexedSeq: _*)) // partition pruning
+      .join(updates.select("cache_key"), Seq("cache_key"), "left_anti")
+      .unionByName(keyed)
+    merged.write.mode(SaveMode.Overwrite).partitionBy("key_prefix").parquet(staged)
+    prefixes.foreach { p =>
+      val cur = new org.apache.hadoop.fs.Path(dst, s"key_prefix=$p")
+      val stg = new org.apache.hadoop.fs.Path(staged, s"key_prefix=$p")
+      val old = new org.apache.hadoop.fs.Path(dst, s"key_prefix=$p.__old")
+      if (fs.exists(old)) fs.delete(old, true)
+      if (fs.exists(cur)) fs.rename(cur, old)
+      fs.rename(stg, cur)
+      fs.delete(old, true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staged), true)
   }
 
   /** A1/K7: usage rollup — group per-call usage rows by run. */

@@ -2,7 +2,6 @@ package graft.sources
 
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Source-stage file scanning (SURVEY.md S1-S7, P1-P2, P10, W1-W2, F1-F2).
@@ -82,17 +81,14 @@ object FileScan {
 
     // W1/W2: mtime order (path tiebreak), cap, 1-based file_number.
     // The reference caps sortable listings at 40k files; at scale the
-    // order-by-limit compiles to TakeOrdered (no full sort materialized).
-    val ordered = cfg.order match {
-      case Fifo => mimeOk.orderBy(col("mtime").asc, col("file_path"))
-      case Lifo => mimeOk.orderBy(col("mtime").desc, col("file_path"))
+    // order-by-limit compiles to TakeOrdered (no full sort materialized)
+    // and the sequence numbering stays distributed (no global window).
+    val order = cfg.order match {
+      case Fifo => Seq(col("mtime").asc, col("file_path"))
+      case Lifo => Seq(col("mtime").desc, col("file_path"))
     }
-    val limited = ordered.limit(cfg.maxFiles)
-    val w = cfg.order match {
-      case Fifo => Window.orderBy(col("mtime").asc, col("file_path"))
-      case Lifo => Window.orderBy(col("mtime").desc, col("file_path"))
-    }
-    limited.withColumn("file_number", row_number().over(w))
+    val limited = mimeOk.orderBy(order: _*).limit(cfg.maxFiles)
+    graft.operators.Ranks.sequenceNumber(limited, order, "file_number")
   }
 
   /** P3/J1: FileHistory dedup — drop files whose (file_hash, file_path)

@@ -69,4 +69,27 @@ class ExtractionSpec extends SparkSpec {
     assert(calls == 3)
     assert(pt.value == 2L && ct.value == 2L)
   }
+
+  test("RetryingLLM is bounded: null-returning client fails, never spins") {
+    var calls = 0
+    val nullClient = new LLMClient {
+      override def complete(p: String): String = { calls += 1; null }
+    }
+    val r = new RetryingLLM(nullClient, maxAttempts = 3)
+    intercept[IllegalStateException](r.complete("q"))
+    assert(calls == 3)
+  }
+
+  test("RetryingLLM surfaces the final exception after exhausting attempts") {
+    var calls = 0
+    val broken = new LLMClient {
+      override def complete(p: String): String = {
+        calls += 1; throw new RuntimeException(s"down $calls")
+      }
+    }
+    val r = new RetryingLLM(broken, maxAttempts = 4)
+    val e = intercept[RuntimeException](r.complete("q"))
+    assert(e.getMessage == "down 4")
+    assert(calls == 4)
+  }
 }

@@ -83,6 +83,30 @@ class SinksSpec extends SparkSpec {
     assert(h2.toSeq == Seq("COMPLETED"))
   }
 
+  test("history upsert is partition-local: 1-row upsert touches 1 bucket") {
+    import spark.implicits._
+    val path = Files.tmp("hist2")
+    val first = Seq(("aa11", "/a", "COMPLETED", "{}"), ("bb22", "/b", "ERROR", "{}"))
+      .toDF("cache_key", "file_path", "status", "result")
+    Sinks.upsertHistory(spark, path, first)
+    def listing(bucket: String): Set[(String, Long)] = {
+      val d = new java.io.File(path, s"key_prefix=$bucket")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified)).toSet
+    }
+    val aaBefore = listing("xaa")
+    Sinks.upsertHistory(spark, path,
+      Seq(("bb22", "/b", "COMPLETED", "{}"))
+        .toDF("cache_key", "file_path", "status", "result"))
+    // the aa bucket's files are byte-identical — not rewritten
+    assert(listing("xaa") == aaBefore)
+    val got = spark.read.parquet(path)
+    assert(got.count() == 2)
+    import org.apache.spark.sql.functions.col
+    assert(got.filter(col("cache_key") === "bb22")
+      .select("status").as[String].collect().toSeq == Seq("COMPLETED"))
+  }
+
   test("usage rollup sums counters per run") {
     import spark.implicits._
     val usage = Seq(

@@ -21,7 +21,8 @@ object SparkEntry {
       operators.EventsOps.all ++
       operators.LineItemOps.all ++
       operators.ScalarOps.all ++
-      operators.Relational2.all
+      operators.Relational2.all ++
+      operators.PdfOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The index-pipeline capstone: chunk → mock-embed → top-k retrieve —

@@ -41,12 +41,44 @@ object ClassifierTool extends DocTool {
   }
 }
 
-/** D23 text-extractor tool: binary content → text column (plain-text
-  * adapter; PDF/OCR adapters plug in behind the same column contract). */
+/** Extraction result row: text + page/highlight metadata (SURVEY D1 —
+  * the reference returns highlight_data alongside extracted text). */
+final case class ExtractedText(
+    text: String, n_pages: Int,
+    pages: Seq[graft.tools.Pdf.PdfPage],
+    highlights: Seq[graft.tools.Pdf.PdfLine])
+
+/** D1/D23 text-extractor tool: binary content → text + page metadata.
+  * Adapter dispatch mirrors the reference's x2text tier
+  * (sdk1/adapters/x2text/): "auto"/"pdf" parse PDF binaries via
+  * graft.tools.Pdf (FlateDecode + content-stream tokenizer); "no_op"
+  * passes bytes through unchanged (the reference's no_op adapter). */
 object TextExtractorTool extends DocTool {
   val name = "text_extractor"
   def apply(df: DataFrame, settings: Map[String, String]): DataFrame =
-    df.withColumn("text", col("content").cast("string"))
+    settings.getOrElse("adapter", "auto") match {
+      case "no_op" =>
+        df.withColumn("text", col("content").cast("string"))
+      case _ =>
+        val ex = udf { (content: Array[Byte]) =>
+          if (graft.tools.Pdf.isPdf(content)) {
+            val d = graft.tools.Pdf.extract(content)
+            ExtractedText(d.text, d.nPages, d.pages, d.lines)
+          } else {
+            val t = if (content == null) null
+              else new String(content, java.nio.charset.StandardCharsets.UTF_8)
+            ExtractedText(t, 1,
+              Seq(graft.tools.Pdf.PdfPage(1, 1, Option(t).map(_.length).getOrElse(0))),
+              Nil)
+          }
+        }
+        df.withColumn("__x", ex(col("content")))
+          .withColumn("text", col("__x.text"))
+          .withColumn("n_pages", col("__x.n_pages"))
+          .withColumn("page_meta", col("__x.pages"))
+          .withColumn("highlights", col("__x.highlights"))
+          .drop("__x")
+    }
 }
 
 /** D20 lookup-enrichment tool: enrich a field against a broadcast

@@ -112,6 +112,25 @@ object SchemaDDL {
   val dialects: Seq[Dialect] = Seq(
     Postgres, MySql, MariaDb, MsSql, Oracle, Redshift, Snowflake, BigQuery)
 
+  /** Embedded-test dialect (NOT one of the reference's 8): Apache Derby
+    * ships with Spark, so DbWriterSpec can run the create → migrate →
+    * insert → read-back loop against a LIVE database in-sandbox. Derby
+    * has no `IF NOT EXISTS` — DbWriter probes metadata first and strips
+    * the clause. */
+  case object Derby extends Dialect {
+    val name = "derby"
+    override def jsonType = "CLOB"
+    override def typeOf(dt: DataType): String = dt match {
+      // CLOB (not VARCHAR) matches Spark's DerbyDialect StringType
+      // mapping, so the JDBC writer's setNull(Types.CLOB) binds cleanly
+      case StringType => "CLOB"
+      case DoubleType | FloatType => "DOUBLE"
+      case BinaryType => "BLOB"
+      case _: DecimalType => "DECIMAL(31,6)"
+      case other => super.typeOf(other)
+    }
+  }
+
   /** Permanent columns every destination table carries
     * (postgresql.py:156-177). */
   def permanentColumns(d: Dialect): Seq[(String, String)] = Seq(
@@ -143,7 +162,10 @@ object SchemaDDL {
       .filterNot(f => permanentColumns(d).exists(_._1 == f.name))
     val wantData = dataCols.filterNot(f => live(f.name.toLowerCase))
       .map(f => f.name -> d.typeOf(f.dataType)).toSeq
-    val isV1 = !live.exists(_.endsWith("_v2"))
+    // v2 layout marker: the metadata permanent column (added in the same
+    // migration wave as the *_v2 twins) or any existing twin — a freshly
+    // created table is already v2 and must not grow twins
+    val isV1 = !(live("metadata") || live.exists(_.endsWith("_v2")))
     val v2Twins: Seq[(String, String)] = if (isV1)
       dataCols.map(f => s"${f.name}_v2" -> d.jsonType)
         .filterNot { case (n, _) => live(n.toLowerCase) }.toSeq

@@ -5,10 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Destination connectors (SURVEY.md K1-K7) on Spark primitives.
   *
-  * K2's live-database half (JDBC execute of SchemaDDL statements +
-  * df.write.jdbc) needs a reachable database; this container has none, so
-  * the writer composes DDL via SchemaDDL (unit-tested) and the row
-  * shaping here is shared by every dialect.
+  * K2 splits across three pieces: SchemaDDL composes dialect DDL,
+  * DbWriter executes the reconcile → migrate → insert loop against a
+  * live JDBC database (proven on embedded Derby in DbWriterSpec), and
+  * the row shaping here is shared by every dialect.
   */
 object Sinks {
 

@@ -189,7 +189,67 @@ object RetrievalOps {
       FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1) u
       GROUP BY vec_id ORDER BY vec_id"""))
 
+  /** D8 recursive retrieval: a synthetic two-level hierarchy over the
+    * embeddings table — vec_id % 10 == 0 are root/summary nodes; roots
+    * divisible by 20 are REFERENCE nodes whose children are the next 4
+    * vec_ids. Top-3 root hits; reference hits are replaced by their
+    * re-scored children, leaf hits pass through; top-5 overall
+    * (retrievers/recursive.py:12-86).
+    *
+    * Scale: root scoring is a narrow map + TakeOrdered(3); the child
+    * expansion broadcasts the 3 hit keys and probes the child table —
+    * nothing large ever shuffles. */
+  val q59RecursiveRetrieval: QueryDef = QueryDef(
+    "q59_recursive_retrieval",
+    (s, dir) => {
+      VectorExpressions.register(s)
+      val e = emb(s, dir)
+      val qv = queryVec(e)
+      val roots = e.filter(col("vec_id") % 10 === 0 && col("vec_id") =!= 0)
+        .select(col("vec_id").as("chunk_id"), col("embedding"))
+      val children = e.filter(
+          (col("vec_id") % 10).between(1, 4) &&
+          (col("vec_id") - col("vec_id") % 10) % 20 === 0)
+        .select((col("vec_id") - col("vec_id") % 10).as("parent_id"),
+          col("vec_id").as("chunk_id"), col("embedding"))
+      val rootHits = roots.crossJoin(broadcast(qv))
+        .select(col("chunk_id"), expr("dot_product_f(embedding, qv)").as("score"))
+        .orderBy(col("score").desc, col("chunk_id"))
+        .limit(3)
+      val hitKeys = rootHits.select(col("chunk_id").as("parent_id"))
+      val expanded = children.join(broadcast(hitKeys), Seq("parent_id"))
+        .crossJoin(broadcast(qv))
+        .select(col("chunk_id"),
+          expr("dot_product_f(embedding, qv)").as("score"),
+          lit("child").as("origin"))
+      val leaf = rootHits
+        .join(children.select(col("parent_id").as("chunk_id")).distinct(),
+          Seq("chunk_id"), "left_anti")
+        .select(col("chunk_id"), col("score"), lit("root").as("origin"))
+      leaf.unionByName(expanded)
+        .select(col("chunk_id"), round(col("score"), 6).as("score"), col("origin"))
+        .orderBy(col("score").desc, col("chunk_id"))
+        .limit(5)
+    },
+    Some(s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      roots AS (SELECT vec_id AS chunk_id, $oracleDot AS score
+        FROM embeddings, q WHERE vec_id % 10 = 0 AND vec_id <> 0),
+      top_roots AS (SELECT chunk_id, score FROM roots
+        ORDER BY score DESC, chunk_id LIMIT 3),
+      children AS (SELECT (vec_id - vec_id % 10) AS parent_id,
+          vec_id AS chunk_id, embedding FROM embeddings
+        WHERE vec_id % 10 BETWEEN 1 AND 4 AND (vec_id - vec_id % 10) % 20 = 0),
+      expanded AS (SELECT c.chunk_id,
+          list_sum(list_transform(list_zip(c.embedding::DOUBLE[], q.qv), x -> x[1]*x[2])) AS score,
+          'child' AS origin
+        FROM children c JOIN top_roots t ON c.parent_id = t.chunk_id, q),
+      leaf AS (SELECT t.chunk_id, t.score, 'root' AS origin FROM top_roots t
+        WHERE t.chunk_id NOT IN (SELECT DISTINCT parent_id FROM children))
+      SELECT chunk_id, round(score, 6) AS score, origin
+      FROM (SELECT * FROM leaf UNION ALL SELECT * FROM expanded) u
+      ORDER BY score DESC, chunk_id LIMIT 5"""))
+
   val all: Seq[QueryDef] = Seq(
     q30TopkCosine, q31KnnPerLabel, q32RrfFusion, q33DistinctContext,
-    q44KeywordRetrieval, q57Subquestion)
+    q44KeywordRetrieval, q57Subquestion, q59RecursiveRetrieval)
 }

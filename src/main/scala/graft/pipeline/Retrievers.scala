@@ -112,6 +112,31 @@ object Retrievers {
       .limit(k)
   }
 
+  /** D8 recursive: retrieve over root/summary nodes; a hit that is a
+    * reference node (has children in the hierarchy table) is REPLACED by
+    * its children re-scored against the query, while leaf hits pass
+    * through — one reference level of llama-index RecursiveRetriever
+    * (retrievers/recursive.py:12-86).
+    *
+    * `roots`: (doc_id, chunk_id, text, embedding) summary nodes;
+    * `children`: (doc_id, parent_id, chunk_id, text, embedding).
+    * Scale: the hit set is k-bounded, so the expansion join broadcasts
+    * the hit keys — the child table is probed, never shuffled. */
+  def recursive(roots: DataFrame, children: DataFrame, q: Query,
+      k: Int = 5): DataFrame = {
+    val hits = simple(roots, q, k).select("doc_id", "chunk_id", "text", "score")
+    val hitKeys = hits.select(col("doc_id"), col("chunk_id").as("parent_id"))
+    val expanded = scored(children.join(broadcast(hitKeys), Seq("doc_id", "parent_id")), q)
+      .filter(col("score") > 0)
+      .select(col("doc_id"), col("chunk_id"), col("text"), col("score"))
+    val refParents = children.select(col("doc_id"),
+      col("parent_id").as("chunk_id")).distinct()
+    val leafHits = hits.join(refParents, Seq("doc_id", "chunk_id"), "left_anti")
+    leafHits.unionByName(expanded)
+      .orderBy(col("score").desc, col("chunk_id"))
+      .limit(k)
+  }
+
   /** D8 router: pick a strategy by a driver-side decision (the reference
     * asks an LLM; callers pass the decision fn). */
   def router(chunks: DataFrame, q: Query, pick: String => String,

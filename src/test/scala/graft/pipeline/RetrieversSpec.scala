@@ -65,6 +65,27 @@ class RetrieversSpec extends SparkSpec {
     assert(!got.contains("0") || !got.contains("1"))
   }
 
+  test("recursive: reference hits expand to children, leaf hits pass through") {
+    import spark.implicits._
+    // roots: r1 is a reference node (has children), r2 is a leaf summary
+    val roots = Seq(
+      ("d1", 10L, "summary of join docs", Seq(1f, 0f, 0f, 0f)),
+      ("d1", 20L, "leaf summary", Seq(0.8f, 0.2f, 0f, 0f)),
+      ("d1", 30L, "irrelevant summary", Seq(0f, 0f, 1f, 0f))
+    ).toDF("doc_id", "chunk_id", "text", "embedding")
+    val children = Seq(
+      ("d1", 10L, 11L, "join child a", Seq(0.95f, 0f, 0f, 0f)),
+      ("d1", 10L, 12L, "join child b", Seq(0.5f, 0.5f, 0f, 0f)),
+      ("d1", 10L, 13L, "off-topic child", Seq(-1f, 0f, 0f, 0f))
+    ).toDF("doc_id", "parent_id", "chunk_id", "text", "embedding")
+    val got = recursive(roots, children, q, k = 4)
+      .select("chunk_id").collect().map(_.getLong(0))
+    // reference root 10 replaced by its positive children; leaf 20 kept
+    assert(!got.contains(10L))
+    assert(got.contains(11L) && got.contains(12L) && got.contains(20L))
+    assert(!got.contains(13L)) // negative child dropped
+  }
+
   test("router dispatches by decision") {
     val viaKeyword = router(chunks, q, _ => "keyword", keywords = Seq("cooking"))
     assert(viaKeyword.select("chunk_id").collect().head.getLong(0) == 2L)

@@ -23,9 +23,15 @@ object PdfOps {
     (s, dir) => {
       // CPU-bound narrow map over unsplittable test parquet → equalize
       val docs = Tables.loadParallel(s, dir, "documents")
+      // null text → null struct (oracle's length(NULL) math is all-NULL);
+      // empty text still builds a real 1-page/1-line PDF, mirrored by the
+      // greatest(…, 1) floor in the oracle.
       val roundTrip = udf { (t: String) =>
-        val d = Pdf.extract(Pdf.build(t))
-        (d.nPages, d.lines.size, d.text)
+        if (t == null) null
+        else {
+          val d = Pdf.extract(Pdf.build(t))
+          (d.nPages, d.lines.size, d.text)
+        }
       }
       docs.select(col("doc_id"), roundTrip(col("text")).as("x"))
         .select(col("doc_id"),
@@ -35,8 +41,8 @@ object PdfOps {
         .orderBy(col("doc_id"))
     },
     Some("""SELECT doc_id,
-      CAST(ceil(ceil(length(text)/80.0)/40.0) AS INT) AS n_pages,
-      CAST(ceil(length(text)/80.0) AS INT) AS n_lines,
+      CAST(ceil(greatest(ceil(length(text)/80.0), 1)/40.0) AS INT) AS n_pages,
+      CAST(greatest(ceil(length(text)/80.0), 1) AS INT) AS n_lines,
       text AS extracted
       FROM documents ORDER BY doc_id"""),
     headline = true)

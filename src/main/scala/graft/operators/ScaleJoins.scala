@@ -26,14 +26,22 @@ object ScaleJoins {
     * automatically — explicit salting is for the pathological keys the
     * runtime splitter can't fix (one key >> one partition). */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
-      salt: Int): DataFrame = {
+      salt: Int, saltCols: Seq[String] = Nil): DataFrame = {
     // salt must be DETERMINISTIC per row: it becomes a shuffle join key,
     // and a task retry that re-derives different salts than already-
-    // fetched map output would duplicate/drop rows. Hashing the full row
-    // content (all columns) gives a stable spread without requiring a
-    // unique id column.
+    // fetched map output would duplicate/drop rows. Default salt source =
+    // all non-map columns (hash() rejects MapType under the default
+    // spark.sql.legacy.allowHashOnMapType=false). Identical duplicate
+    // rows hash to the same salt, so duplicate-row skew is NOT spread —
+    // callers with such data must pass distinguishing saltCols (e.g. a
+    // line-number or offset column).
+    val src =
+      if (saltCols.nonEmpty) saltCols
+      else fact.schema.fields
+        .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+        .map(_.name).toSeq
     val saltedFact = fact.withColumn("__salt",
-      pmod(hash(fact.columns.map(col).toIndexedSeq: _*), lit(salt)))
+      pmod(hash(src.map(col): _*), lit(salt)))
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")

@@ -46,7 +46,8 @@ object ClassifierTool extends DocTool {
 final case class ExtractedText(
     text: String, n_pages: Int,
     pages: Seq[graft.tools.Pdf.PdfPage],
-    highlights: Seq[graft.tools.Pdf.PdfLine])
+    highlights: Seq[graft.tools.Pdf.PdfLine],
+    error_message: String = null)
 
 /** D1/D23 text-extractor tool: binary content → text + page metadata.
   * Adapter dispatch mirrors the reference's x2text tier
@@ -60,10 +61,18 @@ object TextExtractorTool extends DocTool {
       case "no_op" =>
         df.withColumn("text", col("content").cast("string"))
       case _ =>
+        // a malformed/truncated PDF yields an error ROW, not a failed
+        // job: at 100 TB one corrupt file must not abort the batch (the
+        // reference's x2text path likewise surfaces per-file errors)
         val ex = udf { (content: Array[Byte]) =>
           if (graft.tools.Pdf.isPdf(content)) {
-            val d = graft.tools.Pdf.extract(content)
-            ExtractedText(d.text, d.nPages, d.pages, d.lines)
+            scala.util.Try(graft.tools.Pdf.extract(content)) match {
+              case scala.util.Success(d) =>
+                ExtractedText(d.text, d.nPages, d.pages, d.lines)
+              case scala.util.Failure(e) =>
+                ExtractedText(null, 0, Nil, Nil,
+                  s"extract_failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            }
           } else {
             val t = if (content == null) null
               else new String(content, java.nio.charset.StandardCharsets.UTF_8)
@@ -77,6 +86,7 @@ object TextExtractorTool extends DocTool {
           .withColumn("n_pages", col("__x.n_pages"))
           .withColumn("page_meta", col("__x.pages"))
           .withColumn("highlights", col("__x.highlights"))
+          .withColumn("error_message", col("__x.error_message"))
           .drop("__x")
     }
 }

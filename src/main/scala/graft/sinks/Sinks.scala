@@ -52,9 +52,10 @@ object Sinks {
     *
     * Crash safety: merged buckets are staged, then promoted per bucket as
     * rename(current → __old), rename(staged → current), delete(__old) —
-    * at every instant either the old or the new bucket exists on disk;
-    * a crash mid-promote leaves `key_prefix=XX.__old` recoverable by
-    * renaming it back. */
+    * at every instant either the old or the new bucket exists on disk.
+    * A crash mid-promote leaves `key_prefix=XX.__old` as the bucket's
+    * only copy; every call begins by restoring such orphans, so the
+    * merge below always sees the full table. */
   def upsertHistory(spark: SparkSession, historyPath: String,
       updates: DataFrame): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -62,6 +63,7 @@ object Sinks {
     // resolve the FS from the path itself — fs.defaultFS may be a
     // different filesystem (e.g. history on s3a, default hdfs)
     val fs = dst.getFileSystem(conf)
+    recoverOrphans(fs, dst, historyPath)
     // the "x" marker keeps partition-value type inference on STRING —
     // an all-numeric bucket set ("12", "47") would otherwise infer INT
     // and break later lookups of hex buckets like "ec"
@@ -101,11 +103,41 @@ object Sinks {
       val stg = new org.apache.hadoop.fs.Path(staged, s"key_prefix=$p")
       val old = new org.apache.hadoop.fs.Path(dst, s"key_prefix=$p.__old")
       if (fs.exists(old)) fs.delete(old, true)
-      if (fs.exists(cur)) fs.rename(cur, old)
-      fs.rename(stg, cur)
-      fs.delete(old, true)
+      if (fs.exists(cur) && !fs.rename(cur, old))
+        throw new java.io.IOException(s"upsertHistory: cannot set aside $cur")
+      if (!fs.rename(stg, cur))
+        // leave __old in place: recoverOrphans restores it on the next call
+        throw new java.io.IOException(
+          s"upsertHistory: promote of $stg failed; prior copy preserved at $old")
+      // delete the set-aside copy only once the new current is in place
+      if (fs.exists(old)) fs.delete(old, true)
     }
     fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+  }
+
+  /** Restore buckets orphaned by a crash mid-promote: a failure between
+    * rename(cur → __old) and rename(staged → cur) leaves `__old` as the
+    * bucket's only copy, invisible to the prefix-pruned merge (its
+    * partition value reads as "XX.__old"). Rename it back before any
+    * read; an `__old` whose `cur` also exists is a completed promote's
+    * leftover and is deleted. The flat-table migration has the same
+    * window with `<historyPath>__old` holding the whole table. */
+  private def recoverOrphans(fs: org.apache.hadoop.fs.FileSystem,
+      dst: org.apache.hadoop.fs.Path, historyPath: String): Unit = {
+    val flatOld = new org.apache.hadoop.fs.Path(historyPath + "__old")
+    if (fs.exists(flatOld)) {
+      if (!fs.exists(dst)) fs.rename(flatOld, dst)
+      else fs.delete(flatOld, true)
+    }
+    if (!fs.exists(dst)) return
+    fs.listStatus(dst).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("key_prefix=") && name.endsWith(".__old")) {
+        val cur = new org.apache.hadoop.fs.Path(dst, name.stripSuffix(".__old"))
+        if (!fs.exists(cur)) fs.rename(st.getPath, cur)
+        else fs.delete(st.getPath, true)
+      }
+    }
   }
 
   /** A1/K7: usage rollup — group per-call usage rows by run. */

@@ -86,13 +86,29 @@ object Pdf {
     out.toByteArray
   }
 
+  /** Hard-wrap on CODE POINTS, not UTF-16 units: splitting a surrogate
+    * pair at a wrap boundary would UTF-8-encode each half as '?' and
+    * break the exact round-trip contract for astral characters. */
+  private def wrapCodePoints(text: String, width: Int): Seq[String] = {
+    val out = mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < text.length) {
+      val end =
+        try text.offsetByCodePoints(i, width)
+        catch { case _: IndexOutOfBoundsException => text.length }
+      out += text.substring(i, end)
+      i = end
+    }
+    out.toSeq
+  }
+
   /** Deterministic text → PDF: hard-wrap into `charsPerLine` chunks,
     * `linesPerPage` rows per page. Chunking adds no separators, so the
     * concatenation of all string operands reproduces the input exactly. */
   def build(text: String, charsPerLine: Int = 80, linesPerPage: Int = 40,
       compress: Boolean = true): Array[Byte] = {
     val lines =
-      if (text.isEmpty) Seq("") else text.grouped(charsPerLine).toSeq
+      if (text.isEmpty) Seq("") else wrapCodePoints(text, charsPerLine)
     val pages = lines.grouped(linesPerPage).toSeq
     val nPages = pages.size
 

@@ -107,6 +107,48 @@ class SinksSpec extends SparkSpec {
       .select("status").as[String].collect().toSeq == Seq("COMPLETED"))
   }
 
+  test("history upsert recovers a bucket orphaned by a crash mid-promote") {
+    import spark.implicits._
+    val path = Files.tmp("hist3")
+    val first = Seq(("aa11", "/a", "COMPLETED", "{}"), ("bb22", "/b", "COMPLETED", "{}"))
+      .toDF("cache_key", "file_path", "status", "result")
+    Sinks.upsertHistory(spark, path, first)
+    // simulate the crash window: cur renamed to __old, staged promote
+    // never landed — the bucket's ONLY copy is the .__old directory
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val cur = new org.apache.hadoop.fs.Path(path, "key_prefix=xaa")
+    val old = new org.apache.hadoop.fs.Path(path, "key_prefix=xaa.__old")
+    assert(fs.rename(cur, old))
+    // next upsert touches that same prefix; without recovery the aa13 row
+    // would be merged against an invisible bucket and aa11 silently lost
+    Sinks.upsertHistory(spark, path,
+      Seq(("aa13", "/c", "COMPLETED", "{}"))
+        .toDF("cache_key", "file_path", "status", "result"))
+    val got = spark.read.parquet(path)
+    assert(got.count() == 3)
+    assert(got.select("cache_key").as[String].collect().toSet == Set("aa11", "aa13", "bb22"))
+    assert(!fs.exists(old))
+  }
+
+  test("history upsert recovers a flat-table migration crash") {
+    import spark.implicits._
+    val path = Files.tmp("hist4")
+    val first = Seq(("cc33", "/a", "COMPLETED", "{}"))
+      .toDF("cache_key", "file_path", "status", "result")
+    Sinks.upsertHistory(spark, path, first)
+    // simulate a crash between rename(dst → __old) and rename(staged → dst)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "__old")))
+    Sinks.upsertHistory(spark, path,
+      Seq(("dd44", "/d", "COMPLETED", "{}"))
+        .toDF("cache_key", "file_path", "status", "result"))
+    val got = spark.read.parquet(path)
+    assert(got.select("cache_key").as[String].collect().toSet == Set("cc33", "dd44"))
+  }
+
   test("usage rollup sums counters per run") {
     import spark.implicits._
     val usage = Seq(

@@ -22,6 +22,18 @@ class PdfSpec extends SparkSpec {
     assert(Pdf.extract(Pdf.build(t)).text == t)
   }
 
+  test("round trip: astral char straddling the wrap column") {
+    // 😀 is a surrogate pair; with UTF-16-unit wrapping the pair would be
+    // cut at column 80 and each half encoded as '?'. Wrapping is on code
+    // points, so the pair stays together and the round trip is exact.
+    val t = "a" * 79 + "😀" + "b" * 10
+    val d = Pdf.extract(Pdf.build(t))
+    assert(d.text == t)
+    // 90 code points → 2 lines of ≤80 code points
+    assert(d.lines.size == 2)
+    assert(d.lines.head.text.codePointCount(0, d.lines.head.text.length) == 80)
+  }
+
   test("round trip: empty text, single char, exact page boundary") {
     assert(Pdf.extract(Pdf.build("")).text == "")
     assert(Pdf.extract(Pdf.build("x")).text == "x")
@@ -74,6 +86,25 @@ class PdfSpec extends SparkSpec {
       .filter($"file_name" === "b.txt").select("text").as[String].collect()
     assert(noop.toSeq == Seq("plain bytes"))
     assert(ToolRegistry.get("text_extractor").contains(TextExtractorTool))
+  }
+
+  test("TextExtractorTool: corrupt PDF yields an error row, not a failed job") {
+    import spark.implicits._
+    // corrupt the deflate payload in place: objects still parse, but
+    // FlateDecode throws (the realistic bit-rot / bad-upload shape)
+    val corrupt = Pdf.build("some document text " * 50)
+    val at = new String(corrupt, "ISO-8859-1").indexOf("stream\n") + "stream\n".length
+    (at until at + 20).foreach(corrupt(_) = 0)
+    val rows = Seq(
+      ("good.pdf", Pdf.build("fine")),
+      ("bad.pdf", corrupt))
+      .toDF("file_name", "content")
+    val got = TextExtractorTool(rows, Map.empty)
+      .select("file_name", "text", "error_message").orderBy("file_name")
+      .as[(String, String, String)].collect()
+    assert(got(0)._1 == "bad.pdf" && got(0)._2 == null && got(0)._3 != null)
+    assert(got(0)._3.startsWith("extract_failed:"))
+    assert(got(1) == (("good.pdf", "fine", null)))
   }
 
   test("end-to-end: scan a dir of PDFs, sniff mime, extract text") {

@@ -26,34 +26,70 @@ object DbWriter {
     try f(conn) finally conn.close()
   }
 
-  /** Live column names from JDBC metadata (the information_schema probe,
-    * unstract_db.py:160-171). Empty = table absent. */
-  def liveColumns(conn: Connection, table: String): Seq[String] = {
-    val rs = conn.getMetaData.getColumns(null, null, table, null)
+  private def columnsOf(md: java.sql.DatabaseMetaData, table: String): Seq[String] = {
+    val rs = md.getColumns(null, null, table, null)
     val cols = scala.collection.mutable.Buffer[String]()
     while (rs.next()) cols += rs.getString("COLUMN_NAME")
     rs.close()
     cols.toSeq
   }
 
+  /** Resolve the live form of `table` plus its columns (empty = absent).
+    * The engine's own DDL quotes identifiers, so names round-trip
+    * exactly — but a PRE-EXISTING table created unquoted was case-folded
+    * by the database, and probing only the exact case would miss it and
+    * let `reconcile` issue a colliding CREATE. When the exact probe comes
+    * back empty, retry with the engine's declared folded form
+    * (DatabaseMetaData.storesUpper/LowerCaseIdentifiers) and adopt that
+    * name for all subsequent DDL/DML. */
+  def resolveTable(conn: Connection, table: String): (String, Seq[String]) = {
+    val md = conn.getMetaData
+    val exact = columnsOf(md, table)
+    if (exact.nonEmpty) (table, exact)
+    else {
+      val folded =
+        if (md.storesUpperCaseIdentifiers) table.toUpperCase
+        else if (md.storesLowerCaseIdentifiers) table.toLowerCase
+        else table
+      val adopted = if (folded == table) Nil else columnsOf(md, folded)
+      if (adopted.nonEmpty) (folded, adopted) else (table, Nil)
+    }
+  }
+
+  /** Live column names from JDBC metadata (the information_schema probe,
+    * unstract_db.py:160-171). Empty = table absent. */
+  def liveColumns(conn: Connection, table: String): Seq[String] =
+    resolveTable(conn, table)._2
+
   /** Reconcile the live table with the plan schema: create when absent,
-    * otherwise apply the v1→v2 migration ALTERs. Returns the statements
-    * actually executed. */
+    * otherwise apply the v1→v2 migration ALTERs (against the adopted
+    * live-case name). Returns (liveTableName, statements executed). */
   def reconcile(conn: Connection, d: SchemaDDL.Dialect, table: String,
-      schema: StructType): Seq[String] = {
-    val live = liveColumns(conn, table)
+      schema: StructType): Seq[String] = reconcileAs(conn, d, table, schema)._2
+
+  def reconcileAs(conn: Connection, d: SchemaDDL.Dialect, table: String,
+      schema: StructType): (String, Seq[String]) = {
+    val (liveName, live) = resolveTable(conn, table)
     val stmts =
-      if (live.isEmpty) {
-        val ddl = SchemaDDL.createTable(d, table, schema)
-        // Derby (and Oracle) lack IF NOT EXISTS; the metadata probe above
-        // already guarantees absence
-        Seq(ddl.replace("CREATE TABLE IF NOT EXISTS", "CREATE TABLE"))
-      } else SchemaDDL.migrate(d, table, live, schema)
+      if (live.isEmpty) Seq(SchemaDDL.createTable(d, table, schema))
+      else SchemaDDL.migrate(d, liveName, live, schema)
     stmts.foreach { s =>
       val st = conn.createStatement()
       try st.execute(s) finally st.close()
     }
-    stmts
+    (liveName, stmts)
+  }
+
+  /** Rename DataFrame columns to the live table's exact case: an adopted
+    * pre-existing table stores its original columns case-folded, and the
+    * JDBC writer quotes names exactly — a quoted lowercase INSERT would
+    * miss the folded column. */
+  def alignColumns(df: DataFrame, liveCols: Seq[String]): DataFrame = {
+    val byLower = liveCols.map(c => c.toLowerCase -> c).toMap
+    df.columns.foldLeft(df) { (d, c) =>
+      byLower.get(c.toLowerCase).filter(_ != c)
+        .map(live => d.withColumnRenamed(c, live)).getOrElse(d)
+    }
   }
 
   /** JDBC can't bind complex types: serialize map/array/struct columns

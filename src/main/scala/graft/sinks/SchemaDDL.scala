@@ -17,6 +17,16 @@ object SchemaDDL {
   sealed trait Dialect {
     def name: String
     def quote(id: String): String = "\"" + id.replace("\"", "\"\"") + "\""
+    /** ALTER TABLE's add-column clause — ANSI `ADD COLUMN x t`; T-SQL
+      * rejects the COLUMN keyword and Oracle wants parens (the
+      * reference's per-dialect connectors: mssql/mssql.py,
+      * oracle_db/oracle_db.py). */
+    def addColumnClause(quotedCol: String, typ: String): String =
+      s"ADD COLUMN $quotedCol $typ"
+    /** Whether CREATE TABLE accepts an inline IF NOT EXISTS guard
+      * (MSSQL never, Oracle pre-23c never) — absence is fine for the
+      * engine itself, which probes JDBC metadata before creating. */
+    def supportsCreateIfNotExists: Boolean = true
     def typeOf(dt: DataType): String = dt match {
       case StringType => "TEXT"
       case IntegerType | ShortType | ByteType => "INTEGER"
@@ -53,6 +63,9 @@ object SchemaDDL {
   case object MsSql extends Dialect {
     val name = "mssql"
     override def quote(id: String): String = "[" + id.replace("]", "]]") + "]"
+    override def addColumnClause(quotedCol: String, typ: String): String =
+      s"ADD $quotedCol $typ"
+    override def supportsCreateIfNotExists: Boolean = false
     override def typeOf(dt: DataType): String = dt match {
       case StringType => "NVARCHAR(MAX)"
       case DoubleType | FloatType => "FLOAT"
@@ -65,6 +78,9 @@ object SchemaDDL {
   }
   case object Oracle extends Dialect {
     val name = "oracle"
+    override def addColumnClause(quotedCol: String, typ: String): String =
+      s"ADD ($quotedCol $typ)"
+    override def supportsCreateIfNotExists: Boolean = false
     override def typeOf(dt: DataType): String = dt match {
       case StringType => "CLOB"
       case IntegerType | ShortType | ByteType | LongType => "NUMBER(19)"
@@ -115,10 +131,13 @@ object SchemaDDL {
   /** Embedded-test dialect (NOT one of the reference's 8): Apache Derby
     * ships with Spark, so DbWriterSpec can run the create → migrate →
     * insert → read-back loop against a LIVE database in-sandbox. Derby
-    * has no `IF NOT EXISTS` — DbWriter probes metadata first and strips
-    * the clause. */
+    * has no `IF NOT EXISTS` (and, like Oracle, no COLUMN keyword in
+    * ADD) — DbWriter probes metadata before creating. */
   case object Derby extends Dialect {
     val name = "derby"
+    override def addColumnClause(quotedCol: String, typ: String): String =
+      s"ADD $quotedCol $typ"
+    override def supportsCreateIfNotExists: Boolean = false
     override def jsonType = "CLOB"
     override def typeOf(dt: DataType): String = dt match {
       // CLOB (not VARCHAR) matches Spark's DerbyDialect StringType
@@ -141,13 +160,15 @@ object SchemaDDL {
     "status" -> d.typeOf(StringType),
     "error_message" -> d.typeOf(StringType))
 
-  /** CREATE TABLE IF NOT EXISTS from the plan schema + permanent cols. */
+  /** CREATE TABLE from the plan schema + permanent cols, with the
+    * existence guard only where the dialect has one. */
   def createTable(d: Dialect, table: String, schema: StructType): String = {
     val perm = permanentColumns(d).map { case (n, t) => s"${d.quote(n)} $t" }
     val data = schema.fields
       .filterNot(f => permanentColumns(d).exists(_._1 == f.name))
       .map(f => s"${d.quote(f.name)} ${d.typeOf(f.dataType)}")
-    s"CREATE TABLE IF NOT EXISTS ${d.quote(table)} (${(perm ++ data).mkString(", ")})"
+    val guard = if (d.supportsCreateIfNotExists) "IF NOT EXISTS " else ""
+    s"CREATE TABLE $guard${d.quote(table)} (${(perm ++ data).mkString(", ")})"
   }
 
   /** v1 → v2 migration: columns the live table is missing, and the `*_v2`
@@ -171,7 +192,7 @@ object SchemaDDL {
         .filterNot { case (n, _) => live(n.toLowerCase) }.toSeq
     else Seq.empty
     (wantPerm ++ wantData ++ v2Twins).map { case (n, t) =>
-      s"ALTER TABLE ${d.quote(table)} ADD COLUMN ${d.quote(n)} $t"
+      s"ALTER TABLE ${d.quote(table)} ${d.addColumnClause(d.quote(n), t)}"
     }
   }
 }

@@ -67,7 +67,7 @@ class DbWriterSpec extends SparkSpec {
       assert(stmts.exists(_.contains("\"status\" CLOB")))
       assert(stmts.exists(_.contains("\"invoice_total_v2\" CLOB")))
       assert(stmts.exists(_.contains("\"customer_v2\" CLOB")))
-      assert(stmts.forall(_.startsWith("ALTER TABLE \"RESULTS\" ADD COLUMN")))
+      assert(stmts.forall(_.startsWith("ALTER TABLE \"RESULTS\" ADD ")))
       // migrated layout is stable: third reconcile is a no-op
       assert(DbWriter.reconcile(conn, Derby, "RESULTS", v1Schema).isEmpty)
     }
@@ -81,6 +81,32 @@ class DbWriterSpec extends SparkSpec {
     assert(back(0).isNullAt(1) && back(1).getString(1) == "SUCCESS")
   }
 
+  test("adopts a pre-existing table created unquoted (engine-case-folded)") {
+    import spark.implicits._
+    val url = freshUrl("db4")
+    DbWriter.withConnection(url) { conn =>
+      val st = conn.createStatement()
+      // unquoted DDL: Derby folds the identifier to ADOPTED
+      st.execute("CREATE TABLE adopted (id CLOB, created_by CLOB, " +
+        "created_at TIMESTAMP, invoice_total DOUBLE, customer CLOB)")
+      st.close()
+      // probing "adopted" exact-case finds nothing; the folded probe must
+      // adopt ADOPTED and migrate it instead of issuing a colliding CREATE
+      val (liveName, stmts) = DbWriter.reconcileAs(conn, Derby, "adopted", schema)
+      assert(liveName == "ADOPTED")
+      assert(stmts.nonEmpty && stmts.forall(_.startsWith("ALTER TABLE \"ADOPTED\" ADD ")))
+      assert(DbWriter.reconcile(conn, Derby, "adopted", schema).isEmpty)
+    }
+    val rows = Seq((5.0, "foldco", Seq.empty[String], Option.empty[String]))
+      .toDF("invoice_total", "customer", "line_items", "error_message")
+    // pre-existing cols live as INVOICE_TOTAL etc; align before the
+    // exact-case-quoting JDBC insert
+    val live = DbWriter.withConnection(url)(c => DbWriter.liveColumns(c, "adopted"))
+    DbWriter.append(DbWriter.alignColumns(Sinks.shapeForDb(rows, "wf"), live),
+      url, "ADOPTED")
+    assert(DbWriter.read(spark, url, "ADOPTED").count() == 1)
+  }
+
   test("schema evolution: a new prompt column is ALTERed in, old rows null") {
     import spark.implicits._
     val url = freshUrl("db3")
@@ -92,7 +118,7 @@ class DbWriterSpec extends SparkSpec {
     val evolved = schema.add(StructField("due_date", DateType))
     val stmts = DbWriter.withConnection(url)(c =>
       DbWriter.reconcile(c, Derby, "RESULTS", evolved))
-    assert(stmts == Seq("""ALTER TABLE "RESULTS" ADD COLUMN "due_date" DATE"""))
+    assert(stmts == Seq("""ALTER TABLE "RESULTS" ADD "due_date" DATE"""))
 
     val r2 = Seq((2.0, "b", Seq.empty[String], "2024-06-01", Option.empty[String]))
       .toDF("invoice_total", "customer", "line_items", "due_date", "error_message")

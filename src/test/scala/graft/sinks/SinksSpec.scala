@@ -28,12 +28,31 @@ class SinksSpec extends SparkSpec {
     assert(ms.contains("[invoice_total] FLOAT"))
     assert(ms.contains("[customer] NVARCHAR(MAX)"))
 
-    // all 8 dialects produce runnable-shaped DDL
+    // all 8 dialects produce runnable-shaped DDL; the existence guard
+    // only where the engine supports it (never MSSQL, Oracle pre-23c)
     dialects.foreach { d =>
       val ddl = createTable(d, "t", schema)
-      assert(ddl.contains("CREATE TABLE IF NOT EXISTS"), d.name)
+      if (d == MsSql || d == Oracle)
+        assert(ddl.startsWith("CREATE TABLE ") && !ddl.contains("IF NOT EXISTS"), d.name)
+      else assert(ddl.contains("CREATE TABLE IF NOT EXISTS"), d.name)
       permanentColumns(d).foreach { case (n, _) => assert(ddl.contains(n), s"${d.name}/$n") }
     }
+  }
+
+  test("migration ALTER syntax is dialect-exact for all 8 dialects") {
+    val one = StructType(Seq(StructField("paid", BooleanType)))
+    val live = Seq("id", "created_by", "created_at", "metadata", "status",
+      "error_message") // v2 layout: only `paid` is missing
+    def alter(d: Dialect): String = migrate(d, "results", live, one).head
+    assert(alter(Postgres) == """ALTER TABLE "results" ADD COLUMN "paid" BOOLEAN""")
+    assert(alter(MySql) == "ALTER TABLE `results` ADD COLUMN `paid` BOOLEAN")
+    assert(alter(MariaDb) == "ALTER TABLE `results` ADD COLUMN `paid` BOOLEAN")
+    // T-SQL rejects the COLUMN keyword; Oracle wants a parenthesized list
+    assert(alter(MsSql) == "ALTER TABLE [results] ADD [paid] BIT")
+    assert(alter(Oracle) == """ALTER TABLE "results" ADD ("paid" NUMBER(1))""")
+    assert(alter(Redshift) == """ALTER TABLE "results" ADD COLUMN "paid" BOOLEAN""")
+    assert(alter(Snowflake) == """ALTER TABLE "results" ADD COLUMN "paid" BOOLEAN""")
+    assert(alter(BigQuery) == "ALTER TABLE `results` ADD COLUMN `paid` BOOL")
   }
 
   test("migration: v1 table gets missing permanent cols + *_v2 twins") {

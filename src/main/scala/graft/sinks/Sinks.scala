@@ -156,7 +156,11 @@ object Sinks {
 
   /** K4/T5: manual-review queue sink — append result packets (base64
     * file + result JSON, destination.py:853-1115) to a queue directory
-    * with an enqueue timestamp; consumers read with a TTL filter. */
+    * with an enqueue timestamp; consumers read with a TTL filter.
+    * This is the BULK path (one distributed write for a whole batch);
+    * the message-at-a-time Redis-list contract lives in
+    * [[graft.streaming.QueueConnector]] with Memory/Jdbc/Directory
+    * backends, contract-tested in QueueContractSpec. */
   def enqueueReview(results: DataFrame, queueDir: String,
       ttlSeconds: Long = 3600): Unit =
     results

@@ -1,0 +1,148 @@
+package graft.streaming
+
+import graft.SparkSpec
+
+/** One behavior suite, three backends (S8/K4): every QueueConnector
+  * implementation must satisfy the same Redis-list contract the
+  * reference's queue connector declares (unstract_queue.py:9-130) —
+  * FIFO order, batch pop, negative indexing, lset, glob keys, and
+  * key-level TTL with lazy purge. The clock is injected so TTL cases
+  * run without sleeping. */
+class QueueContractSpec extends SparkSpec {
+
+  /** A settable fake clock (epoch seconds). */
+  final class FakeClock(var now: Long = 1000L) extends (() => Long) with Serializable {
+    def apply(): Long = now
+  }
+
+  private def derbyUrl(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-qderby")
+    s"jdbc:derby:$dir/qdb;create=true"
+  }
+
+  def queueContract(name: String, mk: FakeClock => QueueConnector): Unit = {
+
+    test(s"$name: FIFO enqueue/dequeue, peek, llen") {
+      val q = mk(new FakeClock)
+      assert(q.dequeue("w") === None && q.llen("w") === 0)
+      q.enqueue("w", "m1"); q.enqueue("w", "m2"); q.enqueue("w", "m3")
+      assert(q.llen("w") === 3)
+      assert(q.peek("w") === Some("m1"))
+      assert(q.llen("w") === 3) // peek does not consume
+      assert(q.dequeue("w") === Some("m1"))
+      assert(q.dequeue("w") === Some("m2"))
+      assert(q.dequeue("w") === Some("m3"))
+      assert(q.dequeue("w") === None)
+    }
+
+    test(s"$name: dequeueBatch drains FIFO, bounded, non-blocking") {
+      val q = mk(new FakeClock)
+      (1 to 5).foreach(i => q.enqueue("b", s"m$i"))
+      assert(q.dequeueBatch("b", 3) === Seq("m1", "m2", "m3"))
+      assert(q.dequeueBatch("b", 10) === Seq("m4", "m5")) // fewer than count
+      assert(q.dequeueBatch("b", 2) === Seq.empty)
+      assert(q.dequeueBatch("b", 0) === Seq.empty)
+      intercept[IllegalArgumentException](q.dequeueBatch("b", -1))
+    }
+
+    test(s"$name: lindex/lrange with Redis negative indexing; lset") {
+      val q = mk(new FakeClock)
+      (1 to 4).foreach(i => q.enqueue("r", s"m$i"))
+      assert(q.lindex("r", 0) === Some("m1"))
+      assert(q.lindex("r", -1) === Some("m4"))
+      assert(q.lindex("r", 9) === None)
+      assert(q.lrange("r", 0, -1) === Seq("m1", "m2", "m3", "m4"))
+      assert(q.lrange("r", 1, 2) === Seq("m2", "m3"))
+      assert(q.lrange("r", -2, -1) === Seq("m3", "m4"))
+      assert(q.lrange("r", 3, 1) === Seq.empty) // invalid range
+      q.lset("r", 1, "patched")
+      assert(q.lrange("r", 0, -1) === Seq("m1", "patched", "m3", "m4"))
+      q.lset("r", -1, "tail")
+      assert(q.lindex("r", 3) === Some("tail"))
+    }
+
+    test(s"$name: keys glob patterns") {
+      val q = mk(new FakeClock)
+      q.enqueue("review:wf1", "a"); q.enqueue("review:wf2", "b")
+      q.enqueue("other", "c")
+      assert(q.keys("review:*") === Seq("review:wf1", "review:wf2"))
+      assert(q.keys("*").toSet === Set("review:wf1", "review:wf2", "other"))
+      assert(q.keys("review:wf?") === Seq("review:wf1", "review:wf2"))
+    }
+
+    test(s"$name: key-level TTL — expired queue reads empty and purges") {
+      val clock = new FakeClock(1000)
+      val q = mk(clock)
+      q.enqueueWithExpire("t", "m1", ttlSeconds = 60)
+      q.enqueue("t", "m2")
+      assert(q.llen("t") === 2)
+      clock.now = 1059
+      assert(q.lrange("t", 0, -1) === Seq("m1", "m2")) // still alive
+      clock.now = 1060
+      assert(q.llen("t") === 0)       // deadline hit: reads empty
+      assert(q.dequeue("t") === None)
+      assert(!q.keys("*").contains("t"))
+      // the name is reusable after the purge
+      q.enqueue("t", "fresh")
+      assert(q.dequeue("t") === Some("fresh"))
+    }
+
+    test(s"$name: enqueueWithExpire refreshes the deadline (rpush_with_expire)") {
+      val clock = new FakeClock(1000)
+      val q = mk(clock)
+      q.enqueueWithExpire("f", "m1", 60)
+      clock.now = 1050
+      q.enqueueWithExpire("f", "m2", 60) // deadline moves to 1110
+      clock.now = 1100
+      assert(q.lrange("f", 0, -1) === Seq("m1", "m2"))
+      clock.now = 1110
+      assert(q.llen("f") === 0)
+    }
+
+    test(s"$name: delete removes the queue outright") {
+      val q = mk(new FakeClock)
+      q.enqueue("d", "m")
+      q.delete("d")
+      assert(q.llen("d") === 0 && q.dequeue("d") === None)
+    }
+  }
+
+  queueContract("MemoryQueue", clk =>
+    new MemoryQueue(s"ns-${java.util.UUID.randomUUID()}", clk))
+  queueContract("JdbcQueue", clk => new JdbcQueue(derbyUrl(), clock = clk))
+  queueContract("DirectoryQueue", clk => new DirectoryQueue(
+    java.nio.file.Files.createTempDirectory("graft-dirq").toString, clk))
+
+  test("JdbcQueue: two consumers never double-deliver (optimistic delete)") {
+    val q = new JdbcQueue(derbyUrl())
+    (1 to 40).foreach(i => q.enqueue("c", s"m$i"))
+    val got = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val threads = (1 to 4).map(_ => new Thread(() => {
+      var m = q.dequeue("c")
+      while (m.isDefined) { assert(got.add(m.get), s"duplicate ${m.get}"); m = q.dequeue("c") }
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(got.size === 40)
+  }
+
+  test("streaming pair: streamTo enqueues micro-batches, dequeueToDataFrame drains") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-qpair").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-qpair-ckpt").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-qpair-src").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(srcDir, "in.json"),
+      Seq("""{"doc":"a","score":1}""", """{"doc":"b","score":2}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.LongType)))
+    val in = spark.readStream.schema(schema).json(srcDir)
+    val query = Queues.streamTo(in, "review", () => new DirectoryQueue(root),
+      ckpt, ttlSeconds = Some(3600))
+    query.awaitTermination()
+    val drained = Queues.dequeueToDataFrame(spark, "review",
+      () => new DirectoryQueue(root))
+    assert(drained.select("doc").as[String].collect().toSet === Set("a", "b"))
+    assert(new DirectoryQueue(root).llen("review") === 0)
+  }
+}

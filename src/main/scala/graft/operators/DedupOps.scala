@@ -48,18 +48,34 @@ object DedupOps {
       |                          for i in range(1, len(w) - 1)])
       |      ELSE [t] END AS shingles FROM tok)""".stripMargin
 
+  /** Materialize a frame reused across several joins. Default (local
+    * mode): localCheckpoint — fast, but pinned to executors, so a lost
+    * executor kills the job. Durable mode (`spark.graft.dedup.stagingDir`
+    * set to a parquet-capable path): write-then-read a staged table, so
+    * any lost task recomputes from the staged files — the configuration
+    * a 100 TB run uses (SCALE.md). */
+  private def materialize(df: DataFrame, tag: String): DataFrame = {
+    val s = df.sparkSession
+    s.conf.getOption("spark.graft.dedup.stagingDir") match {
+      case Some(root) =>
+        val path = s"$root/${tag}_${java.util.UUID.randomUUID().toString.take(8)}"
+        df.write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
+      case None => df.localCheckpoint()
+    }
+  }
+
   /** MinHash signatures: ONE sha256 per shingle; the K hash functions
     * are the K disjoint 8-hex-char slices of the digest (256 independent
     * bits buy 8 independent 32-bit permutations for one hash pass —
     * 8× cheaper than hashing per-permutation). Signature entry k is the
     * lexicographic min of slice k. */
   private def hashedShingles(s: SparkSession, dir: String): DataFrame =
-    shingled(s, dir)
+    // materialized once: the LSH band self-join and the Jaccard verify
+    // reuse this 4×; without it Spark recomputes the hash pass per use
+    materialize(shingled(s, dir)
       .select(col("doc_id"),
-        expr("transform(shingles, s -> sha2(s, 256))").as("hashes"))
-      // materialize once: the LSH band self-join and the Jaccard verify
-      // reuse this 4×; without it Spark recomputes the hash pass per use
-      .localCheckpoint()
+        expr("transform(shingles, s -> sha2(s, 256))").as("hashes")), "hashed")
 
   private def signatures(hashed: DataFrame): DataFrame =
     hashed.withColumn("sig", expr(

@@ -164,7 +164,41 @@ object ExtractOps {
           FROM documents) c) x
       GROUP BY classification ORDER BY classification"""))
 
+  /** A4 answered-prompt rollup: of the typed prompts q36 runs per
+    * document, count the non-null outputs per run (source) — the
+    * reference counts successful prompt outputs into execution metadata
+    * (legacy_executor.py:719-720). Here first_word is genuinely nullable
+    * (NA-sanitized), so answered < total where documents start with
+    * "NA". */
+  val q66AnsweredRollup: QueryDef = QueryDef(
+    "q66_answered_rollup",
+    (s, dir) => {
+      val outputs = Seq(
+        occurrences(col("text"), "batch").cast("double").as("n_batch"),
+        col("text").contains("spark").as("mentions_spark"),
+        naSanitize(element_at(split(trim(col("text")), "\\s+"), 1)).as("first_word"))
+      val answered = outputs.map(c => when(c.isNotNull, 1L).otherwise(0L))
+        .reduce(_ + _)
+      docs(s, dir)
+        .select(col("source"), answered.as("n_answered"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_answered")).as("answered_prompts"),
+          (count(lit(1)) * outputs.size).as("total_prompts"))
+        .orderBy(col("source"))
+    },
+    Some(s"""SELECT source,
+      CAST(sum(n_answered) AS BIGINT) AS answered_prompts,
+      CAST(count(*) * 3 AS BIGINT) AS total_prompts FROM (
+        SELECT source,
+          (CASE WHEN ${occurrencesSql("text", "batch")} IS NOT NULL THEN 1 ELSE 0 END) +
+          (CASE WHEN contains(text, 'spark') IS NOT NULL THEN 1 ELSE 0 END) +
+          (CASE WHEN (CASE WHEN lower(trim(regexp_split_to_array(trim(text), '\\s+')[1])) = 'na'
+                THEN NULL ELSE regexp_split_to_array(trim(text), '\\s+')[1] END) IS NOT NULL
+             THEN 1 ELSE 0 END) AS n_answered
+        FROM documents) x
+      GROUP BY source ORDER BY source"""))
+
   val all: Seq[QueryDef] = Seq(
     q36TypedExtraction, q37SinglePass, q38Challenge, q39JsonField,
-    q40UsageRollup, q41Classify)
+    q40UsageRollup, q41Classify, q66AnsweredRollup)
 }

@@ -47,5 +47,29 @@ object PdfOps {
       FROM documents ORDER BY doc_id"""),
     headline = true)
 
-  val all: Seq[QueryDef] = Seq(q29PdfExtract)
+  /** A2 pages-processed rollup: the per-document n_pages that q29's
+    * extraction emits, summed per run (source) — the reference folds the
+    * same counter into run metadata at the destination
+    * (destination.py:697-699). Partial aggregation (map-side combine)
+    * keeps the shuffle to one row per (source, partition). */
+  val q65PagesRollup: QueryDef = QueryDef(
+    "q65_pages_rollup",
+    (s, dir) => {
+      val docs = Tables.loadParallel(s, dir, "documents")
+      val nPages = udf { (t: String) =>
+        if (t == null) null.asInstanceOf[java.lang.Integer]
+        else Int.box(Pdf.extract(Pdf.build(t)).nPages)
+      }
+      docs.select(col("source"), nPages(col("text")).as("n_pages"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_pages")).as("pages_processed"),
+          count(col("n_pages")).as("files_processed"))
+        .orderBy(col("source"))
+    },
+    Some("""SELECT source,
+      CAST(sum(CAST(ceil(greatest(ceil(length(text)/80.0), 1)/40.0) AS INT)) AS BIGINT) AS pages_processed,
+      count(text) AS files_processed
+      FROM documents GROUP BY source ORDER BY source"""))
+
+  val all: Seq[QueryDef] = Seq(q29PdfExtract, q65PagesRollup)
 }

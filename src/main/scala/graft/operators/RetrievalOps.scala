@@ -79,12 +79,18 @@ object RetrievalOps {
     (s, dir) => {
       VectorExpressions.register(s)
       val e = emb(s, dir)
+      // all three metrics in one projection, then PERSIST: the three
+      // TakeOrdered passes below reuse the 24-bytes-per-row scored frame
+      // instead of re-scanning + re-scoring the full embedding table
+      // (at 100 TB the embedding scan is the dominant cost; the cached
+      // frame is ~0.5% of its width)
       val scored = e.crossJoin(broadcast(queryVec(e)))
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"),
           expr("dot_product_f(embedding, qv)").as("m_dot"),
           (-expr("l2_sq_f(embedding, qv)")).as("m_l2"),
           (-expr("l1_f(embedding, qv)")).as("m_l1"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val lists = Seq("m_dot", "m_l2", "m_l1").map { m =>
         // orderBy+limit compiles to TakeOrderedAndProject (per-partition
         // heaps, no full sort), so only the ≤20 survivors get ranked; a

@@ -48,26 +48,35 @@ object Retrievers {
       .dropDuplicates("doc_id", "chunk_id")
 
   /** D7 fusion: N query variations × 3 k-scales (k, 2k, k/2), fused by
-    * reciprocal rank (retrievers/fusion.py:12-104). */
+    * reciprocal rank (retrievers/fusion.py:12-104).
+    *
+    * ONE scan per variation (not per variation × k-scale): the score
+    * depends only on the query, and every k-scale list is a prefix of
+    * the top-2k list under the same (score desc, chunk_id) order — so a
+    * row of global rank r contributes 1/(60+r) once for every k-scale
+    * ≥ r, a pure projection over the ≤2k survivors. At 100 TB the full
+    * chunk-table scan is the dominant cost; this is N scans where the
+    * naive per-list form pays 3N. */
   def fusion(chunks: DataFrame, variations: Seq[Query], k: Int = 5): DataFrame = {
-    val lists = for {
-      q <- variations
-      kk <- Seq(k, 2 * k, math.max(k / 2, 1))
-    } yield {
-      // TakeOrdered the top-kk first, then rank only the survivors: the
-      // rank stage sees ≤kk rows instead of the entire chunk table, so no
-      // single-partition funnel of all vectors (and no window at all —
-      // Ranks.sequenceNumber numbers the sorted set in place).
+    val kks = Seq(k, 2 * k, math.max(k / 2, 1))
+    val lists = for (q <- variations) yield {
+      // TakeOrdered the top-2k, then rank only the survivors — no
+      // single-partition funnel of all vectors, no window at all
+      // (Ranks.sequenceNumber numbers the sorted set in place).
       val top = scored(chunks, q)
         .orderBy(col("score").desc, col("chunk_id"))
-        .limit(kk)
-      graft.operators.Ranks
+        .limit(kks.max)
+      val ranked = graft.operators.Ranks
         .sequenceNumber(top, Seq(col("score").desc, col("chunk_id")), "rank")
-        .select(col("doc_id"), col("chunk_id"), col("text"), col("rank"))
+      val contribution = kks.map(kk =>
+        when(col("rank") <= kk, lit(1.0) / (lit(60) + col("rank")))
+          .otherwise(lit(0.0))).reduce(_ + _)
+      ranked.select(col("doc_id"), col("chunk_id"), col("text"),
+        contribution.as("rrf_part"))
     }
     lists.reduce(_ unionByName _)
       .groupBy(col("doc_id"), col("chunk_id"), col("text"))
-      .agg(sum(lit(1.0) / (lit(60) + col("rank"))).as("score"))
+      .agg(sum(col("rrf_part")).as("score"))
       .orderBy(col("score").desc, col("chunk_id"))
       .limit(k)
   }

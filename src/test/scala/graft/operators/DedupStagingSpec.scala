@@ -1,0 +1,25 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Durable-staging switch for the dedup tier: with
+  * spark.graft.dedup.stagingDir set, the multi-pass hashed-shingle
+  * table stages to parquet (fault-tolerant — lost executors recompute
+  * from files) instead of localCheckpoint, and the LSH pipeline
+  * produces identical pairs. */
+class DedupStagingSpec extends SparkSpec {
+
+  test("q51 LSH pairs are identical under parquet staging vs localCheckpoint") {
+    val dir = sf("sf0.001")
+    val local = DedupOps.q51LshJaccardPairs.fn(spark, dir).collect().map(_.toString)
+    val staging = java.nio.file.Files.createTempDirectory("graft-dedup-stage").toString
+    spark.conf.set("spark.graft.dedup.stagingDir", staging)
+    try {
+      val durable = DedupOps.q51LshJaccardPairs.fn(spark, dir).collect().map(_.toString)
+      assert(durable.toSeq == local.toSeq)
+      // the staged table actually landed on disk as parquet
+      val staged = new java.io.File(staging).listFiles()
+      assert(staged != null && staged.exists(_.getName.startsWith("hashed_")))
+    } finally spark.conf.unset("spark.graft.dedup.stagingDir")
+  }
+}

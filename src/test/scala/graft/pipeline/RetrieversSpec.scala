@@ -46,6 +46,37 @@ class RetrieversSpec extends SparkSpec {
     assert(got.map(_.getDouble(2)).sliding(2).forall(p => p.head >= p.last))
   }
 
+  test("fusion scans the chunk table once per variation, not per k-scale") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fusion").toString
+    val n = 500
+    (0 until n).map(i => ("d", i.toLong, s"t$i", Seq(1f / (i + 1), 1f, 0f, 0f)))
+      .toDF("doc_id", "chunk_id", "text", "embedding")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    val persisted = spark.read.parquet(dir)
+    val records = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          records.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val got = fusion(persisted, Seq(q, Query(Seq(0.5f, 0.5f, 0f, 0f))), k = 3).collect()
+      assert(got.length == 3)
+      // listener events are async: poll until the count stabilizes
+      val deadline = System.currentTimeMillis() + 10000
+      var last = -1L
+      while (System.currentTimeMillis() < deadline && records.get != last) {
+        last = records.get; Thread.sleep(300)
+      }
+      // 2 variations × one scan of n rows (+ small cached top-2k reads);
+      // the per-(variation × k-scale) form would read ≥ 3× that
+      assert(records.get >= 2L * n, s"records=${records.get}")
+      assert(records.get < 3L * n, s"fusion re-scanned the chunk table: ${records.get}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("keywordTable: inverted-index hit counting") {
     val got = keywordTable(chunks, Seq("spark", "joins"), k = 5)
       .select("chunk_id", "score").collect()

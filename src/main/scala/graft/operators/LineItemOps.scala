@@ -65,5 +65,38 @@ object LineItemOps {
         UNION ALL SELECT doc_id, 'scan', c_scan FROM c) u
       ORDER BY doc_id, word"""))
 
-  val all: Seq[QueryDef] = Seq(q42LineItems, q43Unpivot)
+  /** D15 directory mode: per-document keyword tables merged into ONE
+    * table per directory (`source` stands for the scanned directory)
+    * with provenance and a per-directory row id — the table_executor
+    * plugin's whole-directory output (legacy_executor.py:2002-2074).
+    * The row-number window is PARTITIONED by directory, so numbering
+    * scales with directories instead of funneling the corpus. */
+  val q67TableDirectory: QueryDef = QueryDef(
+    "q67_table_directory",
+    (s, dir) => {
+      def cnt(w: String) =
+        ((length(col("text")) - length(regexp_replace(col("text"), w, ""))) / w.length).cast("long")
+      val rows = docs(s, dir)
+        .select(col("source"), col("doc_id"),
+          cnt("join").as("c_join"), cnt("agg").as("c_agg"), cnt("scan").as("c_scan"))
+        .select(col("source"), col("doc_id"),
+          expr("stack(3, 'agg', c_agg, 'join', c_join, 'scan', c_scan) as (word, cnt)"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"), col("word"))
+      rows.withColumn("table_row", row_number().over(w))
+        .orderBy(col("source"), col("table_row"))
+    },
+    Some("""WITH c AS (SELECT source, doc_id,
+        CAST((length(text) - length(replace(text, 'join', ''))) / 4 AS BIGINT) AS c_join,
+        CAST((length(text) - length(replace(text, 'agg', ''))) / 3 AS BIGINT) AS c_agg,
+        CAST((length(text) - length(replace(text, 'scan', ''))) / 4 AS BIGINT) AS c_scan
+      FROM documents),
+      u AS (SELECT source, doc_id, 'agg' AS word, c_agg AS cnt FROM c
+        UNION ALL SELECT source, doc_id, 'join', c_join FROM c
+        UNION ALL SELECT source, doc_id, 'scan', c_scan FROM c)
+      SELECT source, doc_id, word, cnt,
+        CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id, word) AS INT) AS table_row
+      FROM u ORDER BY source, table_row"""))
+
+  val all: Seq[QueryDef] = Seq(q42LineItems, q43Unpivot, q67TableDirectory)
 }

@@ -91,6 +91,37 @@ object TextExtractorTool extends DocTool {
     }
 }
 
+/** D15 table extractor (directory mode): extract a multi-row keyword
+  * table from EVERY document of a scanned directory frame and merge
+  * them into ONE table with file provenance and per-directory row ids —
+  * the reference delegates this to the table_executor plugin
+  * (legacy_executor.py:2002-2074). A file with no text yields an error
+  * row, not a failed batch (the plugin's per-prompt failure isolation).
+  * The row-id window partitions on the directory column, so numbering
+  * stays distributed — no global window. */
+object TableExtractorTool extends DocTool {
+  val name = "table_extractor"
+  def apply(df: DataFrame, settings: Map[String, String]): DataFrame = {
+    val words = settings.getOrElse("columns", "join,agg,scan").split(",").toSeq
+    val dirCol = settings.getOrElse("dir_column", "source")
+    val idCol = settings.getOrElse("id_column", "file_name")
+    def cnt(w: String) =
+      ((length(col("text")) - length(regexp_replace(col("text"),
+        java.util.regex.Pattern.quote(w), ""))) / w.length).cast("long")
+    val stackExpr = words.sorted.map(w => s"'$w', __c_${w}").mkString(", ")
+    val counted = df.select(
+      Seq(col(dirCol), col(idCol)) ++ words.map(w => cnt(w).as(s"__c_$w")): _*)
+    val rows = counted
+      .select(col(dirCol), col(idCol),
+        expr(s"stack(${words.size}, $stackExpr) as (word, cnt)"))
+      .withColumn("error_message",
+        when(col("cnt").isNull, "table_extract_failed: no text").otherwise(lit(null)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(dirCol)).orderBy(col(idCol), col("word"))
+    rows.withColumn("table_row", row_number().over(w))
+  }
+}
+
 /** D20 lookup-enrichment tool: enrich a field against a broadcast
   * reference corpus; blank inputs skip (lookup_enrichment.py:20-174). */
 object LookupEnrichmentTool extends DocTool {
@@ -114,6 +145,7 @@ object ToolRegistry {
   private val tools = scala.collection.concurrent.TrieMap[String, DocTool](
     ClassifierTool.name -> ClassifierTool,
     TextExtractorTool.name -> TextExtractorTool,
+    TableExtractorTool.name -> TableExtractorTool,
     LookupEnrichmentTool.name -> LookupEnrichmentTool)
 
   def register(tool: DocTool): Unit = tools.put(tool.name, tool)

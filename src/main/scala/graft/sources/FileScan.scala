@@ -91,6 +91,84 @@ object FileScan {
     graft.operators.Ranks.sequenceNumber(limited, order, "file_number")
   }
 
+  /** S5: API upload staging (source.py:1190-1288) — the composed
+    * operation behind the API deployment's upload endpoint:
+    *
+    *  1. MIME gate: files with a disallowed type are KEPT but marked
+    *     with a `temp-hash-…` placeholder and `is_executed=true`, so
+    *     they surface in the response without ever being processed
+    *     (and without reading their content).
+    *  2. Content sha256 for allowed files (the chunked-hash analog —
+    *     Spark's sha2 streams the binary column).
+    *  3. In-request dedup: one row per content hash; the
+    *     lexicographically-first file name wins (the reference keeps
+    *     the first upload; min-over-struct is its deterministic
+    *     distributed equivalent, same rule as q22's min(doc_id)).
+    *  4. Optional FileHistory short-circuit: hashes with a COMPLETED
+    *     history row come back `is_executed=true` (results served from
+    *     cache, not recomputed).
+    *  5. Optional materialization: accepted content is written under
+    *     `stagingDir/<file_name>` per partition — content never
+    *     funnels through the driver.
+    *
+    * Input: (file_name, content[, mime_type]); output adds file_size,
+    * mime_type, file_hash, is_executed, file_path. */
+  def stageUploads(uploads: DataFrame, allowedMime: Seq[String],
+      history: Option[DataFrame] = None,
+      stagingDir: Option[String] = None): DataFrame = {
+    val withMime =
+      (if (uploads.columns.contains("mime_type"))
+        uploads.withColumn("mime_type",
+          coalesce(col("mime_type"), lit("application/octet-stream")))
+      else uploads.withColumn("mime_type",
+        sniffMime(col("content"), col("file_name"))))
+        .withColumn("file_size", coalesce(length(col("content")), lit(0)).cast("long"))
+    val allowedCol =
+      if (allowedMime.isEmpty) lit(true) else col("mime_type").isin(allowedMime: _*)
+
+    val rejected = withMime.filter(!allowedCol)
+      .withColumn("file_hash",
+        concat(lit("temp-hash-"), regexp_replace(uuid(), "-", "")))
+      .withColumn("is_executed", lit(true))
+      .drop("content")
+    val hashed = withMime.filter(allowedCol)
+      .withColumn("file_hash", sha2(col("content"), 256))
+    val deduped = hashed
+      .groupBy(col("file_hash"))
+      .agg(min(struct(col("file_name"), col("mime_type"), col("file_size"),
+        col("content"))).as("r"))
+      .select(col("file_hash"), col("r.file_name"), col("r.mime_type"),
+        col("r.file_size"), col("r.content"))
+
+    stagingDir.foreach { dir =>
+      deduped.select(col("file_name"), col("content"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          val root = new org.apache.hadoop.fs.Path(dir)
+          val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          it.foreach { r =>
+            val out = fs.create(new org.apache.hadoop.fs.Path(root, r.getString(0)), true)
+            try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+          }
+        }
+    }
+
+    val executed = history match {
+      case Some(h) =>
+        val done = h.filter(col("status") === "COMPLETED")
+          .select(col("cache_key")).distinct()
+        deduped.join(broadcast(done),
+            deduped("file_hash") === done("cache_key"), "left_outer")
+          .withColumn("is_executed", col("cache_key").isNotNull)
+          .drop("cache_key")
+      case None => deduped.withColumn("is_executed", lit(false))
+    }
+    executed.drop("content")
+      .unionByName(rejected, allowMissingColumns = true)
+      .withColumn("file_path",
+        stagingDir.map(d => concat(lit(d.stripSuffix("/") + "/"), col("file_name")))
+          .getOrElse(lit(null).cast("string")))
+  }
+
   /** P3/J1: FileHistory dedup — drop files whose (file_hash, file_path)
     * has a COMPLETED history row (source.py:806-868). */
   def dedupAgainstHistory(files: DataFrame, history: DataFrame): DataFrame = {

@@ -23,6 +23,78 @@ class ToolsAndTemplatesSpec extends SparkSpec {
     assert(got.toSeq == Seq("Customer acme owes $5.", "Customer bob inc owes $5."))
   }
 
+  test("Templates: dynamic {{url [var]}} replacement with canned transport") {
+    val fetched = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val fetch = (url: String, payload: String) => {
+      fetched += (url -> payload); s"enriched($payload)"
+    }
+    val prompt = "Context: {{https://api.example.com/lookup [vendor]}} end."
+    val got = Templates.replaceDynamic(prompt, Map("vendor" -> "acme"), fetch)
+    assert(got == "Context: enriched(acme) end.")
+    assert(fetched.toSeq == Seq("https://api.example.com/lookup" -> "acme"))
+
+    // referenced prompt output missing → placeholder survives, no call
+    fetched.clear()
+    val kept = Templates.replaceDynamic(prompt, Map("other" -> "x"), fetch)
+    assert(kept == prompt && fetched.isEmpty)
+
+    // static variables pass through untouched by the dynamic pass
+    assert(Templates.replaceDynamic("plain {{total}}", Map("total" -> "1"), fetch)
+      == "plain {{total}}")
+  }
+
+  test("Templates: dynamic replacement SSRF guard rejects non-https and metadata hosts") {
+    val fetch = (_: String, _: String) => fail("transport must not be called")
+    Seq(
+      "{{http://api.example.com/x [v]}}",          // plain http
+      "{{https://169.254.169.254/latest [v]}}",    // link-local metadata
+      "{{https://localhost/x [v]}}").foreach { p =>
+      intercept[SecurityException](
+        Templates.replaceDynamic(p, Map("v" -> "x"), fetch))
+    }
+  }
+
+  test("Templates: dynamic UDF replaces per row and is non-deterministic") {
+    import spark.implicits._
+    val df = Seq(
+      ("Vendor: {{https://api.example.com/v [vendor]}}", Map("vendor" -> "acme")),
+      ("Vendor: {{https://api.example.com/v [vendor]}}", Map.empty[String, String]))
+      .toDF("prompt", "outputs")
+    val u = Templates.dynamicReplaceUdf(() => (_: String, p: String) => s"<$p>")
+    val got = df.select(u(col("prompt"), col("outputs")).as("p"))
+      .as[String].collect()
+    assert(got(0) == "Vendor: <acme>")
+    assert(got(1) == "Vendor: {{https://api.example.com/v [vendor]}}")
+    assert(!u.deterministic)
+  }
+
+  test("TableExtractorTool: directory-merged table, per-dir row ids, error isolation") {
+    import spark.implicits._
+    val df = Seq(
+      ("dirA", "f1.txt", "join join agg"),
+      ("dirA", "f2.txt", "scan"),
+      ("dirB", "f3.txt", "agg agg agg"),
+      ("dirB", "f4.txt", null.asInstanceOf[String]))   // failed extraction
+      .toDF("source", "file_name", "text")
+    val got = TableExtractorTool(df, Map.empty)
+      .orderBy("source", "table_row")
+      .select("source", "file_name", "word", "cnt", "table_row", "error_message")
+      .collect()
+    // dirA: 2 files × 3 words = 6 rows numbered 1..6 within the directory
+    val dirA = got.filter(_.getString(0) == "dirA")
+    assert(dirA.map(_.getInt(4)).toSeq == (1 to 6))
+    assert(dirA.head.getString(1) == "f1.txt" && dirA.head.getString(2) == "agg"
+      && dirA.head.getLong(3) == 1L)
+    // dirB numbering restarts at 1 (window partitioned by directory)
+    val dirB = got.filter(_.getString(0) == "dirB")
+    assert(dirB.map(_.getInt(4)).toSeq == (1 to 6))
+    // the null-text file becomes error rows, job still succeeds
+    val failed = got.filter(r => r.getString(1) == "f4.txt")
+    assert(failed.length == 3 && failed.forall(r =>
+      r.isNullAt(3) && r.getString(5).startsWith("table_extract_failed")))
+    assert(graft.pipeline.ToolRegistry.get("table_extractor").contains(TableExtractorTool))
+  }
+
   test("JsonRepair: markers, fences, quotes, trailing commas, unquoted keys") {
     assert(JsonRepair.repair("""§§§{"a": 1}§§§""") == """{"a": 1}""")
     assert(JsonRepair.repair("```json\n{\"a\": 2}\n```") == """{"a": 2}""")
@@ -43,7 +115,8 @@ class ToolsAndTemplatesSpec extends SparkSpec {
 
   test("ToolRegistry: classifier, text extractor, lookup enrichment") {
     import spark.implicits._
-    assert(ToolRegistry.list == Seq("classifier", "lookup_enrichment", "text_extractor"))
+    assert(ToolRegistry.list ==
+      Seq("classifier", "lookup_enrichment", "table_extractor", "text_extractor"))
 
     val docs = Seq(
       (1L, "join join agg", "en"),

@@ -69,6 +69,9 @@ case class MinHashAgg(
 
 object MinHashAgg {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_agg", es => MinHashAgg(es.head).toAggregateExpression(), "scala_udf")
+    // idempotent: avoid the per-call replaced-function WARN
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_agg")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "minhash_agg", es => MinHashAgg(es.head).toAggregateExpression(), "scala_udf")
 }

@@ -95,9 +95,14 @@ object VectorExpressions {
     * Column(Expression) constructors are private[sql] in Spark 4). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("dot_product_f", es => DotProductFloat(es.head, es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("l2_sq_f", es => L2SqFloat(es.head, es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("l1_f", es => L1Float(es.head, es(1)), "scala_udf")
+    // idempotent: re-registering an existing function logs a WARN per
+    // call, which drowns real warnings when every QueryDef registers
+    val ident = org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product_f")
+    if (!reg.functionExists(ident)) {
+      reg.createOrReplaceTempFunction("dot_product_f", es => DotProductFloat(es.head, es(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("l2_sq_f", es => L2SqFloat(es.head, es(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("l1_f", es => L1Float(es.head, es(1)), "scala_udf")
+    }
   }
 
   /** Column over registered functions by column-expression text. */

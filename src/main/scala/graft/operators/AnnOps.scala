@@ -76,5 +76,47 @@ object AnnOps {
       ORDER BY score DESC, vec_id LIMIT 5"""),
     headline = true)
 
-  val all: Seq[QueryDef] = Seq(q56AnnIvf)
+  private val LshBits = 4  // hyperplanes → 2⁴ buckets
+
+  /** LSH-bucketed ANN — the other scale path next to IVF: each vector
+    * gets a sign-bit bucket from `LshBits` fixed hyperplanes (here the
+    * deterministic basis differences v[2i] − v[2i+1]; random Gaussian
+    * planes at scale), the query joins only its own bucket, and exact
+    * scoring runs on that ~N/2^bits slice. Written `partitionBy(bucket)`
+    * the probe is partition-pruned I/O, same as the IVF cell layout;
+    * multi-probe (Hamming-1 neighbors) is the recall knob. */
+  val q68AnnLsh: QueryDef = QueryDef(
+    "q68_ann_lsh",
+    (s, dir) => {
+      VectorExpressions.register(s)
+      val bucketExpr = (0 until LshBits).map(i =>
+        s"case when element_at(embedding, ${2 * i + 1}) >= element_at(embedding, ${2 * i + 2}) then '1' else '0' end")
+        .mkString("concat(", ", ", ")")
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("bucket", expr(bucketExpr))
+      val qb = e.filter(col("vec_id") === 0)
+        .select(col("bucket"), col("embedding").as("qv"))
+      e.join(broadcast(qb), "bucket")
+        .filter(col("vec_id") =!= 0)
+        .select(col("bucket"), col("vec_id"),
+          round(expr("dot_product_f(embedding, qv)"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(5)
+    },
+    Some({
+      val bucketSql = (0 until LshBits).map(i =>
+        s"CASE WHEN v[${2 * i + 1}] >= v[${2 * i + 2}] THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+          $bucketSql AS bucket FROM embeddings),
+        q AS (SELECT bucket, v AS qv FROM e WHERE vec_id = 0)
+        SELECT e.bucket, vec_id,
+          round(list_sum(list_transform(list_zip(e.v, q.qv), x -> x[1]*x[2])), 6) AS score
+        FROM e JOIN q USING (bucket)
+        WHERE vec_id <> 0
+        ORDER BY score DESC, vec_id LIMIT 5"""
+    }))
+
+  val all: Seq[QueryDef] = Seq(q56AnnIvf, q68AnnLsh)
 }

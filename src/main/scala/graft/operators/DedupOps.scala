@@ -202,6 +202,41 @@ object DedupOps {
         FROM documents) t) x
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Exact token-set Jaccard over BLOCKED candidate pairs — the
+    * verify-stage shape without MinHash: same-language neighbor-window
+    * blocking (|Δdoc_id| ≤ 3) stands in for the production blocking key
+    * (LSH band, ingest batch, time window). Never an N² cross product:
+    * the join is equi on lang plus a bounded id-range predicate, so
+    * candidates grow linearly with the corpus. */
+  val q54NgramJaccard: QueryDef = QueryDef(
+    "q54_ngram_jaccard",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          array_distinct(split(trim(col("text")), "\\s+")).as("toks"))
+      toks.as("a").join(toks.as("b"),
+          col("a.lang") === col("b.lang") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            col("b.doc_id") <= col("a.doc_id") + 3)
+        .select(col("a.lang").as("lang"),
+          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          round(size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
+            size(array_union(col("a.toks"), col("b.toks"))), 6).as("jaccard"))
+        .filter(col("jaccard") > 0.05)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH t AS (SELECT doc_id, lang,
+        list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+      FROM documents)
+      SELECT lang, doc_a, doc_b, jaccard FROM (
+        SELECT a.lang AS lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+          round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+            len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+        FROM t a JOIN t b ON a.lang = b.lang
+          AND a.doc_id < b.doc_id AND b.doc_id <= a.doc_id + 3) p
+      WHERE jaccard > 0.05
+      ORDER BY doc_a, doc_b"""))
+
   // --- Embedding near-dup -------------------------------------------------
 
   /** Embedding-cosine near-dup: label-blocked pair join (the blocking key
@@ -232,5 +267,5 @@ object DedupOps {
 
   val all: Seq[QueryDef] = Seq(
     q50MinhashSignature, q51LshJaccardPairs, q52MinhashAggregate,
-    q53Simhash, q55EmbeddingNeardup)
+    q53Simhash, q54NgramJaccard, q55EmbeddingNeardup)
 }

@@ -69,6 +69,21 @@ class PdfSpec extends SparkSpec {
     assert(d.lines.map(_.text) == Seq("Hello ", "world", "next line"))
   }
 
+  test("round trip: property — random unicode text survives build+extract exactly") {
+    import org.scalacheck.Gen
+    // mixes ASCII, PDF specials, CJK, combining marks, and astral chars
+    val charGen = Gen.frequency(
+      8 -> Gen.asciiPrintableChar,
+      2 -> Gen.oneOf('(', ')', '\\', '\n', '\t', '\r'),
+      2 -> Gen.oneOf('é', '✓', '漢', '字', '́'),
+      1 -> Gen.const('\uD83D'))  // replaced below to keep pairs valid
+    val textGen = Gen.chooseNum(0, 400).flatMap(n => Gen.listOfN(n, charGen))
+      .map(_.mkString.replace("\uD83D", "😀")) // lone high → 😀
+    forAll(textGen) { t =>
+      assert(Pdf.extract(Pdf.build(t)).text == t, s"round trip failed for ${t.take(60)}")
+    }
+  }
+
   test("TextExtractorTool: pdf adapter extracts, no_op passes through") {
     import spark.implicits._
     val text = "invoice total 123.45 due 2024-05-01"

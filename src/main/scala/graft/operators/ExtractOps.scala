@@ -20,9 +20,11 @@ object ExtractOps {
     Tables.loadParallel(s, dir, "documents")
 
   /** Occurrences of word `w` via length arithmetic (identical across
-    * engines: pure integer ops). */
+    * engines: pure integer ops). Plain `replace`, not `regexp_replace`:
+    * the literal-substring scan skips the regex engine entirely in the
+    * hottest narrow map of the extraction tier. */
   private def occurrences(c: org.apache.spark.sql.Column, w: String) =
-    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(w), ""))) / w.length).cast("long")
+    ((length(c) - length(call_function("replace", c, lit(w)))) / w.length).cast("long")
 
   private def occurrencesSql(c: String, w: String) =
     s"CAST((length($c) - length(replace($c, '$w', ''))) / ${w.length} AS BIGINT)"

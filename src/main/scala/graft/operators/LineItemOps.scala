@@ -26,7 +26,7 @@ object LineItemOps {
           greatest(ceil(col("n_chars").cast("double") / Win).cast("long"), lit(1L)) - 1)))
         .withColumn("page", expr(s"substring(text, cast(window_id * $Win + 1 as int), $Win)"))
         .select(col("doc_id"), col("window_id"),
-          ((length(col("page")) - length(regexp_replace(col("page"), "line", ""))) / 4).cast("long").as("n_line"))
+          ((length(col("page")) - length(call_function("replace", col("page"), lit("line")))) / 4).cast("long").as("n_line"))
         .filter(col("n_line") > 0)
         .orderBy(col("doc_id"), col("window_id")),
     Some(s"""SELECT doc_id, window_id,
@@ -47,7 +47,7 @@ object LineItemOps {
     "q43_unpivot",
     (s, dir) => {
       def cnt(w: String) =
-        ((length(col("text")) - length(regexp_replace(col("text"), w, ""))) / w.length).cast("long")
+        ((length(col("text")) - length(call_function("replace", col("text"), lit(w)))) / w.length).cast("long")
       docs(s, dir)
         .select(col("doc_id"), cnt("join").as("c_join"), cnt("agg").as("c_agg"), cnt("scan").as("c_scan"))
         .select(col("doc_id"),
@@ -75,7 +75,7 @@ object LineItemOps {
     "q67_table_directory",
     (s, dir) => {
       def cnt(w: String) =
-        ((length(col("text")) - length(regexp_replace(col("text"), w, ""))) / w.length).cast("long")
+        ((length(col("text")) - length(call_function("replace", col("text"), lit(w)))) / w.length).cast("long")
       val rows = docs(s, dir)
         .select(col("source"), col("doc_id"),
           cnt("join").as("c_join"), cnt("agg").as("c_agg"), cnt("scan").as("c_scan"))

@@ -24,8 +24,7 @@ object ClassifierTool extends DocTool {
     val bins = settings.getOrElse("bins", "joins,aggs,scans").split(",").toSeq
     val keywords = settings.getOrElse("keywords", "join,agg,scan").split(",").toSeq
     val counts = keywords.map(k =>
-      (length(col("text")) - length(regexp_replace(col("text"),
-        java.util.regex.Pattern.quote(k), ""))) / k.length)
+      (length(col("text")) - length(call_function("replace", col("text"), lit(k)))) / k.length)
     val noHit = counts.map(_ === 0).reduce(_ && _)
     // compare counts positionally, not by Column identity — duplicate
     // keywords produce structurally-equal Columns that an identity filter
@@ -106,8 +105,7 @@ object TableExtractorTool extends DocTool {
     val dirCol = settings.getOrElse("dir_column", "source")
     val idCol = settings.getOrElse("id_column", "file_name")
     def cnt(w: String) =
-      ((length(col("text")) - length(regexp_replace(col("text"),
-        java.util.regex.Pattern.quote(w), ""))) / w.length).cast("long")
+      ((length(col("text")) - length(call_function("replace", col("text"), lit(w)))) / w.length).cast("long")
     val stackExpr = words.sorted.map(w => s"'$w', __c_${w}").mkString(", ")
     val counted = df.select(
       Seq(col(dirCol), col(idCol)) ++ words.map(w => cnt(w).as(s"__c_$w")): _*)

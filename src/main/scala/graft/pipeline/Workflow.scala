@@ -18,12 +18,21 @@ object Workflow {
   final case class RunSummary(
       listed: Long, afterDedup: Long, extracted: Long, failed: Long)
 
+  /** `reviewQueue` (connector factory + queue name) routes a copy of
+    * every destination row into the HITL review queue (K4); a
+    * `resultCache` (K6) receives per-file results under
+    * (workflowId, executionId) for API polling — both optional hops of
+    * the reference's destination stage (destination.py:516-557,853-1115). */
   final case class WorkflowSpec(
       scan: FileScan.ScanConfig,
       prompts: Seq[PromptSpec],
       historyPath: String,
       outputFolder: String,
-      workflowId: String = "wf-1")
+      workflowId: String = "wf-1",
+      executionId: String = "ex-1",
+      reviewQueue: Option[(() => graft.streaming.QueueConnector, String)] = None,
+      reviewTtlSeconds: Long = 3600,
+      resultCache: Option[graft.sinks.ResultCache] = None)
 
   /** Execute a batch run end-to-end. Returns the summary the reference's
     * chord callback would assemble (workers/file_processing/tasks.py:1023-1090). */
@@ -51,6 +60,16 @@ object Workflow {
     val shaped = Sinks.shapeForDb(
       extracted.drop("content", "text"), createdBy = spec.workflowId)
     Sinks.writeFs(shaped.drop("error_message"), spec.outputFolder)
+
+    // optional destination hops: HITL review queue + API result cache
+    val keyed = shaped
+      .withColumn("workflow_id", lit(spec.workflowId))
+      .withColumn("execution_id", lit(spec.executionId))
+    spec.reviewQueue.foreach { case (mk, queueName) =>
+      graft.streaming.Queues.enqueueDataFrame(
+        keyed.drop("error_message"), queueName, mk, Some(spec.reviewTtlSeconds))
+    }
+    spec.resultCache.foreach(_.write(keyed.drop("error_message")))
 
     val newHistory = extracted.select(
       col("file_hash").as("cache_key"),

@@ -17,16 +17,26 @@ class WorkflowSpec extends SparkSpec {
     val outDir = Files.createTempDirectory("graft-wf-out").toString + "/results"
     val histPath = Files.createTempDirectory("graft-wf-hist").toString + "/history"
 
+    val queueRoot = Files.createTempDirectory("graft-wf-queue").toString
+    val cacheNs = s"wf-${java.util.UUID.randomUUID()}"
+    val cache = new graft.sinks.ResultCache(
+      () => new graft.streaming.MemoryQueue(cacheNs), ttlSeconds = 600)
     val spec = Workflow.WorkflowSpec(
       scan = FileScan.ScanConfig(srcDir.toString, glob = "*.txt"),
       prompts = Seq(
         PromptSpec("n_batch", "count of word 'batch'", "number"),
         PromptSpec("mentions_pipeline", "does it mention 'pipeline'", "boolean")),
       historyPath = histPath,
-      outputFolder = outDir)
+      outputFolder = outDir,
+      reviewQueue = Some((() => new graft.streaming.DirectoryQueue(queueRoot), "review:wf-1")),
+      resultCache = Some(cache))
 
     val run1 = Workflow.run(spark, spec, () => new MockLLM)
     assert(run1.listed == 2 && run1.afterDedup == 2 && run1.extracted == 2 && run1.failed == 0)
+
+    // the optional destination hops fired: review packets + pollable cache
+    assert(new graft.streaming.DirectoryQueue(queueRoot).llen("review:wf-1") == 2)
+    assert(cache.get("wf-1", "ex-1").size == 2)
 
     // destination rows landed with the mock answers
     val out = spark.read.json(outDir)

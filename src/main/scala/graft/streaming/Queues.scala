@@ -123,7 +123,9 @@ final class MemoryQueue(namespace: String = "default",
       }
     }.getOrElse(Seq.empty)
   def keys(pattern: String): Seq[String] =
-    QueueConnector.globFilter(ns.keys.toSeq.filter(alive(_).isDefined), pattern)
+    // Redis semantics: a drained list's key does not exist
+    QueueConnector.globFilter(
+      ns.keys.toSeq.filter(q => llen(q) > 0), pattern)
   def expire(queue: String, ttlSeconds: Long): Unit = alive(queue).foreach { s =>
     s.synchronized(s.expiresAt = Some(clock() + ttlSeconds))
   }
@@ -291,14 +293,14 @@ final class JdbcQueue(url: String,
   }
 
   def keys(pattern: String): Seq[String] = withConn { c =>
+    // Redis semantics: only queues with ≥1 live message exist
     val names = mutable.Set[String]()
     val st = c.createStatement()
     val rs = st.executeQuery("SELECT DISTINCT queue_name FROM graft_queue")
     while (rs.next()) names += rs.getString(1)
     rs.close(); st.close()
     QueueConnector.globFilter(
-      names.toSeq.filter(q => { purgeIfExpired(c, q); llenIn(c, q) >= 0 })
-        .filter(q => llenIn(c, q) > 0 || metaExists(c, q)), pattern)
+      names.toSeq.filter { q => purgeIfExpired(c, q); llenIn(c, q) > 0 }, pattern)
   }
   private def llenIn(c: java.sql.Connection, queue: String): Long = {
     val ps = c.prepareStatement(
@@ -306,12 +308,6 @@ final class JdbcQueue(url: String,
     ps.setString(1, queue)
     val rs = ps.executeQuery(); rs.next()
     val n = rs.getLong(1); rs.close(); ps.close(); n
-  }
-  private def metaExists(c: java.sql.Connection, queue: String): Boolean = {
-    val ps = c.prepareStatement(
-      "SELECT 1 FROM graft_queue_meta WHERE queue_name = ?")
-    ps.setString(1, queue)
-    val rs = ps.executeQuery(); val e = rs.next(); rs.close(); ps.close(); e
   }
 
   def expire(queue: String, ttlSeconds: Long): Unit = withConn { c =>
@@ -416,7 +412,7 @@ final class DirectoryQueue(root: String,
     if (!fs.exists(rootPath)) Seq.empty
     else QueueConnector.globFilter(
       fs.listStatus(rootPath).filter(_.isDirectory).map(s => dec(s.getPath.getName))
-        .filter(alive).toSeq, pattern)
+        .filter(q => llen(q) > 0).toSeq, pattern) // drained key ≡ absent
   }
   def expire(queue: String, ttlSeconds: Long): Unit =
     if (fs.exists(qdir(queue))) write(metaPath(queue), (clock() + ttlSeconds).toString)

@@ -61,13 +61,16 @@ class QueueContractSpec extends SparkSpec {
       assert(q.lindex("r", 3) === Some("tail"))
     }
 
-    test(s"$name: keys glob patterns") {
+    test(s"$name: keys glob patterns; drained keys do not exist") {
       val q = mk(new FakeClock)
       q.enqueue("review:wf1", "a"); q.enqueue("review:wf2", "b")
       q.enqueue("other", "c")
       assert(q.keys("review:*") === Seq("review:wf1", "review:wf2"))
       assert(q.keys("*").toSet === Set("review:wf1", "review:wf2", "other"))
       assert(q.keys("review:wf?") === Seq("review:wf1", "review:wf2"))
+      // Redis semantics: a fully drained list's key disappears
+      q.dequeue("review:wf1")
+      assert(q.keys("*").toSet === Set("review:wf2", "other"))
     }
 
     test(s"$name: key-level TTL — expired queue reads empty and purges") {

@@ -86,8 +86,12 @@ object Sinks {
       merged.write.mode(SaveMode.Overwrite).partitionBy("key_prefix").parquet(staged)
       val old = new org.apache.hadoop.fs.Path(historyPath + "__old")
       if (fs.exists(old)) fs.delete(old, true)
-      fs.rename(dst, old)
-      fs.rename(new org.apache.hadoop.fs.Path(staged), dst)
+      if (!fs.rename(dst, old))
+        throw new java.io.IOException(s"upsertHistory: cannot set aside $dst")
+      if (!fs.rename(new org.apache.hadoop.fs.Path(staged), dst))
+        // recoverOrphans restores the set-aside table on the next call
+        throw new java.io.IOException(
+          s"upsertHistory: migration promote failed; prior table preserved at $old")
       fs.delete(old, true)
       return
     }

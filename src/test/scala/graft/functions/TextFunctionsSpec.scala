@@ -28,6 +28,28 @@ class TextFunctionsSpec extends SparkSpec {
     forAll(lit, lit) { (a, b) => assert((a + b).matches(globToRegex(a + "*"))) }
   }
 
+  test("globToRegex agrees with java.nio glob matching (property)") {
+    // random names vs random globs over a bracket-free alphabet — both
+    // matchers must agree on every pair (PathMatcher is the independent
+    // spec for fnmatch-style basename globs)
+    val nameGen = Gen.chooseNum(1, 12)
+      .flatMap(n => Gen.listOfN(n, Gen.frequency(
+        6 -> Gen.alphaNumChar, 1 -> Gen.const('.'), 1 -> Gen.const('_'))))
+      .map(_.mkString)
+    val globGen = Gen.chooseNum(1, 8)
+      .flatMap(n => Gen.listOfN(n, Gen.frequency(
+        4 -> Gen.alphaNumChar, 2 -> Gen.const('*'), 1 -> Gen.const('?'),
+        1 -> Gen.const('.'))))
+      .map(_.mkString)
+    val fsys = java.nio.file.FileSystems.getDefault
+    forAll(nameGen, globGen) { (name, glob) =>
+      val nio = fsys.getPathMatcher(s"glob:$glob")
+        .matches(java.nio.file.Paths.get(name))
+      val ours = name.matches(globToRegex(glob))
+      assert(ours == nio, s"glob '$glob' vs name '$name': ours=$ours nio=$nio")
+    }
+  }
+
   test("naSanitize nulls NA variants, keeps the rest") {
     import spark.implicits._
     val got = Seq("NA", "na", "  Na ", "nah", "x", null)

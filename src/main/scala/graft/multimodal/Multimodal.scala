@@ -9,10 +9,14 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing is real — schema, batched per-partition
   * processing (one decoder instance per partition, the mapInPandas batch
-  * shape), partition sizing — while the decode kernel itself is STUBBED
-  * with a deterministic fake (this container ships no image/audio codecs;
-  * a real deployment swaps `StubDecoder` for a JNI/FFmpeg/ImageIO-backed
-  * one behind the same trait).
+  * shape), partition sizing. The decode kernel is REAL for the two
+  * formats whose specs need no codec library: [[JdkMediaDecoder]]
+  * parses WAV (RIFF/PCM16 → duration, RMS, peak, zero-crossing rate)
+  * and BMP (24-bit → true width/height, channel means) via
+  * graft.tools.Media. Compressed codecs (JPEG/H.264/MP3) remain behind
+  * the deterministic [[StubDecoder]] — this container ships no codec
+  * libraries; a deployment swaps in an FFmpeg/ImageIO-backed decoder
+  * behind the same trait.
   */
 object Multimodal {
 
@@ -48,6 +52,39 @@ object Multimodal {
       // ??? <- real decoders read the actual header fields here
       val dims = if (fmt == "unknown") (0, 0) else (content.length % 1920, content.length % 1080)
       Row(fmt, dims._1, dims._2, content.length.toLong)
+    }
+  }
+
+  /** Real JDK-only decode for WAV and BMP; deterministic stub features
+    * for formats needing codec libraries. Feature layout (dim 8):
+    * audio → [1, rate/48k, duration_s, rms, peak, zcr, 0, 0];
+    * image → [2, w/4096, h/4096, meanR/255, meanG/255, meanB/255, 0, 0]. */
+  class JdkMediaDecoder(dim: Int = 8) extends MediaDecoder {
+    private val stub = new StubDecoder(dim)
+    private def pad(v: Array[Float]): Array[Float] =
+      v.padTo(dim, 0f).take(dim)
+    override def features(content: Array[Byte]): Array[Float] = {
+      import graft.tools.Media
+      if (Media.isWav(content)) {
+        val a = Media.decodeWav(content)
+        pad(Array(1f, a.sampleRate / 48000f, a.durationMs / 1000f,
+          a.rms.toFloat, a.peak.toFloat, a.zeroCrossingRate.toFloat))
+      } else if (Media.isBmp(content)) {
+        val i = Media.decodeBmp(content)
+        pad(Array(2f, i.width / 4096f, i.height / 4096f,
+          (i.meanR / 255.0).toFloat, (i.meanG / 255.0).toFloat,
+          (i.meanB / 255.0).toFloat))
+      } else stub.features(content)
+    }
+    override def meta(content: Array[Byte], fileName: String): Row = {
+      import graft.tools.Media
+      if (Media.isWav(content)) {
+        val a = Media.decodeWav(content)
+        Row("wav", 0, 0, a.durationMs)
+      } else if (Media.isBmp(content)) {
+        val i = Media.decodeBmp(content)
+        Row("bmp", i.width, i.height, 0L)
+      } else stub.meta(content, fileName)
     }
   }
 

@@ -1,0 +1,159 @@
+package graft.tools
+
+import java.io.ByteArrayOutputStream
+
+/** JDK-only media codecs for the multimodal tier: real parsers for the
+  * two formats whose specs need no external library — WAV (RIFF/PCM16)
+  * and BMP (BITMAPINFOHEADER, uncompressed 24-bit) — plus deterministic
+  * builders used as fixture generators, exactly the Pdf.build/extract
+  * pattern. Compressed codecs (JPEG/H.264/MP3) stay behind the stub:
+  * this container ships no codec libraries, and a deployment swaps in
+  * an FFmpeg/ImageIO-backed MediaDecoder behind the same trait.
+  */
+object Media {
+
+  // ------------------------------------------------------------------ WAV
+
+  final case class WavAudio(sampleRate: Int, channels: Int,
+      samples: Array[Short]) {
+    def durationMs: Long =
+      samples.length.toLong * 1000 / (sampleRate.toLong * channels)
+    def rms: Double =
+      if (samples.isEmpty) 0.0
+      else math.sqrt(samples.map(s => s.toDouble * s).sum / samples.length) / 32768.0
+    def peak: Double =
+      if (samples.isEmpty) 0.0 else samples.map(s => math.abs(s.toInt)).max / 32768.0
+    /** Sign changes per sample — the cheap spectral proxy. */
+    def zeroCrossingRate: Double =
+      if (samples.length < 2) 0.0
+      else samples.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)).toDouble /
+        (samples.length - 1)
+  }
+
+  private def le16(out: ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >> 8) & 0xff)
+  }
+  private def le32(out: ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >> 8) & 0xff)
+    out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+  }
+  private def rdLe16(b: Array[Byte], at: Int): Int =
+    (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8)
+  private def rdLe32(b: Array[Byte], at: Int): Int =
+    (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8) |
+      ((b(at + 2) & 0xff) << 16) | ((b(at + 3) & 0xff) << 24)
+
+  def isWav(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 12 &&
+      new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "WAVE"
+
+  /** PCM16 mono/stereo WAV writer (RIFF + fmt + data chunks). */
+  def buildWav(samples: Array[Short], sampleRate: Int = 16000,
+      channels: Int = 1): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new ByteArrayOutputStream(44 + dataLen)
+    out.write("RIFF".getBytes("US-ASCII")); le32(out, 36 + dataLen)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); le32(out, 16)
+    le16(out, 1)                       // PCM
+    le16(out, channels)
+    le32(out, sampleRate)
+    le32(out, sampleRate * channels * 2) // byte rate
+    le16(out, channels * 2)            // block align
+    le16(out, 16)                      // bits per sample
+    out.write("data".getBytes("US-ASCII")); le32(out, dataLen)
+    samples.foreach(s => le16(out, s & 0xffff))
+    out.toByteArray
+  }
+
+  /** RIFF chunk walk: locate fmt + data, reject non-PCM16. */
+  def decodeWav(bytes: Array[Byte]): WavAudio = {
+    require(isWav(bytes), "not a RIFF/WAVE stream")
+    var at = 12
+    var rate = 0; var channels = 0; var bits = 0
+    var data: Array[Byte] = null
+    while (at + 8 <= bytes.length) {
+      val id = new String(bytes, at, 4, "US-ASCII")
+      val len = rdLe32(bytes, at + 4)
+      id match {
+        case "fmt " =>
+          require(rdLe16(bytes, at + 8) == 1, "only PCM wav supported")
+          channels = rdLe16(bytes, at + 10)
+          rate = rdLe32(bytes, at + 12)
+          bits = rdLe16(bytes, at + 22)
+          require(bits == 16, s"only 16-bit PCM supported, got $bits")
+        case "data" =>
+          data = bytes.slice(at + 8, math.min(at + 8 + len, bytes.length))
+        case _ => // skip unknown chunks (LIST, fact, …)
+      }
+      at += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    require(rate > 0 && data != null, "missing fmt or data chunk")
+    val samples = Array.tabulate(data.length / 2)(i =>
+      rdLe16(data, i * 2).toShort)
+    WavAudio(rate, channels, samples)
+  }
+
+  // ------------------------------------------------------------------ BMP
+
+  final case class BmpImage(width: Int, height: Int,
+      pixels: Array[Int] /* 0xRRGGBB row-major, top-down */) {
+    def meanChannel(shift: Int): Double =
+      if (pixels.isEmpty) 0.0
+      else pixels.map(p => (p >> shift) & 0xff).sum.toDouble / pixels.length
+    def meanR: Double = meanChannel(16)
+    def meanG: Double = meanChannel(8)
+    def meanB: Double = meanChannel(0)
+  }
+
+  def isBmp(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M'
+
+  /** Uncompressed 24-bit bottom-up BMP writer. */
+  def buildBmp(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val rowPad = (4 - (width * 3) % 4) % 4
+    val dataLen = (width * 3 + rowPad) * height
+    val out = new ByteArrayOutputStream(54 + dataLen)
+    out.write('B'); out.write('M')
+    le32(out, 54 + dataLen); le32(out, 0); le32(out, 54)
+    le32(out, 40)                       // BITMAPINFOHEADER
+    le32(out, width); le32(out, height) // positive height = bottom-up
+    le16(out, 1); le16(out, 24)         // planes, bpp
+    le32(out, 0); le32(out, dataLen)    // BI_RGB, image size
+    le32(out, 2835); le32(out, 2835); le32(out, 0); le32(out, 0)
+    // bottom-up rows, BGR order
+    ((height - 1) to 0 by -1).foreach { y =>
+      (0 until width).foreach { x =>
+        val p = pixel(x, y)
+        out.write(p & 0xff); out.write((p >> 8) & 0xff); out.write((p >> 16) & 0xff)
+      }
+      (0 until rowPad).foreach(_ => out.write(0))
+    }
+    out.toByteArray
+  }
+
+  def decodeBmp(bytes: Array[Byte]): BmpImage = {
+    require(isBmp(bytes), "not a BMP stream")
+    val dataAt = rdLe32(bytes, 10)
+    val width = rdLe32(bytes, 18)
+    val rawHeight = rdLe32(bytes, 22)
+    val bottomUp = rawHeight > 0
+    val height = math.abs(rawHeight)
+    require(rdLe16(bytes, 28) == 24, "only 24-bit BMP supported")
+    require(rdLe32(bytes, 30) == 0, "only uncompressed BMP supported")
+    val rowPad = (4 - (width * 3) % 4) % 4
+    val pixels = new Array[Int](width * height)
+    var at = dataAt
+    val rows = if (bottomUp) (height - 1) to 0 by -1 else 0 until height
+    rows.foreach { y =>
+      (0 until width).foreach { x =>
+        pixels(y * width + x) = (bytes(at) & 0xff) |
+          ((bytes(at + 1) & 0xff) << 8) | ((bytes(at + 2) & 0xff) << 16)
+        at += 3
+      }
+      at += rowPad
+    }
+    BmpImage(width, height, pixels)
+  }
+}

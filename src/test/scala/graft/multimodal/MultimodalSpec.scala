@@ -31,6 +31,62 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(0).getSeq[Float](rows(0).fieldIndex("features")).length == 8)
   }
 
+  test("WAV codec: build → decode round trip with exact header fields") {
+    import graft.tools.Media
+    // 1 kHz square wave, 16 kHz mono, 0.5 s
+    val samples = Array.tabulate[Short](8000)(i =>
+      if ((i / 8) % 2 == 0) 16384 else -16384)
+    val wav = Media.buildWav(samples, sampleRate = 16000)
+    assert(Media.isWav(wav) && !Media.isBmp(wav))
+    val a = Media.decodeWav(wav)
+    assert(a.sampleRate == 16000 && a.channels == 1)
+    assert(a.samples.toSeq == samples.toSeq)      // bit-exact PCM round trip
+    assert(a.durationMs == 500L)
+    assert(math.abs(a.rms - 0.5) < 1e-3)          // square wave: rms = amp
+    assert(math.abs(a.peak - 0.5) < 1e-3)
+    assert(a.zeroCrossingRate > 0.1 && a.zeroCrossingRate < 0.14) // 1/8 edges
+  }
+
+  test("BMP codec: build → decode round trip with exact pixels") {
+    import graft.tools.Media
+    // 5x3 (odd width exercises row padding), gradient pixels
+    val bmp = Media.buildBmp(5, 3, (x, y) => (x * 40 << 16) | (y * 80 << 8) | 0x20)
+    assert(Media.isBmp(bmp) && !Media.isWav(bmp))
+    val i = Media.decodeBmp(bmp)
+    assert(i.width == 5 && i.height == 3)
+    assert(i.pixels(0) == 0x000020)               // (0,0): r=0 g=0 b=0x20
+    assert(i.pixels(2 * 5 + 4) == ((160 << 16) | (160 << 8) | 0x20)) // (4,2)
+    assert(math.abs(i.meanR - 80.0) < 1e-9)       // mean of 0,40,80,120,160
+    assert(math.abs(i.meanG - 80.0) < 1e-9)       // mean of 0,80,160
+    assert(i.meanB == 32.0)
+  }
+
+  test("JdkMediaDecoder: real wav/bmp decode through the Spark plumbing") {
+    import spark.implicits._
+    import graft.tools.Media
+    val wav = Media.buildWav(Array.tabulate[Short](3200)(i =>
+      (math.sin(i * 0.1) * 8192).toShort), sampleRate = 16000)
+    val bmp = Media.buildBmp(8, 4, (x, y) => 0x7F7F7F)
+    val df = Seq(("a.wav", wav), ("b.bmp", bmp), ("c.png", png))
+      .toDF("file_name", "content").repartition(2)
+    val out = Multimodal.withMediaFeatures(df, "content", "file_name",
+      () => new Multimodal.JdkMediaDecoder())
+      .orderBy("file_name").collect()
+
+    val metaWav = out(0).getStruct(out(0).fieldIndex("media_meta"))
+    assert(metaWav.getString(0) == "wav" && metaWav.getLong(3) == 200L) // 3200/16k s
+    val fWav = out(0).getSeq[Float](out(0).fieldIndex("features"))
+    assert(fWav(0) == 1f && math.abs(fWav(2) - 0.2f) < 1e-6) // kind, duration_s
+
+    val metaBmp = out(1).getStruct(out(1).fieldIndex("media_meta"))
+    assert(metaBmp.getString(0) == "bmp" && metaBmp.getInt(1) == 8 && metaBmp.getInt(2) == 4)
+    val fBmp = out(1).getSeq[Float](out(1).fieldIndex("features"))
+    assert(fBmp(0) == 2f && math.abs(fBmp(3) - 127f / 255f) < 1e-6) // meanR
+
+    // unsupported format falls back to the deterministic stub
+    assert(out(2).getStruct(out(2).fieldIndex("media_meta")).getString(0) == "png")
+  }
+
   test("frame sampling explodes by stubbed duration") {
     import spark.implicits._
     val df = Seq(("v.bin", Array.fill[Byte](10)(7))).toDF("file_name", "content")

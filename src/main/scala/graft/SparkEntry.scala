@@ -22,7 +22,8 @@ object SparkEntry {
       operators.LineItemOps.all ++
       operators.ScalarOps.all ++
       operators.Relational2.all ++
-      operators.PdfOps.all
+      operators.PdfOps.all ++
+      operators.MediaOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The index-pipeline capstone: chunk → mock-embed → top-k retrieve —

@@ -60,5 +60,59 @@ object MediaOps {
         END AS peak
       FROM s ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q69WavFeatures)
+  private val ImgW = 16
+  private val MaxPixels = 192
+
+  /** Image dual of q69: each document's leading code points become RGB
+    * pixels in a real 24-bit BMP (16 wide, zero-padded final row), the
+    * bytes go through buildBmp → decodeBmp — header fields, bottom-up
+    * row order, row padding — and the decoded dimensions + channel
+    * means must match the oracle computing the same pixel math in SQL. */
+  val q78BmpFeatures: QueryDef = QueryDef(
+    "q78_bmp_features",
+    (s, dir) => {
+      val docs = Tables.loadParallel(s, dir, "documents")
+      val viaBmp = udf { (t: String) =>
+        if (t == null || t.isEmpty) null
+        else {
+          val cps = t.codePoints().toArray.take(MaxPixels)
+          val h = (cps.length + ImgW - 1) / ImgW
+          val img = Media.decodeBmp(Media.buildBmp(ImgW, h, (x, y) => {
+            val i = y * ImgW + x
+            if (i < cps.length)
+              ((cps(i) % 128) << 16) | (((cps(i) % 64) * 2) << 8) | ((cps(i) % 32) * 4)
+            else 0
+          }))
+          val n = (img.width * img.height).toDouble
+          def r6(v: Double) =
+            BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (img.width, img.height, r6(img.meanR), r6(img.meanG), r6(img.meanB))
+        }
+      }
+      docs.select(col("doc_id"), viaBmp(col("text")).as("x"))
+        .select(col("doc_id"),
+          col("x._1").as("width"), col("x._2").as("height"),
+          col("x._3").as("mean_r"), col("x._4").as("mean_g"), col("x._5").as("mean_b"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH s AS (SELECT doc_id, length(text) AS n_chars,
+        [unicode(c) for c in regexp_split_to_array(substr(text, 1, $MaxPixels), '')] AS cps
+      FROM documents),
+      d AS (SELECT doc_id, n_chars, cps, len(cps) AS n,
+        CAST(ceil(len(cps) / $ImgW.0) AS INT) AS h FROM s)
+      SELECT doc_id,
+        CASE WHEN n_chars > 0 THEN $ImgW END AS width,
+        CASE WHEN n_chars > 0 THEN h END AS height,
+        CASE WHEN n_chars > 0 THEN
+          round(list_sum(list_transform(cps, c -> CAST(c % 128 AS DOUBLE))) / ($ImgW * h), 6)
+        END AS mean_r,
+        CASE WHEN n_chars > 0 THEN
+          round(list_sum(list_transform(cps, c -> CAST((c % 64) * 2 AS DOUBLE))) / ($ImgW * h), 6)
+        END AS mean_g,
+        CASE WHEN n_chars > 0 THEN
+          round(list_sum(list_transform(cps, c -> CAST((c % 32) * 4 AS DOUBLE))) / ($ImgW * h), 6)
+        END AS mean_b
+      FROM d ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q69WavFeatures, q78BmpFeatures)
 }

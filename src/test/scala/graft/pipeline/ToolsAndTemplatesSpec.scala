@@ -68,6 +68,19 @@ class ToolsAndTemplatesSpec extends SparkSpec {
     assert(!u.deterministic)
   }
 
+  test("JsonRepair: repair is the identity on valid compact JSON (property)") {
+    import org.scalacheck.Gen
+    val key = Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString)
+    val value = Gen.oneOf(
+      Gen.chooseNum(-1000, 1000).map(_.toString),
+      Gen.nonEmptyListOf(Gen.alphaNumChar).map(s => "\"" + s.mkString + "\""),
+      Gen.oneOf("true", "false", "null"))
+    forAll(key, value) { (k, v) =>
+      val json = s"""{"$k": $v, "nested": {"arr": [1, 2, $v]}}"""
+      assert(JsonRepair.repair(json) == json, s"repair mangled valid JSON: $json")
+    }
+  }
+
   test("TableExtractorTool: directory-merged table, per-dir row ids, error isolation") {
     import spark.implicits._
     val df = Seq(

@@ -58,7 +58,8 @@ object MediaOps {
         CASE WHEN n_chars > 0 THEN
           round(list_aggregate(list_transform(v, x -> abs(x)), 'max') / 32768.0, 6)
         END AS peak
-      FROM s ORDER BY doc_id"""))
+      FROM s ORDER BY doc_id"""),
+    headline = true)
 
   private val ImgW = 16
   private val MaxPixels = 192

@@ -63,28 +63,34 @@ object Multimodal {
     private val stub = new StubDecoder(dim)
     private def pad(v: Array[Float]): Array[Float] =
       v.padTo(dim, 0f).take(dim)
+    // a corrupt file yields a marked row, never a failed task — one bad
+    // upload must not abort a 100 TB batch (the TextExtractorTool rule)
     override def features(content: Array[Byte]): Array[Float] = {
       import graft.tools.Media
-      if (Media.isWav(content)) {
-        val a = Media.decodeWav(content)
-        pad(Array(1f, a.sampleRate / 48000f, a.durationMs / 1000f,
-          a.rms.toFloat, a.peak.toFloat, a.zeroCrossingRate.toFloat))
-      } else if (Media.isBmp(content)) {
-        val i = Media.decodeBmp(content)
-        pad(Array(2f, i.width / 4096f, i.height / 4096f,
-          (i.meanR / 255.0).toFloat, (i.meanG / 255.0).toFloat,
-          (i.meanB / 255.0).toFloat))
-      } else stub.features(content)
+      try {
+        if (Media.isWav(content)) {
+          val a = Media.decodeWav(content)
+          pad(Array(1f, a.sampleRate / 48000f, a.durationMs / 1000f,
+            a.rms.toFloat, a.peak.toFloat, a.zeroCrossingRate.toFloat))
+        } else if (Media.isBmp(content)) {
+          val i = Media.decodeBmp(content)
+          pad(Array(2f, i.width / 4096f, i.height / 4096f,
+            (i.meanR / 255.0).toFloat, (i.meanG / 255.0).toFloat,
+            (i.meanB / 255.0).toFloat))
+        } else stub.features(content)
+      } catch { case _: Exception => Array.fill(dim)(0f) }
     }
     override def meta(content: Array[Byte], fileName: String): Row = {
       import graft.tools.Media
-      if (Media.isWav(content)) {
-        val a = Media.decodeWav(content)
-        Row("wav", 0, 0, a.durationMs)
-      } else if (Media.isBmp(content)) {
-        val i = Media.decodeBmp(content)
-        Row("bmp", i.width, i.height, 0L)
-      } else stub.meta(content, fileName)
+      try {
+        if (Media.isWav(content)) {
+          val a = Media.decodeWav(content)
+          Row("wav", 0, 0, a.durationMs)
+        } else if (Media.isBmp(content)) {
+          val i = Media.decodeBmp(content)
+          Row("bmp", i.width, i.height, 0L)
+        } else stub.meta(content, fileName)
+      } catch { case _: Exception => Row("corrupt", 0, 0, 0L) }
     }
   }
 

@@ -76,6 +76,9 @@ object Media {
     while (at + 8 <= bytes.length) {
       val id = new String(bytes, at, 4, "US-ASCII")
       val len = rdLe32(bytes, at + 4)
+      // a negative length (malformed/truncated chunk) would walk the
+      // cursor backwards — an infinite loop, not just a bad parse
+      require(len >= 0, s"malformed chunk length $len in '$id'")
       id match {
         case "fmt " =>
           require(rdLe16(bytes, at + 8) == 1, "only PCM wav supported")

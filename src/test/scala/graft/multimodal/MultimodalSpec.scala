@@ -87,6 +87,24 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2).getStruct(out(2).fieldIndex("media_meta")).getString(0) == "png")
   }
 
+  test("JdkMediaDecoder: corrupt media yields a marked row, not a failed job") {
+    import spark.implicits._
+    import graft.tools.Media
+    // valid RIFF/WAVE magic, garbage chunk table (negative length bytes)
+    val corruptWav = "RIFFÿÿÿÿWAVE".getBytes("ISO-8859-1") ++
+      Array[Byte]('f', 'm', 't', ' ', -1, -1, -1, -1, 0, 0)
+    val corruptBmp = Media.buildBmp(4, 2, (_, _) => 0x102030).take(30) // truncated
+    val df = Seq(("bad.wav", corruptWav), ("bad.bmp", corruptBmp))
+      .toDF("file_name", "content")
+    val out = Multimodal.withMediaFeatures(df, "content", "file_name",
+      () => new Multimodal.JdkMediaDecoder())
+      .orderBy("file_name").collect()
+    out.foreach { r =>
+      assert(r.getStruct(r.fieldIndex("media_meta")).getString(0) == "corrupt")
+      assert(r.getSeq[Float](r.fieldIndex("features")).forall(_ == 0f))
+    }
+  }
+
   test("frame sampling explodes by stubbed duration") {
     import spark.implicits._
     val df = Seq(("v.bin", Array.fill[Byte](10)(7))).toDF("file_name", "content")

@@ -386,10 +386,24 @@ final class DirectoryQueue(root: String,
       java.util.UUID.randomUUID().toString.take(8)}.msg"
     write(new Path(qdir(queue), name), message)
   }
-  def dequeue(queue: String): Option[String] =
-    messageFiles(queue).headOption.map { p =>
-      val m = read(p); fs.delete(p, false); m
+  def dequeue(queue: String): Option[String] = {
+    // claim by atomic rename BEFORE reading: read-then-delete would let
+    // two consumers deliver the same message (rename has exactly one
+    // winner on any Hadoop FS; the loser moves to the next file)
+    var result: Option[String] = None
+    var candidates = messageFiles(queue)
+    while (result.isEmpty && candidates.nonEmpty) {
+      val p = candidates.head
+      val claimed = new Path(p.getParent,
+        p.getName.stripSuffix(".msg") + s".claimed-${java.util.UUID.randomUUID().toString.take(8)}")
+      if (scala.util.Try(fs.rename(p, claimed)).getOrElse(false)) {
+        val m = read(claimed)
+        fs.delete(claimed, false)
+        result = Some(m)
+      } else candidates = candidates.tail
     }
+    result
+  }
   def llen(queue: String): Long = messageFiles(queue).size.toLong
   def lindex(queue: String, index: Int): Option[String] = {
     val files = messageFiles(queue)

@@ -116,17 +116,29 @@ class QueueContractSpec extends SparkSpec {
   queueContract("DirectoryQueue", clk => new DirectoryQueue(
     java.nio.file.Files.createTempDirectory("graft-dirq").toString, clk))
 
-  test("JdbcQueue: two consumers never double-deliver (optimistic delete)") {
-    val q = new JdbcQueue(derbyUrl())
-    (1 to 40).foreach(i => q.enqueue("c", s"m$i"))
-    val got = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-    val threads = (1 to 4).map(_ => new Thread(() => {
-      var m = q.dequeue("c")
-      while (m.isDefined) { assert(got.add(m.get), s"duplicate ${m.get}"); m = q.dequeue("c") }
-    }))
-    threads.foreach(_.start()); threads.foreach(_.join())
-    assert(got.size === 40)
-  }
+  private def neverDoubleDelivers(name: String, mk: () => QueueConnector): Unit =
+    test(s"$name: concurrent consumers never double-deliver") {
+      val q = mk()
+      (1 to 40).foreach(i => q.enqueue("c", s"m$i"))
+      val got = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      val dup = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val threads = (1 to 4).map(_ => new Thread(() => {
+        var m = q.dequeue("c")
+        while (m.isDefined) {
+          if (!got.add(m.get)) dup.set(true)
+          m = q.dequeue("c")
+        }
+      }))
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(!dup.get, "a message was delivered twice")
+      assert(got.size === 40)
+    }
+
+  neverDoubleDelivers("JdbcQueue (optimistic delete)",
+    () => new JdbcQueue(derbyUrl()))
+  neverDoubleDelivers("DirectoryQueue (rename claim)",
+    () => new DirectoryQueue(
+      java.nio.file.Files.createTempDirectory("graft-dirq-race").toString))
 
   test("streaming pair: streamTo enqueues micro-batches, dequeueToDataFrame drains") {
     import spark.implicits._

@@ -40,6 +40,10 @@ trait QueueConnector extends Serializable {
   def expire(queue: String, ttlSeconds: Long): Unit
   def delete(queue: String): Unit
 
+  /** Credential/reachability probe (unstract_queue.py test_credentials);
+    * backends with a real connection override. */
+  def testCredentials(): Boolean = true
+
   /** rpush_with_expire: append and refresh the key TTL in one call. */
   def enqueueWithExpire(queue: String, message: String, ttlSeconds: Long): Unit = {
     enqueue(queue, message); expire(queue, ttlSeconds)
@@ -157,6 +161,9 @@ final class JdbcQueue(url: String,
     val c = DriverManager.getConnection(url)
     try f(c) finally c.close()
   }
+
+  override def testCredentials(): Boolean =
+    scala.util.Try(withConn(_.isValid(5))).getOrElse(false)
 
   // idempotent bootstrap (metadata probe — Derby has no IF NOT EXISTS)
   withConn { c =>
@@ -340,6 +347,11 @@ final class DirectoryQueue(root: String,
 
   @transient private lazy val fs =
     new Path(root).getFileSystem(new org.apache.hadoop.conf.Configuration())
+
+  override def testCredentials(): Boolean =
+    scala.util.Try { fs.mkdirs(new Path(root)); fs.exists(new Path(root)) }
+      .getOrElse(false)
+
   // queue names may carry chars Path rejects (the reference keys lists
   // as "api_results:wf:ex") — percent-encode for the directory name
   private def enc(queue: String) =

@@ -108,6 +108,10 @@ class QueueContractSpec extends SparkSpec {
       q.delete("d")
       assert(q.llen("d") === 0 && q.dequeue("d") === None)
     }
+
+    test(s"$name: credentials probe succeeds against the live backend") {
+      assert(mk(new FakeClock).testCredentials())
+    }
   }
 
   queueContract("MemoryQueue", clk =>

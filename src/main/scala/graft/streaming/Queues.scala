@@ -156,9 +156,16 @@ final class JdbcQueue(url: String,
     clock: () => Long = () => System.currentTimeMillis() / 1000)
     extends QueueConnector {
 
-  private def withConn[A](f: java.sql.Connection => A): A = {
+  /** Connection seam — overridable so tests can wrap the live Derby
+    * connection with fault-injecting proxies (e.g. a plain SQLException
+    * carrying SQLState 23505, the shape PostgreSQL's driver throws). */
+  protected def connect(): java.sql.Connection = {
     Class.forName(driver)
-    val c = DriverManager.getConnection(url)
+    DriverManager.getConnection(url)
+  }
+
+  private def withConn[A](f: java.sql.Connection => A): A = {
+    val c = connect()
     try f(c) finally c.close()
   }
 
@@ -209,7 +216,7 @@ final class JdbcQueue(url: String,
       // two producers can race to the same seq; the PK rejects the loser,
       // who just re-reads MAX(seq)
       try { ps.executeUpdate(); done = true }
-      catch { case _: java.sql.SQLIntegrityConstraintViolationException => }
+      catch { case e: java.sql.SQLException if JdbcQueue.isDuplicateKey(e) => }
       finally ps.close()
     }
   }
@@ -333,6 +340,19 @@ final class JdbcQueue(url: String,
   def delete(queue: String): Unit = withConn(deleteIn(_, queue))
 }
 
+object JdbcQueue {
+  /** Portable duplicate-key detection: Derby/MySQL throw
+    * SQLIntegrityConstraintViolationException, but PostgreSQL's driver
+    * throws a plain SQLException subclass that does NOT extend it —
+    * there the signal is SQLState 23505 (unique violation) / 23000
+    * (integrity violation, the X/Open class code some drivers report).
+    * Matching on either keeps the seq-race retry working on every
+    * ANSI backend, as the class scaladoc promises. */
+  private[graft] def isDuplicateKey(e: java.sql.SQLException): Boolean =
+    e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] ||
+      e.getSQLState == "23505" || e.getSQLState == "23000"
+}
+
 /** Filesystem directory dual: one file per message under
   * `<root>/<queue>/`, named by a zero-padded monotonic stamp so
   * lexicographic order = enqueue order; TTL deadline in a `__meta`
@@ -352,12 +372,7 @@ final class DirectoryQueue(root: String,
     scala.util.Try { fs.mkdirs(new Path(root)); fs.exists(new Path(root)) }
       .getOrElse(false)
 
-  // queue names may carry chars Path rejects (the reference keys lists
-  // as "api_results:wf:ex") — percent-encode for the directory name
-  private def enc(queue: String) =
-    java.net.URLEncoder.encode(queue, "UTF-8")
-  private def dec(dirName: String) =
-    java.net.URLDecoder.decode(dirName, "UTF-8")
+  import DirectoryQueue.{dec, enc}
   private def qdir(queue: String) = new Path(root, enc(queue))
   private def metaPath(queue: String) = new Path(qdir(queue), "__meta")
 
@@ -445,6 +460,18 @@ final class DirectoryQueue(root: String,
   def delete(queue: String): Unit = fs.delete(qdir(queue), true)
 }
 
+object DirectoryQueue {
+  /** Queue names may carry chars Path rejects (the reference keys lists
+    * as "api_results:wf:ex") — percent-encode for the directory name.
+    * Shared by the connector AND [[Queues.readStream]]: the writer and
+    * the streaming tail must agree on the on-disk name, or colon-keyed
+    * queues stream zero rows. */
+  private[graft] def enc(queue: String): String =
+    java.net.URLEncoder.encode(queue, "UTF-8")
+  private[graft] def dec(dirName: String): String =
+    java.net.URLDecoder.decode(dirName, "UTF-8")
+}
+
 /** DataFrame/streaming bridges over the queue contract. */
 object Queues {
 
@@ -484,11 +511,16 @@ object Queues {
   }
 
   /** Streaming source over a [[DirectoryQueue]]'s directory: tail new
-    * message files as they arrive (the queue→stream side of the pair). */
+    * message files as they arrive (the queue→stream side of the pair).
+    * The path goes through the SAME percent-encoding as
+    * [[DirectoryQueue]]'s writer — a colon-keyed queue (the
+    * `api_results:wf:ex` shape ResultCache produces) lives in
+    * `api_results%3Awf%3Aex/`, and tailing the raw name would silently
+    * read zero rows. */
   def readStream(spark: SparkSession, root: String, queue: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1000)
-      .json(s"$root/$queue/*.msg")
+      .json(s"$root/${DirectoryQueue.enc(queue)}/*.msg")
 }

@@ -144,6 +144,69 @@ class QueueContractSpec extends SparkSpec {
     () => new DirectoryQueue(
       java.nio.file.Files.createTempDirectory("graft-dirq-race").toString))
 
+  test("readStream tails a colon-keyed DirectoryQueue (percent-encoded directory)") {
+    import spark.implicits._
+    // exactly the ResultCache key shape: DirectoryQueue writes it under
+    // api_results%3Awf%3Aex/ — the streaming source must tail the SAME
+    // encoded path or it silently reads zero rows
+    val root = java.nio.file.Files.createTempDirectory("graft-qcolon").toString
+    val q = new DirectoryQueue(root)
+    q.enqueue("api_results:wf:ex", """{"doc":"a","score":1}""")
+    q.enqueue("api_results:wf:ex", """{"doc":"b","score":2}""")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.LongType)))
+    val name = s"colonq_${java.util.UUID.randomUUID().toString.take(8)}"
+    val query = Queues.readStream(spark, root, "api_results:wf:ex", schema)
+      .writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    assert(spark.table(name).select("doc").as[String].collect().toSet === Set("a", "b"))
+  }
+
+  test("JdbcQueue enqueue retries on plain SQLException(23505) — the Postgres driver shape") {
+    val url = derbyUrl()
+    val inserts = new java.util.concurrent.atomic.AtomicInteger(0)
+    // wrap the live Derby connection: the FIRST INSERT executeUpdate
+    // throws a plain SQLException with SQLState 23505 (PSQLException does
+    // NOT extend SQLIntegrityConstraintViolationException) — the retry
+    // loop must treat it as a lost seq race, not crash
+    val q = new JdbcQueue(url) {
+      override protected def connect(): java.sql.Connection = {
+        val real = super.connect()
+        def delegate(target: AnyRef, m: java.lang.reflect.Method, args: Array[AnyRef]): AnyRef =
+          try m.invoke(target, (if (args == null) Array.empty[AnyRef] else args): _*)
+          catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
+        java.lang.reflect.Proxy.newProxyInstance(
+          getClass.getClassLoader, Array(classOf[java.sql.Connection]),
+          (_, method, args) => {
+            val out = delegate(real, method, args)
+            if (method.getName == "prepareStatement" &&
+                args != null && args(0).toString.startsWith("INSERT INTO graft_queue ")) {
+              val realPs = out.asInstanceOf[java.sql.PreparedStatement]
+              java.lang.reflect.Proxy.newProxyInstance(
+                getClass.getClassLoader, Array(classOf[java.sql.PreparedStatement]),
+                (_, m2, a2) => {
+                  if (m2.getName == "executeUpdate" && inserts.incrementAndGet() == 1)
+                    throw new java.sql.SQLException(
+                      "duplicate key value violates unique constraint", "23505")
+                  delegate(realPs, m2, a2)
+                })
+            } else out
+          }).asInstanceOf[java.sql.Connection]
+      }
+    }
+    q.enqueue("px", "m1")                      // survives the injected 23505
+    assert(inserts.get() >= 2, "enqueue did not retry the INSERT")
+    assert(q.dequeue("px") === Some("m1"))     // and the message landed once
+    // a non-duplicate SQLException must still propagate, not spin
+    assert(!JdbcQueue.isDuplicateKey(new java.sql.SQLException("boom", "42000")))
+    assert(JdbcQueue.isDuplicateKey(new java.sql.SQLException("dup", "23000")))
+    assert(JdbcQueue.isDuplicateKey(
+      new java.sql.SQLIntegrityConstraintViolationException("dup")))
+  }
+
   test("streaming pair: streamTo enqueues micro-batches, dequeueToDataFrame drains") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-qpair").toString

@@ -150,8 +150,10 @@ object MemoryQueue {
   * rows; dequeue is an optimistic min-seq SELECT + conditional DELETE
   * retried on a race, so concurrent consumers never double-deliver.
   * One connection per operation: the HITL loop is low-rate (humans);
-  * pool connections if a deployment ever makes this hot. */
-final class JdbcQueue(url: String,
+  * pool connections if a deployment ever makes this hot.
+  * Non-final: tests override the [[connect]] seam with fault-injecting
+  * proxy connections. */
+class JdbcQueue(url: String,
     driver: String = "org.apache.derby.jdbc.EmbeddedDriver",
     clock: () => Long = () => System.currentTimeMillis() / 1000)
     extends QueueConnector {
@@ -209,14 +211,19 @@ final class JdbcQueue(url: String,
   def enqueue(queue: String, message: String): Unit = withConn { c =>
     purgeIfExpired(c, queue)
     var done = false
+    var races = 0
     while (!done) {
       val ps = c.prepareStatement("INSERT INTO graft_queue (queue_name, seq, message) " +
         "SELECT ?, COALESCE(MAX(seq), 0) + 1, ? FROM graft_queue WHERE queue_name = ?")
       ps.setString(1, queue); ps.setString(2, message); ps.setString(3, queue)
       // two producers can race to the same seq; the PK rejects the loser,
-      // who just re-reads MAX(seq)
+      // who just re-reads MAX(seq). Bounded: SQLState 23000 is the generic
+      // integrity class (MySQL reports NOT NULL/FK there too), so a
+      // persistent non-duplicate violation must surface, not spin.
       try { ps.executeUpdate(); done = true }
-      catch { case e: java.sql.SQLException if JdbcQueue.isDuplicateKey(e) => }
+      catch { case e: java.sql.SQLException if JdbcQueue.isDuplicateKey(e) =>
+        races += 1
+        if (races >= JdbcQueue.MaxSeqRaceRetries) throw e }
       finally ps.close()
     }
   }
@@ -351,6 +358,11 @@ object JdbcQueue {
   private[graft] def isDuplicateKey(e: java.sql.SQLException): Boolean =
     e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] ||
       e.getSQLState == "23505" || e.getSQLState == "23000"
+
+  /** A real seq race resolves in a handful of retries even under heavy
+    * contention; anything still failing after this many attempts is a
+    * persistent constraint violation misfiled under 23000. */
+  private[graft] val MaxSeqRaceRetries = 32
 }
 
 /** Filesystem directory dual: one file per message under
@@ -467,7 +479,10 @@ object DirectoryQueue {
     * the streaming tail must agree on the on-disk name, or colon-keyed
     * queues stream zero rows. */
   private[graft] def enc(queue: String): String =
-    java.net.URLEncoder.encode(queue, "UTF-8")
+    // URLEncoder leaves `*` literal — the one glob metachar that would
+    // make readStream's `$root/<enc>/*.msg` pattern match SIBLING queue
+    // directories. Encode it so the on-disk name is glob-inert.
+    java.net.URLEncoder.encode(queue, "UTF-8").replace("*", "%2A")
   private[graft] def dec(dirName: String): String =
     java.net.URLDecoder.decode(dirName, "UTF-8")
 }

@@ -207,6 +207,68 @@ class QueueContractSpec extends SparkSpec {
       new java.sql.SQLIntegrityConstraintViolationException("dup")))
   }
 
+  test("JdbcQueue enqueue surfaces a PERSISTENT 23000 violation instead of spinning") {
+    // MySQL files NOT NULL/FK/CHECK violations under the generic 23000
+    // class — those never resolve by re-reading MAX(seq), so the retry
+    // loop must be bounded and rethrow, not loop forever
+    val url = derbyUrl()
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = new JdbcQueue(url) {
+      override protected def connect(): java.sql.Connection = {
+        val real = super.connect()
+        def delegate(target: AnyRef, m: java.lang.reflect.Method, args: Array[AnyRef]): AnyRef =
+          try m.invoke(target, (if (args == null) Array.empty[AnyRef] else args): _*)
+          catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
+        java.lang.reflect.Proxy.newProxyInstance(
+          getClass.getClassLoader, Array(classOf[java.sql.Connection]),
+          (_, method, args) => {
+            val out = delegate(real, method, args)
+            if (method.getName == "prepareStatement" &&
+                args != null && args(0).toString.startsWith("INSERT INTO graft_queue ")) {
+              val realPs = out.asInstanceOf[java.sql.PreparedStatement]
+              java.lang.reflect.Proxy.newProxyInstance(
+                getClass.getClassLoader, Array(classOf[java.sql.PreparedStatement]),
+                (_, m2, a2) => {
+                  if (m2.getName == "executeUpdate") {
+                    attempts.incrementAndGet()
+                    throw new java.sql.SQLException(
+                      "Column 'MESSAGE' cannot be null", "23000")
+                  }
+                  delegate(realPs, m2, a2)
+                })
+            } else out
+          }).asInstanceOf[java.sql.Connection]
+      }
+    }
+    val e = intercept[java.sql.SQLException](q.enqueue("perr", "m"))
+    assert(e.getSQLState === "23000")
+    assert(attempts.get() === JdbcQueue.MaxSeqRaceRetries)
+  }
+
+  test("readStream on a *-named queue does not glob-match sibling queue directories") {
+    import spark.implicits._
+    // URLEncoder leaves `*` literal; un-escaped, queue "a*b" would tail
+    // `a*b/*.msg` and swallow sibling "axxb"'s messages too
+    val root = java.nio.file.Files.createTempDirectory("graft-qstar").toString
+    val q = new DirectoryQueue(root)
+    q.enqueue("a*b", """{"doc":"star","score":1}""")
+    q.enqueue("axxb", """{"doc":"sibling","score":2}""")
+    // round-trip stays lossless through the extra escaping
+    assert(DirectoryQueue.dec(DirectoryQueue.enc("a*b")) === "a*b")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.LongType)))
+    val name = s"starq_${java.util.UUID.randomUUID().toString.take(8)}"
+    val query = Queues.readStream(spark, root, "a*b", schema)
+      .writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    assert(spark.table(name).select("doc").as[String].collect().toSet === Set("star"))
+    assert(q.dequeue("a*b") === Some("""{"doc":"star","score":1}"""))
+    assert(q.dequeue("axxb") === Some("""{"doc":"sibling","score":2}"""))
+  }
+
   test("streaming pair: streamTo enqueues micro-batches, dequeueToDataFrame drains") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-qpair").toString

@@ -53,7 +53,13 @@ object Extraction {
     val completeFn = LLM.completeUdf(client)
     specs.foldLeft(df) { (acc, spec) =>
       val prompt = LLM.assemblePrompt(spec.question, col(contextCol))
-      acc.withColumn(spec.name, convert(completeFn(prompt), spec.ftype))
+      // complete into a raw column FIRST: `convert` fans the answer out
+      // into several `when` branches, and typed conversion must reference
+      // the one completed attribute, not re-invoke the completion
+      val raw = s"__raw_${spec.name}"
+      acc.withColumn(raw, completeFn(prompt))
+        .withColumn(spec.name, convert(col(raw), spec.ftype))
+        .drop(raw)
     }
   }
 

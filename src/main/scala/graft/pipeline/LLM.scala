@@ -114,11 +114,18 @@ object LLM {
       Seq(lit(preamble), lit(question), lit(postamble),
         lit("Context:"), contextCol, lit("Answer:")).filter(_ != null): _*)
 
-  /** Column-level LLM completion: a nondeterministic-safe UDF with
-    * per-partition client reuse. v2 will promote this to a Catalyst
-    * Expression with doGenCode batching. */
+  /** Column-level LLM completion with per-partition client reuse.
+    * Marked nondeterministic — true of a sampled LLM, and load-bearing
+    * for billing: Catalyst freely inlines deterministic projections
+    * (CollapseProject) and duplicates them across `when` branches, which
+    * turns one completion per row into several. A nondeterministic
+    * expression is never inlined, duplicated or reordered, so each
+    * `withColumn(raw, completeUdf(...))` is billed exactly once per row.
+    * v2 will promote this to a Catalyst Expression with doGenCode
+    * batching. */
   def completeUdf(mkClient: () => LLMClient): org.apache.spark.sql.expressions.UserDefinedFunction = {
     lazy val client = mkClient()
     udf { (prompt: String) => if (prompt == null) null else client.complete(prompt) }
+      .asNondeterministic()
   }
 }

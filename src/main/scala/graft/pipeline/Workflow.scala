@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.sources.FileScan
 import graft.sinks.Sinks
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Workflow composition (SURVEY.md §3.1): the reference's
@@ -34,8 +34,36 @@ object Workflow {
       reviewTtlSeconds: Long = 3600,
       resultCache: Option[graft.sinks.ResultCache] = None)
 
+  /** One durable materialization barrier (same contract as
+    * `DedupOps.materialize`): with `spark.graft.workflow.stagingDir` set,
+    * results stage to parquet — survives executor loss, and every
+    * downstream action is a plain parquet re-read; without it,
+    * `localCheckpoint` (executor memory/disk) — fine single-node, lost
+    * with an executor on a real cluster. */
+  private def materialize(df: DataFrame, tag: String): DataFrame = {
+    val s = df.sparkSession
+    s.conf.getOption("spark.graft.workflow.stagingDir") match {
+      case Some(root) =>
+        val path = s"$root/${tag}_${java.util.UUID.randomUUID().toString.take(8)}"
+        df.write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
+      case None => df.localCheckpoint()
+    }
+  }
+
   /** Execute a batch run end-to-end. Returns the summary the reference's
-    * chord callback would assemble (workers/file_processing/tasks.py:1023-1090). */
+    * chord callback would assemble (workers/file_processing/tasks.py:1023-1090).
+    *
+    * Exactly TWO jobs touch source bytes / the LLM:
+    *  1. scan → anti-join, with the listing and post-dedup counts
+    *     collected via [[Observation]] on that same pass — a separate
+    *     `files.count()` would re-pay the binaryFile listing;
+    *  2. extraction, materialized ONCE — the fs sink, review queue,
+    *     result cache and history upsert all read the staged result, so
+    *     each LLM completion is billed once per (row, prompt), never
+    *     once per downstream action (SURVEY §7.4's double-billing
+    *     hazard; at 100 TB with a metered LLM a per-action re-run is a
+    *     4× cost multiplier). */
   def run(spark: SparkSession, spec: WorkflowSpec,
       client: () => LLMClient): RunSummary = {
     val files = FileScan.scan(spark, spec.scan)
@@ -49,16 +77,28 @@ object Workflow {
           .toDF("cache_key", "file_path", "status", "result")
     }
 
-    val fresh = FileScan.dedupAgainstHistory(files, history)
-      .withColumn("text", col("content").cast("string"))
-      .localCheckpoint() // one listing pass feeds extract + history + counts
+    val obsScan = Observation()
+    val obsFresh = Observation()
+    val fresh = materialize(
+      FileScan.dedupAgainstHistory(
+          files.observe(obsScan, count(lit(1)).as("listed")), history)
+        .withColumn("text", col("content").cast("string"))
+        .observe(obsFresh, count(lit(1)).as("fresh")),
+      "fresh")
 
-    val listed = files.count()
-    val extracted = Extraction.extract(fresh, "text", spec.prompts, client)
-      .withColumn("error_message", lit(null).cast("string"))
+    val obsExtract = Observation()
+    val extracted = materialize(
+      Extraction.extract(fresh, "text", spec.prompts, client)
+        .withColumn("error_message", lit(null).cast("string"))
+        // content/text never outlive extraction: staging them would
+        // rewrite every source byte a second time
+        .drop("content", "text")
+        .observe(obsExtract,
+          count(lit(1)).as("n_out"),
+          count(when(col("error_message").isNotNull, true)).as("n_err")),
+      "extracted")
 
-    val shaped = Sinks.shapeForDb(
-      extracted.drop("content", "text"), createdBy = spec.workflowId)
+    val shaped = Sinks.shapeForDb(extracted, createdBy = spec.workflowId)
     Sinks.writeFs(shaped.drop("error_message"), spec.outputFolder)
 
     // optional destination hops: HITL review queue + API result cache
@@ -78,8 +118,10 @@ object Workflow {
       to_json(struct(spec.prompts.map(p => col(p.name)): _*)).as("result"))
     Sinks.upsertHistory(spark, spec.historyPath, newHistory)
 
-    val nOut = extracted.count()
-    val nErr = extracted.filter(col("error_message").isNotNull).count()
-    RunSummary(listed, fresh.count(), nOut, nErr)
+    RunSummary(
+      obsScan.get("listed").asInstanceOf[Long],
+      obsFresh.get("fresh").asInstanceOf[Long],
+      obsExtract.get("n_out").asInstanceOf[Long],
+      obsExtract.get("n_err").asInstanceOf[Long])
   }
 }

@@ -25,7 +25,8 @@ final case class PromptSpec(
     chunkOverlap: Int = 128,
     topK: Int = 5,
     retrievalStrategy: String = "simple",
-    required: Boolean = false)
+    required: Boolean = false,
+    grammar: Seq[LLM.GrammarRule] = Nil)
 
 object Extraction {
 
@@ -52,7 +53,8 @@ object Extraction {
       client: () => LLMClient): DataFrame = {
     val completeFn = LLM.completeUdf(client)
     specs.foldLeft(df) { (acc, spec) =>
-      val prompt = LLM.assemblePrompt(spec.question, col(contextCol))
+      val prompt = LLM.assemblePrompt(spec.question, col(contextCol),
+        grammar = spec.grammar)
       // complete into a raw column FIRST: `convert` fans the answer out
       // into several `when` branches, and typed conversion must reference
       // the one completed attribute, not re-invoke the completion
@@ -72,7 +74,8 @@ object Extraction {
   def extractNative(df: DataFrame, contextCol: String, specs: Seq[PromptSpec],
       clientName: String): DataFrame =
     specs.foldLeft(df) { (acc, spec) =>
-      val prompt = LLM.assemblePrompt(spec.question, col(contextCol))
+      val prompt = LLM.assemblePrompt(spec.question, col(contextCol),
+        grammar = spec.grammar)
       acc.withColumn(spec.name,
         convert(call_function("llm_complete", prompt, lit(clientName)), spec.ftype))
     }
@@ -84,8 +87,11 @@ object Extraction {
       specs: Seq[PromptSpec], client: () => LLMClient): DataFrame = {
     val completeFn = LLM.completeUdf(client)
     val combined = specs.map(s => s"${s.name}: ${s.question}").mkString("\n")
+    // one fused call → one fused note block (each field's rules apply to
+    // the whole combined question, as the reference does per-prompt)
     val withRaw = df.withColumn("__combined",
-      completeFn(LLM.assemblePrompt(combined, col(contextCol))))
+      completeFn(LLM.assemblePrompt(combined, col(contextCol),
+        grammar = specs.flatMap(_.grammar).distinct)))
     // the mock answers the FIRST matching rule; single-pass parsing is
     // exercised end-to-end with the JSON-answering test client
     specs.foldLeft(withRaw) { (acc, spec) =>

@@ -105,14 +105,36 @@ final class RetryingLLM(inner: LLMClient, maxAttempts: Int = 3,
 }
 
 object LLM {
+
+  /** One Prompt Studio grammar rule: a word plus the synonyms the LLM
+    * may treat as equivalent (answer_prompt.py:176-190). */
+  final case class GrammarRule(word: String, synonyms: Seq[String])
+
+  /** F11: the per-word synonym note block the reference injects into
+    * every grammar-configured prompt (_build_grammar_notes,
+    * answer_prompt.py:175-190). Rules with an empty word or no synonyms
+    * are skipped, matching the reference's guard. */
+  def grammarNotes(grammar: Seq[GrammarRule]): String =
+    grammar.collect {
+      case GrammarRule(word, syns) if word.nonEmpty && syns.nonEmpty =>
+        s"Note: You can consider that the word '$word' is the same as " +
+          s"${syns.mkString(", ")} in both the question and the context."
+    }.mkString("\n")
+
   /** Prompt assembly (answer_prompt.py:107-219): preamble + question +
     * grammar notes + postamble + context + "Answer:". Built as a Column
-    * so it stays in codegen. */
+    * so it stays in codegen; the grammar block is constant per field, so
+    * it folds into the concat's literal side. */
   def assemblePrompt(question: String, contextCol: Column,
-      preamble: String = "", postamble: String = ""): Column =
+      preamble: String = "", postamble: String = "",
+      grammar: Seq[GrammarRule] = Nil): Column = {
+    val notes = grammarNotes(grammar)
     concat_ws("\n",
-      Seq(lit(preamble), lit(question), lit(postamble),
-        lit("Context:"), contextCol, lit("Answer:")).filter(_ != null): _*)
+      (Seq(lit(preamble), lit(question)) ++
+        (if (notes.isEmpty) Nil else Seq(lit(notes))) ++
+        Seq(lit(postamble), lit("Context:"), contextCol, lit("Answer:")))
+        .filter(_ != null): _*)
+  }
 
   /** Column-level LLM completion with per-partition client reuse.
     * Marked nondeterministic — true of a sampled LLM, and load-bearing

@@ -35,6 +35,43 @@ class ExtractionSpec extends SparkSpec {
     assert(!out(1).getAs[Boolean]("has_spark"))
   }
 
+  test("F11 grammar notes: per-word synonym block injected into the prompt") {
+    import spark.implicits._
+    // reference shape: _build_grammar_notes (answer_prompt.py:175-190)
+    val rules = Seq(
+      LLM.GrammarRule("invoice", Seq("bill", "receipt")),
+      LLM.GrammarRule("", Seq("ignored")),          // no word → skipped
+      LLM.GrammarRule("total", Nil),                // no synonyms → skipped
+      LLM.GrammarRule("vendor", Seq("supplier")))
+    val notes = LLM.grammarNotes(rules)
+    assert(notes ===
+      "Note: You can consider that the word 'invoice' is the same as " +
+        "bill, receipt in both the question and the context.\n" +
+        "Note: You can consider that the word 'vendor' is the same as " +
+        "supplier in both the question and the context.")
+    assert(LLM.grammarNotes(Nil) === "")
+
+    // assembled prompt carries the block between question and context
+    val prompt = Seq("ctx").toDF("t")
+      .select(LLM.assemblePrompt("what is the invoice total?", col("t"),
+        grammar = rules).as("p"))
+      .as[String].collect().head
+    assert(prompt.contains("what is the invoice total?\nNote: You can consider"))
+    assert(prompt.indexOf("'invoice'") < prompt.indexOf("Context:"))
+    // and a grammar-free prompt is unchanged — no stray blank note line
+    val bare = Seq("ctx").toDF("t")
+      .select(LLM.assemblePrompt("q", col("t")).as("p")).as[String].collect().head
+    assert(!bare.contains("Note:"))
+
+    // end-to-end: the note block rides along without breaking extraction
+    val df = Seq((1L, "batch batch")).toDF("doc_id", "text")
+    val out = Extraction.extract(df, "text",
+      Seq(PromptSpec("n_batch", "count of word 'batch'", "number",
+        grammar = Seq(LLM.GrammarRule("batch", Seq("lot"))))),
+      () => new MockLLM).collect().head
+    assert(out.getAs[Double]("n_batch") == 2.0)
+  }
+
   test("convert: NA sanitize + try-cast semantics") {
     import spark.implicits._
     val df = Seq("12.5", "NA", "not a number").toDF("a")

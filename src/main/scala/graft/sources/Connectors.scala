@@ -89,7 +89,9 @@ object ConnectorRegistry {
       // Hadoop schemes all route to the native connector
       "file" -> new HadoopFsConnector("file"),
       "hdfs" -> new HadoopFsConnector("hdfs"),
-      "s3a" -> new HadoopFsConnector("s3a"))
+      "s3a" -> new HadoopFsConnector("s3a"),
+      // non-Hadoop backend: fsspec-style HTTP file server
+      "http" -> HttpStagingConnector.default())
 
   def register(c: StagingConnector): Unit = connectors.put(c.name, c)
   def get(name: String): Option[StagingConnector] = connectors.get(name)

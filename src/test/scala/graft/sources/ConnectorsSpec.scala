@@ -44,6 +44,70 @@ class ConnectorsSpec extends SparkSpec {
   test("registry resolves connectors by name") {
     assert(ConnectorRegistry.list.contains("hadoop_fs"))
     assert(ConnectorRegistry.get("s3a").nonEmpty)
+    assert(ConnectorRegistry.get("http").nonEmpty)        // non-Hadoop backend
     assert(ConnectorRegistry.get("google_drive").isEmpty) // SDK absent: not registered
   }
+
+  test("HTTP connector: same contract on a non-Hadoop backend (canned file server)") {
+    val c = new HttpStagingConnector(() => ConnectorsSpec.fileServer())
+    assert(c.testCredentials(spark, ConnectorsSpec.httpRoot))
+    assert(!c.testCredentials(spark, "https://files.example.com/missing/"))
+
+    // listing = index-page hrefs + HEAD metadata; dirs/parents excluded
+    val listed = c.listRemote(spark, ConnectorsSpec.httpRoot, "*.txt")
+      .orderBy("file_name").collect()
+    assert(listed.map(_.getAs[String]("file_name")).toSeq ===
+      Seq("inv_1.txt", "inv_2.txt"))
+    assert(listed.map(_.getAs[Long]("file_size")).toSeq ===
+      Seq("invoice one".length.toLong, "invoice two".length.toLong))
+    assert(listed.head.getAs[java.sql.Timestamp]("mtime").getTime > 0L)
+
+    // staging copy runs executor-side; downstream FileScan is unchanged
+    val staging = Files.createTempDirectory("graft-http-staging").toString
+    val staged = c.copyToStaging(spark, ConnectorsSpec.httpRoot, "*.txt", staging)
+    assert(staged.count() == 2)
+    val body = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(staging, "inv_2.txt")), "UTF-8")
+    assert(body == "invoice two")
+    assert(!new java.io.File(staging, "notes.md").exists())
+    val scanned = FileScan.scan(spark, FileScan.ScanConfig(staging))
+    assert(scanned.count() == 2)
+  }
+}
+
+/** Canned HTTP file server on the companion object — the transport
+  * factory ships to executors in copyToStaging, so it must not capture
+  * the suite instance. */
+object ConnectorsSpec {
+  val httpRoot = "https://files.example.com/drop"
+
+  private val pages = Map(
+    "inv_1.txt" -> "invoice one",
+    "inv_2.txt" -> "invoice two",
+    "notes.md" -> "not matched")
+
+  def fileServer(): graft.tools.CannedTransport =
+    new graft.tools.CannedTransport({ (method, url, _, _) =>
+      val base = s"$httpRoot/"
+      if (url == httpRoot || url == base) {
+        if (method != "GET") graft.tools.HttpResponse.status(405)
+        else graft.tools.HttpResponse(200, Map("Content-Type" -> "text/html"),
+          ("""<html><body><a href="../">Parent</a>""" +
+            """<a href="archive/">archive/</a>""" +
+            pages.keys.toSeq.sorted.map(n => s"""<a href="$n">$n</a>""").mkString +
+            """<a href="?C=M;O=A">sort</a></body></html>""").getBytes("UTF-8"))
+      } else if (url.startsWith(base)) {
+        val name = url.stripPrefix(base)
+        pages.get(name) match {
+          case Some(text) =>
+            val bytes = text.getBytes("UTF-8")
+            val headers = Map(
+              "Content-Length" -> bytes.length.toString,
+              "Last-Modified" -> "Tue, 11 Aug 2026 07:28:00 GMT")
+            if (method == "HEAD") graft.tools.HttpResponse(200, headers, Array.emptyByteArray)
+            else graft.tools.HttpResponse(200, headers, bytes)
+          case None => graft.tools.HttpResponse.status(404, name)
+        }
+      } else graft.tools.HttpResponse.status(404, url)
+    })
 }

@@ -119,6 +119,10 @@ class QueueContractSpec extends SparkSpec {
   queueContract("JdbcQueue", clk => new JdbcQueue(derbyUrl(), clock = clk))
   queueContract("DirectoryQueue", clk => new DirectoryQueue(
     java.nio.file.Files.createTempDirectory("graft-dirq").toString, clk))
+  // the production backend shape: the RESP wire client against a live
+  // loopback socket (MiniRedisServer owns the injected clock — TTL is
+  // server-side in Redis, so the deadline lives server-side here too)
+  queueContract("RedisQueue", clk => new RedisQueue("127.0.0.1", new MiniRedisServer(clk).port))
 
   private def neverDoubleDelivers(name: String, mk: () => QueueConnector): Unit =
     test(s"$name: concurrent consumers never double-deliver") {
@@ -143,6 +147,38 @@ class QueueContractSpec extends SparkSpec {
   neverDoubleDelivers("DirectoryQueue (rename claim)",
     () => new DirectoryQueue(
       java.nio.file.Files.createTempDirectory("graft-dirq-race").toString))
+
+  test("RedisQueue: concurrent clients on separate sockets never double-deliver (server-side LPOP)") {
+    val srv = new MiniRedisServer(() => System.currentTimeMillis() / 1000)
+    val seed = new RedisQueue("127.0.0.1", srv.port)
+    (1 to 40).foreach(i => seed.enqueue("c", s"m$i"))
+    val got = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val dup = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // one socket PER consumer — atomicity must come from the server's
+    // LPOP, not from client-side synchronization
+    val threads = (1 to 4).map(_ => new Thread(() => {
+      val q = new RedisQueue("127.0.0.1", srv.port)
+      var m = q.dequeue("c")
+      while (m.isDefined) {
+        if (!got.add(m.get)) dup.set(true)
+        m = q.dequeue("c")
+      }
+      q.close()
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(!dup.get, "a message was delivered twice")
+    assert(got.size === 40)
+    srv.close()
+  }
+
+  test("RedisQueue: reconnects transparently after the server drops the connection") {
+    val srv = new MiniRedisServer(() => System.currentTimeMillis() / 1000)
+    val q = new RedisQueue("127.0.0.1", srv.port)
+    q.enqueue("r", "m1")
+    q.close() // simulate a dropped connection between commands
+    assert(q.dequeue("r") === Some("m1")) // one fresh-socket retry
+    srv.close()
+  }
 
   test("readStream tails a colon-keyed DirectoryQueue (percent-encoded directory)") {
     import spark.implicits._

@@ -9,14 +9,14 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing is real — schema, batched per-partition
   * processing (one decoder instance per partition, the mapInPandas batch
-  * shape), partition sizing. The decode kernel is REAL for the two
-  * formats whose specs need no codec library: [[JdkMediaDecoder]]
-  * parses WAV (RIFF/PCM16 → duration, RMS, peak, zero-crossing rate)
-  * and BMP (24-bit → true width/height, channel means) via
-  * graft.tools.Media. Compressed codecs (JPEG/H.264/MP3) remain behind
-  * the deterministic [[StubDecoder]] — this container ships no codec
-  * libraries; a deployment swaps in an FFmpeg/ImageIO-backed decoder
-  * behind the same trait.
+  * shape), partition sizing. The decode kernel is REAL for WAV
+  * (RIFF/PCM16 → duration, RMS, peak, zero-crossing rate) and BMP
+  * (24-bit → true width/height, channel means) via hand-rolled
+  * graft.tools.Media parsers, and for the compressed image formats the
+  * JDK itself decodes — PNG/JPEG/GIF/TIFF via javax.imageio
+  * (java.desktop, headless-safe). Only compressed audio/video
+  * (MP3/H.264) remains behind the deterministic [[StubDecoder]]; a
+  * deployment swaps in an FFmpeg-backed decoder behind the same trait.
   */
 object Multimodal {
 
@@ -55,8 +55,9 @@ object Multimodal {
     }
   }
 
-  /** Real JDK-only decode for WAV and BMP; deterministic stub features
-    * for formats needing codec libraries. Feature layout (dim 8):
+  /** Real JDK-only decode for WAV, BMP, and the compressed image
+    * formats javax.imageio ships (PNG/JPEG/GIF/TIFF); deterministic
+    * stub features only for compressed audio/video. Feature layout (dim 8):
     * audio → [1, rate/48k, duration_s, rms, peak, zcr, 0, 0];
     * image → [2, w/4096, h/4096, meanR/255, meanG/255, meanB/255, 0, 0]. */
   class JdkMediaDecoder(dim: Int = 8) extends MediaDecoder {
@@ -73,13 +74,16 @@ object Multimodal {
           pad(Array(1f, a.sampleRate / 48000f, a.durationMs / 1000f,
             a.rms.toFloat, a.peak.toFloat, a.zeroCrossingRate.toFloat))
         } else if (Media.isBmp(content)) {
-          val i = Media.decodeBmp(content)
-          pad(Array(2f, i.width / 4096f, i.height / 4096f,
-            (i.meanR / 255.0).toFloat, (i.meanG / 255.0).toFloat,
-            (i.meanB / 255.0).toFloat))
+          imageFeatures(Media.decodeBmp(content))
+        } else if (Media.imageIoFormat(content).isDefined) {
+          imageFeatures(Media.decodeImage(content)) // real PNG/JPEG/GIF/TIFF
         } else stub.features(content)
       } catch { case _: Exception => Array.fill(dim)(0f) }
     }
+    private def imageFeatures(i: graft.tools.Media.BmpImage): Array[Float] =
+      pad(Array(2f, i.width / 4096f, i.height / 4096f,
+        (i.meanR / 255.0).toFloat, (i.meanG / 255.0).toFloat,
+        (i.meanB / 255.0).toFloat))
     override def meta(content: Array[Byte], fileName: String): Row = {
       import graft.tools.Media
       try {
@@ -89,6 +93,10 @@ object Multimodal {
         } else if (Media.isBmp(content)) {
           val i = Media.decodeBmp(content)
           Row("bmp", i.width, i.height, 0L)
+        } else if (Media.imageIoFormat(content).isDefined) {
+          val fmt = Media.imageIoFormat(content).get
+          val i = Media.decodeImage(content)
+          Row(fmt, i.width, i.height, 0L)
         } else stub.meta(content, fileName)
       } catch { case _: Exception => Row("corrupt", 0, 0, 0L) }
     }

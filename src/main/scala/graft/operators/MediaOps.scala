@@ -115,5 +115,62 @@ object MediaOps {
         END AS mean_b
       FROM d ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q69WavFeatures, q78BmpFeatures)
+  /** Compressed-codec sibling of q78: the SAME code-point raster goes
+    * through a real PNG encode → decode round trip (javax.imageio:
+    * DEFLATE compression, filtering, chunk CRCs) instead of the
+    * hand-rolled BMP writer. PNG is lossless, so the decoded channel
+    * means must still match the oracle's direct pixel math exactly —
+    * any codec, color-model, or row-order bug breaks the hash. JPEG
+    * stays out of the oracle (lossy ⇒ not bit-stable across quality
+    * settings) and is covered with tolerance asserts in MultimodalSpec.
+    *
+    * Scale: one encode+decode per row, a pure narrow map — image bytes
+    * never leave the partition. */
+  val q80PngFeatures: QueryDef = QueryDef(
+    "q80_png_decode",
+    (s, dir) => {
+      val docs = Tables.loadParallel(s, dir, "documents")
+      val viaPng = udf { (t: String) =>
+        if (t == null || t.isEmpty) null
+        else {
+          val cps = t.codePoints().toArray.take(MaxPixels)
+          val h = (cps.length + ImgW - 1) / ImgW
+          val img = Media.decodeImage(Media.buildImage("png", ImgW, h, (x, y) => {
+            val i = y * ImgW + x
+            if (i < cps.length)
+              ((cps(i) % 128) << 16) | (((cps(i) % 64) * 2) << 8) | ((cps(i) % 32) * 4)
+            else 0
+          }))
+          val n = (img.width * img.height).toDouble
+          def r6(v: Double) =
+            BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (img.width, img.height, r6(img.meanR), r6(img.meanG), r6(img.meanB))
+        }
+      }
+      docs.select(col("doc_id"), viaPng(col("text")).as("x"))
+        .select(col("doc_id"),
+          col("x._1").as("width"), col("x._2").as("height"),
+          col("x._3").as("mean_r"), col("x._4").as("mean_g"), col("x._5").as("mean_b"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH s AS (SELECT doc_id, length(text) AS n_chars,
+        [unicode(c) for c in regexp_split_to_array(substr(text, 1, $MaxPixels), '')] AS cps
+      FROM documents),
+      d AS (SELECT doc_id, n_chars, cps, len(cps) AS n,
+        CAST(ceil(len(cps) / $ImgW.0) AS INT) AS h FROM s)
+      SELECT doc_id,
+        CASE WHEN n_chars > 0 THEN $ImgW END AS width,
+        CASE WHEN n_chars > 0 THEN h END AS height,
+        CASE WHEN n_chars > 0 THEN
+          round(list_sum(list_transform(cps, c -> CAST(c % 128 AS DOUBLE))) / ($ImgW * h), 6)
+        END AS mean_r,
+        CASE WHEN n_chars > 0 THEN
+          round(list_sum(list_transform(cps, c -> CAST((c % 64) * 2 AS DOUBLE))) / ($ImgW * h), 6)
+        END AS mean_g,
+        CASE WHEN n_chars > 0 THEN
+          round(list_sum(list_transform(cps, c -> CAST((c % 32) * 4 AS DOUBLE))) / ($ImgW * h), 6)
+        END AS mean_b
+      FROM d ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q69WavFeatures, q78BmpFeatures, q80PngFeatures)
 }

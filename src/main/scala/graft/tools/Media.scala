@@ -2,13 +2,14 @@ package graft.tools
 
 import java.io.ByteArrayOutputStream
 
-/** JDK-only media codecs for the multimodal tier: real parsers for the
-  * two formats whose specs need no external library — WAV (RIFF/PCM16)
-  * and BMP (BITMAPINFOHEADER, uncompressed 24-bit) — plus deterministic
-  * builders used as fixture generators, exactly the Pdf.build/extract
-  * pattern. Compressed codecs (JPEG/H.264/MP3) stay behind the stub:
-  * this container ships no codec libraries, and a deployment swaps in
-  * an FFmpeg/ImageIO-backed MediaDecoder behind the same trait.
+/** JDK-only media codecs for the multimodal tier: real parsers for WAV
+  * (RIFF/PCM16) and BMP (BITMAPINFOHEADER, uncompressed 24-bit) written
+  * by hand, plus REAL compressed-image decode (PNG/JPEG/GIF/TIFF)
+  * through javax.imageio — the JDK's java.desktop module bundles those
+  * codecs, so no external library is needed and the path runs headless.
+  * Deterministic builders double as fixture generators, exactly the
+  * Pdf.build/extract pattern. Only video/audio compressed codecs
+  * (H.264/MP3) remain deployment-provided behind the decoder trait.
   */
 object Media {
 
@@ -158,5 +159,52 @@ object Media {
       at += rowPad
     }
     BmpImage(width, height, pixels)
+  }
+
+  // ------------------------------------------------- compressed (ImageIO)
+
+  // java.awt must come up headless on executors (no display in a
+  // cluster container); set before the first ImageIO touch.
+  private lazy val imageIoReady: Boolean = {
+    System.setProperty("java.awt.headless", "true")
+    true
+  }
+
+  /** Magic-byte sniff for the compressed formats the JDK decodes. */
+  def imageIoFormat(bytes: Array[Byte]): Option[String] = {
+    def b(i: Int) = bytes(i) & 0xff
+    if (bytes == null || bytes.length < 4) None
+    else if (b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') Some("png")
+    else if (b(0) == 0xff && b(1) == 0xd8 && b(2) == 0xff) Some("jpeg")
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') Some("gif")
+    else if ((b(0) == 'I' && b(1) == 'I' && b(2) == 42) ||
+      (b(0) == 'M' && b(1) == 'M' && b(3) == 42)) Some("tiff")
+    else None
+  }
+
+  /** Encode a raster through a REAL compressed codec ("png", "jpg",
+    * "gif", "tif"); `pixel(x, y)` returns 0xRRGGBB. */
+  def buildImage(format: String, width: Int, height: Int,
+      pixel: (Int, Int) => Int): Array[Byte] = {
+    require(imageIoReady)
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until height).foreach(y =>
+      (0 until width).foreach(x => img.setRGB(x, y, pixel(x, y))))
+    val out = new ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, out), s"no ImageIO writer for $format")
+    out.toByteArray
+  }
+
+  /** Decode any ImageIO-supported compressed image to the same raster
+    * shape the BMP path yields (0xRRGGBB row-major, top-down). */
+  def decodeImage(bytes: Array[Byte]): BmpImage = {
+    require(imageIoReady)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "ImageIO found no decoder for the stream")
+    val (w, h) = (img.getWidth, img.getHeight)
+    // one bulk grab, not w*h getRGB calls — this runs per row at scale
+    val argb = img.getRGB(0, 0, w, h, null, 0, w)
+    BmpImage(w, h, argb.map(_ & 0xffffff))
   }
 }

@@ -67,7 +67,8 @@ class MultimodalSpec extends SparkSpec {
     val wav = Media.buildWav(Array.tabulate[Short](3200)(i =>
       (math.sin(i * 0.1) * 8192).toShort), sampleRate = 16000)
     val bmp = Media.buildBmp(8, 4, (x, y) => 0x7F7F7F)
-    val df = Seq(("a.wav", wav), ("b.bmp", bmp), ("c.png", png))
+    val pngReal = Media.buildImage("png", 6, 2, (_, _) => 0x4080C0)
+    val df = Seq(("a.wav", wav), ("b.bmp", bmp), ("c.png", pngReal))
       .toDF("file_name", "content").repartition(2)
     val out = Multimodal.withMediaFeatures(df, "content", "file_name",
       () => new Multimodal.JdkMediaDecoder())
@@ -83,8 +84,33 @@ class MultimodalSpec extends SparkSpec {
     val fBmp = out(1).getSeq[Float](out(1).fieldIndex("features"))
     assert(fBmp(0) == 2f && math.abs(fBmp(3) - 127f / 255f) < 1e-6) // meanR
 
-    // unsupported format falls back to the deterministic stub
-    assert(out(2).getStruct(out(2).fieldIndex("media_meta")).getString(0) == "png")
+    // compressed PNG decodes for real through javax.imageio
+    val metaPng = out(2).getStruct(out(2).fieldIndex("media_meta"))
+    assert(metaPng.getString(0) == "png" && metaPng.getInt(1) == 6 && metaPng.getInt(2) == 2)
+    val fPng = out(2).getSeq[Float](out(2).fieldIndex("features"))
+    assert(fPng(0) == 2f && math.abs(fPng(3) - 0x40 / 255f) < 1e-6
+      && math.abs(fPng(5) - 0xC0 / 255f) < 1e-6)
+  }
+
+  test("ImageIO codecs: PNG/GIF/TIFF lossless round trip; JPEG within tolerance") {
+    import graft.tools.Media
+    val pix = (x: Int, y: Int) => ((x * 16 % 256) << 16) | ((y * 32 % 256) << 8) | 0x40
+    // PNG (DEFLATE) must reproduce the exact raster the raw BMP path yields
+    val png = Media.decodeImage(Media.buildImage("png", 16, 8, pix))
+    assert(png.width == 16 && png.height == 8)
+    assert(png.pixels.toSeq == Media.decodeBmp(Media.buildBmp(16, 8, pix)).pixels.toSeq)
+    // GIF palette-quantizes, but a solid color survives exactly
+    val gif = Media.decodeImage(Media.buildImage("gif", 9, 5, (_, _) => 0x336699))
+    assert(gif.width == 9 && gif.pixels.forall(_ == 0x336699))
+    val tif = Media.decodeImage(Media.buildImage("tif", 7, 3, pix))
+    assert(tif.pixels.toSeq == png.pixels.take(0).toSeq ++ Media.decodeBmp(Media.buildBmp(7, 3, pix)).pixels.toSeq)
+    // JPEG is lossy: dimensions exact, channel means within quantization noise
+    val jpgBytes = Media.buildImage("jpg", 32, 24, (_, _) => 0x608040)
+    assert(Media.imageIoFormat(jpgBytes).contains("jpeg"))
+    val jpg = Media.decodeImage(jpgBytes)
+    assert(jpg.width == 32 && jpg.height == 24)
+    assert(math.abs(jpg.meanR - 0x60) < 4 && math.abs(jpg.meanG - 0x80) < 4 &&
+      math.abs(jpg.meanB - 0x40) < 4)
   }
 
   test("JdkMediaDecoder: corrupt media yields a marked row, not a failed job") {

@@ -47,17 +47,37 @@ class RedisQueue(host: String, port: Int,
     if (sock != null) { try sock.close() catch { case _: IOException => () }; sock = null }
   }
 
-  /** One command round trip; a broken connection gets one fresh-socket
-    * retry (the redis-py `retry_on_timeout` shape) before surfacing. */
+  /** Commands whose effect is identical if the server executes them a
+    * second time — safe to re-send even when the request already
+    * flushed and only the reply was lost. RPUSH and LPOP are NOT here:
+    * replaying a flushed RPUSH enqueues a duplicate, and replaying a
+    * flushed LPOP silently discards the message the first pop removed. */
+  private val idempotentCmds =
+    Set("PING", "LLEN", "LINDEX", "LRANGE", "KEYS", "LSET", "EXPIRE", "DEL")
+
+  /** One command round trip. A failure before the request bytes flush
+    * always gets one fresh-socket retry (the server never saw the
+    * command). A failure after the flush means the command may have
+    * executed and only the reply was lost — retried only for
+    * idempotent commands; RPUSH/LPOP surface the IOException so the
+    * caller can reconcile instead of duplicating or dropping a
+    * message (the redis-py `retry_on_error` caveat). */
   private def call(args: String*): Resp.Reply = synchronized {
+    var sent = false
     def once(): Resp.Reply = {
+      sent = false
       ensureOpen()
       out.write(Resp.encodeCommand(args))
       out.flush()
+      sent = true
       Resp.readReply(in)
     }
     try once()
-    catch { case _: IOException => closeQuietly(); once() }
+    catch {
+      case e: IOException =>
+        closeQuietly()
+        if (!sent || idempotentCmds(args.head.toUpperCase)) once() else throw e
+    }
   }
 
   private def intReply(args: String*): Long = call(args: _*) match {

@@ -103,7 +103,7 @@ class MultimodalSpec extends SparkSpec {
     val gif = Media.decodeImage(Media.buildImage("gif", 9, 5, (_, _) => 0x336699))
     assert(gif.width == 9 && gif.pixels.forall(_ == 0x336699))
     val tif = Media.decodeImage(Media.buildImage("tif", 7, 3, pix))
-    assert(tif.pixels.toSeq == png.pixels.take(0).toSeq ++ Media.decodeBmp(Media.buildBmp(7, 3, pix)).pixels.toSeq)
+    assert(tif.pixels.toSeq == Media.decodeBmp(Media.buildBmp(7, 3, pix)).pixels.toSeq)
     // JPEG is lossy: dimensions exact, channel means within quantization noise
     val jpgBytes = Media.buildImage("jpg", 32, 24, (_, _) => 0x608040)
     assert(Media.imageIoFormat(jpgBytes).contains("jpeg"))

@@ -24,6 +24,13 @@ final class MiniRedisServer(clock: () => Long) {
   }
   private val state = mutable.LinkedHashMap[String, Entry]()
 
+  /** Fault injection: set to a command name (e.g. "RPUSH") to make the
+    * next matching command EXECUTE server-side but lose its reply —
+    * the connection closes before the reply bytes are written. Models
+    * the ambiguous lost-reply failure a client cannot distinguish from
+    * a command that never ran. One-shot: clears itself after firing. */
+  val dropReplyFor = new java.util.concurrent.atomic.AtomicReference[String](null)
+
   /** Lazy purge-on-touch, as Redis does for expired keys. */
   private def alive(key: String): Option[Entry] = state.synchronized {
     state.get(key).filter { e =>
@@ -96,7 +103,12 @@ final class MiniRedisServer(clock: () => Long) {
     try {
       var cmd = Resp.readCommand(in)
       while (cmd.isDefined) {
-        out.write(Resp.encodeReply(dispatch(cmd.get)))
+        val reply = Resp.encodeReply(dispatch(cmd.get))
+        if (cmd.get.head.equalsIgnoreCase(dropReplyFor.get())) {
+          dropReplyFor.set(null)
+          return // executed, reply dropped, connection closed (see finally)
+        }
+        out.write(reply)
         out.flush()
         cmd = Resp.readCommand(in)
       }

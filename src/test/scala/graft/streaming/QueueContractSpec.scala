@@ -8,11 +8,23 @@ import graft.SparkSpec
   * FIFO order, batch pop, negative indexing, lset, glob keys, and
   * key-level TTL with lazy purge. The clock is injected so TTL cases
   * run without sleeping. */
-class QueueContractSpec extends SparkSpec {
+class QueueContractSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
 
-  /** A settable fake clock (epoch seconds). */
-  final class FakeClock(var now: Long = 1000L) extends (() => Long) with Serializable {
+  /** A settable fake clock (epoch seconds). @volatile because the
+    * RedisQueue contract reads it on MiniRedisServer's connection
+    * threads while the test thread mutates it — without the fence the
+    * TTL cases could see a stale value. */
+  final class FakeClock(@volatile var now: Long = 1000L) extends (() => Long) with Serializable {
     def apply(): Long = now
+  }
+
+  /** Servers and connectors opened by the contract factories, closed in
+    * afterAll so sockets/acceptor threads don't outlive the suite. */
+  private val openedResources = new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+  private def track[T](t: T)(close: T => Unit): T = { openedResources.add(() => close(t)); t }
+  override def afterAll(): Unit = {
+    openedResources.forEach(c => try c() catch { case _: Exception => () })
+    super.afterAll()
   }
 
   private def derbyUrl(): String = {
@@ -122,7 +134,8 @@ class QueueContractSpec extends SparkSpec {
   // the production backend shape: the RESP wire client against a live
   // loopback socket (MiniRedisServer owns the injected clock — TTL is
   // server-side in Redis, so the deadline lives server-side here too)
-  queueContract("RedisQueue", clk => new RedisQueue("127.0.0.1", new MiniRedisServer(clk).port))
+  queueContract("RedisQueue", clk => track(new RedisQueue("127.0.0.1",
+    track(new MiniRedisServer(clk))(_.close()).port))(_.close()))
 
   private def neverDoubleDelivers(name: String, mk: () => QueueConnector): Unit =
     test(s"$name: concurrent consumers never double-deliver") {
@@ -178,6 +191,30 @@ class QueueContractSpec extends SparkSpec {
     q.close() // simulate a dropped connection between commands
     assert(q.dequeue("r") === Some("m1")) // one fresh-socket retry
     srv.close()
+  }
+
+  test("RedisQueue: lost reply after a flushed RPUSH surfaces — no duplicate enqueue") {
+    // the ambiguous fault: the server executed RPUSH but the reply was
+    // lost. A blind retry would re-send it and enqueue the message
+    // twice; the client must surface the IOException instead so the
+    // caller can reconcile (the queue holds exactly one copy)
+    val srv = new MiniRedisServer(() => System.currentTimeMillis() / 1000)
+    val q = new RedisQueue("127.0.0.1", srv.port)
+    q.enqueue("lr", "m0") // warm the connection
+    srv.dropReplyFor.set("RPUSH")
+    intercept[java.io.IOException](q.enqueue("lr", "m1"))
+    assert(q.llen("lr") === 2, "the flushed RPUSH must have executed exactly once")
+    assert(q.lrange("lr", 0, -1) === Seq("m0", "m1"))
+    q.close(); srv.close()
+  }
+
+  test("RedisQueue: lost reply after an idempotent command retries transparently") {
+    val srv = new MiniRedisServer(() => System.currentTimeMillis() / 1000)
+    val q = new RedisQueue("127.0.0.1", srv.port)
+    q.enqueue("li", "m1"); q.enqueue("li", "m2")
+    srv.dropReplyFor.set("LLEN")
+    assert(q.llen("li") === 2) // re-sent on a fresh socket, same answer
+    q.close(); srv.close()
   }
 
   test("readStream tails a colon-keyed DirectoryQueue (percent-encoded directory)") {

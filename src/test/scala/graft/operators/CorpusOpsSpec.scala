@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants of the corpus-hygiene tier that the row-hash oracle can't
+  * express: bloom-path equivalence to the exact anti-join, packing
+  * feasibility (capacity, contiguity, conservation), redaction
+  * completeness. */
+class CorpusOpsSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  test("q84: bloom pre-filter returns EXACTLY the exact anti-join's rows") {
+    val bloom = CorpusOps.q84BloomHistoryDedup.fn(spark, dir)
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), sha2(col("text"), 256).as("file_hash"))
+    val history = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("file_hash").as("cache_key"))
+    val exact = docs.join(history, docs("file_hash") === col("cache_key"), "left_anti")
+    assert(bloom.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      exact.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // false positives are possible (they just pay the exact join);
+    // false NEGATIVES are not — nothing in history may survive
+    val survivors = bloom.select("file_hash").collect().map(_.getString(0)).toSet
+    val done = history.collect().map(_.getString(0)).toSet
+    assert(survivors.intersect(done).isEmpty)
+  }
+
+  test("q86: packing respects capacity, contiguity, and conservation") {
+    val bins = CorpusOps.q86SeqPack.fn(spark, dir).collect()
+    val nDocs = graft.Tables.load(spark, dir, "documents").count()
+    // every doc lands in exactly one bin
+    assert(bins.map(_.getLong(bins.head.fieldIndex("n_docs"))).sum === nDocs)
+    // a bin over capacity can only be a single oversized document
+    bins.foreach { b =>
+      val (n, tok) = (b.getLong(b.fieldIndex("n_docs")), b.getLong(b.fieldIndex("sum_tokens")))
+      assert(tok <= 512 || n === 1, s"multi-doc bin over capacity: $b")
+    }
+    // bins are numbered 0..k contiguously within each source
+    bins.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      val ids = rows.map(_.getLong(rows.head.fieldIndex("bin"))).sorted
+      assert(ids === (0L until ids.length).toArray, s"non-contiguous bins for $src")
+    }
+    // feasibility lower bound: a shard with no oversized bin needs at
+    // least ceil(total_tokens / 512) bins
+    bins.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      val toks = rows.map(_.getLong(rows.head.fieldIndex("sum_tokens")))
+      if (toks.forall(_ <= 512)) {
+        val lower = (toks.sum + 511) / 512
+        assert(rows.length >= lower, s"$src packed below the token lower bound")
+      }
+    }
+  }
+
+  test("q83: redaction leaves no live PII and preserves surrounding text") {
+    val out = CorpusOps.q83PiiRedact.fn(spark, dir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val red = r.getString(r.fieldIndex("redacted"))
+      assert(red.contains("<EMAIL>") && red.contains("<PHONE>"))
+      assert(!red.matches(".*[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}.*"))
+      assert(r.getLong(r.fieldIndex("n_emails")) === 1L)
+      assert(r.getLong(r.fieldIndex("n_phones")) === 1L)
+    }
+  }
+
+  test("q81: injected template text is flagged as boilerplate") {
+    // 4 docs sharing one 5-gram template + 1 unique doc, via a temp
+    // parquet dir shaped like the documents table
+    val tmp = java.nio.file.Files.createTempDirectory("graft-corpus").toString
+    import spark.implicits._
+    val template = "all rights reserved by the publisher"
+    Seq(
+      // one-word tails: 3 shingles per doc, 2 shared → frac 2/3 ≥ 0.5
+      (0L, s"$template zero", "en", "s0", 1L),
+      (1L, s"$template one", "en", "s0", 1L),
+      (2L, s"$template two", "en", "s0", 1L),
+      (3L, s"$template three", "en", "s0", 1L),
+      (4L, "completely different content with no shared fragments at all", "en", "s0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = CorpusOps.q81Boilerplate.fn(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("is_boilerplate"))).toMap
+    assert(out(0L) && out(1L) && out(2L) && out(3L), "template docs must flag")
+    assert(!out(4L), "the unique doc must not flag")
+  }
+}

@@ -230,5 +230,125 @@ object AnnOps {
         ORDER BY score DESC, vec_id LIMIT 5"""
     }))
 
-  val all: Seq[QueryDef] = Seq(q56AnnIvf, q68AnnLsh, q79AnnLshMultiprobe)
+  // ---------------------------------------------------------------
+  // q85: product quantization (PQ) — compressed-index ANN
+  // ---------------------------------------------------------------
+
+  private val PqM = 8   // subspaces (64-dim → 8 × 8-dim)
+  private val PqD = 8   // dims per subspace
+  private val PqK = 16  // centroids per subspace codebook
+
+  /** Per-subspace slices of a vector column: (id, j, slice). */
+  private def subVectors(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), explode(expr(s"sequence(0, ${PqM - 1})")).as("j"),
+        col(vecCol).as("v"))
+      .select(col(idCol), col("j"),
+        expr(s"slice(v, j * $PqD + 1, $PqD)").as("sv"))
+
+  private val PqShortlist = 50  // ADC candidates re-ranked exactly
+
+  /** Product quantization ANN (Jégou et al. 2011, public), two-stage:
+    * each vector is encoded as M=8 one-byte codes — the nearest
+    * codebook centroid per 8-dim subspace — a 32× compression of the
+    * 64-float embedding. A query is answered by ADC: the M×K table of
+    * query-subvector ↔ centroid distances is computed once
+    * (driver-sized), every vector's approximate distance is the sum of
+    * M table lookups over its codes, and only the top-`PqShortlist`
+    * candidates are re-ranked with the exact float distance — the
+    * standard compressed-shortlist + exact-rerank retrieval shape.
+    *
+    * Scale: encoding is an index-build pass (broadcast codebook join +
+    * one groupBy to assemble code arrays — paid once, amortized over
+    * all queries); query scoring is a NARROW map over the code table
+    * (`aggregate` over a broadcast literal M×K lookup) + TakeOrdered,
+    * and only the 50-row shortlist ever touches a float vector again.
+    * A 100 TB float index becomes ~3 TB of codes, and the hot scan
+    * reads only `codes` (8 bytes/row) — ReadSchema prunes the
+    * embedding. Codebooks here are deterministic (subslices of
+    * vec_id < K, as q56's centroids); k-means via ml/VectorML at
+    * scale. */
+  val q85AnnPq: QueryDef = QueryDef(
+    "q85_ann_pq",
+    (s, dir) => {
+      VectorExpressions.register(s)
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val subs = subVectors(e, "vec_id", "embedding")
+      val cbs = subVectors(
+        e.filter(col("vec_id") < PqK)
+          .select(col("vec_id").as("k"), col("embedding")), "k", "embedding")
+        .withColumnRenamed("sv", "cv")
+
+      // encode: nearest centroid per (vector, subspace) → M codes
+      val wEnc = Window.partitionBy(col("vec_id"), col("j"))
+        .orderBy(col("dist"), col("k"))
+      val codes = subs.join(broadcast(cbs), "j")
+        .select(col("vec_id"), col("j"), col("k"),
+          expr("l2_sq_f(sv, cv)").as("dist"))
+        .withColumn("rk", row_number().over(wEnc))
+        .filter(col("rk") === 1)
+        .groupBy(col("vec_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(j, k))), x -> x.k)")
+          .as("codes"))
+
+      // ADC table: query subvectors vs codebook, M×K rows, driver-sized
+      val qsub = subs.filter(col("vec_id") === 0).select(col("j"), col("sv").as("qsv"))
+      val dt = cbs.join(broadcast(qsub), "j")
+        .select(col("j"), col("k"), expr("l2_sq_f(cv, qsv)").as("qd"))
+        .collect()
+      val dtab: Seq[Seq[Double]] = (0 until PqM).map { j =>
+        val row = new Array[Double](PqK)
+        dt.foreach(r => if (r.getInt(0) == j) row(r.getLong(1).toInt) = r.getDouble(2))
+        row.toSeq
+      }
+
+      // stage 1 — ADC: sum of M lookups in subspace order (narrow map),
+      // TakeOrdered shortlist; no rounding here, the order is internal
+      val shortlist = codes
+        .withColumn("approx_dist", aggregate(
+          expr(s"sequence(0, ${PqM - 1})"), lit(0.0),
+          (acc, j) => acc + element_at(
+            element_at(typedLit(dtab), (j + 1).cast("int")),
+            (element_at(col("codes"), (j + 1).cast("int")) + 1).cast("int"))))
+        .filter(col("vec_id") =!= 0)
+        .orderBy(col("approx_dist"), col("vec_id"))
+        .limit(PqShortlist)
+        .select(col("vec_id"))
+
+      // stage 2 — exact re-rank of the 50 candidates only
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      shortlist.join(e, "vec_id")
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          round(expr("l2_sq_f(embedding, qv)"), 6).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      js AS (SELECT unnest(range(0, $PqM)) AS j),
+      subs AS (SELECT e.vec_id, js.j, e.v[js.j*$PqD+1 : js.j*$PqD+$PqD] AS sv FROM e, js),
+      cbs AS (SELECT e.vec_id AS k, js.j, e.v[js.j*$PqD+1 : js.j*$PqD+$PqD] AS cv
+        FROM e, js WHERE e.vec_id < $PqK),
+      codes AS (SELECT vec_id, j, k AS code FROM (
+        SELECT s.vec_id, s.j, c.k, row_number() OVER (PARTITION BY s.vec_id, s.j
+          ORDER BY list_sum(list_transform(list_zip(s.sv, c.cv),
+            x -> (x[1]-x[2])*(x[1]-x[2]))), c.k) AS rk
+        FROM subs s JOIN cbs c ON s.j = c.j) a WHERE rk = 1),
+      q AS (SELECT j, sv AS qsv FROM subs WHERE vec_id = 0),
+      dtab AS (SELECT c.j, c.k,
+        list_sum(list_transform(list_zip(c.cv, q.qsv), x -> (x[1]-x[2])*(x[1]-x[2]))) AS qd
+        FROM cbs c JOIN q USING (j)),
+      scored AS (SELECT vec_id, sum(qd) AS approx_dist
+        FROM codes JOIN dtab ON codes.j = dtab.j AND codes.code = dtab.k
+        WHERE vec_id <> 0 GROUP BY vec_id),
+      shortlist AS (SELECT vec_id FROM scored
+        ORDER BY approx_dist, vec_id LIMIT $PqShortlist),
+      qfull AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+      SELECT s.vec_id,
+        round(list_sum(list_transform(list_zip(e.v, qfull.qv),
+          x -> (x[1]-x[2])*(x[1]-x[2]))), 6) AS dist
+      FROM shortlist s JOIN e ON s.vec_id = e.vec_id, qfull
+      ORDER BY dist, s.vec_id LIMIT 10"""))
+
+  val all: Seq[QueryDef] = Seq(q56AnnIvf, q68AnnLsh, q79AnnLshMultiprobe, q85AnnPq)
 }

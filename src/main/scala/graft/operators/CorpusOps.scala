@@ -200,7 +200,8 @@ object CorpusOps {
     Some("""SELECT doc_id, sha256(text) AS file_hash FROM documents
       WHERE sha256(text) NOT IN (
         SELECT sha256(text) FROM documents WHERE doc_id % 3 = 0)
-      ORDER BY doc_id"""))
+      ORDER BY doc_id"""),
+    headline = true)
 
   // ---------------------------------------------------------------
   // q86: greedy sequence packing
@@ -266,7 +267,8 @@ object CorpusOps {
           CASE WHEN r.fill + t.n_tokens > 512 THEN r.bin + 1 ELSE r.bin END
         FROM t JOIN r ON t.source = r.source AND t.rn = r.rn + 1)
       SELECT source, bin, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
-      FROM r GROUP BY source, bin ORDER BY source, bin"""))
+      FROM r GROUP BY source, bin ORDER BY source, bin"""),
+    headline = true)
 
   val all: Seq[QueryDef] = Seq(
     q81Boilerplate, q82GopherQuality, q83PiiRedact, q84BloomHistoryDedup,

@@ -266,7 +266,15 @@ object AnnOps {
     * reads only `codes` (8 bytes/row) — ReadSchema prunes the
     * embedding. Codebooks here are deterministic (subslices of
     * vec_id < K, as q56's centroids); k-means via ml/VectorML at
-    * scale. */
+    * scale.
+    *
+    * Encode-shape note (measured): a fully narrow encode — argmin over
+    * a literal codebook via nested transform/zip_with/aggregate HOFs —
+    * was tried and ran 8× SLOWER at sf0.1 (the 1024-term expression
+    * tree defeats codegen and falls back to interpreted lambda eval
+    * per row). The broadcast-join + window form below shuffles only
+    * the (id, j, k, dist) slice table and codegens cleanly; it wins
+    * locally and its shuffle is index-build-only at scale. */
   val q85AnnPq: QueryDef = QueryDef(
     "q85_ann_pq",
     (s, dir) => {

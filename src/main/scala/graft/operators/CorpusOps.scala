@@ -23,15 +23,36 @@ object CorpusOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.loadParallel(s, dir, "documents")
 
+  /** Materialize a frame that several downstream joins re-read —
+    * localCheckpoint locally, durable parquet staging when
+    * `spark.graft.corpus.stagingDir` is set (the 100 TB configuration;
+    * same pattern as DedupOps.materialize). Without this the composed
+    * q87 plan recomputes the shingle explosion once per consumer. */
+  private def materialize(df: DataFrame, tag: String): DataFrame = {
+    val s = df.sparkSession
+    s.conf.getOption("spark.graft.corpus.stagingDir") match {
+      case Some(root) =>
+        val path = s"$root/${tag}_${java.util.UUID.randomUUID().toString.take(8)}"
+        df.write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
+      case None => df.localCheckpoint()
+    }
+  }
+
   // ---------------------------------------------------------------
   // q81: boilerplate via corpus-frequent n-grams (C4 §2.2 analog)
   // ---------------------------------------------------------------
 
-  /** Distinct 5-word shingles per doc (the whole text when shorter). */
+  /** Distinct 5-word shingles per doc (the whole text when shorter).
+    * Tokens are materialized first: project collapse would otherwise
+    * inline the split into every element_at in the lambda body — one
+    * regex split per gram element instead of one per row (measured
+    * 15.6 s → 1.6 s for the explode at sf0.1; same fix as
+    * DedupOps.shingled). */
   private def fiveGrams(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    materialize(docs(s, dir)
       .select(col("doc_id"), trim(col("text")).as("t"),
-        split(trim(col("text")), "\\s+").as("w"))
+        split(trim(col("text")), "\\s+").as("w")), "tok")
       .withColumn("shingles", expr(
         """case when size(w) >= 5
           | then array_distinct(transform(sequence(1, size(w) - 4),
@@ -225,16 +246,17 @@ object CorpusOps {
     * of any size packs in one pass. Bins are shard-local by design:
     * packing is embarrassingly parallel across shards, which is exactly
     * how a 1000-executor run wants it. */
-  val q86SeqPack: QueryDef = QueryDef(
-    "q86_seq_pack",
-    (s, dir) => {
-      import s.implicits._
-      val capacity = 512L
-      val toks = docs(s, dir)
-        .select(col("source"), col("doc_id"), nTokens(col("text")).as("n_tokens"))
-        .repartition(col("source"))
-        .sortWithinPartitions(col("source"), col("doc_id"))
-      val packed = toks.mapPartitions { rows =>
+  /** The greedy pack itself over a (source, doc_id, n_tokens) frame —
+    * shared by q86 and the q87 capstone. See q86's scaladoc for the
+    * partitioning/ordering contract. */
+  private[operators] def packGreedy(toks: DataFrame, capacity: Long = 512L): DataFrame = {
+    val s = toks.sparkSession
+    import s.implicits._
+    val packed = toks
+      .select(col("source"), col("doc_id"), col("n_tokens"))
+      .repartition(col("source"))
+      .sortWithinPartitions(col("source"), col("doc_id"))
+      .mapPartitions { rows =>
         var curSource: String = null
         var bin = -1L
         var fill = 0L
@@ -246,10 +268,16 @@ object CorpusOps {
           (src, bin, id, n)
         }
       }.toDF("source", "bin", "doc_id", "n_tokens")
-      packed.groupBy(col("source"), col("bin"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
-        .orderBy(col("source"), col("bin"))
-    },
+    packed.groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+  }
+
+  val q86SeqPack: QueryDef = QueryDef(
+    "q86_seq_pack",
+    (s, dir) =>
+      packGreedy(docs(s, dir)
+        .select(col("source"), col("doc_id"), nTokens(col("text")).as("n_tokens")))
+        .orderBy(col("source"), col("bin")),
     // the same greedy scan as a per-shard recursive CTE over the
     // doc_id-ordered row sequence
     Some("""WITH RECURSIVE t AS (
@@ -270,7 +298,179 @@ object CorpusOps {
       FROM r GROUP BY source, bin ORDER BY source, bin"""),
     headline = true)
 
+  // ---------------------------------------------------------------
+  // q87: curation-pipeline capstone
+  // ---------------------------------------------------------------
+
+  /** The corpus-curation capstone: quality gate → boilerplate filter →
+    * exact dedup → sequence packing, one composed plan — the cleaning
+    * pipeline a pretraining run executes end to end, summarized per
+    * source shard. Boilerplate frequencies are computed on the RAW
+    * corpus (template text must count even when its hosts fail other
+    * gates); dedup keeps the lowest doc_id per content hash among the
+    * survivors.
+    *
+    * Scale: the gates are narrow projections stacked on one scan; the
+    * only shuffles are the frequent-shingle count (broadcast back), the
+    * dedup groupBy on (hash), and the packing repartition — each keyed
+    * exactly as its 100 TB form requires. */
+  val q87CurationPipeline: QueryDef = QueryDef(
+    "q87_curation_pipeline",
+    (s, dir) => {
+      val d = docs(s, dir)
+      // gate 1: Gopher rules (q82 semantics)
+      val w = split(trim(col("text")), "\\s+")
+      val nWords = size(w).cast("long")
+      val meanLen = length(regexp_replace(trim(col("text")), "\\s+", "")).cast("double") / nWords
+      val nStop = size(filter(w, t => t.isin("the", "a", "of", "to", "and"))).cast("long")
+      val alphaFrac = size(filter(w, t => t.rlike("[A-Za-z]"))).cast("double") / nWords
+      val gated = d.filter(nWords.between(10, 1000) && meanLen.between(2.0, 12.0) &&
+        nStop >= 2 && alphaFrac >= 0.8)
+      // gate 2: boilerplate on the raw corpus (q81 semantics); the gram
+      // frame feeds BOTH the frequency count and the per-doc fraction,
+      // so it is materialized once instead of exploding shingles twice
+      val grams = materialize(fiveGrams(s, dir)
+        .select(col("doc_id"), explode(col("shingles")).as("sh")), "grams")
+      val frequent = grams.groupBy(col("sh"))
+        .agg(count(lit(1)).as("n_docs")).filter(col("n_docs") >= 3).select(col("sh"))
+      val boiler = grams
+        .join(broadcast(frequent).withColumn("is_freq", lit(1)), Seq("sh"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg((sum(coalesce(col("is_freq"), lit(0))).cast("double") / count(lit(1)))
+          .as("frac"))
+        .filter(col("frac") >= 0.5)
+        .select(col("doc_id"))
+      // survivors feed the dedup groupBy AND the semi-join back — one
+      // materialization, not two gate+boiler recomputes
+      val clean = materialize(
+        gated.join(boiler, Seq("doc_id"), "left_anti")
+          .select(col("source"), col("doc_id"), col("text")), "clean")
+      // gate 3: exact dedup — keep the lowest doc_id per content hash
+      val keepIds = clean.groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      val deduped = clean.join(keepIds, Seq("doc_id"), "left_semi")
+      // pack the survivors, summarize per shard
+      packGreedy(deduped
+        .select(col("source"), col("doc_id"), nTokens(col("text")).as("n_tokens")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_bins"), sum(col("n_docs")).as("n_docs"),
+          sum(col("sum_tokens")).as("sum_tokens"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH RECURSIVE
+      tokq AS (SELECT doc_id, text, source, trim(text) AS t,
+        regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      gate AS (SELECT doc_id, text, source FROM (
+        SELECT doc_id, text, source,
+          CAST(len(w) AS BIGINT) AS n_words,
+          CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE) / len(w) AS mwl,
+          len(list_filter(w, x -> x IN ('the', 'a', 'of', 'to', 'and'))) AS nstop,
+          CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(w) AS af
+        FROM tokq) g
+        WHERE n_words BETWEEN 10 AND 1000 AND mwl BETWEEN 2.0 AND 12.0
+          AND nstop >= 2 AND af >= 0.8),
+      sh AS (SELECT doc_id,
+        CASE WHEN len(w) >= 5
+          THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+                              for i in range(1, len(w) - 3)])
+          ELSE [t] END AS shingles FROM tokq),
+      grams AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+      freq AS (SELECT sh FROM grams GROUP BY sh HAVING count(*) >= 3),
+      boiler AS (SELECT g.doc_id FROM grams g LEFT JOIN freq f ON g.sh = f.sh
+        GROUP BY g.doc_id
+        HAVING CAST(sum(CASE WHEN f.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) >= 0.5),
+      clean AS (SELECT * FROM gate WHERE doc_id NOT IN (SELECT doc_id FROM boiler)),
+      keepids AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY sha256(text)),
+      ded AS (SELECT c.source, c.doc_id,
+          CASE WHEN length(trim(c.text)) = 0 THEN 0
+               ELSE CAST(len(regexp_split_to_array(trim(c.text), '\s+')) AS BIGINT) END AS n_tokens
+        FROM clean c JOIN keepids k ON c.doc_id = k.doc_id),
+      t AS (SELECT source, doc_id, n_tokens,
+        row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM ded),
+      r AS (
+        SELECT source, rn, n_tokens, n_tokens AS fill, CAST(0 AS BIGINT) AS bin
+        FROM t WHERE rn = 1
+        UNION ALL
+        SELECT t.source, t.rn, t.n_tokens,
+          CASE WHEN r.fill + t.n_tokens > 512 THEN t.n_tokens ELSE r.fill + t.n_tokens END,
+          CASE WHEN r.fill + t.n_tokens > 512 THEN r.bin + 1 ELSE r.bin END
+        FROM t JOIN r ON t.source = r.source AND t.rn = r.rn + 1),
+      bins AS (SELECT source, bin, count(*) AS nd, CAST(sum(n_tokens) AS BIGINT) AS st
+        FROM r GROUP BY source, bin)
+      SELECT source, count(*) AS n_bins, CAST(sum(nd) AS BIGINT) AS n_docs,
+        CAST(sum(st) AS BIGINT) AS sum_tokens
+      FROM bins GROUP BY source ORDER BY source"""),
+    headline = true)
+
+  // ---------------------------------------------------------------
+  // q88: within-document repetition (Gopher A1.1 repetition rules)
+  // ---------------------------------------------------------------
+
+  /** Repetition metrics per document: top-bigram share and duplicate
+    * bigram fraction — Gopher's within-doc repetition gates. One
+    * explode + per-doc groupBy, keyed on (doc_id, bigram): shuffle
+    * volume is corpus token count, partition-pruned by the doc key. */
+  val q88Repetition: QueryDef = QueryDef(
+    "q88_repetition",
+    (s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+        .filter(size(col("w")) >= 2)
+      val grams = d.select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(w) - 1),
+          |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))""".stripMargin))
+        .as("bg"))
+      grams.groupBy(col("doc_id"), col("bg"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("total_bigrams"),
+          round(max(col("cnt")).cast("double") / sum(col("cnt")), 6).as("top_bigram_frac"),
+          round(lit(1.0) - count(lit(1)).cast("double") / sum(col("cnt")), 6).as("dup_bigram_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents),
+      grams AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+        FROM tok WHERE len(w) >= 2),
+      cnts AS (SELECT doc_id, bg, count(*) AS cnt FROM grams GROUP BY doc_id, bg)
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total_bigrams,
+        round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_bigram_frac,
+        round(1.0 - CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS dup_bigram_frac
+      FROM cnts GROUP BY doc_id ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------
+  // q89: sub-word (BPE-ish) tokenization vs whitespace
+  // ---------------------------------------------------------------
+
+  private val BpeishRe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  /** Token counting under a BPE-ish regex (letter runs, single digits,
+    * single punctuation — the GPT-2 pre-tokenizer shape reduced to an
+    * RE2/Java-portable core) next to the whitespace count — the
+    * tokens-per-word ratio a pipeline uses to budget sequence lengths
+    * before the real tokenizer runs. Narrow map, codegen'd. */
+  val q89BpeishTokens: QueryDef = QueryDef(
+    "q89_bpeish_tokens",
+    (s, dir) => {
+      val nWs = when(length(trim(col("text"))) === 0, 0L)
+        .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+      val nBpe = size(regexp_extract_all(col("text"), lit(BpeishRe), lit(0))).cast("long")
+      docs(s, dir).select(
+        col("doc_id"), nWs.as("n_ws_tokens"), nBpe.as("n_bpeish_tokens"),
+        when(nWs === 0, lit(null).cast("double"))
+          .otherwise(round(nBpe.cast("double") / nWs, 6)).as("tokens_per_word"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""SELECT doc_id,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END AS n_ws_tokens,
+        CAST(len(regexp_extract_all(text, '$BpeishRe')) AS BIGINT) AS n_bpeish_tokens,
+        CASE WHEN length(trim(text)) = 0 THEN NULL
+             ELSE round(CAST(len(regexp_extract_all(text, '$BpeishRe')) AS DOUBLE) /
+                  len(regexp_split_to_array(trim(text), '\\s+')), 6) END AS tokens_per_word
+      FROM documents ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q81Boilerplate, q82GopherQuality, q83PiiRedact, q84BloomHistoryDedup,
-    q86SeqPack)
+    q86SeqPack, q87CurationPipeline, q88Repetition, q89BpeishTokens)
 }

@@ -66,6 +66,36 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q87 capstone: survivors never exceed the raw corpus, fractions stay sane") {
+    val d = graft.Tables.load(spark, dir, "documents")
+    val perSource = d.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = CorpusOps.q87CurationPipeline.fn(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (src, nBins, nDocs) =
+        (r.getString(0), r.getLong(r.fieldIndex("n_bins")), r.getLong(r.fieldIndex("n_docs")))
+      assert(nDocs <= perSource(src), s"$src emitted more docs than it has")
+      assert(nBins >= 1 && nBins <= nDocs)
+    }
+    // the pipeline actually filters something on this corpus
+    assert(out.map(_.getLong(2)).sum < d.count())
+  }
+
+  test("q88: repetition fractions live in [0,1] and dup <= 1 - 1/total") {
+    val rows = CorpusOps.q88Repetition.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val total = r.getLong(r.fieldIndex("total_bigrams"))
+      val top = r.getDouble(r.fieldIndex("top_bigram_frac"))
+      val dup = r.getDouble(r.fieldIndex("dup_bigram_frac"))
+      assert(top > 0.0 && top <= 1.0)
+      assert(dup >= 0.0 && dup < 1.0)
+      // at least one distinct bigram exists, so dup is bounded away from 1
+      assert(dup <= 1.0 - 1.0 / total + 1e-9)
+    }
+  }
+
   test("q81: injected template text is flagged as boilerplate") {
     // 4 docs sharing one 5-gram template + 1 unique doc, via a temp
     // parquet dir shaped like the documents table

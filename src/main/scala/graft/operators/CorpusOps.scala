@@ -49,7 +49,7 @@ object CorpusOps {
     * regex split per gram element instead of one per row (measured
     * 15.6 s → 1.6 s for the explode at sf0.1; same fix as
     * DedupOps.shingled). */
-  private def fiveGrams(s: SparkSession, dir: String): DataFrame =
+  private[operators] def fiveGrams(s: SparkSession, dir: String): DataFrame =
     materialize(docs(s, dir)
       .select(col("doc_id"), trim(col("text")).as("t"),
         split(trim(col("text")), "\\s+").as("w")), "tok")

@@ -353,7 +353,14 @@ object DedupOps {
     * (dup clusters are shallow — bounded here at 20). This is the
     * standard large-scale connected-components shape (Hash-to-Min,
     * Vassilvitskii et al., public); the oracle computes the same
-    * fixpoint as a recursive-CTE transitive closure. */
+    * fixpoint as a recursive-CTE transitive closure.
+    *
+    * The iteration runs ONLY over docs that appear in some near-dup
+    * edge: isolated docs are their own canonical by definition and
+    * never change label, so they re-enter with a left join at the end.
+    * At 100 TB the dup graph is orders of magnitude smaller than the
+    * corpus (most docs have no near-duplicate), so every propagation
+    * round shuffles the dup subgraph, not the corpus. */
   val q91DupClusters: QueryDef = QueryDef(
     "q91_dup_clusters",
     (s, dir) => {
@@ -362,8 +369,11 @@ object DedupOps {
         pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))),
         "edges")
-      var labels = materialize(docs(s, dir)
-        .select(col("doc_id"), col("doc_id").as("label")), "labels0")
+      // working set: edge endpoints only (src already carries both
+      // directions after the union above)
+      var labels = materialize(edges
+        .select(col("src").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id")), "labels0")
       var changed = true
       var rounds = 0
       while (changed && rounds < 20) {
@@ -383,9 +393,11 @@ object DedupOps {
         labels = next.select(col("doc_id"), col("label"))
         rounds += 1
       }
-      labels
-        .select(col("doc_id"), col("label").as("canonical"),
-          (col("label") === col("doc_id")).as("is_canonical"))
+      docs(s, dir).select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("canonical"))
+        .withColumn("is_canonical", col("canonical") === col("doc_id"))
         .orderBy(col("doc_id"))
     },
     Some(s"""WITH RECURSIVE

@@ -1,0 +1,224 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus composition operators for the training-data tier: the steps
+  * that decide WHICH cleaned documents a pretraining run actually
+  * trains on — benchmark decontamination (GPT-3 §5 / Gopher n-gram
+  * overlap), deterministic train/val/test splitting, static
+  * domain-mixture sampling (the DoReMi/Pile static-weights shape), and
+  * semantic deduplication over embeddings (SemDeDup, Abbas et al.
+  * 2023). All public-knowledge designs.
+  *
+  * Shared scale theme: every corpus-global structure here (the
+  * benchmark n-gram set, the centroid table, the per-domain rate map)
+  * is tiny relative to the corpus, so it rides a broadcast while the
+  * corpus itself stays in narrow, codegen'd map stages; the only
+  * blocking joins are keyed on a cluster/bucket id, never N².
+  */
+object MixOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.loadParallel(s, dir, "documents")
+
+  /** Same durable-staging materialization seam as DedupOps/CorpusOps:
+    * localCheckpoint locally, parquet staging when
+    * `spark.graft.corpus.stagingDir` is set (the 100 TB configuration). */
+  private def materialize(df: DataFrame, tag: String): DataFrame = {
+    val s = df.sparkSession
+    s.conf.getOption("spark.graft.corpus.stagingDir") match {
+      case Some(root) =>
+        val path = s"$root/${tag}_${java.util.UUID.randomUUID().toString.take(8)}"
+        df.write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
+      case None => df.localCheckpoint()
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // q92: benchmark decontamination (n-gram overlap)
+  // ---------------------------------------------------------------
+
+  /** Train/test decontamination: flag any training document sharing a
+    * 5-gram with the held-out benchmark set (GPT-3 appendix C and
+    * Gopher both use 13-gram variants of exactly this check; 5-grams
+    * fit the synthetic corpus's short docs). Benchmark stand-in:
+    * every doc with doc_id % 10 == 7.
+    *
+    * Scale: the benchmark gram set is the DISTINCT n-grams of the eval
+    * suites — millions of rows against a corpus of trillions — so it
+    * broadcasts, and the corpus side is one narrow explode + one
+    * groupBy(doc_id) whose shuffle carries only (doc_id, hit) pairs.
+    * The corpus is never joined against itself. */
+  val q92Decontaminate: QueryDef = QueryDef(
+    "q92_decontaminate",
+    (s, dir) => {
+      val grams = CorpusOps.fiveGrams(s, dir)
+        .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      val benchGrams = grams.filter(col("doc_id") % 10 === 7)
+        .select(col("sh")).distinct()
+      grams.filter(col("doc_id") % 10 =!= 7)
+        .join(broadcast(benchGrams).withColumn("hit", lit(1)), Seq("sh"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).as("n_overlap"))
+        .withColumn("is_contaminated", col("n_overlap") >= 1)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, trim(text) AS t,
+        regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      sh AS (SELECT doc_id,
+        CASE WHEN len(w) >= 5
+          THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+                              for i in range(1, len(w) - 3)])
+          ELSE [t] END AS shingles FROM tok),
+      grams AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+      bench AS (SELECT DISTINCT sh FROM grams WHERE doc_id % 10 = 7)
+      SELECT c.doc_id,
+        CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+        sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) >= 1 AS is_contaminated
+      FROM grams c LEFT JOIN bench b ON c.sh = b.sh
+      WHERE c.doc_id % 10 <> 7
+      GROUP BY c.doc_id ORDER BY c.doc_id"""))
+
+  // ---------------------------------------------------------------
+  // q93: deterministic train/val/test split
+  // ---------------------------------------------------------------
+
+  /** Portable hash bucket in [0, 100): the first 4 hex chars of the
+    * content sha256 decoded by positional arithmetic — the SAME SQL
+    * text runs on Spark and DuckDB (both have 1-based instr/substr),
+    * so the oracle executes the identical derivation rather than
+    * trusting a library hash to agree across engines. */
+  private def bucketExpr(hashSql: String): String =
+    (1 to 4).map { i =>
+      s"(instr('0123456789abcdef', substr($hashSql, $i, 1)) - 1) * ${1 << (4 * (4 - i))}"
+    }.mkString("(", " + ", ") % 100")
+
+  /** Deterministic content-hash split: bucket < 80 → train, < 90 →
+    * val, else test. Hashing CONTENT (not doc_id) means re-ingesting
+    * the same document under a new id lands in the same split — no
+    * eval leakage across pipeline re-runs, the property a row-number
+    * or random() split does not have. Narrow map stage, no shuffle
+    * (the sort is harness determinism). */
+  val q93SplitAssign: QueryDef = QueryDef(
+    "q93_split_assign",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("bucket", expr(bucketExpr("sha2(text, 256)")).cast("long"))
+        .select(col("doc_id"), col("bucket"),
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id, CAST(${bucketExpr("sha256(text)")} AS BIGINT) AS bucket,
+        CASE WHEN ${bucketExpr("sha256(text)")} < 80 THEN 'train'
+             WHEN ${bucketExpr("sha256(text)")} < 90 THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------
+  // q94: static domain-mixture sampling
+  // ---------------------------------------------------------------
+
+  /** Per-language target rates (percent kept) — a static mixture table
+    * in the DoReMi/Pile style: upweight the primary language, damp the
+    * long tail. At scale this map is a broadcast (or a literal CASE,
+    * as here) — never a shuffle key. */
+  private val rateSql =
+    "case lang when 'en' then 90 when 'de' then 60 when 'fr' then 60 else 30 end"
+
+  /** Domain-mixture sampling: keep a deterministic hash-rate sample
+    * per language. The same content-hash bucket as q93 drives the
+    * keep decision, so the sample is reproducible run-to-run and
+    * composes with the split (a doc's bucket decides both). One
+    * narrow pass: rate lookup is a literal CASE, kept is a codegen'd
+    * comparison — the 100 TB form is identical. */
+  val q94DomainMix: QueryDef = QueryDef(
+    "q94_domain_mix",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("bucket", expr(bucketExpr("sha2(text, 256)")).cast("long"))
+        .withColumn("rate", expr(rateSql).cast("long"))
+        .select(col("doc_id"), col("lang"), col("bucket"), col("rate"),
+          (col("bucket") < col("rate")).as("kept"))
+        .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id, lang, CAST(${bucketExpr("sha256(text)")} AS BIGINT) AS bucket,
+        CAST($rateSql AS BIGINT) AS rate,
+        ${bucketExpr("sha256(text)")} < ($rateSql) AS kept
+      FROM documents ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------
+  // q95: semantic dedup (SemDeDup)
+  // ---------------------------------------------------------------
+
+  private val Cents = 8      // centroid count for the synthetic corpus
+  private val DupCos = 0.35  // q55's near-dup threshold on normalized vecs
+
+  /** SemDeDup (Abbas et al. 2023): assign every embedding to its
+    * nearest centroid, then mark as duplicate any vector whose cosine
+    * to a LOWER-vec_id vector in the same cluster exceeds the
+    * threshold (min-id is the canonical survivor, q22's keep rule).
+    * Centroids here are the first [[Cents]] vectors so the oracle can
+    * reproduce the assignment; the production path trains them with
+    * `ml/VectorML.trainCentroids` (k-means) — the operator shape is
+    * unchanged.
+    *
+    * Scale: the centroid table is k rows (k ≈ √N) against a corpus of
+    * billions — a broadcast nested-loop assign, one codegen'd dot per
+    * (vector, centroid); the pair join is equi-keyed on the cluster
+    * id, so candidates are cluster-local, never N² — the same
+    * blocked-join shape as the LSH band join (q51), with the cluster
+    * standing in for the band. Assignment is materialized once and
+    * reused by both sides of the pair join. */
+  val q95SemanticDedup: QueryDef = QueryDef(
+    "q95_semantic_dedup",
+    (s, dir) => {
+      graft.functions.expressions.VectorExpressions.register(s)
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val cents = e.filter(col("vec_id") < Cents)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val assigned = materialize(
+        e.crossJoin(broadcast(cents))
+          .withColumn("cos", expr("dot_product_f(embedding, cvec)"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id"))
+              .orderBy(col("cos").desc, col("cid").asc)))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid").as("cluster"), col("embedding")),
+        "semdedup_assign")
+      val dups = assigned.as("a").join(assigned.as("b"),
+          col("a.cluster") === col("b.cluster") &&
+            col("a.vec_id") < col("b.vec_id") &&
+            expr(s"dot_product_f(a.embedding, b.embedding) > $DupCos"))
+        .select(col("b.vec_id").as("vec_id")).distinct()
+        .withColumn("is_dup", lit(true))
+      assigned.join(dups, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"), col("cluster"),
+          coalesce(col("is_dup"), lit(false)).as("is_dup"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $Cents),
+      scored AS (SELECT e.vec_id, c.cid,
+          list_sum(list_transform(list_zip(e.v, c.cv), x -> x[1]*x[2])) AS cos
+        FROM e, c),
+      asg AS (SELECT vec_id, cid AS cluster FROM (
+          SELECT vec_id, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+          FROM scored) r WHERE rn = 1),
+      dups AS (SELECT DISTINCT b.vec_id
+        FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id
+        WHERE list_sum(list_transform(list_zip(ea.v, eb.v), x -> x[1]*x[2])) > $DupCos)
+      SELECT g.vec_id, g.cluster, (d.vec_id IS NOT NULL) AS is_dup
+      FROM asg g LEFT JOIN dups d ON g.vec_id = d.vec_id
+      ORDER BY g.vec_id"""))
+
+  val all: Seq[QueryDef] = Seq(
+    q92Decontaminate, q93SplitAssign, q94DomainMix, q95SemanticDedup)
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants of the corpus-composition tier beyond the row-hash
+  * oracle: split determinism under re-ingest, mixture monotonicity,
+  * decontamination sensitivity, semantic-dedup survivor rules. */
+class MixOpsSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  test("q93: buckets live in [0,100) and split follows the content hash") {
+    val rows = MixOps.q93SplitAssign.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getLong(r.fieldIndex("bucket"))
+      val sp = r.getString(r.fieldIndex("split"))
+      assert(b >= 0 && b < 100)
+      val expected = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(sp === expected, s"bucket $b mapped to $sp")
+    }
+    // content-keyed: identical text always lands in the same split,
+    // whatever its doc_id — the no-leakage-on-reingest property
+    val d = graft.Tables.load(spark, dir, "documents")
+    val samePerHash = MixOps.q93SplitAssign.fn(spark, dir)
+      .join(d.select(col("doc_id"), sha2(col("text"), 256).as("h")), "doc_id")
+      .groupBy("h").agg(countDistinct("split").as("n"))
+      .filter(col("n") > 1).count()
+    assert(samePerHash === 0L)
+  }
+
+  test("q94: kept is exactly bucket < rate, rates follow the mixture table") {
+    val rows = MixOps.q94DomainMix.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val rateOf = Map("en" -> 90L, "de" -> 60L, "fr" -> 60L)
+    rows.foreach { r =>
+      val (lang, b, rate, kept) = (r.getString(r.fieldIndex("lang")),
+        r.getLong(r.fieldIndex("bucket")), r.getLong(r.fieldIndex("rate")),
+        r.getBoolean(r.fieldIndex("kept")))
+      assert(rate === rateOf.getOrElse(lang, 30L))
+      assert(kept === (b < rate))
+    }
+    // the mixture bites: a lower-rate language keeps a smaller or equal
+    // fraction than the top-rate one on any non-trivial corpus slice
+    val frac = rows.groupBy(_.getString(1)).map { case (l, rs) =>
+      l -> rs.count(_.getBoolean(4)).toDouble / rs.length
+    }
+    for (l <- frac.keys if l != "en" && frac(l) > 0)
+      assert(frac(l) <= frac("en") + 0.35, s"$l kept more than the en-heavy mixture allows")
+  }
+
+  test("q92: a doc sharing a 5-gram with the benchmark set is flagged") {
+    // benchmark membership is doc_id % 10 == 7; craft a corpus where
+    // doc 3 copies benchmark doc 7's text and doc 4 shares nothing
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mix").toString
+    import spark.implicits._
+    val benchText = "the quick brown fox jumps over the lazy dog today"
+    Seq(
+      (3L, benchText, "en", "s0", 1L),
+      (4L, "completely different words that never touch the benchmark suite", "en", "s0", 1L),
+      (7L, benchText, "en", "s0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = MixOps.q92Decontaminate.fn(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("is_contaminated"))).toMap
+    assert(out(3L), "the benchmark copy must flag")
+    assert(!out(4L), "the clean doc must not flag")
+    assert(!out.contains(7L), "benchmark docs are not part of the scored corpus")
+  }
+
+  test("q95: canonical survivors are never dups; min vec_id survives its cluster") {
+    val rows = MixOps.q95SemanticDedup.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_.getLong(rows.head.fieldIndex("cluster")))
+    byCluster.foreach { case (c, rs) =>
+      val minId = rs.map(_.getLong(0)).min
+      val minRow = rs.find(_.getLong(0) == minId).get
+      assert(!minRow.getBoolean(minRow.fieldIndex("is_dup")),
+        s"cluster $c: the lowest vec_id can have no lower-id neighbor")
+    }
+    // every embedding is assigned to exactly one cluster
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    assert(rows.length ===
+      graft.Tables.load(spark, dir, "embeddings").count().toInt)
+  }
+}

@@ -81,7 +81,8 @@ object MixOps {
         sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) >= 1 AS is_contaminated
       FROM grams c LEFT JOIN bench b ON c.sh = b.sh
       WHERE c.doc_id % 10 <> 7
-      GROUP BY c.doc_id ORDER BY c.doc_id"""))
+      GROUP BY c.doc_id ORDER BY c.doc_id"""),
+    headline = true)
 
   // ---------------------------------------------------------------
   // q93: deterministic train/val/test split
@@ -217,7 +218,8 @@ object MixOps {
         WHERE list_sum(list_transform(list_zip(ea.v, eb.v), x -> x[1]*x[2])) > $DupCos)
       SELECT g.vec_id, g.cluster, (d.vec_id IS NOT NULL) AS is_dup
       FROM asg g LEFT JOIN dups d ON g.vec_id = d.vec_id
-      ORDER BY g.vec_id"""))
+      ORDER BY g.vec_id"""),
+    headline = true)
 
   val all: Seq[QueryDef] = Seq(
     q92Decontaminate, q93SplitAssign, q94DomainMix, q95SemanticDedup)

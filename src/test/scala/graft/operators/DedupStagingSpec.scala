@@ -23,6 +23,19 @@ class DedupStagingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.dedup.stagingDir")
   }
 
+  test("q95 semantic dedup is identical under corpus parquet staging") {
+    val dir = sf("sf0.001")
+    val local = MixOps.q95SemanticDedup.fn(spark, dir).collect().map(_.toString)
+    val staging = java.nio.file.Files.createTempDirectory("graft-corpus-stage").toString
+    spark.conf.set("spark.graft.corpus.stagingDir", staging)
+    try {
+      val durable = MixOps.q95SemanticDedup.fn(spark, dir).collect().map(_.toString)
+      assert(durable.toSeq == local.toSeq)
+      val staged = new java.io.File(staging).listFiles()
+      assert(staged != null && staged.exists(_.getName.startsWith("semdedup_assign_")))
+    } finally spark.conf.unset("spark.graft.corpus.stagingDir")
+  }
+
   test("q90 pigeonhole banding finds EVERY pair within the Hamming bound (vs brute force)") {
     import org.apache.spark.sql.functions._
     val dir = sf("sf0.001")

@@ -84,4 +84,31 @@ class MixOpsSpec extends SparkSpec {
     assert(rows.length ===
       graft.Tables.load(spark, dir, "embeddings").count().toInt)
   }
+
+  // ---- plan-shape assertions: the scale contracts, not just results ----
+
+  test("q92 plan: the benchmark gram set rides a broadcast, never a shuffle join") {
+    val df = MixOps.q92Decontaminate.fn(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+  }
+
+  test("q93/q94 plans: one narrow pass — no hash-partition exchange at all") {
+    for (qd <- Seq(MixOps.q93SplitAssign, MixOps.q94DomainMix)) {
+      val df = qd.fn(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"${qd.name} shuffles where a narrow map suffices:\n${plan.take(600)}")
+    }
+  }
+
+  test("q95 plan: cluster-blocked pair join is equi-keyed, never cartesian") {
+    val df = MixOps.q95SemanticDedup.fn(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"pair join degenerated to a cross product:\n${plan.take(600)}")
+  }
 }

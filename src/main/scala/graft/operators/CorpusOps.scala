@@ -49,8 +49,13 @@ object CorpusOps {
     * regex split per gram element instead of one per row (measured
     * 15.6 s → 1.6 s for the explode at sf0.1; same fix as
     * DedupOps.shingled). */
-  private[operators] def fiveGrams(s: SparkSession, dir: String): DataFrame =
-    materialize(docs(s, dir)
+  private[graft] def fiveGrams(s: SparkSession, dir: String): DataFrame =
+    fiveGramsOf(docs(s, dir))
+
+  /** Same, over an arbitrary documents frame (the library-API entry,
+    * used by pipeline/Curation). */
+  private[graft] def fiveGramsOf(d: DataFrame): DataFrame =
+    materialize(d
       .select(col("doc_id"), trim(col("text")).as("t"),
         split(trim(col("text")), "\\s+").as("w")), "tok")
       .withColumn("shingles", expr(
@@ -111,6 +116,28 @@ object CorpusOps {
   // ---------------------------------------------------------------
   // q82: Gopher-style rule gates
   // ---------------------------------------------------------------
+
+  /** Gopher/MassiveText rule thresholds — q82's defaults; the
+    * library-API form is configurable via pipeline/Curation. */
+  final case class GateRules(
+      minWords: Long = 10, maxWords: Long = 1000,
+      minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 12.0,
+      minStopwords: Long = 2, minAlphaFrac: Double = 0.8,
+      stopwords: Seq[String] = Seq("the", "a", "of", "to", "and"))
+
+  /** keep-predicate over a text column for the given rules — the single
+    * source of truth behind q82's `keep`, q87's gate stage, and
+    * `Curation.run`. Pure Column arithmetic: narrow, codegen'd. */
+  def gateKeep(text: org.apache.spark.sql.Column, r: GateRules): org.apache.spark.sql.Column = {
+    val w = split(trim(text), "\\s+")
+    val nWords = size(w).cast("long")
+    val meanLen = length(regexp_replace(trim(text), "\\s+", "")).cast("double") / nWords
+    val nStop = size(filter(w, t => t.isin(r.stopwords: _*))).cast("long")
+    val alphaFrac = size(filter(w, t => t.rlike("[A-Za-z]"))).cast("double") / nWords
+    nWords.between(r.minWords, r.maxWords) &&
+      meanLen.between(r.minMeanWordLen, r.maxMeanWordLen) &&
+      nStop >= r.minStopwords && alphaFrac >= r.minAlphaFrac
+  }
 
   /** Gopher/MassiveText quality rules (Rae et al. 2021 A1.1), scaled to
     * the synthetic corpus: word count in [10, 1000], mean word length
@@ -229,7 +256,7 @@ object CorpusOps {
   // ---------------------------------------------------------------
 
   /** Tokens per doc, whitespace tokenizer (q45's semantics). */
-  private def nTokens(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def nTokens(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(length(trim(c)) === 0, 0L)
       .otherwise(size(split(trim(c), "\\s+")).cast("long"))
 
@@ -249,7 +276,7 @@ object CorpusOps {
   /** The greedy pack itself over a (source, doc_id, n_tokens) frame —
     * shared by q86 and the q87 capstone. See q86's scaladoc for the
     * partitioning/ordering contract. */
-  private[operators] def packGreedy(toks: DataFrame, capacity: Long = 512L): DataFrame = {
+  private[graft] def packGreedy(toks: DataFrame, capacity: Long = 512L): DataFrame = {
     val s = toks.sparkSession
     import s.implicits._
     val packed = toks
@@ -318,14 +345,8 @@ object CorpusOps {
     "q87_curation_pipeline",
     (s, dir) => {
       val d = docs(s, dir)
-      // gate 1: Gopher rules (q82 semantics)
-      val w = split(trim(col("text")), "\\s+")
-      val nWords = size(w).cast("long")
-      val meanLen = length(regexp_replace(trim(col("text")), "\\s+", "")).cast("double") / nWords
-      val nStop = size(filter(w, t => t.isin("the", "a", "of", "to", "and"))).cast("long")
-      val alphaFrac = size(filter(w, t => t.rlike("[A-Za-z]"))).cast("double") / nWords
-      val gated = d.filter(nWords.between(10, 1000) && meanLen.between(2.0, 12.0) &&
-        nStop >= 2 && alphaFrac >= 0.8)
+      // gate 1: Gopher rules (q82 semantics, shared predicate)
+      val gated = d.filter(gateKeep(col("text"), GateRules()))
       // gate 2: boilerplate on the raw corpus (q81 semantics); the gram
       // frame feeds BOTH the frequency count and the per-doc fraction,
       // so it is materialized once instead of exploding shingles twice

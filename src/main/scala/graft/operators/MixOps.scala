@@ -93,7 +93,7 @@ object MixOps {
     * text runs on Spark and DuckDB (both have 1-based instr/substr),
     * so the oracle executes the identical derivation rather than
     * trusting a library hash to agree across engines. */
-  private def bucketExpr(hashSql: String): String =
+  private[graft] def bucketExpr(hashSql: String): String =
     (1 to 4).map { i =>
       s"(instr('0123456789abcdef', substr($hashSql, $i, 1)) - 1) * ${1 << (4 * (4 - i))}"
     }.mkString("(", " + ", ") % 100")

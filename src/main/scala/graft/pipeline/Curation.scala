@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import graft.operators.{CorpusOps, MixOps}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
+import org.apache.spark.sql.functions._
+
+/** The corpus-curation pipeline as a library API: quality gates →
+  * boilerplate filter → benchmark decontamination → domain-mixture
+  * sampling → exact dedup → sequence packing, configurable end to end.
+  * q82/q81/q92/q94/q22/q86 are the oracle-checked single-stage forms;
+  * this runner composes them the way `Workflow.run` composes the
+  * document-extraction stages, with per-stage counts taken via
+  * [[Observation]] on the SAME pass that computes the survivors —
+  * no stage is ever re-executed to count it (the §7.4 double-billing
+  * rule, applied to corpus scans instead of LLM calls).
+  *
+  * Scale shape (see SCALE.md): the only corpus-size shuffles are the
+  * frequent-shingle count, the dedup groupBy and the packing
+  * repartition; the benchmark gram set and the stage-drop bookkeeping
+  * ride broadcasts / observation metrics.
+  */
+object Curation {
+
+  /** Gopher/MassiveText rule thresholds — defined next to the q82
+    * operator; re-exported here as the library-API entry point. */
+  type GateRules = CorpusOps.GateRules
+  val GateRules = CorpusOps.GateRules
+
+  /** keep-predicate over a text column — the shared q82/q87 predicate. */
+  def gateKeep(text: Column, r: GateRules): Column = CorpusOps.gateKeep(text, r)
+
+  /** @param benchmarkGrams optional decontamination set — one string
+    *        column `sh` of benchmark n-grams (distinct-ness not
+    *        required; it is enforced before the broadcast)
+    * @param mixtureRates   percent kept per `lang` (q94's shape);
+    *        langs absent from the map keep `defaultRate` */
+  final case class CurationConfig(
+      gates: GateRules = GateRules(),
+      boilerMinDocs: Long = 3,
+      boilerMaxFrac: Double = 0.5,
+      benchmarkGrams: Option[DataFrame] = None,
+      mixtureRates: Map[String, Long] = Map.empty,
+      defaultRate: Long = 100L,
+      packCapacity: Long = 512L)
+
+  final case class CurationSummary(
+      raw: Long, gated: Long, boilerDropped: Long, contaminatedDropped: Long,
+      sampledOut: Long, packedDocs: Long, bins: Long)
+
+  private def materialize(df: DataFrame, tag: String): DataFrame = {
+    val s = df.sparkSession
+    s.conf.getOption("spark.graft.corpus.stagingDir") match {
+      case Some(root) =>
+        val path = s"$root/${tag}_${java.util.UUID.randomUUID().toString.take(8)}"
+        df.write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
+      case None => df.localCheckpoint()
+    }
+  }
+
+  /** Run the pipeline over a documents frame (`doc_id`, `text`, `lang`,
+    * `source`). Returns the packed-bin table
+    * (source, bin, n_docs, sum_tokens) and the per-stage summary.
+    *
+    * Exactly three corpus-size actions run: the shared gram
+    * materialization, the flagged-survivor materialization (where ALL
+    * drop counts are observed), and the packing pass. */
+  def run(docs: DataFrame, cfg: CurationConfig = CurationConfig()): (DataFrame, CurationSummary) = {
+    // boilerplate frequencies on the RAW corpus (q87's rule: template
+    // text counts even when its host doc fails other gates)
+    val grams = materialize(CorpusOps.fiveGramsOf(docs)
+      .select(col("doc_id"), explode(col("shingles")).as("sh")), "grams")
+    val frequent = grams.groupBy(col("sh"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= cfg.boilerMinDocs).select(col("sh"))
+    val boilerIds = grams
+      .join(broadcast(frequent).withColumn("is_freq", lit(1)), Seq("sh"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg((sum(coalesce(col("is_freq"), lit(0))).cast("double") / count(lit(1))).as("frac"))
+      .filter(col("frac") >= cfg.boilerMaxFrac)
+      .select(col("doc_id"), lit(true).as("is_boiler"))
+    // decontamination: docs sharing any gram with the benchmark set
+    val contamIds = cfg.benchmarkGrams.map { bg =>
+      grams.join(broadcast(bg.select(col("sh")).distinct()), Seq("sh"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .withColumn("is_contam", lit(true))
+    }
+    // one flagged pass: every stage's verdict as a column, every
+    // stage's count as an observation on the SAME materialization
+    val rateCol = cfg.mixtureRates.foldLeft(lit(cfg.defaultRate)) {
+      case (acc, (lang, r)) => when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+    val flagged0 = docs
+      .withColumn("pass_gate", gateKeep(col("text"), cfg.gates))
+      .join(boilerIds, Seq("doc_id"), "left_outer")
+      .withColumn("bucket", expr(MixOps.bucketExpr("sha2(text, 256)")).cast("long"))
+      .withColumn("pass_mix", col("bucket") < rateCol)
+    val flagged = contamIds.fold(flagged0.withColumn("is_contam", lit(false)))(
+        ids => flagged0.join(ids, Seq("doc_id"), "left_outer"))
+      .withColumn("is_boiler", coalesce(col("is_boiler"), lit(false)))
+      .withColumn("is_contam", coalesce(col("is_contam"), lit(false)))
+    val obs = Observation()
+    val clean = materialize(flagged
+      .observe(obs,
+        count(lit(1)).as("raw"),
+        count(when(col("pass_gate"), true)).as("gated"),
+        count(when(col("pass_gate") && col("is_boiler"), true)).as("boiler_dropped"),
+        count(when(col("pass_gate") && !col("is_boiler") && col("is_contam"), true))
+          .as("contam_dropped"),
+        count(when(col("pass_gate") && !col("is_boiler") && !col("is_contam") &&
+          !col("pass_mix"), true)).as("sampled_out"))
+      .filter(col("pass_gate") && !col("is_boiler") && !col("is_contam") && col("pass_mix"))
+      .select(col("source"), col("doc_id"), col("text")), "clean")
+    // exact dedup (min doc_id per content hash) + packing
+    val keepIds = clean.groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val obsPack = Observation()
+    val bins = materialize(CorpusOps.packGreedy(
+      clean.join(keepIds, Seq("doc_id"), "left_semi")
+        .select(col("source"), col("doc_id"),
+          CorpusOps.nTokens(col("text")).as("n_tokens"))
+        .observe(obsPack, count(lit(1)).as("packed_docs")),
+      cfg.packCapacity), "bins")
+    val summary = CurationSummary(
+      raw = obs.get("raw").asInstanceOf[Long],
+      gated = obs.get("gated").asInstanceOf[Long],
+      boilerDropped = obs.get("boiler_dropped").asInstanceOf[Long],
+      contaminatedDropped = obs.get("contam_dropped").asInstanceOf[Long],
+      sampledOut = obs.get("sampled_out").asInstanceOf[Long],
+      packedDocs = obsPack.get("packed_docs").asInstanceOf[Long],
+      bins = bins.count())
+    (bins, summary)
+  }
+}

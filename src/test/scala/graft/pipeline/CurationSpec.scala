@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.operators.{CorpusOps, MixOps}
+import org.apache.spark.sql.functions._
+
+/** The curation library API: stage accounting, config knobs, and
+  * equivalence with the oracle-checked q87 capstone at default config. */
+class CurationSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+  private def docs = graft.Tables.load(spark, dir, "documents")
+
+  test("default config reproduces the q87 capstone rollup exactly") {
+    val (bins, _) = Curation.run(docs)
+    val got = bins.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_tokens")).as("sum_tokens"))
+      .orderBy(col("source")).collect().map(_.toString)
+    val want = CorpusOps.q87CurationPipeline.fn(spark, dir)
+      .collect().map(_.toString)
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("summary stages are consistent and conserve documents") {
+    val (bins, s) = Curation.run(docs)
+    assert(s.raw === docs.count())
+    assert(s.gated <= s.raw)
+    // survivors = gated minus the three drop stages, then dedup
+    val survivors = s.gated - s.boilerDropped - s.contaminatedDropped - s.sampledOut
+    assert(s.packedDocs <= survivors)
+    assert(s.contaminatedDropped === 0L, "no benchmark set configured")
+    assert(s.sampledOut === 0L, "default rate keeps everything")
+    assert(s.bins === bins.count())
+    assert(bins.agg(sum("n_docs")).collect().head.getLong(0) === s.packedDocs)
+  }
+
+  test("a benchmark gram set drops exactly the overlapping docs") {
+    // probe doc: gated and non-boilerplate, so the contamination stage
+    // (which runs after both) is what must catch it
+    val boilerIds = CorpusOps.q81Boilerplate.fn(spark, dir)
+      .filter(col("is_boilerplate")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val probeId = docs
+      .filter(CorpusOps.gateKeep(col("text"), CorpusOps.GateRules()))
+      .orderBy("doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).find(!boilerIds(_)).get
+    val probe = CorpusOps.fiveGramsOf(docs.filter(col("doc_id") === probeId))
+      .select(explode(col("shingles")).as("sh"))
+    val (_, base) = Curation.run(docs)
+    val (_, s) = Curation.run(docs,
+      Curation.CurationConfig(benchmarkGrams = Some(probe)))
+    assert(s.contaminatedDropped >= 1L, s"doc $probeId shares all its grams with the benchmark")
+    assert(s.packedDocs < base.packedDocs)
+  }
+
+  test("a zero mixture rate removes a language entirely; summary accounts for it") {
+    val (_, s) = Curation.run(docs,
+      Curation.CurationConfig(mixtureRates = Map("zh" -> 0L)))
+    // every gated non-boiler zh doc is sampled out
+    val zhGated = docs.filter(col("lang") === "zh")
+      .filter(CorpusOps.gateKeep(col("text"), CorpusOps.GateRules())).count()
+    assert(s.sampledOut > 0L || zhGated === 0L)
+    assert(s.sampledOut <= zhGated)
+  }
+
+  test("stricter gates can only shrink the packed corpus") {
+    val (_, loose) = Curation.run(docs)
+    val (_, strict) = Curation.run(docs,
+      Curation.CurationConfig(gates = Curation.GateRules(minWords = 50)))
+    assert(strict.gated <= loose.gated)
+    assert(strict.packedDocs <= loose.packedDocs)
+  }
+}

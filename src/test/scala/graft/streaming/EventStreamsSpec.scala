@@ -92,4 +92,41 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows(0).getAs[Long]("n_events") == 2L)
     assert(rows(1).getAs[Long]("n_events") == 1L)
   }
+
+  test("corpus gates + exact dedup run unchanged over a document stream, exactly-once across runs") {
+    // the hygiene tier is pure Column logic, so incremental corpus
+    // ingest is the SAME code as batch: stream → gateKeep filter →
+    // content-hash dropDuplicates (state in the checkpoint)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType)))
+    val src = Files.createTempDirectory("graft-cur-src").toString
+    val sink = Files.createTempDirectory("graft-cur-sink").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-cur-ckpt").toString
+    val passA = "the cat sat on a mat and the dog ran off to the park today"
+    val passC = "a ship left the harbor of dover and sailed to the coast of france"
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s0"}"""
+    def curated() = graft.streaming.EventStreams
+      .incrementalFiles(spark, src, docSchema)
+      .filter(graft.operators.CorpusOps.gateKeep(col("text"),
+        graft.operators.CorpusOps.GateRules()))
+      .withColumn("h", sha2(col("text"), 256))
+      .dropDuplicates("h")
+
+    // run 1: a gate-passer, a too-short reject, and an exact dup of the passer
+    writeBatch(src, Seq(doc(1, passA), doc(2, "too short"), doc(3, passA)), "b1.json")
+    EventStreams.runAvailableNow(curated(), sink, ckpt)
+    assert(spark.read.parquet(sink).select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L))
+
+    // run 2: the dup arrives AGAIN plus a new passer — dedup state in the
+    // checkpoint drops the old content across runs, admits the new doc
+    writeBatch(src, Seq(doc(4, passA), doc(5, passC)), "b2.json")
+    EventStreams.runAvailableNow(curated(), sink, ckpt)
+    assert(spark.read.parquet(sink).select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 5L))
+  }
 }

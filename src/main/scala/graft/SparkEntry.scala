@@ -25,7 +25,8 @@ object SparkEntry {
       operators.PdfOps.all ++
       operators.MediaOps.all ++
       operators.CorpusOps.all ++
-      operators.MixOps.all
+      operators.MixOps.all ++
+      operators.LmOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The index-pipeline capstone: chunk → mock-embed → top-k retrieve —

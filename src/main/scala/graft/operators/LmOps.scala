@@ -1,0 +1,232 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Statistical-LM corpus operators for the training-data tier: the
+  * scoring passes a pretraining pipeline runs AFTER rule gates (q82)
+  * and BEFORE mixing (q94) — n-gram language-model perplexity
+  * filtering (the CCNet/KenLM shape, Wenzek et al. 2020), BM25 ranked
+  * keyword retrieval (Robertson/Spärck Jones, the lexical leg a RAG
+  * fusion pipeline pairs with q30's dense leg), and exact-substring
+  * span dedup (Lee et al. 2022's ExactSubstr, approximated with
+  * fixed-length token windows). All public-knowledge designs.
+  *
+  * Shared scale theme (same as MixOps): every corpus-global model
+  * built here — the bigram count table, the document-frequency table —
+  * is vocabulary-sized, orders of magnitude smaller than the corpus,
+  * so it broadcasts; the corpus side stays in narrow explode/agg
+  * stages whose only shuffle is keyed on (doc_id) or (span hash),
+  * never a corpus self-join.
+  */
+object LmOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.loadParallel(s, dir, "documents")
+
+  /** Durable-staging materialization seam (same contract as
+    * DedupOps/MixOps): localCheckpoint locally, parquet staging when
+    * `spark.graft.corpus.stagingDir` is set — the 100 TB configuration,
+    * where a lost executor recomputes from staged files instead of
+    * killing the job. */
+  private def materialize(df: DataFrame, tag: String): DataFrame = {
+    val s = df.sparkSession
+    s.conf.getOption("spark.graft.corpus.stagingDir") match {
+      case Some(root) =>
+        val path = s"$root/${tag}_${java.util.UUID.randomUUID().toString.take(8)}"
+        df.write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
+      case None => df.localCheckpoint()
+    }
+  }
+
+  /** (doc_id, token array) — materialized so the downstream bigram
+    * transform doesn't re-run the regex split per element_at (the
+    * project-collapse inlining hazard measured in DedupOps.shingled). */
+  private def tokenized(s: SparkSession, dir: String): DataFrame =
+    materialize(docs(s, dir)
+      .select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("w")), "lm_tok")
+
+  private val tokSqlCte =
+    """tok AS (SELECT doc_id,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents)""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q96: n-gram LM perplexity filtering (CCNet shape)
+  // ---------------------------------------------------------------
+
+  private val Alpha = 0.1 // add-alpha smoothing mass per continuation
+
+  /** Per-document bigram negative log-likelihood under an add-alpha
+    * bigram model trained on the corpus itself: CCNet trains KenLM on
+    * a trusted corpus and drops the worst-perplexity tail; the operator
+    * shape — train counts once, broadcast the model, score every doc in
+    * one narrow pass — is identical, with the trusted corpus standing
+    * in for itself on the synthetic data.
+    *
+    * P(w2|w1) = (c(w1 w2) + α) / (c(w1·) + α·V), summed as
+    * -ln P over a doc's bigrams, averaged per bigram. Docs shorter than
+    * two tokens have no bigram and score null (kept by convention).
+    *
+    * Scale: c(w1 w2) and c(w1·) are groupBy counts whose result is
+    * VOCABULARY-sized (Heaps' law: ~10⁷-10⁸ rows at 100 TB, with a
+    * top-V + <unk> cutoff exactly as KenLM prunes) — they broadcast,
+    * while the corpus side is one explode + one broadcast hash join +
+    * one groupBy(doc_id) whose shuffle carries only (doc_id, nll)
+    * partials. The corpus never self-joins, and the model-build pass
+    * shuffles (w1, w2) pairs once with map-side partial aggregation. */
+  val q96LmPerplexity: QueryDef = QueryDef(
+    "q96_lm_perplexity",
+    (s, dir) => {
+      val bigrams = materialize(tokenized(s, dir)
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(w) - 1),
+            |  i -> struct(element_at(w, i) as w1, element_at(w, i + 1) as w2))""".stripMargin)).as("bg"))
+        .select(col("doc_id"), col("bg.w1"), col("bg.w2")), "lm_bigrams")
+      // model tables: vocabulary-sized, broadcast below
+      val vocabSize = bigrams.agg(countDistinct(col("w2")).as("v"))
+      val ctxCounts = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val bgCounts = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val scored = bigrams
+        .join(broadcast(bgCounts), Seq("w1", "w2"))
+        .join(broadcast(ctxCounts), Seq("w1"))
+        .crossJoin(broadcast(vocabSize))
+        .select(col("doc_id"),
+          (-log((col("c2") + Alpha) / (col("c1") + col("v") * Alpha))).as("nll"))
+      scored.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(col("nll")), 6).as("avg_nll"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $tokSqlCte,
+      bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        FROM tok, unnest(range(1, len(w))) AS t(i)
+        WHERE len(w) >= 2),
+      v AS (SELECT count(DISTINCT w2) AS v FROM bg),
+      c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+      c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2)
+      SELECT bg.doc_id, count(*) AS n_bigrams,
+        round(avg(-ln((c2.c2 + $Alpha) / (c1.c1 + $Alpha * v.v))), 6) AS avg_nll
+      FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+        JOIN c1 ON bg.w1 = c1.w1, v
+      GROUP BY bg.doc_id ORDER BY bg.doc_id"""),
+    headline = true)
+
+  // ---------------------------------------------------------------
+  // q97: BM25 ranked retrieval
+  // ---------------------------------------------------------------
+
+  private val K1 = 1.2
+  private val B = 0.75
+  private val QueryTerms = Seq("spark", "vector", "stream")
+
+  /** BM25 over the documents table for a fixed query — the scored
+    * upgrade of q44's boolean keyword hits, and the lexical leg of an
+    * RRF fusion (q32) at scale:
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))
+    *   idf(t)   = ln(1 + (N - df + 0.5)/(df + 0.5))
+    *
+    * Scale: N/avgdl are one tiny global aggregate; df is one row per
+    * query term (broadcast); tf is a groupBy(doc_id, term) over the
+    * term-filtered explode — the filter cuts the exploded stream to
+    * query-term hits BEFORE any shuffle, so the shuffle volume is
+    * hits, not tokens. An inverted-index layout (bucketBy(term))
+    * would serve interactive QPS; this is the batch-scoring shape. */
+  val q97Bm25: QueryDef = QueryDef(
+    "q97_bm25",
+    (s, dir) => {
+      val toks = tokenized(s, dir)
+      val stats = toks.agg(count(lit(1)).as("n_docs"),
+        avg(size(col("w"))).as("avgdl"))
+      val hits = toks
+        .select(col("doc_id"), size(col("w")).as("dl"), explode(col("w")).as("tok"))
+        .filter(col("tok").isin(QueryTerms: _*))
+      val tf = hits.groupBy(col("doc_id"), col("dl"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val df_ = hits.groupBy(col("tok"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      tf.join(broadcast(df_), Seq("tok"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+            (col("tf") * (K1 + 1)) /
+            (col("tf") + (lit(1.0) - B + col("dl") / col("avgdl") * B) * K1)).as("s"))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("s")), 6).as("bm25"), count(lit(1)).as("n_terms"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some(s"""WITH $tokSqlCte,
+      stats AS (SELECT count(*) AS n_docs, avg(len(w)) AS avgdl FROM tok),
+      hits AS (SELECT doc_id, len(w) AS dl, tok
+        FROM (SELECT doc_id, w, unnest(w) AS tok FROM tok) x
+        WHERE tok IN (${QueryTerms.map(t => s"'$t'").mkString(", ")})),
+      tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM hits GROUP BY doc_id, dl, tok),
+      df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM hits GROUP BY tok)
+      SELECT doc_id, round(sum(s), 6) AS bm25, count(*) AS n_terms FROM (
+        SELECT tf.doc_id,
+          ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+            (tf.tf * ($K1 + 1)) /
+            (tf.tf + $K1 * (1.0 - $B + $B * tf.dl / stats.avgdl)) AS s
+        FROM tf JOIN df ON tf.tok = df.tok, stats) x
+      GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20"""))
+
+  // ---------------------------------------------------------------
+  // q98: exact-substring span dedup (ExactSubstr shape)
+  // ---------------------------------------------------------------
+
+  private val SpanLen = 10 // tokens per window
+
+  /** Cross-document duplicated spans: for every [[SpanLen]]-token
+    * sliding window, count the windows that also occur in some OTHER
+    * document — the fixed-window approximation of Lee et al. 2022's
+    * suffix-array ExactSubstr dedup (which removes any ≥50-token span
+    * appearing twice). Output is per-doc: total spans, spans shared
+    * with another doc, and the dup ratio a filter would gate on.
+    *
+    * Scale: spans are hashed to 64 bits (first 16 hex chars of sha256)
+    * so the shuffle key is fixed-width, not 10 tokens of text; the
+    * aggregate over span hashes is vocabulary-shaped (distinct spans ≪
+    * total spans at 100 TB since duplication is why we're here) with
+    * map-side partial aggregation; the join back to spans is equi on
+    * the hash. No corpus self-join, no N². Distinct-doc counting uses
+    * the exact two-level count only per span hash — bounded fan-in. */
+  val q98DupSpans: QueryDef = QueryDef(
+    "q98_dup_spans",
+    (s, dir) => {
+      val spans = materialize(tokenized(s, dir)
+        .filter(size(col("w")) >= SpanLen)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(1, size(w) - ${SpanLen - 1}),
+             |  i -> substr(sha2(concat_ws(' ', slice(w, i, $SpanLen)), 256), 1, 16))""".stripMargin)).as("h")),
+        "spans")
+      val shared = spans.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .select(col("h"), lit(1).as("dup"))
+      spans.join(shared, Seq("h"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(coalesce(col("dup"), lit(0))).as("n_dup_spans"))
+        .withColumn("dup_ratio",
+          round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $tokSqlCte,
+      spans AS (SELECT doc_id,
+          substr(sha256(array_to_string(w[i:i+${SpanLen - 1}], ' ')), 1, 16) AS h
+        FROM tok, unnest(range(1, len(w) - ${SpanLen - 2})) AS t(i)
+        WHERE len(w) >= $SpanLen),
+      shared AS (SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+      SELECT s.doc_id, count(*) AS n_spans,
+        CAST(sum(CASE WHEN sh.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+        round(sum(CASE WHEN sh.h IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS dup_ratio
+      FROM spans s LEFT JOIN shared sh ON s.h = sh.h
+      GROUP BY s.doc_id ORDER BY s.doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q96LmPerplexity, q97Bm25, q98DupSpans)
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants of the statistical-LM tier beyond the row-hash oracle:
+  * bigram accounting, smoothing bounds, BM25 ordering/membership,
+  * dup-span symmetry on identical texts, and the broadcast plan shape
+  * the 100 TB design depends on. */
+class LmOpsSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  test("q96: one score per multi-token doc, n_bigrams = tokens - 1, nll in the smoothing bounds") {
+    val expected = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        (size(split(lower(trim(col("text"))), "\\s+")) - 1).as("exp_bigrams"))
+      .filter(col("exp_bigrams") >= 1)
+    val got = LmOps.q96LmPerplexity.fn(spark, dir)
+    assert(got.count() === expected.count())
+    val mismatched = got.join(expected, "doc_id")
+      .filter(col("n_bigrams") =!= col("exp_bigrams")).count()
+    assert(mismatched === 0L)
+    // add-alpha probabilities live in (0, 1): nll strictly positive and
+    // finite for every doc
+    val rows = got.collect()
+    rows.foreach { r =>
+      val nll = r.getDouble(r.fieldIndex("avg_nll"))
+      assert(nll > 0.0 && !nll.isNaN && !nll.isInfinite, s"nll out of range: $nll")
+    }
+  }
+
+  test("q96: a doc of corpus-frequent bigrams scores below the corpus maximum") {
+    // the model must separate docs — if every doc scored the same the
+    // filter would be vacuous
+    val scores = LmOps.q96LmPerplexity.fn(spark, dir)
+      .agg(min("avg_nll").as("lo"), max("avg_nll").as("hi")).head()
+    assert(scores.getDouble(0) < scores.getDouble(1))
+  }
+
+  test("q97: top-20 is score-ordered, every hit contains a query term") {
+    val rows = LmOps.q97Bm25.fn(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val scores = rows.map(r => r.getDouble(r.fieldIndex("bm25")))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "not desc-ordered")
+    rows.foreach { r =>
+      val n = r.getLong(r.fieldIndex("n_terms"))
+      assert(n >= 1 && n <= 3)
+    }
+    // membership: every returned doc really contains >= 1 query term
+    val ids = rows.map(_.getLong(0)).toSeq
+    val withTerm = graft.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id").isin(ids: _*))
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
+      .filter(arrays_overlap(col("w"),
+        array(lit("spark"), lit("vector"), lit("stream"))))
+      .count()
+    assert(withTerm === ids.length.toLong)
+  }
+
+  test("q98: dup counts bounded by span counts; identical texts are fully duplicated") {
+    val got = LmOps.q98DupSpans.fn(spark, dir)
+    val bad = got.filter(col("n_dup_spans") > col("n_spans") ||
+      col("n_dup_spans") < 0 ||
+      abs(col("dup_ratio") - col("n_dup_spans") / col("n_spans")) > 1e-6).count()
+    assert(bad === 0L)
+    // any pair of docs with byte-identical text and >= SpanLen tokens
+    // must be 100% dup-span — every window occurs in the twin
+    val d = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"),
+        size(split(lower(trim(col("text"))), "\\s+")).as("n"))
+      .filter(col("n") >= 10)
+    val twins = d.groupBy("h").agg(count(lit(1)).as("c"), collect_list("doc_id").as("ids"))
+      .filter(col("c") >= 2)
+      .select(explode(col("ids")).as("doc_id"))
+    val twinIds = twins.collect().map(_.getLong(0))
+    if (twinIds.nonEmpty) {
+      val notFull = got.filter(col("doc_id").isin(twinIds.toSeq: _*))
+        .filter(col("dup_ratio") < 1.0).count()
+      assert(notFull === 0L, "identical-text twin with dup_ratio < 1.0")
+    }
+  }
+
+  test("q96/q97 plans: model tables ride broadcasts, the corpus never self-joins") {
+    val p96 = LmOps.q96LmPerplexity.fn(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p96).size >= 2,
+      "bigram/context count joins must be broadcast")
+    assert(!p96.contains("CartesianProduct"))
+    assert(!p96.contains("SortMergeJoin"),
+      "a sort-merge join here means the model tables shuffled the corpus")
+    val p97 = LmOps.q97Bm25.fn(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p97.contains("BroadcastHashJoin"))
+    assert(p97.contains("TakeOrderedAndProject"),
+      "top-20 must be TakeOrdered, not a global sort")
+  }
+}

@@ -44,10 +44,12 @@ object LmOps {
   /** (doc_id, token array) — materialized so the downstream bigram
     * transform doesn't re-run the regex split per element_at (the
     * project-collapse inlining hazard measured in DedupOps.shingled). */
+  private[graft] def tokenizedOf(d: DataFrame): DataFrame =
+    materialize(d.select(col("doc_id"),
+      split(lower(trim(col("text"))), "\\s+").as("w")), "lm_tok")
+
   private def tokenized(s: SparkSession, dir: String): DataFrame =
-    materialize(docs(s, dir)
-      .select(col("doc_id"),
-        split(lower(trim(col("text"))), "\\s+").as("w")), "lm_tok")
+    tokenizedOf(docs(s, dir))
 
   private val tokSqlCte =
     """tok AS (SELECT doc_id,
@@ -77,30 +79,35 @@ object LmOps {
     * one groupBy(doc_id) whose shuffle carries only (doc_id, nll)
     * partials. The corpus never self-joins, and the model-build pass
     * shuffles (w1, w2) pairs once with map-side partial aggregation. */
+  /** Per-doc (doc_id, n_bigrams, avg_nll) over any (doc_id, text)
+    * frame — the library form `Curation.run`'s perplexity gate calls;
+    * q96 is its oracle-checked table form. Docs with fewer than two
+    * tokens have no bigram and are absent from the output. */
+  def avgNllOf(d: DataFrame): DataFrame = {
+    val bigrams = materialize(tokenizedOf(d)
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(w) - 1),
+          |  i -> struct(element_at(w, i) as w1, element_at(w, i + 1) as w2))""".stripMargin)).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2")), "lm_bigrams")
+    // model tables: vocabulary-sized, broadcast below
+    val vocabSize = bigrams.agg(countDistinct(col("w2")).as("v"))
+    val ctxCounts = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val bgCounts = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    bigrams
+      .join(broadcast(bgCounts), Seq("w1", "w2"))
+      .join(broadcast(ctxCounts), Seq("w1"))
+      .crossJoin(broadcast(vocabSize))
+      .select(col("doc_id"),
+        (-log((col("c2") + Alpha) / (col("c1") + col("v") * Alpha))).as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("nll")), 6).as("avg_nll"))
+  }
+
   val q96LmPerplexity: QueryDef = QueryDef(
     "q96_lm_perplexity",
-    (s, dir) => {
-      val bigrams = materialize(tokenized(s, dir)
-        .filter(size(col("w")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(1, size(w) - 1),
-            |  i -> struct(element_at(w, i) as w1, element_at(w, i + 1) as w2))""".stripMargin)).as("bg"))
-        .select(col("doc_id"), col("bg.w1"), col("bg.w2")), "lm_bigrams")
-      // model tables: vocabulary-sized, broadcast below
-      val vocabSize = bigrams.agg(countDistinct(col("w2")).as("v"))
-      val ctxCounts = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-      val bgCounts = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-      val scored = bigrams
-        .join(broadcast(bgCounts), Seq("w1", "w2"))
-        .join(broadcast(ctxCounts), Seq("w1"))
-        .crossJoin(broadcast(vocabSize))
-        .select(col("doc_id"),
-          (-log((col("c2") + Alpha) / (col("c1") + col("v") * Alpha))).as("nll"))
-      scored.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(avg(col("nll")), 6).as("avg_nll"))
-        .orderBy(col("doc_id"))
-    },
+    (s, dir) => avgNllOf(docs(s, dir)).orderBy(col("doc_id")),
     Some(s"""WITH $tokSqlCte,
       bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
         FROM tok, unnest(range(1, len(w))) AS t(i)
@@ -136,44 +143,129 @@ object LmOps {
     * query-term hits BEFORE any shuffle, so the shuffle volume is
     * hits, not tokens. An inverted-index layout (bucketBy(term))
     * would serve interactive QPS; this is the batch-scoring shape. */
+  private val bm25SqlCtes =
+    s"""stats AS (SELECT count(*) AS n_docs, avg(len(w)) AS avgdl FROM tok),
+       |      hits AS (SELECT doc_id, len(w) AS dl, tok
+       |        FROM (SELECT doc_id, w, unnest(w) AS tok FROM tok) x
+       |        WHERE tok IN (${QueryTerms.map(t => s"'$t'").mkString(", ")})),
+       |      tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM hits GROUP BY doc_id, dl, tok),
+       |      df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM hits GROUP BY tok),
+       |      lex AS (SELECT doc_id, round(sum(s), 6) AS bm25, count(*) AS n_terms FROM (
+       |        SELECT tf.doc_id,
+       |          ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+       |            (tf.tf * ($K1 + 1)) /
+       |            (tf.tf + $K1 * (1.0 - $B + $B * tf.dl / stats.avgdl)) AS s
+       |        FROM tf JOIN df ON tf.tok = df.tok, stats) x
+       |      GROUP BY doc_id)""".stripMargin
+
+  /** (doc_id, bm25, n_terms) for every doc hitting >= 1 query term —
+    * shared by q97 (the ranked table form) and q99 (the lexical leg). */
+  private def bm25Scores(toks: DataFrame): DataFrame = {
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      avg(size(col("w"))).as("avgdl"))
+    val hits = toks
+      .select(col("doc_id"), size(col("w")).as("dl"), explode(col("w")).as("tok"))
+      .filter(col("tok").isin(QueryTerms: _*))
+    val tf = hits.groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = hits.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(broadcast(df_), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (K1 + 1)) /
+          (col("tf") + (lit(1.0) - B + col("dl") / col("avgdl") * B) * K1)).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("s")), 6).as("bm25"), count(lit(1)).as("n_terms"))
+  }
+
   val q97Bm25: QueryDef = QueryDef(
     "q97_bm25",
-    (s, dir) => {
-      val toks = tokenized(s, dir)
-      val stats = toks.agg(count(lit(1)).as("n_docs"),
-        avg(size(col("w"))).as("avgdl"))
-      val hits = toks
-        .select(col("doc_id"), size(col("w")).as("dl"), explode(col("w")).as("tok"))
-        .filter(col("tok").isin(QueryTerms: _*))
-      val tf = hits.groupBy(col("doc_id"), col("dl"), col("tok"))
-        .agg(count(lit(1)).as("tf"))
-      val df_ = hits.groupBy(col("tok"))
-        .agg(countDistinct(col("doc_id")).as("df"))
-      tf.join(broadcast(df_), Seq("tok"))
-        .crossJoin(broadcast(stats))
-        .select(col("doc_id"),
-          (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-            (col("tf") * (K1 + 1)) /
-            (col("tf") + (lit(1.0) - B + col("dl") / col("avgdl") * B) * K1)).as("s"))
-        .groupBy(col("doc_id"))
-        .agg(round(sum(col("s")), 6).as("bm25"), count(lit(1)).as("n_terms"))
+    (s, dir) =>
+      bm25Scores(tokenized(s, dir))
         .orderBy(col("bm25").desc, col("doc_id"))
-        .limit(20)
+        .limit(20),
+    Some(s"""WITH $tokSqlCte,
+      $bm25SqlCtes
+      SELECT doc_id, bm25, n_terms FROM lex
+      ORDER BY bm25 DESC, doc_id LIMIT 20"""))
+
+  // ---------------------------------------------------------------
+  // q99: hybrid lexical + dense retrieval (RRF fusion)
+  // ---------------------------------------------------------------
+
+  private val RrfK = 60
+  private val TopPerLeg = 20
+  private val QueryText = QueryTerms.mkString(" ")
+
+  /** q58's deterministic mock embedder over a 16-hex-char digest column
+    * named by `h`: element k = (byte k of the digest)/255 - 0.5. */
+  private def embedSql(h: String): String =
+    s"""transform(sequence(0, 7), k ->
+       |  (
+       |    (instr('0123456789abcdef', substr($h, k * 2 + 1, 1)) - 1) * 16 +
+       |    (instr('0123456789abcdef', substr($h, k * 2 + 2, 1)) - 1)
+       |  ) / 255.0D - 0.5D)""".stripMargin
+
+  private def embedDuck(h: String): String =
+    s"""[((instr('0123456789abcdef', substr($h, k * 2 + 1, 1)) - 1) * 16 +
+       |  (instr('0123456789abcdef', substr($h, k * 2 + 2, 1)) - 1)) / 255.0 - 0.5
+       | for k in range(0, 8)]""".stripMargin
+
+  /** Hybrid retrieval: the BM25 lexical leg (q97) and a dense cosine
+    * leg (q58's mock embedder, query vector = the embedded query
+    * string) fused by reciprocal-rank fusion — the standard hybrid
+    * search a production RAG stack runs, with RRF (Cormack et al.)
+    * exactly as q32 fuses dense metrics.
+    *
+    * Scale: each leg independently reduces the corpus to its top-20
+    * via TakeOrdered (never a global sort); fusion then runs on
+    * 2 × 20 rows on the driver-side-sized tail. The dense leg's query
+    * vector is a constant-folded literal; the lexical leg's model
+    * tables broadcast as in q97. The two legs share no shuffle. */
+  val q99HybridRrf: QueryDef = QueryDef(
+    "q99_hybrid_rrf",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lex = bm25Scores(tokenized(s, dir))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(TopPerLeg)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank"))
+      // raw-double dot product: both engines run the same sequential
+      // fold (q58's precedent), so leg ranks agree bit-for-bit
+      val dense = docs(s, dir)
+        .select(col("doc_id"), expr("substr(sha2(text, 256), 1, 16)").as("h"))
+        .withColumn("emb", expr(embedSql("h")))
+        .withColumn("qv", expr(embedSql(s"substr(sha2('$QueryText', 256), 1, 16)")))
+        .select(col("doc_id"),
+          expr("aggregate(zip_with(emb, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)").as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(TopPerLeg)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank"))
+      lex.unionByName(dense)
+        .groupBy(col("doc_id"))
+        .agg(round(sum(lit(1.0) / (col("rank") + RrfK)), 6).as("rrf"),
+          count(lit(1)).as("n_legs"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
     },
     Some(s"""WITH $tokSqlCte,
-      stats AS (SELECT count(*) AS n_docs, avg(len(w)) AS avgdl FROM tok),
-      hits AS (SELECT doc_id, len(w) AS dl, tok
-        FROM (SELECT doc_id, w, unnest(w) AS tok FROM tok) x
-        WHERE tok IN (${QueryTerms.map(t => s"'$t'").mkString(", ")})),
-      tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM hits GROUP BY doc_id, dl, tok),
-      df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM hits GROUP BY tok)
-      SELECT doc_id, round(sum(s), 6) AS bm25, count(*) AS n_terms FROM (
-        SELECT tf.doc_id,
-          ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) *
-            (tf.tf * ($K1 + 1)) /
-            (tf.tf + $K1 * (1.0 - $B + $B * tf.dl / stats.avgdl)) AS s
-        FROM tf JOIN df ON tf.tok = df.tok, stats) x
-      GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20"""))
+      $bm25SqlCtes,
+      emb AS (SELECT doc_id, ${embedDuck("h")} AS emb
+        FROM (SELECT doc_id, substr(sha256(text), 1, 16) AS h FROM documents) x),
+      q AS (SELECT ${embedDuck(s"substr(sha256('$QueryText'), 1, 16)")} AS qv),
+      dense AS (SELECT doc_id,
+          list_sum(list_transform(list_zip(emb, qv), x -> x[1] * x[2])) AS score
+        FROM emb, q),
+      lexr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM lex),
+      denser AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM dense),
+      ranked AS (SELECT doc_id, rank FROM lexr WHERE rank <= $TopPerLeg
+        UNION ALL SELECT doc_id, rank FROM denser WHERE rank <= $TopPerLeg)
+      SELECT doc_id, round(sum(1.0/($RrfK + rank)), 6) AS rrf, count(*) AS n_legs
+      FROM ranked GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 10"""))
 
   // ---------------------------------------------------------------
   // q98: exact-substring span dedup (ExactSubstr shape)
@@ -228,5 +320,5 @@ object LmOps {
       FROM spans s LEFT JOIN shared sh ON s.h = sh.h
       GROUP BY s.doc_id ORDER BY s.doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q96LmPerplexity, q97Bm25, q98DupSpans)
+  val all: Seq[QueryDef] = Seq(q96LmPerplexity, q97Bm25, q98DupSpans, q99HybridRrf)
 }

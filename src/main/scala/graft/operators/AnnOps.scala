@@ -275,49 +275,65 @@ object AnnOps {
     * per row). The broadcast-join + window form below shuffles only
     * the (id, j, k, dist) slice table and codegens cleanly; it wins
     * locally and its shuffle is index-build-only at scale. */
+  /** PQ codebook slices (k, j, cv): the first [[PqK]] vectors' subspace
+    * slices, q56's deterministic-centroid convention. */
+  private def pqCodebook(e: DataFrame): DataFrame =
+    subVectors(
+      e.filter(col("vec_id") < PqK)
+        .select(col("vec_id").as("k"), col("embedding")), "k", "embedding")
+      .withColumnRenamed("sv", "cv")
+
+  /** PQ encode: nearest codebook centroid per (vector, subspace) →
+    * (vec_id, codes) with M one-byte codes. The index-build pass — a
+    * broadcast codebook join + one groupBy (see the encode-shape note
+    * on q85). */
+  private def pqCodes(e: DataFrame): DataFrame = {
+    val wEnc = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("dist"), col("k"))
+    subVectors(e, "vec_id", "embedding").join(broadcast(pqCodebook(e)), "j")
+      .select(col("vec_id"), col("j"), col("k"),
+        expr("l2_sq_f(sv, cv)").as("dist"))
+      .withColumn("rk", row_number().over(wEnc))
+      .filter(col("rk") === 1)
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, k))), x -> x.k)")
+        .as("codes"))
+  }
+
+  /** Driver-side ADC table for query vec 0: the M×K matrix of
+    * query-subvector ↔ codebook-centroid squared distances. */
+  private def adcTable(e: DataFrame): Seq[Seq[Double]] = {
+    val subs = subVectors(e, "vec_id", "embedding")
+    val qsub = subs.filter(col("vec_id") === 0).select(col("j"), col("sv").as("qsv"))
+    val dt = pqCodebook(e).join(broadcast(qsub), "j")
+      .select(col("j"), col("k"), expr("l2_sq_f(cv, qsv)").as("qd"))
+      .collect()
+    (0 until PqM).map { j =>
+      val row = new Array[Double](PqK)
+      dt.foreach(r => if (r.getInt(0) == j) row(r.getLong(1).toInt) = r.getDouble(2))
+      row.toSeq
+    }
+  }
+
+  /** ADC score column: sum of M table lookups over `codes` — a narrow,
+    * codegen'd fold over the broadcast literal table. */
+  private def adcScore(dtab: Seq[Seq[Double]]) = aggregate(
+    expr(s"sequence(0, ${PqM - 1})"), lit(0.0),
+    (acc, j) => acc + element_at(
+      element_at(typedLit(dtab), (j + 1).cast("int")),
+      (element_at(col("codes"), (j + 1).cast("int")) + 1).cast("int")))
+
   val q85AnnPq: QueryDef = QueryDef(
     "q85_ann_pq",
     (s, dir) => {
       VectorExpressions.register(s)
       val e = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
-      val subs = subVectors(e, "vec_id", "embedding")
-      val cbs = subVectors(
-        e.filter(col("vec_id") < PqK)
-          .select(col("vec_id").as("k"), col("embedding")), "k", "embedding")
-        .withColumnRenamed("sv", "cv")
-
-      // encode: nearest centroid per (vector, subspace) → M codes
-      val wEnc = Window.partitionBy(col("vec_id"), col("j"))
-        .orderBy(col("dist"), col("k"))
-      val codes = subs.join(broadcast(cbs), "j")
-        .select(col("vec_id"), col("j"), col("k"),
-          expr("l2_sq_f(sv, cv)").as("dist"))
-        .withColumn("rk", row_number().over(wEnc))
-        .filter(col("rk") === 1)
-        .groupBy(col("vec_id"))
-        .agg(expr("transform(array_sort(collect_list(struct(j, k))), x -> x.k)")
-          .as("codes"))
-
-      // ADC table: query subvectors vs codebook, M×K rows, driver-sized
-      val qsub = subs.filter(col("vec_id") === 0).select(col("j"), col("sv").as("qsv"))
-      val dt = cbs.join(broadcast(qsub), "j")
-        .select(col("j"), col("k"), expr("l2_sq_f(cv, qsv)").as("qd"))
-        .collect()
-      val dtab: Seq[Seq[Double]] = (0 until PqM).map { j =>
-        val row = new Array[Double](PqK)
-        dt.foreach(r => if (r.getInt(0) == j) row(r.getLong(1).toInt) = r.getDouble(2))
-        row.toSeq
-      }
 
       // stage 1 — ADC: sum of M lookups in subspace order (narrow map),
       // TakeOrdered shortlist; no rounding here, the order is internal
-      val shortlist = codes
-        .withColumn("approx_dist", aggregate(
-          expr(s"sequence(0, ${PqM - 1})"), lit(0.0),
-          (acc, j) => acc + element_at(
-            element_at(typedLit(dtab), (j + 1).cast("int")),
-            (element_at(col("codes"), (j + 1).cast("int")) + 1).cast("int"))))
+      val shortlist = pqCodes(e)
+        .withColumn("approx_dist", adcScore(adcTable(e)))
         .filter(col("vec_id") =!= 0)
         .orderBy(col("approx_dist"), col("vec_id"))
         .limit(PqShortlist)
@@ -359,5 +375,94 @@ object AnnOps {
       ORDER BY dist, s.vec_id LIMIT 10"""),
     headline = true)
 
-  val all: Seq[QueryDef] = Seq(q56AnnIvf, q68AnnLsh, q79AnnLshMultiprobe, q85AnnPq)
+  /** IVF+PQ composed ANN — the FAISS IVFADC shape (Jégou et al. 2011),
+    * the configuration a billion-vector index actually runs: IVF
+    * restricts scoring to the nprobe nearest cells, ADC scores only
+    * those cells' one-byte codes, and the exact float re-rank touches
+    * just the 50-row shortlist.
+    *
+    * Scale: multiplies q56's and q85's savings — the hot scan reads
+    * (nprobe/C) of a code table that is already 32× smaller than the
+    * floats, so at 100 TB of embeddings the per-query scan is ~0.8% of
+    * the raw bytes ((4/16) × (1/32)), partition-pruned by the
+    * `partitionBy(cell)` layout (buildIvfIndex) and schema-pruned to
+    * `codes`. Both index passes (cell assign, PQ encode) are
+    * build-time, amortized over every query. */
+  val q100AnnIvfPq: QueryDef = QueryDef(
+    "q100_ann_ivfpq",
+    (s, dir) => {
+      VectorExpressions.register(s)
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val centroids = e.filter(col("vec_id") < C)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+
+      // IVF leg: cell per vector (index build) + nprobe probe set
+      val assigned = assignCells(e, centroids).select(col("vec_id"), col("cell"))
+      val probed = centroids.crossJoin(broadcast(qv))
+        .select(col("cid"), expr("l2_sq_f(cv, qv)").as("qdist"))
+        .orderBy(col("qdist"), col("cid"))
+        .limit(NProbe)
+        .select(col("cid").as("cell"))
+
+      // ADC over the probed cells' codes only
+      val shortlist = pqCodes(e)
+        .join(assigned, "vec_id")
+        .join(broadcast(probed), "cell")
+        .withColumn("approx_dist", adcScore(adcTable(e)))
+        .filter(col("vec_id") =!= 0)
+        .orderBy(col("approx_dist"), col("vec_id"))
+        .limit(PqShortlist)
+        .select(col("vec_id"))
+
+      // exact re-rank of the shortlist only
+      shortlist.join(e, "vec_id")
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          round(expr("l2_sq_f(embedding, qv)"), 6).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $C),
+      assigned AS (SELECT vec_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+            list_sum(list_transform(list_zip(e.v, c.cv), x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid) AS rk
+        FROM e, cent c) a WHERE rk = 1),
+      qfull AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      probed AS (SELECT cid AS cell FROM (
+        SELECT c.cid, row_number() OVER (ORDER BY
+          list_sum(list_transform(list_zip(c.cv, q.qv), x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid) AS prk
+        FROM cent c, qfull q) p WHERE prk <= $NProbe),
+      js AS (SELECT unnest(range(0, $PqM)) AS j),
+      subs AS (SELECT e.vec_id, js.j, e.v[js.j*$PqD+1 : js.j*$PqD+$PqD] AS sv FROM e, js),
+      cbs AS (SELECT e.vec_id AS k, js.j, e.v[js.j*$PqD+1 : js.j*$PqD+$PqD] AS cv
+        FROM e, js WHERE e.vec_id < $PqK),
+      codes AS (SELECT vec_id, j, k AS code FROM (
+        SELECT s.vec_id, s.j, c.k, row_number() OVER (PARTITION BY s.vec_id, s.j
+          ORDER BY list_sum(list_transform(list_zip(s.sv, c.cv),
+            x -> (x[1]-x[2])*(x[1]-x[2]))), c.k) AS rk
+        FROM subs s JOIN cbs c ON s.j = c.j) a WHERE rk = 1),
+      q AS (SELECT j, sv AS qsv FROM subs WHERE vec_id = 0),
+      dtab AS (SELECT c.j, c.k,
+        list_sum(list_transform(list_zip(c.cv, q.qsv), x -> (x[1]-x[2])*(x[1]-x[2]))) AS qd
+        FROM cbs c JOIN q USING (j)),
+      scored AS (SELECT codes.vec_id, sum(qd) AS approx_dist
+        FROM codes
+        JOIN assigned ON codes.vec_id = assigned.vec_id
+        JOIN probed ON assigned.cell = probed.cell
+        JOIN dtab ON codes.j = dtab.j AND codes.code = dtab.k
+        WHERE codes.vec_id <> 0 GROUP BY codes.vec_id),
+      shortlist AS (SELECT vec_id FROM scored
+        ORDER BY approx_dist, vec_id LIMIT $PqShortlist)
+      SELECT s.vec_id,
+        round(list_sum(list_transform(list_zip(e.v, qfull.qv),
+          x -> (x[1]-x[2])*(x[1]-x[2]))), 6) AS dist
+      FROM shortlist s JOIN e ON s.vec_id = e.vec_id, qfull
+      ORDER BY dist, s.vec_id LIMIT 10"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q56AnnIvf, q68AnnLsh, q79AnnLshMultiprobe, q85AnnPq, q100AnnIvfPq)
 }

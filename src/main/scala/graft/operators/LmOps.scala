@@ -192,6 +192,87 @@ object LmOps {
       ORDER BY bm25 DESC, doc_id LIMIT 20"""))
 
   // ---------------------------------------------------------------
+  // q101: DSIR importance-weight data selection
+  // ---------------------------------------------------------------
+
+  private val DsirBuckets = 1024 // hashed-feature space (divides 16⁴)
+  private val DsirAlpha = 0.1    // add-alpha smoothing per bucket
+
+  /** Portable hashed-feature bucket in [0, DsirBuckets): first 4 hex
+    * chars of sha256 by positional arithmetic — the same SQL text runs
+    * on Spark and DuckDB (q93's device, modulo the feature-space size;
+    * 16⁴ is divisible by [[DsirBuckets]], so the bucket is uniform). */
+  private def featBucket(hashSql: String): String =
+    (1 to 4).map { i =>
+      s"(instr('0123456789abcdef', substr($hashSql, $i, 1)) - 1) * ${1 << (4 * (4 - i))}"
+    }.mkString("(", " + ", s") % $DsirBuckets")
+
+  /** DSIR (Xie et al. 2023, public): select raw-corpus documents whose
+    * hashed n-gram distribution looks like the target domain. Every
+    * bigram hashes to one of [[DsirBuckets]] buckets; per-bucket
+    * probabilities are estimated separately on the target slice
+    * (stand-in: doc_id % 10 == 3, as q92's benchmark stand-in) and the
+    * raw rest; a raw doc's importance weight is its mean
+    * ln(p_target/p_raw) over its bigram buckets. High scorers read
+    * like the target domain and get sampled in.
+    *
+    * Scale: both estimated models are FIXED-size (B buckets — DSIR's
+    * reason for hashing features) however large the corpus, so they
+    * broadcast trivially; scoring is the same narrow explode +
+    * broadcast join + groupBy(doc_id) shape as q96, and the hashed
+    * bucket id (an int) is what shuffles, never the bigram text. */
+  val q101Dsir: QueryDef = QueryDef(
+    "q101_dsir",
+    (s, dir) => {
+      val buckets = materialize(tokenizedOf(docs(s, dir))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(w) - 1),
+            |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))""".stripMargin)).as("bg"))
+        .select(col("doc_id"),
+          expr(featBucket("sha2(bg, 256)")).cast("long").as("b")), "dsir_buckets")
+      val isTarget = col("doc_id") % 10 === 3
+      val tCounts = buckets.filter(isTarget)
+        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      val rCounts = buckets.filter(!isTarget)
+        .groupBy(col("b")).agg(count(lit(1)).as("cr"))
+      val totals = buckets.agg(
+        sum(when(isTarget, 1L).otherwise(0L)).as("nt"),
+        sum(when(isTarget, 0L).otherwise(1L)).as("nr"))
+      buckets.filter(!isTarget)
+        .join(broadcast(tCounts), Seq("b"), "left_outer")
+        .join(broadcast(rCounts), Seq("b"))
+        .crossJoin(broadcast(totals))
+        .select(col("doc_id"),
+          (log((coalesce(col("ct"), lit(0L)) + DsirAlpha) /
+              (col("nt") + DsirBuckets * DsirAlpha)) -
+            log((col("cr") + DsirAlpha) /
+              (col("nr") + DsirBuckets * DsirAlpha))).as("lr"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(col("lr")), 6).as("avg_logratio"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $tokSqlCte,
+      bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+        FROM tok, unnest(range(1, len(w))) AS t(i)
+        WHERE len(w) >= 2),
+      bk AS (SELECT doc_id, CAST(${featBucket("sha256(bg)")} AS BIGINT) AS b FROM bg),
+      tc AS (SELECT b, count(*) AS ct FROM bk WHERE doc_id % 10 = 3 GROUP BY b),
+      rc AS (SELECT b, count(*) AS cr FROM bk WHERE doc_id % 10 <> 3 GROUP BY b),
+      tot AS (SELECT
+          sum(CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END) AS nt,
+          sum(CASE WHEN doc_id % 10 <> 3 THEN 1 ELSE 0 END) AS nr FROM bk)
+      SELECT bk.doc_id, count(*) AS n_bigrams,
+        round(avg(
+          ln((coalesce(tc.ct, 0) + $DsirAlpha) / (tot.nt + $DsirBuckets * $DsirAlpha)) -
+          ln((rc.cr + $DsirAlpha) / (tot.nr + $DsirBuckets * $DsirAlpha))), 6) AS avg_logratio
+      FROM bk LEFT JOIN tc ON bk.b = tc.b
+        JOIN rc ON bk.b = rc.b, tot
+      WHERE bk.doc_id % 10 <> 3
+      GROUP BY bk.doc_id ORDER BY bk.doc_id"""))
+
+  // ---------------------------------------------------------------
   // q99: hybrid lexical + dense retrieval (RRF fusion)
   // ---------------------------------------------------------------
 
@@ -320,5 +401,6 @@ object LmOps {
       FROM spans s LEFT JOIN shared sh ON s.h = sh.h
       GROUP BY s.doc_id ORDER BY s.doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q96LmPerplexity, q97Bm25, q98DupSpans, q99HybridRrf)
+  val all: Seq[QueryDef] =
+    Seq(q96LmPerplexity, q97Bm25, q98DupSpans, q99HybridRrf, q101Dsir)
 }

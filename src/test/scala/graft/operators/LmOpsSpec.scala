@@ -100,6 +100,43 @@ class LmOpsSpec extends SparkSpec {
     assert(rows.exists(_.getLong(2) >= 1))
   }
 
+  test("q101: raw docs only, scores finite, and target-overlap correlates with the weight") {
+    val got = LmOps.q101Dsir.fn(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(r.fieldIndex("doc_id")) % 10 !== 3L, "target docs must not be scored")
+      val lr = r.getDouble(r.fieldIndex("avg_logratio"))
+      assert(!lr.isNaN && !lr.isInfinite)
+    }
+    // the selector must separate docs
+    val scores = got.map(r => r.getDouble(r.fieldIndex("avg_logratio")))
+    assert(scores.max > scores.min)
+    // docs sharing more bigrams with the target slice should score
+    // higher: positive correlation between target-bucket overlap and
+    // the importance weight
+    val toks = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(w) - 1),
+          |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))""".stripMargin)).as("bg"))
+    val targetGrams = toks.filter(col("doc_id") % 10 === 3)
+      .select(col("bg")).distinct()
+    val overlap = toks.filter(col("doc_id") % 10 =!= 3)
+      .join(targetGrams.withColumn("hit", lit(1)), Seq("bg"), "left_outer")
+      .groupBy("doc_id")
+      .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))).as("frac"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pairs = got.map(r => (overlap(r.getLong(0)), r.getDouble(r.fieldIndex("avg_logratio"))))
+    val n = pairs.length.toDouble
+    val (mx, my) = (pairs.map(_._1).sum / n, pairs.map(_._2).sum / n)
+    val cov = pairs.map { case (x, y) => (x - mx) * (y - my) }.sum
+    val sx = math.sqrt(pairs.map(p => (p._1 - mx) * (p._1 - mx)).sum)
+    val sy = math.sqrt(pairs.map(p => (p._2 - my) * (p._2 - my)).sum)
+    val corr = cov / (sx * sy)
+    assert(corr > 0.3, s"target-overlap vs importance-weight correlation = $corr")
+  }
+
   test("q96/q97 plans: model tables ride broadcasts, the corpus never self-joins") {
     val p96 = LmOps.q96LmPerplexity.fn(spark, dir)
       .queryExecution.executedPlan.toString

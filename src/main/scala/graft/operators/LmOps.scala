@@ -221,36 +221,46 @@ object LmOps {
     * broadcast trivially; scoring is the same narrow explode +
     * broadcast join + groupBy(doc_id) shape as q96, and the hashed
     * bucket id (an int) is what shuffles, never the bigram text. */
+  /** (doc_id, hashed bigram bucket) rows for a (doc_id, text) frame. */
+  private def dsirBuckets(d: DataFrame, tag: String): DataFrame =
+    materialize(tokenizedOf(d)
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(w) - 1),
+          |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))""".stripMargin)).as("bg"))
+      .select(col("doc_id"),
+        expr(featBucket("sha2(bg, 256)")).cast("long").as("b")), tag)
+
+  /** Per-raw-doc DSIR weights (doc_id, n_bigrams, avg_logratio) for an
+    * arbitrary target frame — the library form `Curation.run`'s
+    * dsirTarget stage calls; q101 is its oracle-checked table form.
+    * Docs with fewer than two tokens are unscored (absent). */
+  def dsirWeights(raw: DataFrame, target: DataFrame): DataFrame = {
+    val rb = dsirBuckets(raw, "dsir_raw")
+    val tb = dsirBuckets(target, "dsir_target")
+    val tCounts = tb.groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val rCounts = rb.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val totals = tb.agg(count(lit(1)).as("nt"))
+      .crossJoin(rb.agg(count(lit(1)).as("nr")))
+    rb.join(broadcast(tCounts), Seq("b"), "left_outer")
+      .join(broadcast(rCounts), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        (log((coalesce(col("ct"), lit(0L)) + DsirAlpha) /
+            (col("nt") + DsirBuckets * DsirAlpha)) -
+          log((col("cr") + DsirAlpha) /
+            (col("nr") + DsirBuckets * DsirAlpha))).as("lr"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("lr")), 6).as("avg_logratio"))
+  }
+
   val q101Dsir: QueryDef = QueryDef(
     "q101_dsir",
     (s, dir) => {
-      val buckets = materialize(tokenizedOf(docs(s, dir))
-        .filter(size(col("w")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(1, size(w) - 1),
-            |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))""".stripMargin)).as("bg"))
-        .select(col("doc_id"),
-          expr(featBucket("sha2(bg, 256)")).cast("long").as("b")), "dsir_buckets")
-      val isTarget = col("doc_id") % 10 === 3
-      val tCounts = buckets.filter(isTarget)
-        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-      val rCounts = buckets.filter(!isTarget)
-        .groupBy(col("b")).agg(count(lit(1)).as("cr"))
-      val totals = buckets.agg(
-        sum(when(isTarget, 1L).otherwise(0L)).as("nt"),
-        sum(when(isTarget, 0L).otherwise(1L)).as("nr"))
-      buckets.filter(!isTarget)
-        .join(broadcast(tCounts), Seq("b"), "left_outer")
-        .join(broadcast(rCounts), Seq("b"))
-        .crossJoin(broadcast(totals))
-        .select(col("doc_id"),
-          (log((coalesce(col("ct"), lit(0L)) + DsirAlpha) /
-              (col("nt") + DsirBuckets * DsirAlpha)) -
-            log((col("cr") + DsirAlpha) /
-              (col("nr") + DsirBuckets * DsirAlpha))).as("lr"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(avg(col("lr")), 6).as("avg_logratio"))
+      val d = docs(s, dir)
+      dsirWeights(d.filter(col("doc_id") % 10 =!= 3),
+          d.filter(col("doc_id") % 10 === 3))
         .orderBy(col("doc_id"))
     },
     Some(s"""WITH $tokSqlCte,

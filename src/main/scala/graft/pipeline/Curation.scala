@@ -36,6 +36,10 @@ object Curation {
     *        gate): drop docs whose per-bigram avg -ln P under the
     *        corpus bigram model exceeds it; docs too short to score
     *        (< 2 tokens) are kept, q96's convention
+    * @param dsirTarget     optional target-domain corpus (doc_id, text)
+    *        for DSIR selection (q101): drop docs whose hashed-bigram
+    *        importance weight falls below `dsirFloor`; unscored docs
+    *        (< 2 tokens) are kept
     * @param mixtureRates   percent kept per `lang` (q94's shape);
     *        langs absent from the map keep `defaultRate` */
   final case class CurationConfig(
@@ -44,13 +48,16 @@ object Curation {
       boilerMaxFrac: Double = 0.5,
       benchmarkGrams: Option[DataFrame] = None,
       maxAvgNll: Option[Double] = None,
+      dsirTarget: Option[DataFrame] = None,
+      dsirFloor: Double = 0.0,
       mixtureRates: Map[String, Long] = Map.empty,
       defaultRate: Long = 100L,
       packCapacity: Long = 512L)
 
   final case class CurationSummary(
       raw: Long, gated: Long, boilerDropped: Long, contaminatedDropped: Long,
-      perplexityDropped: Long, sampledOut: Long, packedDocs: Long, bins: Long)
+      perplexityDropped: Long, dsirDropped: Long, sampledOut: Long,
+      packedDocs: Long, bins: Long)
 
   private def materialize(df: DataFrame, tag: String): DataFrame = {
     val s = df.sparkSession
@@ -99,6 +106,14 @@ object Curation {
         .filter(col("avg_nll") > ceil)
         .select(col("doc_id"), lit(true).as("is_ppl_out"))
     }
+    // DSIR selection: docs whose importance weight under the target
+    // model falls below the floor — like the gate above, one slim
+    // (doc_id, flag) join, only when a target corpus is supplied
+    val dsirIds = cfg.dsirTarget.map { tgt =>
+      graft.operators.LmOps.dsirWeights(docs, tgt)
+        .filter(col("avg_logratio") < cfg.dsirFloor)
+        .select(col("doc_id"), lit(true).as("is_dsir_out"))
+    }
     // one flagged pass: every stage's verdict as a column, every
     // stage's count as an observation on the SAME materialization
     val rateCol = cfg.mixtureRates.foldLeft(lit(cfg.defaultRate)) {
@@ -111,11 +126,14 @@ object Curation {
       .withColumn("pass_mix", col("bucket") < rateCol)
     val flagged1 = contamIds.fold(flagged0.withColumn("is_contam", lit(false)))(
         ids => flagged0.join(ids, Seq("doc_id"), "left_outer"))
-    val flagged = pplIds.fold(flagged1.withColumn("is_ppl_out", lit(false)))(
+    val flagged2 = pplIds.fold(flagged1.withColumn("is_ppl_out", lit(false)))(
         ids => flagged1.join(ids, Seq("doc_id"), "left_outer"))
+    val flagged = dsirIds.fold(flagged2.withColumn("is_dsir_out", lit(false)))(
+        ids => flagged2.join(ids, Seq("doc_id"), "left_outer"))
       .withColumn("is_boiler", coalesce(col("is_boiler"), lit(false)))
       .withColumn("is_contam", coalesce(col("is_contam"), lit(false)))
       .withColumn("is_ppl_out", coalesce(col("is_ppl_out"), lit(false)))
+      .withColumn("is_dsir_out", coalesce(col("is_dsir_out"), lit(false)))
     val obs = Observation()
     val clean = materialize(flagged
       .observe(obs,
@@ -127,9 +145,12 @@ object Curation {
         count(when(col("pass_gate") && !col("is_boiler") && !col("is_contam") &&
           col("is_ppl_out"), true)).as("ppl_dropped"),
         count(when(col("pass_gate") && !col("is_boiler") && !col("is_contam") &&
-          !col("is_ppl_out") && !col("pass_mix"), true)).as("sampled_out"))
+          !col("is_ppl_out") && col("is_dsir_out"), true)).as("dsir_dropped"),
+        count(when(col("pass_gate") && !col("is_boiler") && !col("is_contam") &&
+          !col("is_ppl_out") && !col("is_dsir_out") && !col("pass_mix"), true))
+          .as("sampled_out"))
       .filter(col("pass_gate") && !col("is_boiler") && !col("is_contam") &&
-        !col("is_ppl_out") && col("pass_mix"))
+        !col("is_ppl_out") && !col("is_dsir_out") && col("pass_mix"))
       .select(col("source"), col("doc_id"), col("text")), "clean")
     // exact dedup (min doc_id per content hash) + packing
     val keepIds = clean.groupBy(sha2(col("text"), 256).as("h"))
@@ -147,6 +168,7 @@ object Curation {
       boilerDropped = obs.get("boiler_dropped").asInstanceOf[Long],
       contaminatedDropped = obs.get("contam_dropped").asInstanceOf[Long],
       perplexityDropped = obs.get("ppl_dropped").asInstanceOf[Long],
+      dsirDropped = obs.get("dsir_dropped").asInstanceOf[Long],
       sampledOut = obs.get("sampled_out").asInstanceOf[Long],
       packedDocs = obsPack.get("packed_docs").asInstanceOf[Long],
       bins = bins.count())

@@ -26,12 +26,13 @@ class CurationSpec extends SparkSpec {
     val (bins, s) = Curation.run(docs)
     assert(s.raw === docs.count())
     assert(s.gated <= s.raw)
-    // survivors = gated minus the four drop stages, then dedup
+    // survivors = gated minus the five drop stages, then dedup
     val survivors = s.gated - s.boilerDropped - s.contaminatedDropped -
-      s.perplexityDropped - s.sampledOut
+      s.perplexityDropped - s.dsirDropped - s.sampledOut
     assert(s.packedDocs <= survivors)
     assert(s.contaminatedDropped === 0L, "no benchmark set configured")
     assert(s.perplexityDropped === 0L, "no perplexity ceiling configured")
+    assert(s.dsirDropped === 0L, "no DSIR target configured")
     assert(s.sampledOut === 0L, "default rate keeps everything")
     assert(s.bins === bins.count())
     assert(bins.agg(sum("n_docs")).collect().head.getLong(0) === s.packedDocs)
@@ -80,6 +81,24 @@ class CurationSpec extends SparkSpec {
       Curation.CurationConfig(maxAvgNll = Some(ceil + 1.0)))
     assert(loose.perplexityDropped <= strict.perplexityDropped)
     assert(base.perplexityDropped === 0L)
+  }
+
+  test("a DSIR target corpus drops the low-importance tail, monotonically in the floor") {
+    val (_, base) = Curation.run(docs)
+    val target = docs.filter(col("doc_id") % 10 === 3)
+    // floor at the median importance weight of the raw slice: the
+    // selection must visibly bite
+    val floor = graft.operators.LmOps
+      .dsirWeights(docs, target)
+      .stat.approxQuantile("avg_logratio", Array(0.5), 0.0).head
+    val (_, sel) = Curation.run(docs,
+      Curation.CurationConfig(dsirTarget = Some(target), dsirFloor = floor))
+    assert(sel.dsirDropped > 0L)
+    assert(sel.packedDocs < base.packedDocs)
+    val (_, loose) = Curation.run(docs,
+      Curation.CurationConfig(dsirTarget = Some(target), dsirFloor = floor - 0.5))
+    assert(loose.dsirDropped <= sel.dsirDropped)
+    assert(base.dsirDropped === 0L)
   }
 
   test("stricter gates can only shrink the packed corpus") {

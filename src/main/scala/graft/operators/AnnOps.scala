@@ -461,7 +461,8 @@ object AnnOps {
         round(list_sum(list_transform(list_zip(e.v, qfull.qv),
           x -> (x[1]-x[2])*(x[1]-x[2]))), 6) AS dist
       FROM shortlist s JOIN e ON s.vec_id = e.vec_id, qfull
-      ORDER BY dist, s.vec_id LIMIT 10"""))
+      ORDER BY dist, s.vec_id LIMIT 10"""),
+    headline = true)
 
   val all: Seq[QueryDef] =
     Seq(q56AnnIvf, q68AnnLsh, q79AnnLshMultiprobe, q85AnnPq, q100AnnIvfPq)

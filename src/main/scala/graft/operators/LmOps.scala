@@ -280,7 +280,8 @@ object LmOps {
       FROM bk LEFT JOIN tc ON bk.b = tc.b
         JOIN rc ON bk.b = rc.b, tot
       WHERE bk.doc_id % 10 <> 3
-      GROUP BY bk.doc_id ORDER BY bk.doc_id"""))
+      GROUP BY bk.doc_id ORDER BY bk.doc_id"""),
+    headline = true)
 
   // ---------------------------------------------------------------
   // q99: hybrid lexical + dense retrieval (RRF fusion)
@@ -409,7 +410,8 @@ object LmOps {
         CAST(sum(CASE WHEN sh.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
         round(sum(CASE WHEN sh.h IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS dup_ratio
       FROM spans s LEFT JOIN shared sh ON s.h = sh.h
-      GROUP BY s.doc_id ORDER BY s.doc_id"""))
+      GROUP BY s.doc_id ORDER BY s.doc_id"""),
+    headline = true)
 
   val all: Seq[QueryDef] =
     Seq(q96LmPerplexity, q97Bm25, q98DupSpans, q99HybridRrf, q101Dsir)

@@ -36,6 +36,23 @@ class DedupStagingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.corpus.stagingDir")
   }
 
+  test("q96 perplexity and q101 DSIR are identical under corpus parquet staging") {
+    val dir = sf("sf0.001")
+    val localNll = LmOps.q96LmPerplexity.fn(spark, dir).collect().map(_.toString)
+    val localDsir = LmOps.q101Dsir.fn(spark, dir).collect().map(_.toString)
+    val staging = java.nio.file.Files.createTempDirectory("graft-lm-stage").toString
+    spark.conf.set("spark.graft.corpus.stagingDir", staging)
+    try {
+      assert(LmOps.q96LmPerplexity.fn(spark, dir).collect().map(_.toString).toSeq
+        == localNll.toSeq)
+      assert(LmOps.q101Dsir.fn(spark, dir).collect().map(_.toString).toSeq
+        == localDsir.toSeq)
+      val staged = new java.io.File(staging).listFiles()
+      assert(staged != null && staged.exists(_.getName.startsWith("lm_bigrams_")))
+      assert(staged.exists(_.getName.startsWith("dsir_raw_")))
+    } finally spark.conf.unset("spark.graft.corpus.stagingDir")
+  }
+
   test("q90 pigeonhole banding finds EVERY pair within the Hamming bound (vs brute force)") {
     import org.apache.spark.sql.functions._
     val dir = sf("sf0.001")

@@ -83,13 +83,17 @@ object LmOps {
     * frame — the library form `Curation.run`'s perplexity gate calls;
     * q96 is its oracle-checked table form. Docs with fewer than two
     * tokens have no bigram and are absent from the output. */
-  def avgNllOf(d: DataFrame): DataFrame = {
-    val bigrams = materialize(tokenizedOf(d)
+  /** (doc_id, w1, w2) bigram rows of a (doc_id, text) frame. */
+  private def bigramsOf(d: DataFrame): DataFrame =
+    tokenizedOf(d)
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(1, size(w) - 1),
           |  i -> struct(element_at(w, i) as w1, element_at(w, i + 1) as w2))""".stripMargin)).as("bg"))
-      .select(col("doc_id"), col("bg.w1"), col("bg.w2")), "lm_bigrams")
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+
+  def avgNllOf(d: DataFrame): DataFrame = {
+    val bigrams = materialize(bigramsOf(d), "lm_bigrams")
     // model tables: vocabulary-sized, broadcast below
     val vocabSize = bigrams.agg(countDistinct(col("w2")).as("v"))
     val ctxCounts = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
@@ -100,6 +104,29 @@ object LmOps {
       .crossJoin(broadcast(vocabSize))
       .select(col("doc_id"),
         (-log((col("c2") + Alpha) / (col("c1") + col("v") * Alpha))).as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("nll")), 6).as("avg_nll"))
+  }
+
+  /** Score `d` against a bigram model trained on a separate reference
+    * corpus — the incremental-ingest form: train the model offline
+    * (batch), broadcast it, score each micro-batch in foreachBatch
+    * (see EventStreamsSpec). Bigrams and contexts unseen in the
+    * reference back off to the α-smoothed OOV floor, so out-of-domain
+    * text scores high instead of dropping out. */
+  def avgNllAgainst(d: DataFrame, ref: DataFrame): DataFrame = {
+    val refBigrams = materialize(bigramsOf(ref), "lm_ref_bigrams")
+    val vocabSize = refBigrams.agg(countDistinct(col("w2")).as("v"))
+    val ctxCounts = refBigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val bgCounts = refBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    bigramsOf(d)
+      .join(broadcast(bgCounts), Seq("w1", "w2"), "left_outer")
+      .join(broadcast(ctxCounts), Seq("w1"), "left_outer")
+      .crossJoin(broadcast(vocabSize))
+      .select(col("doc_id"),
+        (-log((coalesce(col("c2"), lit(0L)) + Alpha) /
+          (coalesce(col("c1"), lit(0L)) + col("v") * Alpha))).as("nll"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(col("nll")), 6).as("avg_nll"))
@@ -190,6 +217,64 @@ object LmOps {
       $bm25SqlCtes
       SELECT doc_id, bm25, n_terms FROM lex
       ORDER BY bm25 DESC, doc_id LIMIT 20"""))
+
+  // ---------------------------------------------------------------
+  // q102: CCNet head/middle/tail perplexity buckets
+  // ---------------------------------------------------------------
+
+  /** CCNet's published corpus partitioning (Wenzek et al. 2020): within
+    * each language, split documents into perplexity terciles — head
+    * (lowest avg_nll, most fluent), middle, tail — so downstream runs
+    * can train on head+middle or weight the buckets. Cut points are
+    * exact interpolated terciles of q96's per-doc score, rounded like
+    * every computed aggregate so both engines compare against the same
+    * cuts.
+    *
+    * Scale: the cut-point table is two doubles per language — a
+    * broadcast — so bucketing is one narrow comparison pass; no
+    * per-language global sort (the percent_rank formulation would
+    * shuffle the corpus by a skewed lang key). Computing exact
+    * percentiles per lang is one aggregate whose shuffle carries
+    * (lang, nll) pairs; at 100 TB swap in approx_percentile with a
+    * fixed error budget — the operator shape is unchanged. */
+  val q102CcnetBuckets: QueryDef = QueryDef(
+    "q102_ccnet_buckets",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val scored = avgNllOf(d)
+        .join(d.select(col("doc_id"), col("lang")), "doc_id")
+      val cuts = scored.groupBy(col("lang")).agg(
+        round(expr("percentile(avg_nll, 1.0D/3)"), 6).as("c1"),
+        round(expr("percentile(avg_nll, 2.0D/3)"), 6).as("c2"))
+      scored.join(broadcast(cuts), "lang")
+        .select(col("doc_id"), col("lang"), col("avg_nll"),
+          when(col("avg_nll") <= col("c1"), "head")
+            .when(col("avg_nll") <= col("c2"), "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $tokSqlCte,
+      bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        FROM tok, unnest(range(1, len(w))) AS t(i)
+        WHERE len(w) >= 2),
+      v AS (SELECT count(DISTINCT w2) AS v FROM bg),
+      c1t AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+      c2t AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+      nll AS (SELECT bg.doc_id, round(avg(-ln((c2t.c2 + $Alpha) / (c1t.c1 + $Alpha * v.v))), 6) AS avg_nll
+        FROM bg JOIN c2t ON bg.w1 = c2t.w1 AND bg.w2 = c2t.w2
+          JOIN c1t ON bg.w1 = c1t.w1, v
+        GROUP BY bg.doc_id),
+      scored AS (SELECT nll.doc_id, d.lang, nll.avg_nll
+        FROM nll JOIN documents d ON nll.doc_id = d.doc_id),
+      cuts AS (SELECT lang, round(quantile_cont(avg_nll, 1.0/3), 6) AS c1,
+          round(quantile_cont(avg_nll, 2.0/3), 6) AS c2
+        FROM scored GROUP BY lang)
+      SELECT s.doc_id, s.lang, s.avg_nll,
+        CASE WHEN s.avg_nll <= c.c1 THEN 'head'
+             WHEN s.avg_nll <= c.c2 THEN 'middle'
+             ELSE 'tail' END AS bucket
+      FROM scored s JOIN cuts c ON s.lang = c.lang
+      ORDER BY s.doc_id"""))
 
   // ---------------------------------------------------------------
   // q101: DSIR importance-weight data selection
@@ -414,5 +499,6 @@ object LmOps {
     headline = true)
 
   val all: Seq[QueryDef] =
-    Seq(q96LmPerplexity, q97Bm25, q98DupSpans, q99HybridRrf, q101Dsir)
+    Seq(q96LmPerplexity, q97Bm25, q98DupSpans, q99HybridRrf, q101Dsir,
+      q102CcnetBuckets)
 }

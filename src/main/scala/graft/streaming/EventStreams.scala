@@ -54,6 +54,22 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** Run one AvailableNow pass through foreachBatch — the hook for
+    * batch-only transforms over an incremental source (broadcast-model
+    * scoring, multi-table writes, JDBC sinks). Each micro-batch is a
+    * plain batch DataFrame inside `f`, with exactly-once replay
+    * semantics from the checkpoint. */
+  def runAvailableNowForeachBatch(out: DataFrame, checkpoint: String)(
+      f: (DataFrame, Long) => Unit): Unit = {
+    val q = out.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(f)
+      .start()
+    q.awaitTermination()
+  }
+
   /** As above but into an in-memory table (tests / interactive). */
   def runAvailableNowToMemory(out: DataFrame, name: String,
       checkpoint: String, complete: Boolean = false): Unit = {

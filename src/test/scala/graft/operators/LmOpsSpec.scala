@@ -137,6 +137,26 @@ class LmOpsSpec extends SparkSpec {
     assert(corr > 0.3, s"target-overlap vs importance-weight correlation = $corr")
   }
 
+  test("q102: per-language terciles are balanced and ordered head <= middle <= tail") {
+    val rows = LmOps.q102CcnetBuckets.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byLang = rows.groupBy(_.getString(1))
+    byLang.foreach { case (lang, rs) =>
+      val byBucket = rs.groupBy(_.getString(3)).view.mapValues(_.map(_.getDouble(2)))
+      // ordering: every head score <= every tail score within the lang
+      for (h <- byBucket.getOrElse("head", Array.empty[Double]);
+           t <- byBucket.getOrElse("tail", Array.empty[Double]))
+        assert(h <= t, s"$lang: head $h > tail $t")
+      // terciles are roughly balanced on any non-tiny language
+      if (rs.length >= 30) {
+        val counts = Seq("head", "middle", "tail")
+          .map(b => byBucket.getOrElse(b, Array.empty[Double]).length)
+        assert(counts.min > 0, s"$lang: empty bucket in $counts")
+        assert(counts.max <= rs.length / 2, s"$lang: degenerate split $counts")
+      }
+    }
+  }
+
   test("q96/q97 plans: model tables ride broadcasts, the corpus never self-joins") {
     val p96 = LmOps.q96LmPerplexity.fn(spark, dir)
       .queryExecution.executedPlan.toString

@@ -93,6 +93,41 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows(1).getAs[Long]("n_events") == 1L)
   }
 
+  test("LM perplexity gate scores a document stream against an offline model (foreachBatch)") {
+    // the production shape: model trained offline on a reference
+    // corpus, each incremental micro-batch scored against the
+    // broadcast model — in-domain text scores low, OOV gibberish
+    // backs off to the smoothing floor and scores high
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType)))
+    val src = Files.createTempDirectory("graft-lm-src").toString
+    val ckpt = Files.createTempDirectory("graft-lm-ckpt").toString
+    val ref = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    // in-domain probe: real corpus text (tokens of doc 0)
+    val inDomain = ref.filter(col("doc_id") === 0)
+      .select(col("text")).head().getString(0)
+      .toLowerCase.split("\\s+").filter(_.matches("[a-z]+"))
+      .take(15).mkString(" ")
+    assert(inDomain.split(" ").length >= 5, "corpus doc 0 too short for the probe")
+    val gibberish = "zzq qqzx vvkj wwqy jjxz qzzv kkjw yyqw xxzj zzqv"
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s0"}"""
+    writeBatch(src, Seq(doc(101, inDomain), doc(102, gibberish)), "b1.json")
+    val seen = scala.collection.mutable.Map[Long, Double]()
+    graft.streaming.EventStreams.runAvailableNowForeachBatch(
+      graft.streaming.EventStreams.incrementalFiles(spark, src, docSchema), ckpt) {
+      (batch, _) =>
+        graft.operators.LmOps.avgNllAgainst(batch, ref).collect()
+          .foreach(r => seen(r.getLong(0)) = r.getDouble(2))
+    }
+    assert(seen.keySet === Set(101L, 102L))
+    assert(seen(101L) < seen(102L),
+      s"in-domain ${seen(101L)} must score below gibberish ${seen(102L)}")
+  }
+
   test("corpus gates + exact dedup run unchanged over a document stream, exactly-once across runs") {
     // the hygiene tier is pure Column logic, so incremental corpus
     // ingest is the SAME code as batch: stream → gateKeep filter →

@@ -101,6 +101,35 @@ class CurationSpec extends SparkSpec {
     assert(base.dsirDropped === 0L)
   }
 
+  test("all optional stages compose: counts stay consistent with every knob on") {
+    val probe = CorpusOps.fiveGramsOf(docs.limit(1))
+      .select(explode(col("shingles")).as("sh"))
+    val target = docs.filter(col("doc_id") % 10 === 3)
+    val ceil = graft.operators.LmOps.avgNllOf(docs)
+      .stat.approxQuantile("avg_nll", Array(0.75), 0.0).head
+    val floor = graft.operators.LmOps.dsirWeights(docs, target)
+      .stat.approxQuantile("avg_logratio", Array(0.25), 0.0).head
+    val (bins, s) = Curation.run(docs, Curation.CurationConfig(
+      benchmarkGrams = Some(probe),
+      maxAvgNll = Some(ceil),
+      dsirTarget = Some(target),
+      dsirFloor = floor,
+      mixtureRates = Map("zh" -> 10L)))
+    // stage accounting still conserves documents under full composition
+    val survivors = s.gated - s.boilerDropped - s.contaminatedDropped -
+      s.perplexityDropped - s.dsirDropped - s.sampledOut
+    assert(survivors >= 0L)
+    assert(s.packedDocs <= survivors)
+    assert(s.bins === bins.count())
+    assert(bins.agg(sum("n_docs")).collect().head.getLong(0) === s.packedDocs)
+    // the composed knobs collectively bite (per-stage sensitivity is
+    // covered by the single-knob tests above; under composition an
+    // earlier stage may claim a later stage's doc)
+    assert(s.contaminatedDropped + s.perplexityDropped + s.dsirDropped +
+      s.sampledOut >= 1L)
+    assert(s.packedDocs < Curation.run(docs)._2.packedDocs)
+  }
+
   test("stricter gates can only shrink the packed corpus") {
     val (_, loose) = Curation.run(docs)
     val (_, strict) = Curation.run(docs,

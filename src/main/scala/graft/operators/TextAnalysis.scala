@@ -108,6 +108,77 @@ object TextAnalysis {
         FROM documents) p) s
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Same durable-staging materialization seam as DedupOps/MixOps/LmOps
+    * — needed here because the winnowing windows reference the gram
+    * array per element (the project-collapse inlining hazard). */
+  private def materialize(df: DataFrame, tag: String): DataFrame = {
+    val s = df.sparkSession
+    s.conf.getOption("spark.graft.corpus.stagingDir") match {
+      case Some(root) =>
+        val path = s"$root/${tag}_${java.util.UUID.randomUUID().toString.take(8)}"
+        df.write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
+      case None => df.localCheckpoint()
+    }
+  }
+
+  private val WinK = 3 // tokens per gram
+  private val WinW = 4 // gram hashes per winnowing window
+
+  /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme):
+    * hash every [[WinK]]-token gram, slide a window of [[WinW]]
+    * consecutive hashes, keep each window's minimum — the selected set
+    * GUARANTEES any shared run of WinW+WinK-1 tokens between two docs
+    * shares a fingerprint, at ~2/(WinW+1) the density of q98's
+    * every-window spans. q48 is the degenerate single-fingerprint form
+    * (one global min); this is the set form robust matching uses.
+    *
+    * Scale: both hashing and window-min selection are per-doc HOFs —
+    * a narrow map with NO shuffle at all (the sort is harness
+    * determinism); the gram array is materialized once per doc so the
+    * window pass reads it instead of re-hashing per window. The
+    * downstream fingerprint join is q98's shape (equi on the hash). */
+  val q103Winnowing: QueryDef = QueryDef(
+    "q103_winnowing",
+    (s, dir) => {
+      val grams = materialize(docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+        .filter(size(col("w")) >= WinK)
+        .select(col("doc_id"), expr(
+          s"""transform(sequence(1, size(w) - ${WinK - 1}),
+             |  i -> substr(sha2(concat_ws(' ', element_at(w, i),
+             |    element_at(w, i + 1), element_at(w, i + 2)), 256), 1, 16))""".stripMargin)
+          .as("grams")), "winnow_grams")
+      grams
+        .withColumn("fps", expr(
+          s"""case when size(grams) >= $WinW
+             | then array_distinct(transform(sequence(1, size(grams) - ${WinW - 1}),
+             |   j -> array_min(slice(grams, j, $WinW))))
+             | else array(array_min(grams)) end""".stripMargin))
+        .select(col("doc_id"),
+          size(col("grams")).cast("long").as("n_grams"),
+          size(col("fps")).cast("long").as("n_fingerprints"),
+          round(size(col("fps")).cast("double") /
+            greatest(size(col("grams")) - (WinW - 1), lit(1)), 6).as("density"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH tok AS (SELECT doc_id,
+        regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+      g AS (SELECT doc_id,
+          [substr(sha256(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 16)
+           for i in range(1, len(w) - ${WinK - 2})] AS grams
+        FROM tok WHERE len(w) >= $WinK),
+      f AS (SELECT doc_id, len(grams) AS n_grams,
+          CASE WHEN len(grams) >= $WinW
+            THEN list_distinct([list_aggregate(grams[j:j+${WinW - 1}], 'min')
+                                for j in range(1, len(grams) - ${WinW - 2})])
+            ELSE [list_aggregate(grams, 'min')] END AS fps
+        FROM g)
+      SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        CAST(len(fps) AS BIGINT) AS n_fingerprints,
+        round(len(fps)::DOUBLE / greatest(n_grams - ${WinW - 1}, 1), 6) AS density
+      FROM f ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
-    q45TokenCount, q46QualityScore, q47LangId, q48Fingerprint)
+    q45TokenCount, q46QualityScore, q47LangId, q48Fingerprint, q103Winnowing)
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Winnowing invariants beyond the row-hash oracle: an independent
+  * driver-side reference implementation must agree on real corpus
+  * docs, and the selected density must sit near the 2/(w+1) theory. */
+class TextAnalysisSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+  private val K = 3
+  private val W = 4
+
+  private def sha16(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+
+  /** Reference winnowing: token K-grams → sha slice → window-of-W min
+    * set — written independently of the Column expressions. */
+  private def referenceFingerprints(text: String): Option[(Int, Int)] = {
+    val w = text.trim.split("\\s+")
+    if (w.length < K) None
+    else {
+      val grams = (0 to w.length - K).map(i => sha16(w.slice(i, i + K).mkString(" ")))
+      val fps =
+        if (grams.length >= W)
+          (0 to grams.length - W).map(j => grams.slice(j, j + W).min).distinct
+        else Seq(grams.min)
+      Some((grams.length, fps.length))
+    }
+  }
+
+  test("q103 matches an independent reference implementation on real docs") {
+    val got = TextAnalysis.q103Winnowing.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val texts = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).limit(50)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    var checked = 0
+    texts.foreach { case (id, text) =>
+      referenceFingerprints(text).foreach { case (nGrams, nFps) =>
+        val (gGrams, gFps) = got(id)
+        assert(gGrams === nGrams.toLong, s"doc $id gram count")
+        assert(gFps === nFps.toLong, s"doc $id fingerprint count")
+        checked += 1
+      }
+    }
+    assert(checked >= 10, s"only $checked docs were checkable")
+  }
+
+  test("q103 density sits near the winnowing expectation 2/(w+1)") {
+    val rows = TextAnalysis.q103Winnowing.fn(spark, dir).collect()
+    rows.foreach { r =>
+      val d = r.getDouble(r.fieldIndex("density"))
+      assert(d > 0.0 && d <= 1.0)
+    }
+    // docs with many windows concentrate around 2/(W+1) = 0.4
+    val dense = rows.filter(_.getLong(1) >= 50).map(_.getDouble(3))
+    if (dense.nonEmpty) {
+      val mean = dense.sum / dense.length
+      assert(mean > 0.25 && mean < 0.55, s"mean density $mean far from 2/(w+1)")
+    }
+  }
+}

@@ -28,16 +28,8 @@ object CorpusOps {
     * `spark.graft.corpus.stagingDir` is set (the 100 TB configuration;
     * same pattern as DedupOps.materialize). Without this the composed
     * q87 plan recomputes the shingle explosion once per consumer. */
-  private def materialize(df: DataFrame, tag: String): DataFrame = {
-    val s = df.sparkSession
-    s.conf.getOption("spark.graft.corpus.stagingDir") match {
-      case Some(root) =>
-        val path = s"$root/${tag}_${java.util.UUID.randomUUID().toString.take(8)}"
-        df.write.mode("overwrite").parquet(path)
-        s.read.parquet(path)
-      case None => df.localCheckpoint()
-    }
-  }
+  private def materialize(df: DataFrame, tag: String): DataFrame =
+    graft.Staging.materialize(df, tag, "spark.graft.corpus.stagingDir")
 
   // ---------------------------------------------------------------
   // q81: boilerplate via corpus-frequent n-grams (C4 §2.2 analog)

@@ -60,16 +60,8 @@ object DedupOps {
     * set to a parquet-capable path): write-then-read a staged table, so
     * any lost task recomputes from the staged files — the configuration
     * a 100 TB run uses (SCALE.md). */
-  private def materialize(df: DataFrame, tag: String): DataFrame = {
-    val s = df.sparkSession
-    s.conf.getOption("spark.graft.dedup.stagingDir") match {
-      case Some(root) =>
-        val path = s"$root/${tag}_${java.util.UUID.randomUUID().toString.take(8)}"
-        df.write.mode("overwrite").parquet(path)
-        s.read.parquet(path)
-      case None => df.localCheckpoint()
-    }
-  }
+  private def materialize(df: DataFrame, tag: String): DataFrame =
+    graft.Staging.materialize(df, tag, "spark.graft.dedup.stagingDir")
 
   /** MinHash signatures: ONE sha256 per shingle; the K hash functions
     * are the K disjoint 8-hex-char slices of the digest (256 independent

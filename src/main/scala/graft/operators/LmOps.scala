@@ -30,16 +30,8 @@ object LmOps {
     * `spark.graft.corpus.stagingDir` is set — the 100 TB configuration,
     * where a lost executor recomputes from staged files instead of
     * killing the job. */
-  private def materialize(df: DataFrame, tag: String): DataFrame = {
-    val s = df.sparkSession
-    s.conf.getOption("spark.graft.corpus.stagingDir") match {
-      case Some(root) =>
-        val path = s"$root/${tag}_${java.util.UUID.randomUUID().toString.take(8)}"
-        df.write.mode("overwrite").parquet(path)
-        s.read.parquet(path)
-      case None => df.localCheckpoint()
-    }
-  }
+  private def materialize(df: DataFrame, tag: String): DataFrame =
+    graft.Staging.materialize(df, tag, "spark.graft.corpus.stagingDir")
 
   /** (doc_id, token array) — materialized so the downstream bigram
     * transform doesn't re-run the regex split per element_at (the
@@ -79,50 +71,47 @@ object LmOps {
     * one groupBy(doc_id) whose shuffle carries only (doc_id, nll)
     * partials. The corpus never self-joins, and the model-build pass
     * shuffles (w1, w2) pairs once with map-side partial aggregation. */
-  /** Per-doc (doc_id, n_bigrams, avg_nll) over any (doc_id, text)
-    * frame — the library form `Curation.run`'s perplexity gate calls;
-    * q96 is its oracle-checked table form. Docs with fewer than two
-    * tokens have no bigram and are absent from the output. */
-  /** (doc_id, w1, w2) bigram rows of a (doc_id, text) frame. */
   private def bigramsOf(d: DataFrame): DataFrame =
-    tokenizedOf(d)
-      .filter(size(col("w")) >= 2)
+    bigramsOfTokens(tokenizedOf(d))
+
+  /** (doc_id, w1, w2) bigram rows from an already-tokenized frame —
+    * the form Curation.run uses to share ONE tokenization pass across
+    * its LM stages. */
+  private[graft] def bigramsOfTokens(tok: DataFrame): DataFrame =
+    tok.filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(1, size(w) - 1),
           |  i -> struct(element_at(w, i) as w1, element_at(w, i + 1) as w2))""".stripMargin)).as("bg"))
       .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
 
-  def avgNllOf(d: DataFrame): DataFrame = {
-    val bigrams = materialize(bigramsOf(d), "lm_bigrams")
-    // model tables: vocabulary-sized, broadcast below
-    val vocabSize = bigrams.agg(countDistinct(col("w2")).as("v"))
-    val ctxCounts = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val bgCounts = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    bigrams
-      .join(broadcast(bgCounts), Seq("w1", "w2"))
-      .join(broadcast(ctxCounts), Seq("w1"))
-      .crossJoin(broadcast(vocabSize))
-      .select(col("doc_id"),
-        (-log((col("c2") + Alpha) / (col("c1") + col("v") * Alpha))).as("nll"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(col("nll")), 6).as("avg_nll"))
+  /** A trained bigram model: the three broadcastable count frames,
+    * each materialized so repeated scoring (every micro-batch of a
+    * stream, every stage of a pipeline) reuses them instead of
+    * re-scanning the reference corpus. */
+  final case class LmModel(bgCounts: DataFrame, ctxCounts: DataFrame,
+      vocabSize: DataFrame)
+
+  /** Train the add-alpha bigram model once over a reference corpus. */
+  def trainLm(ref: DataFrame): LmModel = {
+    val bigrams = materialize(bigramsOf(ref), "lm_ref_bigrams")
+    LmModel(
+      materialize(bigrams.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c2")), "lm_c2"),
+      materialize(bigrams.groupBy(col("w1"))
+        .agg(count(lit(1)).as("c1")), "lm_c1"),
+      materialize(bigrams.agg(countDistinct(col("w2")).as("v")), "lm_v"))
   }
 
-  /** Score `d` against a bigram model trained on a separate reference
-    * corpus — the incremental-ingest form: train the model offline
-    * (batch), broadcast it, score each micro-batch in foreachBatch
-    * (see EventStreamsSpec). Bigrams and contexts unseen in the
-    * reference back off to the α-smoothed OOV floor, so out-of-domain
-    * text scores high instead of dropping out. */
-  def avgNllAgainst(d: DataFrame, ref: DataFrame): DataFrame = {
-    val refBigrams = materialize(bigramsOf(ref), "lm_ref_bigrams")
-    val vocabSize = refBigrams.agg(countDistinct(col("w2")).as("v"))
-    val ctxCounts = refBigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val bgCounts = refBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    bigramsOf(d)
-      .join(broadcast(bgCounts), Seq("w1", "w2"), "left_outer")
-      .join(broadcast(ctxCounts), Seq("w1"), "left_outer")
+  /** Score bigram rows against trained model counts. `strict = true`
+    * inner-joins (every bigram known — the self-trained q96 case);
+    * `strict = false` left-joins with the α-smoothed OOV floor (the
+    * against-reference case). */
+  private def scoreNll(bigrams: DataFrame, bgCounts: DataFrame,
+      ctxCounts: DataFrame, vocabSize: DataFrame, strict: Boolean): DataFrame = {
+    val how = if (strict) "inner" else "left_outer"
+    bigrams
+      .join(broadcast(bgCounts), Seq("w1", "w2"), how)
+      .join(broadcast(ctxCounts), Seq("w1"), how)
       .crossJoin(broadcast(vocabSize))
       .select(col("doc_id"),
         (-log((coalesce(col("c2"), lit(0L)) + Alpha) /
@@ -132,21 +121,61 @@ object LmOps {
         round(avg(col("nll")), 6).as("avg_nll"))
   }
 
+  /** Per-doc (doc_id, n_bigrams, avg_nll) over any (doc_id, text)
+    * frame, model trained on the frame itself — the library form
+    * `Curation.run`'s perplexity gate calls; q96 is its oracle-checked
+    * table form. Docs with fewer than two tokens have no bigram and
+    * are absent from the output. */
+  def avgNllOf(d: DataFrame): DataFrame =
+    avgNllOfTokens(tokenizedOf(d))
+
+  private[graft] def avgNllOfTokens(tok: DataFrame): DataFrame = {
+    val bigrams = materialize(bigramsOfTokens(tok), "lm_bigrams")
+    scoreNll(bigrams,
+      bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")),
+      bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1")),
+      bigrams.agg(countDistinct(col("w2")).as("v")),
+      strict = true)
+  }
+
+  /** Score `d` against a pre-trained model — the incremental-ingest
+    * form: [[trainLm]] once offline, then score each micro-batch in
+    * foreachBatch (see EventStreamsSpec) without re-scanning the
+    * reference corpus. Bigrams and contexts unseen in the reference
+    * back off to the α-smoothed OOV floor, so out-of-domain text
+    * scores high instead of dropping out. */
+  def avgNllWith(d: DataFrame, m: LmModel): DataFrame =
+    scoreNll(bigramsOf(d), m.bgCounts, m.ctxCounts, m.vocabSize,
+      strict = false)
+
+  /** One-shot convenience: train on `ref`, score `d`. Prefer
+    * [[trainLm]] + [[avgNllWith]] when scoring repeatedly. */
+  def avgNllAgainst(d: DataFrame, ref: DataFrame): DataFrame =
+    avgNllWith(d, trainLm(ref))
+
+  /** The q96 model + per-doc score as shared oracle CTEs (ending in
+    * `nll(doc_id, n_bigrams, avg_nll)`) — one copy of the smoothing
+    * formula, used verbatim by q96 and q102 so the two oracles cannot
+    * drift. */
+  private val nllSqlCtes =
+    s"""bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+       |        FROM tok, unnest(range(1, len(w))) AS t(i)
+       |        WHERE len(w) >= 2),
+       |      v AS (SELECT count(DISTINCT w2) AS v FROM bg),
+       |      c1t AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+       |      c2t AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+       |      nll AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+       |          round(avg(-ln((c2t.c2 + $Alpha) / (c1t.c1 + $Alpha * v.v))), 6) AS avg_nll
+       |        FROM bg JOIN c2t ON bg.w1 = c2t.w1 AND bg.w2 = c2t.w2
+       |          JOIN c1t ON bg.w1 = c1t.w1, v
+       |        GROUP BY bg.doc_id)""".stripMargin
+
   val q96LmPerplexity: QueryDef = QueryDef(
     "q96_lm_perplexity",
     (s, dir) => avgNllOf(docs(s, dir)).orderBy(col("doc_id")),
     Some(s"""WITH $tokSqlCte,
-      bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
-        FROM tok, unnest(range(1, len(w))) AS t(i)
-        WHERE len(w) >= 2),
-      v AS (SELECT count(DISTINCT w2) AS v FROM bg),
-      c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
-      c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2)
-      SELECT bg.doc_id, count(*) AS n_bigrams,
-        round(avg(-ln((c2.c2 + $Alpha) / (c1.c1 + $Alpha * v.v))), 6) AS avg_nll
-      FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
-        JOIN c1 ON bg.w1 = c1.w1, v
-      GROUP BY bg.doc_id ORDER BY bg.doc_id"""),
+      $nllSqlCtes
+      SELECT doc_id, n_bigrams, avg_nll FROM nll ORDER BY doc_id"""),
     headline = true)
 
   // ---------------------------------------------------------------
@@ -200,9 +229,12 @@ object LmOps {
     tf.join(broadcast(df_), Seq("tok"))
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
+        // operand order kept textually identical to the oracle SQL:
+        // K1*(1 - B + B*dl/avgdl) — a different association could
+        // diverge by an ulp and flip a 6-decimal rounding boundary
         (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
           (col("tf") * (K1 + 1)) /
-          (col("tf") + (lit(1.0) - B + col("dl") / col("avgdl") * B) * K1)).as("s"))
+          (col("tf") + lit(K1) * (lit(1.0) - B + lit(B) * col("dl") / col("avgdl")))).as("s"))
       .groupBy(col("doc_id"))
       .agg(round(sum(col("s")), 6).as("bm25"), count(lit(1)).as("n_terms"))
   }
@@ -254,16 +286,7 @@ object LmOps {
         .orderBy(col("doc_id"))
     },
     Some(s"""WITH $tokSqlCte,
-      bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
-        FROM tok, unnest(range(1, len(w))) AS t(i)
-        WHERE len(w) >= 2),
-      v AS (SELECT count(DISTINCT w2) AS v FROM bg),
-      c1t AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
-      c2t AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
-      nll AS (SELECT bg.doc_id, round(avg(-ln((c2t.c2 + $Alpha) / (c1t.c1 + $Alpha * v.v))), 6) AS avg_nll
-        FROM bg JOIN c2t ON bg.w1 = c2t.w1 AND bg.w2 = c2t.w2
-          JOIN c1t ON bg.w1 = c1t.w1, v
-        GROUP BY bg.doc_id),
+      $nllSqlCtes,
       scored AS (SELECT nll.doc_id, d.lang, nll.avg_nll
         FROM nll JOIN documents d ON nll.doc_id = d.doc_id),
       cuts AS (SELECT lang, round(quantile_cont(avg_nll, 1.0/3), 6) AS c1,
@@ -283,14 +306,11 @@ object LmOps {
   private val DsirBuckets = 1024 // hashed-feature space (divides 16⁴)
   private val DsirAlpha = 0.1    // add-alpha smoothing per bucket
 
-  /** Portable hashed-feature bucket in [0, DsirBuckets): first 4 hex
-    * chars of sha256 by positional arithmetic — the same SQL text runs
-    * on Spark and DuckDB (q93's device, modulo the feature-space size;
-    * 16⁴ is divisible by [[DsirBuckets]], so the bucket is uniform). */
+  /** Portable hashed-feature bucket in [0, DsirBuckets) — q93's shared
+    * positional-hex derivation (MixOps.bucketExpr), modulo the DSIR
+    * feature-space size. */
   private def featBucket(hashSql: String): String =
-    (1 to 4).map { i =>
-      s"(instr('0123456789abcdef', substr($hashSql, $i, 1)) - 1) * ${1 << (4 * (4 - i))}"
-    }.mkString("(", " + ", s") % $DsirBuckets")
+    MixOps.bucketExpr(hashSql, DsirBuckets)
 
   /** DSIR (Xie et al. 2023, public): select raw-corpus documents whose
     * hashed n-gram distribution looks like the target domain. Every
@@ -306,9 +326,9 @@ object LmOps {
     * broadcast trivially; scoring is the same narrow explode +
     * broadcast join + groupBy(doc_id) shape as q96, and the hashed
     * bucket id (an int) is what shuffles, never the bigram text. */
-  /** (doc_id, hashed bigram bucket) rows for a (doc_id, text) frame. */
-  private def dsirBuckets(d: DataFrame, tag: String): DataFrame =
-    materialize(tokenizedOf(d)
+  /** (doc_id, hashed bigram bucket) rows from a tokenized frame. */
+  private def dsirBucketsTokens(tok: DataFrame, tag: String): DataFrame =
+    materialize(tok
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(1, size(w) - 1),
@@ -320,9 +340,13 @@ object LmOps {
     * arbitrary target frame — the library form `Curation.run`'s
     * dsirTarget stage calls; q101 is its oracle-checked table form.
     * Docs with fewer than two tokens are unscored (absent). */
-  def dsirWeights(raw: DataFrame, target: DataFrame): DataFrame = {
-    val rb = dsirBuckets(raw, "dsir_raw")
-    val tb = dsirBuckets(target, "dsir_target")
+  def dsirWeights(raw: DataFrame, target: DataFrame): DataFrame =
+    dsirWeightsTokens(tokenizedOf(raw), tokenizedOf(target))
+
+  private[graft] def dsirWeightsTokens(rawTok: DataFrame,
+      tgtTok: DataFrame): DataFrame = {
+    val rb = dsirBucketsTokens(rawTok, "dsir_raw")
+    val tb = dsirBucketsTokens(tgtTok, "dsir_target")
     val tCounts = tb.groupBy(col("b")).agg(count(lit(1)).as("ct"))
     val rCounts = rb.groupBy(col("b")).agg(count(lit(1)).as("cr"))
     val totals = tb.agg(count(lit(1)).as("nt"))

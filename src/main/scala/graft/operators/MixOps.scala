@@ -27,16 +27,8 @@ object MixOps {
   /** Same durable-staging materialization seam as DedupOps/CorpusOps:
     * localCheckpoint locally, parquet staging when
     * `spark.graft.corpus.stagingDir` is set (the 100 TB configuration). */
-  private def materialize(df: DataFrame, tag: String): DataFrame = {
-    val s = df.sparkSession
-    s.conf.getOption("spark.graft.corpus.stagingDir") match {
-      case Some(root) =>
-        val path = s"$root/${tag}_${java.util.UUID.randomUUID().toString.take(8)}"
-        df.write.mode("overwrite").parquet(path)
-        s.read.parquet(path)
-      case None => df.localCheckpoint()
-    }
-  }
+  private def materialize(df: DataFrame, tag: String): DataFrame =
+    graft.Staging.materialize(df, tag, "spark.graft.corpus.stagingDir")
 
   // ---------------------------------------------------------------
   // q92: benchmark decontamination (n-gram overlap)
@@ -88,15 +80,17 @@ object MixOps {
   // q93: deterministic train/val/test split
   // ---------------------------------------------------------------
 
-  /** Portable hash bucket in [0, 100): the first 4 hex chars of the
+  /** Portable hash bucket in [0, mod): the first 4 hex chars of the
     * content sha256 decoded by positional arithmetic — the SAME SQL
     * text runs on Spark and DuckDB (both have 1-based instr/substr),
     * so the oracle executes the identical derivation rather than
-    * trusting a library hash to agree across engines. */
-  private[graft] def bucketExpr(hashSql: String): String =
+    * trusting a library hash to agree across engines. Shared by the
+    * q93/q94 split-and-mix buckets (mod 100) and q101's DSIR feature
+    * space (mod 1024; any divisor of 16⁴ stays uniform). */
+  private[graft] def bucketExpr(hashSql: String, mod: Int = 100): String =
     (1 to 4).map { i =>
       s"(instr('0123456789abcdef', substr($hashSql, $i, 1)) - 1) * ${1 << (4 * (4 - i))}"
-    }.mkString("(", " + ", ") % 100")
+    }.mkString("(", " + ", s") % $mod")
 
   /** Deterministic content-hash split: bucket < 80 → train, < 90 →
     * val, else test. Hashing CONTENT (not doc_id) means re-ingesting

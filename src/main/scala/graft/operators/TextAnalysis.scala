@@ -111,16 +111,8 @@ object TextAnalysis {
   /** Same durable-staging materialization seam as DedupOps/MixOps/LmOps
     * — needed here because the winnowing windows reference the gram
     * array per element (the project-collapse inlining hazard). */
-  private def materialize(df: DataFrame, tag: String): DataFrame = {
-    val s = df.sparkSession
-    s.conf.getOption("spark.graft.corpus.stagingDir") match {
-      case Some(root) =>
-        val path = s"$root/${tag}_${java.util.UUID.randomUUID().toString.take(8)}"
-        df.write.mode("overwrite").parquet(path)
-        s.read.parquet(path)
-      case None => df.localCheckpoint()
-    }
-  }
+  private def materialize(df: DataFrame, tag: String): DataFrame =
+    graft.Staging.materialize(df, tag, "spark.graft.corpus.stagingDir")
 
   private val WinK = 3 // tokens per gram
   private val WinW = 4 // gram hashes per winnowing window

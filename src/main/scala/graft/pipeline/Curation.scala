@@ -38,8 +38,10 @@ object Curation {
     *        (< 2 tokens) are kept, q96's convention
     * @param dsirTarget     optional target-domain corpus (doc_id, text)
     *        for DSIR selection (q101): drop docs whose hashed-bigram
-    *        importance weight falls below `dsirFloor`; unscored docs
-    *        (< 2 tokens) are kept
+    *        importance weight falls below `dsirFloor`. q101's
+    *        semantics: the raw-side model EXCLUDES docs appearing in
+    *        the target (by doc_id), and target members are never
+    *        dropped by this stage; unscored docs (< 2 tokens) are kept
     * @param mixtureRates   percent kept per `lang` (q94's shape);
     *        langs absent from the map keep `defaultRate` */
   final case class CurationConfig(
@@ -59,24 +61,19 @@ object Curation {
       perplexityDropped: Long, dsirDropped: Long, sampledOut: Long,
       packedDocs: Long, bins: Long)
 
-  private def materialize(df: DataFrame, tag: String): DataFrame = {
-    val s = df.sparkSession
-    s.conf.getOption("spark.graft.corpus.stagingDir") match {
-      case Some(root) =>
-        val path = s"$root/${tag}_${java.util.UUID.randomUUID().toString.take(8)}"
-        df.write.mode("overwrite").parquet(path)
-        s.read.parquet(path)
-      case None => df.localCheckpoint()
-    }
-  }
+  private def materialize(df: DataFrame, tag: String): DataFrame =
+    graft.Staging.materialize(df, tag, "spark.graft.corpus.stagingDir")
 
   /** Run the pipeline over a documents frame (`doc_id`, `text`, `lang`,
     * `source`). Returns the packed-bin table
     * (source, bin, n_docs, sum_tokens) and the per-stage summary.
     *
-    * Exactly three corpus-size actions run: the shared gram
-    * materialization, the flagged-survivor materialization (where ALL
-    * drop counts are observed), and the packing pass. */
+    * Corpus-size actions: the shared gram materialization, the
+    * flagged-survivor materialization (where ALL drop counts are
+    * observed), and the packing pass — plus, only when an LM knob
+    * (maxAvgNll / dsirTarget) is enabled, ONE shared tokenization
+    * materialization that both LM stages read (never one per stage);
+    * their scoring outputs are slim (doc_id, flag) joins. */
   def run(docs: DataFrame, cfg: CurationConfig = CurationConfig()): (DataFrame, CurationSummary) = {
     // boilerplate frequencies on the RAW corpus (q87's rule: template
     // text counts even when its host doc fails other gates)
@@ -97,20 +94,28 @@ object Curation {
         .select(col("doc_id")).distinct()
         .withColumn("is_contam", lit(true))
     }
+    // ONE tokenization shared by both optional LM stages (built only
+    // if some LM knob is on — `lazy` defers the eager checkpoint)
+    lazy val tok = graft.operators.LmOps.tokenizedOf(docs)
     // perplexity gate: bigram model trained on the RAW corpus (the
     // trusted-LM stand-in, q96); the score table is one slim
     // (doc_id, double) row per doc — its join back is the only
     // doc_id-keyed shuffle the gate adds, and only when enabled
     val pplIds = cfg.maxAvgNll.map { ceil =>
-      graft.operators.LmOps.avgNllOf(docs)
+      graft.operators.LmOps.avgNllOfTokens(tok)
         .filter(col("avg_nll") > ceil)
         .select(col("doc_id"), lit(true).as("is_ppl_out"))
     }
     // DSIR selection: docs whose importance weight under the target
     // model falls below the floor — like the gate above, one slim
-    // (doc_id, flag) join, only when a target corpus is supplied
+    // (doc_id, flag) join, only when a target corpus is supplied.
+    // q101's semantics: the raw side excludes target members, and
+    // target members themselves carry no flag (never dropped here)
     val dsirIds = cfg.dsirTarget.map { tgt =>
-      graft.operators.LmOps.dsirWeights(docs, tgt)
+      val tgtIds = tgt.select(col("doc_id"))
+      graft.operators.LmOps.dsirWeightsTokens(
+          tok.join(tgtIds, Seq("doc_id"), "left_anti"),
+          graft.operators.LmOps.tokenizedOf(tgt))
         .filter(col("avg_logratio") < cfg.dsirFloor)
         .select(col("doc_id"), lit(true).as("is_dsir_out"))
     }

@@ -40,16 +40,8 @@ object Workflow {
     * downstream action is a plain parquet re-read; without it,
     * `localCheckpoint` (executor memory/disk) — fine single-node, lost
     * with an executor on a real cluster. */
-  private def materialize(df: DataFrame, tag: String): DataFrame = {
-    val s = df.sparkSession
-    s.conf.getOption("spark.graft.workflow.stagingDir") match {
-      case Some(root) =>
-        val path = s"$root/${tag}_${java.util.UUID.randomUUID().toString.take(8)}"
-        df.write.mode("overwrite").parquet(path)
-        s.read.parquet(path)
-      case None => df.localCheckpoint()
-    }
-  }
+  private def materialize(df: DataFrame, tag: String): DataFrame =
+    graft.Staging.materialize(df, tag, "spark.graft.workflow.stagingDir")
 
   /** Execute a batch run end-to-end. Returns the summary the reference's
     * chord callback would assemble (workers/file_processing/tasks.py:1023-1090).

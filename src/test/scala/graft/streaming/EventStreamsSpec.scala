@@ -116,11 +116,14 @@ class EventStreamsSpec extends SparkSpec {
     def doc(id: Long, text: String) =
       s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s0"}"""
     writeBatch(src, Seq(doc(101, inDomain), doc(102, gibberish)), "b1.json")
+    // model trained ONCE, outside the stream — each micro-batch only
+    // pays the scoring joins, never a reference-corpus re-scan
+    val model = graft.operators.LmOps.trainLm(ref)
     val seen = scala.collection.mutable.Map[Long, Double]()
     graft.streaming.EventStreams.runAvailableNowForeachBatch(
       graft.streaming.EventStreams.incrementalFiles(spark, src, docSchema), ckpt) {
       (batch, _) =>
-        graft.operators.LmOps.avgNllAgainst(batch, ref).collect()
+        graft.operators.LmOps.avgNllWith(batch, model).collect()
           .foreach(r => seen(r.getLong(0)) = r.getDouble(2))
     }
     assert(seen.keySet === Set(101L, 102L))

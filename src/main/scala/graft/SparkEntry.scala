@@ -26,7 +26,8 @@ object SparkEntry {
       operators.MediaOps.all ++
       operators.CorpusOps.all ++
       operators.MixOps.all ++
-      operators.LmOps.all
+      operators.LmOps.all ++
+      operators.TokenizerOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The index-pipeline capstone: chunk → mock-embed → top-k retrieve —

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BPE merge learning proven against an independent driver-side
+  * reference implementation of the published algorithm on the real
+  * corpus — the no-oracle correctness convention (q77). */
+class TokenizerOpsSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  /** Reference BPE (Sennrich et al. 2016): plain Scala over the word
+    * frequency map, structured independently of the Column fold. */
+  private def referenceBpe(wordFreq: Map[String, Long],
+      n: Int): Seq[(String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] = wordFreq.map {
+      case (w, f) => w.toVector.map(_.toString) -> f
+    }.groupMapReduce(_._1)(_._2)(_ + _)
+    val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    for (_ <- 1 to n) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ =>
+        }
+      }
+      if (counts.isEmpty) return out.toSeq
+      val ((l, r), c) = counts.minBy { case ((a, b), cnt) => (-cnt, a, b) }
+      out += ((l, r, c))
+      vocab = vocab.map { case (syms, f) =>
+        val merged = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            merged += (l + r); i += 2
+          } else { merged += syms(i); i += 1 }
+        }
+        merged.toVector -> f
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+    }
+    out.toSeq
+  }
+
+  test("q104 merges match the reference BPE algorithm on the real corpus") {
+    val got = TokenizerOps.q104BpeMerges.fn(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(got.length === 8)
+    val wordFreq = graft.Tables.load(spark, dir, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = referenceBpe(wordFreq, 8)
+    assert(got.toSeq === want,
+      s"merge sequences diverge:\n got=${got.toSeq}\nwant=$want")
+  }
+
+  test("q104 merge frequencies are non-increasing in rank on a zipf-ish corpus") {
+    // not an invariant of BPE in general (a merged symbol can form a
+    // MORE frequent pair later), but it must hold for the first merges
+    // of a natural-language corpus; a violation here means the pair
+    // counting is wrong even when the reference comparison passes
+    val freqs = TokenizerOps.q104BpeMerges.fn(spark, dir).collect()
+      .map(_.getLong(4))
+    assert(freqs.head === freqs.max)
+  }
+}

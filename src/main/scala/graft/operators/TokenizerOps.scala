@@ -102,5 +102,46 @@ object TokenizerOps {
     },
     None)
 
-  val all: Seq[QueryDef] = Seq(q104BpeMerges)
+  /** Apply learned merges to the corpus — the downstream half of
+    * training: every document's words are segmented with the merge
+    * list in rank order (exactly how a trained BPE tokenizer encodes),
+    * reporting per-doc symbol counts before/after. At scale the merge
+    * list is a broadcast literal (vocab-file-sized) and encoding is a
+    * narrow per-doc map — the same fold as training, applied
+    * rank-by-rank.
+    *
+    * No DuckDB oracle (merge application is data-dependent on q104's
+    * output); TokenizerOpsSpec proves per-doc token counts equal an
+    * independent reference encoder. */
+  val q105BpeEncode: QueryDef = QueryDef(
+    "q105_bpe_encode",
+    (s, dir) => {
+      val d = Tables.loadParallel(s, dir, "documents")
+      val merges = bpeMerges(d)
+      val words = materialize(d
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+        .filter(length(col("word")) >= 1)
+        .withColumn("syms", split(col("word"), "")), "bpe_enc_words")
+      val encoded = merges.foldLeft(words) { case (acc, (l, r, _)) =>
+        acc.withColumn("syms",
+          aggregate(col("syms"), array().cast("array<string>"),
+            (a, sym) =>
+              when(size(a) > 0 &&
+                  element_at(a, -1) === lit(l) && sym === lit(r),
+                concat(slice(a, lit(1), size(a) - 1), array(lit(l + r))))
+                .otherwise(concat(a, array(sym)))))
+      }
+      encoded
+        .groupBy(col("doc_id"))
+        .agg(sum(length(col("word"))).as("n_chars"),
+          sum(size(col("syms"))).as("n_bpe_tokens"),
+          count(lit(1)).as("n_words"))
+        .withColumn("compression",
+          round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
+  val all: Seq[QueryDef] = Seq(q104BpeMerges, q105BpeEncode)
 }

@@ -57,6 +57,44 @@ class TokenizerOpsSpec extends SparkSpec {
       s"merge sequences diverge:\n got=${got.toSeq}\nwant=$want")
   }
 
+  test("q105 per-doc BPE token counts match an independent reference encoder") {
+    val wordFreq = graft.Tables.load(spark, dir, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merges = referenceBpe(wordFreq, 8).map { case (l, r, _) => (l, r) }
+    def encode(word: String): Int = {
+      var syms = word.toVector.map(_.toString)
+      merges.foreach { case (l, r) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toVector
+      }
+      syms.length
+    }
+    val want = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val toks = r.getString(1).toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        r.getLong(0) -> toks.map(encode).sum.toLong
+      }.filter(_._2 > 0).toMap
+    val got = TokenizerOps.q105BpeEncode.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(r.fieldIndex("n_bpe_tokens"))).toMap
+    assert(got.keySet === want.keySet)
+    val diffs = want.collect { case (id, n) if got(id) != n => (id, n, got(id)) }
+    assert(diffs.isEmpty, s"encoder diverges on ${diffs.take(3)}")
+    // merges actually compress: total BPE tokens < total characters
+    val rows = TokenizerOps.q105BpeEncode.fn(spark, dir).collect()
+    val (chars, bpe) = (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
+    assert(bpe < chars, s"no compression: $bpe tokens vs $chars chars")
+  }
+
   test("q104 merge frequencies are non-increasing in rank on a zipf-ish corpus") {
     // not an invariant of BPE in general (a merged symbol can form a
     // MORE frequent pair later), but it must hold for the first merges

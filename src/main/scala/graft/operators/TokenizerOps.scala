@@ -24,26 +24,41 @@ object TokenizerOps {
 
   private val NMerges = 8
 
+  /** The corpus word stream — ONE definition shared with the LM tier
+    * (LmOps.tokenizedOf's tokenization), so BPE trains on exactly the
+    * word stream the perplexity/DSIR models see. */
+  private def words(d: DataFrame): DataFrame =
+    LmOps.tokenizedOf(d)
+      .select(col("doc_id"), explode(col("w")).as("word"))
+      .filter(length(col("word")) >= 1)
+
   /** (word, freq, syms) — the BPE training table: distinct corpus words
     * with frequencies, each word split into single-character symbols. */
   private def wordTable(d: DataFrame): DataFrame =
-    materialize(d
-      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
-      .filter(length(col("word")) >= 1)
+    materialize(words(d)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .withColumn("syms", split(col("word"), "")), "bpe_words")
+
+  /** One greedy left-to-right merge pass of the pair (l, r) over a
+    * symbol-array column — shared verbatim by training and encoding so
+    * the two halves cannot drift. lit()-parameterized: symbols are
+    * corpus text, never spliced into an expr string. After a merge the
+    * new last symbol is `l+r`, which can never equal `l` again in the
+    * same pass (r is non-empty), so the fold needs no overlap flag to
+    * match the reference algorithm's one-pass semantics. */
+  private def mergeFold(syms: org.apache.spark.sql.Column, l: String, r: String) =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) =>
+        when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(l) && s === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(s))))
 
   /** Learn `n` BPE merges: each round counts adjacent symbol pairs
     * weighted by word frequency, picks the most frequent (ties broken
     * lexicographically), and rewrites every word's symbol array with
     * the greedy left-to-right merge. Returns (left, right, pairFreq)
-    * per round, most-frequent first.
-    *
-    * The rewrite is a codegen'd `aggregate` fold per word — after a
-    * merge the new last symbol is `l+r`, which can never equal `l`
-    * again in the same pass (r is non-empty), so the fold's greedy
-    * left-to-right semantics match the reference algorithm without an
-    * overlap flag. */
+    * per round, most-frequent first. */
   def bpeMerges(d: DataFrame, n: Int = NMerges): Seq[(String, String, Long)] = {
     var cur = wordTable(d)
     val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
@@ -60,16 +75,11 @@ object TokenizerOps {
       if (top.isEmpty) return out.toSeq
       val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       out += ((l, r, c))
-      // lit()-parameterized rewrite: symbols are corpus text — never
-      // spliced into an expr string
-      cur = materialize(cur.withColumn("syms",
-        aggregate(col("syms"), array().cast("array<string>"),
-          (acc, s) =>
-            when(size(acc) > 0 &&
-                element_at(acc, -1) === lit(l) && s === lit(r),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-              .otherwise(concat(acc, array(s))))), s"bpe_round$round")
       round += 1
+      // the final round's rewrite is never read — skip the dead job
+      if (round < n)
+        cur = materialize(cur.withColumn("syms", mergeFold(col("syms"), l, r)),
+          s"bpe_round$round")
     }
     out.toSeq
   }
@@ -104,33 +114,29 @@ object TokenizerOps {
 
   /** Apply learned merges to the corpus — the downstream half of
     * training: every document's words are segmented with the merge
-    * list in rank order (exactly how a trained BPE tokenizer encodes),
-    * reporting per-doc symbol counts before/after. At scale the merge
-    * list is a broadcast literal (vocab-file-sized) and encoding is a
-    * narrow per-doc map — the same fold as training, applied
-    * rank-by-rank.
+    * list, one greedy pass per rank in rank order, reporting per-doc
+    * symbol counts before/after. NOTE this is the streaming one-pass-
+    * per-rank variant: canonical encoders (Sennrich's apply_bpe,
+    * GPT-2/HF) iterate lowest-rank-first until no merge applies, and
+    * can differ when a later merge recreates a pair an earlier rank
+    * already passed over; the spec's reference encoder implements the
+    * SAME one-pass variant, so the test pins exactly the semantics
+    * shipped. At scale the merge list is a broadcast literal
+    * (vocab-file-sized) and encoding is a narrow per-doc map — the
+    * same fold as training, applied rank-by-rank.
     *
     * No DuckDB oracle (merge application is data-dependent on q104's
-    * output); TokenizerOpsSpec proves per-doc token counts equal an
+    * output); TokenizerOpsSpec proves per-doc token counts equal the
     * independent reference encoder. */
   val q105BpeEncode: QueryDef = QueryDef(
     "q105_bpe_encode",
     (s, dir) => {
       val d = Tables.loadParallel(s, dir, "documents")
       val merges = bpeMerges(d)
-      val words = materialize(d
-        .select(col("doc_id"),
-          explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
-        .filter(length(col("word")) >= 1)
+      val encWords = materialize(words(d)
         .withColumn("syms", split(col("word"), "")), "bpe_enc_words")
-      val encoded = merges.foldLeft(words) { case (acc, (l, r, _)) =>
-        acc.withColumn("syms",
-          aggregate(col("syms"), array().cast("array<string>"),
-            (a, sym) =>
-              when(size(a) > 0 &&
-                  element_at(a, -1) === lit(l) && sym === lit(r),
-                concat(slice(a, lit(1), size(a) - 1), array(lit(l + r))))
-                .otherwise(concat(a, array(sym)))))
+      val encoded = merges.foldLeft(encWords) { case (acc, (l, r, _)) =>
+        acc.withColumn("syms", mergeFold(col("syms"), l, r))
       }
       encoded
         .groupBy(col("doc_id"))

@@ -31,6 +31,41 @@ class ScaleJoinsSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the executed plan)") {
+    // the SCALE.md claim "AQE skew-split for hot keys", executed: one
+    // key carries ~1000x the rows of the others, thresholds lowered to
+    // test scale, and the post-execution adaptive plan must mark the
+    // sort-merge join as skew-handled
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.5",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // per-row unique padding: shuffle sizes are COMPRESSED bytes, so
+      // a constant pad would deflate below the skew threshold
+      val pad = expr("repeat(sha2(cast(id as string), 256), 8)")
+      // hot side: 50k rows of key 0 (+ a long tail), well past 64KB
+      val fact = spark.range(0, 50000).select(lit(0L).as("k"), pad.as("p"))
+        .unionByName(spark.range(1, 200).select(col("id").as("k"), pad.as("p")))
+      val dim = spark.range(0, 200).select(col("id").as("k"), lit(1).as("v"))
+      val joined = fact.join(dim, "k")
+      // execute THIS plan (count() would run a different query and the
+      // adaptive plan under inspection would never finalize)
+      assert(joined.collect().length === 50000 + 199)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${plan.take(1200)}")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("partition-layout fact scan is dynamically pruned by a selective dim filter") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-dpp").toString

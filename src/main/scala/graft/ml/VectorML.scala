@@ -91,4 +91,42 @@ object VectorML {
       .fit(vec)
     model.transform(vec).drop("__vec", "rawPrediction", "probability")
   }
+
+  /** GPT-3-style quality-classifier filter (GPT-3 appendix A; the
+    * phi-family "textbook quality" filters are the same shape): hashed
+    * bigram counts featurize documents — HashingTF's fixed-width trick,
+    * the ML twin of q101's DSIR buckets — and a logistic regression
+    * trained to tell a target ("high quality") corpus from the raw
+    * pool scores any document with a target probability to threshold
+    * on. Returns a scorer usable on any (doc_id, text) frame.
+    *
+    * Scale: featurization is a narrow map to fixed `numFeatures`-dim
+    * sparse vectors; training is MLlib's distributed L-BFGS over them;
+    * scoring is one broadcast-model map. No corpus self-join, and the
+    * model is a single dense coefficient vector however big the
+    * corpus. */
+  def fitQualityFilter(raw: DataFrame, target: DataFrame,
+      numFeatures: Int = 1024): DataFrame => DataFrame = {
+    import org.apache.spark.ml.feature.HashingTF
+    import org.apache.spark.ml.functions.vector_to_array
+    def featurize(d: DataFrame): DataFrame =
+      graft.operators.LmOps.tokenizedOf(d)
+        .filter(size(col("w")) >= 2)
+        .withColumn("__bgs", expr(
+          """transform(sequence(1, size(w) - 1),
+            |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))""".stripMargin))
+    val tf = new HashingTF().setInputCol("__bgs").setOutputCol("__vec")
+      .setNumFeatures(numFeatures)
+    val trainDf = tf.transform(
+      featurize(target).withColumn("label", lit(1.0))
+        .unionByName(featurize(raw).withColumn("label", lit(0.0))))
+    val model = new LogisticRegression()
+      .setFeaturesCol("__vec").setLabelCol("label")
+      .setMaxIter(50).setRegParam(0.01)
+      .fit(trainDf)
+    d => model.transform(tf.transform(featurize(d)))
+      .select(col("doc_id"),
+        round(element_at(vector_to_array(col("probability")), 2), 6)
+          .as("quality"))
+  }
 }

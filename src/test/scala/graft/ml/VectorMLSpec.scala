@@ -44,6 +44,28 @@ class VectorMLSpec extends SparkSpec {
     assert(pairs.filter(col("l2_dist") > 1.1).count() == 0)
   }
 
+  test("quality filter: held-out target docs outscore the raw pool") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val target = docs.filter(col("doc_id") % 10 === 3)
+    val raw = docs.filter(col("doc_id") % 10 =!= 3)
+    // train on the even half of the target slice; evaluate on the odd
+    // half the model never saw
+    val score = VectorML.fitQualityFilter(raw,
+      target.filter(col("doc_id") % 20 === 3))
+    def mean(d: org.apache.spark.sql.DataFrame): Double =
+      d.agg(avg("quality")).head().getDouble(0)
+    val heldOutTarget = mean(score(target.filter(col("doc_id") % 20 === 13)))
+    val rawMean = mean(score(raw))
+    assert(heldOutTarget > rawMean,
+      s"held-out target $heldOutTarget must outscore raw pool $rawMean")
+    // probabilities are probabilities
+    score(docs).collect().foreach { r =>
+      val q = r.getDouble(1)
+      assert(q >= 0.0 && q <= 1.0)
+    }
+  }
+
   test("embedding classifier separates labels far better than chance") {
     val scored = VectorML.trainEmbeddingClassifier(emb, "embedding", "label")
     val acc = scored.filter(col("prediction") === col("label")).count().toDouble /

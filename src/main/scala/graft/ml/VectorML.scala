@@ -124,9 +124,19 @@ object VectorML {
       .setFeaturesCol("__vec").setLabelCol("label")
       .setMaxIter(50).setRegParam(0.01)
       .fit(trainDf)
-    d => model.transform(tf.transform(featurize(d)))
+    // score with the closed-form sigmoid over the extracted
+    // coefficients: the returned scorer carries only plain doubles
+    // (broadcast literals), not the model object — whose training
+    // summary pins the SparkSession and breaks task serialization
+    // when the scored frame is embedded in a larger (e.g. observed)
+    // plan
+    val coefs = model.coefficients.toArray.toSeq
+    val intercept = model.intercept
+    d => tf.transform(featurize(d))
+      .withColumn("__arr", vector_to_array(col("__vec")))
       .select(col("doc_id"),
-        round(element_at(vector_to_array(col("probability")), 2), 6)
-          .as("quality"))
+        round(lit(1.0) / (lit(1.0) + exp(-(aggregate(
+          zip_with(typedLit(coefs), col("__arr"), (c, x) => c * x),
+          lit(intercept), (acc, t) => acc + t)))), 6).as("quality"))
   }
 }

@@ -42,6 +42,11 @@ object Curation {
     *        semantics: the raw-side model EXCLUDES docs appearing in
     *        the target (by doc_id), and target members are never
     *        dropped by this stage; unscored docs (< 2 tokens) are kept
+    * @param qualityTarget  optional "high quality" exemplar corpus for
+    *        the GPT-3-style classifier stage
+    *        (`VectorML.fitQualityFilter`): every doc is scored with a
+    *        target probability and dropped below `qualityFloor`;
+    *        unscored docs (< 2 tokens) are kept
     * @param mixtureRates   percent kept per `lang` (q94's shape);
     *        langs absent from the map keep `defaultRate` */
   final case class CurationConfig(
@@ -52,14 +57,16 @@ object Curation {
       maxAvgNll: Option[Double] = None,
       dsirTarget: Option[DataFrame] = None,
       dsirFloor: Double = 0.0,
+      qualityTarget: Option[DataFrame] = None,
+      qualityFloor: Double = 0.5,
       mixtureRates: Map[String, Long] = Map.empty,
       defaultRate: Long = 100L,
       packCapacity: Long = 512L)
 
   final case class CurationSummary(
       raw: Long, gated: Long, boilerDropped: Long, contaminatedDropped: Long,
-      perplexityDropped: Long, dsirDropped: Long, sampledOut: Long,
-      packedDocs: Long, bins: Long)
+      perplexityDropped: Long, dsirDropped: Long, qualityDropped: Long,
+      sampledOut: Long, packedDocs: Long, bins: Long)
 
   private def materialize(df: DataFrame, tag: String): DataFrame =
     graft.Staging.materialize(df, tag, "spark.graft.corpus.stagingDir")
@@ -119,6 +126,16 @@ object Curation {
         .filter(col("avg_logratio") < cfg.dsirFloor)
         .select(col("doc_id"), lit(true).as("is_dsir_out"))
     }
+    // GPT-3-style classifier stage: fit on exemplar-vs-rest, score ALL
+    // docs (exemplar members score high and naturally survive), drop
+    // below the floor — again one slim (doc_id, flag) join
+    val qualIds = cfg.qualityTarget.map { tgt =>
+      val score = graft.ml.VectorML.fitQualityFilter(
+        docs.join(tgt.select(col("doc_id")), Seq("doc_id"), "left_anti"), tgt)
+      score(docs)
+        .filter(col("quality") < cfg.qualityFloor)
+        .select(col("doc_id"), lit(true).as("is_qual_out"))
+    }
     // one flagged pass: every stage's verdict as a column, every
     // stage's count as an observation on the SAME materialization
     val rateCol = cfg.mixtureRates.foldLeft(lit(cfg.defaultRate)) {
@@ -133,12 +150,15 @@ object Curation {
         ids => flagged0.join(ids, Seq("doc_id"), "left_outer"))
     val flagged2 = pplIds.fold(flagged1.withColumn("is_ppl_out", lit(false)))(
         ids => flagged1.join(ids, Seq("doc_id"), "left_outer"))
-    val flagged = dsirIds.fold(flagged2.withColumn("is_dsir_out", lit(false)))(
+    val flagged3 = dsirIds.fold(flagged2.withColumn("is_dsir_out", lit(false)))(
         ids => flagged2.join(ids, Seq("doc_id"), "left_outer"))
+    val flagged = qualIds.fold(flagged3.withColumn("is_qual_out", lit(false)))(
+        ids => flagged3.join(ids, Seq("doc_id"), "left_outer"))
       .withColumn("is_boiler", coalesce(col("is_boiler"), lit(false)))
       .withColumn("is_contam", coalesce(col("is_contam"), lit(false)))
       .withColumn("is_ppl_out", coalesce(col("is_ppl_out"), lit(false)))
       .withColumn("is_dsir_out", coalesce(col("is_dsir_out"), lit(false)))
+      .withColumn("is_qual_out", coalesce(col("is_qual_out"), lit(false)))
     val obs = Observation()
     val clean = materialize(flagged
       .observe(obs,
@@ -152,10 +172,15 @@ object Curation {
         count(when(col("pass_gate") && !col("is_boiler") && !col("is_contam") &&
           !col("is_ppl_out") && col("is_dsir_out"), true)).as("dsir_dropped"),
         count(when(col("pass_gate") && !col("is_boiler") && !col("is_contam") &&
-          !col("is_ppl_out") && !col("is_dsir_out") && !col("pass_mix"), true))
+          !col("is_ppl_out") && !col("is_dsir_out") && col("is_qual_out"), true))
+          .as("qual_dropped"),
+        count(when(col("pass_gate") && !col("is_boiler") && !col("is_contam") &&
+          !col("is_ppl_out") && !col("is_dsir_out") && !col("is_qual_out") &&
+          !col("pass_mix"), true))
           .as("sampled_out"))
       .filter(col("pass_gate") && !col("is_boiler") && !col("is_contam") &&
-        !col("is_ppl_out") && !col("is_dsir_out") && col("pass_mix"))
+        !col("is_ppl_out") && !col("is_dsir_out") && !col("is_qual_out") &&
+        col("pass_mix"))
       .select(col("source"), col("doc_id"), col("text")), "clean")
     // exact dedup (min doc_id per content hash) + packing
     val keepIds = clean.groupBy(sha2(col("text"), 256).as("h"))
@@ -174,6 +199,7 @@ object Curation {
       contaminatedDropped = obs.get("contam_dropped").asInstanceOf[Long],
       perplexityDropped = obs.get("ppl_dropped").asInstanceOf[Long],
       dsirDropped = obs.get("dsir_dropped").asInstanceOf[Long],
+      qualityDropped = obs.get("qual_dropped").asInstanceOf[Long],
       sampledOut = obs.get("sampled_out").asInstanceOf[Long],
       packedDocs = obsPack.get("packed_docs").asInstanceOf[Long],
       bins = bins.count())

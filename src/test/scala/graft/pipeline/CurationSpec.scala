@@ -26,13 +26,14 @@ class CurationSpec extends SparkSpec {
     val (bins, s) = Curation.run(docs)
     assert(s.raw === docs.count())
     assert(s.gated <= s.raw)
-    // survivors = gated minus the five drop stages, then dedup
+    // survivors = gated minus the six drop stages, then dedup
     val survivors = s.gated - s.boilerDropped - s.contaminatedDropped -
-      s.perplexityDropped - s.dsirDropped - s.sampledOut
+      s.perplexityDropped - s.dsirDropped - s.qualityDropped - s.sampledOut
     assert(s.packedDocs <= survivors)
     assert(s.contaminatedDropped === 0L, "no benchmark set configured")
     assert(s.perplexityDropped === 0L, "no perplexity ceiling configured")
     assert(s.dsirDropped === 0L, "no DSIR target configured")
+    assert(s.qualityDropped === 0L, "no quality exemplar configured")
     assert(s.sampledOut === 0L, "default rate keeps everything")
     assert(s.bins === bins.count())
     assert(bins.agg(sum("n_docs")).collect().head.getLong(0) === s.packedDocs)
@@ -99,6 +100,24 @@ class CurationSpec extends SparkSpec {
       Curation.CurationConfig(dsirTarget = Some(target), dsirFloor = floor - 0.5))
     assert(loose.dsirDropped <= sel.dsirDropped)
     assert(base.dsirDropped === 0L)
+  }
+
+  test("a quality exemplar corpus drops the low-probability tail, monotonically in the floor") {
+    val (_, base) = Curation.run(docs)
+    val target = docs.filter(col("doc_id") % 10 === 3)
+    // floor at the median predicted quality of the full corpus
+    val scorer = graft.ml.VectorML.fitQualityFilter(
+      docs.join(target.select(col("doc_id")), Seq("doc_id"), "left_anti"), target)
+    val floor = scorer(docs)
+      .stat.approxQuantile("quality", Array(0.5), 0.0).head
+    val (_, strict) = Curation.run(docs, Curation.CurationConfig(
+      qualityTarget = Some(target), qualityFloor = floor))
+    assert(strict.qualityDropped > 0L)
+    assert(strict.packedDocs < base.packedDocs)
+    val (_, loose) = Curation.run(docs, Curation.CurationConfig(
+      qualityTarget = Some(target), qualityFloor = floor / 2))
+    assert(loose.qualityDropped <= strict.qualityDropped)
+    assert(base.qualityDropped === 0L)
   }
 
   test("all optional stages compose: counts stay consistent with every knob on") {

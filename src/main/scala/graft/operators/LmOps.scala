@@ -488,41 +488,99 @@ object LmOps {
     * map-side partial aggregation; the join back to spans is equi on
     * the hash. No corpus self-join, no N². Distinct-doc counting uses
     * the exact two-level count only per span hash — bounded fan-in. */
+  /** Per-doc span statistics (doc_id, n_spans, n_dup_spans,
+    * dup_ratio) — q98's body, shared with the q106 audit rollup. */
+  private def spanStats(s: SparkSession, dir: String): DataFrame = {
+    val spans = materialize(tokenized(s, dir)
+      .filter(size(col("w")) >= SpanLen)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(w) - ${SpanLen - 1}),
+           |  i -> substr(sha2(concat_ws(' ', slice(w, i, $SpanLen)), 256), 1, 16))""".stripMargin)).as("h")),
+      "spans")
+    val shared = spans.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("h"), lit(1).as("dup"))
+    spans.join(shared, Seq("h"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("dup"), lit(0))).as("n_dup_spans"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
+  }
+
+  /** Shared q98/q106 oracle CTEs ending in
+    * `spanstats(doc_id, n_spans, n_dup_spans, dup_ratio)`. */
+  private val spanSqlCtes =
+    s"""spans AS (SELECT doc_id,
+       |          substr(sha256(array_to_string(w[i:i+${SpanLen - 1}], ' ')), 1, 16) AS h
+       |        FROM tok, unnest(range(1, len(w) - ${SpanLen - 2})) AS t(i)
+       |        WHERE len(w) >= $SpanLen),
+       |      shared AS (SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |      spanstats AS (SELECT s.doc_id, count(*) AS n_spans,
+       |          CAST(sum(CASE WHEN sh.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       |          round(sum(CASE WHEN sh.h IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS dup_ratio
+       |        FROM spans s LEFT JOIN shared sh ON s.h = sh.h
+       |        GROUP BY s.doc_id)""".stripMargin
+
   val q98DupSpans: QueryDef = QueryDef(
     "q98_dup_spans",
+    (s, dir) => spanStats(s, dir).orderBy(col("doc_id")),
+    Some(s"""WITH $tokSqlCte,
+      $spanSqlCtes
+      SELECT doc_id, n_spans, n_dup_spans, dup_ratio FROM spanstats
+      ORDER BY doc_id"""),
+    headline = true)
+
+  // ---------------------------------------------------------------
+  // q106: per-source dedup audit rollup
+  // ---------------------------------------------------------------
+
+  /** The duplication report a curation team reads before deciding
+    * thresholds: per source, how many docs are byte-exact duplicates
+    * (non-canonical copies under q22's min-doc_id keep rule) and how
+    * duplicated the surviving text is at span level (q98's ratio,
+    * averaged; share of docs carrying any cross-doc span).
+    *
+    * Scale: composes two already-scale-shaped passes — the sha256
+    * groupBy (shuffles one hash per doc) and the span-stat pass — then
+    * one groupBy(source) over slim per-doc rows. Nothing new shuffles
+    * document text. */
+  val q106DedupAudit: QueryDef = QueryDef(
+    "q106_dedup_audit",
     (s, dir) => {
-      val spans = materialize(tokenized(s, dir)
-        .filter(size(col("w")) >= SpanLen)
-        .select(col("doc_id"), explode(expr(
-          s"""transform(sequence(1, size(w) - ${SpanLen - 1}),
-             |  i -> substr(sha2(concat_ws(' ', slice(w, i, $SpanLen)), 256), 1, 16))""".stripMargin)).as("h")),
-        "spans")
-      val shared = spans.groupBy(col("h"))
-        .agg(countDistinct(col("doc_id")).as("n_docs"))
-        .filter(col("n_docs") >= 2)
-        .select(col("h"), lit(1).as("dup"))
-      spans.join(shared, Seq("h"), "left_outer")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_spans"),
-          sum(coalesce(col("dup"), lit(0))).as("n_dup_spans"))
-        .withColumn("dup_ratio",
-          round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
-        .orderBy(col("doc_id"))
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("hh"))
+      val canon = d.groupBy(col("hh"))
+        .agg(min(col("doc_id")).as("canonical"), count(lit(1)).as("copies"))
+      d.join(canon, Seq("hh"))
+        .withColumn("is_exact_dup",
+          col("copies") > 1 && col("doc_id") =!= col("canonical"))
+        .join(spanStats(s, dir), Seq("doc_id"), "left_outer")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_exact_dup"), 1L).otherwise(0L)).as("n_exact_dups"),
+          round(avg(col("dup_ratio")), 6).as("avg_span_dup_ratio"),
+          round(sum(when(col("n_dup_spans") > 0, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 6).as("frac_docs_with_dup_span"))
+        .orderBy(col("source"))
     },
     Some(s"""WITH $tokSqlCte,
-      spans AS (SELECT doc_id,
-          substr(sha256(array_to_string(w[i:i+${SpanLen - 1}], ' ')), 1, 16) AS h
-        FROM tok, unnest(range(1, len(w) - ${SpanLen - 2})) AS t(i)
-        WHERE len(w) >= $SpanLen),
-      shared AS (SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
-      SELECT s.doc_id, count(*) AS n_spans,
-        CAST(sum(CASE WHEN sh.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
-        round(sum(CASE WHEN sh.h IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS dup_ratio
-      FROM spans s LEFT JOIN shared sh ON s.h = sh.h
-      GROUP BY s.doc_id ORDER BY s.doc_id"""),
-    headline = true)
+      $spanSqlCtes,
+      d AS (SELECT doc_id, source, sha256(text) AS hh FROM documents),
+      canon AS (SELECT hh, min(doc_id) AS canonical, count(*) AS copies
+        FROM d GROUP BY hh)
+      SELECT d.source, count(*) AS n_docs,
+        CAST(sum(CASE WHEN canon.copies > 1 AND d.doc_id <> canon.canonical
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
+        round(avg(ss.dup_ratio), 6) AS avg_span_dup_ratio,
+        round(sum(CASE WHEN ss.n_dup_spans > 0 THEN 1 ELSE 0 END)::DOUBLE
+          / count(*), 6) AS frac_docs_with_dup_span
+      FROM d JOIN canon ON d.hh = canon.hh
+        LEFT JOIN spanstats ss ON d.doc_id = ss.doc_id
+      GROUP BY d.source ORDER BY d.source"""))
 
   val all: Seq[QueryDef] =
     Seq(q96LmPerplexity, q97Bm25, q98DupSpans, q99HybridRrf, q101Dsir,
-      q102CcnetBuckets)
+      q102CcnetBuckets, q106DedupAudit)
 }

@@ -157,6 +157,20 @@ class LmOpsSpec extends SparkSpec {
     }
   }
 
+  test("q106: audit accounts for every doc; exact-dup total equals docs minus distinct hashes") {
+    val rows = LmOps.q106DedupAudit.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val d = graft.Tables.load(spark, dir, "documents")
+    assert(rows.map(_.getLong(1)).sum === d.count())
+    val distinctHashes = d.select(sha2(col("text"), 256)).distinct().count()
+    assert(rows.map(_.getLong(2)).sum === d.count() - distinctHashes)
+    rows.foreach { r =>
+      val frac = r.getDouble(r.fieldIndex("frac_docs_with_dup_span"))
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(r.getLong(2) < r.getLong(1), "a source cannot be all non-canonical copies")
+    }
+  }
+
   test("q96/q97 plans: model tables ride broadcasts, the corpus never self-joins") {
     val p96 = LmOps.q96LmPerplexity.fn(spark, dir)
       .queryExecution.executedPlan.toString

@@ -258,33 +258,52 @@ object CorpusOps {
     * capacity gets a bin of its own. This is the pre-tokenization
     * packing step of an LLM data pipeline (fewer pad tokens per batch).
     *
-    * Scale: `repartition(source) + sortWithinPartitions(source, doc_id)
-    * + mapPartitions` — the partitioner co-locates each shard, the sort
+    * Scale: `repartition(shard key) + sortWithinPartitions +
+    * mapPartitions` — the partitioner co-locates each shard, the sort
     * makes the greedy scan deterministic, and the scan itself streams
     * the iterator with O(1) state (no per-group buffering), so a shard
     * of any size packs in one pass. Bins are shard-local by design:
-    * packing is embarrassingly parallel across shards, which is exactly
-    * how a 1000-executor run wants it. */
+    * packing is embarrassingly parallel across shards.
+    *
+    * Skew: a raw `source` key puts a whole source on ONE task, and real
+    * pretraining corpora are dominated by one source (CommonCrawl ≫
+    * everything else) — so at 100 TB pass `docsPerSubShard = S` to key
+    * by `(source, doc_id div S)` instead: consecutive doc_id ranges
+    * become independent sub-shards, each packing its own bins (bins
+    * never span sub-shards — a tokenizer doesn't care), and a single
+    * dominant source spreads over ceil(|source| / S) tasks. Sub-shard
+    * bins get globally unique, order-preserving ids via
+    * `bin = sub * S + localBin` (a sub-shard of ≤ S docs can open at
+    * most S bins, so the ranges cannot collide). Default (None) keeps
+    * whole-source shards — the q86/q87 oracle semantics. */
   /** The greedy pack itself over a (source, doc_id, n_tokens) frame —
     * shared by q86 and the q87 capstone. See q86's scaladoc for the
     * partitioning/ordering contract. */
-  private[graft] def packGreedy(toks: DataFrame, capacity: Long = 512L): DataFrame = {
+  private[graft] def packGreedy(toks: DataFrame, capacity: Long = 512L,
+      docsPerSubShard: Option[Long] = None): DataFrame = {
     val s = toks.sparkSession
     import s.implicits._
+    val binMult = docsPerSubShard.getOrElse(1L)
+    val subKey = docsPerSubShard
+      .map(n => expr(s"doc_id div $n")).getOrElse(lit(0L))
     val packed = toks
-      .select(col("source"), col("doc_id"), col("n_tokens"))
-      .repartition(col("source"))
-      .sortWithinPartitions(col("source"), col("doc_id"))
+      .select(col("source"), col("doc_id"), col("n_tokens"), subKey.as("sub"))
+      .repartition(col("source"), col("sub"))
+      .sortWithinPartitions(col("source"), col("sub"), col("doc_id"))
       .mapPartitions { rows =>
         var curSource: String = null
+        var curSub = Long.MinValue
         var bin = -1L
         var fill = 0L
         rows.map { r =>
           val src = r.getString(0); val id = r.getLong(1); val n = r.getLong(2)
-          if (src != curSource) { curSource = src; bin = 0L; fill = n }
+          val sub = r.getLong(3)
+          if (src != curSource || sub != curSub) {
+            curSource = src; curSub = sub; bin = 0L; fill = n
+          }
           else if (fill + n > capacity) { bin += 1L; fill = n }
           else fill += n
-          (src, bin, id, n)
+          (src, sub * binMult + bin, id, n)
         }
       }.toDF("source", "bin", "doc_id", "n_tokens")
     packed.groupBy(col("source"), col("bin"))

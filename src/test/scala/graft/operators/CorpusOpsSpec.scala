@@ -53,6 +53,53 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("packGreedy sub-sharding spreads a single-source corpus over >1 task") {
+    import spark.implicits._
+    val S = 25L
+    val docsList = (0L until 100L).map(id => ("cc", id, 40L + (id * 7 % 37)))
+    val df = docsList.toDF("source", "doc_id", "n_tokens")
+
+    // the de-skew claim: keyed by (source, doc_id div S), ONE source
+    // lands on more than one shuffle partition — exactly the key
+    // packGreedy repartitions by when docsPerSubShard is set. (AQE
+    // coalescing merges these tiny test partitions back into one; at
+    // scale partitions are target-sized, so disable it for the count.)
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      val partSizes = df
+        .repartition(col("source"), expr(s"doc_id div $S"))
+        .rdd.mapPartitions(it => Iterator(it.size)).collect()
+      assert(partSizes.count(_ > 0) > 1,
+        s"single source stayed on one task: ${partSizes.toSeq.filter(_ > 0)}")
+    } finally spark.conf.set(coalesceKey, prev)
+
+    // bins are sub-shard-local and match a driver-side greedy reference
+    val got = CorpusOps.packGreedy(df, 512L, Some(S))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = docsList.groupBy(_._2 / S).toSeq.flatMap { case (sub, ds) =>
+      val bins = scala.collection.mutable.ArrayBuffer[List[Long]]()
+      var fill = -1L
+      ds.sortBy(_._2).foreach { case (_, _, n) =>
+        if (fill < 0 || fill + n > 512L) { bins += List(n); fill = n }
+        else { bins(bins.length - 1) ::= n; fill += n }
+      }
+      bins.zipWithIndex.map { case (b, i) =>
+        (sub * S + i, b.length.toLong, b.sum)
+      }
+    }.toSet
+    assert(got === want)
+    // no sub-shard can open more bins than it has docs, so ids can't
+    // collide across sub-shards; with S larger than the corpus the
+    // result degrades to exactly the default whole-source packing
+    val whole = CorpusOps.packGreedy(df, 512L, None)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val bigS = CorpusOps.packGreedy(df, 512L, Some(1000L))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(bigS === whole)
+  }
+
   test("q83: redaction leaves no live PII and preserves surrounding text") {
     val out = CorpusOps.q83PiiRedact.fn(spark, dir)
     val rows = out.collect()

@@ -16,6 +16,14 @@ class TokenizerOpsSpec extends SparkSpec {
   private def codePoints(w: String): Vector[String] =
     w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
 
+  /** Code-point lexicographic string order — Spark's string comparison
+    * is binary UTF-8, which sorts by code point; Scala's default
+    * String ordering is UTF-16 code-unit order and diverges for
+    * supplementary characters vs chars >= U+E000, so the reference
+    * must compare by code points to pin the operator's tie-break. */
+  private val cpOrdering: Ordering[String] = (a: String, b: String) =>
+    java.util.Arrays.compare(a.codePoints().toArray, b.codePoints().toArray)
+
   /** Reference BPE (Sennrich et al. 2016): plain Scala over the word
     * frequency map, structured independently of the Column fold. */
   private def referenceBpe(wordFreq: Map[String, Long],
@@ -33,7 +41,8 @@ class TokenizerOpsSpec extends SparkSpec {
         }
       }
       if (counts.isEmpty) return out.toSeq
-      val ((l, r), c) = counts.minBy { case ((a, b), cnt) => (-cnt, a, b) }
+      val ((l, r), c) = counts.minBy { case ((a, b), cnt) => (-cnt, a, b) }(
+        Ordering.Tuple3(Ordering.Long, cpOrdering, cpOrdering))
       out += ((l, r, c))
       vocab = vocab.map { case (syms, f) =>
         val merged = scala.collection.mutable.ArrayBuffer[String]()
@@ -70,17 +79,29 @@ class TokenizerOpsSpec extends SparkSpec {
       .groupBy("word").agg(count(lit(1)).as("f"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val merges = referenceBpe(wordFreq, 8).map { case (l, r, _) => (l, r) }
+    // Canonical encoder (Sennrich apply_bpe / GPT-2): repeatedly merge
+    // all occurrences of the lowest-rank pair present, re-scanning
+    // after each application, until no learned pair remains.
+    val rank = merges.zipWithIndex.toMap
     def encode(word: String): Int = {
       var syms = codePoints(word)
-      merges.foreach { case (l, r) =>
-        val out = scala.collection.mutable.ArrayBuffer[String]()
-        var i = 0
-        while (i < syms.length) {
-          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
-            out += (l + r); i += 2
-          } else { out += syms(i); i += 1 }
+      var continue = true
+      while (continue) {
+        val present = syms.sliding(2).collect {
+          case Vector(a, b) if rank.contains((a, b)) => (a, b)
+        }.toVector
+        if (present.isEmpty) continue = false
+        else {
+          val (l, r) = present.minBy(rank)
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.toVector
         }
-        syms = out.toVector
       }
       syms.length
     }
@@ -102,6 +123,27 @@ class TokenizerOpsSpec extends SparkSpec {
     // merges actually compress: total BPE tokens < total characters
     val (chars, bpe) = (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
     assert(bpe < chars, s"no compression: $bpe tokens vs $chars chars")
+  }
+
+  test("encodeSyms is the canonical fixpoint, not the one-pass-per-rank variant") {
+    // merges: rank 1 = ("ab","c"), rank 2 = ("a","b"). Word "abc":
+    //  - one pass per rank in rank order: rank 1 absent over [a,b,c],
+    //    rank 2 gives [ab, c], done → 2 tokens, and the rank-1 pair
+    //    ("ab","c") it just created is never revisited.
+    //  - canonical (lowest-rank-present, re-scan to fixpoint): rank 2
+    //    gives [ab, c], re-scan finds rank 1 now present → [abc].
+    val df = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row("abc", Seq("a", "b", "c"))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("word",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("syms",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)))))
+    val got = TokenizerOps.encodeSyms(df, Seq(("ab", "c"), ("a", "b")))
+      .collect()(0).getSeq[String](1)
+    assert(got === Seq("abc"),
+      s"expected the canonical fixpoint result [abc], got $got")
   }
 
   test("q104 merge frequencies are non-increasing in rank on this corpus") {

@@ -57,6 +57,36 @@ object AnnOps {
       (cid, d)
     }.sortBy { case (cid, d) => (d, cid) }.take(nprobe).map(_._1).toSeq
 
+  /** Exact dot-product ranking of a candidate frame against the 1-row
+    * query frame — the tail every IVF path shares. */
+  private def rankTopK(candidates: DataFrame, qv: DataFrame, k: Int,
+      excludeId: Long): DataFrame =
+    candidates
+      .crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= excludeId)
+      .select(col("cell"), col("vec_id"),
+        round(expr("dot_product_f(embedding, qv)"), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+
+  /** In-memory IVF top-k over an ARBITRARY (cid, cv) centroid table —
+    * q56's plan with the centroid pick factored out. The production
+    * index build passes k-means centroids from
+    * `ml/VectorML.trainCentroids`; q56 passes the deterministic
+    * vec_id < C pick its oracle can reproduce. AnnOpsSpec asserts the
+    * trained centroids' recall@k vs the exact top-k is >= the
+    * deterministic pick's at equal nprobe. */
+  def ivfTopK(e: DataFrame, centroids: DataFrame, qv: DataFrame,
+      nprobe: Int, k: Int, excludeId: Long = 0L): DataFrame = {
+    val assigned = assignCells(e, centroids)
+    val probed = centroids.crossJoin(broadcast(qv))
+      .select(col("cid"), expr("l2_sq_f(cv, qv)").as("qdist"))
+      .orderBy(col("qdist"), col("cid"))
+      .limit(nprobe)
+      .select(col("cid").as("cell"))
+    rankTopK(assigned.join(broadcast(probed), "cell"), qv, k, excludeId)
+  }
+
   val q56AnnIvf: QueryDef = QueryDef(
     "q56_ann_ivf",
     (s, dir) => {
@@ -67,7 +97,7 @@ object AnnOps {
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
 
-      val candidates = s.conf.getOption("spark.graft.ann.stagingDir") match {
+      s.conf.getOption("spark.graft.ann.stagingDir") match {
         case Some(root) =>
           // staged path: partitionBy(cell) index + literal in-set probe →
           // the parquet scan prunes to nprobe of C cell directories
@@ -77,28 +107,16 @@ object AnnOps {
           val q = e.filter(col("vec_id") === 0).select(col("embedding"))
             .collect().head.getSeq[Float](0).toArray
           val cells = probeCells(cents, q, NProbe)
-          s.read.parquet(path)
+          val candidates = s.read.parquet(path)
             .filter(col("cell").isin(cells: _*))
             // partition columns read back as inferred int32; the
             // in-memory path (and the oracle) carry the centroid id type
             .withColumn("cell", col("cell").cast("long"))
+          rankTopK(candidates, qv, 5, excludeId = 0L)
         case None =>
           // in-memory path: same plan, probe set decided by TakeOrdered
-          val assigned = assignCells(e, centroids)
-          val probed = centroids.crossJoin(broadcast(qv))
-            .select(col("cid"), expr("l2_sq_f(cv, qv)").as("qdist"))
-            .orderBy(col("qdist"), col("cid"))
-            .limit(NProbe)
-            .select(col("cid").as("cell"))
-          assigned.join(broadcast(probed), "cell")
+          ivfTopK(e, centroids, qv, NProbe, 5)
       }
-      candidates
-        .crossJoin(broadcast(qv))
-        .filter(col("vec_id") =!= 0)
-        .select(col("cell"), col("vec_id"),
-          round(expr("dot_product_f(embedding, qv)"), 6).as("score"))
-        .orderBy(col("score").desc, col("vec_id"))
-        .limit(5)
     },
     Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $C),

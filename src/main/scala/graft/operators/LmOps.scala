@@ -488,19 +488,31 @@ object LmOps {
     * map-side partial aggregation; the join back to spans is equi on
     * the hash. No corpus self-join, no N². Distinct-doc counting uses
     * the exact two-level count only per span hash — bounded fan-in. */
-  /** Per-doc span statistics (doc_id, n_spans, n_dup_spans,
-    * dup_ratio) — q98's body, shared with the q106 audit rollup. */
-  private def spanStats(s: SparkSession, dir: String): DataFrame = {
-    val spans = materialize(tokenized(s, dir)
+  /** Every [[SpanLen]]-token window as (doc_id, i, h) — the window's
+    * start position and 64-bit span hash. Shared by q98/q106 (which
+    * drop i) and q107 (which merges on it). */
+  private def spanWindows(s: SparkSession, dir: String): DataFrame =
+    materialize(tokenized(s, dir)
       .filter(size(col("w")) >= SpanLen)
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(1, size(w) - ${SpanLen - 1}),
-           |  i -> substr(sha2(concat_ws(' ', slice(w, i, $SpanLen)), 256), 1, 16))""".stripMargin)).as("h")),
+           |  i -> struct(i as i,
+           |    substr(sha2(concat_ws(' ', slice(w, i, $SpanLen)), 256), 1, 16) as h))""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.i").as("i"), col("p.h").as("h")),
       "spans")
-    val shared = spans.groupBy(col("h"))
+
+  /** Window hashes appearing in >= 2 distinct documents. */
+  private def sharedSpans(spans: DataFrame): DataFrame =
+    spans.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= 2)
-      .select(col("h"), lit(1).as("dup"))
+      .select(col("h"))
+
+  /** Per-doc span statistics (doc_id, n_spans, n_dup_spans,
+    * dup_ratio) — q98's body, shared with the q106 audit rollup. */
+  private def spanStats(s: SparkSession, dir: String): DataFrame = {
+    val spans = spanWindows(s, dir)
+    val shared = sharedSpans(spans).withColumn("dup", lit(1))
     spans.join(shared, Seq("h"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
@@ -531,6 +543,65 @@ object LmOps {
       SELECT doc_id, n_spans, n_dup_spans, dup_ratio FROM spanstats
       ORDER BY doc_id"""),
     headline = true)
+
+  // ---------------------------------------------------------------
+  // q107: maximal duplicated spans (ExactSubstr, merged windows)
+  // ---------------------------------------------------------------
+
+  /** Maximal duplicated spans: q98's duplicated fixed windows, merged
+    * into maximal contiguous regions — the actual ExactSubstr operator
+    * of Lee et al. 2022, which removes any long-enough span appearing
+    * twice, not individual windows. Two duplicated windows merge when
+    * their coverage overlaps or touches (start gap <= [[SpanLen]]); a
+    * span is the maximal merged region, reported as (doc_id,
+    * start_tok, span_len, n_windows) so a removal gate (the paper uses
+    * >= 50 tokens) is one filter on span_len.
+    *
+    * Scale: rides q98's machinery — fixed-width span hashes, the
+    * vocabulary-shaped shared-hash aggregate — then merges per
+    * document with lag + a running sum over (doc_id, i): one shuffle
+    * keyed by doc_id over the DUPLICATED windows only (a small
+    * fraction of the corpus), islands-and-gaps, fully codegen'd. */
+  val q107MaxDupSpans: QueryDef = QueryDef(
+    "q107_max_dup_spans",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val spans = spanWindows(s, dir)
+      val dupw = spans.join(sharedSpans(spans), Seq("h"), "left_semi")
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      dupw
+        .withColumn("prev", lag(col("i"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull || col("i") - col("prev") > SpanLen, 1L)
+            .otherwise(0L))
+        .withColumn("island", sum(col("brk")).over(w))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("i")).cast("long").as("start_tok"),
+          (max(col("i")) - min(col("i")) + SpanLen).cast("long").as("span_len"),
+          count(lit(1)).as("n_windows"))
+        .select(col("doc_id"), col("start_tok"), col("span_len"), col("n_windows"))
+        .orderBy(col("doc_id"), col("start_tok"))
+    },
+    Some(s"""WITH $tokSqlCte,
+      spansi AS (SELECT doc_id, i,
+          substr(sha256(array_to_string(w[i:i+${SpanLen - 1}], ' ')), 1, 16) AS h
+        FROM tok, unnest(range(1, len(w) - ${SpanLen - 2})) AS t(i)
+        WHERE len(w) >= $SpanLen),
+      sharedi AS (SELECT h FROM spansi GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      dupw AS (SELECT s.doc_id, s.i FROM spansi s
+        WHERE s.h IN (SELECT h FROM sharedi)),
+      flagged AS (SELECT doc_id, i,
+          CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+                 OR i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > $SpanLen
+               THEN 1 ELSE 0 END AS brk
+        FROM dupw),
+      isl AS (SELECT doc_id, i,
+          sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island
+        FROM flagged)
+      SELECT doc_id, min(i) AS start_tok,
+        max(i) - min(i) + $SpanLen AS span_len, count(*) AS n_windows
+      FROM isl GROUP BY doc_id, island
+      ORDER BY doc_id, start_tok"""))
 
   // ---------------------------------------------------------------
   // q106: per-source dedup audit rollup
@@ -582,5 +653,5 @@ object LmOps {
 
   val all: Seq[QueryDef] =
     Seq(q96LmPerplexity, q97Bm25, q98DupSpans, q99HybridRrf, q101Dsir,
-      q102CcnetBuckets, q106DedupAudit)
+      q102CcnetBuckets, q106DedupAudit, q107MaxDupSpans)
 }

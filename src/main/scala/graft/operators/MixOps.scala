@@ -168,6 +168,37 @@ object MixOps {
     * blocked-join shape as the LSH band join (q51), with the cluster
     * standing in for the band. Assignment is materialized once and
     * reused by both sides of the pair join. */
+  /** SemDeDup over an ARBITRARY (cid, cvec) centroid table — q95's
+    * plan with the centroid pick factored out. Production passes
+    * k-means centroids from `ml/VectorML.trainCentroids`; q95 passes
+    * the deterministic vec_id < Cents pick its oracle can reproduce.
+    * MixOpsSpec asserts the trained centroids catch at least the
+    * deterministic pick's share of the exact all-pairs near-dups
+    * (and that flagged pairs are always true near-dups — cluster
+    * blocking can only lose candidates, never invent them). */
+  def semDedup(e: DataFrame, cents: DataFrame,
+      dupCos: Double = DupCos): DataFrame = {
+    val assigned = materialize(
+      e.crossJoin(broadcast(cents))
+        .withColumn("cos", expr("dot_product_f(embedding, cvec)"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("cos").desc, col("cid").asc)))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cluster"), col("embedding")),
+      "semdedup_assign")
+    val dups = assigned.as("a").join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id") &&
+          expr(s"dot_product_f(a.embedding, b.embedding) > $dupCos"))
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    assigned.join(dups, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+      .orderBy(col("vec_id"))
+  }
+
   val q95SemanticDedup: QueryDef = QueryDef(
     "q95_semantic_dedup",
     (s, dir) => {
@@ -176,25 +207,7 @@ object MixOps {
         .select(col("vec_id"), col("embedding"))
       val cents = e.filter(col("vec_id") < Cents)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val assigned = materialize(
-        e.crossJoin(broadcast(cents))
-          .withColumn("cos", expr("dot_product_f(embedding, cvec)"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("vec_id"))
-              .orderBy(col("cos").desc, col("cid").asc)))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("cid").as("cluster"), col("embedding")),
-        "semdedup_assign")
-      val dups = assigned.as("a").join(assigned.as("b"),
-          col("a.cluster") === col("b.cluster") &&
-            col("a.vec_id") < col("b.vec_id") &&
-            expr(s"dot_product_f(a.embedding, b.embedding) > $DupCos"))
-        .select(col("b.vec_id").as("vec_id")).distinct()
-        .withColumn("is_dup", lit(true))
-      assigned.join(dups, Seq("vec_id"), "left_outer")
-        .select(col("vec_id"), col("cluster"),
-          coalesce(col("is_dup"), lit(false)).as("is_dup"))
-        .orderBy(col("vec_id"))
+      semDedup(e, cents)
     },
     Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $Cents),

@@ -83,6 +83,41 @@ class AnnOpsSpec extends SparkSpec {
     assert(multiBuckets.size >= 1 && multiBuckets.size <= 5)
   }
 
+  test("ivfTopK with trained k-means centroids: recall@5 >= the deterministic pick") {
+    import org.apache.spark.sql.functions._
+    graft.functions.expressions.VectorExpressions.register(spark)
+    val e = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).cache()
+    // queries OUTSIDE both centroid sets (the deterministic pick is the
+    // first 16 vectors — a query that IS a centroid gets a free perfect
+    // cell and would bias the comparison), recall averaged over them
+    val queryIds = (100L until 110L).toSeq
+
+    def recallOf(cents: org.apache.spark.sql.DataFrame): Double =
+      queryIds.map { qid =>
+        val qv = e.filter(col("vec_id") === qid).select(col("embedding").as("qv"))
+        val exact = e.crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= qid)
+          .select(col("vec_id"), expr("dot_product_f(embedding, qv)").as("score"))
+          .orderBy(col("score").desc, col("vec_id")).limit(5)
+          .collect().map(_.getLong(0)).toSet
+        val got = AnnOps.ivfTopK(e, cents, qv, nprobe = 4, k = 5, excludeId = qid)
+          .collect().map(_.getAs[Long]("vec_id")).toSet
+        got.intersect(exact).size / 5.0
+      }.sum / queryIds.size
+
+    val detRecall = recallOf(e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv")))
+    val trainedRecall = recallOf(
+      graft.ml.VectorML.trainCentroids(e, "embedding", 16)
+        .select(col("cid").cast("long").as("cid"), col("cv")))
+    // the production quality claim: at equal nprobe, k-means cells keep
+    // true neighbors together at least as well as the first-16 pick
+    assert(trainedRecall >= detRecall,
+      s"trained recall@5 $trainedRecall < deterministic $detRecall")
+    assert(trainedRecall >= 0.5, s"trained recall@5 = $trainedRecall")
+  }
+
   test("q85 PQ: approximate top-10 recalls most of the exact-L2 top-10") {
     import org.apache.spark.sql.functions._
     graft.functions.expressions.VectorExpressions.register(spark)

@@ -167,8 +167,36 @@ class LmOpsSpec extends SparkSpec {
     rows.foreach { r =>
       val frac = r.getDouble(r.fieldIndex("frac_docs_with_dup_span"))
       assert(frac >= 0.0 && frac <= 1.0)
-      assert(r.getLong(2) < r.getLong(1), "a source cannot be all non-canonical copies")
+      // <= (not <): a source whose every doc duplicates a lower-doc_id
+      // doc from ANOTHER source is legitimately 100% non-canonical
+      assert(r.getLong(2) <= r.getLong(1), "more dups than docs in a source")
     }
+    // the canonical-keeper rule is global, not per source: exactly one
+    // keeper per distinct hash across the whole corpus
+    assert(rows.map(r => r.getLong(1) - r.getLong(2)).sum === distinctHashes)
+  }
+
+  test("q107: maximal spans are disjoint, cover their windows, and sum to q98's dup count") {
+    val spans = LmOps.q107MaxDupSpans.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.nonEmpty, "testdata has duplicated spans; q107 must find them")
+    spans.foreach { case (_, _, len, n) =>
+      assert(len >= 10, s"span shorter than one window: $len")
+      assert(len <= n * 10, s"span longer than its windows can cover: $len vs $n windows")
+    }
+    // maximal: spans within a doc are separated by a real gap (> window)
+    spans.groupBy(_._1).foreach { case (doc, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.zip(sorted.tail).foreach { case ((_, s1, l1, _), (_, s2, _, _)) =>
+        assert(s2 > s1 + l1, s"doc $doc: spans touch or overlap — not maximal")
+      }
+    }
+    // conservation: per doc, windows across spans = q98's n_dup_spans
+    val q98 = LmOps.q98DupSpans.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(r.fieldIndex("n_dup_spans"))).toMap
+    val perDoc = spans.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(perDoc === q98.filter(_._2 > 0),
+      "q107 window totals diverge from q98 per-doc dup counts")
   }
 
   test("q96/q97 plans: model tables ride broadcasts, the corpus never self-joins") {

@@ -87,6 +87,36 @@ class MixOpsSpec extends SparkSpec {
 
   // ---- plan-shape assertions: the scale contracts, not just results ----
 
+  test("semDedup with trained k-means centroids catches >= the deterministic pick") {
+    graft.functions.expressions.VectorExpressions.register(spark)
+    val e = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // exact all-pairs near-dup set (the un-blocked ground truth)
+    val exactDups = e.as("a").crossJoin(e.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id") &&
+        expr("dot_product_f(a.embedding, b.embedding) > 0.35"))
+      .select(col("b.vec_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(exactDups.nonEmpty, "testdata has no near-dup pairs to measure")
+
+    def flagged(cents: org.apache.spark.sql.DataFrame): Set[Long] =
+      MixOps.semDedup(e, cents).filter(col("is_dup"))
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val det = flagged(e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
+    val trained = flagged(graft.ml.VectorML.trainCentroids(e, "embedding", 8)
+      .select(col("cid").cast("long").as("cid"), col("cv").as("cvec")))
+
+    // cluster blocking can only LOSE candidate pairs, never invent them
+    assert(det.subsetOf(exactDups), "deterministic pick flagged a non-dup")
+    assert(trained.subsetOf(exactDups), "trained centroids flagged a non-dup")
+    // the production quality claim: k-means cells co-locate near-dups at
+    // least as well as the arbitrary first-8 pick
+    assert(trained.size >= det.size,
+      s"trained recall ${trained.size}/${exactDups.size} < " +
+        s"deterministic ${det.size}/${exactDups.size}")
+  }
+
   test("q92 plan: the benchmark gram set rides a broadcast, never a shuffle join") {
     val df = MixOps.q92Decontaminate.fn(spark, dir)
     df.collect()

@@ -65,8 +65,9 @@ object LmOps {
     * two tokens have no bigram and score null (kept by convention).
     *
     * Scale: c(w1 w2) and c(w1·) are groupBy counts whose result is
-    * VOCABULARY-sized (Heaps' law: ~10⁷-10⁸ rows at 100 TB, with a
-    * top-V + <unk> cutoff exactly as KenLM prunes) — they broadcast,
+    * VOCABULARY-sized (Heaps' law: ~10⁷-10⁸ rows at 100 TB; the
+    * `trainLm(ref, topV)` overload applies KenLM's top-V + <unk>
+    * cutoff to hard-bound them) — they broadcast,
     * while the corpus side is one explode + one broadcast hash join +
     * one groupBy(doc_id) whose shuffle carries only (doc_id, nll)
     * partials. The corpus never self-joins, and the model-build pass
@@ -87,20 +88,65 @@ object LmOps {
   /** A trained bigram model: the three broadcastable count frames,
     * each materialized so repeated scoring (every micro-batch of a
     * stream, every stage of a pipeline) reuses them instead of
-    * re-scanning the reference corpus. */
+    * re-scanning the reference corpus. `vocab` is set by the top-V
+    * pruned trainer: scored text is OOV-rewritten against it so
+    * unknown words hit the model's `<unk>` rows. */
   final case class LmModel(bgCounts: DataFrame, ctxCounts: DataFrame,
-      vocabSize: DataFrame)
+      vocabSize: DataFrame, vocab: Option[DataFrame] = None)
 
   /** Train the add-alpha bigram model once over a reference corpus. */
-  def trainLm(ref: DataFrame): LmModel = {
+  def trainLm(ref: DataFrame): LmModel =
+    trainLmFrom(materialize(bigramsOf(ref), "lm_ref_bigrams"), vocab = None)
+
+  /** The sentinel OOV words collapse to under the top-V prune. */
+  val UnkToken = "<unk>"
+
+  /** Train with KenLM's vocabulary cutoff: only the `topV` most
+    * frequent words (by bigram-position occurrences, ties broken
+    * lexicographically) keep their identity; every other word is
+    * rewritten to [[UnkToken]] BEFORE counting, so OOV mass
+    * accumulates on real `<unk>` count rows and flows through the
+    * same α-floor at scoring time. This puts a HARD bound on the
+    * model frames (≤ topV+1 contexts) — the knob that keeps them
+    * broadcastable when the raw vocabulary hits 10⁸ words at 100 TB.
+    * [[avgNllWith]] rewrites the SCORED text's OOV words to `<unk>`
+    * too (the model carries its vocabulary), matching KenLM's
+    * query-time mapping. Corpus text that literally contains
+    * "<unk>" merges with the OOV class, as in KenLM. */
+  def trainLm(ref: DataFrame, topV: Int): LmModel = {
     val bigrams = materialize(bigramsOf(ref), "lm_ref_bigrams")
+    val vocab = materialize(
+      bigrams.select(explode(array(col("w1"), col("w2"))).as("wd"))
+        .groupBy(col("wd")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("wd"))
+        .limit(topV)
+        .select(col("wd")), "lm_vocab")
+    trainLmFrom(materialize(rewriteOov(bigrams, vocab), "lm_ref_pruned"),
+      vocab = Some(vocab))
+  }
+
+  private def trainLmFrom(bigrams: DataFrame,
+      vocab: Option[DataFrame]): LmModel =
     LmModel(
       materialize(bigrams.groupBy(col("w1"), col("w2"))
         .agg(count(lit(1)).as("c2")), "lm_c2"),
       materialize(bigrams.groupBy(col("w1"))
         .agg(count(lit(1)).as("c1")), "lm_c1"),
-      materialize(bigrams.agg(countDistinct(col("w2")).as("v")), "lm_v"))
-  }
+      materialize(bigrams.agg(countDistinct(col("w2")).as("v")), "lm_v"),
+      vocab)
+
+  /** OOV words → [[UnkToken]], both bigram positions: two broadcast
+    * membership joins against the (driver-bounded) vocab frame — a
+    * narrow rewrite, the corpus never shuffles. */
+  private def rewriteOov(bigrams: DataFrame, vocab: DataFrame): DataFrame =
+    bigrams
+      .join(broadcast(vocab.select(col("wd").as("w1"), lit(true).as("k1"))),
+        Seq("w1"), "left_outer")
+      .join(broadcast(vocab.select(col("wd").as("w2"), lit(true).as("k2"))),
+        Seq("w2"), "left_outer")
+      .select(col("doc_id"),
+        when(col("k1"), col("w1")).otherwise(lit(UnkToken)).as("w1"),
+        when(col("k2"), col("w2")).otherwise(lit(UnkToken)).as("w2"))
 
   /** Score bigram rows against trained model counts. `strict = true`
     * inner-joins (every bigram known — the self-trained q96 case);
@@ -144,9 +190,11 @@ object LmOps {
     * reference corpus. Bigrams and contexts unseen in the reference
     * back off to the α-smoothed OOV floor, so out-of-domain text
     * scores high instead of dropping out. */
-  def avgNllWith(d: DataFrame, m: LmModel): DataFrame =
-    scoreNll(bigramsOf(d), m.bgCounts, m.ctxCounts, m.vocabSize,
-      strict = false)
+  def avgNllWith(d: DataFrame, m: LmModel): DataFrame = {
+    val raw = bigramsOf(d)
+    val bg = m.vocab.map(v => rewriteOov(raw, v)).getOrElse(raw)
+    scoreNll(bg, m.bgCounts, m.ctxCounts, m.vocabSize, strict = false)
+  }
 
   /** One-shot convenience: train on `ref`, score `d`. Prefer
     * [[trainLm]] + [[avgNllWith]] when scoring repeatedly. */
@@ -268,7 +316,15 @@ object LmOps {
     * shuffle the corpus by a skewed lang key). Computing exact
     * percentiles per lang is one aggregate whose shuffle carries
     * (lang, nll) pairs; at 100 TB swap in approx_percentile with a
-    * fixed error budget — the operator shape is unchanged. */
+    * fixed error budget — the operator shape is unchanged.
+    *
+    * Accepted cross-engine risk (the q97 operand-order convention):
+    * the oracle pairs Spark `percentile` with DuckDB `quantile_cont`,
+    * which share the same linear-interpolation definition but not a
+    * bit-for-bit arithmetic guarantee — a last-ulp difference at an
+    * exact x.xxxxxx5 boundary could flip a rounded cut between
+    * engines. Green on the testdata; a deterministic rank-based cut
+    * shared by both engines is the escape hatch if it ever flips. */
   val q102CcnetBuckets: QueryDef = QueryDef(
     "q102_ccnet_buckets",
     (s, dir) => {
@@ -601,7 +657,8 @@ object LmOps {
       SELECT doc_id, min(i) AS start_tok,
         max(i) - min(i) + $SpanLen AS span_len, count(*) AS n_windows
       FROM isl GROUP BY doc_id, island
-      ORDER BY doc_id, start_tok"""))
+      ORDER BY doc_id, start_tok"""),
+    headline = true)
 
   // ---------------------------------------------------------------
   // q106: per-source dedup audit rollup

@@ -205,4 +205,120 @@ object Curation {
       bins = bins.count())
     (bins, summary)
   }
+
+  // ---------------------------------------------------------------
+  // Streaming curation: T1/T2 told end-to-end for the corpus tier
+  // ---------------------------------------------------------------
+
+  /** Configuration for [[runStream]]: every corpus-GLOBAL statistic is
+    * an OFFLINE artifact trained before the stream starts — the CCNet
+    * discipline (train the LM on a trusted corpus once, score forever)
+    * applied to every stage. Per-doc gates, the frequent-fragment
+    * membership, LM scoring, and the content-hash mixture are then all
+    * narrow per-batch passes over broadcast models, which is what
+    * makes the pipeline streamable at all. */
+  final case class StreamCurationConfig(
+      gates: GateRules = GateRules(),
+      frequentGrams: Option[DataFrame] = None,
+      boilerMaxFrac: Double = 0.5,
+      lmModel: Option[graft.operators.LmOps.LmModel] = None,
+      maxAvgNll: Double = Double.MaxValue,
+      mixtureRates: Map[String, Long] = Map.empty,
+      defaultRate: Long = 100L)
+
+  /** Offline boilerplate artifact for [[StreamCurationConfig]]:
+    * fragments appearing in >= `minDocs` docs of a reference corpus. */
+  def frequentGramsOf(docs: DataFrame, minDocs: Long = 3): DataFrame =
+    CorpusOps.fiveGramsOf(docs)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs).select(col("sh"))
+
+  /** One micro-batch of streaming curation: per-doc gates + offline-
+    * model stages + exact dedup, first within the batch (min doc_id
+    * per content hash) then against the accumulated `seenHashes`
+    * history via q84's bloom-prefiltered anti-join. Returns survivors
+    * (source, doc_id, text, file_hash). Applied to a whole corpus as
+    * ONE batch with empty history this is exactly the batch pipeline
+    * (CurationSpec proves stream ≡ batch), minus the corpus-global
+    * stages (boilerplate training, packing) that the offline
+    * artifacts / a downstream batch pass own. */
+  def curateBatch(batch: DataFrame, cfg: StreamCurationConfig,
+      seenHashes: DataFrame): DataFrame = {
+    val boilerIds = cfg.frequentGrams.map { fg =>
+      CorpusOps.fiveGramsOf(batch)
+        .select(col("doc_id"), explode(col("shingles")).as("sh"))
+        .join(broadcast(fg.select(col("sh")).distinct()
+          .withColumn("is_freq", lit(1))), Seq("sh"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg((sum(coalesce(col("is_freq"), lit(0))).cast("double") /
+          count(lit(1))).as("frac"))
+        .filter(col("frac") >= cfg.boilerMaxFrac)
+        .select(col("doc_id"), lit(true).as("is_boiler"))
+    }
+    val pplIds = cfg.lmModel.map { m =>
+      graft.operators.LmOps.avgNllWith(batch, m)
+        .filter(col("avg_nll") > cfg.maxAvgNll)
+        .select(col("doc_id"), lit(true).as("is_ppl_out"))
+    }
+    val rateCol = cfg.mixtureRates.foldLeft(lit(cfg.defaultRate)) {
+      case (acc, (lang, r)) => when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+    val flagged0 = batch
+      .withColumn("pass_gate", gateKeep(col("text"), cfg.gates))
+      .withColumn("bucket", expr(MixOps.bucketExpr("sha2(text, 256)")).cast("long"))
+      .withColumn("pass_mix", col("bucket") < rateCol)
+    val flagged1 = boilerIds.fold(flagged0.withColumn("is_boiler", lit(false)))(
+      ids => flagged0.join(ids, Seq("doc_id"), "left_outer"))
+    val kept = pplIds.fold(flagged1.withColumn("is_ppl_out", lit(false)))(
+        ids => flagged1.join(ids, Seq("doc_id"), "left_outer"))
+      .withColumn("is_boiler", coalesce(col("is_boiler"), lit(false)))
+      .withColumn("is_ppl_out", coalesce(col("is_ppl_out"), lit(false)))
+      .filter(col("pass_gate") && !col("is_boiler") && !col("is_ppl_out") &&
+        col("pass_mix"))
+      .select(col("source"), col("doc_id"), col("text"),
+        sha2(col("text"), 256).as("file_hash"))
+    // within-batch canonical: min doc_id per content hash
+    val keepIds = kept.groupBy(col("file_hash"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val canon = materialize(
+      kept.join(keepIds, Seq("doc_id"), "left_semi"), "stream_canon")
+    // cross-batch history: bloom prefilter + exact anti-join (q84)
+    val nSeen = seenHashes.count()
+    if (nSeen == 0) canon
+    else {
+      val bf = seenHashes.stat.bloomFilter("file_hash", math.max(nSeen, 1000L), 0.01)
+      val mightContain = udf((h: String) => h != null && bf.mightContainString(h))
+      canon.filter(!mightContain(col("file_hash")))
+        .unionByName(canon.filter(mightContain(col("file_hash")))
+          .join(seenHashes, Seq("file_hash"), "left_anti"))
+    }
+  }
+
+  /** Streaming curation over an incremental source (e.g.
+    * `EventStreams.incrementalFiles`): each AvailableNow micro-batch
+    * runs [[curateBatch]] against the history accumulated in
+    * `historyDir`, appends survivors to `outDir`, and appends their
+    * hashes to the history — the cron-ETL + FileHistory loop (T1/T2)
+    * for the corpus tier. Exactly-once comes from the source
+    * checkpoint; the history append is idempotent per content hash
+    * (a replayed batch re-anti-joins against its own hashes). */
+  def runStream(stream: DataFrame, cfg: StreamCurationConfig,
+      checkpoint: String, outDir: String, historyDir: String): Unit =
+    graft.streaming.EventStreams.runAvailableNowForeachBatch(
+      stream, checkpoint) { (batch, _) =>
+      val s = batch.sparkSession
+      val hp = new org.apache.hadoop.fs.Path(historyDir)
+      val seen =
+        if (hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp))
+          s.read.parquet(historyDir).select(col("file_hash"))
+        else {
+          import s.implicits._
+          Seq.empty[String].toDF("file_hash")
+        }
+      val survivors = curateBatch(batch, cfg, seen)
+      survivors.write.mode("append").parquet(outDir)
+      survivors.select(col("file_hash")).distinct()
+        .write.mode("append").parquet(historyDir)
+    }
 }

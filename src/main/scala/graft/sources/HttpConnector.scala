@@ -23,6 +23,12 @@ final class HttpStagingConnector(mkTransport: () => HttpTransport,
       mkTransport().request("GET", slashed(root)).status < 400
     ).getOrElse(false)
 
+  /** The index-page scrape is the ONLY driver-side step (one GET for a
+    * bounded page, fsspec's `_ls`), capped at [[HttpStagingConnector
+    * .MaxListing]] files exactly as the reference caps its listings
+    * (endpoint_v2/constants.py:196-198). The per-file HEAD metadata
+    * probes — the O(N) network cost — run EXECUTOR-side over the
+    * parallelized name list, one partition per file up to 32. */
   def listRemote(spark: SparkSession, root: String, glob: String): DataFrame = {
     import spark.implicits._
     val t = mkTransport()
@@ -33,27 +39,39 @@ final class HttpStagingConnector(mkTransport: () => HttpTransport,
       .filterNot(h => h.endsWith("/") || h.startsWith("..") ||
         h.startsWith("#") || h.startsWith("?")) // dirs, parent, anchors
       .filter(h => globToRegex(glob).matches(lastSegment(h)))
-    names.map { h =>
+      .take(MaxListing)
+    val urls = names.map { h =>
       val url = if (h.startsWith("http://") || h.startsWith("https://")) h
         else base + h
-      val head = scala.util.Try(t.request("HEAD", url)).toOption
-      val size = head.flatMap(_.header("Content-Length")).flatMap(_.toLongOption)
-        .getOrElse(-1L)
-      val mtime = head.flatMap(_.header("Last-Modified")).flatMap(parseHttpDate)
-        .getOrElse(new java.sql.Timestamp(0L))
-      (url, lastSegment(h), size, mtime)
-    }.toDF("remote_path", "file_name", "file_size", "mtime")
+      (url, lastSegment(h))
+    }
+    val mk = mkTransport // the FACTORY ships to executors, not a socket
+    spark.createDataset(urls)
+      .repartition(math.max(1, math.min(urls.length, 32)))
+      .mapPartitions { it =>
+        val te = mk()
+        it.map { case (url, fname) =>
+          val head = scala.util.Try(te.request("HEAD", url)).toOption
+          val size = head.flatMap(_.header("Content-Length"))
+            .flatMap(_.toLongOption).getOrElse(-1L)
+          val mtime = head.flatMap(_.header("Last-Modified"))
+            .flatMap(parseHttpDate).getOrElse(new java.sql.Timestamp(0L))
+          (url, fname, size, mtime)
+        }
+      }.toDF("remote_path", "file_name", "file_size", "mtime")
   }
 
+  /** The copy consumes the listing FRAME directly — no driver collect:
+    * each partition GETs and writes its own files, so bytes flow
+    * executor-to-storage and a capped-size listing of any shape stages
+    * on up to 32 tasks in parallel. */
   def copyToStaging(spark: SparkSession, root: String, glob: String,
       stagingDir: String): DataFrame = {
     import spark.implicits._
-    val files = listRemote(spark, root, glob)
-      .select("remote_path", "file_name").as[(String, String)].collect()
-    val mk = mkTransport // the FACTORY ships to executors, not a socket
-    spark.sparkContext
-      .parallelize(files.toSeq, math.max(1, math.min(files.length, 32)))
-      .foreachPartition { it =>
+    val mk = mkTransport
+    listRemote(spark, root, glob)
+      .select("remote_path", "file_name").as[(String, String)]
+      .foreachPartition { (it: Iterator[(String, String)]) =>
         val t = mk()
         val dir = new org.apache.hadoop.fs.Path(stagingDir)
         val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
@@ -70,6 +88,11 @@ final class HttpStagingConnector(mkTransport: () => HttpTransport,
 }
 
 object HttpStagingConnector {
+  /** Listing cap, matching the reference's max-files bound on source
+    * listings (endpoint_v2/constants.py:196-198) — keeps the one
+    * driver-side scrape bounded by contract, not by luck. */
+  val MaxListing = 40000
+
   // href scrape: skip query/fragment-only links; quotes required
   private val HrefRe = """href\s*=\s*["']([^"']+)["']""".r
 

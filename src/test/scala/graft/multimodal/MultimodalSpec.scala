@@ -131,6 +131,53 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("e2e: real PNG/JPEG/BMP parquet → decode → classify → routed sink (q41 shape)") {
+    import graft.tools.Media
+    import org.apache.spark.sql.functions._
+    // a mixed media corpus with REAL codec bytes: bright PNGs, dark
+    // JPEGs (lossy — the decode is what must recover the brightness),
+    // mid-gray BMPs
+    val rows =
+      (1 to 6).map(i => (s"b_$i.png", Media.buildImage("png", 8, 8, (_, _) => 0xF0F0F0))) ++
+      (1 to 5).map(i => (s"d_$i.jpg", Media.buildImage("jpg", 16, 16, (_, _) => 0x101010))) ++
+      (1 to 4).map(i => (s"m_$i.bmp", Media.buildBmp(4, 4, (_, _) => 0x808080)))
+    val base = java.nio.file.Files.createTempDirectory("graft-media-e2e").toString
+    // binary columns survive a real parquet round trip — the storage
+    // shape a 100 TB multimodal corpus actually uses
+    spark.createDataFrame(rows).toDF("file_name", "content")
+      .write.mode("overwrite").parquet(s"$base/in")
+    val media = spark.read.parquet(s"$base/in")
+
+    val feat = Multimodal.withMediaFeatures(media, "content", "file_name",
+      () => new Multimodal.JdkMediaDecoder())
+    // image features carry [2, w, h, meanR, meanG, meanB, ...] /255 —
+    // classify on decoded luminance, q41's CASE shape
+    val classified = feat
+      .withColumn("lum", (element_at(col("features"), 4) +
+        element_at(col("features"), 5) + element_at(col("features"), 6)) / 3.0)
+      .withColumn("classification",
+        when(col("lum") >= 0.6, "bright")
+          .when(col("lum") <= 0.3, "dark")
+          .otherwise("mid"))
+      .select(col("file_name"), col("media_meta.format").as("format"),
+        col("classification"))
+    graft.sinks.Sinks.writeFs(classified, s"$base/out",
+      partitionBy = Seq("classification"))
+
+    // the routing sink split the corpus exactly by decoded content
+    val back = spark.read.json(s"$base/out")
+    val byClass = back.collect()
+      .groupBy(_.getAs[String]("classification"))
+      .view.mapValues(_.map(_.getAs[String]("file_name")).toSet).toMap
+    assert(byClass("bright") === (1 to 6).map(i => s"b_$i.png").toSet)
+    assert(byClass("dark") === (1 to 5).map(i => s"d_$i.jpg").toSet)
+    assert(byClass("mid") === (1 to 4).map(i => s"m_$i.bmp").toSet)
+    // and the formats were identified from the bytes, not the names
+    val fmts = back.collect().map(r =>
+      r.getAs[String]("file_name").takeRight(3) -> r.getAs[String]("format")).toSet
+    assert(fmts === Set("png" -> "png", "jpg" -> "jpeg", "bmp" -> "bmp"))
+  }
+
   test("frame sampling explodes by stubbed duration") {
     import spark.implicits._
     val df = Seq(("v.bin", Array.fill[Byte](10)(7))).toDF("file_name", "content")

@@ -53,6 +53,23 @@ class DedupStagingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.corpus.stagingDir")
   }
 
+  test("Staging.cleanup deletes every tracked staged directory, and only then") {
+    val dir = sf("sf0.001")
+    val staging = java.nio.file.Files.createTempDirectory("graft-cleanup").toString
+    spark.conf.set("spark.graft.corpus.stagingDir", staging)
+    try {
+      LmOps.q96LmPerplexity.fn(spark, dir).collect()
+      val before = graft.Staging.stagedPaths.filter(_.startsWith(staging))
+      assert(before.nonEmpty, "durable mode must track what it stages")
+      assert(before.forall(p => new java.io.File(p).exists()))
+      graft.Staging.cleanup(spark)
+      assert(before.forall(p => !new java.io.File(p).exists()),
+        "cleanup left staged directories behind")
+      assert(graft.Staging.stagedPaths.intersect(before).isEmpty,
+        "cleaned paths must leave the tracking set")
+    } finally spark.conf.unset("spark.graft.corpus.stagingDir")
+  }
+
   test("q90 pigeonhole banding finds EVERY pair within the Hamming bound (vs brute force)") {
     import org.apache.spark.sql.functions._
     val dir = sf("sf0.001")

@@ -199,6 +199,51 @@ class LmOpsSpec extends SparkSpec {
       "q107 window totals diverge from q98 per-doc dup counts")
   }
 
+  test("trainLm topV prune: full-vocab equivalence, mass conservation, in-vocab monotonicity") {
+    val ref = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val full = LmOps.trainLm(ref)
+    val rawVocabSize = full.ctxCounts.count().toInt + 1
+
+    // topV >= the whole vocabulary prunes nothing: scores identical
+    val unpruned = LmOps.avgNllWith(ref, full).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val noop = LmOps.trainLm(ref, topV = rawVocabSize * 2)
+    val noopScores = LmOps.avgNllWith(ref, noop).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(noopScores === unpruned, "a non-pruning topV changed scores")
+
+    // a real prune: hard vocabulary bound and conserved bigram mass
+    val topV = 50
+    val pruned = LmOps.trainLm(ref, topV)
+    assert(pruned.ctxCounts.count() <= topV + 1, "context rows exceed topV + <unk>")
+    assert(pruned.vocabSize.collect()(0).getLong(0) <= topV + 1)
+    val massOf = (m: LmOps.LmModel) =>
+      m.bgCounts.agg(sum(col("c2"))).collect()(0).getLong(0)
+    assert(massOf(pruned) === massOf(full),
+      "pruning must merge counts, never drop them")
+
+    // monotonicity where it's provable: a doc whose every word is in
+    // the pruned vocab keeps its exact counts (c2, c1 unchanged) while
+    // the α·V smoothing denominator shrinks — so its nll can only drop
+    val vocabSet = pruned.vocab.get.collect().map(_.getString(0)).toSet
+    val inVocabDocs = ref.collect().collect {
+      case r if {
+        val toks = r.getString(1).toLowerCase(java.util.Locale.ROOT)
+          .trim.split("\\s+").filter(_.nonEmpty)
+        toks.length >= 2 && toks.forall(vocabSet.contains)
+      } => r.getLong(0)
+    }.toSet
+    val prunedScores = LmOps.avgNllWith(ref, pruned).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(inVocabDocs.nonEmpty,
+      "monotonicity check would be vacuous: no fully in-vocab doc at topV=50")
+    inVocabDocs.foreach { id =>
+      assert(prunedScores(id) <= unpruned(id)._2 + 1e-9,
+        s"in-vocab doc $id scored worse under the pruned model")
+    }
+  }
+
   test("q96/q97 plans: model tables ride broadcasts, the corpus never self-joins") {
     val p96 = LmOps.q96LmPerplexity.fn(spark, dir)
       .queryExecution.executedPlan.toString

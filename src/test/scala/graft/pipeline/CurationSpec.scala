@@ -128,15 +128,21 @@ class CurationSpec extends SparkSpec {
       .stat.approxQuantile("avg_nll", Array(0.75), 0.0).head
     val floor = graft.operators.LmOps.dsirWeights(docs, target)
       .stat.approxQuantile("avg_logratio", Array(0.25), 0.0).head
+    val qScorer = graft.ml.VectorML.fitQualityFilter(
+      docs.join(target.select(col("doc_id")), Seq("doc_id"), "left_anti"), target)
+    val qFloor = qScorer(docs)
+      .stat.approxQuantile("quality", Array(0.25), 0.0).head
     val (bins, s) = Curation.run(docs, Curation.CurationConfig(
       benchmarkGrams = Some(probe),
       maxAvgNll = Some(ceil),
       dsirTarget = Some(target),
       dsirFloor = floor,
+      qualityTarget = Some(target),
+      qualityFloor = qFloor,
       mixtureRates = Map("zh" -> 10L)))
     // stage accounting still conserves documents under full composition
     val survivors = s.gated - s.boilerDropped - s.contaminatedDropped -
-      s.perplexityDropped - s.dsirDropped - s.sampledOut
+      s.perplexityDropped - s.dsirDropped - s.qualityDropped - s.sampledOut
     assert(survivors >= 0L)
     assert(s.packedDocs <= survivors)
     assert(s.bins === bins.count())
@@ -145,8 +151,68 @@ class CurationSpec extends SparkSpec {
     // covered by the single-knob tests above; under composition an
     // earlier stage may claim a later stage's doc)
     assert(s.contaminatedDropped + s.perplexityDropped + s.dsirDropped +
-      s.sampledOut >= 1L)
+      s.qualityDropped + s.sampledOut >= 1L)
     assert(s.packedDocs < Curation.run(docs)._2.packedDocs)
+  }
+
+  test("streaming curation over 3 incremental micro-batches equals one batch run") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType)))
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-cur").toString
+    val srcDir = s"$base/src"
+    new java.io.File(srcDir).mkdirs()
+
+    // 90 real docs in doc_id order + a cross-batch duplicate: the last
+    // batch re-ingests batch 1's first text under a fresh high doc_id,
+    // so only the accumulated HISTORY can reject it
+    val rows = docs.select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .orderBy(col("doc_id")).limit(90).collect()
+    val dup = Row(99990L, rows(0).getString(1), rows(0).getString(2),
+      rows(0).getString(3))
+    val batches = Seq(rows.slice(0, 30).toSeq, rows.slice(30, 60).toSeq,
+      rows.slice(60, 90).toSeq :+ dup)
+    val full = spark.createDataFrame(batches.flatten.asJava, schema)
+
+    // offline artifacts trained once on the full corpus (the CCNet
+    // discipline), shared verbatim by the batch reference and the stream
+    val cfg = Curation.StreamCurationConfig(
+      frequentGrams = Some(Curation.frequentGramsOf(full)),
+      lmModel = Some(graft.operators.LmOps.trainLm(full)),
+      maxAvgNll = graft.operators.LmOps.avgNllOf(full)
+        .stat.approxQuantile("avg_nll", Array(0.75), 0.0).head,
+      mixtureRates = Map("zh" -> 50L))
+    val wantRows = Curation.curateBatch(full, cfg, {
+      import spark.implicits._
+      Seq.empty[String].toDF("file_hash")
+    }).collect()
+    val want = wantRows.map(_.getAs[Long]("doc_id")).toSet
+    assert(want.nonEmpty, "batch reference kept nothing — thresholds too strict")
+
+    // stream: one new json file per run, same checkpoint — each
+    // AvailableNow pass processes exactly the unseen file (T1/T2)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val tmp = s"$base/tmp$i"
+      spark.createDataFrame(b.asJava, schema)
+        .coalesce(1).write.mode("overwrite").json(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$srcDir/batch$i.json"))
+      Curation.runStream(
+        graft.streaming.EventStreams.incrementalFiles(spark, srcDir, schema),
+        cfg, s"$base/ckpt", s"$base/out", s"$base/hist")
+    }
+    val got = spark.read.parquet(s"$base/out")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got === want,
+      s"stream/batch diverge: stream-only=${(got -- want).take(5)}, " +
+        s"batch-only=${(want -- got).take(5)}")
+    // the re-ingested duplicate was rejected by cross-batch history
+    assert(!got.contains(99990L), "history failed to reject the re-ingested dup")
   }
 
   test("stricter gates can only shrink the packed corpus") {

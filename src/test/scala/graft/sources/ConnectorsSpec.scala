@@ -73,6 +73,25 @@ class ConnectorsSpec extends SparkSpec {
     val scanned = FileScan.scan(spark, FileScan.ScanConfig(staging))
     assert(scanned.count() == 2)
   }
+
+  test("HTTP staging is distributed: listing frame spans >1 partition, every file staged") {
+    val c = new HttpStagingConnector(() => ConnectorsSpec.bigFileServer())
+    // the frame copyToStaging consumes partition-wise — per-file HEADs
+    // and GETs run executor-side across these partitions, never on a
+    // driver-collected list
+    val listing = c.listRemote(spark, ConnectorsSpec.bigRoot, "*.txt")
+    assert(listing.rdd.getNumPartitions > 1,
+      s"listing collapsed to ${listing.rdd.getNumPartitions} partition(s)")
+    assert(listing.count() == 8)
+    val staging = Files.createTempDirectory("graft-http-staging-big").toString
+    val staged = c.copyToStaging(spark, ConnectorsSpec.bigRoot, "*.txt", staging)
+    assert(staged.count() == 8)
+    (1 to 8).foreach { i =>
+      val body = new String(Files.readAllBytes(
+        java.nio.file.Paths.get(staging, s"f_$i.txt")), "UTF-8")
+      assert(body == s"file $i")
+    }
+  }
 }
 
 /** Canned HTTP file server on the companion object — the transport
@@ -86,10 +105,18 @@ object ConnectorsSpec {
     "inv_2.txt" -> "invoice two",
     "notes.md" -> "not matched")
 
-  def fileServer(): graft.tools.CannedTransport =
+  val bigRoot = "https://files.example.com/bulk"
+
+  def fileServer(): graft.tools.CannedTransport = server(httpRoot, pages)
+
+  def bigFileServer(): graft.tools.CannedTransport =
+    server(bigRoot, (1 to 8).map(i => s"f_$i.txt" -> s"file $i").toMap)
+
+  private def server(root: String,
+      pages: Map[String, String]): graft.tools.CannedTransport =
     new graft.tools.CannedTransport({ (method, url, _, _) =>
-      val base = s"$httpRoot/"
-      if (url == httpRoot || url == base) {
+      val base = s"$root/"
+      if (url == root || url == base) {
         if (method != "GET") graft.tools.HttpResponse.status(405)
         else graft.tools.HttpResponse(200, Map("Content-Type" -> "text/html"),
           ("""<html><body><a href="../">Parent</a>""" +

@@ -48,7 +48,12 @@ object Curation {
     *        target probability and dropped below `qualityFloor`;
     *        unscored docs (< 2 tokens) are kept
     * @param mixtureRates   percent kept per `lang` (q94's shape);
-    *        langs absent from the map keep `defaultRate` */
+    *        langs absent from the map keep `defaultRate`
+    * @param packDocsPerSubShard packing de-skew knob (q86's
+    *        sub-shards): when set, packing keys by
+    *        `(source, doc_id div S)` so a dominant source packs on
+    *        many tasks; bins stay sub-shard-local. None (default) =
+    *        whole-source shards, the q87-oracle semantics */
   final case class CurationConfig(
       gates: GateRules = GateRules(),
       boilerMinDocs: Long = 3,
@@ -61,7 +66,8 @@ object Curation {
       qualityFloor: Double = 0.5,
       mixtureRates: Map[String, Long] = Map.empty,
       defaultRate: Long = 100L,
-      packCapacity: Long = 512L)
+      packCapacity: Long = 512L,
+      packDocsPerSubShard: Option[Long] = None)
 
   final case class CurationSummary(
       raw: Long, gated: Long, boilerDropped: Long, contaminatedDropped: Long,
@@ -191,7 +197,7 @@ object Curation {
         .select(col("source"), col("doc_id"),
           CorpusOps.nTokens(col("text")).as("n_tokens"))
         .observe(obsPack, count(lit(1)).as("packed_docs")),
-      cfg.packCapacity), "bins")
+      cfg.packCapacity, cfg.packDocsPerSubShard), "bins")
     val summary = CurationSummary(
       raw = obs.get("raw").asInstanceOf[Long],
       gated = obs.get("gated").asInstanceOf[Long],

@@ -215,6 +215,14 @@ class CurationSpec extends SparkSpec {
     assert(!got.contains(99990L), "history failed to reject the re-ingested dup")
   }
 
+  test("packing sub-shard knob with S beyond every doc_id reproduces the default bins") {
+    val (bins, _) = Curation.run(docs)
+    val (subBins, _) = Curation.run(docs,
+      Curation.CurationConfig(packDocsPerSubShard = Some(10_000_000L)))
+    assert(subBins.orderBy(col("source"), col("bin")).collect().map(_.toString).toSeq ===
+      bins.orderBy(col("source"), col("bin")).collect().map(_.toString).toSeq)
+  }
+
   test("stricter gates can only shrink the packed corpus") {
     val (_, loose) = Curation.run(docs)
     val (_, strict) = Curation.run(docs,

@@ -227,6 +227,76 @@ object LmOps {
     headline = true)
 
   // ---------------------------------------------------------------
+  // q108: interpolated Kneser-Ney perplexity
+  // ---------------------------------------------------------------
+
+  private val KnD = 0.75 // absolute discount (Chen & Goodman's fixed-D form)
+
+  /** Per-document perplexity under an INTERPOLATED KNESER-NEY bigram
+    * model (Kneser & Ney 1995; Chen & Goodman 1999) — the smoothing
+    * KenLM actually ships, where q96's add-alpha is the teaching
+    * baseline:
+    *
+    *   P(w2|w1) = (max(c(w1 w2) − D, 0) + D·N1+(w1·)·Pcont(w2)) / c(w1·)
+    *   Pcont(w2) = N1+(·w2) / N1+(··)
+    *
+    * N1+(w1·) = distinct continuation types of w1, N1+(·w2) = distinct
+    * context types of w2, N1+(··) = distinct bigram types. Trained on
+    * the corpus itself (q96's convention) every scored bigram is known,
+    * so the join is strict and no OOV floor is needed; the lower-order
+    * distribution is the continuation-count unigram — KN's defining
+    * idea ("how many contexts does this word complete?"), not raw
+    * frequency.
+    *
+    * Scale: identical shape to q96 — four VOCABULARY-sized count
+    * tables (c2, c1, N1+fwd, N1+bwd) plus a 1-row total, all
+    * broadcast; the type counts aggregate over the c2 TABLE (already
+    * vocab-sized), not over the corpus, and the corpus side stays one
+    * explode + broadcast joins + groupBy(doc_id). The `trainLm(ref,
+    * topV)` vocabulary cutoff composes unchanged. */
+  val q108KnPerplexity: QueryDef = QueryDef(
+    "q108_kn_perplexity",
+    (s, dir) => {
+      val bigrams = materialize(bigramsOf(docs(s, dir)), "kn_bigrams")
+      val c2t = materialize(bigrams.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c2")), "kn_c2")
+      val c1t = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val n1f = c2t.groupBy(col("w1")).agg(count(lit(1)).as("nf"))
+      val n1b = c2t.groupBy(col("w2")).agg(count(lit(1)).as("nb"))
+      val np = c2t.agg(count(lit(1)).as("npairs"))
+      bigrams
+        .join(broadcast(c2t), Seq("w1", "w2"))
+        .join(broadcast(c1t), Seq("w1"))
+        .join(broadcast(n1f), Seq("w1"))
+        .join(broadcast(n1b), Seq("w2"))
+        .crossJoin(broadcast(np))
+        .select(col("doc_id"),
+          (-log((greatest(col("c2") - KnD, lit(0.0)) +
+            lit(KnD) * col("nf") * (col("nb") / col("npairs"))) / col("c1")))
+            .as("nll"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(col("nll")), 6).as("avg_nll"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $tokSqlCte,
+      bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        FROM tok, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+      c2t AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+      c1t AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+      n1f AS (SELECT w1, count(*) AS nf FROM c2t GROUP BY w1),
+      n1b AS (SELECT w2, count(*) AS nb FROM c2t GROUP BY w2),
+      np AS (SELECT count(*) AS npairs FROM c2t)
+      SELECT bg.doc_id, count(*) AS n_bigrams,
+        round(avg(-ln((greatest(c2t.c2 - $KnD, 0.0) + $KnD * n1f.nf * (n1b.nb / np.npairs)) / c1t.c1)), 6) AS avg_nll
+      FROM bg JOIN c2t ON bg.w1 = c2t.w1 AND bg.w2 = c2t.w2
+        JOIN c1t ON bg.w1 = c1t.w1
+        JOIN n1f ON bg.w1 = n1f.w1
+        JOIN n1b ON bg.w2 = n1b.w2, np
+      GROUP BY bg.doc_id ORDER BY bg.doc_id"""),
+    headline = true)
+
+  // ---------------------------------------------------------------
   // q97: BM25 ranked retrieval
   // ---------------------------------------------------------------
 
@@ -710,5 +780,5 @@ object LmOps {
 
   val all: Seq[QueryDef] =
     Seq(q96LmPerplexity, q97Bm25, q98DupSpans, q99HybridRrf, q101Dsir,
-      q102CcnetBuckets, q106DedupAudit, q107MaxDupSpans)
+      q102CcnetBuckets, q106DedupAudit, q107MaxDupSpans, q108KnPerplexity)
 }

@@ -77,6 +77,60 @@ object MixOps {
     headline = true)
 
   // ---------------------------------------------------------------
+  // q109: graded contamination fraction (dirty-token ratio shape)
+  // ---------------------------------------------------------------
+
+  private val DirtyFrac = 0.125 // Llama 3's 1/8 "mostly clean" boundary shape
+
+  /** Graded decontamination score: the FRACTION of a training doc's
+    * n-grams found in the benchmark set, with the binary gate at
+    * [[DirtyFrac]] — q92's flag says "touched the benchmark at all"
+    * (GPT-3's conservative rule); the Llama-3-style report grades
+    * overlap so a threshold can separate quotation-level contact from
+    * wholesale inclusion. Same stand-in benchmark as q92
+    * (doc_id % 10 == 7).
+    *
+    * Scale: exactly q92's plan — the benchmark gram set broadcasts,
+    * the corpus side is one narrow explode + groupBy(doc_id) carrying
+    * (doc_id, hit) pairs; the extra ratio is one more aggregate column
+    * on the same shuffle, so the graded report costs nothing over the
+    * flag. */
+  val q109ContamFraction: QueryDef = QueryDef(
+    "q109_contam_fraction",
+    (s, dir) => {
+      val grams = CorpusOps.fiveGrams(s, dir)
+        .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      val benchGrams = grams.filter(col("doc_id") % 10 === 7)
+        .select(col("sh")).distinct()
+      grams.filter(col("doc_id") % 10 =!= 7)
+        .join(broadcast(benchGrams).withColumn("hit", lit(1)), Seq("sh"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0))).as("n_overlap"))
+        .withColumn("contam_frac",
+          round(col("n_overlap").cast("double") / col("n_grams"), 6))
+        .withColumn("is_dirty", col("contam_frac") >= DirtyFrac)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, trim(text) AS t,
+        regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+      sh AS (SELECT doc_id,
+        CASE WHEN len(w) >= 5
+          THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+                              for i in range(1, len(w) - 3)])
+          ELSE [t] END AS shingles FROM tok),
+      grams AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+      bench AS (SELECT DISTINCT sh FROM grams WHERE doc_id % 10 = 7)
+      SELECT c.doc_id, count(*) AS n_grams,
+        CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+        round(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS contam_frac,
+        round(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) >= $DirtyFrac AS is_dirty
+      FROM grams c LEFT JOIN bench b ON c.sh = b.sh
+      WHERE c.doc_id % 10 <> 7
+      GROUP BY c.doc_id ORDER BY c.doc_id"""),
+    headline = false)
+
+  // ---------------------------------------------------------------
   // q93: deterministic train/val/test split
   // ---------------------------------------------------------------
 
@@ -229,5 +283,6 @@ object MixOps {
     headline = true)
 
   val all: Seq[QueryDef] = Seq(
-    q92Decontaminate, q93SplitAssign, q94DomainMix, q95SemanticDedup)
+    q92Decontaminate, q93SplitAssign, q94DomainMix, q95SemanticDedup,
+    q109ContamFraction)
 }

@@ -244,6 +244,42 @@ class LmOpsSpec extends SparkSpec {
     }
   }
 
+  test("q108 KN: probabilities normalize per context; doc accounting matches q96") {
+    val kn = LmOps.q108KnPerplexity.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val q96 = LmOps.q96LmPerplexity.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same docs scored, same bigram counts, finite positive nll
+    assert(kn.keySet === q96.keySet)
+    kn.foreach { case (id, (n, nll)) =>
+      assert(n === q96(id))
+      assert(nll > 0.0 && !nll.isNaN && !nll.isInfinite, s"doc $id nll=$nll")
+    }
+    // the defining KN property: for any context w1, summing
+    // P(w2|w1) over the model's continuation vocabulary gives 1
+    val bg = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(w) - 1),
+          |  i -> struct(element_at(w, i) as w1, element_at(w, i + 1) as w2))""".stripMargin)).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val c2 = bg.groupBy(identity).view.mapValues(_.length.toDouble).toMap
+    val c1 = bg.groupBy(_._1).view.mapValues(_.length.toDouble).toMap
+    val nf = c2.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val nb = c2.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val npairs = c2.size.toDouble
+    val vocab2 = nb.keySet
+    c1.keys.take(25).foreach { w1 =>
+      val total = vocab2.toSeq.map { w2 =>
+        (math.max(c2.getOrElse((w1, w2), 0.0) - 0.75, 0.0) +
+          0.75 * nf(w1) * (nb(w2) / npairs)) / c1(w1)
+      }.sum
+      assert(math.abs(total - 1.0) < 1e-9, s"context '$w1' sums to $total")
+    }
+  }
+
   test("q96/q97 plans: model tables ride broadcasts, the corpus never self-joins") {
     val p96 = LmOps.q96LmPerplexity.fn(spark, dir)
       .queryExecution.executedPlan.toString

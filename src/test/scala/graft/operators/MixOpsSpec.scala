@@ -87,6 +87,26 @@ class MixOpsSpec extends SparkSpec {
 
   // ---- plan-shape assertions: the scale contracts, not just results ----
 
+  test("q109: graded contamination agrees with q92's flag and bounds the fraction") {
+    val frac = MixOps.q109ContamFraction.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toMap
+    val flag = MixOps.q92Decontaminate.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(frac.keySet === flag.keySet)
+    frac.foreach { case (id, (nGrams, nOverlap, f, dirty)) =>
+      assert(nOverlap === flag(id)._1, s"doc $id overlap diverges from q92")
+      assert(nOverlap <= nGrams && f >= 0.0 && f <= 1.0)
+      // the graded gate is strictly laxer than the any-overlap flag
+      assert(!dirty || flag(id)._2, s"doc $id dirty without q92 contamination")
+    }
+    // grading must separate: some contaminated docs sit under the 1/8 gate
+    val contaminated = frac.filter { case (id, _) => flag(id)._2 }
+    assert(contaminated.nonEmpty)
+    assert(contaminated.exists(!_._2._4),
+      "every contaminated doc is over the dirty gate — grading adds nothing")
+  }
+
   test("semDedup with trained k-means centroids catches >= the deterministic pick") {
     graft.functions.expressions.VectorExpressions.register(spark)
     val e = graft.Tables.load(spark, dir, "embeddings")

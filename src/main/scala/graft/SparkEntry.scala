@@ -27,7 +27,8 @@ object SparkEntry {
       operators.CorpusOps.all ++
       operators.MixOps.all ++
       operators.LmOps.all ++
-      operators.TokenizerOps.all
+      operators.TokenizerOps.all ++
+      operators.UnigramOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The index-pipeline capstone: chunk → mock-embed → top-k retrieve —

@@ -88,6 +88,31 @@ class DedupStagingSpec extends SparkSpec {
     assert(brute.nonEmpty, "test corpus should contain at least one near-dup pair")
   }
 
+  test("q112 edit-distance verify: exact Levenshtein over q90's candidates, identical texts score 1") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val rows = DedupOps.q112EditDistPairs.fn(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))).toMap
+    val candidates = DedupOps.q90SimhashHamming.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the verify stage scores exactly the banded candidate set
+    assert(rows.keySet === candidates)
+    val texts = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case ((a, b), (lev, sim, dup)) =>
+      assert(sim >= 0.0 && sim <= 1.0)
+      assert(dup === (sim >= 0.8))
+      if (texts(a) == texts(b))
+        assert(lev === 0L && sim === 1.0, s"identical pair ($a,$b) scored $sim")
+    }
+    // byte-identical near-dups exist in the corpus, so the gate bites
+    // in both directions on real data
+    assert(rows.values.exists(_._3), "no pair passed the dup gate")
+    assert(rows.values.exists(v => !v._3), "every candidate passed — gate adds nothing")
+  }
+
   test("q91 label propagation yields a consistent fixpoint over the pair graph") {
     val dir = sf("sf0.001")
     val canon = DedupOps.q91DupClusters.fn(spark, dir).collect()

@@ -45,6 +45,19 @@ object AnnOps {
     path
   }
 
+  /** Incremental index maintenance: assign NEW vectors against the
+    * SAME centroid table and append into the existing
+    * `partitionBy(cell)` layout — appended files land inside their
+    * cell directories, so probes keep partition-pruning and ingest
+    * never rebuilds the index. Centroid drift is a rebuild decision,
+    * not an append one (the FAISS operational model); AnnOpsSpec
+    * proves append ≡ rebuild row-for-row. */
+  def appendToIvfIndex(e: DataFrame, centroids: DataFrame, path: String): String = {
+    assignCells(e, centroids)
+      .write.mode("append").partitionBy("cell").parquet(path)
+    path
+  }
+
   /** The nprobe nearest cells to the query vector, decided driver-side —
     * the centroid table is C rows by construction, and a driver-sized
     * decision here is what lets the cell filter be a LITERAL in-set the

@@ -337,6 +337,51 @@ object DedupOps {
       SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= $HamMax
       ORDER BY doc_a, doc_b"""))
 
+  /** LSH band/row tuning: pick (bands, rowsPerBand) with bands·rows <=
+    * numPerm minimizing `fpWeight·FP + fnWeight·FN`, where FP/FN are
+    * the integrals of the S-curve `1 − (1 − s^r)^b` below/above the
+    * target Jaccard threshold — the standard MinHash-LSH parameter
+    * optimization (Leskovec/Rajaraman/Ullman ch.3; datasketch's
+    * `_optimal_param`). Driver-side closed loop over ≤ numPerm²
+    * candidates with a fixed-step numeric integral; the result feeds
+    * q51's band join as its (bands, rows) constants. */
+  def tuneLshBands(numPerm: Int, threshold: Double,
+      fpWeight: Double = 0.5, fnWeight: Double = 0.5): (Int, Int) = {
+    require(numPerm >= 2 && threshold > 0.0 && threshold < 1.0)
+    val steps = 1000
+    def curve(s: Double, b: Int, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    def fp(b: Int, r: Int): Double = {
+      var a = 0.0; var i = 0
+      while (i < steps) {
+        val s = threshold * (i + 0.5) / steps
+        a += curve(s, b, r); i += 1
+      }
+      a * threshold / steps
+    }
+    def fn(b: Int, r: Int): Double = {
+      var a = 0.0; var i = 0
+      while (i < steps) {
+        val s = threshold + (1.0 - threshold) * (i + 0.5) / steps
+        a += 1.0 - curve(s, b, r); i += 1
+      }
+      a * (1.0 - threshold) / steps
+    }
+    var best = (1, 1)
+    var bestErr = Double.MaxValue
+    var b = 1
+    while (b <= numPerm) {
+      var r = 1
+      while (b * r <= numPerm) {
+        val err = fpWeight * fp(b, r) + fnWeight * fn(b, r)
+        if (err < bestErr) { bestErr = err; best = (b, r) }
+        r += 1
+      }
+      b += 1
+    }
+    best
+  }
+
   private val EditSim = 0.8 // normalized edit-similarity dup threshold
 
   /** Edit-distance verification of the SimHash candidates: exact

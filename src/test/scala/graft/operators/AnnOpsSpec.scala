@@ -83,6 +83,29 @@ class AnnOpsSpec extends SparkSpec {
     assert(multiBuckets.size >= 1 && multiBuckets.size <= 5)
   }
 
+  test("IVF append: incremental ingest reproduces the full rebuild exactly") {
+    import org.apache.spark.sql.functions._
+    graft.functions.expressions.VectorExpressions.register(spark)
+    val e = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val base = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    // day 1: index the even vectors; day 2: append the odd ingest
+    AnnOps.buildIvfIndex(e.filter(col("vec_id") % 2 === 0), cents, s"$base/inc")
+    AnnOps.appendToIvfIndex(e.filter(col("vec_id") % 2 === 1), cents, s"$base/inc")
+    AnnOps.buildIvfIndex(e, cents, s"$base/full")
+    def snapshot(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("cell").longValue())).toSet
+    assert(snapshot(s"$base/inc") === snapshot(s"$base/full"),
+      "appended index diverges from a full rebuild")
+    // appended files landed INSIDE cell directories: pruning still works
+    val cellDirs = new java.io.File(s"$base/inc").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.length > 4)
+  }
+
   test("ivfTopK with trained k-means centroids: recall@5 >= the deterministic pick") {
     import org.apache.spark.sql.functions._
     graft.functions.expressions.VectorExpressions.register(spark)

@@ -88,6 +88,26 @@ class DedupStagingSpec extends SparkSpec {
     assert(brute.nonEmpty, "test corpus should contain at least one near-dup pair")
   }
 
+  test("tuneLshBands: budget respected, S-curve midpoint tracks the threshold, selectivity monotone") {
+    Seq(0.2, 0.5, 0.8).foreach { t =>
+      val (b, r) = DedupOps.tuneLshBands(128, t)
+      assert(b * r <= 128 && b >= 1 && r >= 1)
+      // the S-curve's 50% collision point (1/b)^(1/r) sits near the
+      // target threshold when the FP/FN weights are balanced
+      val mid = math.pow(1.0 / b, 1.0 / r)
+      assert(math.abs(mid - t) < 0.15, s"t=$t -> (b=$b, r=$r), midpoint $mid")
+    }
+    // a stricter threshold needs longer bands (more selective rows)
+    val loose = DedupOps.tuneLshBands(128, 0.2)._2
+    val strict = DedupOps.tuneLshBands(128, 0.8)._2
+    assert(strict > loose, s"rows/band must grow with the threshold: $loose -> $strict")
+    // weighting false negatives harder can only lower the miss rate
+    // side of the curve: rows per band should not increase
+    val fnHeavy = DedupOps.tuneLshBands(128, 0.5, fpWeight = 0.1, fnWeight = 0.9)._2
+    val balanced = DedupOps.tuneLshBands(128, 0.5)._2
+    assert(fnHeavy <= balanced)
+  }
+
   test("q112 edit-distance verify: exact Levenshtein over q90's candidates, identical texts score 1") {
     import org.apache.spark.sql.functions._
     val dir = sf("sf0.001")

@@ -171,6 +171,44 @@ object TextAnalysis {
         round(len(fps)::DOUBLE / greatest(n_grams - ${WinW - 1}, 1), 6) AS density
       FROM f ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------
+  // q113: CCNet dedup normalization (NFC + case + digit folding)
+  // ---------------------------------------------------------------
+
+  /** The normalization CCNet applies BEFORE hashing paragraphs for
+    * dedup (Wenzek et al. 2020 §4.1 / cc_net's text_normalizer —
+    * lowercase, unicode normalization, digit folding), so visually
+    * identical text in different unicode encodings or numberings
+    * dedups together: NFC-normalize → lowercase → digits→0 → collapse
+    * whitespace → trim, then the sha256 dedup key over the canonical
+    * form. NFC runs as a native codegen'd expression
+    * ([[graft.functions.expressions.NfcNormalize]]) so the whole
+    * normalize→hash chain is one generated loop on the scan — no UDF
+    * break in the hot path.
+    *
+    * Scale: a pure narrow projection; the dedup key feeds q22's
+    * groupBy exactly as the raw hash did. */
+  val q113CcnetNormalize: QueryDef = QueryDef(
+    "q113_ccnet_normalize",
+    (s, dir) => {
+      graft.functions.expressions.TextExpressions.register(s)
+      val norm = trim(regexp_replace(regexp_replace(
+        lower(expr("nfc_norm(text)")), "[0-9]", "0"), "\\s+", " "))
+      docs(s, dir)
+        .select(col("doc_id"), norm.as("norm"))
+        .select(col("doc_id"),
+          sha2(col("norm"), 256).as("norm_hash"),
+          length(col("norm")).cast("long").as("norm_len"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+        sha256(trim(regexp_replace(regexp_replace(
+          lower(nfc_normalize(text)), '[0-9]', '0', 'g'), '\s+', ' ', 'g'))) AS norm_hash,
+        CAST(length(trim(regexp_replace(regexp_replace(
+          lower(nfc_normalize(text)), '[0-9]', '0', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS norm_len
+      FROM documents ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
-    q45TokenCount, q46QualityScore, q47LangId, q48Fingerprint, q103Winnowing)
+    q45TokenCount, q46QualityScore, q47LangId, q48Fingerprint, q103Winnowing,
+    q113CcnetNormalize)
 }

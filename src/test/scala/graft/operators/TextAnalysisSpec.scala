@@ -64,4 +64,41 @@ class TextAnalysisSpec extends SparkSpec {
       assert(mean > 0.25 && mean < 0.55, s"mean density $mean far from 2/(w+1)")
     }
   }
+
+  test("q113 normalization: unicode forms, case, digits, and spacing dedup together") {
+    import spark.implicits._
+    graft.functions.expressions.TextExpressions.register(spark)
+    // the same visible text five ways: decomposed vs composed accents
+    // (NFC's job — the ASCII oracle corpus can't exercise this), case,
+    // digit choice, and whitespace shape
+    val composed = "café 123 bar"
+    val variants = Seq(
+      composed,
+      "café 123 bar",    // e + COMBINING ACUTE: NFC folds to é
+      "CAFÉ 123 bar",
+      "café 907   bar",
+      "  café\t123 bar ")
+    val norm = variants.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), sha2(trim(regexp_replace(regexp_replace(
+        lower(expr("nfc_norm(text)")), "[0-9]", "0"), "\\s+", " ")), 256).as("h"),
+        expr("nfc_norm(text)").as("nfc"))
+      .collect()
+    assert(norm.map(_.getString(1)).distinct.length === 1,
+      "all five variants must share one dedup key")
+    // NFC produced the composed form from the combining sequence
+    assert(norm(1).getString(2) === composed)
+    assert(norm(1).getString(2).codePointAt(3) === 0xe9)
+    // and on a real scan the whole normalize→hash chain stays inside
+    // one whole-stage-codegen span (a local relation above would
+    // constant-fold to a LocalTableScan and prove nothing)
+    val q113 = TextAnalysis.q113CcnetNormalize.fn(spark, dir)
+    q113.collect() // finalize the AQE plan before inspecting it
+    val plan = q113.queryExecution.executedPlan.toString
+    // the `*(n)` prefix is the WholeStageCodegen marker in simpleString;
+    // the projection holding nfc_norm must carry one
+    assert(plan.linesIterator.exists(l =>
+        l.contains("Project") && l.trim.matches("""^\+?-?\s*\*\(\d+\).*""")),
+      s"nfc_norm projection fell out of codegen:\n$plan")
+  }
 }

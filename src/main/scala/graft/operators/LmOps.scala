@@ -778,7 +778,105 @@ object LmOps {
         LEFT JOIN spanstats ss ON d.doc_id = ss.doc_id
       GROUP BY d.source ORDER BY d.source"""))
 
+  // ---------------------------------------------------------------
+  // q114: per-source data card
+  // ---------------------------------------------------------------
+
+  /** The per-source "data card" (the Datasheets-for-Datasets /
+    * pretraining-data-card reporting practice): one row per source
+    * with the composition numbers a curation team publishes — doc and
+    * token volume, exact-duplicate count (q22/q106's min-doc_id keep
+    * rule), benchmark-contamination count (q92's 5-gram overlap,
+    * benchmark members excluded from scoring), language spread and the
+    * dominant language's share.
+    *
+    * Scale: composes already-scale-shaped passes — the token count is
+    * a narrow projection, dedup shuffles one hash per doc, the
+    * benchmark gram set broadcasts (q92), and the lang stats shuffle
+    * slim (source, lang) pairs; the final rollup groups a
+    * sources-sized frame. */
+  val q114DataCard: QueryDef = QueryDef(
+    "q114_data_card",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val base = d.select(col("doc_id"), col("source"), col("lang"),
+        CorpusOps.nTokens(col("text")).as("n_tokens"),
+        sha2(col("text"), 256).as("hh"))
+      val canon = base.groupBy(col("hh"))
+        .agg(min(col("doc_id")).as("canonical"))
+      val withDup = base.join(canon, Seq("hh"))
+        .withColumn("is_exact_dup", col("doc_id") =!= col("canonical"))
+      // q92's contamination flag, benchmark members (doc_id%10=7) unscored
+      val grams = CorpusOps.fiveGrams(s, dir)
+        .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      val benchGrams = grams.filter(col("doc_id") % 10 === 7)
+        .select(col("sh")).distinct()
+      val contam = grams.filter(col("doc_id") % 10 =!= 7)
+        .join(broadcast(benchGrams), Seq("sh"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .withColumn("is_contam", lit(true))
+      val flagged = withDup.join(contam, Seq("doc_id"), "left_outer")
+        .withColumn("is_contam", coalesce(col("is_contam"), lit(false)))
+      val langTop = base.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+            .orderBy(col("n").desc, col("lang"))))
+        .filter(col("rk") === 1)
+        .select(col("source"), col("lang").as("top_lang"),
+          col("n").as("top_n"))
+      flagged.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          round(avg(col("n_tokens")), 6).as("avg_tokens"),
+          sum(when(col("is_exact_dup"), 1L).otherwise(0L)).as("n_exact_dups"),
+          sum(when(col("is_contam"), 1L).otherwise(0L)).as("n_contaminated"),
+          countDistinct(col("lang")).as("n_langs"))
+        .join(langTop, Seq("source"))
+        .withColumn("top_lang_share",
+          round(col("top_n").cast("double") / col("n_docs"), 6))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          col("avg_tokens"), col("n_exact_dups"), col("n_contaminated"),
+          col("n_langs"), col("top_lang"), col("top_lang_share"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH base AS (SELECT doc_id, source, lang,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_tokens,
+        sha256(text) AS hh FROM documents),
+      canon AS (SELECT hh, min(doc_id) AS canonical FROM base GROUP BY hh),
+      tok AS (SELECT doc_id, trim(text) AS t,
+        regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      sh AS (SELECT doc_id,
+        CASE WHEN len(w) >= 5
+          THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+                              for i in range(1, len(w) - 3)])
+          ELSE [t] END AS shingles FROM tok),
+      grams AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+      bench AS (SELECT DISTINCT sh FROM grams WHERE doc_id % 10 = 7),
+      contam AS (SELECT DISTINCT c.doc_id FROM grams c
+        WHERE c.doc_id % 10 <> 7 AND c.sh IN (SELECT sh FROM bench)),
+      flagged AS (SELECT b.*, (b.doc_id <> canon.canonical) AS is_exact_dup,
+          (contam.doc_id IS NOT NULL) AS is_contam
+        FROM base b JOIN canon ON b.hh = canon.hh
+        LEFT JOIN contam ON b.doc_id = contam.doc_id),
+      langtop AS (SELECT source, lang AS top_lang, n AS top_n FROM (
+        SELECT source, lang, count(*) AS n,
+          row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang) AS rk
+        FROM base GROUP BY source, lang) x WHERE rk = 1)
+      SELECT f.source, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        round(avg(n_tokens), 6) AS avg_tokens,
+        CAST(sum(CASE WHEN is_exact_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
+        CAST(sum(CASE WHEN is_contam THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        any_value(lt.top_lang) AS top_lang,
+        round(any_value(lt.top_n)::DOUBLE / count(*), 6) AS top_lang_share
+      FROM flagged f JOIN langtop lt ON f.source = lt.source
+      GROUP BY f.source ORDER BY f.source"""))
+
   val all: Seq[QueryDef] =
     Seq(q96LmPerplexity, q97Bm25, q98DupSpans, q99HybridRrf, q101Dsir,
-      q102CcnetBuckets, q106DedupAudit, q107MaxDupSpans, q108KnPerplexity)
+      q102CcnetBuckets, q106DedupAudit, q107MaxDupSpans, q108KnPerplexity,
+      q114DataCard)
 }

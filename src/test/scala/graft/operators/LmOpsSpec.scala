@@ -244,6 +244,24 @@ class LmOpsSpec extends SparkSpec {
     }
   }
 
+  test("q114 data card: accounts for every doc and agrees with the q106 audit") {
+    val card = LmOps.q114DataCard.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val audit = LmOps.q106DedupAudit.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(card.keySet === audit.keySet)
+    val d = graft.Tables.load(spark, dir, "documents")
+    assert(card.values.map(_.getLong(1)).sum === d.count())
+    card.foreach { case (src, r) =>
+      assert((r.getLong(1), r.getLong(r.fieldIndex("n_exact_dups"))) ===
+        audit(src), s"source $src diverges from the q106 audit")
+      val share = r.getDouble(r.fieldIndex("top_lang_share"))
+      assert(share > 0.0 && share <= 1.0)
+      assert(r.getLong(r.fieldIndex("n_langs")) >= 1)
+      assert(r.getLong(r.fieldIndex("n_contaminated")) <= r.getLong(1))
+    }
+  }
+
   test("q108 KN: probabilities normalize per context; doc accounting matches q96") {
     val kn = LmOps.q108KnPerplexity.fn(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap

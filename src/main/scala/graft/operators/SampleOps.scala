@@ -1,0 +1,283 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-set construction operators: the sampling / mining passes
+  * that turn a cleaned corpus into the exact token stream a run trains
+  * on — temperature-scaled source rebalancing (the UniMax / multilingual-T5
+  * mixing rule), frequency-weighted soft deduplication (keep duplicates
+  * with probability 1/cluster-size instead of hard canonical selection),
+  * stratified held-out splits, tokenizer-vocabulary coverage curves,
+  * and contrastive triplet mining over embeddings (the DPR / SimCSE
+  * hard-negative pass). All public-knowledge designs.
+  *
+  * Shared scale theme (same as MixOps): every corpus-global structure —
+  * the per-source count table, the duplicate-cluster size table keyed by
+  * content hash, the ranked vocabulary — is tiny or key-sublinear
+  * relative to the corpus, so decisions ride a broadcast or a single
+  * equi-keyed shuffle while the corpus itself stays in narrow,
+  * codegen'd map stages. Every keep/assign decision is derived from a
+  * content or id hash bucket, never from `rand()`: reruns and the
+  * DuckDB oracle see bit-identical outcomes.
+  */
+object SampleOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.loadParallel(s, dir, "documents")
+
+  /** 16-bit hash bucket (0..65535) from the first 4 hex chars of a
+    * digest — MixOps.bucketExpr at its full, divisor-free modulus. */
+  private def bucket64k(hashSql: String): String =
+    MixOps.bucketExpr(hashSql, 65536)
+
+  // ---------------------------------------------------------------
+  // q115: temperature-scaled source resampling (UniMax / mT5 shape)
+  // ---------------------------------------------------------------
+
+  /** Temperature-scaled source rebalancing: sample source `s` at rate
+    * `sqrt(n_min / n_s)` — i.e. the τ=0.5 temperature flattening of
+    * the source distribution (effective mixture ∝ n_s^τ), normalized
+    * so the smallest source keeps everything (downsample-only, the
+    * UniMax closed form; mT5 §3.2 uses the same `p ∝ n^τ` rule). The
+    * keep decision compares the doc's content-hash bucket against an
+    * integer threshold, so the sample is deterministic and composes
+    * with q93's split.
+    *
+    * Cross-engine parity: `sqrt` is IEEE-754 correctly rounded in both
+    * engines and the division/multiply operand order is textually
+    * identical, so the threshold is bit-exact — no FP-boundary risk
+    * (unlike interpolated percentiles, see q102's note). Everything
+    * else is integer.
+    *
+    * Scale: the per-source count table is ≤ thousands of rows against
+    * a corpus of billions — one tiny agg, broadcast back; the keep
+    * decision is a narrow codegen'd comparison. No corpus shuffle at
+    * all beyond the count's partial agg. */
+  val q115TemperatureResample: QueryDef = QueryDef(
+    "q115_temperature_resample",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_source"))
+      val nmin = counts.agg(min(col("n_source")).as("n_min"))
+      val rates = counts.crossJoin(broadcast(nmin))
+        .select(col("source"), col("n_source"),
+          floor(lit(65536) * sqrt(col("n_min").cast("double") / col("n_source")))
+            .cast("long").as("thresh"))
+      d.join(broadcast(rates), Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_source"), col("thresh"),
+          (expr(bucket64k("sha2(text, 256)")) < col("thresh")).as("kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH c AS (SELECT source, count(*) AS n_source FROM documents GROUP BY source),
+      m AS (SELECT min(n_source) AS n_min FROM c),
+      r AS (SELECT source, n_source,
+        CAST(floor(65536 * sqrt(CAST(n_min AS DOUBLE) / n_source)) AS BIGINT) AS thresh
+        FROM c, m)
+      SELECT d.doc_id, d.source, r.n_source, r.thresh,
+        ${bucket64k("sha256(d.text)")} < r.thresh AS kept
+      FROM documents d JOIN r USING (source) ORDER BY d.doc_id"""),
+    headline = true)
+
+  // ---------------------------------------------------------------
+  // q116: soft deduplication (cluster-size-weighted sampling)
+  // ---------------------------------------------------------------
+
+  /** Soft dedup: instead of hard canonical selection (q22/q91 keep
+    * exactly the min-id copy), keep each member of an exact-duplicate
+    * cluster with probability 1/m (m = cluster size), so a cluster
+    * survives with exactly-one copy *in expectation* while retaining
+    * an unbiased sample of which copy — the frequency-reweighting idea
+    * behind soft deduplication (SoftDeDup, He et al. 2024) applied as
+    * a sampling rule (Lee et al. 2022's keep-one policy is the m→∞
+    * hard limit). The coin is the doc_id-hash bucket — independent of
+    * the text hash that defines the cluster (a content-hash coin would
+    * be constant across the cluster and keep all-or-none).
+    *
+    * All-integer decision (`bucket · m < 65536`): bit-exact parity.
+    *
+    * Scale: one shuffle keyed on the 64-hex content hash (q22's exact
+    * dedup shuffle) to size clusters, the same key joins sizes back;
+    * the coin is a narrow projection. Nothing is N². */
+  val q116SoftDedup: QueryDef = QueryDef(
+    "q116_soft_dedup",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val hashed = d.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      val sizes = hashed.groupBy(col("h")).agg(count(lit(1)).as("grp_size"))
+      hashed.join(sizes, Seq("h"))
+        .select(col("doc_id"), col("grp_size"),
+          (expr(bucket64k("sha2(cast(doc_id as string), 256)")).cast("long")
+            * col("grp_size") < 65536).as("kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH g AS (SELECT sha256(text) AS h, count(*) AS grp_size
+        FROM documents GROUP BY sha256(text))
+      SELECT d.doc_id, g.grp_size,
+        CAST(${bucket64k("sha256(CAST(d.doc_id AS VARCHAR))")} AS BIGINT)
+          * g.grp_size < 65536 AS kept
+      FROM documents d JOIN g ON sha256(d.text) = g.h
+      ORDER BY d.doc_id"""),
+    headline = true)
+
+  // ---------------------------------------------------------------
+  // q118: contrastive triplet mining (hard negatives)
+  // ---------------------------------------------------------------
+
+  private val NAnchors = 8
+
+  /** Contrastive triplet mining: for each anchor vector, emit the
+    * (anchor, positive, hard-negative) triple an embedding fine-tune
+    * trains on — positive = highest-similarity vector sharing the
+    * anchor's label, hard negative = highest-similarity vector with a
+    * DIFFERENT label (the in-batch/hard-negative mining pass of DPR,
+    * Karpukhin et al. 2020, and SimCSE). Similarity is the same dot
+    * score as q30, rounded to 6 decimals BEFORE ranking so both
+    * engines rank identical values (q31's convention).
+    *
+    * Scale: the anchor batch is broadcast; ONE corpus scan scores all
+    * anchors (never one pass per anchor), and the per-anchor argmax
+    * shuffles only (anchor, candidate, sim) slim rows keyed on the
+    * anchor id. With millions of anchors the scan side swaps for the
+    * IVF probe path (q56/q100) unchanged — mining is just batched ANN
+    * with a label predicate. */
+  val q118TripletMining: QueryDef = QueryDef(
+    "q118_triplet_mining",
+    (s, dir) => {
+      graft.functions.expressions.VectorExpressions.register(s)
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val anchors = e.filter(col("vec_id") < NAnchors)
+        .select(col("vec_id").as("a_id"), col("embedding").as("av"),
+          col("label").as("a_label"))
+      val scored = e.crossJoin(broadcast(anchors))
+        .filter(col("vec_id") =!= col("a_id"))
+        .select(col("a_id"), col("a_label"), col("vec_id"), col("label"),
+          round(expr("dot_product_f(embedding, av)"), 6).as("sim"))
+      val w = Window.partitionBy(col("a_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      val pos = scored.filter(col("label") === col("a_label"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("a_id"), col("a_label"),
+          col("vec_id").as("pos_id"), col("sim").as("pos_sim"))
+      val neg = scored.filter(col("label") =!= col("a_label"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("a_id"), col("vec_id").as("neg_id"), col("sim").as("neg_sim"))
+      pos.join(neg, Seq("a_id")).orderBy(col("a_id"))
+    },
+    Some(s"""WITH a AS (SELECT vec_id AS a_id, label AS a_label,
+          embedding::DOUBLE[] AS av FROM embeddings WHERE vec_id < $NAnchors),
+      scored AS (SELECT a.a_id, a.a_label, e.vec_id, e.label,
+          round(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], a.av),
+            x -> x[1] * x[2])), 6) AS sim
+        FROM embeddings e, a WHERE e.vec_id <> a.a_id),
+      pos AS (SELECT a_id, a_label, vec_id AS pos_id, sim AS pos_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, vec_id) AS rk
+        FROM scored WHERE label = a_label) x WHERE rk = 1),
+      neg AS (SELECT a_id, vec_id AS neg_id, sim AS neg_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, vec_id) AS rk
+        FROM scored WHERE label <> a_label) x WHERE rk = 1)
+      SELECT pos.a_id, pos.a_label, pos.pos_id, pos.pos_sim,
+        neg.neg_id, neg.neg_sim
+      FROM pos JOIN neg USING (a_id) ORDER BY pos.a_id"""))
+
+  // ---------------------------------------------------------------
+  // q119: stratified held-out split (per-source quota)
+  // ---------------------------------------------------------------
+
+  /** Stratified eval-set construction: within every source, order docs
+    * by (content-hash bucket, doc_id) and hold out the first
+    * ceil(n_s/10) — an exactly-10%-per-stratum split, so small sources
+    * are represented in eval instead of vanishing under a global
+    * sample. Content-hash ordering keeps the holdout stable across
+    * re-ingests (q93's property); the quota test `(rk-1)·10 < n_s` is
+    * all-integer.
+    *
+    * Scale: one shuffle keyed on source for the per-stratum rank. The
+    * source key is FEW and SKEWED at corpus scale, so the exact-quota
+    * rank form is for eval-sized strata; the rank-free form — keep
+    * `bucket < 6554` for an approximate 10% — needs no shuffle at all
+    * and is what the training-side split uses (q93/q94). This operator
+    * is the exact-quota complement for building small eval sets. */
+  val q119StratifiedSplit: QueryDef = QueryDef(
+    "q119_stratified_split",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val b = d.select(col("doc_id"), col("source"),
+        expr(bucket64k("sha2(text, 256)")).cast("long").as("bucket"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("bucket"), col("doc_id"))
+      val cw = Window.partitionBy(col("source"))
+      b.withColumn("rk", row_number().over(w))
+        .withColumn("n_source", count(lit(1)).over(cw))
+        .select(col("doc_id"), col("source"), col("rk"), col("n_source"),
+          ((col("rk") - 1) * 10 < col("n_source")).as("is_eval"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH b AS (SELECT doc_id, source,
+        CAST(${bucket64k("sha256(text)")} AS BIGINT) AS bucket FROM documents)
+      SELECT doc_id, source, rk, n_source, (rk - 1) * 10 < n_source AS is_eval FROM (
+        SELECT doc_id, source,
+          row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id) AS rk,
+          count(*) OVER (PARTITION BY source) AS n_source
+        FROM b) x ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------
+  // q120: vocabulary coverage / OOV-rate curve
+  // ---------------------------------------------------------------
+
+  private val VocabSizes = Seq(16, 64, 256, 1024, 4096)
+
+  /** Vocabulary coverage curve: for candidate vocab sizes V, the
+    * fraction of corpus token OCCURRENCES not covered by the top-V
+    * most frequent tokens — the OOV-rate-vs-V diagnostic that sizes a
+    * tokenizer vocabulary before training one (the coverage argument
+    * in SentencePiece's `character_coverage` and BPE vocab-size
+    * selection). Ranking ties break on the token string (ASCII corpus:
+    * both engines compare bytewise).
+    *
+    * Scale: the ONLY corpus-scale work is the token-count aggregate
+    * (map-side partial combine does most of it); the ranked vocabulary
+    * is corpus-sublinear, so the global rank window and the V-fold
+    * cross join run on a vocab-sized frame. Output is |V| rows. */
+  val q120VocabCoverage: QueryDef = QueryDef(
+    "q120_vocab_coverage",
+    (s, dir) => {
+      val tok = docs(s, dir)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tk"))
+      val counts = tok.groupBy(col("tk")).agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("total"),
+        count(lit(1)).as("n_vocab"))
+      // global window on a vocab-sized frame (corpus-sublinear) — the
+      // single-partition sort is over distinct tokens, not the corpus
+      val ranked = counts.withColumn("rk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("tk"))))
+      ranked.crossJoin(broadcast(total))
+        .select(explode(typedLit(VocabSizes)).as("v"), col("rk"), col("cnt"),
+          col("total"), col("n_vocab"))
+        .filter(col("rk") <= col("v"))
+        .groupBy(col("v"), col("total"), col("n_vocab"))
+        .agg(sum(col("cnt")).as("covered"))
+        .select(col("v"), col("n_vocab"), col("total"), col("covered"),
+          round(lit(1.0) - col("covered").cast("double") / col("total"), 6)
+            .as("oov_rate"))
+        .orderBy(col("v"))
+    },
+    Some(s"""WITH tok AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tk
+        FROM documents),
+      c AS (SELECT tk, count(*) AS cnt FROM tok GROUP BY tk),
+      t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_vocab FROM c),
+      r AS (SELECT tk, cnt, row_number() OVER (ORDER BY cnt DESC, tk) AS rk FROM c),
+      v AS (SELECT unnest([${VocabSizes.mkString(", ")}]) AS v)
+      SELECT v.v, t.n_vocab, t.total, CAST(sum(r.cnt) AS BIGINT) AS covered,
+        round(1.0 - CAST(sum(r.cnt) AS DOUBLE) / t.total, 6) AS oov_rate
+      FROM r, v, t WHERE r.rk <= v.v
+      GROUP BY v.v, t.n_vocab, t.total
+      ORDER BY v.v"""))
+
+  def all: Seq[QueryDef] = Seq(
+    q115TemperatureResample, q116SoftDedup, q118TripletMining,
+    q119StratifiedSplit, q120VocabCoverage)
+}

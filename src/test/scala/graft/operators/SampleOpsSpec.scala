@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants of the training-set construction tier beyond the
+  * row-hash oracle: temperature-rate monotonicity, soft-dedup
+  * expectation bounds, triplet label constraints, stratified quota
+  * exactness, OOV-curve monotonicity. */
+class SampleOpsSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  test("q115: smallest source keeps everything; rates fall with source size") {
+    val rows = SampleOps.q115TemperatureResample.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_.getString(1))
+    // thresh = floor(65536·sqrt(n_min/n_s)): the min-count source hits
+    // 65536 exactly (rate 1.0) and every bucket is < 65536 → all kept
+    val nmin = rows.map(_.getLong(2)).min
+    rows.filter(_.getLong(2) == nmin).foreach { r =>
+      assert(r.getLong(3) === 65536L, "smallest source must have rate 1")
+      assert(r.getBoolean(4), "smallest source must keep every doc")
+    }
+    // monotone: bigger source → smaller-or-equal threshold
+    val threshByN = rows.map(r => (r.getLong(2), r.getLong(3))).distinct.sortBy(_._1)
+    threshByN.sliding(2).foreach {
+      case Array((n1, t1), (n2, t2)) => assert(n1 < n2 && t2 <= t1)
+      case _ => ()
+    }
+    // τ=0.5 flattening keeps a sublinear share of large sources: the
+    // largest source's kept fraction must sit near its sqrt rate
+    val largest = bySource.maxBy(_._2.head.getLong(2))._2
+    val rate = largest.head.getLong(3).toDouble / 65536
+    val kept = largest.count(_.getBoolean(4)).toDouble / largest.length
+    assert(math.abs(kept - rate) < 0.35, s"kept=$kept far from rate=$rate")
+  }
+
+  test("q116: unique docs always survive; duplicate clusters thin to ~1 in expectation") {
+    val rows = SampleOps.q116SoftDedup.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.filter(_.getLong(1) == 1L).foreach { r =>
+      assert(r.getBoolean(2), s"singleton doc ${r.getLong(0)} must be kept (p=1)")
+    }
+    // per-cluster: kept count can never exceed the cluster size, and
+    // across all m>=2 clusters the total survivors track the cluster
+    // count (expectation 1 per cluster, loose 3-sigma style bound)
+    val d = graft.Tables.load(spark, dir, "documents")
+    val withHash = SampleOps.q116SoftDedup.fn(spark, dir)
+      .join(d.select(col("doc_id"), sha2(col("text"), 256).as("h")), "doc_id")
+    val perCluster = withHash.filter(col("grp_size") >= 2)
+      .groupBy("h").agg(first("grp_size").as("m"),
+        sum(when(col("kept"), 1).otherwise(0)).as("survivors"))
+      .collect()
+    if (perCluster.nonEmpty) {
+      perCluster.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+      val clusters = perCluster.length.toDouble
+      val survivors = perCluster.map(_.getLong(2)).sum.toDouble
+      assert(survivors <= 3 * clusters + 3,
+        s"$survivors survivors across $clusters clusters — far above E[1]/cluster")
+    }
+  }
+
+  test("q118: positives share the anchor label, negatives don't, ids are distinct") {
+    val rows = SampleOps.q118TripletMining.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val e = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val (aId, aLabel) = (r.getLong(0), r.getInt(1))
+      val (posId, negId) = (r.getLong(r.fieldIndex("pos_id")), r.getLong(r.fieldIndex("neg_id")))
+      assert(e(aId) === aLabel)
+      assert(posId !== aId, "positive must not be the anchor itself")
+      assert(e(posId) === aLabel, "positive must share the anchor label")
+      assert(e(negId) !== aLabel, "negative must have a different label")
+    }
+  }
+
+  test("q118: mined positive is the true same-label argmax (vs brute force)") {
+    graft.functions.expressions.VectorExpressions.register(spark)
+    val e = graft.Tables.load(spark, dir, "embeddings")
+    val anchor = e.filter(col("vec_id") === 3)
+      .select(col("embedding").as("av"), col("label").as("al"))
+    val brute = e.crossJoin(broadcast(anchor))
+      .filter(col("vec_id") =!= 3 && col("label") === col("al"))
+      .select(col("vec_id"), round(expr("dot_product_f(embedding, av)"), 6).as("s"))
+      .orderBy(col("s").desc, col("vec_id")).limit(1).collect().head
+    val mined = SampleOps.q118TripletMining.fn(spark, dir)
+      .filter(col("a_id") === 3).collect().head
+    assert(mined.getLong(mined.fieldIndex("pos_id")) === brute.getLong(0))
+    assert(mined.getDouble(mined.fieldIndex("pos_sim")) === brute.getDouble(1))
+  }
+
+  test("q119: every source holds out exactly ceil(n/10) docs") {
+    val rows = SampleOps.q119StratifiedSplit.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(1)).foreach { case (src, rs) =>
+      val n = rs.head.getLong(3)
+      assert(rs.length.toLong === n)
+      val evalN = rs.count(_.getBoolean(4)).toLong
+      assert(evalN === (n + 9) / 10, s"source $src: $evalN held out of $n")
+      // the held-out rows are exactly the lowest ranks
+      assert(rs.filter(_.getBoolean(4)).map(_.getInt(2)).max.toLong === (n + 9) / 10)
+    }
+  }
+
+  test("q120: OOV rate is monotone non-increasing in V and exact at the ends") {
+    val rows = SampleOps.q120VocabCoverage.fn(spark, dir).collect()
+    assert(rows.length === 5)
+    val byV = rows.sortBy(_.getInt(0))
+    byV.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getDouble(4) >= b.getDouble(4), "oov must not grow with V")
+        assert(a.getLong(3) <= b.getLong(3), "covered must not shrink with V")
+      case _ => ()
+    }
+    val total = byV.head.getLong(2)
+    byV.foreach { r =>
+      assert(r.getLong(2) === total, "total token count constant across rows")
+      assert(r.getLong(3) <= total)
+      // identity: oov = 1 - covered/total (rounded)
+      val expect = BigDecimal(1.0 - r.getLong(3).toDouble / total)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(4) - expect) < 1e-9)
+    }
+    // vocab larger than V=4096? then coverage < 1; otherwise exact 1
+    val nVocab = byV.head.getLong(1)
+    if (nVocab <= 4096) assert(byV.last.getDouble(4) === 0.0)
+  }
+}

@@ -495,6 +495,123 @@ object AnnOps {
       ORDER BY dist, s.vec_id LIMIT 10"""),
     headline = true)
 
+  // ---------------------------------------------------------------
+  // q117: scalar quantization (SQ8) — per-dim uint8 codes
+  // ---------------------------------------------------------------
+
+  private val SqDim = 64        // embedding dimensionality
+  private val SqShortlist = 50  // ADC candidates re-ranked exactly
+
+  /** Per-(vector, dim) long frame: (vec_id, j, x) with x cast to
+    * double so the quantizer arithmetic matches the oracle's
+    * `embedding::DOUBLE[]` exactly. */
+  private def sqDims(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), explode(expr(s"sequence(0, ${SqDim - 1})")).as("j"),
+        col("embedding").as("v"))
+      .select(col("vec_id"), col("j"),
+        element_at(col("v"), (col("j") + 1).cast("int")).cast("double").as("x"))
+
+  /** Scalar quantization ANN (the FAISS `SQ8` / uniform-quantizer
+    * variant, Guo et al. / FAISS docs — public): each dimension is
+    * trained to its [min, max] range over the index and every value is
+    * stored as one byte — `code = floor((x-min)/(max-min)·255)` — a 4×
+    * compression of a float vector with NO codebook (the train pass is
+    * a 64-row min/max aggregate, vs PQ's k-means). Queries run ADC
+    * against the dequantized grid `min + code·(max-min)/255`, shortlist
+    * the top [[SqShortlist]], and re-rank those exactly — q85's
+    * retrieval shape with a cheaper quantizer in the hot loop.
+    *
+    * Scale: the range table is 2 doubles per dim at ANY corpus size —
+    * broadcast forever; encode is one narrow pass over the index
+    * (build-time); the query scan is a codegen'd fold over `codes`
+    * with the 3×64 dequant constants inlined as literals, reading 64
+    * bytes/row (ReadSchema prunes the float embedding) + TakeOrdered.
+    * Codes are bit-exact vs the oracle (IEEE ops in textually
+    * identical order); only the ADC sum's addition ORDER differs
+    * cross-engine (q85's accepted shortlist-boundary risk — final
+    * distances are exact re-ranks). */
+  val q117AnnSq8: QueryDef = QueryDef(
+    "q117_ann_sq8",
+    (s, dir) => {
+      VectorExpressions.register(s)
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+
+      // train: per-dim range over the index (64-row output)
+      val dims = sqDims(e)
+      val mm = dims.groupBy(col("j"))
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+
+      // encode: one byte per (vector, dim), assembled in dim order
+      val codes = dims.join(broadcast(mm), Seq("j"))
+        .select(col("vec_id"), col("j"),
+          when(col("mx") === col("mn"), lit(0L))
+            .otherwise(floor(((col("x") - col("mn")) / (col("mx") - col("mn"))) * 255))
+            .cast("long").as("code"))
+        .groupBy(col("vec_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(j, code))), x -> x.code)")
+          .as("codes"))
+
+      // driver-sized dequant constants: mn[j], scale[j]=(mx-mn)/255, q[j]
+      val mmRows = mm.orderBy(col("j")).collect()
+      val mnArr = mmRows.map(_.getDouble(1)).toSeq
+      val scArr = mmRows.map(r => (r.getDouble(2) - r.getDouble(1)) / 255).toSeq
+      val qArr = sqDims(e.filter(col("vec_id") === 0)).orderBy(col("j"))
+        .collect().map(_.getDouble(2)).toSeq
+
+      // ADC: narrow fold over codes against the literal dequant grid
+      val adc = aggregate(expr(s"sequence(0, ${SqDim - 1})"), lit(0.0),
+        (acc, j) => {
+          val idx = (j + 1).cast("int")
+          val dec = element_at(typedLit(mnArr), idx) +
+            element_at(col("codes"), idx) * element_at(typedLit(scArr), idx)
+          val d = element_at(typedLit(qArr), idx) - dec
+          acc + d * d
+        })
+
+      val shortlist = codes
+        .withColumn("approx_dist", adc)
+        .filter(col("vec_id") =!= 0)
+        .orderBy(col("approx_dist"), col("vec_id"))
+        .limit(SqShortlist)
+        .select(col("vec_id"))
+
+      // exact re-rank of the shortlist only
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      shortlist.join(e, "vec_id")
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          round(expr("l2_sq_f(embedding, qv)"), 6).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      js AS (SELECT unnest(range(0, $SqDim)) AS j),
+      dims AS (SELECT e.vec_id, js.j, v[js.j + 1] AS x FROM e, js),
+      mm AS (SELECT j, min(x) AS mn, max(x) AS mx FROM dims GROUP BY j),
+      codes AS (SELECT d.vec_id, d.j,
+          CASE WHEN mm.mx = mm.mn THEN 0
+               ELSE CAST(floor(((d.x - mm.mn) / (mm.mx - mm.mn)) * 255) AS BIGINT)
+          END AS code
+        FROM dims d JOIN mm USING (j)),
+      q AS (SELECT j, x AS qx FROM dims WHERE vec_id = 0),
+      terms AS (SELECT c.vec_id,
+          (q.qx - (mm.mn + c.code * ((mm.mx - mm.mn) / 255))) *
+          (q.qx - (mm.mn + c.code * ((mm.mx - mm.mn) / 255))) AS t
+        FROM codes c JOIN mm USING (j) JOIN q USING (j)),
+      scored AS (SELECT vec_id, sum(t) AS approx_dist FROM terms
+        WHERE vec_id <> 0 GROUP BY vec_id),
+      shortlist AS (SELECT vec_id FROM scored
+        ORDER BY approx_dist, vec_id LIMIT $SqShortlist),
+      qfull AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+      SELECT s.vec_id,
+        round(list_sum(list_transform(list_zip(e.v, qfull.qv),
+          x -> (x[1]-x[2])*(x[1]-x[2]))), 6) AS dist
+      FROM shortlist s JOIN e ON s.vec_id = e.vec_id, qfull
+      ORDER BY dist, s.vec_id LIMIT 10"""),
+    headline = true)
+
   val all: Seq[QueryDef] =
-    Seq(q56AnnIvf, q68AnnLsh, q79AnnLshMultiprobe, q85AnnPq, q100AnnIvfPq)
+    Seq(q56AnnIvf, q68AnnLsh, q79AnnLshMultiprobe, q85AnnPq, q100AnnIvfPq,
+      q117AnnSq8)
 }

@@ -213,4 +213,25 @@ class AnnOpsSpec extends SparkSpec {
     val dists = out.collect().map(_.getDouble(1))
     assert(dists.forall(_ >= 0.0) && dists.sameElements(dists.sorted))
   }
+
+  test("q117 SQ8: 255-level quantization recalls (almost) all of the exact top-10") {
+    import org.apache.spark.sql.functions._
+    graft.functions.expressions.VectorExpressions.register(spark)
+    val sqIds = AnnOps.q117AnnSq8.fn(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(sqIds.size === 10)
+    val e = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val exact = e.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), expr("l2_sq_f(embedding, qv)").as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = sqIds.intersect(exact).size / 10.0
+    // SQ8 quantization error per dim is (max-min)/255 — far finer than
+    // PQ's 16-centroid codebooks, so the 50-deep shortlist should keep
+    // essentially every true neighbor; assert stronger than q85's 0.7
+    assert(recall >= 0.9, s"SQ8 recall@10 = $recall")
+  }
 }

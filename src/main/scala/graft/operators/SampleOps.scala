@@ -37,6 +37,21 @@ object SampleOps {
   // q115: temperature-scaled source resampling (UniMax / mT5 shape)
   // ---------------------------------------------------------------
 
+  /** Per-source UniMax τ=0.5 keep thresholds over a 16-bit bucket
+    * space: `thresh = floor(65536·sqrt(n_min/n_s))` — the smallest
+    * source keeps everything, larger sources are flattened toward the
+    * τ=0.5 temperature mixture. Tiny output (one row per source) —
+    * always broadcast-joined back. Shared by q115 and the
+    * `Curation.run(temperatureBalance)` stage. */
+  def temperatureThresholds(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_source"))
+    val nmin = counts.agg(min(col("n_source")).as("n_min"))
+    counts.crossJoin(broadcast(nmin))
+      .select(col("source"), col("n_source"),
+        floor(lit(65536) * sqrt(col("n_min").cast("double") / col("n_source")))
+          .cast("long").as("thresh"))
+  }
+
   /** Temperature-scaled source rebalancing: sample source `s` at rate
     * `sqrt(n_min / n_s)` — i.e. the τ=0.5 temperature flattening of
     * the source distribution (effective mixture ∝ n_s^τ), normalized
@@ -60,13 +75,7 @@ object SampleOps {
     "q115_temperature_resample",
     (s, dir) => {
       val d = docs(s, dir)
-      val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_source"))
-      val nmin = counts.agg(min(col("n_source")).as("n_min"))
-      val rates = counts.crossJoin(broadcast(nmin))
-        .select(col("source"), col("n_source"),
-          floor(lit(65536) * sqrt(col("n_min").cast("double") / col("n_source")))
-            .cast("long").as("thresh"))
-      d.join(broadcast(rates), Seq("source"))
+      d.join(broadcast(temperatureThresholds(d)), Seq("source"))
         .select(col("doc_id"), col("source"), col("n_source"), col("thresh"),
           (expr(bucket64k("sha2(text, 256)")) < col("thresh")).as("kept"))
         .orderBy(col("doc_id"))

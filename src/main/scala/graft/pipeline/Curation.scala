@@ -66,13 +66,14 @@ object Curation {
       qualityFloor: Double = 0.5,
       mixtureRates: Map[String, Long] = Map.empty,
       defaultRate: Long = 100L,
+      temperatureBalance: Boolean = false,
       packCapacity: Long = 512L,
       packDocsPerSubShard: Option[Long] = None)
 
   final case class CurationSummary(
       raw: Long, gated: Long, boilerDropped: Long, contaminatedDropped: Long,
       perplexityDropped: Long, dsirDropped: Long, qualityDropped: Long,
-      sampledOut: Long, packedDocs: Long, bins: Long)
+      sampledOut: Long, tempSampledOut: Long, packedDocs: Long, bins: Long)
 
   private def materialize(df: DataFrame, tag: String): DataFrame =
     graft.Staging.materialize(df, tag, "spark.graft.corpus.stagingDir")
@@ -147,11 +148,30 @@ object Curation {
     val rateCol = cfg.mixtureRates.foldLeft(lit(cfg.defaultRate)) {
       case (acc, (lang, r)) => when(col("lang") === lang, lit(r)).otherwise(acc)
     }
-    val flagged0 = docs
+    // temperature rebalancing (q115's UniMax rule): per-source keep
+    // thresholds from the RAW corpus counts, broadcast back; the coin
+    // is hex digits 5-8 of the same content sha — decorrelated from
+    // the mixture bucket's digits 1-4, so the two sampling stages
+    // compose like independent draws while both stay content-keyed
+    val tempThresh =
+      if (cfg.temperatureBalance)
+        Some(graft.operators.SampleOps.temperatureThresholds(docs)
+          .select(col("source"), col("thresh")))
+      else None
+    val flagged00 = docs
       .withColumn("pass_gate", gateKeep(col("text"), cfg.gates))
       .join(boilerIds, Seq("doc_id"), "left_outer")
       .withColumn("bucket", expr(MixOps.bucketExpr("sha2(text, 256)")).cast("long"))
       .withColumn("pass_mix", col("bucket") < rateCol)
+    val flagged0 = tempThresh.fold(flagged00.withColumn("pass_temp", lit(true))) {
+      th =>
+        flagged00
+          .withColumn("temp_coin",
+            expr("cast(conv(substr(sha2(text, 256), 5, 4), 16, 10) as bigint)"))
+          .join(broadcast(th), Seq("source"), "left_outer")
+          .withColumn("pass_temp",
+            col("temp_coin") < coalesce(col("thresh"), lit(65536L)))
+    }
     val flagged1 = contamIds.fold(flagged0.withColumn("is_contam", lit(false)))(
         ids => flagged0.join(ids, Seq("doc_id"), "left_outer"))
     val flagged2 = pplIds.fold(flagged1.withColumn("is_ppl_out", lit(false)))(
@@ -183,10 +203,14 @@ object Curation {
         count(when(col("pass_gate") && !col("is_boiler") && !col("is_contam") &&
           !col("is_ppl_out") && !col("is_dsir_out") && !col("is_qual_out") &&
           !col("pass_mix"), true))
-          .as("sampled_out"))
+          .as("sampled_out"),
+        count(when(col("pass_gate") && !col("is_boiler") && !col("is_contam") &&
+          !col("is_ppl_out") && !col("is_dsir_out") && !col("is_qual_out") &&
+          col("pass_mix") && !col("pass_temp"), true))
+          .as("temp_sampled_out"))
       .filter(col("pass_gate") && !col("is_boiler") && !col("is_contam") &&
         !col("is_ppl_out") && !col("is_dsir_out") && !col("is_qual_out") &&
-        col("pass_mix"))
+        col("pass_mix") && col("pass_temp"))
       .select(col("source"), col("doc_id"), col("text")), "clean")
     // exact dedup (min doc_id per content hash) + packing
     val keepIds = clean.groupBy(sha2(col("text"), 256).as("h"))
@@ -207,6 +231,7 @@ object Curation {
       dsirDropped = obs.get("dsir_dropped").asInstanceOf[Long],
       qualityDropped = obs.get("qual_dropped").asInstanceOf[Long],
       sampledOut = obs.get("sampled_out").asInstanceOf[Long],
+      tempSampledOut = obs.get("temp_sampled_out").asInstanceOf[Long],
       packedDocs = obsPack.get("packed_docs").asInstanceOf[Long],
       bins = bins.count())
     (bins, summary)
@@ -230,7 +255,8 @@ object Curation {
       lmModel: Option[graft.operators.LmOps.LmModel] = None,
       maxAvgNll: Double = Double.MaxValue,
       mixtureRates: Map[String, Long] = Map.empty,
-      defaultRate: Long = 100L)
+      defaultRate: Long = 100L,
+      temperatureThresholds: Option[DataFrame] = None)
 
   /** Offline boilerplate artifact for [[StreamCurationConfig]]:
     * fragments appearing in >= `minDocs` docs of a reference corpus. */
@@ -270,10 +296,24 @@ object Curation {
     val rateCol = cfg.mixtureRates.foldLeft(lit(cfg.defaultRate)) {
       case (acc, (lang, r)) => when(col("lang") === lang, lit(r)).otherwise(acc)
     }
-    val flagged0 = batch
+    // temperature rebalancing: OFFLINE per-source thresholds (trained
+    // on a reference corpus via SampleOps.temperatureThresholds, the
+    // same artifact discipline as the LM/frequent-gram knobs); the
+    // coin matches the batch pipeline's (content sha digits 5-8)
+    val flagged00 = batch
       .withColumn("pass_gate", gateKeep(col("text"), cfg.gates))
       .withColumn("bucket", expr(MixOps.bucketExpr("sha2(text, 256)")).cast("long"))
       .withColumn("pass_mix", col("bucket") < rateCol)
+    val flagged0 = cfg.temperatureThresholds
+      .fold(flagged00.withColumn("pass_temp", lit(true))) { th =>
+        flagged00
+          .withColumn("temp_coin",
+            expr("cast(conv(substr(sha2(text, 256), 5, 4), 16, 10) as bigint)"))
+          .join(broadcast(th.select(col("source"), col("thresh"))),
+            Seq("source"), "left_outer")
+          .withColumn("pass_temp",
+            col("temp_coin") < coalesce(col("thresh"), lit(65536L)))
+      }
     val flagged1 = boilerIds.fold(flagged0.withColumn("is_boiler", lit(false)))(
       ids => flagged0.join(ids, Seq("doc_id"), "left_outer"))
     val kept = pplIds.fold(flagged1.withColumn("is_ppl_out", lit(false)))(
@@ -281,7 +321,7 @@ object Curation {
       .withColumn("is_boiler", coalesce(col("is_boiler"), lit(false)))
       .withColumn("is_ppl_out", coalesce(col("is_ppl_out"), lit(false)))
       .filter(col("pass_gate") && !col("is_boiler") && !col("is_ppl_out") &&
-        col("pass_mix"))
+        col("pass_mix") && col("pass_temp"))
       .select(col("source"), col("doc_id"), col("text"),
         sha2(col("text"), 256).as("file_hash"))
     // within-batch canonical: min doc_id per content hash

@@ -26,15 +26,17 @@ class CurationSpec extends SparkSpec {
     val (bins, s) = Curation.run(docs)
     assert(s.raw === docs.count())
     assert(s.gated <= s.raw)
-    // survivors = gated minus the six drop stages, then dedup
+    // survivors = gated minus the seven drop stages, then dedup
     val survivors = s.gated - s.boilerDropped - s.contaminatedDropped -
-      s.perplexityDropped - s.dsirDropped - s.qualityDropped - s.sampledOut
+      s.perplexityDropped - s.dsirDropped - s.qualityDropped - s.sampledOut -
+      s.tempSampledOut
     assert(s.packedDocs <= survivors)
     assert(s.contaminatedDropped === 0L, "no benchmark set configured")
     assert(s.perplexityDropped === 0L, "no perplexity ceiling configured")
     assert(s.dsirDropped === 0L, "no DSIR target configured")
     assert(s.qualityDropped === 0L, "no quality exemplar configured")
     assert(s.sampledOut === 0L, "default rate keeps everything")
+    assert(s.tempSampledOut === 0L, "temperature balancing off by default")
     assert(s.bins === bins.count())
     assert(bins.agg(sum("n_docs")).collect().head.getLong(0) === s.packedDocs)
   }
@@ -102,6 +104,44 @@ class CurationSpec extends SparkSpec {
     assert(base.dsirDropped === 0L)
   }
 
+  test("temperature balancing flattens a skewed source mixture; smallest source untouched") {
+    val skewed = docs.withColumn("source",
+      when(col("doc_id") % 5 === 0, lit("small")).otherwise(lit("big")))
+    val (_, base) = Curation.run(skewed)
+    val (_, s) = Curation.run(skewed,
+      Curation.CurationConfig(temperatureBalance = true))
+    assert(base.tempSampledOut === 0L, "stage off by default")
+    assert(s.tempSampledOut > 0L, "the 4x-larger source must lose docs")
+    assert(s.packedDocs < base.packedDocs)
+    // τ=0.5 closed form: small (n_min) keeps all, big (4·n_min) halves
+    val th = graft.operators.SampleOps.temperatureThresholds(skewed)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(th("small") === 65536L)
+    assert(th("big") === 32768L)
+  }
+
+  test("streaming temperature stage drops exactly the above-threshold coins") {
+    import spark.implicits._
+    val skewed = docs.withColumn("source",
+      when(col("doc_id") % 5 === 0, lit("small")).otherwise(lit("big")))
+    val th = graft.operators.SampleOps.temperatureThresholds(skewed)
+    val seen = Seq.empty[String].toDF("file_hash")
+    val base = Curation.curateBatch(skewed, Curation.StreamCurationConfig(), seen)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val tempd = Curation.curateBatch(skewed,
+        Curation.StreamCurationConfig(temperatureThresholds = Some(th)), seen)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tempd.subsetOf(base))
+    // recompute the drop set straight from the coin rule (corpus has
+    // no exact-dup texts, so canonical selection is the identity here)
+    val dropExpected = skewed.select(col("doc_id"), col("source"),
+        expr("cast(conv(substr(sha2(text, 256), 5, 4), 16, 10) as bigint)").as("coin"))
+      .join(th.select("source", "thresh"), Seq("source"))
+      .filter(col("coin") >= col("thresh"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(tempd === base -- dropExpected)
+  }
+
   test("a quality exemplar corpus drops the low-probability tail, monotonically in the floor") {
     val (_, base) = Curation.run(docs)
     val target = docs.filter(col("doc_id") % 10 === 3)
@@ -139,10 +179,12 @@ class CurationSpec extends SparkSpec {
       dsirFloor = floor,
       qualityTarget = Some(target),
       qualityFloor = qFloor,
-      mixtureRates = Map("zh" -> 10L)))
+      mixtureRates = Map("zh" -> 10L),
+      temperatureBalance = true))
     // stage accounting still conserves documents under full composition
     val survivors = s.gated - s.boilerDropped - s.contaminatedDropped -
-      s.perplexityDropped - s.dsirDropped - s.qualityDropped - s.sampledOut
+      s.perplexityDropped - s.dsirDropped - s.qualityDropped - s.sampledOut -
+      s.tempSampledOut
     assert(survivors >= 0L)
     assert(s.packedDocs <= survivors)
     assert(s.bins === bins.count())
@@ -151,7 +193,7 @@ class CurationSpec extends SparkSpec {
     // covered by the single-knob tests above; under composition an
     // earlier stage may claim a later stage's doc)
     assert(s.contaminatedDropped + s.perplexityDropped + s.dsirDropped +
-      s.qualityDropped + s.sampledOut >= 1L)
+      s.qualityDropped + s.sampledOut + s.tempSampledOut >= 1L)
     assert(s.packedDocs < Curation.run(docs)._2.packedDocs)
   }
 

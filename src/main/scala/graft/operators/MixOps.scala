@@ -282,7 +282,71 @@ object MixOps {
       ORDER BY g.vec_id"""),
     headline = true)
 
+  // ---------------------------------------------------------------
+  // q122: cross-source n-gram overlap matrix
+  // ---------------------------------------------------------------
+
+  /** Cross-source overlap audit: for every source pair, the number of
+    * distinct 5-grams they share and the Jaccard similarity of their
+    * gram sets — the "how much of source B is already in source A"
+    * heatmap a corpus assembler reads before setting mixture weights
+    * (the cross-corpus contamination analyses in Dodge et al. 2021's
+    * C4 audit and the Pile's component-overlap reporting). Output is
+    * the sparse upper triangle: pairs with zero shared grams are
+    * absent.
+    *
+    * Scale: the (source, gram) membership frame is DISTINCT-reduced
+    * before any join (one shuffle keyed on the gram), so the pair join
+    * is blocked per gram with fan-out bounded by the per-gram source
+    * list — at high source cardinality swap the self-join for a
+    * collect_set(source) per gram + pair explode (same output, one
+    * shuffle), hash grams to 64-bit keys for fixed-width exchange, and
+    * exclude q81's corpus-frequent grams first: boilerplate is
+    * precisely the hub key that would otherwise dominate every pair. */
+  val q122SourceOverlap: QueryDef = QueryDef(
+    "q122_source_overlap",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val grams = materialize(
+        CorpusOps.fiveGramsOf(d)
+          .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .select(col("source"), explode(col("shingles")).as("sh"))
+          .distinct(), "src_grams")
+      val counts = grams.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+      grams.join(grams.select(col("sh"), col("source").as("source2")), Seq("sh"))
+        .filter(col("source") < col("source2"))
+        .groupBy(col("source"), col("source2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(counts.select(col("source"), col("n_grams").as("n1"))),
+          Seq("source"))
+        .join(broadcast(counts.select(col("source").as("source2"),
+          col("n_grams").as("n2"))), Seq("source2"))
+        .select(col("source"), col("source2"), col("n1"), col("n2"),
+          col("n_shared"),
+          round(col("n_shared").cast("double") /
+            (col("n1") + col("n2") - col("n_shared")), 6).as("jacc"))
+        .orderBy(col("source"), col("source2"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, source, trim(text) AS t,
+        regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      sh AS (SELECT doc_id, source,
+        CASE WHEN len(w) >= 5
+          THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+                              for i in range(1, len(w) - 3)])
+          ELSE [t] END AS shingles FROM tok),
+      g0 AS (SELECT source, unnest(shingles) AS sh FROM sh),
+      grams AS (SELECT DISTINCT source, sh FROM g0),
+      c AS (SELECT source, count(*) AS n FROM grams GROUP BY source),
+      p AS (SELECT a.source AS source, b.source AS source2, count(*) AS n_shared
+        FROM grams a JOIN grams b ON a.sh = b.sh AND a.source < b.source
+        GROUP BY a.source, b.source)
+      SELECT p.source, p.source2, c1.n AS n1, c2.n AS n2, p.n_shared,
+        round(CAST(p.n_shared AS DOUBLE) / (c1.n + c2.n - p.n_shared), 6) AS jacc
+      FROM p JOIN c c1 ON p.source = c1.source
+             JOIN c c2 ON p.source2 = c2.source
+      ORDER BY p.source, p.source2"""))
+
   val all: Seq[QueryDef] = Seq(
     q92Decontaminate, q93SplitAssign, q94DomainMix, q95SemanticDedup,
-    q109ContamFraction)
+    q109ContamFraction, q122SourceOverlap)
 }

@@ -286,7 +286,81 @@ object SampleOps {
       GROUP BY v.v, t.n_vocab, t.total
       ORDER BY v.v"""))
 
+  // ---------------------------------------------------------------
+  // q121: UniMax budget allocation (water-filling)
+  // ---------------------------------------------------------------
+
+  /** UniMax budget allocation (Chung et al. 2023, Algorithm 1 —
+    * public): split a total training budget B across sources by
+    * water-filling — every source smaller than the final water level
+    * contributes ALL its data, the rest are capped at one equal level
+    * c with `Σ min(size_s, c) ≈ B`. This is the budgeted counterpart
+    * of q115's rate rule (UniMax's own framing: uniform over sources
+    * until a source runs out of data). Budget here: half the corpus's
+    * total chars. Closed form instead of the paper's loop: source k
+    * (ascending by size) is fully taken iff
+    * `cum_k + size_k·(S-k) <= B` (feasible to give every LARGER
+    * source at least size_k); the level is the integer mean of what
+    * remains. All-integer → bit-exact parity; the floor remainder
+    * (< #capped sources) stays unallocated, as in the paper's floor.
+    *
+    * Scale: everything after the per-source size aggregate runs on the
+    * SOURCE table (≤ thousands of rows) — the rank window, the
+    * feasibility scan and the level are a driver-sized epilogue to one
+    * corpus-scale partial-agg count. */
+  /** Water-filling allocation over an arbitrary (source, n_chars)
+    * frame — q121's body, callable on synthetic skews in specs. */
+  def unimaxAlloc(d: DataFrame): DataFrame = {
+      val sizes = d.groupBy(col("source")).agg(sum(col("n_chars")).as("sz"))
+      val w = Window.orderBy(col("sz"), col("source"))
+      val ranked = sizes
+        .withColumn("rk", row_number().over(w))
+        .withColumn("cum", sum(col("sz")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = sizes.agg(sum(col("sz")).as("total"), count(lit(1)).as("s_cnt"))
+      val j = ranked.crossJoin(broadcast(tot))
+        .withColumn("budget", expr("total div 2"))
+        .withColumn("is_full",
+          col("cum") + col("sz") * (col("s_cnt") - col("rk")) <= col("budget"))
+      val lvl = j.agg(
+          min(col("budget")).as("budget"), min(col("s_cnt")).as("s_cnt"),
+          sum(when(col("is_full"), col("sz")).otherwise(0L)).as("cum_full"),
+          sum(when(col("is_full"), 1L).otherwise(0L)).as("t"))
+        .select(when(col("s_cnt") === col("t"), lit(0L))
+          .otherwise(expr("(budget - cum_full) div (s_cnt - t)")).as("level"))
+      j.crossJoin(broadcast(lvl))
+        .select(col("source"), col("sz"), col("is_full"),
+          when(col("is_full"), col("sz"))
+            .otherwise(least(col("level"), col("sz"))).as("alloc"))
+        .orderBy(col("source"))
+  }
+
+  val q121UnimaxAlloc: QueryDef = QueryDef(
+    "q121_unimax_alloc",
+    (s, dir) => unimaxAlloc(docs(s, dir)),
+    Some("""WITH sz AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS sz
+        FROM documents GROUP BY source),
+      tot AS (SELECT CAST(sum(sz) AS BIGINT) AS total, count(*) AS s_cnt FROM sz),
+      r AS (SELECT source, sz,
+          row_number() OVER (ORDER BY sz, source) AS rk,
+          CAST(sum(sz) OVER (ORDER BY sz, source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM sz),
+      j AS (SELECT r.source, r.sz, r.rk, r.cum,
+          tot.total // 2 AS budget, tot.s_cnt,
+          (r.cum + r.sz * (tot.s_cnt - r.rk)) <= (tot.total // 2) AS is_full
+        FROM r, tot),
+      lv AS (SELECT CASE
+          WHEN count(*) = CAST(sum(CASE WHEN is_full THEN 1 ELSE 0 END) AS BIGINT)
+            THEN CAST(0 AS BIGINT)
+          ELSE (min(budget) - CAST(sum(CASE WHEN is_full THEN sz ELSE 0 END) AS BIGINT))
+            // (count(*) - CAST(sum(CASE WHEN is_full THEN 1 ELSE 0 END) AS BIGINT))
+          END AS level FROM j)
+      SELECT j.source, j.sz, j.is_full,
+        CASE WHEN j.is_full THEN j.sz ELSE LEAST(lv.level, j.sz) END AS alloc
+      FROM j, lv ORDER BY j.source"""))
+
   def all: Seq[QueryDef] = Seq(
     q115TemperatureResample, q116SoftDedup, q118TripletMining,
-    q119StratifiedSplit, q120VocabCoverage)
+    q119StratifiedSplit, q120VocabCoverage, q121UnimaxAlloc)
 }

@@ -161,4 +161,29 @@ class MixOpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"pair join degenerated to a cross product:\n${plan.take(600)}")
   }
+
+  test("q122: overlap matrix is the upper triangle with consistent Jaccard") {
+    val rows = MixOps.q122SourceOverlap.fn(spark, dir).collect()
+    assert(rows.nonEmpty, "synthetic sources share template grams")
+    rows.foreach { r =>
+      val (s1, s2) = (r.getString(0), r.getString(1))
+      val (n1, n2, sh) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(s1 < s2, "upper triangle only")
+      assert(sh >= 1 && sh <= math.min(n1, n2))
+      val expect = BigDecimal(sh.toDouble / (n1 + n2 - sh))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(5) - expect) < 1e-9)
+    }
+    // spot-check one pair against a direct set intersection
+    val d = graft.Tables.load(spark, dir, "documents")
+    val g = CorpusOps.fiveGramsOf(d)
+      .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), explode(col("shingles")).as("sh"))
+      .collect().groupBy(_.getString(0))
+      .map { case (s, rs) => s -> rs.map(_.getString(1)).toSet }
+    val r0 = rows.head
+    val (a, b) = (g(r0.getString(0)), g(r0.getString(1)))
+    assert(r0.getLong(4) === a.intersect(b).size.toLong)
+    assert(r0.getLong(2) === a.size.toLong && r0.getLong(3) === b.size.toLong)
+  }
 }

@@ -105,6 +105,39 @@ class SampleOpsSpec extends SparkSpec {
     }
   }
 
+  test("q121: allocation respects the budget, caps only the largest sources") {
+    val rows = SampleOps.q121UnimaxAlloc.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val szs = rows.map(_.getLong(1))
+    val allocs = rows.map(_.getLong(3))
+    val budget = szs.sum / 2
+    rows.foreach(r => assert(r.getLong(3) <= r.getLong(1), "alloc never exceeds size"))
+    assert(allocs.sum <= budget)
+    // floor remainder bound: what's left unallocated is < #capped sources
+    val nCapped = rows.count(!_.getBoolean(2))
+    if (nCapped > 0) assert(budget - allocs.sum < nCapped)
+  }
+
+  test("unimaxAlloc on a skewed corpus: small sources fully taken, big ones level-capped") {
+    import spark.implicits._
+    // sizes 10, 20, 1000, 2000 chars (one 1-doc source each): total 3030,
+    // budget 1515 → both small sources full, level = (1515-30)/2 = 742
+    val d = Seq(("a", 10L), ("b", 20L), ("c", 1000L), ("d", 2000L))
+      .toDF("source", "n_chars")
+    val got = SampleOps.unimaxAlloc(d).collect()
+      .map(r => r.getString(0) -> (r.getBoolean(2), r.getLong(3))).toMap
+    assert(got("a") === (true, 10L))
+    assert(got("b") === (true, 20L))
+    assert(got("c") === (false, 742L))
+    assert(got("d") === (false, 742L))
+    // degenerate: budget >= total takes everything (every source full)
+    // with sizes 1,1 → budget = 1: nobody full, level = 0
+    val tiny = Seq(("x", 1L), ("y", 1L)).toDF("source", "n_chars")
+    val t = SampleOps.unimaxAlloc(tiny).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(t("x") === 0L && t("y") === 0L)
+  }
+
   test("q120: OOV rate is monotone non-increasing in V and exact at the ends") {
     val rows = SampleOps.q120VocabCoverage.fn(spark, dir).collect()
     assert(rows.length === 5)

@@ -26,7 +26,7 @@ object AnnOps {
 
   /** Cell assignment: nearest centroid per vector (broadcast C, narrow
     * map + per-vector rank). Shared by the in-memory and staged paths. */
-  private def assignCells(e: DataFrame, centroids: DataFrame): DataFrame = {
+  private[graft] def assignCells(e: DataFrame, centroids: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("dist"), col("cid"))
     e.crossJoin(broadcast(centroids))

@@ -192,6 +192,49 @@ object SampleOps {
         neg.neg_id, neg.neg_sim
       FROM pos JOIN neg USING (a_id) ORDER BY pos.a_id"""))
 
+  /** IVF-backed triplet mining — q118's semantics on the ANN scale
+    * path: every anchor probes only its `nprobe` nearest IVF cells, so
+    * the candidate scan per anchor is ~nprobe/C of the index instead
+    * of all of it (q56's pruning applied to a BATCH of queries — the
+    * probe table has one row per (anchor, cell) and joins the cell
+    * assignment equi-keyed; no per-anchor scan ever happens). At
+    * nprobe = C this is exactly the brute miner (spec-proven equal);
+    * below C it trades the same recall the IVF retriever does. The
+    * cell assignment is the index build — shared by every anchor batch
+    * and by the retrieval side (q56/q100). */
+  def tripletMiningIvf(e: DataFrame, nAnchors: Int, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
+    val anchors = e.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("a_id"), col("embedding").as("av"),
+        col("label").as("a_label"))
+    // per-anchor probe set: anchors × C centroids, both broadcast-scale
+    val wProbe = Window.partitionBy(col("a_id"))
+      .orderBy(col("qdist"), col("cid"))
+    val probed = anchors.crossJoin(broadcast(centroids))
+      .select(col("a_id"), col("cid"),
+        expr("l2_sq_f(av, cv)").as("qdist"))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= nprobe)
+      .select(col("a_id"), col("cid").as("cell"))
+    val assigned = AnnOps.assignCells(e, centroids)
+      .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val scored = assigned.join(broadcast(probed), Seq("cell"))
+      .join(broadcast(anchors), Seq("a_id"))
+      .filter(col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("a_label"), col("vec_id"), col("label"),
+        round(expr("dot_product_f(embedding, av)"), 6).as("sim"))
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val pos = scored.filter(col("label") === col("a_label"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("a_id"), col("a_label"),
+        col("vec_id").as("pos_id"), col("sim").as("pos_sim"))
+    val neg = scored.filter(col("label") =!= col("a_label"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("a_id"), col("vec_id").as("neg_id"), col("sim").as("neg_sim"))
+    pos.join(neg, Seq("a_id")).orderBy(col("a_id"))
+  }
+
   // ---------------------------------------------------------------
   // q119: stratified held-out split (per-source quota)
   // ---------------------------------------------------------------

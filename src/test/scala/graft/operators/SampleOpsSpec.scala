@@ -92,6 +92,28 @@ class SampleOpsSpec extends SparkSpec {
     assert(mined.getDouble(mined.fieldIndex("pos_sim")) === brute.getDouble(1))
   }
 
+  test("IVF triplet mining at full probe equals the brute miner; pruned probes stay valid") {
+    graft.functions.expressions.VectorExpressions.register(spark)
+    val e = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val centroids = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val brute = SampleOps.q118TripletMining.fn(spark, dir)
+      .collect().map(_.toString).toSeq
+    // nprobe = C: every cell probed → identical to the brute miner
+    val full = SampleOps.tripletMiningIvf(e, 8, centroids, nprobe = 16)
+      .collect().map(_.toString).toSeq
+    assert(full === brute)
+    // nprobe < C: still one valid triplet per anchor, sims can only drop
+    val pruned = SampleOps.tripletMiningIvf(e, 8, centroids, nprobe = 4).collect()
+    assert(pruned.length === 8)
+    val bruteSim = SampleOps.q118TripletMining.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("pos_sim"))).toMap
+    pruned.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("pos_sim")) <= bruteSim(r.getLong(0)) + 1e-9)
+    }
+  }
+
   test("q119: every source holds out exactly ceil(n/10) docs") {
     val rows = SampleOps.q119StratifiedSplit.fn(spark, dir).collect()
     assert(rows.nonEmpty)

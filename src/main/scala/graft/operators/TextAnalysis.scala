@@ -208,7 +208,110 @@ object TextAnalysis {
           lower(nfc_normalize(text)), '[0-9]', '0', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS norm_len
       FROM documents ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------
+  // q123: fused quality-signal bundle (RedPajama-v2 shape)
+  // ---------------------------------------------------------------
+
+  /** q89's BPE-ish pre-tokenizer shape (letter runs, single digits,
+    * single punctuation) — duplicated constant so the bundle's SQL
+    * stays textually identical to q89's. */
+  private val BpeishSignalRe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  /** The per-document quality-signal bundle, fused: every cheap narrow
+    * signal the audit tier computes separately (q45 counts, q46
+    * ratios, q82's Gopher components + verdict, q88's duplicate-bigram
+    * fraction, q89's subword budget) emitted as ONE wide row per doc —
+    * the RedPajama-v2 "quality signals" convention, where filters are
+    * decided downstream from a signals table instead of re-scanning
+    * text per rule. Signal definitions are IDENTICAL to the per-signal
+    * queries (same expressions, same rounding).
+    *
+    * Scale: the whole bundle is ONE narrow codegen'd projection over a
+    * materialized token array — N audit queries at 100 TB cost N
+    * corpus scans, the bundle costs one, and the downstream filter
+    * sweep (tune thresholds, re-gate, ablate) runs on the slim signals
+    * table without ever touching text again. The duplicate-bigram
+    * fraction uses the within-row `array_distinct` form (identical
+    * value to q88's groupBy form) precisely so the bundle never
+    * shuffles. */
+  val q123QualitySignals: QueryDef = QueryDef(
+    "q123_quality_signals",
+    (s, dir) => {
+      val toks = materialize(docs(s, dir)
+        .select(col("doc_id"), col("text"), col("n_chars"),
+          tokens(col("text")).as("w")), "signals_tok")
+      val nTok = size(col("w")).cast("double")
+      val nWords = size(col("w")).cast("long")
+      val meanLen = length(regexp_replace(trim(col("text")), "\\s+", ""))
+        .cast("double") / nWords
+      val nStop = size(filter(col("w"),
+        t => t.isin("the", "a", "of", "to", "and"))).cast("long")
+      val alphaFrac = size(filter(col("w"),
+        t => t.rlike("[A-Za-z]"))).cast("double") / nWords
+      val bgs = expr(
+        """case when size(w) >= 2
+          | then transform(sequence(1, size(w) - 1),
+          |   i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))
+          | else array() end""".stripMargin)
+      val nBpe = size(regexp_extract_all(col("text"), lit(BpeishSignalRe), lit(0)))
+        .cast("long")
+      toks.select(
+        col("doc_id"),
+        when(length(trim(col("text"))) === 0, 0L).otherwise(nWords).as("n_tokens"),
+        col("n_chars"),
+        round(size(filter(col("w"), t => t.isin("the", "a"))).cast("double") / nTok, 6)
+          .as("stopword_ratio"),
+        round(size(array_distinct(col("w"))).cast("double") / nTok, 6)
+          .as("type_token_ratio"),
+        round(meanLen, 6).as("mean_word_len"),
+        nStop.as("n_stopwords"),
+        round(alphaFrac, 6).as("alpha_frac"),
+        (nWords.between(10, 1000) && meanLen.between(2.0, 12.0) &&
+          nStop >= 2 && alphaFrac >= 0.8).as("pass_gopher"),
+        when(size(col("w")) < 2, lit(null).cast("double"))
+          .otherwise(round(lit(1.0) -
+            size(array_distinct(bgs)).cast("double") / size(bgs), 6))
+          .as("dup_bigram_frac"),
+        when(length(trim(col("text"))) === 0, lit(null).cast("double"))
+          .otherwise(round(nBpe.cast("double") / nWords, 6)).as("tokens_per_word"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, text, n_chars,
+        regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+      bg AS (SELECT doc_id,
+        CASE WHEN len(w) >= 2
+          THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+          ELSE [] END AS bgs FROM tok)
+      SELECT t.doc_id,
+        CASE WHEN length(trim(t.text)) = 0 THEN 0
+             ELSE CAST(len(t.w) AS BIGINT) END AS n_tokens,
+        t.n_chars,
+        round(CAST(len(list_filter(t.w, x -> x IN ('the', 'a'))) AS DOUBLE) / len(t.w), 6)
+          AS stopword_ratio,
+        round(CAST(len(list_distinct(t.w)) AS DOUBLE) / len(t.w), 6)
+          AS type_token_ratio,
+        round(CAST(length(regexp_replace(trim(t.text), '\\s+', '', 'g')) AS DOUBLE) / len(t.w), 6)
+          AS mean_word_len,
+        CAST(len(list_filter(t.w, x -> x IN ('the', 'a', 'of', 'to', 'and'))) AS BIGINT)
+          AS n_stopwords,
+        round(CAST(len(list_filter(t.w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(t.w), 6)
+          AS alpha_frac,
+        (CAST(len(t.w) AS BIGINT) BETWEEN 10 AND 1000
+         AND CAST(length(regexp_replace(trim(t.text), '\\s+', '', 'g')) AS DOUBLE) / len(t.w) BETWEEN 2.0 AND 12.0
+         AND CAST(len(list_filter(t.w, x -> x IN ('the', 'a', 'of', 'to', 'and'))) AS BIGINT) >= 2
+         AND CAST(len(list_filter(t.w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(t.w) >= 0.8)
+          AS pass_gopher,
+        CASE WHEN len(t.w) < 2 THEN NULL
+             ELSE round(1.0 - CAST(len(list_distinct(b.bgs)) AS DOUBLE) / len(b.bgs), 6) END
+          AS dup_bigram_frac,
+        CASE WHEN length(trim(t.text)) = 0 THEN NULL
+             ELSE round(CAST(len(regexp_extract_all(t.text, '$BpeishSignalRe')) AS DOUBLE) / len(t.w), 6) END
+          AS tokens_per_word
+      FROM tok t JOIN bg b ON t.doc_id = b.doc_id
+      ORDER BY t.doc_id"""),
+    headline = true)
+
   val all: Seq[QueryDef] = Seq(
     q45TokenCount, q46QualityScore, q47LangId, q48Fingerprint, q103Winnowing,
-    q113CcnetNormalize)
+    q113CcnetNormalize, q123QualitySignals)
 }

@@ -101,4 +101,33 @@ class TextAnalysisSpec extends SparkSpec {
         l.contains("Project") && l.trim.matches("""^\+?-?\s*\*\(\d+\).*""")),
       s"nfc_norm projection fell out of codegen:\n$plan")
   }
+
+  test("q123 bundle agrees signal-for-signal with the standalone queries") {
+    import org.apache.spark.sql.functions._
+    val bundle = TextAnalysis.q123QualitySignals.fn(spark, dir)
+    def m(df: org.apache.spark.sql.DataFrame, cols: String*) =
+      df.select("doc_id", cols: _*).collect()
+        .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    // q45: token + char counts
+    val b45 = m(bundle, "n_tokens", "n_chars")
+    m(TextAnalysis.q45TokenCount.fn(spark, dir), "n_tokens", "n_chars")
+      .foreach { case (id, v) => assert(b45(id) === v, s"q45 mismatch at $id") }
+    // q46: ratios
+    val b46 = m(bundle, "stopword_ratio", "mean_word_len", "type_token_ratio")
+    m(TextAnalysis.q46QualityScore.fn(spark, dir),
+        "stopword_ratio", "mean_word_len", "type_token_ratio")
+      .foreach { case (id, v) => assert(b46(id) === v, s"q46 mismatch at $id") }
+    // q82: gopher components + verdict
+    val b82 = m(bundle, "n_stopwords", "alpha_frac", "pass_gopher")
+    m(CorpusOps.q82GopherQuality.fn(spark, dir), "n_stopwords", "alpha_frac", "keep")
+      .foreach { case (id, v) => assert(b82(id) === v, s"q82 mismatch at $id") }
+    // q88: the narrow dup-bigram form equals the groupBy form
+    val b88 = m(bundle, "dup_bigram_frac")
+    m(CorpusOps.q88Repetition.fn(spark, dir), "dup_bigram_frac")
+      .foreach { case (id, v) => assert(b88(id) === v, s"q88 mismatch at $id") }
+    // q89: subword budget
+    val b89 = m(bundle, "tokens_per_word")
+    m(CorpusOps.q89BpeishTokens.fn(spark, dir), "tokens_per_word")
+      .foreach { case (id, v) => assert(b89(id) === v, s"q89 mismatch at $id") }
+  }
 }

@@ -502,7 +502,69 @@ object CorpusOps {
                   len(regexp_split_to_array(trim(text), '\\s+')), 6) END AS tokens_per_word
       FROM documents ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------
+  // q124: Luhn-validated card-number PII (checksum-gated redaction)
+  // ---------------------------------------------------------------
+
+  private val CardRe = "\\b[0-9]{13,19}\\b"
+
+  /** Checksum-gated PII: card-number redaction must VALIDATE before it
+    * masks — a bare 13-19-digit regex would mutilate order ids, EANs
+    * and timestamps, so production scrubbers (Dolma's PII pass, MS
+    * Presidio) gate the match on the Luhn checksum. Candidates are
+    * extracted by regex, filtered through `luhn_check` (ISO/IEC 7812 —
+    * Spark ships it natively; the oracle implements the digit-doubling
+    * sum in SQL), and only validated numbers are replaced, via a fold
+    * so each doc's redaction count is exact. Fixture: deterministic
+    * card strings woven from doc_id (q83's convention) — one
+    * Luhn-VALID per doc_id%3==0, one Luhn-INVALID (last digit bumped)
+    * per doc_id%3==1, so the gate provably fires and provably
+    * abstains.
+    *
+    * Scale: narrow map — regex extract + a ≤candidates-length HOF
+    * filter/fold per row, codegen'd; no shuffle, nothing corpus-global. */
+  val q124PiiLuhn: QueryDef = QueryDef(
+    "q124_pii_luhn",
+    (s, dir) => {
+      val withPii = docs(s, dir).withColumn("text2",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" card 4111111111111111 due")))
+          .when(col("doc_id") % 3 === 1,
+            concat(col("text"), lit(" card 4111111111111121 due")))
+          .otherwise(col("text")))
+      withPii
+        .withColumn("cands",
+          regexp_extract_all(col("text2"), lit(CardRe), lit(0)))
+        .withColumn("valid",
+          filter(col("cands"), c => call_function("luhn_check", c)))
+        .select(col("doc_id"),
+          size(col("cands")).cast("long").as("n_candidates"),
+          size(col("valid")).cast("long").as("n_valid"),
+          aggregate(col("valid"), col("text2"),
+            (acc, x) => call_function("replace", acc, x, lit("<CARD>")))
+            .as("redacted"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN text || ' card 4111111111111111 due'
+             WHEN doc_id % 3 = 1 THEN text || ' card 4111111111111121 due'
+             ELSE text END AS text2 FROM documents),
+      c AS (SELECT doc_id, text2,
+        regexp_extract_all(text2, '\b[0-9]{13,19}\b') AS cands FROM w),
+      v AS (SELECT doc_id, text2, cands,
+        list_filter(cands, s -> list_sum(list_transform(range(1, length(s)+1), i ->
+          CASE WHEN (length(s) - i) % 2 = 1
+            THEN CASE WHEN 2*CAST(s[i] AS INT) > 9
+                 THEN 2*CAST(s[i] AS INT) - 9 ELSE 2*CAST(s[i] AS INT) END
+            ELSE CAST(s[i] AS INT) END)) % 10 = 0) AS valid FROM c)
+      SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates,
+        CAST(len(valid) AS BIGINT) AS n_valid,
+        list_reduce(list_prepend(text2, valid),
+          (acc, x) -> replace(acc, x, '<CARD>')) AS redacted
+      FROM v ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q81Boilerplate, q82GopherQuality, q83PiiRedact, q84BloomHistoryDedup,
-    q86SeqPack, q87CurationPipeline, q88Repetition, q89BpeishTokens)
+    q86SeqPack, q87CurationPipeline, q88Repetition, q89BpeishTokens,
+    q124PiiLuhn)
 }

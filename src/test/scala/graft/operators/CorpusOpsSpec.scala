@@ -163,4 +163,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(0L) && out(1L) && out(2L) && out(3L), "template docs must flag")
     assert(!out(4L), "the unique doc must not flag")
   }
+
+  test("q124: Luhn gate redacts valid cards, abstains on checksum failures") {
+    val rows = CorpusOps.q124PiiLuhn.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (nc, nv) = (r.getLong(1), r.getLong(2))
+      val red = r.getString(3)
+      id % 3 match {
+        case 0 =>
+          assert(nc === 1L && nv === 1L)
+          assert(red.contains("<CARD>") && !red.contains("4111111111111111"))
+        case 1 =>
+          // candidate found, checksum fails → counted but NOT redacted
+          assert(nc === 1L && nv === 0L)
+          assert(red.contains("4111111111111121") && !red.contains("<CARD>"))
+        case _ =>
+          assert(nc === 0L && nv === 0L && !red.contains("<CARD>"))
+      }
+    }
+  }
 }

@@ -106,6 +106,66 @@ object CorpusOps {
       GROUP BY g.doc_id ORDER BY g.doc_id"""))
 
   // ---------------------------------------------------------------
+  // q125: per-source boilerplate (site-template detection)
+  // ---------------------------------------------------------------
+
+  /** Per-source boilerplate: q81's frequent-fragment rule keyed by
+    * (source, gram) instead of (gram) — a fragment is template text
+    * when ≥ 3 docs OF THE SAME SOURCE repeat it. This is the per-site
+    * form the web-corpus recipes actually run (CCNet dedups per shard/
+    * domain; site navigation and footers repeat within a site, not
+    * across the corpus), so a globally-rare fragment that every page
+    * of one site carries is still caught — and a phrase that merely
+    * spans many sources is NOT flagged as any site's template.
+    *
+    * Scale: same two-pass shape as q81 with the source folded into the
+    * count key: the frequent set stays corpus-sublinear (per-site
+    * templates), and keying the join on (source, sh) only ever
+    * TIGHTENS the hub-key skew (a gram's rows split across its
+    * sources). The membership join is keyed, not broadcast, because
+    * per-source frequent sets can outgrow a single broadcast at site
+    * counts in the millions — the safe default; broadcast remains the
+    * local-mode fast path via AQE's size-based pick. */
+  val q125SourceBoilerplate: QueryDef = QueryDef(
+    "q125_source_boilerplate",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val grams = materialize(fiveGramsOf(d)
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), explode(col("shingles")).as("sh")),
+        "src_boiler_grams")
+      val frequent = grams.groupBy(col("source"), col("sh"))
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 3)
+        .select(col("source"), col("sh"), lit(1).as("is_freq"))
+      grams
+        .join(frequent, Seq("source", "sh"), "left_outer")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("is_freq"), lit(0))).as("n_frequent"))
+        .withColumn("frac_raw", col("n_frequent").cast("double") / col("n_shingles"))
+        .withColumn("boiler_frac", round(col("frac_raw"), 6))
+        .withColumn("is_site_boiler", col("frac_raw") >= 0.5)
+        .drop("frac_raw")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, source, trim(text) AS t,
+        regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      sh AS (SELECT doc_id, source,
+        CASE WHEN len(w) >= 5
+          THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+                              for i in range(1, len(w) - 3)])
+          ELSE [t] END AS shingles FROM tok),
+      grams AS (SELECT doc_id, source, unnest(shingles) AS sh FROM sh),
+      freq AS (SELECT source, sh FROM grams GROUP BY source, sh HAVING count(*) >= 3)
+      SELECT g.doc_id, g.source, count(*) AS n_shingles,
+        CAST(sum(CASE WHEN f.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_frequent,
+        round(CAST(sum(CASE WHEN f.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS boiler_frac,
+        (CAST(sum(CASE WHEN f.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) >= 0.5 AS is_site_boiler
+      FROM grams g LEFT JOIN freq f ON g.source = f.source AND g.sh = f.sh
+      GROUP BY g.doc_id, g.source ORDER BY g.doc_id"""))
+
+  // ---------------------------------------------------------------
   // q82: Gopher-style rule gates
   // ---------------------------------------------------------------
 
@@ -566,5 +626,5 @@ object CorpusOps {
   val all: Seq[QueryDef] = Seq(
     q81Boilerplate, q82GopherQuality, q83PiiRedact, q84BloomHistoryDedup,
     q86SeqPack, q87CurationPipeline, q88Repetition, q89BpeishTokens,
-    q124PiiLuhn)
+    q124PiiLuhn, q125SourceBoilerplate)
 }

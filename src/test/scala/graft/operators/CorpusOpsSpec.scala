@@ -164,6 +164,43 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!out(4L), "the unique doc must not flag")
   }
 
+  test("q125: a within-site template flags; the same text spread across sites does not") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-siteboiler").toString
+    val template = "subscribe to our newsletter for all the latest updates today"
+    Seq(
+      // template repeated 3x inside source sA → site boilerplate
+      (0L, s"$template alpha", "en", "sA", 1L),
+      (1L, s"$template beta", "en", "sA", 1L),
+      (2L, s"$template gamma", "en", "sA", 1L),
+      // same template once in each of 3 OTHER sources → not any site's template
+      (3L, s"$template delta", "en", "sB", 1L),
+      (4L, s"$template epsilon", "en", "sC", 1L),
+      (5L, s"$template zeta", "en", "sD", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = CorpusOps.q125SourceBoilerplate.fn(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("is_site_boiler"))).toMap
+    assert(out(0L) && out(1L) && out(2L), "sA's repeated template must flag")
+    assert(!out(3L) && !out(4L) && !out(5L),
+      "cross-source spread must NOT flag (q81's global rule would)")
+    // and the global rule indeed catches what the per-site rule refuses
+    val global = CorpusOps.q81Boilerplate.fn(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("is_boilerplate"))).toMap
+    assert(global(3L) && global(4L) && global(5L))
+  }
+
+  test("q125 implies q81: per-site boilerplate is a subset of global boilerplate") {
+    val site = CorpusOps.q125SourceBoilerplate.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("is_site_boiler"))).toMap
+    val global = CorpusOps.q81Boilerplate.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("is_boilerplate"))).toMap
+    site.foreach { case (id, flagged) =>
+      if (flagged) assert(global(id),
+        s"doc $id is site-boiler but not global-boiler — frequent-set subset violated")
+    }
+  }
+
   test("q124: Luhn gate redacts valid cards, abstains on checksum failures") {
     val rows = CorpusOps.q124PiiLuhn.fn(spark, dir).collect()
     assert(rows.nonEmpty)

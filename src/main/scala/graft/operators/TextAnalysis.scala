@@ -234,10 +234,10 @@ object TextAnalysis {
     * fraction uses the within-row `array_distinct` form (identical
     * value to q88's groupBy form) precisely so the bundle never
     * shuffles. */
-  val q123QualitySignals: QueryDef = QueryDef(
-    "q123_quality_signals",
-    (s, dir) => {
-      val toks = materialize(docs(s, dir)
+  /** The signal bundle over an arbitrary documents frame — q123's
+    * body, reused by the q126 gate sweep. */
+  def qualitySignalsOf(d: DataFrame): DataFrame = {
+      val toks = materialize(d
         .select(col("doc_id"), col("text"), col("n_chars"),
           tokens(col("text")).as("w")), "signals_tok")
       val nTok = size(col("w")).cast("double")
@@ -275,14 +275,17 @@ object TextAnalysis {
         when(length(trim(col("text"))) === 0, lit(null).cast("double"))
           .otherwise(round(nBpe.cast("double") / nWords, 6)).as("tokens_per_word"))
         .orderBy(col("doc_id"))
-    },
-    Some(s"""WITH tok AS (SELECT doc_id, text, n_chars,
+  }
+
+  /** q123's oracle CTE chain ending in `signals`, shared verbatim with
+    * q126's oracle so the two can never drift. */
+  private val signalsSqlCtes = s"""tok AS (SELECT doc_id, text, n_chars,
         regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
       bg AS (SELECT doc_id,
         CASE WHEN len(w) >= 2
           THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
-          ELSE [] END AS bgs FROM tok)
-      SELECT t.doc_id,
+          ELSE [] END AS bgs FROM tok),
+      signals AS (SELECT t.doc_id,
         CASE WHEN length(trim(t.text)) = 0 THEN 0
              ELSE CAST(len(t.w) AS BIGINT) END AS n_tokens,
         t.n_chars,
@@ -307,11 +310,79 @@ object TextAnalysis {
         CASE WHEN length(trim(t.text)) = 0 THEN NULL
              ELSE round(CAST(len(regexp_extract_all(t.text, '$BpeishSignalRe')) AS DOUBLE) / len(t.w), 6) END
           AS tokens_per_word
-      FROM tok t JOIN bg b ON t.doc_id = b.doc_id
-      ORDER BY t.doc_id"""),
+      FROM tok t JOIN bg b ON t.doc_id = b.doc_id)"""
+
+  val q123QualitySignals: QueryDef = QueryDef(
+    "q123_quality_signals",
+    (s, dir) => qualitySignalsOf(docs(s, dir)),
+    Some(s"""WITH $signalsSqlCtes
+      SELECT * FROM signals ORDER BY doc_id"""),
     headline = true)
+
+  // ---------------------------------------------------------------
+  // q126: gate-threshold ablation sweep over the signals table
+  // ---------------------------------------------------------------
+
+  private val SweepMinWords = Seq(5L, 30L, 60L)
+  private val SweepMaxDup = Seq(0.05, 0.2, 1.0)
+
+  /** Gate ablation: survivor counts for a grid of (min-words,
+    * max-dup-bigram) thresholds, computed from the q123 signals table
+    * alone — the "how much would this gate cost us" sweep a corpus
+    * team runs before committing thresholds (Gopher A1 reports
+    * exactly such removal-rate tables). A doc with an undefined
+    * dup-fraction (fewer than two tokens) FAILS every dup gate by
+    * rule: a null signal means the gate cannot certify the doc.
+    *
+    * Thresholds compare against the signals table's ROUNDED fractions
+    * (identical in both engines), so the sweep is exact — no FP
+    * boundary risk beyond what q123 already carries.
+    *
+    * Scale: the corpus is touched ONCE (by q123's narrow pass); the
+    * sweep itself is grid × signals-table — a slim aggregate whose
+    * shuffle carries 9 counter cells, which is the entire point of
+    * materializing signals instead of re-gating text per candidate
+    * threshold. */
+  val q126GateSweep: QueryDef = QueryDef(
+    "q126_gate_sweep",
+    (s, dir) => {
+      val signals = qualitySignalsOf(docs(s, dir))
+        .select(col("doc_id"), col("n_tokens"), col("dup_bigram_frac"))
+      val grid = SweepMinWords.flatMap(w => SweepMaxDup.map(d => (w, d)))
+      signals
+        .select(col("doc_id"), col("n_tokens"), col("dup_bigram_frac"),
+          explode(typedLit(grid)).as("g"))
+        .select(col("doc_id"), col("n_tokens"), col("dup_bigram_frac"),
+          col("g._1").as("min_words"), col("g._2").as("max_dup_frac"))
+        .groupBy(col("min_words"), col("max_dup_frac"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_tokens") >= col("min_words") &&
+            col("dup_bigram_frac").isNotNull &&
+            col("dup_bigram_frac") <= col("max_dup_frac"), 1L).otherwise(0L))
+            .as("n_pass"))
+        .withColumn("pass_frac",
+          round(col("n_pass").cast("double") / col("n_docs"), 6))
+        .orderBy(col("min_words"), col("max_dup_frac"))
+    },
+    Some(s"""WITH $signalsSqlCtes,
+      grid AS (SELECT * FROM (VALUES ${SweepMinWords.flatMap(w =>
+        SweepMaxDup.map(d => s"(CAST($w AS BIGINT), CAST($d AS DOUBLE))"))
+        .mkString(", ")}) t(min_words, max_dup_frac))
+      SELECT g.min_words, g.max_dup_frac,
+        count(*) AS n_docs,
+        CAST(sum(CASE WHEN s.n_tokens >= g.min_words
+          AND s.dup_bigram_frac IS NOT NULL
+          AND s.dup_bigram_frac <= g.max_dup_frac THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_pass,
+        round(CAST(sum(CASE WHEN s.n_tokens >= g.min_words
+          AND s.dup_bigram_frac IS NOT NULL
+          AND s.dup_bigram_frac <= g.max_dup_frac THEN 1 ELSE 0 END) AS DOUBLE)
+          / count(*), 6) AS pass_frac
+      FROM signals s, grid g
+      GROUP BY g.min_words, g.max_dup_frac
+      ORDER BY g.min_words, g.max_dup_frac"""))
 
   val all: Seq[QueryDef] = Seq(
     q45TokenCount, q46QualityScore, q47LangId, q48Fingerprint, q103Winnowing,
-    q113CcnetNormalize, q123QualitySignals)
+    q113CcnetNormalize, q123QualitySignals, q126GateSweep)
 }

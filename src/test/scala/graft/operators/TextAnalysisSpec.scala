@@ -130,4 +130,25 @@ class TextAnalysisSpec extends SparkSpec {
     m(CorpusOps.q89BpeishTokens.fn(spark, dir), "tokens_per_word")
       .foreach { case (id, v) => assert(b89(id) === v, s"q89 mismatch at $id") }
   }
+
+  test("q126 sweep: pass counts are monotone in both thresholds and exact vs direct recount") {
+    val rows = TextAnalysis.q126GateSweep.fn(spark, dir).collect()
+    assert(rows.length === 9)
+    val byKey = rows.map(r => (r.getLong(0), r.getDouble(1)) -> r.getLong(3)).toMap
+    // monotone: loosening either threshold can only add survivors
+    for (Seq(w1, w2) <- Seq(5L, 30L, 60L).combinations(2).map(_.sorted);
+         d <- Seq(0.05, 0.2, 1.0))
+      assert(byKey((w2, d)) <= byKey((w1, d)), s"minWords $w2 vs $w1 at $d")
+    for (w <- Seq(5L, 30L, 60L);
+         Seq(d1, d2) <- Seq(0.05, 0.2, 1.0).combinations(2).map(_.sorted))
+      assert(byKey((w, d1)) <= byKey((w, d2)), s"maxDup $d1 vs $d2 at $w")
+    // exact against a direct recount from the signals table
+    val sig = TextAnalysis.q123QualitySignals.fn(spark, dir).collect()
+    val direct = sig.count { r =>
+      val nt = r.getLong(r.fieldIndex("n_tokens"))
+      val i = r.fieldIndex("dup_bigram_frac")
+      nt >= 30L && !r.isNullAt(i) && r.getDouble(i) <= 0.2
+    }.toLong
+    assert(byKey((30L, 0.2)) === direct)
+  }
 }

@@ -283,6 +283,75 @@ object MixOps {
     headline = true)
 
   // ---------------------------------------------------------------
+  // q127: embedding-space outlier detection (z-score to own centroid)
+  // ---------------------------------------------------------------
+
+  /** Embedding outlier report: assign every vector to its nearest
+    * centroid (q95's assignment, verbatim), then flag vectors whose
+    * similarity to their OWN cluster centroid sits more than 2
+    * standard deviations below the cluster mean — the
+    * distance-to-centroid outlier rule used to drop mislabeled /
+    * off-distribution samples before contrastive training (the
+    * cluster-based pruning in SemDeDup §4's pipeline and classic
+    * k-means anomaly scoring). Cosine is rounded BEFORE the cluster
+    * statistics so both engines aggregate identical inputs; mean and
+    * stddev are rounded aggregates (the accepted last-ulp risk class —
+    * see q102's note), and z derives from the rounded values only, so
+    * the flag is deterministic given the stats.
+    *
+    * Scale: assignment is q95's broadcast nested-loop (k ≈ √N
+    * centroids); the per-cluster (mean, std) table is k rows —
+    * broadcast back; the z-score is a narrow projection. Nothing
+    * beyond the assignment ever shuffles, and the assignment is the
+    * same index-build artifact q56/q95/q100 already share. */
+  val q127EmbeddingOutliers: QueryDef = QueryDef(
+    "q127_embedding_outliers",
+    (s, dir) => {
+      graft.functions.expressions.VectorExpressions.register(s)
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val cents = e.filter(col("vec_id") < Cents)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val assigned = materialize(
+        e.crossJoin(broadcast(cents))
+          .withColumn("cos", expr("dot_product_f(embedding, cvec)"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id"))
+              .orderBy(col("cos").desc, col("cid").asc)))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid").as("cluster"),
+            round(col("cos"), 6).as("cos")),
+        "outlier_assign")
+      val stats = assigned.groupBy(col("cluster"))
+        .agg(round(avg(col("cos")), 6).as("mu"),
+          round(stddev_samp(col("cos")), 6).as("sigma"))
+      assigned.join(broadcast(stats), Seq("cluster"))
+        .select(col("vec_id"), col("cluster"), col("cos"),
+          when(col("sigma") > 0,
+            round((col("cos") - col("mu")) / col("sigma"), 6)).as("z"))
+        .withColumn("is_outlier", coalesce(col("z") < -2.0, lit(false)))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $Cents),
+      scored AS (SELECT e.vec_id, c.cid,
+          list_sum(list_transform(list_zip(e.v, c.cv), x -> x[1]*x[2])) AS cos
+        FROM e, c),
+      asg AS (SELECT vec_id, cid AS cluster, round(cos, 6) AS cos FROM (
+          SELECT vec_id, cid, cos,
+            row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+          FROM scored) r WHERE rn = 1),
+      stats AS (SELECT cluster, round(avg(cos), 6) AS mu,
+          round(stddev_samp(cos), 6) AS sigma
+        FROM asg GROUP BY cluster)
+      SELECT a.vec_id, a.cluster, a.cos,
+        CASE WHEN s.sigma > 0 THEN round((a.cos - s.mu) / s.sigma, 6) ELSE NULL END AS z,
+        COALESCE(CASE WHEN s.sigma > 0 THEN round((a.cos - s.mu) / s.sigma, 6) ELSE NULL END < -2.0,
+          false) AS is_outlier
+      FROM asg a JOIN stats s ON a.cluster = s.cluster
+      ORDER BY a.vec_id"""))
+
+  // ---------------------------------------------------------------
   // q122: cross-source n-gram overlap matrix
   // ---------------------------------------------------------------
 
@@ -348,5 +417,5 @@ object MixOps {
 
   val all: Seq[QueryDef] = Seq(
     q92Decontaminate, q93SplitAssign, q94DomainMix, q95SemanticDedup,
-    q109ContamFraction, q122SourceOverlap)
+    q109ContamFraction, q122SourceOverlap, q127EmbeddingOutliers)
 }

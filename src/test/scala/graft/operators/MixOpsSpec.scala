@@ -162,6 +162,28 @@ class MixOpsSpec extends SparkSpec {
       s"pair join degenerated to a cross product:\n${plan.take(600)}")
   }
 
+  test("q127: outliers sit below their cluster mean; z-scores center near zero") {
+    val rows = MixOps.q127EmbeddingOutliers.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // same cluster assignment as q95 (shared machinery)
+    val q95 = MixOps.q95SemanticDedup.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) === q95(r.getLong(0))))
+    val byCluster = rows.filterNot(_.isNullAt(3)).groupBy(_.getLong(1))
+    byCluster.foreach { case (c, rs) =>
+      val zs = rs.map(_.getDouble(3))
+      assert(math.abs(zs.sum / zs.length) < 0.01, s"cluster $c z-mean off zero")
+      rs.filter(_.getBoolean(4)).foreach { r =>
+        assert(r.getDouble(3) < -2.0, "flag must match the z rule")
+        val mean = rs.map(_.getDouble(2)).sum / rs.length
+        assert(r.getDouble(2) < mean, "an outlier must sit below its cluster mean")
+      }
+    }
+    // flags are rare by construction (z < -2 is the 2-sigma tail)
+    val frac = rows.count(_.getBoolean(4)).toDouble / rows.length
+    assert(frac < 0.15, s"outlier fraction $frac implausibly high")
+  }
+
   test("q122: overlap matrix is the upper triangle with consistent Jaccard") {
     val rows = MixOps.q122SourceOverlap.fn(spark, dir).collect()
     assert(rows.nonEmpty, "synthetic sources share template grams")

@@ -611,7 +611,90 @@ object AnnOps {
       ORDER BY dist, s.vec_id LIMIT 10"""),
     headline = true)
 
+  // ---------------------------------------------------------------
+  // q130: k-NN graph construction (exact baseline + IVF-blocked build)
+  // ---------------------------------------------------------------
+
+  private val GraphK = 5  // neighbors kept per vector
+
+  /** Exact k-NN graph: every vector's GraphK nearest neighbors by
+    * cosine, with deterministic ranks (cosine rounded BEFORE ranking,
+    * nbr_id tiebreak — both engines rank identical inputs). The graph
+    * is the substrate of graph-based curation: NN-Descent refinement,
+    * graph near-dup clustering, and SemDeDup-style pruning all start
+    * from it.
+    *
+    * Scale: this exact form is quadratic BY DEFINITION — it exists as
+    * the calibration baseline and the oracle target, same role as
+    * q30's brute top-k. The production build is [[knnGraphIvf]],
+    * whose candidate fan-out is N·nprobe/C instead of N². */
+  def knnGraphExact(e: DataFrame, k: Int): DataFrame = {
+    val nbrs = e.select(col("vec_id").as("nbr_id"), col("embedding").as("nvec"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    e.crossJoin(broadcast(nbrs))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        round(expr("dot_product_f(embedding, nvec)"), 6).as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("rk"), col("nbr_id"), col("cos"))
+  }
+
+  /** IVF-blocked k-NN graph: each vector scores only the members of
+    * its nprobe nearest cells — the equi-join on cell replaces the
+    * exact build's cross product, cutting candidates from N² to
+    * N·nprobe/C while the probe rank reuses the assignment's
+    * broadcast-C shape. At nprobe = C the candidate set is total, so
+    * the build is EXACTLY [[knnGraphExact]] (AnnOpsSpec proves it);
+    * dialing nprobe down trades recall for fan-out, monotonically
+    * (probe sets are nested). This is the standard first pass of a
+    * billion-scale graph build (FAISS IVF bucketing; NN-Descent then
+    * refines edges without ever going quadratic). */
+  def knnGraphIvf(e: DataFrame, centroids: DataFrame, nprobe: Int,
+      k: Int): DataFrame = {
+    val assigned = assignCells(e, centroids)
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("cid"))
+    val probes = e.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        expr("l2_sq_f(embedding, cv)").as("dist"))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= nprobe)
+      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+    val wTop = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    probes.join(
+        assigned.select(col("vec_id").as("nbr_id"),
+          col("embedding").as("nvec"), col("cell")),
+        Seq("cell"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        round(expr("dot_product_f(embedding, nvec)"), 6).as("cos"))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("rk"), col("nbr_id"), col("cos"))
+  }
+
+  val q130KnnGraph: QueryDef = QueryDef(
+    "q130_knn_graph",
+    (s, dir) => {
+      VectorExpressions.register(s)
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      knnGraphExact(e, GraphK).orderBy(col("vec_id"), col("rk"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      p AS (SELECT a.vec_id, b.vec_id AS nbr_id,
+          round(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2])), 6) AS cos
+        FROM e a, e b WHERE a.vec_id <> b.vec_id),
+      r AS (SELECT vec_id, nbr_id, cos,
+          row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rk
+        FROM p)
+      SELECT vec_id, rk, nbr_id, cos FROM r WHERE rk <= $GraphK
+      ORDER BY vec_id, rk"""))
+
   val all: Seq[QueryDef] =
     Seq(q56AnnIvf, q68AnnLsh, q79AnnLshMultiprobe, q85AnnPq, q100AnnIvfPq,
-      q117AnnSq8)
+      q117AnnSq8, q130KnnGraph)
 }

@@ -370,15 +370,12 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
   }
 
-  val q86SeqPack: QueryDef = QueryDef(
-    "q86_seq_pack",
-    (s, dir) =>
-      packGreedy(docs(s, dir)
-        .select(col("source"), col("doc_id"), nTokens(col("text")).as("n_tokens")))
-        .orderBy(col("source"), col("bin")),
-    // the same greedy scan as a per-shard recursive CTE over the
-    // doc_id-ordered row sequence
-    Some("""WITH RECURSIVE t AS (
+  /** The greedy per-shard packing scan as a recursive CTE over the
+    * doc_id-ordered row sequence — the oracle CTE block shared by q86
+    * and the q128 efficiency audit (the bm25SqlCtes pattern: one text,
+    * two oracles, no drift). `r` ends with one row per packed doc
+    * carrying its (source, bin) assignment. */
+  private val packSqlCtes = """WITH RECURSIVE t AS (
         SELECT source, doc_id,
           CASE WHEN length(trim(text)) = 0 THEN 0
                ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_tokens,
@@ -391,10 +388,68 @@ object CorpusOps {
         SELECT t.source, t.rn, t.doc_id, t.n_tokens,
           CASE WHEN r.fill + t.n_tokens > 512 THEN t.n_tokens ELSE r.fill + t.n_tokens END,
           CASE WHEN r.fill + t.n_tokens > 512 THEN r.bin + 1 ELSE r.bin END
-        FROM t JOIN r ON t.source = r.source AND t.rn = r.rn + 1)
+        FROM t JOIN r ON t.source = r.source AND t.rn = r.rn + 1)"""
+
+  val q86SeqPack: QueryDef = QueryDef(
+    "q86_seq_pack",
+    (s, dir) =>
+      packGreedy(docs(s, dir)
+        .select(col("source"), col("doc_id"), nTokens(col("text")).as("n_tokens")))
+        .orderBy(col("source"), col("bin")),
+    // the same greedy scan as a per-shard recursive CTE over the
+    // doc_id-ordered row sequence
+    Some(packSqlCtes + """
       SELECT source, bin, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
       FROM r GROUP BY source, bin ORDER BY source, bin"""),
     headline = true)
+
+  // ---------------------------------------------------------------
+  // q128: packing-efficiency audit
+  // ---------------------------------------------------------------
+
+  /** Packing-efficiency audit over q86's bins: per source, the bin
+    * count, fill rate against the 512-token capacity, the underfull
+    * (< 50% capacity) bin count, and the min/max bin loads — the
+    * pack-ratio report used to tune sequence length and shard size
+    * before a training run (padding waste = 1 − fill_rate is tokens
+    * the GPU pads; Megatron/T5 packing exists to drive it down, and
+    * this table is what you read to check it worked). fill_rate is an
+    * exact integer-over-double division rounded at 6, so cross-engine
+    * parity is bit-deterministic.
+    *
+    * Scale: the audit aggregates packGreedy's OUTPUT — a (source ×
+    * bins) table, corpus-sublinear — never the corpus itself; one
+    * extra tiny groupBy(source) on top of the pass q86 already pays
+    * for. The oracle composes the identical packSqlCtes block as q86,
+    * so the two stay mechanically in sync. */
+  val q128PackAudit: QueryDef = QueryDef(
+    "q128_pack_audit",
+    (s, dir) =>
+      packGreedy(docs(s, dir)
+        .select(col("source"), col("doc_id"), nTokens(col("text")).as("n_tokens")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_bins"),
+          sum(col("n_docs")).as("n_docs"),
+          sum(col("sum_tokens")).as("total_tokens"),
+          round(sum(col("sum_tokens")) / (lit(512.0) * count(lit(1))), 6)
+            .as("fill_rate"),
+          sum(when(col("sum_tokens") * 2 < 512, 1L).otherwise(0L))
+            .as("underfull_bins"),
+          max(col("sum_tokens")).as("max_bin_tokens"),
+          min(col("sum_tokens")).as("min_bin_tokens"))
+        .orderBy(col("source")),
+    Some(packSqlCtes + """,
+      bins AS (
+        SELECT source, bin, count(*) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        FROM r GROUP BY source, bin)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_bins,
+        CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        CAST(sum(sum_tokens) AS BIGINT) AS total_tokens,
+        round(CAST(sum(sum_tokens) AS BIGINT) / (512.0 * count(*)), 6) AS fill_rate,
+        CAST(sum(CASE WHEN sum_tokens * 2 < 512 THEN 1 ELSE 0 END) AS BIGINT) AS underfull_bins,
+        max(sum_tokens) AS max_bin_tokens, min(sum_tokens) AS min_bin_tokens
+      FROM bins GROUP BY source ORDER BY source"""))
 
   // ---------------------------------------------------------------
   // q87: curation-pipeline capstone
@@ -625,6 +680,6 @@ object CorpusOps {
 
   val all: Seq[QueryDef] = Seq(
     q81Boilerplate, q82GopherQuality, q83PiiRedact, q84BloomHistoryDedup,
-    q86SeqPack, q87CurationPipeline, q88Repetition, q89BpeishTokens,
+    q86SeqPack, q128PackAudit, q87CurationPipeline, q88Repetition, q89BpeishTokens,
     q124PiiLuhn, q125SourceBoilerplate)
 }

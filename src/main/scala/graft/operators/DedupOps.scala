@@ -513,8 +513,71 @@ object DedupOps {
         (min(dst) = src) AS is_canonical
       FROM reach GROUP BY src ORDER BY src"""))
 
+  // ---------------------------------------------------------------
+  // q129: dedup-saturation curve
+  // ---------------------------------------------------------------
+
+  /** Dedup-saturation curve: split the ingest order (doc_id) into
+    * fixed-width buckets of 50 docs and report, per bucket, how many
+    * docs are NEW content (their sha-256 first appears in that bucket)
+    * plus the cumulative unique fraction — the marginal-uniqueness
+    * audit that tells a crawl operator when additional data stops
+    * adding information (web-crawl dedup rates saturate; Lee et al.
+    * report exactly this per-snapshot curve to justify dedup budgets).
+    * All counts are integers and the two rates are exact
+    * integer-over-integer double divisions, so cross-engine parity is
+    * bit-deterministic.
+    *
+    * Scale: one hash-keyed aggregate (min doc_id per sha-256 — the
+    * same shuffle class exact dedup q22 already pays) plus one
+    * bucket-keyed count; the cumulative window runs over the CURVE
+    * table only, which is corpus/B rows — pick B so it stays ~10³
+    * rows at any corpus size (50 here for sf-sized visibility). The
+    * corpus itself is scanned once and never self-joined. */
+  val q129DedupSaturation: QueryDef = QueryDef(
+    "q129_dedup_saturation",
+    (s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), sha2(col("text"), 256).as("h"),
+          expr("doc_id div 50").as("bucket"))
+      val totals = d.groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+      val news = d.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
+        .withColumn("bucket", expr("first_id div 50"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("new_docs"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+        .rowsBetween(Long.MinValue, 0)
+      totals.join(news, Seq("bucket"), "left")
+        .withColumn("new_docs", coalesce(col("new_docs"), lit(0L)))
+        .withColumn("cum_docs", sum(col("n_docs")).over(w))
+        .withColumn("cum_unique", sum(col("new_docs")).over(w))
+        .select(col("bucket"), col("n_docs"), col("new_docs"),
+          round(col("new_docs") / col("n_docs"), 6).as("new_rate"),
+          col("cum_docs"), col("cum_unique"),
+          round(col("cum_unique") / col("cum_docs"), 6).as("cum_unique_frac"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, sha256(text) AS h, doc_id // 50 AS bucket FROM documents),
+      totals AS (SELECT bucket, count(*) AS n_docs FROM d GROUP BY bucket),
+      news AS (SELECT first_id // 50 AS bucket, count(*) AS new_docs FROM (
+          SELECT h, min(doc_id) AS first_id FROM d GROUP BY h) f GROUP BY 1),
+      j AS (SELECT t.bucket, CAST(t.n_docs AS BIGINT) AS n_docs,
+          CAST(COALESCE(n.new_docs, 0) AS BIGINT) AS new_docs
+        FROM totals t LEFT JOIN news n ON t.bucket = n.bucket),
+      c AS (SELECT bucket, n_docs, new_docs,
+          CAST(sum(n_docs) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
+          CAST(sum(new_docs) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_unique
+        FROM j)
+      SELECT bucket, n_docs, new_docs,
+        round(new_docs / n_docs, 6) AS new_rate,
+        cum_docs, cum_unique,
+        round(cum_unique / cum_docs, 6) AS cum_unique_frac
+      FROM c ORDER BY bucket"""))
+
   val all: Seq[QueryDef] = Seq(
     q50MinhashSignature, q51LshJaccardPairs, q52MinhashAggregate,
     q53Simhash, q54NgramJaccard, q55EmbeddingNeardup, q90SimhashHamming,
-    q91DupClusters, q112EditDistPairs)
+    q91DupClusters, q112EditDistPairs, q129DedupSaturation)
 }

@@ -234,4 +234,34 @@ class AnnOpsSpec extends SparkSpec {
     // essentially every true neighbor; assert stronger than q85's 0.7
     assert(recall >= 0.9, s"SQ8 recall@10 = $recall")
   }
+
+  test("q130 kNN graph: IVF build at full probe IS the exact graph; recall is monotone in nprobe") {
+    import org.apache.spark.sql.functions._
+    graft.functions.expressions.VectorExpressions.register(spark)
+    val e = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    def edges(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rk"), r.getAs[Long]("nbr_id"))).toSet
+    val exact = edges(AnnOps.knnGraphExact(e, 5))
+    // nprobe = C probes every cell → candidate set is total → identity
+    assert(edges(AnnOps.knnGraphIvf(e, cents, 16, 5)) === exact)
+    // nested probe sets: per-vector recall can only grow with nprobe
+    def recall(nprobe: Int): Double = {
+      val ex = exact.map { case (v, _, n) => (v, n) }
+      val ap = edges(AnnOps.knnGraphIvf(e, cents, nprobe, 5))
+        .map { case (v, _, n) => (v, n) }
+      ap.intersect(ex).size.toDouble / ex.size
+    }
+    val (r2, r6) = (recall(2), recall(6))
+    assert(r2 <= r6 + 1e-9, s"recall fell as probes grew: $r2 > $r6")
+    assert(r2 > 0.0, "even 2-probe graphs must recover some true edges")
+    // the candidate join is equi on cell — never a cross product
+    val plan = AnnOps.knnGraphIvf(e, cents, 4, 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"IVF graph build degenerated to a cross product:\n${plan.take(600)}")
+  }
 }

@@ -53,6 +53,30 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q128: the audit is exactly q86's bins re-aggregated") {
+    val audit = CorpusOps.q128PackAudit.fn(spark, dir).collect()
+    val bins = CorpusOps.q86SeqPack.fn(spark, dir).collect()
+      .groupBy(_.getString(0))
+    assert(audit.nonEmpty && audit.map(_.getString(0)).distinct.length === audit.length)
+    audit.foreach { a =>
+      val rs = bins(a.getString(0))
+      val toks = rs.map(r => r.getLong(r.fieldIndex("sum_tokens")))
+      assert(a.getLong(a.fieldIndex("n_bins")) === rs.length.toLong)
+      assert(a.getLong(a.fieldIndex("n_docs")) ===
+        rs.map(r => r.getLong(r.fieldIndex("n_docs"))).sum)
+      assert(a.getLong(a.fieldIndex("total_tokens")) === toks.sum)
+      assert(a.getLong(a.fieldIndex("max_bin_tokens")) === toks.max)
+      assert(a.getLong(a.fieldIndex("min_bin_tokens")) === toks.min)
+      assert(a.getLong(a.fieldIndex("underfull_bins")) === toks.count(_ * 2 < 512).toLong)
+      val fill = a.getDouble(a.fieldIndex("fill_rate"))
+      assert(math.abs(fill - toks.sum.toDouble / (512.0 * rs.length)) < 1e-6)
+      // fill is positive, and can only exceed 1.0 via single-doc
+      // oversized bins (q86's capacity invariant)
+      assert(fill > 0.0)
+      if (fill > 1.0) assert(toks.exists(_ > 512), s"overfull without an oversized doc: $a")
+    }
+  }
+
   test("packGreedy sub-sharding spreads a single-source corpus over >1 task") {
     import spark.implicits._
     val S = 25L

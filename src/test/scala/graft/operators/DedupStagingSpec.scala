@@ -148,4 +148,26 @@ class DedupStagingSpec extends SparkSpec {
       assert(c <= doc, "canonical must be the cluster minimum")
     }
   }
+
+  test("q129 saturation curve conserves docs and ends at the exact distinct count") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.01")
+    val rows = DedupOps.q129DedupSaturation.fn(spark, dir).collect()
+    val d = graft.Tables.load(spark, dir, "documents")
+    val nDocs = d.count()
+    val nUnique = d.select(sha2(col("text"), 256)).distinct().count()
+    assert(rows.nonEmpty)
+    // buckets come out in order; cumulatives are consistent running sums
+    var (cd, cu) = (0L, 0L)
+    rows.foreach { r =>
+      val (n, nw) = (r.getLong(r.fieldIndex("n_docs")), r.getLong(r.fieldIndex("new_docs")))
+      assert(nw >= 0L && nw <= n, s"new_docs out of range: $r")
+      cd += n; cu += nw
+      assert(r.getLong(r.fieldIndex("cum_docs")) === cd)
+      assert(r.getLong(r.fieldIndex("cum_unique")) === cu)
+      assert(r.getDouble(r.fieldIndex("cum_unique_frac")) <= 1.0 + 1e-9)
+    }
+    assert(cd === nDocs, "every doc must land in exactly one bucket")
+    assert(cu === nUnique, "the curve must end at the corpus's exact distinct count")
+  }
 }

@@ -102,24 +102,42 @@ object DedupOps {
       SELECT doc_id, array_to_string(sig, '|') AS signature FROM sig
       ORDER BY doc_id"""))
 
+  /** LSH candidate pairs from a signature frame: band → bucket
+    * self-join → distinct (doc_a < doc_b). The ONLY pair-producing
+    * shuffle of the MinHash family — shared by q51's verify and
+    * q131's calibration audit. */
+  private def lshCandidatePairs(sig: DataFrame): DataFrame = {
+    val bands = sig.select(col("doc_id"),
+        explode(expr(s"""transform(sequence(0, ${Bands - 1}),
+          b -> struct(b as band_id,
+            concat(element_at(sig, 2 * b + 1), '|', element_at(sig, 2 * b + 2)) as band_key))""")).as("bd"))
+      .select(col("doc_id"), col("bd.band_id"), col("bd.band_key"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** The band + candidate-pair CTEs — the oracle text shared by q51
+    * and q131 so the two cannot drift. */
+  private val bandsPairsSqlCte =
+    s"""bands AS (SELECT doc_id, b AS band_id,
+       |    sig[2*b + 1] || '|' || sig[2*b + 2] AS band_key
+       |  FROM (SELECT doc_id, sig, unnest(range(0, $Bands)) AS b FROM sig) x),
+       |  pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |    FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |      AND a.doc_id < b.doc_id)""".stripMargin
+
   /** Full MinHash-LSH near-dup pipeline: band → bucket join → exact
     * Jaccard verify on the candidates only. */
   val q51LshJaccardPairs: QueryDef = QueryDef(
     "q51_lsh_jaccard_pairs",
     (s, dir) => {
       val hashed = hashedShingles(s, dir)
-      val sig = signatures(hashed)
-      val bands = sig.select(col("doc_id"),
-          explode(expr(s"""transform(sequence(0, ${Bands - 1}),
-            b -> struct(b as band_id,
-              concat(element_at(sig, 2 * b + 1), '|', element_at(sig, 2 * b + 2)) as band_key))""")).as("bd"))
-        .select(col("doc_id"), col("bd.band_id"), col("bd.band_key"))
-      val pairs = bands.as("a").join(bands.as("b"),
-          col("a.band_id") === col("b.band_id") &&
-            col("a.band_key") === col("b.band_key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+      val pairs = lshCandidatePairs(signatures(hashed))
       // exact Jaccard verify over the hashed shingle sets (collision-free
       // at 256 bits), candidates only
       pairs
@@ -133,13 +151,7 @@ object DedupOps {
     Some(s"""WITH $shingleSqlCte,
       $hashSqlCte,
       $sigSqlCte,
-      bands AS (SELECT doc_id, b AS band_id,
-          sig[2*b + 1] || '|' || sig[2*b + 2] AS band_key
-        FROM (SELECT doc_id, sig, unnest(range(0, $Bands)) AS b FROM sig) x),
-      pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-        ON a.band_id = b.band_id AND a.band_key = b.band_key
-          AND a.doc_id < b.doc_id)
+      $bandsPairsSqlCte
       SELECT doc_a, doc_b,
         round(CAST(len(list_intersect(ha.hashes, hb.hashes)) AS DOUBLE) /
           len(list_distinct(list_concat(ha.hashes, hb.hashes))), 6) AS jaccard
@@ -148,6 +160,59 @@ object DedupOps {
       JOIN hs hb ON doc_b = hb.doc_id
       ORDER BY doc_a, doc_b"""),
     headline = true)
+
+  // ---------------------------------------------------------------
+  // q131: MinHash estimator calibration
+  // ---------------------------------------------------------------
+
+  /** MinHash calibration audit: on the SAME candidate pairs q51
+    * verifies, put the signature-agreement estimate (matching
+    * components / K — the datasketch estimator, E[est] = J) next to
+    * the exact hashed-shingle Jaccard and report the absolute error.
+    * This is the table you read before trusting signature-only
+    * screening at scale: if |est − J| runs hot for your corpus, K is
+    * too small (the estimator's σ = sqrt(J(1−J)/K)). Estimates are
+    * exact i/K binary fractions and the exact Jaccard is q51's
+    * rounded expression, so cross-engine parity is deterministic.
+    *
+    * Scale: zero new shuffles — the pair table, signature frame, and
+    * hash frame all already exist in the q51 pass; the audit is three
+    * equi-joins on doc ids over the candidate-sized pair set. */
+  val q131MinhashCalibration: QueryDef = QueryDef(
+    "q131_minhash_calibration",
+    (s, dir) => {
+      val hashed = hashedShingles(s, dir)
+      val sig = signatures(hashed)
+      lshCandidatePairs(sig)
+        .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("siga")), Seq("doc_a"))
+        .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sigb")), Seq("doc_b"))
+        .join(hashed.select(col("doc_id").as("doc_a"), col("hashes").as("ha")), Seq("doc_a"))
+        .join(hashed.select(col("doc_id").as("doc_b"), col("hashes").as("hb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), b -> b))")
+            .cast("double") / K).as("est_jaccard"),
+          round(size(array_intersect(col("ha"), col("hb"))).cast("double") /
+            size(array_union(col("ha"), col("hb"))), 6).as("jaccard"))
+        .withColumn("abs_err", round(abs(col("est_jaccard") - col("jaccard")), 6))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""WITH $shingleSqlCte,
+      $hashSqlCte,
+      $sigSqlCte,
+      $bandsPairsSqlCte,
+      est AS (SELECT doc_a, doc_b,
+          CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+            x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END)) AS DOUBLE) / $K AS est_jaccard,
+          round(CAST(len(list_intersect(ha.hashes, hb.hashes)) AS DOUBLE) /
+            len(list_distinct(list_concat(ha.hashes, hb.hashes))), 6) AS jaccard
+        FROM pairs
+        JOIN sig sa ON doc_a = sa.doc_id
+        JOIN sig sb ON doc_b = sb.doc_id
+        JOIN hs ha ON doc_a = ha.doc_id
+        JOIN hs hb ON doc_b = hb.doc_id)
+      SELECT doc_a, doc_b, est_jaccard, jaccard,
+        round(abs(est_jaccard - jaccard), 6) AS abs_err
+      FROM est ORDER BY doc_a, doc_b"""))
 
   /** MinHash via the custom TypedImperativeAggregate over EXPLODED
     * shingle rows — identical signatures to q50 without materializing
@@ -579,5 +644,6 @@ object DedupOps {
   val all: Seq[QueryDef] = Seq(
     q50MinhashSignature, q51LshJaccardPairs, q52MinhashAggregate,
     q53Simhash, q54NgramJaccard, q55EmbeddingNeardup, q90SimhashHamming,
-    q91DupClusters, q112EditDistPairs, q129DedupSaturation)
+    q91DupClusters, q112EditDistPairs, q129DedupSaturation,
+    q131MinhashCalibration)
 }

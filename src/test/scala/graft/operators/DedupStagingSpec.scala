@@ -149,6 +149,27 @@ class DedupStagingSpec extends SparkSpec {
     }
   }
 
+  test("q131 calibration: same pairs as q51, estimates quantized, banding floor holds") {
+    val dir = sf("sf0.001")
+    val cal = DedupOps.q131MinhashCalibration.fn(spark, dir).collect()
+    val q51 = DedupOps.q51LshJaccardPairs.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cal.nonEmpty, "LSH must surface candidate pairs on testdata")
+    assert(cal.map(r => (r.getLong(0), r.getLong(1))).toSet === q51.keySet,
+      "the audit must cover exactly q51's candidate set")
+    cal.foreach { r =>
+      val (est, ex, err) = (r.getDouble(r.fieldIndex("est_jaccard")),
+        r.getDouble(r.fieldIndex("jaccard")), r.getDouble(r.fieldIndex("abs_err")))
+      // a candidate collided on >= 1 full band -> >= 2 of 8 components agree
+      assert(est >= 0.25 - 1e-9, s"banding floor violated: $r")
+      // estimates are exact i/8 binary fractions
+      assert((est * 8).round.toDouble === est * 8, s"unquantized estimate: $r")
+      assert(math.abs(ex - q51((r.getLong(0), r.getLong(1)))) < 1e-9,
+        "exact Jaccard must equal q51's verify value")
+      assert(math.abs(err - math.abs(est - ex)) < 2e-6, s"abs_err inconsistent: $r")
+    }
+  }
+
   test("q129 saturation curve conserves docs and ends at the exact distinct count") {
     import org.apache.spark.sql.functions._
     val dir = sf("sf0.01")

@@ -615,7 +615,19 @@ object AnnOps {
   // q130: k-NN graph construction (exact baseline + IVF-blocked build)
   // ---------------------------------------------------------------
 
-  private val GraphK = 5  // neighbors kept per vector
+  private[operators] val GraphK = 5  // neighbors kept per vector
+
+  /** The exact-graph oracle CTEs (e → all pairs → ranked) — shared
+    * with q132's clustering oracle in MixOps so the graph both
+    * queries stand on is one text. */
+  private[operators] val knnSqlCtes =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |      p AS (SELECT a.vec_id, b.vec_id AS nbr_id,
+       |          round(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2])), 6) AS cos
+       |        FROM e a, e b WHERE a.vec_id <> b.vec_id),
+       |      r AS (SELECT vec_id, nbr_id, cos,
+       |          row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rk
+       |        FROM p)""".stripMargin
 
   /** Exact k-NN graph: every vector's GraphK nearest neighbors by
     * cosine, with deterministic ranks (cosine rounded BEFORE ranking,
@@ -684,13 +696,7 @@ object AnnOps {
         .select(col("vec_id"), col("embedding"))
       knnGraphExact(e, GraphK).orderBy(col("vec_id"), col("rk"))
     },
-    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      p AS (SELECT a.vec_id, b.vec_id AS nbr_id,
-          round(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2])), 6) AS cos
-        FROM e a, e b WHERE a.vec_id <> b.vec_id),
-      r AS (SELECT vec_id, nbr_id, cos,
-          row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rk
-        FROM p)
+    Some(s"""WITH $knnSqlCtes
       SELECT vec_id, rk, nbr_id, cos FROM r WHERE rk <= $GraphK
       ORDER BY vec_id, rk"""))
 

@@ -512,38 +512,54 @@ object DedupOps {
     * At 100 TB the dup graph is orders of magnitude smaller than the
     * corpus (most docs have no near-duplicate), so every propagation
     * round shuffles the dup subgraph, not the corpus. */
+  /** Min-label connected components over an UNDIRECTED pair frame
+    * (doc_a, doc_b): each round every node takes the min of its own
+    * label and its neighbors', a join + groupBy per round with labels
+    * materialized to keep lineage flat — the Hash-to-Min shape q91's
+    * scaladoc describes, factored out so the SimHash dup graph (q91)
+    * and the mutual-kNN semantic graph (q132) run the SAME iteration.
+    * Returns (id, label) for EDGE ENDPOINTS only; isolated nodes are
+    * their own component by definition and re-enter via the caller's
+    * left join. Converges in O(component diameter) rounds. */
+  private[operators] def minLabelComponents(pairs: DataFrame,
+      maxRounds: Int = 20): DataFrame = {
+    val edges = materialize(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))),
+      "edges")
+    // working set: edge endpoints only (src already carries both
+    // directions after the union above)
+    var labels = materialize(edges
+      .select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")), "labels0")
+    var changed = true
+    var rounds = 0
+    while (changed && rounds < maxRounds) {
+      // min over incoming neighbor labels, folded with the old label
+      // in the same frame so the convergence check needs no second
+      // join — one materializing pass + one tiny count per round
+      val msgs = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("label")).as("m"))
+      val next = materialize(
+        labels.withColumnRenamed("label", "old")
+          .join(msgs, Seq("id"), "left_outer")
+          .withColumn("label", least(col("old"), coalesce(col("m"), col("old"))))
+          .select(col("id"), col("label"), col("old")),
+        s"labels${rounds + 1}")
+      changed = next.filter(col("label") < col("old")).limit(1).count() > 0
+      labels = next.select(col("id"), col("label"))
+      rounds += 1
+    }
+    labels
+  }
+
   val q91DupClusters: QueryDef = QueryDef(
     "q91_dup_clusters",
     (s, dir) => {
       val pairs = q90SimhashHamming.fn(s, dir).select(col("doc_a"), col("doc_b"))
-      val edges = materialize(
-        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))),
-        "edges")
-      // working set: edge endpoints only (src already carries both
-      // directions after the union above)
-      var labels = materialize(edges
-        .select(col("src").as("doc_id")).distinct()
-        .withColumn("label", col("doc_id")), "labels0")
-      var changed = true
-      var rounds = 0
-      while (changed && rounds < 20) {
-        // min over incoming neighbor labels, folded with the old label
-        // in the same frame so the convergence check needs no second
-        // join — one materializing pass + one tiny count per round
-        val msgs = edges
-          .join(labels.withColumnRenamed("doc_id", "src"), "src")
-          .groupBy(col("dst").as("doc_id")).agg(min(col("label")).as("m"))
-        val next = materialize(
-          labels.withColumnRenamed("label", "old")
-            .join(msgs, Seq("doc_id"), "left_outer")
-            .withColumn("label", least(col("old"), coalesce(col("m"), col("old"))))
-            .select(col("doc_id"), col("label"), col("old")),
-          s"labels${rounds + 1}")
-        changed = next.filter(col("label") < col("old")).limit(1).count() > 0
-        labels = next.select(col("doc_id"), col("label"))
-        rounds += 1
-      }
+      val labels = minLabelComponents(pairs)
+        .select(col("id").as("doc_id"), col("label"))
       docs(s, dir).select(col("doc_id"))
         .join(labels, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),

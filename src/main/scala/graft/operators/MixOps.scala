@@ -352,6 +352,62 @@ object MixOps {
       ORDER BY a.vec_id"""))
 
   // ---------------------------------------------------------------
+  // q132: mutual-kNN semantic clustering
+  // ---------------------------------------------------------------
+
+  /** Semantic clustering by connected components over the MUTUAL
+    * k-NN graph: keep an edge (a, b) only when b is in a's top-k AND
+    * a is in b's — the standard symmetrization that stops hub vectors
+    * from welding unrelated regions together — then min-label
+    * components give every vector a cluster id with the lowest vec_id
+    * as representative. This is the clustering substrate of
+    * diversity-aware selection (DataComp-style cluster pruning,
+    * SemDeDup §4's "keep one per semantic cluster" generalized past
+    * a fixed centroid count: cluster count FOLLOWS the data).
+    *
+    * Scale: the graph comes from the kNN build the index tier already
+    * pays for (q130 — IVF-blocked in production, exact here so the
+    * recursive-CTE oracle can reproduce it); the mutuality check is a
+    * self-equi-join on the k·N edge table, and the component
+    * iteration (DedupOps.minLabelComponents — the SAME loop as q91's
+    * SimHash clusters) shuffles edge endpoints only, never
+    * embeddings. */
+  val q132KnnClusters: QueryDef = QueryDef(
+    "q132_knn_clusters",
+    (s, dir) => {
+      graft.functions.expressions.VectorExpressions.register(s)
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val knn = AnnOps.knnGraphExact(e, AnnOps.GraphK)
+        .select(col("vec_id"), col("nbr_id"))
+      val mutual = knn.as("a").join(knn.as("b"),
+          col("a.vec_id") === col("b.nbr_id") &&
+            col("a.nbr_id") === col("b.vec_id") &&
+            col("a.vec_id") < col("a.nbr_id"))
+        .select(col("a.vec_id").as("doc_a"), col("a.nbr_id").as("doc_b"))
+      val labels = DedupOps.minLabelComponents(mutual)
+        .select(col("id").as("vec_id"), col("label"))
+      e.select(col("vec_id"))
+        .join(labels, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"),
+          coalesce(col("label"), col("vec_id")).as("cluster"))
+        .withColumn("is_rep", col("cluster") === col("vec_id"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH RECURSIVE ${AnnOps.knnSqlCtes},
+      knn AS (SELECT vec_id, nbr_id FROM r WHERE rk <= ${AnnOps.GraphK}),
+      mutual AS (SELECT a.vec_id AS src, a.nbr_id AS dst
+          FROM knn a JOIN knn b
+          ON a.vec_id = b.nbr_id AND a.nbr_id = b.vec_id),
+      reach(src, dst) AS (
+        SELECT vec_id, vec_id FROM e
+        UNION
+        SELECT r.src, m.dst FROM reach r JOIN mutual m ON r.dst = m.src)
+      SELECT src AS vec_id, CAST(min(dst) AS BIGINT) AS cluster,
+        (min(dst) = src) AS is_rep
+      FROM reach GROUP BY src ORDER BY src"""))
+
+  // ---------------------------------------------------------------
   // q122: cross-source n-gram overlap matrix
   // ---------------------------------------------------------------
 
@@ -417,5 +473,6 @@ object MixOps {
 
   val all: Seq[QueryDef] = Seq(
     q92Decontaminate, q93SplitAssign, q94DomainMix, q95SemanticDedup,
-    q109ContamFraction, q122SourceOverlap, q127EmbeddingOutliers)
+    q109ContamFraction, q122SourceOverlap, q127EmbeddingOutliers,
+    q132KnnClusters)
 }

@@ -184,6 +184,41 @@ class MixOpsSpec extends SparkSpec {
     assert(frac < 0.15, s"outlier fraction $frac implausibly high")
   }
 
+  test("q132: clusters equal a driver-side union-find over the mutual-kNN edges") {
+    graft.functions.expressions.VectorExpressions.register(spark)
+    val e = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val got = MixOps.q132KnnClusters.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent reference: collect the exact top-5 graph, build the
+    // mutual edge set, union-find it
+    val knn = AnnOps.knnGraphExact(e, 5).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id")))
+    val knnSet = knn.toSet
+    val mutual = knn.filter { case (a, b) => knnSet.contains((b, a)) }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    mutual.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = e.collect().map(_.getLong(0))
+    assert(got.keySet === ids.toSet)
+    ids.foreach { v =>
+      assert(got(v) === find(v), s"vector $v: cluster ${got(v)} != reference ${find(v)}")
+    }
+    // sanity on this testdata: the kNN relation is asymmetric somewhere,
+    // so mutualization actually prunes (not an invariant of the operator)
+    assert(mutual.length < knn.length, "every kNN edge was mutual — symmetrization did nothing")
+    // representatives are cluster minima and fixpoints
+    got.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.min === c, s"cluster $c rep is not its minimum")
+    }
+  }
+
   test("q122: overlap matrix is the upper triangle with consistent Jaccard") {
     val rows = MixOps.q122SourceOverlap.fn(spark, dir).collect()
     assert(rows.nonEmpty, "synthetic sources share template grams")

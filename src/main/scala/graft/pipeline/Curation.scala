@@ -47,6 +47,13 @@ object Curation {
     *        (`VectorML.fitQualityFilter`): every doc is scored with a
     *        target probability and dropped below `qualityFloor`;
     *        unscored docs (< 2 tokens) are kept
+    * @param semanticEmbeddings optional (doc_id, embedding) frame for
+    *        the SemDeDup stage (q95, Abbas et al. 2023): k-means
+    *        centroids are trained on it (`ml/VectorML.trainCentroids`
+    *        — the PRODUCTION centroid path, not q95's oracle pick),
+    *        and non-canonical cluster members whose cosine to a
+    *        lower-doc_id member exceeds `semanticDupCos` are dropped;
+    *        docs without an embedding row are kept
     * @param mixtureRates   percent kept per `lang` (q94's shape);
     *        langs absent from the map keep `defaultRate`
     * @param packDocsPerSubShard packing de-skew knob (q86's
@@ -64,6 +71,9 @@ object Curation {
       dsirFloor: Double = 0.0,
       qualityTarget: Option[DataFrame] = None,
       qualityFloor: Double = 0.5,
+      semanticEmbeddings: Option[DataFrame] = None,
+      semanticCentroids: Int = 8,
+      semanticDupCos: Double = 0.35,
       mixtureRates: Map[String, Long] = Map.empty,
       defaultRate: Long = 100L,
       temperatureBalance: Boolean = false,
@@ -73,7 +83,8 @@ object Curation {
   final case class CurationSummary(
       raw: Long, gated: Long, boilerDropped: Long, contaminatedDropped: Long,
       perplexityDropped: Long, dsirDropped: Long, qualityDropped: Long,
-      sampledOut: Long, tempSampledOut: Long, packedDocs: Long, bins: Long)
+      semanticDropped: Long, sampledOut: Long, tempSampledOut: Long,
+      packedDocs: Long, bins: Long)
 
   private def materialize(df: DataFrame, tag: String): DataFrame =
     graft.Staging.materialize(df, tag, "spark.graft.corpus.stagingDir")
@@ -143,6 +154,21 @@ object Curation {
         .filter(col("quality") < cfg.qualityFloor)
         .select(col("doc_id"), lit(true).as("is_qual_out"))
     }
+    // SemDeDup stage (q95's operator on TRAINED k-means centroids):
+    // non-canonical near-identical cluster members are dropped; the
+    // flag is one slim (doc_id, flag) join like every optional stage,
+    // and the whole embedding pass (assign + cluster-blocked pairs)
+    // never touches text
+    val semIds = cfg.semanticEmbeddings.map { emb =>
+      graft.functions.expressions.VectorExpressions.register(docs.sparkSession)
+      val e = emb.select(col("doc_id").as("vec_id"), col("embedding"))
+      val cents = graft.ml.VectorML.trainCentroids(
+          e, "embedding", cfg.semanticCentroids)
+        .select(col("cid").cast("long").as("cid"), col("cv").as("cvec"))
+      MixOps.semDedup(e, cents, cfg.semanticDupCos)
+        .filter(col("is_dup"))
+        .select(col("vec_id").as("doc_id"), lit(true).as("is_sem_dup"))
+    }
     // one flagged pass: every stage's verdict as a column, every
     // stage's count as an observation on the SAME materialization
     val rateCol = cfg.mixtureRates.foldLeft(lit(cfg.defaultRate)) {
@@ -178,13 +204,16 @@ object Curation {
         ids => flagged1.join(ids, Seq("doc_id"), "left_outer"))
     val flagged3 = dsirIds.fold(flagged2.withColumn("is_dsir_out", lit(false)))(
         ids => flagged2.join(ids, Seq("doc_id"), "left_outer"))
-    val flagged = qualIds.fold(flagged3.withColumn("is_qual_out", lit(false)))(
+    val flagged4 = qualIds.fold(flagged3.withColumn("is_qual_out", lit(false)))(
         ids => flagged3.join(ids, Seq("doc_id"), "left_outer"))
+    val flagged = semIds.fold(flagged4.withColumn("is_sem_dup", lit(false)))(
+        ids => flagged4.join(ids, Seq("doc_id"), "left_outer"))
       .withColumn("is_boiler", coalesce(col("is_boiler"), lit(false)))
       .withColumn("is_contam", coalesce(col("is_contam"), lit(false)))
       .withColumn("is_ppl_out", coalesce(col("is_ppl_out"), lit(false)))
       .withColumn("is_dsir_out", coalesce(col("is_dsir_out"), lit(false)))
       .withColumn("is_qual_out", coalesce(col("is_qual_out"), lit(false)))
+      .withColumn("is_sem_dup", coalesce(col("is_sem_dup"), lit(false)))
     val obs = Observation()
     val clean = materialize(flagged
       .observe(obs,
@@ -202,15 +231,19 @@ object Curation {
           .as("qual_dropped"),
         count(when(col("pass_gate") && !col("is_boiler") && !col("is_contam") &&
           !col("is_ppl_out") && !col("is_dsir_out") && !col("is_qual_out") &&
-          !col("pass_mix"), true))
+          col("is_sem_dup"), true))
+          .as("sem_dropped"),
+        count(when(col("pass_gate") && !col("is_boiler") && !col("is_contam") &&
+          !col("is_ppl_out") && !col("is_dsir_out") && !col("is_qual_out") &&
+          !col("is_sem_dup") && !col("pass_mix"), true))
           .as("sampled_out"),
         count(when(col("pass_gate") && !col("is_boiler") && !col("is_contam") &&
           !col("is_ppl_out") && !col("is_dsir_out") && !col("is_qual_out") &&
-          col("pass_mix") && !col("pass_temp"), true))
+          !col("is_sem_dup") && col("pass_mix") && !col("pass_temp"), true))
           .as("temp_sampled_out"))
       .filter(col("pass_gate") && !col("is_boiler") && !col("is_contam") &&
         !col("is_ppl_out") && !col("is_dsir_out") && !col("is_qual_out") &&
-        col("pass_mix") && col("pass_temp"))
+        !col("is_sem_dup") && col("pass_mix") && col("pass_temp"))
       .select(col("source"), col("doc_id"), col("text")), "clean")
     // exact dedup (min doc_id per content hash) + packing
     val keepIds = clean.groupBy(sha2(col("text"), 256).as("h"))
@@ -230,6 +263,7 @@ object Curation {
       perplexityDropped = obs.get("ppl_dropped").asInstanceOf[Long],
       dsirDropped = obs.get("dsir_dropped").asInstanceOf[Long],
       qualityDropped = obs.get("qual_dropped").asInstanceOf[Long],
+      semanticDropped = obs.get("sem_dropped").asInstanceOf[Long],
       sampledOut = obs.get("sampled_out").asInstanceOf[Long],
       tempSampledOut = obs.get("temp_sampled_out").asInstanceOf[Long],
       packedDocs = obsPack.get("packed_docs").asInstanceOf[Long],

@@ -26,15 +26,16 @@ class CurationSpec extends SparkSpec {
     val (bins, s) = Curation.run(docs)
     assert(s.raw === docs.count())
     assert(s.gated <= s.raw)
-    // survivors = gated minus the seven drop stages, then dedup
+    // survivors = gated minus the eight drop stages, then dedup
     val survivors = s.gated - s.boilerDropped - s.contaminatedDropped -
-      s.perplexityDropped - s.dsirDropped - s.qualityDropped - s.sampledOut -
-      s.tempSampledOut
+      s.perplexityDropped - s.dsirDropped - s.qualityDropped -
+      s.semanticDropped - s.sampledOut - s.tempSampledOut
     assert(s.packedDocs <= survivors)
     assert(s.contaminatedDropped === 0L, "no benchmark set configured")
     assert(s.perplexityDropped === 0L, "no perplexity ceiling configured")
     assert(s.dsirDropped === 0L, "no DSIR target configured")
     assert(s.qualityDropped === 0L, "no quality exemplar configured")
+    assert(s.semanticDropped === 0L, "no embeddings configured")
     assert(s.sampledOut === 0L, "default rate keeps everything")
     assert(s.tempSampledOut === 0L, "temperature balancing off by default")
     assert(s.bins === bins.count())
@@ -160,6 +161,28 @@ class CurationSpec extends SparkSpec {
     assert(base.qualityDropped === 0L)
   }
 
+  test("semantic dedup stage drops exactly semDedup's flag set") {
+    graft.functions.expressions.VectorExpressions.register(spark)
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val (_, base) = Curation.run(docs)
+    val (_, sem) = Curation.run(docs, Curation.CurationConfig(
+      semanticEmbeddings = Some(emb)))
+    // recompute the flag set with the same deterministic k-means
+    // (seed is fixed) — the stage must drop exactly the flagged docs
+    // that survive every earlier stage; with the default config no
+    // earlier optional stage is on, so the upper bound is the full set
+    val e = emb.select(col("doc_id").as("vec_id"), col("embedding"))
+    val cents = graft.ml.VectorML.trainCentroids(e, "embedding", 8)
+      .select(col("cid").cast("long").as("cid"), col("cv").as("cvec"))
+    val flagged = MixOps.semDedup(e, cents, 0.35)
+      .filter(col("is_dup")).count()
+    assert(sem.semanticDropped > 0L, "testdata has planted near-dups; some must drop")
+    assert(sem.semanticDropped <= flagged)
+    assert(base.semanticDropped === 0L)
+    assert(sem.packedDocs <= base.packedDocs)
+  }
+
   test("all optional stages compose: counts stay consistent with every knob on") {
     val probe = CorpusOps.fiveGramsOf(docs.limit(1))
       .select(explode(col("shingles")).as("sh"))
@@ -172,6 +195,8 @@ class CurationSpec extends SparkSpec {
       docs.join(target.select(col("doc_id")), Seq("doc_id"), "left_anti"), target)
     val qFloor = qScorer(docs)
       .stat.approxQuantile("quality", Array(0.25), 0.0).head
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
     val (bins, s) = Curation.run(docs, Curation.CurationConfig(
       benchmarkGrams = Some(probe),
       maxAvgNll = Some(ceil),
@@ -179,12 +204,13 @@ class CurationSpec extends SparkSpec {
       dsirFloor = floor,
       qualityTarget = Some(target),
       qualityFloor = qFloor,
+      semanticEmbeddings = Some(emb),
       mixtureRates = Map("zh" -> 10L),
       temperatureBalance = true))
     // stage accounting still conserves documents under full composition
     val survivors = s.gated - s.boilerDropped - s.contaminatedDropped -
-      s.perplexityDropped - s.dsirDropped - s.qualityDropped - s.sampledOut -
-      s.tempSampledOut
+      s.perplexityDropped - s.dsirDropped - s.qualityDropped -
+      s.semanticDropped - s.sampledOut - s.tempSampledOut
     assert(survivors >= 0L)
     assert(s.packedDocs <= survivors)
     assert(s.bins === bins.count())

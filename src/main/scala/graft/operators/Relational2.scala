@@ -152,7 +152,49 @@ object Relational2 {
         .orderBy(col("l_returnflag")),
     None)
 
+  // ---------------------------------------------------------------
+  // q133: Misra-Gries heavy hitters over the document token stream
+  // ---------------------------------------------------------------
+
+  /** Top-20 frequent tokens via the Misra-Gries summary
+    * (`functions/expressions/MisraGriesAgg`): per-partition k-counter
+    * summaries merged associatively, never a full-vocabulary shuffle.
+    * On this corpus k = 64 exceeds the distinct-token count, so no
+    * eviction fires and the summary is EXACT — which is what lets the
+    * DuckDB oracle check it with a plain count(*). The approximation
+    * regime (k below the vocabulary, the 100 TB configuration where
+    * the vocab itself is too big to shuffle) is pinned by
+    * MisraGriesSpec: the est ≤ f ≤ est + N/(k+1) bound and the
+    * no-missed-heavy-hitter guarantee hold under any partitioning.
+    *
+    * Scale: one narrow explode feeds partial aggregation — map-side
+    * combine reduces every partition to ≤ k counters before the
+    * single-row final merge; the corpus is scanned once and the only
+    * shuffled bytes are k-sized summaries. */
+  val q133HeavyHitters: QueryDef = QueryDef(
+    "q133_heavy_hitters",
+    (s, dir) => {
+      graft.functions.expressions.MisraGriesAgg.register(s)
+      Tables.loadParallel(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .agg(expr("misra_gries(token, 64)").as("hh"))
+        .select(posexplode(col("hh")).as(Seq("pos", "e")))
+        .filter(col("pos") < 20)
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("e.token").as("token"), col("e.est").as("est_count"))
+        .orderBy(col("rank"))
+    },
+    Some("""WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents),
+      counts AS (SELECT token, CAST(count(*) AS BIGINT) AS est_count
+        FROM toks GROUP BY token)
+      SELECT CAST(row_number() OVER (ORDER BY est_count DESC, token) AS BIGINT) AS rank,
+        token, est_count
+      FROM counts ORDER BY est_count DESC, token LIMIT 20"""))
+
   val all: Seq[QueryDef] = Seq(
     q70BelowAvgParts, q71Having, q72ShipDelay, q73ConditionalAgg,
-    q74StringReport, q75Except, q76Percentiles, q77Sketches)
+    q74StringReport, q75Except, q76Percentiles, q77Sketches,
+    q133HeavyHitters)
 }

@@ -333,6 +333,18 @@ object DedupOps {
 
   /** Shared q90/q112 oracle CTEs ending in `ham(doc_a, doc_b, hamming)`
     * — one copy of the banded SimHash pair pipeline. */
+  /** simhashPairSqlCtes + the undirected-edge transitive closure — the
+    * component CTEs shared by q91 and the q134 histogram. */
+  private lazy val clusterReachSqlCtes =
+    s"""$simhashPairSqlCtes,
+       |      hamp AS (SELECT doc_a, doc_b FROM ham WHERE hamming <= $HamMax),
+       |      edges AS (SELECT doc_a AS src, doc_b AS dst FROM hamp
+       |        UNION SELECT doc_b, doc_a FROM hamp),
+       |      reach(src, dst) AS (
+       |        SELECT doc_id, doc_id FROM documents
+       |        UNION
+       |        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)""".stripMargin
+
   private lazy val simhashPairSqlCtes =
     s"""toks AS (SELECT doc_id, substr(sha256(tok), 1, 16) AS h FROM (
        |        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
@@ -568,31 +580,47 @@ object DedupOps {
         .orderBy(col("doc_id"))
     },
     Some(s"""WITH RECURSIVE
-      toks AS (SELECT doc_id, substr(sha256(tok), 1, 16) AS h FROM (
-        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
-        FROM documents) t),
-      sig AS (SELECT doc_id, $simhashConcatExpr AS simhash FROM toks GROUP BY doc_id),
-      blocks AS (SELECT doc_id, bs.b AS block_id,
-          substr(simhash, bs.b * ${64 / HamBlocks} + 1, ${64 / HamBlocks}) AS blk
-        FROM sig, (SELECT unnest(range(0, $HamBlocks)) AS b) bs),
-      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM blocks a JOIN blocks b
-        ON a.block_id = b.block_id AND a.blk = b.blk AND a.doc_id < b.doc_id),
-      ham AS (SELECT doc_a, doc_b FROM (SELECT doc_a, doc_b,
-          list_sum([CASE WHEN substr(sa.simhash, i, 1) <> substr(sb.simhash, i, 1)
-                         THEN 1 ELSE 0 END for i in range(1, 65)]) AS hamming
-        FROM cand
-        JOIN sig sa ON doc_a = sa.doc_id
-        JOIN sig sb ON doc_b = sb.doc_id) hh WHERE hamming <= $HamMax),
-      edges AS (SELECT doc_a AS src, doc_b AS dst FROM ham
-        UNION SELECT doc_b, doc_a FROM ham),
-      reach(src, dst) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      $clusterReachSqlCtes
       SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS canonical,
         (min(dst) = src) AS is_canonical
       FROM reach GROUP BY src ORDER BY src"""))
+
+  // ---------------------------------------------------------------
+  // q134: dup-cluster size histogram
+  // ---------------------------------------------------------------
+
+  /** Cluster-size histogram over q91's components: how many clusters
+    * exist at each size, how many docs they hold, and how many would
+    * drop under keep-one-per-cluster — the one-page dedup report read
+    * before choosing hard keep-one (q91) vs soft dedup (q116), and
+    * the duplication-profile summary dedup papers lead with (Lee et
+    * al. report exactly this distribution). All-integer, so
+    * cross-engine parity is exact.
+    *
+    * Scale: sizing clusters is one count keyed on the canonical label
+    * (the q22 exact-dedup shuffle class); the histogram then
+    * aggregates the component-count-sized table. Nothing new touches
+    * text or pairs — the expensive work is q91's, already paid. */
+  val q134ClusterHistogram: QueryDef = QueryDef(
+    "q134_cluster_histogram",
+    (s, dir) =>
+      q91DupClusters.fn(s, dir)
+        .groupBy(col("canonical")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+        .withColumn("dup_docs", (col("cluster_size") - 1) * col("n_clusters"))
+        .orderBy(col("cluster_size")),
+    Some(s"""WITH RECURSIVE
+      $clusterReachSqlCtes,
+      canon AS (SELECT src AS doc_id, min(dst) AS canonical
+        FROM reach GROUP BY src),
+      sizes AS (SELECT canonical, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM canon GROUP BY canonical)
+      SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+        CAST((cluster_size - 1) * count(*) AS BIGINT) AS dup_docs
+      FROM sizes GROUP BY cluster_size ORDER BY cluster_size"""))
 
   // ---------------------------------------------------------------
   // q129: dedup-saturation curve
@@ -661,5 +689,5 @@ object DedupOps {
     q50MinhashSignature, q51LshJaccardPairs, q52MinhashAggregate,
     q53Simhash, q54NgramJaccard, q55EmbeddingNeardup, q90SimhashHamming,
     q91DupClusters, q112EditDistPairs, q129DedupSaturation,
-    q131MinhashCalibration)
+    q131MinhashCalibration, q134ClusterHistogram)
 }

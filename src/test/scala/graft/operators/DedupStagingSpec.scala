@@ -170,6 +170,22 @@ class DedupStagingSpec extends SparkSpec {
     }
   }
 
+  test("q134 histogram is exactly q91's components re-counted; docs conserve") {
+    val dir = sf("sf0.001")
+    val hist = DedupOps.q134ClusterHistogram.fn(spark, dir).collect()
+    val canon = DedupOps.q91DupClusters.fn(spark, dir).collect()
+      .map(r => r.getLong(1))
+    val sizes = canon.groupBy(identity).map(_._2.length.toLong)
+      .groupBy(identity).map { case (sz, xs) => sz -> xs.size.toLong }
+    assert(hist.map(r => r.getLong(0) -> r.getLong(1)).toMap === sizes)
+    hist.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_docs")) === r.getLong(0) * r.getLong(1))
+      assert(r.getLong(r.fieldIndex("dup_docs")) === (r.getLong(0) - 1) * r.getLong(1))
+    }
+    assert(hist.map(r => r.getLong(r.fieldIndex("n_docs"))).sum === canon.length.toLong,
+      "histogram must conserve every document")
+  }
+
   test("q129 saturation curve conserves docs and ends at the exact distinct count") {
     import org.apache.spark.sql.functions._
     val dir = sf("sf0.01")

@@ -123,6 +123,26 @@ case class MisraGriesAgg(
 }
 
 object MisraGriesAgg {
+
+  /** The Agarwal et al. mergeable-summaries rule as a driver-side
+    * function — the SAME merge the aggregate applies between
+    * partitions, exposed so cross-batch accumulation (a streaming
+    * foreachBatch monitor holding one k-counter state) provably
+    * composes with the in-batch aggregate: error stays ≤ N/(k+1) for
+    * the TOTAL stream length N, and no (1/(k+1))-heavy token is lost
+    * across batch boundaries. */
+  def mergeSummaries(a: Map[String, Long], b: Map[String, Long], k: Int): Map[String, Long] = {
+    val m = mutable.HashMap.empty[String, Long]
+    a.foreach { case (t, c) => m.update(t, c) }
+    b.foreach { case (t, c) => m.update(t, m.getOrElse(t, 0L) + c) }
+    if (m.size > k) {
+      val counts = m.values.toArray
+      java.util.Arrays.sort(counts)
+      val cut = counts(counts.length - (k + 1))
+      m.filter(_._2 > cut).map { case (t, c) => t -> (c - cut) }.toMap
+    } else m.toMap
+  }
+
   /** SQL registration: `misra_gries(token)` (k = 64) or
     * `misra_gries(token, k)` with a literal capacity. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -167,4 +167,41 @@ class EventStreamsSpec extends SparkSpec {
     assert(spark.read.parquet(sink).select("doc_id").collect().map(_.getLong(0)).toSet
       === Set(1L, 5L))
   }
+
+  test("heavy-hitter monitor over 3 micro-batches obeys the MG bound for the whole stream") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val src = Files.createTempDirectory("graft-hh-src").toString
+    val ckpt = Files.createTempDirectory("graft-hh-ckpt").toString
+    // skewed stream split across batches: token t<i> appears (20-i)^2
+    // times overall, scattered so batch boundaries cut inside tokens'
+    // runs (the regime where naive per-batch top-k loses tallies)
+    val toks = new scala.util.Random(7).shuffle(
+      (0 until 20).flatMap(i => Seq.fill((20 - i) * (20 - i))(s"t$i")).toVector)
+    val parts = toks.grouped((toks.length + 2) / 3).toSeq
+    def doc(id: Long, ts: Seq[String]) =
+      s"""{"doc_id":$id,"text":"${ts.mkString(" ")}"}"""
+    val k = 6
+    val mon = new HeavyHitters.Monitor(k)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      writeBatch(src, Seq(doc(i.toLong, p)), s"b$i.json")
+      EventStreams.runAvailableNowForeachBatch(
+        EventStreams.incrementalFiles(spark, src, docSchema), ckpt) { (batch, _) =>
+        mon.observe(batch.select(
+          explode(split(trim(col("text")), "\\s+")).as("token")))
+      }
+    }
+    val got = mon.summary.toMap
+    assert(got.size <= k)
+    val exact = (0 until 20).map(i => s"t$i" -> ((20 - i) * (20 - i)).toLong).toMap
+    val n = toks.length.toLong
+    got.foreach { case (t, est) =>
+      assert(est <= exact(t), s"overcount for $t")
+      assert(exact(t) <= est + n / (k + 1) + 1, s"bound broken for $t")
+    }
+    // tokens heavier than N/(k+1) survive every batch boundary
+    exact.filter(_._2 > n / (k + 1)).keys.foreach { t =>
+      assert(got.contains(t), s"monitor lost heavy hitter $t across batches")
+    }
+  }
 }

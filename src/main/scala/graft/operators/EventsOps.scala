@@ -138,6 +138,177 @@ object EventsOps {
       GROUP BY CUBE (event_type, weekday)
       ORDER BY event_type NULLS FIRST, weekday NULLS FIRST"""))
 
+  // ---------------------------------------------------------------
+  // q135: funnel analysis (ordered step completion per user)
+  // ---------------------------------------------------------------
+
+  /** Three-step funnel signup → view → purchase: per user, the
+    * earliest signup, the earliest view STRICTLY AFTER it, and the
+    * earliest purchase strictly after that — the classic ordered
+    * funnel (earliest-completion semantics, the default in product
+    * analytics engines), with the step count reached.
+    *
+    * Scale: each step is one filtered aggregate keyed on user_id
+    * joined equi to the previous step's (user_id, ts) frame — three
+    * user-keyed hash joins that co-partition under one shuffle key,
+    * never a self-cross; step frames shrink monotonically (funnels
+    * only narrow), so later joins are cheaper than earlier ones. */
+  val q135Funnel: QueryDef = QueryDef(
+    "q135_funnel",
+    (s, dir) => {
+      val e = ev(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
+      val s2 = e.filter(col("event_type") === "view")
+        .join(s1, Seq("user_id"))
+        .filter(col("ts") > col("t_signup"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val s3 = e.filter(col("event_type") === "purchase")
+        .join(s2, Seq("user_id"))
+        .filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      e.select(col("user_id")).distinct()
+        .join(s1, Seq("user_id"), "left_outer")
+        .join(s2, Seq("user_id"), "left_outer")
+        .join(s3, Seq("user_id"), "left_outer")
+        .withColumn("steps",
+          when(col("t_purchase").isNotNull, 3L)
+            .when(col("t_view").isNotNull, 2L)
+            .when(col("t_signup").isNotNull, 1L).otherwise(0L))
+        .select(col("user_id"), col("t_signup"), col("t_view"),
+          col("t_purchase"), col("steps"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+      s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+      SELECT u.user_id, CAST(s1.t1 AS TIMESTAMP) AS t_signup,
+        CAST(s2.t2 AS TIMESTAMP) AS t_view,
+        CAST(s3.t3 AS TIMESTAMP) AS t_purchase,
+        CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                  WHEN s2.t2 IS NOT NULL THEN 2
+                  WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps
+      FROM u
+      LEFT JOIN s1 ON u.user_id = s1.user_id
+      LEFT JOIN s2 ON u.user_id = s2.user_id
+      LEFT JOIN s3 ON u.user_id = s3.user_id
+      ORDER BY u.user_id"""))
+
+  // ---------------------------------------------------------------
+  // q136: cohort retention matrix
+  // ---------------------------------------------------------------
+
+  /** Cohort retention: users grouped by first-active day, counted
+    * active at each day offset — the (cohort_day × day_offset) matrix
+    * every retention dashboard draws. All-integer counts over date
+    * arithmetic both engines define identically.
+    *
+    * Scale: first-active day is one user-keyed aggregate (broadcast
+    * back or co-partitioned join — user cardinality ≪ events); the
+    * matrix aggregate shuffles (cohort_day, day_offset) pairs, a
+    * frame bounded by days², independent of event volume. */
+  val q136Retention: QueryDef = QueryDef(
+    "q136_retention",
+    (s, dir) => {
+      val d = ev(s, dir).select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohort = d.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      d.join(cohort, Seq("user_id"))
+        .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+    Some("""WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      cohort AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+      SELECT c.cohort_day, CAST(date_diff('day', c.cohort_day, d.day) AS BIGINT) AS day_offset,
+        CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+      FROM d JOIN cohort c ON d.user_id = c.user_id
+      GROUP BY c.cohort_day, day_offset
+      ORDER BY c.cohort_day, day_offset"""))
+
+  // ---------------------------------------------------------------
+  // q137: next-event transition matrix (first-order Markov counts)
+  // ---------------------------------------------------------------
+
+  /** Per-user next-event transitions: for each ordered (event_type →
+    * next event_type) pair, the count and the row-normalized
+    * probability — the first-order Markov matrix behind "what do users
+    * do after X" path analysis.
+    *
+    * Scale: the lead() window shuffles on user_id (the same key class
+    * as sessionization — never a global sort); the aggregate shuffles
+    * (from, to) pairs bounded by the event-type vocabulary squared;
+    * row normalization is a window over that matrix-sized table only.
+    * Order within a user is total (ts, event_id), so the matrix is
+    * deterministic cluster-wide. */
+  val q137Transitions: QueryDef = QueryDef(
+    "q137_transitions",
+    (s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val matrix = ev(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n_trans"))
+      matrix
+        .withColumn("tot",
+          sum(col("n_trans")).over(Window.partitionBy(col("event_type"))))
+        .withColumn("p", round(col("n_trans") / col("tot"), 6))
+        .select(col("event_type"), col("next_type"), col("n_trans"), col("p"))
+        .orderBy(col("event_type"), col("next_type"))
+    },
+    Some("""WITH seq AS (
+        SELECT event_type, lead(event_type) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events),
+      t AS (SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n_trans
+        FROM seq WHERE next_type IS NOT NULL GROUP BY event_type, next_type)
+      SELECT event_type, next_type, n_trans,
+        round(n_trans / CAST(sum(n_trans) OVER (PARTITION BY event_type) AS BIGINT), 6) AS p
+      FROM t ORDER BY event_type, next_type"""))
+
+  // ---------------------------------------------------------------
+  // q138: sliding (hopping) window counts — T4's overlapping form
+  // ---------------------------------------------------------------
+
+  /** 1-hour windows sliding every 15 minutes: each event lands in
+    * exactly 4 overlapping windows (the batch dual of
+    * `window(ts, "1 hour", "15 minutes")` in Structured Streaming;
+    * the oracle derives the same epoch-aligned starts arithmetically).
+    *
+    * Scale: the window() explode is a narrow ×4 fan-out (the
+    * overlap factor, a constant) followed by one aggregate keyed on
+    * the window start — q15's shuffle class. At 100 TB the knob is
+    * the overlap factor itself (duration/slide), not data volume;
+    * the streaming form pays state instead of fan-out. */
+  val q138SlidingWindows: QueryDef = QueryDef(
+    "q138_sliding_windows",
+    (s, dir) => {
+      ev(s, dir).select(col("ts"), col("value"))
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .select(col("w.start").as("window_start"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("window_start"))
+    },
+    Some("""WITH g AS (
+        SELECT CAST(floor(epoch(ts)/900) AS BIGINT)*900 - 900*t.k AS s, value
+        FROM events, (SELECT unnest(range(0, 4)) AS k) t)
+      SELECT TIMESTAMP '1970-01-01' + s * INTERVAL 1 SECOND AS window_start,
+        CAST(count(*) AS BIGINT) AS n_events,
+        round(sum(value), 2) AS total_value
+      FROM g GROUP BY s ORDER BY window_start"""))
+
   val all: Seq[QueryDef] = Seq(
-    q60Sessionize, q61AsofJoin, q62RangeJoin, q63Pivot, q64Cube)
+    q60Sessionize, q61AsofJoin, q62RangeJoin, q63Pivot, q64Cube,
+    q135Funnel, q136Retention, q137Transitions, q138SlidingWindows)
 }

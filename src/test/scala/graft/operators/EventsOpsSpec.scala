@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants for the event-analytics tier's ordered operators (the
+  * oracle checks exact values; these pin the semantic shape). */
+class EventsOpsSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  test("q135 funnel: step times strictly ascend, steps column matches nullness") {
+    val rows = EventsOps.q135Funnel.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (t1, t2, t3) = (r.getAs[java.sql.Timestamp]("t_signup"),
+        r.getAs[java.sql.Timestamp]("t_view"),
+        r.getAs[java.sql.Timestamp]("t_purchase"))
+      val steps = r.getAs[Long]("steps")
+      // later steps require earlier ones, strictly later in time
+      if (t3 != null) { assert(t2 != null && t3.after(t2)) }
+      if (t2 != null) { assert(t1 != null && t2.after(t1)) }
+      assert(steps === Seq(t1, t2, t3).count(_ != null).toLong)
+    }
+    // the funnel narrows
+    val byStep = rows.groupBy(_.getAs[Long]("steps")).view.mapValues(_.length)
+    val reached = (0 to 3).map(k => rows.count(_.getAs[Long]("steps") >= k))
+    assert(reached.zip(reached.tail).forall { case (a, b) => a >= b })
+    assert(byStep.values.sum === rows.length)
+  }
+
+  test("q136 retention: offset-0 row equals cohort size; actives never exceed it") {
+    val rows = EventsOps.q136Retention.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[java.sql.Date]("cohort_day"))
+    byCohort.foreach { case (day, rs) =>
+      val zero = rs.find(_.getAs[Long]("day_offset") === 0L)
+      assert(zero.isDefined, s"cohort $day missing its offset-0 row")
+      val size = zero.get.getAs[Long]("n_users")
+      rs.foreach { r =>
+        assert(r.getAs[Long]("day_offset") >= 0L, "activity before the cohort day")
+        assert(r.getAs[Long]("n_users") <= size,
+          s"cohort $day retains more users than it has")
+      }
+    }
+    // total cohort sizes cover every user exactly once
+    val users = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id")).distinct().count()
+    val cohortTotal = byCohort.values
+      .map(_.find(_.getAs[Long]("day_offset") === 0L).get.getAs[Long]("n_users")).sum
+    assert(cohortTotal === users)
+  }
+
+  test("q137 transitions: rows normalize per from-state; counts cover every consecutive pair") {
+    val rows = EventsOps.q137Transitions.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (from, rs) =>
+      val pSum = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(pSum - 1.0) < 1e-4, s"from-state $from probabilities sum to $pSum")
+      rs.foreach(r => assert(r.getAs[Long]("n_trans") > 0L))
+    }
+    // each user contributes exactly (events - 1) transitions
+    val e = graft.Tables.load(spark, dir, "events")
+    val expected = e.count() - e.select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_trans")).sum === expected)
+  }
+
+  test("q138 sliding windows: 4x fan-out conserved, starts on the 15-minute grid") {
+    val rows = EventsOps.q138SlidingWindows.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val total = graft.Tables.load(spark, dir, "events").count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum === 4L * total,
+      "every event must land in exactly duration/slide = 4 windows")
+    rows.foreach { r =>
+      val start = r.getAs[java.sql.Timestamp]("window_start")
+      assert(start.getTime % (15 * 60 * 1000L) === 0L, s"window start $start off-grid")
+    }
+  }
+}

@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.expressions.{DotProductFloat, L1Float, L2SqFloat, LLMComplete, SinglePassFusion}
+import graft.plans.AsOfJoinStrategy
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -31,5 +32,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("llm_complete", "llm_complete(prompt, clientName) - LLM completion via a registered client"),
       (es: Seq[Expression]) => LLMComplete(es.head, es(1).eval(null).toString)))
     ext.injectOptimizerRule(_ => SinglePassFusion)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

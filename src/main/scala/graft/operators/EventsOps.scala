@@ -308,7 +308,47 @@ object EventsOps {
         round(sum(value), 2) AS total_value
       FROM g GROUP BY s ORDER BY window_start"""))
 
+  // ---------------------------------------------------------------
+  // q139: as-of join via the NATIVE custom operator
+  // ---------------------------------------------------------------
+
+  /** q61's as-of join answered by the custom whole-operator plan
+    * (`graft.plans.AsOfJoinPlan` → `AsOfJoinExec`, injected through
+    * GraftExtensions) instead of the window-form composition: each
+    * purchase joined to the most recent error of the same user at or
+    * before it. Shares q61's oracle — the driver's DuckDB gate proves
+    * the custom physical operator computes the public as-of semantics.
+    *
+    * Scale: plans as two key-clustered exchanges + per-partition sorts
+    * (the sort-merge-join shape) and a forward-only streaming merge
+    * holding ONE candidate row — unlike the window form, no per-user
+    * frame is carried. See AsOfJoin.scala for the operator contract. */
+  val q139AsofNative: QueryDef = QueryDef(
+    "q139_asof_native",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id").as("err_user"), col("ts").as("err_ts"))
+      graft.plans.AsOf.join(purchases, errors,
+          "user_id", "err_user", "purchase_ts", "err_ts")
+        .select(col("event_id"), col("user_id"), col("purchase_ts"),
+          col("err_ts").as("last_err_ts"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id,
+      CAST(ts AS TIMESTAMP) AS purchase_ts,
+      CAST(last_err_ts AS TIMESTAMP) AS last_err_ts FROM (
+        SELECT event_id, user_id, ts, event_type,
+          last_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_err_ts
+        FROM events) x
+      WHERE event_type = 'purchase' ORDER BY event_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q60Sessionize, q61AsofJoin, q62RangeJoin, q63Pivot, q64Cube,
-    q135Funnel, q136Retention, q137Transitions, q138SlidingWindows)
+    q135Funnel, q136Retention, q137Transitions, q138SlidingWindows,
+    q139AsofNative)
 }

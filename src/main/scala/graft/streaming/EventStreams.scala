@@ -35,6 +35,18 @@ object EventStreams {
       .groupBy(window(col(tsCol), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** T4 (overlapping form): sliding/hopping windows — each event lands
+    * in duration/slide windows (q138's batch dual). The watermark
+    * bounds open-window state: at most (watermark + duration)/slide
+    * windows per key are ever live, whatever the stream length. */
+  def slidingCounts(events: DataFrame, tsCol: String,
+      duration: String = "1 hour", slide: String = "15 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), duration, slide))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
   /** T4: session windows with a gap duration (native session_window). */
   def sessionCounts(events: DataFrame, tsCol: String, gap: String = "30 minutes"): DataFrame =
     events

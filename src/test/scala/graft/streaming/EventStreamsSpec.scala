@@ -76,6 +76,47 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows(1).getAs[Long]("n") == 1L && rows(1).getAs[Double]("total_value") == 4.0)
   }
 
+  test("T4: sliding windows accumulated over 2 runs equal the batch window() on the union") {
+    val src = Files.createTempDirectory("graft-slide-src").toString
+    val ckpt = Files.createTempDirectory("graft-slide-ckpt").toString
+    val batch1 = Seq(
+      """{"file_hash":"1","ts":"2024-01-01T00:10:00Z","event_type":"x","user_id":1,"value":1.0}""",
+      """{"file_hash":"2","ts":"2024-01-01T00:20:00Z","event_type":"x","user_id":1,"value":2.0}""")
+    val batch2 = Seq(
+      """{"file_hash":"3","ts":"2024-01-01T00:50:00Z","event_type":"y","user_id":2,"value":4.0}""")
+
+    writeBatch(src, batch1, "b1.json")
+    val s1 = EventStreams.slidingCounts(
+      EventStreams.incrementalFiles(spark, src, schema), "ts")
+    EventStreams.runAvailableNowToMemory(s1, "slide_out", ckpt, complete = true)
+    writeBatch(src, batch2, "b2.json")
+    val s2 = EventStreams.slidingCounts(
+      EventStreams.incrementalFiles(spark, src, schema), "ts")
+    EventStreams.runAvailableNowToMemory(s2, "slide_out", ckpt, complete = true)
+
+    val streamed = spark.table("slide_out")
+      .select(col("window.start").cast("string").as("s"),
+        col("n"), col("total_value"))
+      .orderBy("s").collect()
+    // batch reference: the same window() over all rows at once
+    val all = spark.read.schema(schema)
+      .json(spark.createDataset(batch1 ++ batch2)(
+        org.apache.spark.sql.Encoders.STRING))
+    val expected = all.groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").cast("string").as("s"),
+        col("n"), col("total_value"))
+      .orderBy("s").collect()
+    assert(streamed.length === expected.length)
+    streamed.zip(expected).foreach { case (g, e) =>
+      assert(g.getString(0) === e.getString(0))
+      assert(g.getAs[Long]("n") === e.getAs[Long]("n"))
+      assert(g.getAs[Double]("total_value") === e.getAs[Double]("total_value"))
+    }
+    // every event lands in exactly duration/slide = 4 windows
+    assert(streamed.map(_.getAs[Long]("n")).sum === 4L * 3)
+  }
+
   test("T4: session windows close after the gap") {
     val src = Files.createTempDirectory("graft-sess-src").toString
     val ckpt = Files.createTempDirectory("graft-sess-ckpt").toString

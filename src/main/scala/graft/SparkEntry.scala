@@ -28,8 +28,10 @@ object SparkEntry {
       operators.MixOps.all ++
       operators.LmOps.all ++
       operators.TokenizerOps.all ++
+      operators.WordPieceOps.all ++
       operators.UnigramOps.all ++
-      operators.SampleOps.all
+      operators.SampleOps.all ++
+      operators.DiagnosticsOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The index-pipeline capstone: chunk → mock-embed → top-k retrieve —

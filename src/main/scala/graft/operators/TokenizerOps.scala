@@ -41,19 +41,27 @@ object TokenizerOps {
 
   /** One greedy left-to-right merge pass of the pair (l, r) over a
     * symbol-array column — shared verbatim by training and encoding so
-    * the two halves cannot drift. Column-parameterized: symbols are
-    * corpus text, never spliced into an expr string. After a merge the
-    * new last symbol is `l+r`, which can never equal `l` again in the
-    * same pass (r is non-empty), so the fold needs no overlap flag to
-    * match the reference algorithm's one-pass semantics. */
-  private def mergeFoldCol(syms: org.apache.spark.sql.Column,
-      l: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =
+    * the two halves cannot drift, and by WordPieceOps (whose merged
+    * symbol drops the `##` continuation marker, hence the explicit
+    * `merged` argument). Column-parameterized: symbols are corpus
+    * text, never spliced into an expr string. After a merge the new
+    * last symbol `merged` (= l + payload of r) can never equal `l`
+    * again in the same pass (r's payload is non-empty), so the fold
+    * needs no overlap flag to match the reference algorithm's one-pass
+    * semantics. */
+  private[operators] def mergeFoldColTo(syms: org.apache.spark.sql.Column,
+      l: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column,
+      merged: org.apache.spark.sql.Column) =
     aggregate(syms, array().cast("array<string>"),
       (acc, s) =>
         when(size(acc) > 0 &&
             element_at(acc, -1) === l && s === r,
-          concat(slice(acc, lit(1), size(acc) - 1), array(concat(l, r))))
+          concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
           .otherwise(concat(acc, array(s))))
+
+  private def mergeFoldCol(syms: org.apache.spark.sql.Column,
+      l: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =
+    mergeFoldColTo(syms, l, r, concat(l, r))
 
   private def mergeFold(syms: org.apache.spark.sql.Column, l: String, r: String) =
     mergeFoldCol(syms, lit(l), lit(r))

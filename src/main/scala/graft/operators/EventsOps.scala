@@ -198,7 +198,8 @@ object EventsOps {
       LEFT JOIN s1 ON u.user_id = s1.user_id
       LEFT JOIN s2 ON u.user_id = s2.user_id
       LEFT JOIN s3 ON u.user_id = s3.user_id
-      ORDER BY u.user_id"""))
+      ORDER BY u.user_id"""),
+    headline = true)
 
   // ---------------------------------------------------------------
   // q136: cohort retention matrix
@@ -230,7 +231,8 @@ object EventsOps {
         CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
       FROM d JOIN cohort c ON d.user_id = c.user_id
       GROUP BY c.cohort_day, day_offset
-      ORDER BY c.cohort_day, day_offset"""))
+      ORDER BY c.cohort_day, day_offset"""),
+    headline = true)
 
   // ---------------------------------------------------------------
   // q137: next-event transition matrix (first-order Markov counts)
@@ -345,7 +347,8 @@ object EventsOps {
             OVER (PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_err_ts
         FROM events) x
-      WHERE event_type = 'purchase' ORDER BY event_id"""))
+      WHERE event_type = 'purchase' ORDER BY event_id"""),
+    headline = true)
 
   val all: Seq[QueryDef] = Seq(
     q60Sessionize, q61AsofJoin, q62RangeJoin, q63Pivot, q64Cube,

@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DiagnosticsOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dir = sf("sf0.001")
+
+  test("q142 skew audit: ranks dense, counts non-increasing, shares consistent") {
+    val rows = DiagnosticsOps.q142SkewAudit.fn(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("rank") === i + 1L, "ranks must be dense from 1")
+    }
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "counts must not increase")
+    val shares = rows.map(_.getAs[Double]("share"))
+    val cums = rows.map(_.getAs[Double]("cum_share"))
+    assert(shares.forall(s => s > 0.0 && s <= 1.0))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b }, "cum_share must be monotone")
+    assert(cums.last <= 1.0 + 1e-9)
+    // counts agree with an independent aggregate
+    val expect = graft.Tables.load(spark, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") === expect(r.getAs[Long]("user_id")))
+    }
+  }
+
+  test("skewAudit flags a constructed hot key at rank 1 with the right share") {
+    val df = (Seq.fill(80)("hot") ++ (1 to 20).map(i => s"k$i")).toDF("k")
+    val audit = DiagnosticsOps.skewAudit(df, col("k"), topN = 5).collect()
+    assert(audit.head.getAs[String]("key") === "hot")
+    assert(audit.head.getAs[Double]("share") === 0.8)
+    assert(audit.length === 5)
+  }
+}

@@ -31,7 +31,8 @@ object SparkEntry {
       operators.WordPieceOps.all ++
       operators.UnigramOps.all ++
       operators.SampleOps.all ++
-      operators.DiagnosticsOps.all
+      operators.DiagnosticsOps.all ++
+      operators.LayoutOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The index-pipeline capstone: chunk → mock-embed → top-k retrieve —

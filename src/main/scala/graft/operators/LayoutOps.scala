@@ -73,27 +73,24 @@ object LayoutOps {
         .withColumn("z_bucket", shiftright(col("z"), 10))
         .orderBy(col("event_id"))
     },
-    Some("""SELECT event_id, zx, zy,
-        CAST((zx >> 0 & 1) << 0  | (zy >> 0 & 1) << 1
-           | (zx >> 1 & 1) << 2  | (zy >> 1 & 1) << 3
-           | (zx >> 2 & 1) << 4  | (zy >> 2 & 1) << 5
-           | (zx >> 3 & 1) << 6  | (zy >> 3 & 1) << 7
-           | (zx >> 4 & 1) << 8  | (zy >> 4 & 1) << 9
-           | (zx >> 5 & 1) << 10 | (zy >> 5 & 1) << 11
-           | (zx >> 6 & 1) << 12 | (zy >> 6 & 1) << 13
-           | (zx >> 7 & 1) << 14 | (zy >> 7 & 1) << 15 AS BIGINT) AS z,
-        CAST((zx >> 0 & 1) << 0  | (zy >> 0 & 1) << 1
-           | (zx >> 1 & 1) << 2  | (zy >> 1 & 1) << 3
-           | (zx >> 2 & 1) << 4  | (zy >> 2 & 1) << 5
-           | (zx >> 3 & 1) << 6  | (zy >> 3 & 1) << 7
-           | (zx >> 4 & 1) << 8  | (zy >> 4 & 1) << 9
-           | (zx >> 5 & 1) << 10 | (zy >> 5 & 1) << 11
-           | (zx >> 6 & 1) << 12 | (zy >> 6 & 1) << 13
-           | (zx >> 7 & 1) << 14 | (zy >> 7 & 1) << 15 AS BIGINT) >> 10 AS z_bucket
-      FROM (SELECT event_id,
-          least(greatest(user_id % 256, 0), 255) AS zx,
-          least(greatest(CAST(floor(value) AS BIGINT), 0), 255) AS zy
-        FROM events) q
+    // DuckDB (PostgreSQL-style) gives ALL bitwise operators one
+    // precedence level, left-associative — every term fully
+    // parenthesized or the expression silently reassociates.
+    Some("""SELECT event_id, zx, zy, CAST(z AS BIGINT) AS z,
+        CAST(z AS BIGINT) >> 10 AS z_bucket
+      FROM (SELECT event_id, zx, zy,
+          ((((zx >> 0) & 1) << 0)  | (((zy >> 0) & 1) << 1)
+         | (((zx >> 1) & 1) << 2)  | (((zy >> 1) & 1) << 3)
+         | (((zx >> 2) & 1) << 4)  | (((zy >> 2) & 1) << 5)
+         | (((zx >> 3) & 1) << 6)  | (((zy >> 3) & 1) << 7)
+         | (((zx >> 4) & 1) << 8)  | (((zy >> 4) & 1) << 9)
+         | (((zx >> 5) & 1) << 10) | (((zy >> 5) & 1) << 11)
+         | (((zx >> 6) & 1) << 12) | (((zy >> 6) & 1) << 13)
+         | (((zx >> 7) & 1) << 14) | (((zy >> 7) & 1) << 15)) AS z
+        FROM (SELECT event_id,
+            least(greatest(user_id % 256, 0), 255) AS zx,
+            least(greatest(CAST(floor(value) AS BIGINT), 0), 255) AS zy
+          FROM events) q) z
       ORDER BY event_id"""))
 
   val all: Seq[QueryDef] = Seq(q143Zorder)

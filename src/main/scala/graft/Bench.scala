@@ -32,7 +32,19 @@ object Bench {
     // codegen compilation + AQE statistics; pass 2 is the steady-state
     // throughput a long-running cluster job sees. A query that throws
     // reports -1, not a meaningless elapsed time.
-    val results = SparkEntry.headlines.map { q =>
+    // Optional comma-separated headline filter for focused iteration
+    // (SPARK_GRAFT_BENCH_ONLY=q98_dup_spans,q100_ann_ivfpq); the
+    // driver never sets it, so the round bench always runs everything.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // ANN index queries are timed as build + probe components below —
+    // one number would hide the query-side cost the 100×-scale story
+    // depends on (the build is staged once and amortized).
+    val split = Set("q100_ann_ivfpq", "q117_ann_sq8")
+    val picked = only.fold(SparkEntry.headlines)(names =>
+      SparkEntry.headlines.filter(q => names(q.name)))
+      .filterNot(q => split(q.name) && only.isEmpty)
+    val results = picked.map { q =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try {
@@ -47,10 +59,49 @@ object Bench {
       val best = if (cold < 0 || warm < 0) -1.0 else math.min(cold, warm)
       q.name -> best
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+
+    // Build/probe split for the ANN index headliners: the build is
+    // forced via localCheckpoint (the local stand-in for staging the
+    // index partitionBy(cell) at scale), then probes run against the
+    // materialized artifact. min(cold, warm) convention as above.
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      try { f; (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable => System.err.println(s"[bench] split: $e"); -1.0 }
+    }
+    def two(f: () => Double): Double = {
+      val c = f(); val w = f()
+      if (c < 0 || w < 0) -1.0 else math.min(c, w)
+    }
+    val splitResults: Seq[(String, Double)] =
+      if (only.nonEmpty) Seq.empty
+      else {
+        var ivfpq: org.apache.spark.sql.DataFrame = null
+        val b100 = two(() => timed {
+          ivfpq = operators.AnnOps.ivfpqIndex(spark, sfDir).localCheckpoint()
+        })
+        val p100 = two(() => timed {
+          operators.AnnOps.ivfpqProbe(spark, sfDir, ivfpq)
+            .write.format("noop").mode("overwrite").save()
+        })
+        var sq8: (org.apache.spark.sql.DataFrame, Seq[Double], Seq[Double]) = null
+        val b117 = two(() => timed {
+          val (c, mn, sc) = operators.AnnOps.sq8Index(spark, sfDir)
+          sq8 = (c.localCheckpoint(), mn, sc)
+        })
+        val p117 = two(() => timed {
+          operators.AnnOps.sq8Probe(spark, sfDir, sq8._1, sq8._2, sq8._3)
+            .write.format("noop").mode("overwrite").save()
+        })
+        Seq("q100_ann_ivfpq_build" -> b100, "q100_ann_ivfpq_probe" -> p100,
+          "q117_ann_sq8_build" -> b117, "q117_ann_sq8_probe" -> p117)
+      }
+
+    val all = results ++ splitResults
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val failed = results.count(_._2 < 0)
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val failed = all.count(_._2 < 0)
+    val total = all.map(_._2).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

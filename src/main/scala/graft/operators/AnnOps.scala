@@ -419,42 +419,55 @@ object AnnOps {
     * `partitionBy(cell)` layout (buildIvfIndex) and schema-pruned to
     * `codes`. Both index passes (cell assign, PQ encode) are
     * build-time, amortized over every query. */
+  /** IVFPQ index build pass: every vector's IVF cell and PQ codes —
+    * (vec_id, cell, codes). The build-time artifact a cluster stages
+    * once (`partitionBy(cell)` at 100 TB) and amortizes over every
+    * query; Bench times it separately from [[ivfpqProbe]] so the
+    * per-query number is the probe, not the build. */
+  def ivfpqIndex(s: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(s)
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val centroids = e.filter(col("vec_id") < C)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    pqCodes(e)
+      .join(assignCells(e, centroids).select(col("vec_id"), col("cell")), "vec_id")
+  }
+
+  /** IVFPQ query pass over a (possibly prebuilt) index frame: score
+    * the C centroids, probe nprobe cells, ADC-score only their codes,
+    * exact-re-rank the shortlist. Query-time work only: the centroid
+    * table and the query's ADC distance table are driver-sized. */
+  def ivfpqProbe(s: SparkSession, dir: String, index: DataFrame): DataFrame = {
+    VectorExpressions.register(s)
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val centroids = e.filter(col("vec_id") < C)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val probed = centroids.crossJoin(broadcast(qv))
+      .select(col("cid"), expr("l2_sq_f(cv, qv)").as("qdist"))
+      .orderBy(col("qdist"), col("cid"))
+      .limit(NProbe)
+      .select(col("cid").as("cell"))
+    val shortlist = index
+      .join(broadcast(probed), "cell")
+      .withColumn("approx_dist", adcScore(adcTable(e)))
+      .filter(col("vec_id") =!= 0)
+      .orderBy(col("approx_dist"), col("vec_id"))
+      .limit(PqShortlist)
+      .select(col("vec_id"))
+    shortlist.join(e, "vec_id")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        round(expr("l2_sq_f(embedding, qv)"), 6).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(10)
+  }
+
   val q100AnnIvfPq: QueryDef = QueryDef(
     "q100_ann_ivfpq",
-    (s, dir) => {
-      VectorExpressions.register(s)
-      val e = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-      val centroids = e.filter(col("vec_id") < C)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-
-      // IVF leg: cell per vector (index build) + nprobe probe set
-      val assigned = assignCells(e, centroids).select(col("vec_id"), col("cell"))
-      val probed = centroids.crossJoin(broadcast(qv))
-        .select(col("cid"), expr("l2_sq_f(cv, qv)").as("qdist"))
-        .orderBy(col("qdist"), col("cid"))
-        .limit(NProbe)
-        .select(col("cid").as("cell"))
-
-      // ADC over the probed cells' codes only
-      val shortlist = pqCodes(e)
-        .join(assigned, "vec_id")
-        .join(broadcast(probed), "cell")
-        .withColumn("approx_dist", adcScore(adcTable(e)))
-        .filter(col("vec_id") =!= 0)
-        .orderBy(col("approx_dist"), col("vec_id"))
-        .limit(PqShortlist)
-        .select(col("vec_id"))
-
-      // exact re-rank of the shortlist only
-      shortlist.join(e, "vec_id")
-        .crossJoin(broadcast(qv))
-        .select(col("vec_id"),
-          round(expr("l2_sq_f(embedding, qv)"), 6).as("dist"))
-        .orderBy(col("dist"), col("vec_id"))
-        .limit(10)
-    },
+    (s, dir) => ivfpqProbe(s, dir, ivfpqIndex(s, dir)),
     Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $C),
       assigned AS (SELECT vec_id, cid AS cell FROM (
@@ -530,60 +543,80 @@ object AnnOps {
     * identical order); only the ADC sum's addition ORDER differs
     * cross-engine (q85's accepted shortlist-boundary risk — final
     * distances are exact re-ranks). */
+  /** SQ8 index build pass: per-dim [min,max] train (64-row aggregate)
+    * + one-byte-per-dim encode. Returns the codes frame and the
+    * driver-sized dequant constants (mn[j], scale[j]) — together the
+    * staged artifact queries run against. */
+  def sq8Index(s: SparkSession, dir: String): (DataFrame, Seq[Double], Seq[Double]) = {
+    VectorExpressions.register(s)
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+
+    // train: per-dim range over the index (64-row output)
+    val dims = sqDims(e)
+    val mm = dims.groupBy(col("j"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+
+    // encode: one byte per (vector, dim), assembled in dim order
+    val codes = dims.join(broadcast(mm), Seq("j"))
+      .select(col("vec_id"), col("j"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(floor(((col("x") - col("mn")) / (col("mx") - col("mn"))) * 255))
+          .cast("long").as("code"))
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, code))), x -> x.code)")
+        .as("codes"))
+
+    // driver-sized dequant constants: mn[j], scale[j]=(mx-mn)/255
+    val mmRows = mm.orderBy(col("j")).collect()
+    val mnArr = mmRows.map(_.getDouble(1)).toSeq
+    val scArr = mmRows.map(r => (r.getDouble(2) - r.getDouble(1)) / 255).toSeq
+    (codes, mnArr, scArr)
+  }
+
+  /** SQ8 query pass over a (possibly prebuilt) codes frame: ADC fold
+    * against the literal dequant grid, TakeOrdered shortlist, exact
+    * re-rank of the shortlist only. */
+  def sq8Probe(s: SparkSession, dir: String, codes: DataFrame,
+      mnArr: Seq[Double], scArr: Seq[Double]): DataFrame = {
+    VectorExpressions.register(s)
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val qArr = sqDims(e.filter(col("vec_id") === 0)).orderBy(col("j"))
+      .collect().map(_.getDouble(2)).toSeq
+
+    // ADC: narrow fold over codes against the literal dequant grid
+    val adc = aggregate(expr(s"sequence(0, ${SqDim - 1})"), lit(0.0),
+      (acc, j) => {
+        val idx = (j + 1).cast("int")
+        val dec = element_at(typedLit(mnArr), idx) +
+          element_at(col("codes"), idx) * element_at(typedLit(scArr), idx)
+        val d = element_at(typedLit(qArr), idx) - dec
+        acc + d * d
+      })
+
+    val shortlist = codes
+      .withColumn("approx_dist", adc)
+      .filter(col("vec_id") =!= 0)
+      .orderBy(col("approx_dist"), col("vec_id"))
+      .limit(SqShortlist)
+      .select(col("vec_id"))
+
+    // exact re-rank of the shortlist only
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    shortlist.join(e, "vec_id")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        round(expr("l2_sq_f(embedding, qv)"), 6).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(10)
+  }
+
   val q117AnnSq8: QueryDef = QueryDef(
     "q117_ann_sq8",
     (s, dir) => {
-      VectorExpressions.register(s)
-      val e = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-
-      // train: per-dim range over the index (64-row output)
-      val dims = sqDims(e)
-      val mm = dims.groupBy(col("j"))
-        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-
-      // encode: one byte per (vector, dim), assembled in dim order
-      val codes = dims.join(broadcast(mm), Seq("j"))
-        .select(col("vec_id"), col("j"),
-          when(col("mx") === col("mn"), lit(0L))
-            .otherwise(floor(((col("x") - col("mn")) / (col("mx") - col("mn"))) * 255))
-            .cast("long").as("code"))
-        .groupBy(col("vec_id"))
-        .agg(expr("transform(array_sort(collect_list(struct(j, code))), x -> x.code)")
-          .as("codes"))
-
-      // driver-sized dequant constants: mn[j], scale[j]=(mx-mn)/255, q[j]
-      val mmRows = mm.orderBy(col("j")).collect()
-      val mnArr = mmRows.map(_.getDouble(1)).toSeq
-      val scArr = mmRows.map(r => (r.getDouble(2) - r.getDouble(1)) / 255).toSeq
-      val qArr = sqDims(e.filter(col("vec_id") === 0)).orderBy(col("j"))
-        .collect().map(_.getDouble(2)).toSeq
-
-      // ADC: narrow fold over codes against the literal dequant grid
-      val adc = aggregate(expr(s"sequence(0, ${SqDim - 1})"), lit(0.0),
-        (acc, j) => {
-          val idx = (j + 1).cast("int")
-          val dec = element_at(typedLit(mnArr), idx) +
-            element_at(col("codes"), idx) * element_at(typedLit(scArr), idx)
-          val d = element_at(typedLit(qArr), idx) - dec
-          acc + d * d
-        })
-
-      val shortlist = codes
-        .withColumn("approx_dist", adc)
-        .filter(col("vec_id") =!= 0)
-        .orderBy(col("approx_dist"), col("vec_id"))
-        .limit(SqShortlist)
-        .select(col("vec_id"))
-
-      // exact re-rank of the shortlist only
-      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      shortlist.join(e, "vec_id")
-        .crossJoin(broadcast(qv))
-        .select(col("vec_id"),
-          round(expr("l2_sq_f(embedding, qv)"), 6).as("dist"))
-        .orderBy(col("dist"), col("vec_id"))
-        .limit(10)
+      val (codes, mnArr, scArr) = sq8Index(s, dir)
+      sq8Probe(s, dir, codes, mnArr, scArr)
     },
     Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       js AS (SELECT unnest(range(0, $SqDim)) AS j),

@@ -614,18 +614,31 @@ object LmOps {
     * map-side partial aggregation; the join back to spans is equi on
     * the hash. No corpus self-join, no N². Distinct-doc counting uses
     * the exact two-level count only per span hash — bounded fan-in. */
-  /** Every [[SpanLen]]-token window as (doc_id, i, h) — the window's
-    * start position and 64-bit span hash. Shared by q98/q106 (which
-    * drop i) and q107 (which merges on it). */
-  private def spanWindows(s: SparkSession, dir: String): DataFrame =
-    materialize(tokenized(s, dir)
-      .filter(size(col("w")) >= SpanLen)
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(1, size(w) - ${SpanLen - 1}),
-           |  i -> struct(i as i,
-           |    substr(sha2(concat_ws(' ', slice(w, i, $SpanLen)), 256), 1, 16) as h))""".stripMargin)).as("p"))
-      .select(col("doc_id"), col("p.i").as("i"), col("p.h").as("h")),
-      "spans")
+  /** Every [[SpanLen]]-token window as (doc_id, h) — or (doc_id, i, h)
+    * with the window's start position when `withPos` — materialized
+    * before its two consumers (the shared-hash aggregate and the
+    * join-back). q98/q106 take the position-free form: a checkpoint
+    * scan cannot column-prune, so materializing `i` for consumers that
+    * drop it pays its width on every scan (the r7 bench regression);
+    * only q107, which merges on position, asks for it. */
+  private def spanWindows(s: SparkSession, dir: String,
+      withPos: Boolean = false): DataFrame =
+    if (withPos)
+      materialize(tokenized(s, dir)
+        .filter(size(col("w")) >= SpanLen)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(1, size(w) - ${SpanLen - 1}),
+             |  i -> struct(i as i,
+             |    substr(sha2(concat_ws(' ', slice(w, i, $SpanLen)), 256), 1, 16) as h))""".stripMargin)).as("p"))
+        .select(col("doc_id"), col("p.i").as("i"), col("p.h").as("h")),
+        "spans_i")
+    else
+      materialize(tokenized(s, dir)
+        .filter(size(col("w")) >= SpanLen)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(1, size(w) - ${SpanLen - 1}),
+             |  i -> substr(sha2(concat_ws(' ', slice(w, i, $SpanLen)), 256), 1, 16))""".stripMargin)).as("h")),
+        "spans")
 
   /** Window hashes appearing in >= 2 distinct documents. */
   private def sharedSpans(spans: DataFrame): DataFrame =
@@ -692,7 +705,7 @@ object LmOps {
     "q107_max_dup_spans",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val spans = spanWindows(s, dir)
+      val spans = spanWindows(s, dir, withPos = true)
       val dupw = spans.join(sharedSpans(spans), Seq("h"), "left_semi")
       val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
       dupw

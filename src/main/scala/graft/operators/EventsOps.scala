@@ -332,20 +332,29 @@ object EventsOps {
       val purchases = e.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"))
       val errors = e.filter(col("event_type") === "error")
-        .select(col("user_id").as("err_user"), col("ts").as("err_ts"))
+        .select(col("event_id").as("err_event_id"),
+          col("user_id").as("err_user"), col("ts").as("err_ts"))
+      // rightTiebreak pins which same-timestamp error wins (greatest
+      // event_id — q61's window-oracle tie rule), making the matched
+      // row's non-time columns deterministic and oracle-checkable
       graft.plans.AsOf.join(purchases, errors,
-          "user_id", "err_user", "purchase_ts", "err_ts")
+          "user_id", "err_user", "purchase_ts", "err_ts",
+          rightTiebreak = Some("err_event_id"))
         .select(col("event_id"), col("user_id"), col("purchase_ts"),
-          col("err_ts").as("last_err_ts"))
+          col("err_ts").as("last_err_ts"),
+          col("err_event_id").as("last_err_id"))
         .orderBy(col("event_id"))
     },
     Some("""SELECT event_id, user_id,
       CAST(ts AS TIMESTAMP) AS purchase_ts,
-      CAST(last_err_ts AS TIMESTAMP) AS last_err_ts FROM (
+      CAST(last_err_ts AS TIMESTAMP) AS last_err_ts, last_err_id FROM (
         SELECT event_id, user_id, ts, event_type,
           last_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
             OVER (PARTITION BY user_id ORDER BY ts, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_err_ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_err_ts,
+          last_value(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_err_id
         FROM events) x
       WHERE event_type = 'purchase' ORDER BY event_id"""),
     headline = true)

@@ -223,7 +223,7 @@ object UnigramOps {
     * `count · (logp − altLogp)` (SentencePiece's approximation), where
     * altLogp is the piece's own Viterbi segmentation by the REMAINING
     * pieces — driver-side over the model-sized table. */
-  def trainUnigram(d: DataFrame): Map[String, Double] = {
+  def trainUnigram(d: DataFrame, targetVocab: Int = TargetVocab): Map[String, Double] = {
     val s = d.sparkSession
     val words = wordFreq(d)
     val (chars, seeds) = seedPieces(words)
@@ -231,8 +231,13 @@ object UnigramOps {
     val init = (chars ++ seeds.filterNot(charSet)).distinct
     var model: Map[String, Double] =
       init.map(p => p -> math.log(1.0 / init.length)).toMap
+    // single characters are never pruned, so a corpus whose alphabet
+    // alone meets the target can't shrink below it — the effective
+    // target is the ceiling the loop CAN reach (SentencePiece errors
+    // out here; we keep the full alphabet, which is the usable model)
+    val effTarget = math.max(targetVocab, chars.length)
     var iter = 0
-    while (model.size > TargetVocab) {
+    while (model.size > effTarget && model.size > chars.length) {
       require(iter < 50, "unigram prune loop failed to converge")
       (1 to EmRoundsPerPrune).foreach(_ => model = emStep(s, words, model))
       // prune: loss per non-char piece via its alternative segmentation
@@ -245,13 +250,13 @@ object UnigramOps {
         // exp(logp) is the piece's posterior mass share
         p -> (math.exp(model(p)) * (model(p) - alt))
       }
-      val keepN = math.max(TargetVocab - chars.length,
+      val keepN = math.max(effTarget - chars.length,
         (multi.size * PruneKeep).toInt)
       val ordered = losses.sorted(lossOrdering)
       val kept = ordered.take(math.min(keepN, multi.size)).map(_._1).toSet
       if (kept.size == multi.size) {
         // nothing pruned (already at the floor): trim hard to target
-        val hard = ordered.take(math.max(0, TargetVocab - chars.length))
+        val hard = ordered.take(math.max(0, effTarget - chars.length))
           .map(_._1).toSet
         model = model.filter { case (p, _) => charSet(p) || hard(p) }
       } else model = model.filter { case (p, _) => charSet(p) || kept(p) }

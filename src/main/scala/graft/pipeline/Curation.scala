@@ -290,7 +290,8 @@ object Curation {
       maxAvgNll: Double = Double.MaxValue,
       mixtureRates: Map[String, Long] = Map.empty,
       defaultRate: Long = 100L,
-      temperatureThresholds: Option[DataFrame] = None)
+      temperatureThresholds: Option[DataFrame] = None,
+      heavyHitters: Option[graft.streaming.HeavyHitters.Monitor] = None)
 
   /** Offline boilerplate artifact for [[StreamCurationConfig]]:
     * fragments appearing in >= `minDocs` docs of a reference corpus. */
@@ -375,30 +376,60 @@ object Curation {
     }
   }
 
+  /** One delivered micro-batch of [[runStream]]: curate against the
+    * accumulated history, then write survivors and their hashes under
+    * batchId-SCOPED partitions (`outDir/batch_id=N`,
+    * `historyDir/batch_id=N`) in overwrite mode. That makes redelivery
+    * idempotent no matter where a crash landed: a replayed batch
+    * overwrites its own two partitions, and its own (possibly
+    * partially written) history partition is EXCLUDED from the
+    * anti-join, so the recomputed survivors are identical — the
+    * source checkpoint plus these two idempotent writes give
+    * exactly-once output. CurationSpec replays a batch after its
+    * history write succeeded and asserts the output is unchanged. */
+  def streamBatch(batch: DataFrame, cfg: StreamCurationConfig,
+      batchId: Long, outDir: String, historyDir: String): Unit = {
+    val s = batch.sparkSession
+    val hp = new org.apache.hadoop.fs.Path(historyDir)
+    val seen =
+      if (hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp))
+        s.read.parquet(historyDir)
+          .filter(col("batch_id") =!= batchId)
+          .select(col("file_hash"))
+      else {
+        import s.implicits._
+        Seq.empty[String].toDF("file_hash")
+      }
+    val survivors = curateBatch(batch, cfg, seen)
+    survivors.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    survivors.select(col("file_hash")).distinct()
+      .write.mode("overwrite").parquet(s"$historyDir/batch_id=$batchId")
+    // operational observability: fold the batch's surviving tokens
+    // into the cross-batch O(k) Misra-Gries state — a month of ingest
+    // reports its hot tokens/fragments without ever holding the
+    // vocabulary. The survivors frame is materialized (stream_canon),
+    // so this extra pass rescans a checkpoint, not the pipeline.
+    // Note: replayed batches re-observe (monitor state is advisory
+    // telemetry with an est <= f <= est + N/(k+1) style bound, not an
+    // exactly-once output).
+    cfg.heavyHitters.foreach { mon =>
+      mon.observe(survivors.select(
+          explode(split(lower(col("text")), "\\s+")).as("token"))
+        .filter(col("token") =!= ""))
+    }
+  }
+
   /** Streaming curation over an incremental source (e.g.
     * `EventStreams.incrementalFiles`): each AvailableNow micro-batch
     * runs [[curateBatch]] against the history accumulated in
-    * `historyDir`, appends survivors to `outDir`, and appends their
-    * hashes to the history — the cron-ETL + FileHistory loop (T1/T2)
-    * for the corpus tier. Exactly-once comes from the source
-    * checkpoint; the history append is idempotent per content hash
-    * (a replayed batch re-anti-joins against its own hashes). */
+    * `historyDir` and lands its survivors + hashes via the
+    * batchId-scoped idempotent writes of [[streamBatch]] — the
+    * cron-ETL + FileHistory loop (T1/T2) for the corpus tier, with
+    * exactly-once output under crash-replay. */
   def runStream(stream: DataFrame, cfg: StreamCurationConfig,
       checkpoint: String, outDir: String, historyDir: String): Unit =
     graft.streaming.EventStreams.runAvailableNowForeachBatch(
-      stream, checkpoint) { (batch, _) =>
-      val s = batch.sparkSession
-      val hp = new org.apache.hadoop.fs.Path(historyDir)
-      val seen =
-        if (hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp))
-          s.read.parquet(historyDir).select(col("file_hash"))
-        else {
-          import s.implicits._
-          Seq.empty[String].toDF("file_hash")
-        }
-      val survivors = curateBatch(batch, cfg, seen)
-      survivors.write.mode("append").parquet(outDir)
-      survivors.select(col("file_hash")).distinct()
-        .write.mode("append").parquet(historyDir)
+      stream, checkpoint) { (batch, batchId) =>
+      streamBatch(batch, cfg, batchId, outDir, historyDir)
     }
 }

@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graft.GraftSql
 
@@ -51,7 +52,8 @@ case class AsOfJoinPlan(
     rightKey: Attribute,
     leftTime: Attribute,
     rightTime: Attribute,
-    strict: Boolean) extends BinaryNode {
+    strict: Boolean,
+    rightTiebreak: Option[Attribute] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -63,8 +65,8 @@ case class AsOfJoinPlan(
   * `GraftExtensions`. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, strict) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, strict) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, strict, tb) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, strict, tb) :: Nil
     case _ => Nil
   }
 }
@@ -76,7 +78,8 @@ case class AsOfJoinExec(
     rightKey: Attribute,
     leftTime: Attribute,
     rightTime: Attribute,
-    strict: Boolean) extends BinaryExecNode {
+    strict: Boolean,
+    rightTiebreak: Option[Attribute] = None) extends BinaryExecNode {
 
   require(leftKey.dataType == rightKey.dataType,
     s"as-of key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
@@ -91,9 +94,15 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
 
+  /** Right rows sharing (key, time) are absorbed in partition-sort
+    * order and the LAST one wins; without `rightTiebreak` that order —
+    * and so the matched row's non-time columns — is unspecified across
+    * runs. Passing a unique tiebreak column (e.g. an event id) pins it:
+    * the match is then the tied row with the GREATEST tiebreak value. */
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
+      rightTiebreak.map(SortOrder(_, Ascending)))
 
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
@@ -102,7 +111,14 @@ case class AsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  // house standard for exec nodes: row counts surfaced in the SQL UI
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched left rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     val lKeyOrd = left.output.indexWhere(_.exprId == leftKey.exprId)
     val lTimeOrd = left.output.indexWhere(_.exprId == leftTime.exprId)
     val rKeyOrd = right.output.indexWhere(_.exprId == rightKey.exprId)
@@ -166,6 +182,8 @@ case class AsOfJoinExec(
             matched = lastMatch
           }
         }
+        numOutputRows += 1
+        if (matched != null) numMatched += 1
         project(joined(lRow, if (matched != null) matched else nullRight))
       }
     }
@@ -184,7 +202,8 @@ object AsOf {
       rightKey: String,
       leftTime: String,
       rightTime: String,
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false,
+      rightTiebreak: Option[String] = None): DataFrame = {
     val lPlan = left.queryExecution.analyzed
     val rightSafe =
       if (left.queryExecution.analyzed.outputSet
@@ -199,6 +218,7 @@ object AsOf {
     GraftSql.ofRows(left.sparkSession, AsOfJoinPlan(
       lPlan, rPlan,
       attr(lPlan, leftKey), attr(rPlan, rightKey),
-      attr(lPlan, leftTime), attr(rPlan, rightTime), strict))
+      attr(lPlan, leftTime), attr(rPlan, rightTime), strict,
+      rightTiebreak.map(attr(rPlan, _))))
   }
 }

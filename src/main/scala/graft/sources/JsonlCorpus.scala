@@ -24,15 +24,24 @@ object JsonlCorpus {
 
   private val CorruptCol = "_corrupt_record"
 
-  /** Read a JSONL path against an explicit schema. Returns
-    * (good rows, quarantined raw lines). Lines that fail to parse or
-    * violate the schema types land raw in the quarantine frame.
+  /** Both legs of a schema-enforced JSONL read plus the storage
+    * handle: `release()` unpersists the shared parsed frame once the
+    * caller has materialized (written/collected) what it needs —
+    * without it, repeated reads over many corpus files would pin
+    * blocks in executor storage memory for the session's lifetime. */
+  final case class JsonlRead(good: DataFrame, quarantine: DataFrame,
+      release: () => Unit)
+
+  /** Read a JSONL path against an explicit schema. Lines that fail to
+    * parse or violate the schema types land raw in the quarantine
+    * frame.
     *
     * The one-pass materialization: Spark refuses a filter that
     * references ONLY the corrupt column of a lazily-parsed JSON scan
     * (the parser would have dropped it), so the split goes through one
-    * cached frame — both legs share a single parse of the input. */
-  def read(spark: SparkSession, path: String, schema: StructType): (DataFrame, DataFrame) = {
+    * cached frame — both legs share a single parse of the input. Call
+    * `release()` when done with both legs. */
+  def read(spark: SparkSession, path: String, schema: StructType): JsonlRead = {
     val full = schema.add(CorruptCol, StringType)
     val parsed = spark.read.schema(full)
       .option("mode", "PERMISSIVE")
@@ -43,7 +52,7 @@ object JsonlCorpus {
       .drop(CorruptCol)
     val quarantine = parsed.filter(col(CorruptCol).isNotNull)
       .select(col(CorruptCol).as("raw_line"))
-    (good, quarantine)
+    JsonlRead(good, quarantine, () => { parsed.unpersist(); () })
   }
 
   /** Write a corpus frame as JSONL. `compression`: "none", "gzip",

@@ -76,4 +76,23 @@ class MisraGriesSpec extends SparkSpec {
     val counts = rows.sortBy(_.getLong(0)).map(_.getLong(2))
     assert(counts.zip(counts.tail).forall { case (x, y) => x >= y })
   }
+
+  test("non-literal or non-int capacity is an analysis error, not a silent k=64") {
+    val sp = spark
+    import sp.implicits._
+    graft.functions.expressions.MisraGriesAgg.register(sp)
+    val df = Seq("a", "b", "a").toDF("token")
+    // the registry wraps the builder's AnalysisException in a
+    // SparkException during analysis — check the cause chain
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    val e1 = intercept[Exception] {
+      df.agg(expr("misra_gries(token, cast(128 as bigint))")).collect()
+    }
+    assert(msgs(e1).contains("literal INT"))
+    val e2 = intercept[Exception] {
+      df.agg(expr("misra_gries(token, length(token))")).collect()
+    }
+    assert(msgs(e2).contains("literal INT"))
+  }
 }

@@ -143,6 +143,22 @@ class UnigramOpsSpec extends SparkSpec {
     assert(needed.subsetOf(chars), "a corpus character is missing from the vocab")
   }
 
+  test("an alphabet at or beyond the target vocab converges to the character model") {
+    // 100 distinct CJK code points: chars alone exceed the default
+    // target of 80, so the prune loop can only strip multi-char
+    // pieces and must stop at the alphabet instead of spinning to the
+    // iteration guard (the r7 divergence)
+    val sp = spark
+    import sp.implicits._
+    val alphabet = (0 until 100).map(i => new String(Character.toChars(0x4E00 + i)))
+    val texts = alphabet.grouped(4).map(_.mkString).toSeq
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val model = UnigramOps.trainUnigram(d, targetVocab = 80)
+    assert(alphabet.toSet.subsetOf(model.keySet), "alphabet coverage lost")
+    assert(model.size === alphabet.length,
+      s"expected the bare alphabet, got ${model.size} pieces")
+  }
+
   test("q111 per-doc token counts match a reference Viterbi under the trained model") {
     val model = UnigramOps.q110UnigramVocab.fn(spark, dir).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap

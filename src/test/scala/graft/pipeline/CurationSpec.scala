@@ -247,12 +247,14 @@ class CurationSpec extends SparkSpec {
 
     // offline artifacts trained once on the full corpus (the CCNet
     // discipline), shared verbatim by the batch reference and the stream
+    val monitor = new graft.streaming.HeavyHitters.Monitor(10000)
     val cfg = Curation.StreamCurationConfig(
       frequentGrams = Some(Curation.frequentGramsOf(full)),
       lmModel = Some(graft.operators.LmOps.trainLm(full)),
       maxAvgNll = graft.operators.LmOps.avgNllOf(full)
         .stat.approxQuantile("avg_nll", Array(0.75), 0.0).head,
-      mixtureRates = Map("zh" -> 50L))
+      mixtureRates = Map("zh" -> 50L),
+      heavyHitters = Some(monitor))
     val wantRows = Curation.curateBatch(full, cfg, {
       import spark.implicits._
       Seq.empty[String].toDF("file_hash")
@@ -281,6 +283,48 @@ class CurationSpec extends SparkSpec {
         s"batch-only=${(want -- got).take(5)}")
     // the re-ingested duplicate was rejected by cross-batch history
     assert(!got.contains(99990L), "history failed to reject the re-ingested dup")
+
+    // the heavy-hitter monitor accumulated across the 3 micro-batches:
+    // with k far above the vocabulary no eviction fires, so the merged
+    // O(k) state must equal the EXACT token counts of the survivors
+    val exact = wantRows.flatMap(_.getAs[String]("text")
+        .toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val gotHh = monitor.summary.toMap
+    assert(gotHh === exact, "cross-batch monitor diverged from exact counts")
+  }
+
+  test("streamBatch replay is idempotent wherever the crash landed") {
+    val base = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    val out = s"$base/out"; val hist = s"$base/hist"
+    val cfg = Curation.StreamCurationConfig()
+    val rows = docs.select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .orderBy(col("doc_id")).limit(40)
+    val b0 = rows.filter(col("doc_id") < 20)
+    val b1 = rows.filter(col("doc_id") >= 20)
+
+    Curation.streamBatch(b0, cfg, 0L, out, hist)
+    Curation.streamBatch(b1, cfg, 1L, out, hist)
+    def snap(): Seq[String] = spark.read.parquet(out)
+      .select(col("doc_id"), col("file_hash"))
+      .collect().map(_.toString).sorted.toSeq
+    val want = snap()
+    assert(want.nonEmpty)
+
+    // redelivery AFTER both writes landed (checkpoint commit lost):
+    // batch 1's own history partition must not anti-join away its rows
+    Curation.streamBatch(b1, cfg, 1L, out, hist)
+    assert(snap() === want, "full replay changed the output")
+
+    // crash BETWEEN the two writes: history landed, output lost —
+    // replay must restore the output partition, not drop the batch
+    def rmr(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    }
+    rmr(s"$out/batch_id=1")
+    Curation.streamBatch(b1, cfg, 1L, out, hist)
+    assert(snap() === want, "replay after output loss diverged")
   }
 
   test("packing sub-shard knob with S beyond every doc_id reproduces the default bins") {

@@ -81,6 +81,45 @@ class AsOfJoinPlanSpec extends SparkSpec {
     assert(row.getAs[String]("rv") === "x")
   }
 
+  test("rightTiebreak pins which equal-(key,time) right row is matched") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val t0 = ts("2024-01-01 10:00:00")
+    // three quotes at the SAME (key, time) — without a tiebreak the
+    // winner is whichever the partition sort placed last (unspecified)
+    val quotes = Seq((1L, t0, 30L, "q-hi"), (1L, t0, 10L, "q-lo"),
+      (1L, t0, 20L, "q-mid")).toDF("qk", "qts", "qid", "quote")
+    val trades = Seq((1L, ts("2024-01-01 10:30:00"), "t"))
+      .toDF("tk", "tts", "trade")
+    (1 to 3).foreach { _ =>
+      val got = AsOf.join(trades, quotes, "tk", "qk", "tts", "qts",
+          rightTiebreak = Some("qid"))
+        .select(col("quote")).collect().head.getString(0)
+      assert(got === "q-hi", "greatest tiebreak value must win")
+    }
+  }
+
+  test("metrics: numOutputRows and numMatched surface on the exec node") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val quotes = Seq((1L, ts("2024-01-01 10:00:00"), "q"))
+      .toDF("qk", "qts", "quote")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:30:00"), "t-hit"),
+      (1L, ts("2024-01-01 09:30:00"), "t-early"),
+      (2L, ts("2024-01-01 12:00:00"), "t-nokey"))
+      .toDF("tk", "tts", "trade")
+    // AQE off so the exec node (and its metrics) sits in executedPlan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = AsOf.join(trades, quotes, "tk", "qk", "tts", "qts")
+      df.collect()
+      val exec = df.queryExecution.executedPlan
+        .collectFirst { case a: AsOfJoinExec => a }
+        .getOrElse(fail("AsOfJoinExec not in executed plan"))
+      assert(exec.metrics("numOutputRows").value === 3L)
+      assert(exec.metrics("numMatched").value === 1L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("every left row survives exactly once (left-outer cardinality)") {
     val e = graft.Tables.load(spark, dir, "events")
     val purchases = e.filter(col("event_type") === "purchase")

@@ -161,6 +161,49 @@ object Media {
     BmpImage(width, height, pixels)
   }
 
+  /** 64-bit difference hash (dHash — the public perceptual-hash family
+    * popularized by Krawetz): area-average the grayscale image onto a
+    * 9×8 grid and emit bit y·8+x = [cell(x+1,y) brighter than
+    * cell(x,y)], packed as two unsigned 32-bit halves (hi = bits
+    * 32..63) so engines without unsigned 64-bit types reproduce it
+    * exactly. Brightness comparisons are integer cross-multiplied sums
+    * — no division, no floats — so the hash is bit-stable across
+    * engines and platforms. Near-duplicate images (resizes, small
+    * edits, recompressions) land within a few bits of Hamming
+    * distance; unrelated images differ in ~32. */
+  def dHash64(img: BmpImage): (Long, Long) = {
+    require(img.width > 0 && img.height > 0, "empty image")
+    val sg = Array.ofDim[Long](8, 9)
+    val cnt = Array.ofDim[Long](8, 9)
+    val n = img.width * img.height
+    var i = 0
+    while (i < n) {
+      val p = img.pixels(i)
+      val gray = 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+        114L * (p & 0xff)
+      val cx = ((i % img.width) * 9) / img.width
+      val cy = ((i / img.width) * 8) / img.height
+      sg(cy)(cx) += gray
+      cnt(cy)(cx) += 1
+      i += 1
+    }
+    var hi = 0L
+    var lo = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (sg(y)(x + 1) * cnt(y)(x) > sg(y)(x) * cnt(y)(x + 1)) {
+          val pos = y * 8 + x
+          if (pos < 32) lo |= 1L << pos else hi |= 1L << (pos - 32)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (hi, lo)
+  }
+
   // ------------------------------------------------- compressed (ImageIO)
 
   // java.awt must come up headless on executors (no display in a

@@ -61,6 +61,67 @@ class MultimodalSpec extends SparkSpec {
     assert(i.meanB == 32.0)
   }
 
+  test("dHash: near-identical BMPs land within a few bits; unrelated images far") {
+    import graft.tools.Media
+    // base: a smooth 64x48 gradient
+    def gradient(tweak: (Int, Int) => Int) = Media.decodeBmp(
+      Media.buildBmp(64, 48, (x, y) => {
+        val v = (x * 4 + tweak(x, y)) & 0xff
+        (v << 16) | (((v + y) & 0xff) << 8) | (y & 0xff)
+      }))
+    val base = Media.dHash64(gradient((_, _) => 0))
+    // near-identical: a handful of pixels nudged (a re-encode artifact)
+    val near = Media.dHash64(gradient((x, y) => if (x == 7 && y < 3) 2 else 0))
+    // unrelated: the gradient REVERSED (opposite brightness structure)
+    val far = Media.dHash64(Media.decodeBmp(
+      Media.buildBmp(64, 48, (x, y) => {
+        val v = (252 - x * 4) & 0xff
+        (v << 16) | (((v + y) & 0xff) << 8) | (y & 0xff)
+      })))
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    assert(ham(base, near) <= 2, s"near-dup drifted ${ham(base, near)} bits")
+    assert(ham(base, far) >= 16, s"unrelated images only ${ham(base, far)} bits apart")
+    // halves stay in unsigned-32 range (the oracle's representation)
+    Seq(base, near, far).foreach { case (hi, lo) =>
+      assert(hi >= 0L && hi < (1L << 32) && lo >= 0L && lo < (1L << 32))
+    }
+  }
+
+  test("dHash is invariant under 2x area upscaling (the resize robustness claim)") {
+    import graft.tools.Media
+    def pix(x: Int, y: Int): Int = {
+      val v = ((x * 7) ^ (y * 3)) & 0xff
+      (v << 16) | (v << 8) | v
+    }
+    // 36x16: the 9x8 grid divides both dimensions evenly, so each cell
+    // of the 2x upscale is exactly the 4x-replicated source cell and
+    // the cross-multiplied comparisons are identical bit for bit
+    val small = Media.dHash64(Media.decodeBmp(Media.buildBmp(36, 16, pix)))
+    val big = Media.dHash64(Media.decodeBmp(
+      Media.buildBmp(72, 32, (x, y) => pix(x / 2, y / 2))))
+    assert(small === big)
+  }
+
+  test("q144 finds the exact-duplicate documents as 0-distance pairs") {
+    val pairs = graft.operators.MediaOps.q144PhashNeardup.fn(spark, sf("sf0.001")).collect()
+    assert(pairs.nonEmpty, "test corpus contains dups; q144 found none")
+    // exact text dups must appear at hamming 0 (same raster, same hash)
+    val texts = graft.Tables.load(spark, sf("sf0.001"), "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val exactDup = texts.toSeq.filter(_._2.nonEmpty)
+      .groupBy(_._2).values.filter(_.size >= 2)
+      .flatMap { g => val ids = g.map(_._1).sorted; ids.tail.map(b => (ids.head, b)) }
+      .toSet
+    val got = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    exactDup.foreach { case (a, b) =>
+      assert(got.contains((a, b)), s"exact dup ($a,$b) missing from q144")
+    }
+    pairs.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(2) <= 6))
+  }
+
   test("JdkMediaDecoder: real wav/bmp decode through the Spark plumbing") {
     import spark.implicits._
     import graft.tools.Media

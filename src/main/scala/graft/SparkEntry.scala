@@ -32,7 +32,8 @@ object SparkEntry {
       operators.UnigramOps.all ++
       operators.SampleOps.all ++
       operators.DiagnosticsOps.all ++
-      operators.LayoutOps.all
+      operators.LayoutOps.all ++
+      operators.UrlOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The index-pipeline capstone: chunk → mock-embed → top-k retrieve —

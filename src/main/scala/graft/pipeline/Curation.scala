@@ -60,7 +60,15 @@ object Curation {
     *        sub-shards): when set, packing keys by
     *        `(source, doc_id div S)` so a dominant source packs on
     *        many tasks; bins stay sub-shard-local. None (default) =
-    *        whole-source shards, the q87-oracle semantics */
+    *        whole-source shards, the q87-oracle semantics
+    * @param urlColumn      optional URL column name — enables the
+    *        RefinedWeb-style URL PRE-gate (first stage, before any
+    *        text is read): registered-domain blocklist + per-domain
+    *        doc cap via `UrlOps.domainDrops` (q145/q146's operators)
+    * @param domainCap      max docs kept per registered domain
+    *        (doc_id order) when the URL gate is on
+    * @param domainBlocklist registered domains dropped outright when
+    *        the URL gate is on */
   final case class CurationConfig(
       gates: GateRules = GateRules(),
       boilerMinDocs: Long = 3,
@@ -78,13 +86,16 @@ object Curation {
       defaultRate: Long = 100L,
       temperatureBalance: Boolean = false,
       packCapacity: Long = 512L,
-      packDocsPerSubShard: Option[Long] = None)
+      packDocsPerSubShard: Option[Long] = None,
+      urlColumn: Option[String] = None,
+      domainCap: Long = Long.MaxValue,
+      domainBlocklist: Seq[String] = Nil)
 
   final case class CurationSummary(
       raw: Long, gated: Long, boilerDropped: Long, contaminatedDropped: Long,
       perplexityDropped: Long, dsirDropped: Long, qualityDropped: Long,
       semanticDropped: Long, sampledOut: Long, tempSampledOut: Long,
-      packedDocs: Long, bins: Long)
+      packedDocs: Long, bins: Long, urlDropped: Long = 0L)
 
   private def materialize(df: DataFrame, tag: String): DataFrame =
     graft.Staging.materialize(df, tag, "spark.graft.corpus.stagingDir")
@@ -100,6 +111,14 @@ object Curation {
     * materialization that both LM stages read (never one per stage);
     * their scoring outputs are slim (doc_id, flag) joins. */
   def run(docs: DataFrame, cfg: CurationConfig = CurationConfig()): (DataFrame, CurationSummary) = {
+    // URL pre-gate (RefinedWeb order: filter by URL before reading
+    // text): registered-domain blocklist + per-domain cap, as a slim
+    // (doc_id, flag) join like every optional stage — counted FIRST
+    // in the cascade, so every later stage conditions on survival
+    val urlIds = cfg.urlColumn.map { uc =>
+      graft.operators.UrlOps.domainDrops(
+        docs, col(uc), cfg.domainCap, cfg.domainBlocklist)
+    }
     // boilerplate frequencies on the RAW corpus (q87's rule: template
     // text counts even when its host doc fails other gates)
     val grams = materialize(CorpusOps.fiveGramsOf(docs)
@@ -184,7 +203,9 @@ object Curation {
         Some(graft.operators.SampleOps.temperatureThresholds(docs)
           .select(col("source"), col("thresh")))
       else None
-    val flagged00 = docs
+    val flagged00 = urlIds.fold(docs.withColumn("is_url_out", lit(false)))(
+        ids => docs.join(ids, Seq("doc_id"), "left_outer"))
+      .withColumn("is_url_out", coalesce(col("is_url_out"), lit(false)))
       .withColumn("pass_gate", gateKeep(col("text"), cfg.gates))
       .join(boilerIds, Seq("doc_id"), "left_outer")
       .withColumn("bucket", expr(MixOps.bucketExpr("sha2(text, 256)")).cast("long"))
@@ -218,32 +239,39 @@ object Curation {
     val clean = materialize(flagged
       .observe(obs,
         count(lit(1)).as("raw"),
-        count(when(col("pass_gate"), true)).as("gated"),
-        count(when(col("pass_gate") && col("is_boiler"), true)).as("boiler_dropped"),
-        count(when(col("pass_gate") && !col("is_boiler") && col("is_contam"), true))
+        count(when(col("is_url_out"), true)).as("url_dropped"),
+        count(when(!col("is_url_out") && col("pass_gate"), true)).as("gated"),
+        count(when(!col("is_url_out") && col("pass_gate") && col("is_boiler"), true))
+          .as("boiler_dropped"),
+        count(when(!col("is_url_out") && col("pass_gate") && !col("is_boiler") &&
+          col("is_contam"), true))
           .as("contam_dropped"),
-        count(when(col("pass_gate") && !col("is_boiler") && !col("is_contam") &&
-          col("is_ppl_out"), true)).as("ppl_dropped"),
-        count(when(col("pass_gate") && !col("is_boiler") && !col("is_contam") &&
-          !col("is_ppl_out") && col("is_dsir_out"), true)).as("dsir_dropped"),
-        count(when(col("pass_gate") && !col("is_boiler") && !col("is_contam") &&
-          !col("is_ppl_out") && !col("is_dsir_out") && col("is_qual_out"), true))
+        count(when(!col("is_url_out") && col("pass_gate") && !col("is_boiler") &&
+          !col("is_contam") && col("is_ppl_out"), true)).as("ppl_dropped"),
+        count(when(!col("is_url_out") && col("pass_gate") && !col("is_boiler") &&
+          !col("is_contam") && !col("is_ppl_out") && col("is_dsir_out"), true))
+          .as("dsir_dropped"),
+        count(when(!col("is_url_out") && col("pass_gate") && !col("is_boiler") &&
+          !col("is_contam") && !col("is_ppl_out") && !col("is_dsir_out") &&
+          col("is_qual_out"), true))
           .as("qual_dropped"),
-        count(when(col("pass_gate") && !col("is_boiler") && !col("is_contam") &&
-          !col("is_ppl_out") && !col("is_dsir_out") && !col("is_qual_out") &&
-          col("is_sem_dup"), true))
+        count(when(!col("is_url_out") && col("pass_gate") && !col("is_boiler") &&
+          !col("is_contam") && !col("is_ppl_out") && !col("is_dsir_out") &&
+          !col("is_qual_out") && col("is_sem_dup"), true))
           .as("sem_dropped"),
-        count(when(col("pass_gate") && !col("is_boiler") && !col("is_contam") &&
-          !col("is_ppl_out") && !col("is_dsir_out") && !col("is_qual_out") &&
-          !col("is_sem_dup") && !col("pass_mix"), true))
+        count(when(!col("is_url_out") && col("pass_gate") && !col("is_boiler") &&
+          !col("is_contam") && !col("is_ppl_out") && !col("is_dsir_out") &&
+          !col("is_qual_out") && !col("is_sem_dup") && !col("pass_mix"), true))
           .as("sampled_out"),
-        count(when(col("pass_gate") && !col("is_boiler") && !col("is_contam") &&
-          !col("is_ppl_out") && !col("is_dsir_out") && !col("is_qual_out") &&
-          !col("is_sem_dup") && col("pass_mix") && !col("pass_temp"), true))
+        count(when(!col("is_url_out") && col("pass_gate") && !col("is_boiler") &&
+          !col("is_contam") && !col("is_ppl_out") && !col("is_dsir_out") &&
+          !col("is_qual_out") && !col("is_sem_dup") && col("pass_mix") &&
+          !col("pass_temp"), true))
           .as("temp_sampled_out"))
-      .filter(col("pass_gate") && !col("is_boiler") && !col("is_contam") &&
-        !col("is_ppl_out") && !col("is_dsir_out") && !col("is_qual_out") &&
-        !col("is_sem_dup") && col("pass_mix") && col("pass_temp"))
+      .filter(!col("is_url_out") && col("pass_gate") && !col("is_boiler") &&
+        !col("is_contam") && !col("is_ppl_out") && !col("is_dsir_out") &&
+        !col("is_qual_out") && !col("is_sem_dup") && col("pass_mix") &&
+        col("pass_temp"))
       .select(col("source"), col("doc_id"), col("text")), "clean")
     // exact dedup (min doc_id per content hash) + packing
     val keepIds = clean.groupBy(sha2(col("text"), 256).as("h"))
@@ -267,7 +295,8 @@ object Curation {
       sampledOut = obs.get("sampled_out").asInstanceOf[Long],
       tempSampledOut = obs.get("temp_sampled_out").asInstanceOf[Long],
       packedDocs = obsPack.get("packed_docs").asInstanceOf[Long],
-      bins = bins.count())
+      bins = bins.count(),
+      urlDropped = obs.get("url_dropped").asInstanceOf[Long])
     (bins, summary)
   }
 

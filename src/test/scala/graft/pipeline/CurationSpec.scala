@@ -294,6 +294,30 @@ class CurationSpec extends SparkSpec {
     assert(gotHh === exact, "cross-batch monitor diverged from exact counts")
   }
 
+  test("URL pre-gate: blocklist + per-domain cap drop first and are accounted") {
+    import graft.operators.UrlOps
+    val withUrl = docs.withColumn("url",
+      concat(lit("https://WWW."), col("source"), lit("-x.COM/d/"),
+        col("doc_id").cast("string")))
+    val (_, base) = Curation.run(withUrl)
+    assert(base.urlDropped === 0L, "gate off must not drop")
+
+    val cfg = Curation.CurationConfig(urlColumn = Some("url"),
+      domainCap = 5L, domainBlocklist = Seq("src0-x.com"))
+    val (_, s) = Curation.run(withUrl, cfg)
+    val wantDrops = UrlOps.domainDrops(withUrl, col("url"), 5L,
+      Seq("src0-x.com")).count()
+    assert(wantDrops > 0, "fixture must exercise both rules")
+    assert(s.urlDropped === wantDrops)
+    assert(s.raw === base.raw)
+    assert(s.gated <= base.gated, "url-dropped docs can't reach the text gate")
+    // survivor accounting still closes under the new first stage
+    val survivors = s.gated - s.boilerDropped - s.contaminatedDropped -
+      s.perplexityDropped - s.dsirDropped - s.qualityDropped -
+      s.semanticDropped - s.sampledOut - s.tempSampledOut
+    assert(s.packedDocs <= survivors)
+  }
+
   test("streamBatch replay is idempotent wherever the crash landed") {
     val base = java.nio.file.Files.createTempDirectory("graft-replay").toString
     val out = s"$base/out"; val hist = s"$base/hist"

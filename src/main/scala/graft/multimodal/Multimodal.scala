@@ -14,9 +14,13 @@ import org.apache.spark.sql.types._
   * (24-bit → true width/height, channel means) via hand-rolled
   * graft.tools.Media parsers, and for the compressed image formats the
   * JDK itself decodes — PNG/JPEG/GIF/TIFF via javax.imageio
-  * (java.desktop, headless-safe). Only compressed audio/video
-  * (MP3/H.264) remains behind the deterministic [[StubDecoder]]; a
-  * deployment swaps in an FFmpeg-backed decoder behind the same trait.
+  * (java.desktop, headless-safe). Compressed audio probes the
+  * `javax.sound.sampled` SPI registry at runtime (`Media.decodeViaSpi`
+  * — a WAV/AIFF/AU decode ships with the JDK and MP3 works the moment
+  * an MP3 SPI is on the classpath); only runtimes WITHOUT such an SPI
+  * fall through to the deterministic [[StubDecoder]], which also
+  * remains the declared stand-in for video (H.264) — a deployment
+  * swaps in an FFmpeg-backed decoder behind the same trait.
   */
 object Multimodal {
 
@@ -77,6 +81,15 @@ object Multimodal {
           imageFeatures(Media.decodeBmp(content))
         } else if (Media.imageIoFormat(content).isDefined) {
           imageFeatures(Media.decodeImage(content)) // real PNG/JPEG/GIF/TIFF
+        } else if (Media.isMp3(content)) {
+          // real decode when the runtime carries an MP3 SPI; declared
+          // stub otherwise (the one remaining compressed-A/V stub)
+          Media.decodeViaSpi(content) match {
+            case Some(a) => pad(Array(1f, a.sampleRate / 48000f,
+              a.durationMs / 1000f, a.rms.toFloat, a.peak.toFloat,
+              a.zeroCrossingRate.toFloat))
+            case None => stub.features(content)
+          }
         } else stub.features(content)
       } catch { case _: Exception => Array.fill(dim)(0f) }
     }
@@ -97,6 +110,11 @@ object Multimodal {
           val fmt = Media.imageIoFormat(content).get
           val i = Media.decodeImage(content)
           Row(fmt, i.width, i.height, 0L)
+        } else if (Media.isMp3(content)) {
+          Media.decodeViaSpi(content) match {
+            case Some(a) => Row("mp3", 0, 0, a.durationMs)
+            case None => stub.meta(content, fileName)
+          }
         } else stub.meta(content, fileName)
       } catch { case _: Exception => Row("corrupt", 0, 0, 0L) }
     }

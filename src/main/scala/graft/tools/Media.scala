@@ -99,6 +99,35 @@ object Media {
     WavAudio(rate, channels, samples)
   }
 
+  /** MP3 magic sniff: an ID3v2 tag or a bare MPEG frame sync. */
+  def isMp3(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 3 &&
+      ((bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') ||
+        ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xe0) == 0xe0))
+
+  /** Decode audio through whatever `javax.sound.sampled` SPI the
+    * runtime carries, converted to signed 16-bit little-endian PCM.
+    * The base JDK ships WAV/AIFF/AU providers; an MP3 SPI (e.g.
+    * mp3spi on the classpath) slots in with no code change — on
+    * runtimes without one this returns None and callers fall through
+    * to the declared stub. This is the probe that turns the MP3 stub
+    * real the moment the environment can actually decode it. */
+  def decodeViaSpi(bytes: Array[Byte]): Option[WavAudio] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val base = in.getFormat
+      val pcmFmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        base.getSampleRate, 16, base.getChannels,
+        base.getChannels * 2, base.getSampleRate, false)
+      val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, in)
+      val raw = pcm.readAllBytes()
+      pcm.close(); in.close()
+      val samples = Array.tabulate(raw.length / 2)(i => rdLe16(raw, i * 2).toShort)
+      Some(WavAudio(base.getSampleRate.toInt, base.getChannels, samples))
+    } catch { case _: Exception => None }
+
   // ------------------------------------------------------------------ BMP
 
   final case class BmpImage(width: Int, height: Int,

@@ -122,6 +122,36 @@ class MultimodalSpec extends SparkSpec {
     pairs.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(2) <= 6))
   }
 
+  test("SPI probe: WAV through javax.sound equals the hand-rolled parser") {
+    import graft.tools.Media
+    val samples = Array.tabulate(400)(i =>
+      (math.sin(i * 0.1) * 12000).toShort)
+    val wav = Media.buildWav(samples, sampleRate = 16000)
+    val viaSpi = Media.decodeViaSpi(wav)
+    assert(viaSpi.isDefined, "the JDK always carries a WAV SPI")
+    val a = viaSpi.get
+    val b = Media.decodeWav(wav)
+    assert(a.sampleRate === b.sampleRate)
+    assert(a.samples.toSeq === b.samples.toSeq,
+      "SPI PCM conversion must be bit-exact vs the hand parser")
+  }
+
+  test("MP3 sniff + SPI fallback: no MP3 SPI here, decoder stays deterministic") {
+    import graft.tools.Media
+    val id3 = "ID3".getBytes ++ Array.fill[Byte](64)(7)
+    val sync = Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0x44.toByte) ++
+      Array.fill[Byte](64)(3)
+    assert(Media.isMp3(id3) && Media.isMp3(sync))
+    assert(!Media.isMp3("RIFF....WAVE".getBytes))
+    // this container has no MP3 SPI: decode must decline, not throw...
+    assert(Media.decodeViaSpi(id3).isEmpty)
+    // ...and the decoder falls through to the DETERMINISTIC stub
+    val dec = new Multimodal.JdkMediaDecoder()
+    val stub = new Multimodal.StubDecoder()
+    assert(dec.features(id3).toSeq === stub.features(id3).toSeq)
+    assert(dec.meta(sync, "x.mp3") === stub.meta(sync, "x.mp3"))
+  }
+
   test("JdkMediaDecoder: real wav/bmp decode through the Spark plumbing") {
     import spark.implicits._
     import graft.tools.Media

@@ -678,8 +678,129 @@ object CorpusOps {
           (acc, x) -> replace(acc, x, '<CARD>')) AS redacted
       FROM v ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------
+  // q147/q148: corpus-global line dedup (C4 §2.2, the actual step)
+  // ---------------------------------------------------------------
+
+  /** Segment width for the line-dedup tier. The synthetic corpus has
+    * no newlines, so "lines" are non-overlapping [[LineSegLen]]-token
+    * segments — the same surrogate convention as q98's fixed windows;
+    * over real crawl text the split regex becomes `\n` and nothing
+    * else changes. */
+  private val LineSegLen = 10
+
+  /** (doc_id, seg_idx, seg, h, pos_key) — each doc cut into
+    * non-overlapping segments, each keyed by a 64-bit content hash
+    * (16 hex chars of sha-256, the q98 convention: the shuffle moves
+    * fixed-width keys, never the text) and a position key that makes
+    * "first occurrence in corpus order" one integer min:
+    * `doc_id * 1e6 + seg_idx` (exact while docs stay under 10 M
+    * tokens and doc_id under ~9e12 — both hold by orders of
+    * magnitude). */
+  private[graft] def lineSegments(d: DataFrame): DataFrame = {
+    val ws = split(trim(col("text")), "\\s+")
+    d.select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), (ceil(size(ws) / lit(LineSegLen.toDouble)) - 1).cast("int")),
+          i => array_join(slice(ws, i * LineSegLen + 1, lit(LineSegLen)), " ")))
+          .as(Seq("seg_idx", "seg")))
+      .withColumn("h", substring(sha2(col("seg"), 256), 1, 16))
+      .withColumn("pos_key", col("doc_id") * 1000000L + col("seg_idx"))
+  }
+
+  /** Shared oracle CTEs: the same segment table in DuckDB. */
+  private val lineSegSqlCtes =
+    s"""t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents),
+      segs AS (SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+          array_to_string(w[(i*$LineSegLen+1):((i+1)*$LineSegLen)], ' ') AS seg
+        FROM t, unnest(range(CAST(ceil(len(w)/$LineSegLen.0) AS BIGINT))) AS u(i)),
+      keyed AS (SELECT doc_id, seg_idx, seg, substr(sha256(seg), 1, 16) AS h,
+          doc_id*1000000 + seg_idx AS pos_key FROM segs)"""
+
+  /** q147: corpus-global duplicate-line removal — C4's actual dedup
+    * step (Raffel et al. 2020 §2.2: "we discard all but one of any
+    * three-sentence span occurring more than once"), at line/segment
+    * granularity: every segment keeps exactly its FIRST occurrence in
+    * corpus order and every later copy is cut, then each document's
+    * text is reassembled from its surviving segments.
+    *
+    * Scale: the explode is one narrow pass; the first-occurrence
+    * aggregate and the flag join-back both shuffle (h, pos_key) pairs
+    * only — 24 bytes/row regardless of text width (the C4-at-scale
+    * design: dedup state lives on hashes, never strings); reassembly
+    * is ONE doc_id shuffle with an in-partition sorted array_join.
+    * Nothing is ever all-pairs and no corpus-sized structure reaches
+    * the driver or a broadcast. */
+  /** The library entry: line-dedup an arbitrary (doc_id, text) frame.
+    * Output per doc: total/kept segment counts + the reassembled text. */
+  def lineDedupOf(d: DataFrame): DataFrame = {
+    val segs = lineSegments(d)
+    val firsts = segs.groupBy(col("h")).agg(min(col("pos_key")).as("first_key"))
+    segs.join(firsts, Seq("h"))
+      .withColumn("keep", col("pos_key") === col("first_key"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_seg"),
+        count(when(col("keep"), true)).as("kept_seg"),
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("seg_idx"), col("seg"))))),
+          x => x.getField("seg")), " ").as("text_dedup"))
+  }
+
+  val q147LineDedup: QueryDef = QueryDef(
+    "q147_line_dedup",
+    (s, dir) => lineDedupOf(docs(s, dir)).orderBy(col("doc_id")),
+    Some(s"""WITH $lineSegSqlCtes,
+      firsts AS (SELECT h, min(pos_key) AS first_key FROM keyed GROUP BY h),
+      flagged AS (SELECT k.doc_id, k.seg_idx, k.seg,
+          (k.pos_key = f.first_key) AS keep
+        FROM keyed k JOIN firsts f ON k.h = f.h)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_seg,
+        CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS kept_seg,
+        coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE keep),
+          '') AS text_dedup
+      FROM flagged GROUP BY doc_id ORDER BY doc_id"""),
+    headline = true)
+
+  /** q148: duplicate-line character fraction — the RedPajama-v2 /
+    * CCNet quality signal (`ccnet_*_dupe_*`-family): per document, the
+    * share of characters sitting in segments that occur more than once
+    * corpus-wide. Unlike q147 this REMOVES nothing — it is the audit
+    * column a curation run thresholds on — and unlike q88 (intra-doc
+    * repetition) the duplicate count is corpus-global.
+    *
+    * Scale: shares q147's explode; the occurrence count shuffles
+    * (h, 1) pairs; the count joins back on h (equi join, both sides
+    * pre-shuffled on the same key); the per-doc rollup is one doc_id
+    * aggregate. Char lengths are summed from the segments already in
+    * hand — the text itself is never re-read. */
+  /** Library entry: the q148 signal over an arbitrary frame. */
+  def dupLineCharsOf(d: DataFrame): DataFrame = {
+    val segs = lineSegments(d)
+    val counts = segs.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
+    segs.join(counts, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_seg"),
+        count(when(col("n_occ") > 1, true)).as("dup_seg"),
+        round(sum(when(col("n_occ") > 1, length(col("seg"))).otherwise(0))
+          .cast("double") / sum(length(col("seg"))), 6).as("dup_char_frac"))
+  }
+
+  val q148DupLineChars: QueryDef = QueryDef(
+    "q148_dup_line_chars",
+    (s, dir) => dupLineCharsOf(docs(s, dir)).orderBy(col("doc_id")),
+    Some(s"""WITH $lineSegSqlCtes,
+      counts AS (SELECT h, count(*) AS n_occ FROM keyed GROUP BY h)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_seg,
+        CAST(count(*) FILTER (WHERE n_occ > 1) AS BIGINT) AS dup_seg,
+        round(CAST(sum(CASE WHEN n_occ > 1 THEN length(seg) ELSE 0 END) AS DOUBLE)
+          / sum(length(seg)), 6) AS dup_char_frac
+      FROM keyed k JOIN counts c ON k.h = c.h
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q81Boilerplate, q82GopherQuality, q83PiiRedact, q84BloomHistoryDedup,
     q86SeqPack, q128PackAudit, q87CurationPipeline, q88Repetition, q89BpeishTokens,
-    q124PiiLuhn, q125SourceBoilerplate)
+    q124PiiLuhn, q125SourceBoilerplate, q147LineDedup, q148DupLineChars)
 }

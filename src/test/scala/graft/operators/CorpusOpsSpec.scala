@@ -245,4 +245,61 @@ class CorpusOpsSpec extends SparkSpec {
       }
     }
   }
+
+  // ---- q147/q148: corpus-global line (segment) dedup --------------
+
+  /** 10-token segments a/b/c, composed so docs share exact segments. */
+  private def seg(ch: String): String = Array.fill(10)(ch).mkString(" ")
+
+  test("q147: first occurrence survives, every later copy is cut, text reassembles in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, seg("a") + " " + seg("b")),            // a@ (1,0), b@ (1,1)
+      (2L, seg("b") + " " + seg("c")),            // b duplicated -> cut
+      (3L, seg("a") + " " + seg("c") + " x y z")  // a, c cut; tail 'x y z' unique
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.lineDedupOf(docs).orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 2L, 2L), (2L, 2L, 1L), (3L, 3L, 1L)))
+    assert(out(0).getString(3) === seg("a") + " " + seg("b"))
+    assert(out(1).getString(3) === seg("c"))      // only its c survives
+    assert(out(2).getString(3) === "x y z")       // both full segs were copies
+    // conservation: kept segments across the corpus = distinct segments
+    val kept = out.map(_.getLong(2)).sum
+    val distinctSegs = CorpusOps.lineSegments(docs).select("h").distinct().count()
+    assert(kept === distinctSegs)
+  }
+
+  test("q147: first occurrence is corpus-positional — an intra-doc repeat keeps its EARLIER index") {
+    import spark.implicits._
+    val docs = Seq((7L, seg("q") + " " + seg("z") + " " + seg("q"))).toDF("doc_id", "text")
+    val out = CorpusOps.lineDedupOf(docs).collect().head
+    assert(out.getLong(1) === 3L && out.getLong(2) === 2L)
+    assert(out.getString(3) === seg("q") + " " + seg("z"))
+  }
+
+  test("q148: dup-char fraction is exact on a handcrafted corpus and removes nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, seg("a") + " " + seg("b")),  // a dup (also in doc 2), b unique
+      (2L, seg("a"))                    // fully duplicated
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.dupLineCharsOf(docs).orderBy("doc_id").collect()
+    // doc 1: a has 19 chars, b has 19 -> frac = 0.5; doc 2: 1.0
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq ===
+      Seq((1L, 2L, 1L, 0.5), (2L, 1L, 1L, 1.0)))
+  }
+
+  test("q147/q148 agree: a doc with zero dup chars keeps every segment") {
+    val dedup = CorpusOps.q147LineDedup.fn(spark, dir)
+      .select(col("doc_id"), (col("kept_seg") === col("n_seg")).as("all_kept"))
+    val frac = CorpusOps.q148DupLineChars.fn(spark, dir)
+      .select(col("doc_id"), (col("dup_seg") === 0L).as("no_dups"))
+    val joined = dedup.join(frac, Seq("doc_id")).collect()
+    // no_dups -> all_kept (the converse is false: a doc can hold the
+    // FIRST occurrence of a segment duplicated elsewhere)
+    joined.foreach(r => assert(!r.getBoolean(2) || r.getBoolean(1)))
+    assert(joined.exists(r => r.getBoolean(2)), "corpus needs clean docs")
+    assert(joined.exists(r => !r.getBoolean(1)), "corpus needs cut docs")
+  }
 }

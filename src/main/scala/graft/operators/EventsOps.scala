@@ -359,8 +359,51 @@ object EventsOps {
       WHERE event_type = 'purchase' ORDER BY event_id"""),
     headline = true)
 
+  /** q149: the native as-of join with merge_asof's `tolerance` — each
+    * purchase matches its most recent prior error only when that error
+    * is at most 10 minutes back; staler errors leave the right side
+    * null. Inside [[graft.plans.AsOfJoinExec]] the bound is ONE
+    * subtraction on the already-found candidate (the last absorbed
+    * right is always the nearest in time), so the plan and cost are
+    * exactly q139's — two key-clustered exchanges, two sorts, one
+    * forward merge — with zero extra passes. The oracle is q61's
+    * window form masked by the same 10-minute bound. */
+  val q149AsofTolerance: QueryDef = QueryDef(
+    "q149_asof_tolerance",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_event_id"),
+          col("user_id").as("err_user"), col("ts").as("err_ts"))
+      graft.plans.AsOf.join(purchases, errors,
+          "user_id", "err_user", "purchase_ts", "err_ts",
+          rightTiebreak = Some("err_event_id"),
+          tolerance = Some(600L * 1000000L)) // 10 min in micros
+        .select(col("event_id"), col("user_id"), col("purchase_ts"),
+          col("err_ts").as("recent_err_ts"),
+          col("err_event_id").as("recent_err_id"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id,
+      CAST(ts AS TIMESTAMP) AS purchase_ts,
+      CAST(CASE WHEN ts - last_err_ts <= INTERVAL 10 MINUTE
+        THEN last_err_ts END AS TIMESTAMP) AS recent_err_ts,
+      CASE WHEN ts - last_err_ts <= INTERVAL 10 MINUTE
+        THEN last_err_id END AS recent_err_id FROM (
+        SELECT event_id, user_id, ts, event_type,
+          last_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_err_ts,
+          last_value(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_err_id
+        FROM events) x
+      WHERE event_type = 'purchase' ORDER BY event_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q60Sessionize, q61AsofJoin, q62RangeJoin, q63Pivot, q64Cube,
     q135Funnel, q136Retention, q137Transitions, q138SlidingWindows,
-    q139AsofNative)
+    q139AsofNative, q149AsofTolerance)
 }

@@ -41,9 +41,13 @@ import org.apache.spark.sql.graft.GraftSql
   * operator gives the identical answer through the driver's DuckDB gate.
   *
   * Reference behavior: `merge_asof`'s `allow_exact_matches` maps to
-  * `!strict`; unmatched left rows keep null right columns (left-outer
-  * as-of). Null keys and null times never match, matching SQL join
-  * null semantics.
+  * `!strict`, and its `tolerance` to [[AsOfJoinPlan.tolerance]]: when
+  * set, a left row only matches a right row at most `tolerance` units
+  * back in time (units of the time type's NATIVE representation —
+  * microseconds for timestamps, days for dates, the value itself for
+  * integral columns). Unmatched left rows keep null right columns
+  * (left-outer as-of). Null keys and null times never match, matching
+  * SQL join null semantics.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -53,7 +57,8 @@ case class AsOfJoinPlan(
     leftTime: Attribute,
     rightTime: Attribute,
     strict: Boolean,
-    rightTiebreak: Option[Attribute] = None) extends BinaryNode {
+    rightTiebreak: Option[Attribute] = None,
+    tolerance: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -65,8 +70,8 @@ case class AsOfJoinPlan(
   * `GraftExtensions`. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, strict, tb) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, strict, tb) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, strict, tb, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, strict, tb, tol) :: Nil
     case _ => Nil
   }
 }
@@ -79,12 +84,21 @@ case class AsOfJoinExec(
     leftTime: Attribute,
     rightTime: Attribute,
     strict: Boolean,
-    rightTiebreak: Option[Attribute] = None) extends BinaryExecNode {
+    rightTiebreak: Option[Attribute] = None,
+    tolerance: Option[Long] = None) extends BinaryExecNode {
 
   require(leftKey.dataType == rightKey.dataType,
     s"as-of key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
   require(leftTime.dataType == rightTime.dataType,
     s"as-of time types differ: ${leftTime.dataType} vs ${rightTime.dataType}")
+  tolerance.foreach { t =>
+    require(t >= 0, s"as-of tolerance must be >= 0, got $t")
+    import org.apache.spark.sql.types._
+    require(Seq(TimestampType, TimestampNTZType, DateType, LongType,
+      IntegerType, ShortType, ByteType).contains(leftTime.dataType),
+      s"as-of tolerance needs an integral-backed time type, " +
+        s"got ${leftTime.dataType}")
+  }
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -126,6 +140,7 @@ case class AsOfJoinExec(
     val keyType = leftKey.dataType
     val timeType = leftTime.dataType
     val isStrict = strict
+    val tolOpt = tolerance
     val numLeft = left.output.size
     val numRight = right.output.size
     val outAttrs = output
@@ -179,7 +194,19 @@ case class AsOfJoinExec(
           }
           if (lastMatch != null && lastMatchKey != null &&
             keyOrdering.compare(lastMatchKey, lk) == 0 && lt != null) {
-            matched = lastMatch
+            // with a tolerance the last absorbed right is the ONLY
+            // candidate (any earlier one is farther back in time), so
+            // the bound is one subtraction on the integral-backed
+            // internal values — never a second scan
+            matched = tolOpt match {
+              case None => lastMatch
+              case Some(tol) =>
+                val rt = lastMatch.get(rTimeOrd, timeType)
+                if (rt != null &&
+                  AsOfJoinExec.timeAsLong(lt) - AsOfJoinExec.timeAsLong(rt) <= tol)
+                  lastMatch
+                else null
+            }
           }
         }
         numOutputRows += 1
@@ -187,6 +214,20 @@ case class AsOfJoinExec(
         project(joined(lRow, if (matched != null) matched else nullRight))
       }
     }
+  }
+}
+
+object AsOfJoinExec {
+  /** Internal value of an integral-backed time column (micros for
+    * timestamps, days for dates) — the representation the tolerance
+    * bound subtracts in. */
+  private[plans] def timeAsLong(v: Any): Long = v match {
+    case l: java.lang.Long => l
+    case i: java.lang.Integer => i.longValue
+    case s: java.lang.Short => s.longValue
+    case b: java.lang.Byte => b.longValue
+    case other => throw new IllegalStateException(
+      s"non-integral as-of time value: $other (${other.getClass})")
   }
 }
 
@@ -203,7 +244,8 @@ object AsOf {
       leftTime: String,
       rightTime: String,
       strict: Boolean = false,
-      rightTiebreak: Option[String] = None): DataFrame = {
+      rightTiebreak: Option[String] = None,
+      tolerance: Option[Long] = None): DataFrame = {
     val lPlan = left.queryExecution.analyzed
     val rightSafe =
       if (left.queryExecution.analyzed.outputSet
@@ -219,6 +261,6 @@ object AsOf {
       lPlan, rPlan,
       attr(lPlan, leftKey), attr(rPlan, rightKey),
       attr(lPlan, leftTime), attr(rPlan, rightTime), strict,
-      rightTiebreak.map(attr(rPlan, _))))
+      rightTiebreak.map(attr(rPlan, _)), tolerance))
   }
 }

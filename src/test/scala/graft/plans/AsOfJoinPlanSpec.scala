@@ -120,6 +120,59 @@ class AsOfJoinPlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("tolerance: a stale match is dropped, a fresh one kept, bound is inclusive") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "q-old"),
+      (2L, ts("2024-01-01 10:00:00"), "q-new"))
+      .toDF("qk", "qts", "quote")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:20:00"), "t-stale"),  // 20 min after q-old
+      (2L, ts("2024-01-01 10:10:00"), "t-edge"),   // exactly 10 min: inclusive
+      (2L, ts("2024-01-01 10:05:00"), "t-fresh"))
+      .toDF("tk", "tts", "trade")
+    val tol = AsOf.join(trades, quotes, "tk", "qk", "tts", "qts",
+        tolerance = Some(600L * 1000000L))
+      .select(col("trade"), col("quote")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(tol("t-stale") === null, "out-of-tolerance match must drop to null")
+    assert(tol("t-edge") === "q-new", "the tolerance bound is inclusive")
+    assert(tol("t-fresh") === "q-new")
+    // without the tolerance the stale quote matches — same data, same op
+    val no = AsOf.join(trades, quotes, "tk", "qk", "tts", "qts")
+      .select(col("trade"), col("quote")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(no("t-stale") === "q-old")
+  }
+
+  test("tolerance: q149 equals the masked window form; negative tolerance rejected") {
+    val native = EventsOps.q149AsofTolerance.fn(spark, dir).collect()
+    val masked = EventsOps.q61AsofJoin.fn(spark, dir)
+      .withColumn("recent_err_ts",
+        when(col("purchase_ts").cast("long") - col("last_err_ts").cast("long")
+          <= 600L, col("last_err_ts")))
+      .orderBy(col("event_id")).collect()
+    assert(native.length === masked.length)
+    native.zip(masked).foreach { case (n, m) =>
+      assert(n.getAs[Long]("event_id") === m.getAs[Long]("event_id"))
+      assert(n.getAs[java.sql.Timestamp]("recent_err_ts") ===
+        m.getAs[java.sql.Timestamp]("recent_err_ts"))
+    }
+    // tolerance must discriminate on this data or the test proves nothing
+    val withErr = native.count(_.getAs[java.sql.Timestamp]("recent_err_ts") != null)
+    val allMatched = EventsOps.q139AsofNative.fn(spark, dir)
+      .filter(col("last_err_ts").isNotNull).count()
+    assert(withErr < allMatched, "tolerance dropped nothing — widen the test window")
+    assert(withErr > 0, "tolerance dropped everything")
+    intercept[IllegalArgumentException] {
+      EventsOps.q149AsofTolerance // construction is lazy; build a bad one directly
+      val e = graft.Tables.load(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      AsOf.join(e, e, "user_id", "user_id", "ts", "ts",
+        tolerance = Some(-1L)).collect()
+    }
+  }
+
   test("every left row survives exactly once (left-outer cardinality)") {
     val e = graft.Tables.load(spark, dir, "events")
     val purchases = e.filter(col("event_type") === "purchase")

@@ -68,7 +68,13 @@ object Curation {
     * @param domainCap      max docs kept per registered domain
     *        (doc_id order) when the URL gate is on
     * @param domainBlocklist registered domains dropped outright when
-    *        the URL gate is on */
+    *        the URL gate is on
+    * @param lineDedup      when true, run C4's line-level dedup
+    *        (q147's operator, `CorpusOps.lineDedupOf`) on the
+    *        doc-dedup survivors: every segment keeps its first
+    *        corpus-order occurrence, texts are rewritten before
+    *        packing, docs cut to nothing drop; cut-segment count
+    *        surfaces as `lineSegmentsCut` */
   final case class CurationConfig(
       gates: GateRules = GateRules(),
       boilerMinDocs: Long = 3,
@@ -89,13 +95,15 @@ object Curation {
       packDocsPerSubShard: Option[Long] = None,
       urlColumn: Option[String] = None,
       domainCap: Long = Long.MaxValue,
-      domainBlocklist: Seq[String] = Nil)
+      domainBlocklist: Seq[String] = Nil,
+      lineDedup: Boolean = false)
 
   final case class CurationSummary(
       raw: Long, gated: Long, boilerDropped: Long, contaminatedDropped: Long,
       perplexityDropped: Long, dsirDropped: Long, qualityDropped: Long,
       semanticDropped: Long, sampledOut: Long, tempSampledOut: Long,
-      packedDocs: Long, bins: Long, urlDropped: Long = 0L)
+      packedDocs: Long, bins: Long, urlDropped: Long = 0L,
+      lineSegmentsCut: Long = 0L)
 
   private def materialize(df: DataFrame, tag: String): DataFrame =
     graft.Staging.materialize(df, tag, "spark.graft.corpus.stagingDir")
@@ -273,12 +281,27 @@ object Curation {
         !col("is_qual_out") && !col("is_sem_dup") && col("pass_mix") &&
         col("pass_temp"))
       .select(col("source"), col("doc_id"), col("text")), "clean")
-    // exact dedup (min doc_id per content hash) + packing
+    // exact dedup (min doc_id per content hash)
     val keepIds = clean.groupBy(sha2(col("text"), 256).as("h"))
       .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val deduped = clean.join(keepIds, Seq("doc_id"), "left_semi")
+    // optional C4 line-level dedup (q147's operator): rewrite each
+    // survivor to its first-occurrence segments AFTER doc-level exact
+    // dedup (so intra-copy segments don't inflate the global counts);
+    // docs cut to nothing drop out before packing
+    val obsLine = Observation()
+    val packSource =
+      if (cfg.lineDedup)
+        CorpusOps.lineDedupOf(deduped)
+          .observe(obsLine,
+            coalesce(sum(col("n_seg") - col("kept_seg")), lit(0L)).as("segments_cut"))
+          .filter(col("kept_seg") > 0)
+          .join(deduped.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .select(col("source"), col("doc_id"), col("text_dedup").as("text"))
+      else deduped
     val obsPack = Observation()
     val bins = materialize(CorpusOps.packGreedy(
-      clean.join(keepIds, Seq("doc_id"), "left_semi")
+      packSource
         .select(col("source"), col("doc_id"),
           CorpusOps.nTokens(col("text")).as("n_tokens"))
         .observe(obsPack, count(lit(1)).as("packed_docs")),
@@ -296,7 +319,9 @@ object Curation {
       tempSampledOut = obs.get("temp_sampled_out").asInstanceOf[Long],
       packedDocs = obsPack.get("packed_docs").asInstanceOf[Long],
       bins = bins.count(),
-      urlDropped = obs.get("url_dropped").asInstanceOf[Long])
+      urlDropped = obs.get("url_dropped").asInstanceOf[Long],
+      lineSegmentsCut =
+        if (cfg.lineDedup) obsLine.get("segments_cut").asInstanceOf[Long] else 0L)
     (bins, summary)
   }
 

@@ -366,4 +366,21 @@ class CurationSpec extends SparkSpec {
     assert(strict.gated <= loose.gated)
     assert(strict.packedDocs <= loose.packedDocs)
   }
+
+  test("lineDedup stage: cut segments are accounted, token mass shrinks, off by default") {
+    val (bins, base) = Curation.run(docs)
+    assert(base.lineSegmentsCut === 0L, "stage must be off by default")
+    val (ldBins, ld) = Curation.run(docs,
+      Curation.CurationConfig(lineDedup = true))
+    // this corpus carries implanted duplicates (q98/q107 prove it), so
+    // the stage must actually cut — and only ever shrink the corpus
+    assert(ld.lineSegmentsCut > 0L, "no segments cut on a corpus with known dups")
+    assert(ld.packedDocs <= base.packedDocs)
+    def toks(b: org.apache.spark.sql.DataFrame) =
+      b.agg(sum(col("sum_tokens"))).collect().head.getLong(0)
+    assert(toks(ldBins) < toks(bins), "cut segments must remove token mass")
+    // every earlier stage is untouched by a packing-side rewrite
+    assert((ld.raw, ld.gated, ld.boilerDropped, ld.contaminatedDropped) ===
+      ((base.raw, base.gated, base.boilerDropped, base.contaminatedDropped)))
+  }
 }

@@ -623,8 +623,12 @@ object LmOps {
     * only q107, which merges on position, asks for it. */
   private def spanWindows(s: SparkSession, dir: String,
       withPos: Boolean = false): DataFrame =
+    spanWindowsOf(tokenized(s, dir), withPos)
+
+  private def spanWindowsOf(tok: DataFrame,
+      withPos: Boolean): DataFrame =
     if (withPos)
-      materialize(tokenized(s, dir)
+      materialize(tok
         .filter(size(col("w")) >= SpanLen)
         .select(col("doc_id"), explode(expr(
           s"""transform(sequence(1, size(w) - ${SpanLen - 1}),
@@ -633,7 +637,7 @@ object LmOps {
         .select(col("doc_id"), col("p.i").as("i"), col("p.h").as("h")),
         "spans_i")
     else
-      materialize(tokenized(s, dir)
+      materialize(tok
         .filter(size(col("w")) >= SpanLen)
         .select(col("doc_id"), explode(expr(
           s"""transform(sequence(1, size(w) - ${SpanLen - 1}),
@@ -888,8 +892,102 @@ object LmOps {
       FROM flagged f JOIN langtop lt ON f.source = lt.source
       GROUP BY f.source ORDER BY f.source"""))
 
+  // ---------------------------------------------------------------
+  // q150: ExactSubstr rewrite (the removal step of Lee et al. 2022)
+  // ---------------------------------------------------------------
+
+  /** The ACTUAL text surgery of ExactSubstr dedup: q107 reports the
+    * maximal duplicated spans; this removes them. Every duplicated
+    * window keeps exactly its corpus-first occurrence (min
+    * (doc_id, position) over the window's hash — the paper's
+    * "all but one" rule); every later copy's windows merge into
+    * maximal islands (q107's merge) and the covered tokens are cut,
+    * the doc rebuilt from what survives. Window granularity makes
+    * the cut boundary-greedy by up to [[SpanLen]]−1 tokens at each
+    * edge versus the paper's exact character ranges — the standard
+    * fixed-window approximation, stated here once.
+    *
+    * Scale: rides the q98/q107 machinery end-to-end — fixed-width
+    * span hashes, shared-hash aggregate, first-occurrence = one
+    * integer min per hash; the island merge shuffles ONLY non-first
+    * duplicated windows keyed by doc_id; the rebuild joins a
+    * per-doc spans ARRAY (islands are few and disjoint) back onto
+    * the token table and filters indices in one codegen'd
+    * higher-order pass — the corpus is never re-scanned and nothing
+    * is all-pairs. */
+  /** Library entry: the rewrite over an arbitrary (doc_id, text)
+    * frame. */
+  def exactSubstrRewriteOf(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = tokenizedOf(d)
+    val spans = spanWindowsOf(tok, withPos = true)
+    val dupw = spans.join(sharedSpans(spans), Seq("h"), "left_semi")
+    val firsts = dupw.groupBy(col("h"))
+      .agg(min(col("doc_id") * 1000000L + col("i")).as("fk"))
+    val rem = dupw.join(firsts, Seq("h"))
+      .filter(col("doc_id") * 1000000L + col("i") =!= col("fk"))
+      .select(col("doc_id"), col("i"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val islands = rem
+      .withColumn("prev", lag(col("i"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("i") - col("prev") > SpanLen, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("i")).as("s"), (max(col("i")) + SpanLen - 1).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("sps"))
+    tok
+      .join(islands, Seq("doc_id"), "left_outer")
+      .withColumn("keep_idx", expr(
+        """filter(sequence(1, size(w)), idx ->
+          |  sps is null or not exists(sps, sp -> idx >= sp.s and idx <= sp.e))"""
+          .stripMargin))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        (size(col("w")) - size(col("keep_idx"))).cast("long").as("tokens_removed"),
+        expr("array_join(transform(keep_idx, idx -> element_at(w, idx)), ' ')")
+          .as("text_rewrite"))
+  }
+
+  val q150ExactSubstrRewrite: QueryDef = QueryDef(
+    "q150_exactsubstr_rewrite",
+    (s, dir) => exactSubstrRewriteOf(docs(s, dir)).orderBy(col("doc_id")),
+    Some(s"""WITH $tokSqlCte,
+      spansi AS (SELECT doc_id, i,
+          substr(sha256(array_to_string(w[i:i+${SpanLen - 1}], ' ')), 1, 16) AS h
+        FROM tok, unnest(range(1, len(w) - ${SpanLen - 2})) AS t(i)
+        WHERE len(w) >= $SpanLen),
+      sharedi AS (SELECT h FROM spansi GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      dupw AS (SELECT s.doc_id, s.i, s.h FROM spansi s
+        WHERE s.h IN (SELECT h FROM sharedi)),
+      firsts AS (SELECT h, min(doc_id*1000000 + i) AS fk FROM dupw GROUP BY h),
+      rem AS (SELECT d.doc_id, d.i FROM dupw d JOIN firsts f ON d.h = f.h
+        WHERE d.doc_id*1000000 + d.i <> f.fk),
+      flagged AS (SELECT doc_id, i,
+          CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+                 OR i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > $SpanLen
+               THEN 1 ELSE 0 END AS brk
+        FROM rem),
+      isl AS (SELECT doc_id, i,
+          sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island
+        FROM flagged),
+      sp AS (SELECT doc_id, min(i) AS s, max(i) + ${SpanLen - 1} AS e
+        FROM isl GROUP BY doc_id, island),
+      toks AS (SELECT doc_id, CAST(i AS BIGINT) AS idx, w[i] AS tokv
+        FROM tok, unnest(range(1, len(w) + 1)) AS u(i)),
+      cov AS (SELECT t.doc_id, t.idx FROM toks t JOIN sp
+        ON t.doc_id = sp.doc_id AND t.idx >= sp.s AND t.idx <= sp.e)
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(count(*) FILTER (WHERE c.idx IS NOT NULL) AS BIGINT) AS tokens_removed,
+        coalesce(string_agg(t.tokv, ' ' ORDER BY t.idx) FILTER (WHERE c.idx IS NULL),
+          '') AS text_rewrite
+      FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.idx = c.idx
+      GROUP BY t.doc_id ORDER BY t.doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q96LmPerplexity, q97Bm25, q98DupSpans, q99HybridRrf, q101Dsir,
       q102CcnetBuckets, q106DedupAudit, q107MaxDupSpans, q108KnPerplexity,
-      q114DataCard)
+      q114DataCard, q150ExactSubstrRewrite)
 }

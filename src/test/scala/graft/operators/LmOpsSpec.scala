@@ -312,4 +312,48 @@ class LmOpsSpec extends SparkSpec {
     assert(p97.contains("TakeOrderedAndProject"),
       "top-20 must be TakeOrdered, not a global sort")
   }
+
+  test("q150: the corpus-first copy survives, later copies are cut, short docs untouched") {
+    import spark.implicits._
+    val span = (1 to 10).map(i => s"w$i").mkString(" ")      // 10-token span P
+    val span2 = (1 to 10).map(i => s"v$i").mkString(" ")     // second span Q
+    val docs = Seq(
+      (1L, span + " unique tail one"),        // first occurrence of P
+      (2L, span + " other tail here"),        // copy of P -> cut
+      (3L, "clean doc under ten"),            // < SpanLen: untouched
+      (4L, span2 + " " + span),               // first Q; P again -> cut
+      (5L, span2 + " standalone ending")      // copy of Q -> cut
+    ).toDF("doc_id", "text")
+    val out = LmOps.exactSubstrRewriteOf(docs).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((13L, 0L, span + " unique tail one")))
+    assert(out(2L)._2 === 10L)
+    assert(out(2L)._3 === "other tail here")
+    assert(out(3L) === ((4L, 0L, "clean doc under ten")))
+    assert(out(4L)._2 === 10L, "doc 4 keeps its first-occurrence Q, loses its copy of P")
+    assert(out(4L)._3 === span2)
+    assert(out(5L)._2 === 10L)
+    assert(out(5L)._3 === "standalone ending")
+    // conservation: surviving token mass = original minus removals
+    assert(out.values.map(v => v._1 - v._2).sum ===
+      out.values.map(_._3).map(t => if (t.isEmpty) 0 else t.split(" ").length).sum)
+  }
+
+  test("q150 is consistent with q107: per-doc removed tokens <= non-first maximal span mass") {
+    val rewrite = LmOps.q150ExactSubstrRewrite.fn(spark, dir)
+    val spans = LmOps.q107MaxDupSpans.fn(spark, dir)
+      .groupBy(col("doc_id")).agg(sum(col("span_len")).as("span_mass"))
+    val joined = rewrite.join(spans, Seq("doc_id"), "left_outer")
+      .withColumn("span_mass", coalesce(col("span_mass"), lit(0L))).collect()
+    joined.foreach { r =>
+      val removed = r.getLong(r.fieldIndex("tokens_removed"))
+      val mass = r.getLong(r.fieldIndex("span_mass"))
+      // q107 merges ALL duplicated windows (first copies included), so
+      // its mass bounds the rewrite's cut from above; docs whose every
+      // dup window is a first occurrence remove nothing
+      assert(removed <= mass, s"doc ${r.getLong(0)}: removed $removed > mass $mass")
+    }
+    assert(joined.exists(r => r.getLong(r.fieldIndex("tokens_removed")) > 0),
+      "corpus has known dups; the rewrite must cut somewhere")
+  }
 }

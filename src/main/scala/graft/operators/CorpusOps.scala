@@ -799,8 +799,91 @@ object CorpusOps {
       FROM keyed k JOIN counts c ON k.h = c.h
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------
+  // q153: chat-template render + loss-span offsets (SFT data prep)
+  // ---------------------------------------------------------------
+
+  /** Chat-template rendering with loss-span offsets — the SFT/DPO data
+    * prep pass that turns conversation turns into one rendered training
+    * string per conversation plus, per turn, the exact character span
+    * it occupies, so the trainer can mask loss to assistant turns
+    * without re-tokenizing headers. Conversations are assembled
+    * deterministically here (4 consecutive docs per source = one
+    * conversation, roles alternating user/assistant); the template is
+    * `<|user|>\n{text}\n` / `<|assistant|>\n{text}\n` per turn. Each
+    * output row carries the turn's 1-based `start`/`len` into the
+    * rendered string, the `loss_mask` flag, and an `aligned` bit that
+    * re-extracts the span from the rendered string and compares — the
+    * offset arithmetic is verified row-by-row in the oracle-checked
+    * output itself, not just in a spec.
+    *
+    * Scale: offsets are a prefix sum over turn lengths (window keyed
+    * by conv_id); the rendered string is built once per conversation
+    * by an ordered aggregate on the SAME conv_id key, so the whole op
+    * is one shuffle of (conv_id, turn-sized) rows. Long conversations
+    * are bounded by the grouping constant, never by corpus size. */
+  val q153ChatRender: QueryDef = QueryDef(
+    "q153_chat_render",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byIngest = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      val turns = docs(s, dir)
+        .withColumn("rn", row_number().over(byIngest).cast("long") - 1)
+        .select(
+          concat(col("source"), lit("/"), expr("cast(rn div 4 as string)")).as("conv_id"),
+          (col("rn") % 4).as("turn_idx"),
+          when(col("rn") % 2 === 0, "user").otherwise("assistant").as("role"),
+          col("text"))
+        .withColumn("header",
+          when(col("role") === "user", "<|user|>\n").otherwise("<|assistant|>\n"))
+        .withColumn("piece", concat(col("header"), col("text"), lit("\n")))
+      val byConv = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      val offsets = turns
+        .withColumn("cum_prev", coalesce(
+          sum(length(col("piece"))).over(
+            byConv.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("start", (col("cum_prev") + length(col("header")) + 1).cast("long"))
+        .withColumn("len", length(col("text")).cast("long"))
+      val rendered = turns.groupBy(col("conv_id"))
+        .agg(concat_ws("", transform(
+          array_sort(collect_list(struct(col("turn_idx"), col("piece")))),
+          t => t.getField("piece"))).as("rendered"))
+      offsets.join(rendered, Seq("conv_id"))
+        .select(col("conv_id"), col("turn_idx"), col("role"),
+          (col("role") === "assistant").as("loss_mask"),
+          col("start"), col("len"),
+          (expr("substr(rendered, cast(start as int), cast(len as int))")
+            === col("text")).as("aligned"))
+        .orderBy(col("conv_id"), col("turn_idx"))
+    },
+    Some("""WITH t AS (SELECT source, doc_id, text,
+        row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS rn
+        FROM documents),
+      turns AS (SELECT source || '/' || CAST(rn // 4 AS VARCHAR) AS conv_id,
+        CAST(rn % 4 AS BIGINT) AS turn_idx,
+        CASE WHEN rn % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, text
+        FROM t),
+      p AS (SELECT *, CASE role WHEN 'user' THEN '<|user|>' || chr(10)
+          ELSE '<|assistant|>' || chr(10) END AS header FROM turns),
+      c AS (SELECT *, header || text || chr(10) AS piece FROM p),
+      o AS (SELECT *, coalesce(sum(length(piece)) OVER (
+          PARTITION BY conv_id ORDER BY turn_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+        FROM c),
+      r AS (SELECT conv_id, string_agg(piece, '' ORDER BY turn_idx) AS rendered
+        FROM c GROUP BY conv_id)
+      SELECT o.conv_id, o.turn_idx, o.role,
+        o.role = 'assistant' AS loss_mask,
+        CAST(o.cum_prev + length(o.header) + 1 AS BIGINT) AS start,
+        CAST(length(o.text) AS BIGINT) AS len,
+        substr(r.rendered, CAST(o.cum_prev + length(o.header) + 1 AS INT),
+          CAST(length(o.text) AS INT)) = o.text AS aligned
+      FROM o JOIN r USING (conv_id)
+      ORDER BY conv_id, turn_idx"""))
+
   val all: Seq[QueryDef] = Seq(
     q81Boilerplate, q82GopherQuality, q83PiiRedact, q84BloomHistoryDedup,
     q86SeqPack, q128PackAudit, q87CurationPipeline, q88Repetition, q89BpeishTokens,
-    q124PiiLuhn, q125SourceBoilerplate, q147LineDedup, q148DupLineChars)
+    q124PiiLuhn, q125SourceBoilerplate, q147LineDedup, q148DupLineChars,
+    q153ChatRender)
 }

@@ -335,7 +335,7 @@ object DedupOps {
     * — one copy of the banded SimHash pair pipeline. */
   /** simhashPairSqlCtes + the undirected-edge transitive closure — the
     * component CTEs shared by q91 and the q134 histogram. */
-  private lazy val clusterReachSqlCtes =
+  private[operators] lazy val clusterReachSqlCtes =
     s"""$simhashPairSqlCtes,
        |      hamp AS (SELECT doc_a, doc_b FROM ham WHERE hamming <= $HamMax),
        |      edges AS (SELECT doc_a AS src, doc_b AS dst FROM hamp

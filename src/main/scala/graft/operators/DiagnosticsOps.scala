@@ -61,5 +61,71 @@ object DiagnosticsOps {
         round(cum_n / total, 6) AS cum_share
       FROM r, t ORDER BY rank"""))
 
-  val all: Seq[QueryDef] = Seq(q142SkewAudit)
+  // ---------------------------------------------------------------
+  // q152: corpus snapshot diff (incremental-ingest audit)
+  // ---------------------------------------------------------------
+
+  /** Content-hash diff of two corpus snapshots: per source, how many
+    * documents were added, removed, changed, or unchanged between the
+    * previous ingest and the current one. This is the audit a
+    * recurring 100 TB crawl runs before incremental processing — only
+    * `added`+`changed` rows re-enter the pipeline, `removed` rows are
+    * tombstoned downstream, and a `changed` rate far above baseline
+    * flags an upstream extraction regression. Snapshots are compared
+    * by sha-256, never by text: each side reduces to (doc_id, digest,
+    * source) in a narrow codegen'd map stage, so the diff join moves
+    * ~100 bytes/row no matter how large documents are.
+    *
+    * The two snapshots here are DERIVED deterministically from the one
+    * documents table (doc_id mod classes simulate deletes/edits/
+    * arrivals: docs ≡9 (mod 10) are new in the current snapshot, docs
+    * ≡5 (mod 13) were removed, docs ≡3 (mod 7) were edited — their
+    * previous text was a half-length truncation), so the oracle can
+    * rebuild both sides exactly.
+    *
+    * Scale: one equi join keyed on doc_id over digest-sized rows — the
+    * same shuffle class as the history anti-join (q23) — then a
+    * (source, status) rollup whose result is sources×4 rows. The text
+    * column never reaches the shuffle (plan-checked). */
+  val q152SnapshotDiff: QueryDef = QueryDef(
+    "q152_snapshot_diff",
+    (s, dir) => {
+      val d = Tables.loadParallel(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+      val prev = d.filter(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id"), col("source").as("prev_source"),
+          sha2(when(col("doc_id") % 7 === 3,
+              expr("substr(text, 1, greatest(cast(1 as bigint), n_chars div 2))"))
+            .otherwise(col("text")), 256).as("prev_hash"))
+      val curr = d.filter(col("doc_id") % 13 =!= 5)
+        .select(col("doc_id"), col("source").as("curr_source"),
+          sha2(col("text"), 256).as("curr_hash"))
+      prev.join(curr, Seq("doc_id"), "full_outer")
+        .select(
+          coalesce(col("curr_source"), col("prev_source")).as("source"),
+          when(col("prev_hash").isNull, "added")
+            .when(col("curr_hash").isNull, "removed")
+            .when(col("prev_hash") =!= col("curr_hash"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy(col("source"), col("status"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("source"), col("status"))
+    },
+    Some("""WITH prev AS (SELECT doc_id, source AS prev_source,
+        sha256(CASE WHEN doc_id % 7 = 3
+          THEN substr(text, 1, greatest(1, n_chars // 2))
+          ELSE text END) AS prev_hash
+        FROM documents WHERE doc_id % 10 <> 9),
+      curr AS (SELECT doc_id, source AS curr_source, sha256(text) AS curr_hash
+        FROM documents WHERE doc_id % 13 <> 5)
+      SELECT coalesce(curr_source, prev_source) AS source,
+        CASE WHEN prev_hash IS NULL THEN 'added'
+             WHEN curr_hash IS NULL THEN 'removed'
+             WHEN prev_hash <> curr_hash THEN 'changed'
+             ELSE 'unchanged' END AS status,
+        CAST(count(*) AS BIGINT) AS n
+      FROM prev FULL OUTER JOIN curr USING (doc_id)
+      GROUP BY 1, 2 ORDER BY source, status"""))
+
+  val all: Seq[QueryDef] = Seq(q142SkewAudit, q152SnapshotDiff)
 }

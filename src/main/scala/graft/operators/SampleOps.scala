@@ -403,7 +403,87 @@ object SampleOps {
         CASE WHEN j.is_full THEN j.sz ELSE LEAST(lv.level, j.sz) END AS alloc
       FROM j, lv ORDER BY j.source"""))
 
+  // ---------------------------------------------------------------
+  // q151: preference-pair mining over near-dup clusters
+  // ---------------------------------------------------------------
+
+  /** Preference-pair construction (the DPO/RLHF-style mining pass):
+    * inside each near-duplicate cluster — documents that say the same
+    * thing — pair the highest-quality phrasing against the lowest as
+    * (chosen, rejected). Near-dup clusters are the natural source of
+    * same-content/different-quality pairs: semantics are held constant
+    * by construction, so the quality delta is the only signal the pair
+    * teaches. Clusters come from q91's SimHash components
+    * ([[DedupOps.minLabelComponents]]); quality is q46's type-token
+    * ratio with a doc_id tie-break, so the selection is deterministic.
+    * Pairs with zero margin (identical scores) are dropped — they
+    * carry no preference signal.
+    *
+    * Scale: the cluster table covers only dup-edge endpoints (orders
+    * of magnitude smaller than the corpus); the quality column is one
+    * narrow codegen'd pass joined in by doc_id. Both row_number
+    * windows and the closing groupBy share the cluster key, so the
+    * whole selection is ONE shuffle of the dup-subgraph table — the
+    * corpus is never re-shuffled (plan-checked: single exchange over
+    * the member table, no cartesian). */
+  val q151PreferencePairs: QueryDef = QueryDef(
+    "q151_preference_pairs",
+    (s, dir) => {
+      val pairs = DedupOps.q90SimhashHamming.fn(s, dir)
+        .select(col("doc_a"), col("doc_b"))
+      val clusters = DedupOps.minLabelComponents(pairs)
+        .select(col("id").as("doc_id"), col("label").as("cluster"))
+      val tk = split(trim(col("text")), "\\s+")
+      val quality = docs(s, dir).select(col("doc_id"),
+        round(size(array_distinct(tk)).cast("double") / size(tk), 6).as("ttr"))
+      val member = clusters.join(quality, Seq("doc_id"))
+      val wTop = Window.partitionBy(col("cluster"))
+        .orderBy(col("ttr").desc, col("doc_id").asc)
+      val wBot = Window.partitionBy(col("cluster"))
+        .orderBy(col("ttr").asc, col("doc_id").desc)
+      member
+        .withColumn("rn_top", row_number().over(wTop))
+        .withColumn("rn_bot", row_number().over(wBot))
+        .filter(col("rn_top") === 1 || col("rn_bot") === 1)
+        .groupBy(col("cluster"))
+        .agg(
+          max(when(col("rn_top") === 1,
+            struct(col("doc_id"), col("ttr")))).as("ch"),
+          max(when(col("rn_bot") === 1,
+            struct(col("doc_id"), col("ttr")))).as("rj"))
+        .select(col("cluster"),
+          col("ch.doc_id").as("chosen_id"), col("ch.ttr").as("chosen_ttr"),
+          col("rj.doc_id").as("rejected_id"), col("rj.ttr").as("rejected_ttr"),
+          round(col("ch.ttr") - col("rj.ttr"), 6).as("margin"))
+        .filter(col("margin") > 0)
+        .orderBy(col("cluster"))
+    },
+    Some(s"""WITH RECURSIVE
+      ${DedupOps.clusterReachSqlCtes},
+      canon AS (SELECT src AS doc_id, min(dst) AS cluster
+        FROM reach GROUP BY src),
+      q AS (SELECT doc_id,
+          round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6) AS ttr
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+          FROM documents) x),
+      m AS (SELECT c.cluster, c.doc_id, q.ttr,
+          row_number() OVER (PARTITION BY c.cluster
+            ORDER BY q.ttr DESC, c.doc_id ASC) AS rn_top,
+          row_number() OVER (PARTITION BY c.cluster
+            ORDER BY q.ttr ASC, c.doc_id DESC) AS rn_bot,
+          count(*) OVER (PARTITION BY c.cluster) AS sz
+        FROM canon c JOIN q USING (doc_id))
+      SELECT ch.cluster, ch.doc_id AS chosen_id, ch.ttr AS chosen_ttr,
+        rj.doc_id AS rejected_id, rj.ttr AS rejected_ttr,
+        round(ch.ttr - rj.ttr, 6) AS margin
+      FROM m ch JOIN m rj
+        ON ch.cluster = rj.cluster AND ch.rn_top = 1 AND rj.rn_bot = 1
+          AND ch.sz >= 2
+      WHERE round(ch.ttr - rj.ttr, 6) > 0
+      ORDER BY ch.cluster"""))
+
   def all: Seq[QueryDef] = Seq(
     q115TemperatureResample, q116SoftDedup, q118TripletMining,
-    q119StratifiedSplit, q120VocabCoverage, q121UnimaxAlloc)
+    q119StratifiedSplit, q120VocabCoverage, q121UnimaxAlloc,
+    q151PreferencePairs)
 }

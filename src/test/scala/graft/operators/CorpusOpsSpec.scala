@@ -302,4 +302,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(joined.exists(r => r.getBoolean(2)), "corpus needs clean docs")
     assert(joined.exists(r => !r.getBoolean(1)), "corpus needs cut docs")
   }
+
+  test("q153: every span re-extracts its turn; spans ordered, disjoint, role-alternating") {
+    val rows = CorpusOps.q153ChatRender.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // the query's own aligned bit: substr(rendered, start, len) == text
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("aligned"),
+        s"span misaligned in ${r.getAs[String]("conv_id")} turn ${r.getAs[Long]("turn_idx")}")
+      assert(r.getAs[Boolean]("loss_mask") === (r.getAs[String]("role") == "assistant"))
+    }
+    // per conversation: turn indices dense from 0, roles alternate
+    // user/assistant, spans strictly increasing and non-overlapping
+    rows.groupBy(_.getAs[String]("conv_id")).foreach { case (cid, turns) =>
+      val ordered = turns.sortBy(_.getAs[Long]("turn_idx"))
+      assert(ordered.length <= 4, s"$cid exceeds the 4-turn grouping")
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("turn_idx") === i.toLong, s"$cid turn gap")
+        val expectRole = if (i % 2 == 0) "user" else "assistant"
+        assert(r.getAs[String]("role") === expectRole, s"$cid role order")
+      }
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("start") + a.getAs[Long]("len") <=
+            b.getAs[Long]("start"), s"$cid spans overlap")
+        case _ => ()
+      }
+    }
+    // conversation count: ceil(source size / 4) per source
+    val perSource = graft.Tables.load(spark, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val convsBySource = rows.map(_.getAs[String]("conv_id")).distinct
+      .groupBy(_.split("/")(0)).view.mapValues(_.length).toMap
+    perSource.foreach { case (src, n) =>
+      assert(convsBySource(src) === ((n + 3) / 4).toInt, s"conv count for $src")
+    }
+  }
 }

@@ -31,6 +31,30 @@ class DiagnosticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("q152 snapshot diff: statuses partition the id space by their mod classes") {
+    val rows = DiagnosticsOps.q152SnapshotDiff.fn(spark, dir).collect()
+    val byStatus = rows.groupBy(_.getAs[String]("status"))
+      .view.mapValues(_.map(_.getAs[Long]("n")).sum).toMap
+    // independent recomputation from the mod-class definitions
+    val ids = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val added = ids.count { case (id, _) => id % 10 == 9 && id % 13 != 5 }
+    val removed = ids.count { case (id, _) => id % 13 == 5 && id % 10 != 9 }
+    // an edit only registers as changed if the truncation actually
+    // shortened the text (greatest(1, n div 2) < n)
+    val changed = ids.count { case (id, n) =>
+      id % 7 == 3 && id % 10 != 9 && id % 13 != 5 && math.max(1L, n / 2) < n }
+    assert(byStatus("added") === added.toLong)
+    assert(byStatus("removed") === removed.toLong)
+    assert(byStatus("changed") === changed.toLong)
+    val both = ids.count { case (id, _) => id % 10 != 9 && id % 13 != 5 }
+    assert(byStatus("unchanged") === (both - changed).toLong)
+    // every (source, status) count is positive and statuses are closed
+    assert(rows.forall(_.getAs[Long]("n") > 0))
+    assert(byStatus.keySet.subsetOf(Set("added", "removed", "changed", "unchanged")))
+  }
+
   test("skewAudit flags a constructed hot key at rank 1 with the right share") {
     val df = (Seq.fill(80)("hot") ++ (1 to 20).map(i => s"k$i")).toDF("k")
     val audit = DiagnosticsOps.skewAudit(df, col("k"), topN = 5).collect()

@@ -183,4 +183,38 @@ class SampleOpsSpec extends SparkSpec {
     val nVocab = byV.head.getLong(1)
     if (nVocab <= 4096) assert(byV.last.getDouble(4) === 0.0)
   }
+
+  test("q151: pairs are same-cluster extremes with a strictly positive margin") {
+    val rows = SampleOps.q151PreferencePairs.fn(spark, dir).collect()
+    assert(rows.nonEmpty, "sf0.001 must yield at least one preference pair")
+    rows.foreach { r =>
+      val (chosenTtr, rejectedTtr, margin) =
+        (r.getDouble(2), r.getDouble(4), r.getDouble(5))
+      assert(r.getLong(1) !== r.getLong(3), "chosen and rejected must differ")
+      assert(margin > 0, "zero-margin pairs carry no preference signal")
+      assert(math.abs(margin - BigDecimal(chosenTtr - rejectedTtr)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+    // independent recomputation: chosen/rejected must be the true
+    // quality extremes of their SimHash component
+    val pairs = DedupOps.q90SimhashHamming.fn(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val clusters = DedupOps.minLabelComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tk = split(trim(col("text")), "\\s+")
+    val ttr = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        round(size(array_distinct(tk)).cast("double") / size(tk), 6).as("ttr"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val cluster = r.getLong(0)
+      assert(clusters(r.getLong(1)) === cluster, "chosen outside its cluster")
+      assert(clusters(r.getLong(3)) === cluster, "rejected outside its cluster")
+      val memberTtrs = clusters.collect {
+        case (id, c) if c == cluster => ttr(id)
+      }
+      assert(r.getDouble(2) === memberTtrs.max, "chosen must be the max-ttr member")
+      assert(r.getDouble(4) === memberTtrs.min, "rejected must be the min-ttr member")
+    }
+  }
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Second batch of analytics-layer coverage (SURVEY §2.4-2.8 "inherited
@@ -193,8 +193,69 @@ object Relational2 {
         token, est_count
       FROM counts ORDER BY est_count DESC, token LIMIT 20"""))
 
+  // ---------------------------------------------------------------
+  // q154: Count-Min Sketch point queries (the second sketch family)
+  // ---------------------------------------------------------------
+
+  /** Count-Min Sketch frequency estimation: build the 4×256 counter
+    * grid over the token stream with the native [[graft.functions.expressions.CountMinAgg]]
+    * aggregate, then point-query the 20 true-heaviest tokens and report
+    * estimate vs truth. CMS only ever OVER-counts (`overcount >= 0`
+    * row-by-row in the oracle-checked output), with overcount ≤ e·N/w
+    * w.h.p. — the audit that sizes the width before trusting the
+    * sketch in telemetry. The row hashes are portable sha-256 hex
+    * arithmetic, so the DuckDB oracle REBUILDS the full grid with a
+    * GROUP BY and must agree counter-for-counter — an exactly-checked
+    * sketch, unlike the estimate-tolerance HLL tier (q77).
+    *
+    * Scale: partials are 8 KiB per map task regardless of corpus size
+    * (element-wise-add merge = perfect map-side combine); the final
+    * sketch is ONE row broadcast onto the TakeOrdered top-k table; the
+    * probe arithmetic is codegen'd hex math, no second corpus pass
+    * beyond the count the truth column needs anyway. */
+  val q154CmsFrequency: QueryDef = {
+    import graft.functions.expressions.CountMinAgg
+    val (depth, width) = (4, 256)
+    def estCol: Column = (0 until depth).map { j =>
+      expr(s"element_at(sk, ${j * width} + " +
+        CountMinAgg.bucketSql("sha2(tok, 256)", j.toString, width) + " + 1)")
+    }.reduce(least(_, _))
+    QueryDef(
+      "q154_cms_frequency",
+      (s, dir) => {
+        CountMinAgg.register(s)
+        val toks = Tables.loadParallel(s, dir, "documents")
+          .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        val sk = toks.agg(expr(s"cms_sketch(tok, $depth, $width)").as("sk"))
+        val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("true_n"))
+          .orderBy(col("true_n").desc, col("tok")).limit(20)
+        top.crossJoin(broadcast(sk))
+          .withColumn("est", estCol)
+          .select(col("tok"), col("true_n"), col("est"),
+            (col("est") - col("true_n")).as("overcount"))
+          .orderBy(col("true_n").desc, col("tok"))
+      },
+      Some(s"""WITH toks AS (
+          SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+          FROM documents),
+        h AS (SELECT tok, sha256(tok) AS hx FROM toks),
+        rws AS (SELECT unnest(range(0, $depth)) AS j),
+        cells AS (SELECT r.j AS j, ${CountMinAgg.bucketSql("hx", "r.j", width)} AS b,
+            CAST(count(*) AS BIGINT) AS n
+          FROM h, rws r GROUP BY 1, 2),
+        top AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_n FROM toks
+          GROUP BY tok ORDER BY true_n DESC, tok LIMIT 20),
+        probe AS (SELECT t.tok, t.true_n, CAST(min(c.n) AS BIGINT) AS est
+          FROM top t CROSS JOIN rws r
+          JOIN cells c ON c.j = r.j
+            AND c.b = ${CountMinAgg.bucketSql("sha256(t.tok)", "r.j", width)}
+          GROUP BY 1, 2)
+        SELECT tok, true_n, est, est - true_n AS overcount
+        FROM probe ORDER BY true_n DESC, tok"""))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q70BelowAvgParts, q71Having, q72ShipDelay, q73ConditionalAgg,
     q74StringReport, q75Except, q76Percentiles, q77Sketches,
-    q133HeavyHitters)
+    q133HeavyHitters, q154CmsFrequency)
 }

@@ -733,7 +733,104 @@ object AnnOps {
       SELECT vec_id, rk, nbr_id, cos FROM r WHERE rk <= $GraphK
       ORDER BY vec_id, rk"""))
 
+  // ---------------------------------------------------------------
+  // q155: Johnson-Lindenstrauss sign projection + exact re-rank
+  // ---------------------------------------------------------------
+
+  private val JlDim = 16      // projected dimensionality (64 → 16)
+  private val JlShortlist = 20
+
+  /** Deterministic ±1 projection entry for (row i, col j), 1-based:
+    * the parity of the first hex char of sha-256("i:j") — a fixed
+    * sign-random-projection matrix both engines can hold as a LITERAL,
+    * so the oracle replays the identical projection. (Achlioptas 2003
+    * proves ±1 entries satisfy the JL lemma; the matrix is data-free,
+    * so at 100 TB it ships as 4 KiB of literals inside the plan.) */
+  private[operators] def jlSign(i: Int, j: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"$i:$j".getBytes("UTF-8"))
+    if ((d(0) & 0x10) == 0) 1 else -1
+  }
+
+  private def jlMatrix(d: Int, dp: Int): IndexedSeq[IndexedSeq[Int]] =
+    (1 to d).map(i => (1 to dp).map(j => jlSign(i, j)))
+
+  /** JL-projected ANN: project every vector (and the query) through
+    * the fixed ±1 matrix down to [[JlDim]] dims, shortlist
+    * [[JlShortlist]] candidates by projected dot product, then exact
+    * re-rank the shortlist at full dimensionality — the
+    * dimensionality-reduction scale path the ANN tier was missing
+    * (the others prune rows; JL shrinks the bytes per comparison,
+    * 4× here, and composes with any of them).
+    *
+    * Scale: the projection is a narrow codegen'd HOF fold per vector
+    * (no shuffle, no training pass — the matrix is literal); the
+    * shortlist is TakeOrdered over projected scores; the exact pass
+    * touches only [[JlShortlist]] rows. At 100 TB the projected
+    * vectors are what gets stored/scanned — a 4× I/O cut before any
+    * IVF/PQ layering. */
+  /** Spark-side projection of `vcol` through the literal ±1 matrix:
+    * strictly in-order fold per output dim (identical operand order to
+    * the oracle's rendering, so the floats agree bit-for-bit). */
+  private def jlProjSpark(vcol: String): String = {
+    val sparkR = jlMatrix(64, JlDim).map(r => s"array(${r.mkString(",")})")
+      .mkString("array(", ",", ")")
+    s"""transform(sequence(1, $JlDim), j ->
+       |  aggregate(sequence(1, 64), 0D,
+       |    (acc, i) -> acc + element_at($vcol, i) * element_at(element_at($sparkR, i), j)))""".stripMargin
+  }
+
+  /** Shortlist-by-projection + exact re-rank: the q155 plan with the
+    * shortlist size exposed — AnnOpsSpec proves shortlist = N returns
+    * EXACTLY the brute-force top-k (projection can reorder only the
+    * shortlist cut, never the exact re-rank). */
+  private[operators] def jlTopK(s: SparkSession, e: DataFrame,
+      shortlist: Int, k: Int): DataFrame = {
+    VectorExpressions.register(s)
+    val pe = e.select(col("vec_id"), col("embedding"),
+      expr(jlProjSpark("embedding")).as("pv"))
+    val pq = pe.filter(col("vec_id") === 0)
+      .select(col("pv").as("pq"), col("embedding").as("qv"))
+    pe.crossJoin(broadcast(pq))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"), col("qv"),
+        round(expr("aggregate(zip_with(pv, pq, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"), 6)
+          .as("proj_score"))
+      .orderBy(col("proj_score").desc, col("vec_id"))
+      .limit(shortlist)
+      .select(col("vec_id"), col("proj_score"),
+        round(expr("dot_product_f(embedding, qv)"), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  val q155AnnJl: QueryDef = {
+    val duckR = jlMatrix(64, JlDim).map(r => r.mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    def projDuck(vcol: String): String =
+      s"""list_transform(range(1, ${JlDim + 1}), j ->
+         |  list_sum(list_transform(range(1, 65), i -> $vcol[i] * ($duckR)[i][j])))""".stripMargin
+    QueryDef(
+      "q155_ann_jl",
+      (s, dir) => {
+        VectorExpressions.register(s)
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        jlTopK(s, e, JlShortlist, 5)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        p AS (SELECT vec_id, v, ${projDuck("v")} AS pv FROM e),
+        q AS (SELECT pv AS pq, v AS qv FROM p WHERE vec_id = 0),
+        short AS (SELECT vec_id, v, qv,
+            round(list_sum(list_transform(list_zip(pv, pq), x -> x[1]*x[2])), 6) AS proj_score
+          FROM p, q WHERE vec_id <> 0
+          ORDER BY proj_score DESC, vec_id LIMIT $JlShortlist)
+        SELECT vec_id, proj_score,
+          round(list_sum(list_transform(list_zip(v, qv), x -> x[1]*x[2])), 6) AS score
+        FROM short ORDER BY score DESC, vec_id LIMIT 5"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q56AnnIvf, q68AnnLsh, q79AnnLshMultiprobe, q85AnnPq, q100AnnIvfPq,
-      q117AnnSq8, q130KnnGraph)
+      q117AnnSq8, q130KnnGraph, q155AnnJl)
 }

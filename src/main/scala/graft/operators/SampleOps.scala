@@ -482,8 +482,49 @@ object SampleOps {
       WHERE round(ch.ttr - rj.ttr, 6) > 0
       ORDER BY ch.cluster"""))
 
+  // ---------------------------------------------------------------
+  // q156: bottom-k-by-hash uniform sample per source
+  // ---------------------------------------------------------------
+
+  /** Deterministic uniform sample WITHOUT replacement: per source, keep
+    * the k=10 documents with the smallest content-hash bucket (doc_id
+    * tie-break) — the bottom-k sketch as a sampler. Unlike a rate
+    * sample (q94), the yield is EXACTLY k per group; unlike
+    * `TABLESAMPLE`/`rand()`, the pick is a pure function of content,
+    * so re-runs, re-ingests under new ids, and the DuckDB oracle all
+    * select the same rows, and the sample composes with q93's split
+    * (same hash space).
+    *
+    * Scale: bottom-k is MERGEABLE — each partition keeps its local k
+    * smallest, merge keeps the k smallest of the union, so the rank
+    * window's input can always be pre-cut to k·partitions rows; the
+    * one shuffle is keyed on source exactly like q119's quota split.
+    * Growing corpora never invalidate earlier picks retroactively —
+    * a doc leaves the sample only when a smaller-hash doc arrives,
+    * the property that makes hash-bottom-k the streaming-uniform
+    * sampler (Cohen & Kaplan's bottom-k sketches). */
+  val q156BottomkSample: QueryDef = QueryDef(
+    "q156_bottomk_sample",
+    (s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("bucket"), col("doc_id"))
+      docs(s, dir)
+        .withColumn("bucket", expr(bucket64k("sha2(text, 256)")).cast("long"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("source"), col("rk"), col("doc_id"), col("bucket"))
+        .orderBy(col("source"), col("rk"))
+    },
+    Some(s"""SELECT source, rk, doc_id, bucket FROM (
+        SELECT source, doc_id,
+          CAST(${bucket64k("sha256(text)")} AS BIGINT) AS bucket,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY ${bucket64k("sha256(text)")}, doc_id) AS BIGINT) AS rk
+        FROM documents) x
+      WHERE rk <= 10 ORDER BY source, rk"""))
+
   def all: Seq[QueryDef] = Seq(
     q115TemperatureResample, q116SoftDedup, q118TripletMining,
     q119StratifiedSplit, q120VocabCoverage, q121UnimaxAlloc,
-    q151PreferencePairs)
+    q151PreferencePairs, q156BottomkSample)
 }

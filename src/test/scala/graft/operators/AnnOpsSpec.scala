@@ -235,6 +235,36 @@ class AnnOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"SQ8 recall@10 = $recall")
   }
 
+  test("q155 JL: full shortlist returns exactly the brute-force top-5; scores are true dots") {
+    import org.apache.spark.sql.functions._
+    graft.functions.expressions.VectorExpressions.register(spark)
+    val e = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val n = e.count().toInt
+    // shortlist = N: the projection can only reorder the cut, never the
+    // exact re-rank — output must equal brute force
+    val full = AnnOps.jlTopK(spark, e, n, 5)
+      .select(col("vec_id"), col("score")).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val brute = e.crossJoin(broadcast(qv)).filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), round(expr("dot_product_f(embedding, qv)"), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id")).limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(full.toSeq === brute.toSeq)
+    // the production shortlist's scores are still true exact dots
+    val short = AnnOps.jlTopK(spark, e, 20, 5).collect()
+    val exactScores = brute.toMap ++ e.crossJoin(broadcast(qv))
+      .select(col("vec_id"), round(expr("dot_product_f(embedding, qv)"), 6).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    short.foreach { r =>
+      assert(r.getDouble(2) === exactScores(r.getLong(0)), "re-rank must use true dots")
+    }
+    // the fixed +-1 matrix is balanced enough to be a JL projection
+    val signs = for (i <- 1 to 64; j <- 1 to 16) yield AnnOps.jlSign(i, j)
+    val plus = signs.count(_ == 1)
+    assert(plus > 400 && plus < 624, s"degenerate sign matrix: $plus/1024 positive")
+  }
+
   test("q130 kNN graph: IVF build at full probe IS the exact graph; recall is monotone in nprobe") {
     import org.apache.spark.sql.functions._
     graft.functions.expressions.VectorExpressions.register(spark)

@@ -184,6 +184,46 @@ class SampleOpsSpec extends SparkSpec {
     if (nVocab <= 4096) assert(byV.last.getDouble(4) === 0.0)
   }
 
+  test("q156: exact per-source quota, true bottom-k by hash, monotone under removal") {
+    val rows = SampleOps.q156BottomkSample.fn(spark, dir).collect()
+    val bySource = rows.groupBy(_.getString(0))
+    val d = graft.Tables.load(spark, dir, "documents")
+    val sizes = d.groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // quota: exactly min(10, group size) rows, ranks dense from 1
+    sizes.foreach { case (src, n) =>
+      val got = bySource.getOrElse(src, Array.empty)
+      assert(got.length === math.min(10L, n).toInt, s"quota for $src")
+      assert(got.map(_.getLong(1)).sorted.toSeq === (1L to got.length).toSeq)
+    }
+    // independent recomputation: the picks are the true bottom-k
+    def sha(s: String) = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val all = d.select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Integer.parseInt(sha(r.getString(2)).substring(0, 4), 16).toLong))
+    all.groupBy(_._2).foreach { case (src, docs) =>
+      val expect = docs.sortBy(t => (t._3, t._1)).take(10).map(_._1).toSeq
+      val got = bySource(src).sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+      assert(got === expect, s"bottom-k drift for $src")
+    }
+    // mergeability: restricting the corpus can only let picks IN, never
+    // evict a surviving pick (bottom-k is monotone under removal)
+    val half = d.filter(col("doc_id") % 2 === 0)
+    val halfPicks = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("bucket"), col("doc_id"))
+      half.withColumn("bucket",
+          expr(MixOps.bucketExpr("sha2(text, 256)", 65536)).cast("long"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+        .collect().map(r => r.getAs[Long]("doc_id")).toSet
+    }
+    rows.filter(_.getLong(2) % 2 == 0).foreach { r =>
+      assert(halfPicks.contains(r.getLong(2)),
+        s"doc ${r.getLong(2)} picked from full corpus but not from its subset")
+    }
+  }
+
   test("q151: pairs are same-cluster extremes with a strictly positive margin") {
     val rows = SampleOps.q151PreferencePairs.fn(spark, dir).collect()
     assert(rows.nonEmpty, "sf0.001 must yield at least one preference pair")

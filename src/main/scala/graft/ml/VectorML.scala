@@ -139,4 +139,111 @@ object VectorML {
           zip_with(typedLit(coefs), col("__arr"), (c, x) => c * x),
           lit(intercept), (acc, t) => acc + t)))), 6).as("quality"))
   }
+
+  // ---------------------------------------------------------------
+  // PCA / ZCA whitening (the SemDeDup & ANN preprocessing step)
+  // ---------------------------------------------------------------
+
+  /** Distributed mean + covariance of an `ARRAY<FLOAT>` column: the
+    * corpus reduces to d + d(d+1)/2 accumulators (map-side combined —
+    * the shuffle is d²-bounded whatever the row count), which is why
+    * the result may come to the driver: d=64 → 32 KiB. Returns
+    * (mu, full symmetric cov). */
+  def covariance(e: DataFrame, embCol: String, d: Int): (Array[Double], Array[Array[Double]]) = {
+    val v = e.select(col(embCol).cast("array<double>").as("v"))
+    val n = v.count().toDouble
+    val mu = new Array[Double](d)
+    v.select(posexplode(col("v")).as(Seq("i0", "x")))
+      .groupBy(col("i0")).agg(sum(col("x")).as("sx"))
+      .collect().foreach(r => mu(r.getInt(0)) = r.getDouble(1) / n)
+    val cov = Array.ofDim[Double](d, d)
+    v.select(explode(expr(
+        s"""flatten(transform(sequence(1, $d), i ->
+           |  transform(sequence(i, $d), j ->
+           |    struct(i, j, element_at(v, i) * element_at(v, j) as xy))))""".stripMargin))
+        .as("p"))
+      .select(col("p.i"), col("p.j"), col("p.xy"))
+      .groupBy(col("i"), col("j")).agg(sum(col("xy")).as("sxy"))
+      .collect().foreach { r =>
+        val (i, j) = (r.getInt(0) - 1, r.getInt(1) - 1)
+        val c = r.getDouble(2) / n - mu(i) * mu(j)
+        cov(i)(j) = c; cov(j)(i) = c
+      }
+    (mu, cov)
+  }
+
+  /** Symmetric eigendecomposition by cyclic Jacobi rotations — plain
+    * Scala over the DRIVER-SIZED d×d covariance (the corpus never
+    * participates; Golub & Van Loan §8.5). Returns (eigenvalues,
+    * eigenvectors as matrix columns), unordered. */
+  def jacobiEigen(a0: Array[Array[Double]], sweeps: Int = 50,
+      tol: Double = 1e-12): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val vMat = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < sweeps && off > tol) {
+      off = 0.0
+      for (p <- 0 until d; q <- p + 1 until d) {
+        off += a(p)(q) * a(p)(q)
+        if (math.abs(a(p)(q)) > tol) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (k <- 0 until d) {
+            val akp = a(k)(p); val akq = a(k)(q)
+            a(k)(p) = c * akp - s * akq
+            a(k)(q) = s * akp + c * akq
+          }
+          for (k <- 0 until d) {
+            val apk = a(p)(k); val aqk = a(q)(k)
+            a(p)(k) = c * apk - s * aqk
+            a(q)(k) = s * apk + c * aqk
+          }
+          for (k <- 0 until d) {
+            val vkp = vMat(k)(p); val vkq = vMat(k)(q)
+            vMat(k)(p) = c * vkp - s * vkq
+            vMat(k)(q) = s * vkp + c * vkq
+          }
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), vMat)
+  }
+
+  /** ZCA whitening: W = V Λ^(−1/2) Vᵀ over [[covariance]]'s matrix,
+    * applied distributed as `white = W (v − mu)` with W and mu as
+    * broadcast literals inside one codegen'd HOF — cov(white) = I
+    * (proven in VectorMLSpec), the preprocessing that makes cosine/L2
+    * geometry isotropic before SemDeDup or IVF training. `eps` floors
+    * near-zero eigenvalues (degenerate dims stay at 0 variance rather
+    * than exploding). Returns the frame with a `white` column plus
+    * (mu, W) for introspection. */
+  def zcaWhiten(e: DataFrame, embCol: String, d: Int, eps: Double = 1e-9)
+      : (DataFrame, Array[Double], Array[Array[Double]]) = {
+    val (mu, cov) = covariance(e, embCol, d)
+    val (lam, vecs) = jacobiEigen(cov)
+    // W = V diag(1/sqrt(lam)) V^T (symmetric, so rows == columns)
+    val w = Array.tabulate(d, d) { (i, j) =>
+      var acc = 0.0
+      var k = 0
+      while (k < d) {
+        val l = lam(k)
+        val inv = if (l > eps) 1.0 / math.sqrt(l) else 0.0
+        acc += vecs(i)(k) * inv * vecs(j)(k)
+        k += 1
+      }
+      acc
+    }
+    val wLit = typedLit(w.map(_.toSeq).toSeq)
+    val muLit = typedLit(mu.toSeq)
+    val centered = zip_with(col(embCol).cast("array<double>"), muLit, (x, m) => x - m)
+    val whitened = e.withColumn("white",
+      transform(wLit, row =>
+        aggregate(zip_with(row, centered, (wv, xv) => wv * xv), lit(0.0), (acc, t) => acc + t)))
+    (whitened, mu, w)
+  }
 }

@@ -471,8 +471,73 @@ object MixOps {
              JOIN c c2 ON p.source2 = c2.source
       ORDER BY p.source, p.source2"""))
 
+  // ---------------------------------------------------------------
+  // q157: embedding covariance matrix (the whitening/PCA input)
+  // ---------------------------------------------------------------
+
+  /** Upper-triangle covariance matrix of the embedding table — the
+    * d(d+1)/2-entry statistic PCA/ZCA whitening, OPQ-style rotations,
+    * and Mahalanobis outlier scoring all start from (the distributed
+    * half of `VectorML.zcaWhiten`; the eigen/rotation half is a
+    * driver-sized d×d problem by construction). Covariance uses the
+    * raw-moment identity cov = E[xy] − E[x]E[y]; entries are rounded
+    * to 6 (sum-order fp noise is ~1e-13 against a 1e-6 grid, per the
+    * aggregate-rounding house rule).
+    *
+    * Scale: the per-row explosion feeds PARTIAL aggregation keyed on
+    * the (i, j) pair index — map-side combine reduces every partition
+    * to ≤ d(d+1)/2 cells before the shuffle, so shuffled volume is
+    * partitions × d², independent of row count; the d-row mean table
+    * broadcasts back onto the moment table twice. The corpus is
+    * scanned once. */
+  val q157Covariance: QueryDef = QueryDef(
+    "q157_covariance",
+    (s, dir) => {
+      val v = Tables.load(s, dir, "embeddings")
+        .select(col("embedding").cast("array<double>").as("v"))
+      val n = v.agg(count(lit(1)).cast("double").as("n"))
+      val mu = v.select(posexplode(col("v")).as(Seq("i0", "x")))
+        .select((col("i0") + 1).as("i"), col("x"))
+        .groupBy(col("i")).agg(sum(col("x")).as("sx"))
+      val moments = v.select(explode(expr(
+          """flatten(transform(sequence(1, 64), i ->
+            |  transform(sequence(i, 64), j ->
+            |    struct(i, j, element_at(v, i) * element_at(v, j) as xy))))""".stripMargin))
+          .as("p"))
+        .select(col("p.i"), col("p.j"), col("p.xy"))
+        .groupBy(col("i"), col("j")).agg(sum(col("xy")).as("sxy"))
+      moments
+        .join(broadcast(mu.select(col("i"), col("sx").as("sx_i"))), "i")
+        .join(broadcast(mu.select(col("i").as("jj"), col("sx").as("sx_j"))),
+          col("j") === col("jj"))
+        .crossJoin(broadcast(n))
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          // + 0.0 folds IEEE −0.0 (a legal rounding result either
+          // engine may emit) to +0.0 so the text compare can't split
+          (round(col("sxy") / col("n") - (col("sx_i") / col("n")) * (col("sx_j") / col("n")), 6)
+            + lit(0.0)).as("cov"))
+        .orderBy(col("i"), col("j"))
+    },
+    Some("""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+      xs AS (SELECT d.i AS i, e.v[d.i] AS x
+        FROM e, (SELECT unnest(range(1, 65)) AS i) d),
+      mu AS (SELECT i, sum(x) AS sx FROM xs GROUP BY i),
+      ps AS (SELECT a.i AS i, b.j AS j, e.v[a.i] * e.v[b.j] AS xy
+        FROM e, (SELECT unnest(range(1, 65)) AS i) a,
+             (SELECT unnest(range(1, 65)) AS j) b
+        WHERE a.i <= b.j),
+      mo AS (SELECT i, j, sum(xy) AS sxy FROM ps GROUP BY i, j)
+      SELECT CAST(mo.i AS BIGINT) AS i, CAST(mo.j AS BIGINT) AS j,
+        round(mo.sxy / nn.n - (mi.sx / nn.n) * (mj.sx / nn.n), 6) + 0.0 AS cov
+      FROM mo
+      JOIN mu mi ON mo.i = mi.i
+      JOIN mu mj ON mo.j = mj.i
+      CROSS JOIN nn
+      ORDER BY i, j"""))
+
   val all: Seq[QueryDef] = Seq(
     q92Decontaminate, q93SplitAssign, q94DomainMix, q95SemanticDedup,
     q109ContamFraction, q122SourceOverlap, q127EmbeddingOutliers,
-    q132KnnClusters)
+    q132KnnClusters, q157Covariance)
 }

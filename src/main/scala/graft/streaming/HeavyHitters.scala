@@ -43,4 +43,51 @@ object HeavyHitters {
     def summary: Seq[(String, Long)] =
       state.toSeq.sortBy { case (t, c) => (-c, t) }
   }
+
+  /** The Count-Min twin: one depth×width counter grid folded across
+    * micro-batches. Where [[Monitor]] tracks WHICH tokens are hot, the
+    * CMS grid answers point queries for ANY token after the fact —
+    * and because its merge (element-wise add) is EXACTLY associative,
+    * the cross-batch state equals the one-shot sketch over the whole
+    * stream bit-for-bit, with no error-compounding caveat at all
+    * (CountMinStreamSpec proves equality over 3 batches). Driver
+    * state is depth·width longs forever — 8 KiB at the 4×256 default. */
+  final class CmsMonitor(val depth: Int = 4, val width: Int = 256) {
+    import graft.functions.expressions.CountMinAgg
+    @volatile private var state = new Array[Long](depth * width)
+
+    /** Fold one micro-batch (a frame with a `token` column): the grid
+      * is built distributed, one array crosses to the driver. */
+    def observe(batchTokens: DataFrame): Unit = {
+      CountMinAgg.register(batchTokens.sparkSession)
+      val batch = batchTokens
+        .agg(expr(s"cms_sketch(token, $depth, $width)").as("sk"))
+        .collect().head.getSeq[Long](0)
+      synchronized {
+        val next = state.clone()
+        var i = 0
+        while (i < next.length) { next(i) += batch(i); i += 1 }
+        state = next
+      }
+    }
+
+    /** Point-query the accumulated stream: min over the token's
+      * `depth` counters — over-counts only, ≤ e·N/width w.h.p. for
+      * total stream length N. */
+    def estimate(token: String): Long = {
+      val s = state
+      val hex = CmsMonitor.sha256Hex(token)
+      (0 until depth).map { j =>
+        s(j * width + Integer.parseInt(hex.substring(4 * j, 4 * j + 4), 16) % width)
+      }.min
+    }
+
+    def grid: Array[Long] = state.clone()
+  }
+
+  object CmsMonitor {
+    private def sha256Hex(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+  }
 }

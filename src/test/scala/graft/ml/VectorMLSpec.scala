@@ -66,6 +66,46 @@ class VectorMLSpec extends SparkSpec {
     }
   }
 
+  test("jacobiEigen reconstructs the matrix it decomposed") {
+    // small symmetric matrix with known structure
+    val a = Array(
+      Array(4.0, 1.0, 0.5),
+      Array(1.0, 3.0, 0.25),
+      Array(0.5, 0.25, 2.0))
+    val (lam, v) = VectorML.jacobiEigen(a)
+    // A == V diag(lam) V^T, entrywise
+    for (i <- 0 until 3; j <- 0 until 3) {
+      val recon = (0 until 3).map(k => v(i)(k) * lam(k) * v(j)(k)).sum
+      assert(math.abs(recon - a(i)(j)) < 1e-9, s"recon drift at ($i,$j)")
+    }
+    // eigenvectors orthonormal
+    for (p <- 0 until 3; q <- 0 until 3) {
+      val dot = (0 until 3).map(k => v(k)(p) * v(k)(q)).sum
+      assert(math.abs(dot - (if (p == q) 1.0 else 0.0)) < 1e-9)
+    }
+    // trace preserved
+    assert(math.abs(lam.sum - 9.0) < 1e-9)
+  }
+
+  test("ZCA whitening: the whitened covariance is the identity") {
+    val (whitened, mu, w) = VectorML.zcaWhiten(emb, "embedding", 64)
+    // W is symmetric (the ZCA choice among whitening transforms)
+    for (i <- 0 until 64; j <- i until 64)
+      assert(math.abs(w(i)(j) - w(j)(i)) < 1e-9, s"W not symmetric at ($i,$j)")
+    // distributed re-computation of cov(white): must be ~I
+    val (muW, covW) = VectorML.covariance(
+      whitened.select(col("white")), "white", 64)
+    muW.foreach(m => assert(math.abs(m) < 1e-6, "whitened mean must be 0"))
+    for (i <- 0 until 64; j <- 0 until 64) {
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(covW(i)(j) - expect) < 1e-6,
+        s"cov(white)[$i][$j] = ${covW(i)(j)}, expected $expect")
+    }
+    // original mean is what centering removed
+    val (muOrig, _) = VectorML.covariance(emb.select(col("embedding")), "embedding", 64)
+    assert(muOrig.toSeq === mu.toSeq)
+  }
+
   test("embedding classifier separates labels far better than chance") {
     val scored = VectorML.trainEmbeddingClassifier(emb, "embedding", "label")
     val acc = scored.filter(col("prediction") === col("label")).count().toDouble /

@@ -245,4 +245,28 @@ class EventStreamsSpec extends SparkSpec {
       assert(got.contains(t), s"monitor lost heavy hitter $t across batches")
     }
   }
+
+  test("CMS monitor over 3 micro-batches equals the one-shot sketch bit-for-bit") {
+    import spark.implicits._
+    // same skewed stream, cut mid-run across 3 batches
+    val toks = new scala.util.Random(11).shuffle(
+      (0 until 20).flatMap(i => Seq.fill((20 - i) * (20 - i))(s"t$i")).toVector)
+    val parts = toks.grouped((toks.length + 2) / 3).toSeq
+    assert(parts.length === 3)
+    val mon = new HeavyHitters.CmsMonitor(4, 64)
+    parts.foreach(p => mon.observe(p.toDF("token")))
+    // exactly-associative merge: cross-batch grid == one-shot grid
+    graft.functions.expressions.CountMinAgg.register(spark)
+    val oneShot = toks.toDF("token")
+      .agg(expr("cms_sketch(token, 4, 64)")).collect().head.getSeq[Long](0)
+    assert(mon.grid.toSeq === oneShot, "cross-batch CMS must equal the one-shot sketch")
+    // point queries over-count only, and total mass is exact per row
+    val exact = (0 until 20).map(i => s"t$i" -> ((20 - i) * (20 - i)).toLong).toMap
+    exact.foreach { case (t, f) =>
+      assert(mon.estimate(t) >= f, s"undercount for $t")
+    }
+    (0 until 4).foreach { j =>
+      assert(mon.grid.slice(j * 64, (j + 1) * 64).sum === toks.length.toLong)
+    }
+  }
 }

@@ -721,6 +721,93 @@ object AnnOps {
       .select(col("vec_id"), col("rk"), col("nbr_id"), col("cos"))
   }
 
+  // ---------------------------------------------------------------
+  // q160: PageRank centrality over the kNN graph
+  // ---------------------------------------------------------------
+
+  /** Fixed-iteration PageRank power iteration over a directed edge
+    * frame in which every node has exactly `outDeg` out-edges (the
+    * kNN graph's invariant, so no dangling-mass handling is needed).
+    * Each round is one src-keyed join + one dst-keyed aggregate with
+    * the rank table materialized ([[graft.Staging]]) to keep lineage
+    * flat — the [[graft.operators.DedupOps.minLabelComponents]]
+    * iteration discipline. State per round is one (id, pr) row per
+    * NODE; the corpus/edge table is streamed, never collected. */
+  /** One un-materialized power-iteration round — separated so the
+    * plan auditor can assert the round's shuffle shape (the loop
+    * materializes each round, which hides it from the final plan). */
+  private[graft] def pageRankRound(nodes: DataFrame, edges: DataFrame,
+      pr: DataFrame, outDeg: Int, damp: Double, n: Double): DataFrame = {
+    val contrib = edges.join(pr.withColumnRenamed("id", "src"), "src")
+      .groupBy(col("dst").as("id"))
+      .agg(sum(col("pr") / outDeg).as("inflow"))
+    nodes.join(contrib, Seq("id"), "left_outer")
+      .select(col("id"),
+        (lit((1 - damp) / n) + lit(damp) * coalesce(col("inflow"), lit(0.0)))
+          .as("pr"))
+  }
+
+  def pageRank(nodes: DataFrame, edges: DataFrame, outDeg: Int,
+      iters: Int, damp: Double): DataFrame = {
+    val n = nodes.count().toDouble
+    var pr = nodes.withColumn("pr", lit(1.0 / n))
+    (1 to iters).foreach { t =>
+      pr = graft.Staging.materialize(
+        pageRankRound(nodes, edges, pr, outDeg, damp, n),
+        s"pagerank$t", "spark.graft.ann.stagingDir")
+    }
+    pr
+  }
+
+  /** PageRank centrality over q130's exact kNN graph — the
+    * graph-centrality data-selection pass: a document whose neighbors
+    * (and their neighbors) all point back at it is a REPRESENTATIVE
+    * of its region, the signal centrality-based pruning keeps and
+    * diversity-first pruning drops. 5 damped power iterations at
+    * d = 0.85; the oracle replays the identical iteration as chained
+    * CTEs, so the distributed loop is pinned round-for-round.
+    *
+    * Scale: per round, the edge table joins the node-sized rank table
+    * on src and aggregates on dst — both edges-keyed shuffles of
+    * (id, double) rows; the graph build itself is q130's (IVF-blocked
+    * in production). Convergence at 100 TB is the usual ~10 rounds of
+    * a sparse k-out graph; state never exceeds one row per node. */
+  val q160Pagerank: QueryDef = {
+    val damp = 0.85
+    val iters = 5
+    val iterCtes = (1 to iters).map { t =>
+      s"""p$t AS (SELECT nd.id, (1 - $damp) / nn2.n + $damp * coalesce(c.s, 0) AS pr
+         |        FROM nd CROSS JOIN nn2 LEFT JOIN (
+         |          SELECT ed.dst AS id, sum(p${t - 1}.pr / $GraphK.0) AS s
+         |          FROM ed JOIN p${t - 1} ON p${t - 1}.id = ed.src GROUP BY ed.dst) c
+         |        ON c.id = nd.id)""".stripMargin
+    }.mkString(",\n      ")
+    QueryDef(
+      "q160_pagerank",
+      (s, dir) => {
+        VectorExpressions.register(s)
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val edges = graft.Staging.materialize(
+          knnGraphExact(e, GraphK)
+            .select(col("vec_id").as("src"), col("nbr_id").as("dst")),
+          "knn_edges", "spark.graft.ann.stagingDir")
+        val nodes = e.select(col("vec_id").as("id"))
+        pageRank(nodes, edges, GraphK, iters, damp)
+          .select(col("id").as("vec_id"),
+            (round(col("pr"), 6) + lit(0.0)).as("pagerank"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH $knnSqlCtes,
+        ed AS (SELECT vec_id AS src, nbr_id AS dst FROM r WHERE rk <= $GraphK),
+        nd AS (SELECT vec_id AS id FROM e),
+        nn2 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nd),
+        p0 AS (SELECT nd.id, 1.0 / nn2.n AS pr FROM nd CROSS JOIN nn2),
+        $iterCtes
+        SELECT id AS vec_id, round(pr, 6) + 0.0 AS pagerank
+        FROM p$iters ORDER BY vec_id"""))
+  }
+
   val q130KnnGraph: QueryDef = QueryDef(
     "q130_knn_graph",
     (s, dir) => {
@@ -832,5 +919,5 @@ object AnnOps {
 
   val all: Seq[QueryDef] =
     Seq(q56AnnIvf, q68AnnLsh, q79AnnLshMultiprobe, q85AnnPq, q100AnnIvfPq,
-      q117AnnSq8, q130KnnGraph, q155AnnJl)
+      q117AnnSq8, q130KnnGraph, q155AnnJl, q160Pagerank)
 }

@@ -382,7 +382,112 @@ object TextAnalysis {
       GROUP BY g.min_words, g.max_dup_frac
       ORDER BY g.min_words, g.max_dup_frac"""))
 
+  // ---------------------------------------------------------------
+  // q158: Shannon-entropy quality signals
+  // ---------------------------------------------------------------
+
+  /** Spark-side entropy of an array expression: −Σ p·log2 p over the
+    * element distribution, as one codegen'd HOF chain (count each
+    * distinct element, fold the entropy terms). */
+  private[operators] def entropySpark(arr: String): String =
+    s"""aggregate(
+       |  transform(array_distinct($arr), c -> cast(size(filter($arr, x -> x = c)) as double)),
+       |  0D, (acc, k) -> acc - (k / size($arr)) * log2(k / size($arr)))""".stripMargin
+
+  /** The identical derivation in DuckDB list functions. */
+  private def entropyDuck(arr: String): String =
+    s"""list_sum(list_transform(
+       |  list_transform(list_distinct($arr), c -> CAST(len(list_filter($arr, x -> x = c)) AS DOUBLE)),
+       |  k -> -(k / len($arr)) * log2(k / len($arr))))""".stripMargin
+
+  /** Shannon entropy signals: character-level and word-level entropy
+    * per document — the compression-proxy quality gate (low char
+    * entropy ⇒ repeated characters/boilerplate; low word entropy ⇒
+    * keyword stuffing; both ends of the distribution are filtered in
+    * RefinedWeb-style pipelines, where the deployed form is a gzip
+    * ratio — Shannon entropy is its model-free lower bound and, unlike
+    * gzip, is exactly reproducible in portable SQL).
+    *
+    * Scale: pure per-document HOF arithmetic — a narrow codegen'd
+    * map pass, zero shuffle (the sort is harness determinism); cost is
+    * O(len · distinct) per doc, bounded by the same explosion budget
+    * as the q123 signal bundle it slots beside. */
+  val q158Entropy: QueryDef = QueryDef(
+    "q158_entropy",
+    (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        round(expr(entropySpark("split(text, '')")), 6).as("char_entropy"),
+        round(expr(entropySpark("split(trim(text), '\\\\s+')")), 6).as("word_entropy"))
+        .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id,
+        round(${entropyDuck("string_split(text, '')")}, 6) AS char_entropy,
+        round(${entropyDuck("regexp_split_to_array(trim(text), '\\s+')")}, 6) AS word_entropy
+      FROM documents ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------
+  // q159: Zipf power-law fit audit
+  // ---------------------------------------------------------------
+
+  /** Zipf fit per source: least-squares slope and intercept of
+    * log-frequency against log-rank over the top 100 ranks — natural
+    * language sits near slope −1 (Zipf's law), so a source whose
+    * slope is far off is machine-generated, templated, or corrupt
+    * BEFORE any model-based scoring. The regression is the closed
+    * form over (Σx, Σy, Σxy, Σx²), all computed on the rank table.
+    *
+    * Scale: the token count is the vocabulary aggregate every LM op
+    * already pays (q96's shuffle class); ranking runs per source over
+    * the vocab-sized count table; the regression epilogue is
+    * source-count rows. The corpus is scanned once. */
+  /** The q159 regression over an arbitrary (source, text) frame —
+    * factored out so the spec can feed constructed Zipfian / uniform
+    * corpora and pin the slope. */
+  private[operators] def zipfFit(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = d
+      .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val cnt = toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("f"))
+    val w = Window.partitionBy(col("source")).orderBy(col("f").desc, col("tok"))
+    val top = cnt.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 100)
+      .select(col("source"),
+        log(col("rk").cast("double")).as("x"), log(col("f")).as("y"))
+    top.groupBy(col("source")).agg(
+        count(lit(1)).cast("double").as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("m").cast("long").as("n_ranks"),
+        (round((col("m") * col("sxy") - col("sx") * col("sy"))
+          / (col("m") * col("sxx") - col("sx") * col("sx")), 6) + lit(0.0)).as("slope"),
+        (round((col("sy") - (col("m") * col("sxy") - col("sx") * col("sy"))
+          / (col("m") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("m"), 6)
+          .as("intercept")))
+      .orderBy(col("source"))
+  }
+
+  val q159ZipfFit: QueryDef = QueryDef(
+    "q159_zipf_fit",
+    (s, dir) => zipfFit(docs(s, dir)),
+    Some("""WITH toks AS (SELECT source,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+      cnt AS (SELECT source, tok, CAST(count(*) AS DOUBLE) AS f
+        FROM toks GROUP BY 1, 2),
+      rnk AS (SELECT source, tok, f,
+          row_number() OVER (PARTITION BY source ORDER BY f DESC, tok) AS rk
+        FROM cnt),
+      top AS (SELECT source, ln(CAST(rk AS DOUBLE)) AS x, ln(f) AS y
+        FROM rnk WHERE rk <= 100),
+      agg AS (SELECT source, CAST(count(*) AS DOUBLE) AS m,
+          sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
+        FROM top GROUP BY source)
+      SELECT source, CAST(m AS BIGINT) AS n_ranks,
+        round((m*sxy - sx*sy) / (m*sxx - sx*sx), 6) + 0.0 AS slope,
+        round((sy - (m*sxy - sx*sy) / (m*sxx - sx*sx) * sx) / m, 6) AS intercept
+      FROM agg ORDER BY source"""))
+
   val all: Seq[QueryDef] = Seq(
     q45TokenCount, q46QualityScore, q47LangId, q48Fingerprint, q103Winnowing,
-    q113CcnetNormalize, q123QualitySignals, q126GateSweep)
+    q113CcnetNormalize, q123QualitySignals, q126GateSweep, q158Entropy,
+    q159ZipfFit)
 }

@@ -235,6 +235,36 @@ class AnnOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"SQ8 recall@10 = $recall")
   }
 
+  test("q160 PageRank: mass conserved, floor respected, equals a driver-side reference") {
+    import org.apache.spark.sql.functions._
+    val rows = AnnOps.q160Pagerank.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val n = rows.size
+    // total mass ~ 1 (k-out graph has no dangling nodes) and every
+    // node holds at least the teleport floor
+    assert(math.abs(rows.values.sum - 1.0) < 1e-3, s"mass ${rows.values.sum}")
+    rows.values.foreach(p => assert(p >= 0.15 / n - 1e-9, "below teleport floor"))
+    // ranks are not uniform (the graph actually concentrated mass)
+    assert(rows.values.max > 1.5 / n, "no concentration — suspicious uniform ranks")
+    // driver-side reference: same edges, same 5 damped iterations
+    graft.functions.expressions.VectorExpressions.register(spark)
+    val e = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val edges = AnnOps.knnGraphExact(e, 5)
+      .select(col("vec_id"), col("nbr_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = rows.keySet.toArray.sorted
+    var pr = ids.map(_ -> 1.0 / n).toMap
+    (1 to 5).foreach { _ =>
+      val inflow = edges.groupMapReduce(_._2)({ case (s0, _) => pr(s0) / 5.0 })(_ + _)
+      pr = ids.map(id => id -> (0.15 / n + 0.85 * inflow.getOrElse(id, 0.0))).toMap
+    }
+    ids.foreach { id =>
+      assert(math.abs(rows(id) - pr(id)) < 1e-6,
+        s"rank drift at $id: ${rows(id)} vs ${pr(id)}")
+    }
+  }
+
   test("q155 JL: full shortlist returns exactly the brute-force top-5; scores are true dots") {
     import org.apache.spark.sql.functions._
     graft.functions.expressions.VectorExpressions.register(spark)

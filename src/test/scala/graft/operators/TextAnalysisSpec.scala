@@ -151,4 +151,52 @@ class TextAnalysisSpec extends SparkSpec {
     }.toLong
     assert(byKey((30L, 0.2)) === direct)
   }
+
+  test("q158: entropy exact on handcrafted vectors, bounded by log2(distinct) on the corpus") {
+    import spark.implicits._
+    // handcrafted: all-same chars → 0; "ab" → 1 bit; all-same words → 0
+    val tiny = Seq("aaaa", "abab", "x y x y", "z z z z").toDF("text")
+    val got = tiny.select(
+        round(expr(TextAnalysis.entropySpark("split(text, '')")), 6).as("ch"),
+        round(expr(TextAnalysis.entropySpark("split(trim(text), '\\\\s+')")), 6).as("wh"))
+      .collect()
+    assert(got(0).getDouble(0) === 0.0)            // "aaaa": one symbol
+    assert(got(1).getDouble(0) === 1.0)            // "abab": two equiprobable
+    assert(got(2).getDouble(1) === 1.0)            // "x y x y": two words
+    assert(got(3).getDouble(1) === 0.0)            // "z z z z": one word
+    // corpus-wide: 0 <= H <= log2(#distinct), both signals
+    val rows = TextAnalysis.q158Entropy.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val limits = graft.Tables.load(spark, dir, "documents").select(col("doc_id"),
+        log2(size(array_distinct(split(col("text"), "")))).as("maxc"),
+        log2(size(array_distinct(split(trim(col("text")), "\\s+")))).as("maxw"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val (maxc, maxw) = limits(r.getLong(0))
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= maxc + 1e-6)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= maxw + 1e-6)
+    }
+  }
+
+  test("q159: constructed Zipf corpus fits slope ~ -1; uniform corpus fits slope 0") {
+    import spark.implicits._
+    // Zipf: token t<i> appears floor(120/i) times, i = 1..40
+    val zipf = (1 to 40).flatMap(i => Seq.fill(120 / i)(s"t$i"))
+    // uniform: 40 tokens, 5 occurrences each
+    val uni = (1 to 40).flatMap(i => Seq.fill(5)(s"u$i"))
+    val d = Seq(("zipf", zipf.mkString(" ")), ("uniform", uni.mkString(" ")))
+      .toDF("source", "text")
+    val fits = TextAnalysis.zipfFit(d).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(fits("zipf") - (-1.0)) < 0.15,
+      s"Zipf corpus slope ${fits("zipf")} far from -1")
+    assert(math.abs(fits("uniform")) < 1e-9,
+      s"uniform corpus slope must be 0, got ${fits("uniform")}")
+    // the real corpus: every source's slope is negative (frequency
+    // decreases in rank by construction of ranking)
+    TextAnalysis.q159ZipfFit.fn(spark, dir).collect().foreach { r =>
+      assert(r.getDouble(2) < 0.0, s"source ${r.getString(0)} slope not negative")
+      assert(r.getLong(1) <= 100L)
+    }
+  }
 }

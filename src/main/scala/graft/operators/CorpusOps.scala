@@ -175,20 +175,33 @@ object CorpusOps {
       minWords: Long = 10, maxWords: Long = 1000,
       minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 12.0,
       minStopwords: Long = 2, minAlphaFrac: Double = 0.8,
-      stopwords: Seq[String] = Seq("the", "a", "of", "to", "and"))
+      stopwords: Seq[String] = Seq("the", "a", "of", "to", "and"),
+      minCharEntropy: Option[Double] = None)
 
   /** keep-predicate over a text column for the given rules — the single
     * source of truth behind q82's `keep`, q87's gate stage, and
-    * `Curation.run`. Pure Column arithmetic: narrow, codegen'd. */
+    * `Curation.run`. Pure Column arithmetic: narrow, codegen'd.
+    * `minCharEntropy` (off by default) adds q158's character-entropy
+    * floor — the compression-proxy rule against repeated-character /
+    * boilerplate junk — as one more conjunct in the same pass. */
   def gateKeep(text: org.apache.spark.sql.Column, r: GateRules): org.apache.spark.sql.Column = {
     val w = split(trim(text), "\\s+")
     val nWords = size(w).cast("long")
     val meanLen = length(regexp_replace(trim(text), "\\s+", "")).cast("double") / nWords
     val nStop = size(filter(w, t => t.isin(r.stopwords: _*))).cast("long")
     val alphaFrac = size(filter(w, t => t.rlike("[A-Za-z]"))).cast("double") / nWords
-    nWords.between(r.minWords, r.maxWords) &&
+    val base = nWords.between(r.minWords, r.maxWords) &&
       meanLen.between(r.minMeanWordLen, r.maxMeanWordLen) &&
       nStop >= r.minStopwords && alphaFrac >= r.minAlphaFrac
+    r.minCharEntropy.fold(base) { floor =>
+      val chars = split(text, "")
+      val n = size(chars).cast("double")
+      val ent = aggregate(
+        transform(array_distinct(chars),
+          c => size(filter(chars, x => x === c)).cast("double")),
+        lit(0.0), (acc, k) => acc - (k / n) * log2(k / n))
+      base && ent >= floor
+    }
   }
 
   /** Gopher/MassiveText quality rules (Rae et al. 2021 A1.1), scaled to

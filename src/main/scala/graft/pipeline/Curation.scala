@@ -88,6 +88,7 @@ object Curation {
       semanticEmbeddings: Option[DataFrame] = None,
       semanticCentroids: Int = 8,
       semanticDupCos: Double = 0.35,
+      semanticWhiten: Boolean = false,
       mixtureRates: Map[String, Long] = Map.empty,
       defaultRate: Long = 100L,
       temperatureBalance: Boolean = false,
@@ -188,7 +189,18 @@ object Curation {
     // never touches text
     val semIds = cfg.semanticEmbeddings.map { emb =>
       graft.functions.expressions.VectorExpressions.register(docs.sparkSession)
-      val e = emb.select(col("doc_id").as("vec_id"), col("embedding"))
+      val raw = emb.select(col("doc_id").as("vec_id"), col("embedding"))
+      // optional ZCA whitening (q157's operator): isotropic geometry
+      // before centroid training, so cluster blocking and the cosine
+      // threshold act on decorrelated coordinates (the SemDeDup paper
+      // normalizes embeddings; whitening is the stronger form). The
+      // whitened coordinates exist only inside this stage.
+      val e =
+        if (cfg.semanticWhiten) {
+          val d = raw.select(size(col("embedding"))).first().getInt(0)
+          val (w, _, _) = graft.ml.VectorML.zcaWhiten(raw, "embedding", d)
+          w.select(col("vec_id"), col("white").cast("array<float>").as("embedding"))
+        } else raw
       val cents = graft.ml.VectorML.trainCentroids(
           e, "embedding", cfg.semanticCentroids)
         .select(col("cid").cast("long").as("cid"), col("cv").as("cvec"))

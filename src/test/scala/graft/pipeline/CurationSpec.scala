@@ -183,6 +183,36 @@ class CurationSpec extends SparkSpec {
     assert(sem.packedDocs <= base.packedDocs)
   }
 
+  test("semanticWhiten: the whitened stage still finds near-dups; summary stays conserved") {
+    graft.functions.expressions.VectorExpressions.register(spark)
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    // planted exact/near duplicates survive whitening: W is a linear
+    // map, so identical vectors stay identical and the whitened dot
+    // of a vector with itself is its squared norm (> threshold)
+    val (_, white) = Curation.run(docs, Curation.CurationConfig(
+      semanticEmbeddings = Some(emb), semanticWhiten = true))
+    assert(white.semanticDropped > 0L,
+      "whitened SemDeDup must still catch planted near-identical pairs")
+    // conservation: stage counts still partition the corpus
+    assert(white.raw === docs.count())
+    assert(white.gated <= white.raw)
+  }
+
+  test("minCharEntropy gate: a repeated-character doc is cut only when the floor is on") {
+    import spark.implicits._
+    val junk = (("the a " + "zzzzzzzz " * 20).trim, "junk")
+    val fine = ("the quick brown fox jumps over a lazy dog near the old river bank today", "fine")
+    val d = Seq(junk, fine).toDF("text", "tag")
+    val without = d.filter(graft.operators.CorpusOps.gateKeep(col("text"),
+      Curation.GateRules())).select(col("tag")).collect().map(_.getString(0)).toSet
+    val withFloor = d.filter(graft.operators.CorpusOps.gateKeep(col("text"),
+      Curation.GateRules(minCharEntropy = Some(3.0)))).select(col("tag"))
+      .collect().map(_.getString(0)).toSet
+    assert(without === Set("junk", "fine"), "both pass the word-level rules")
+    assert(withFloor === Set("fine"), "the entropy floor must cut exactly the junk doc")
+  }
+
   test("all optional stages compose: counts stay consistent with every knob on") {
     val probe = CorpusOps.fiveGramsOf(docs.limit(1))
       .select(explode(col("shingles")).as("sh"))

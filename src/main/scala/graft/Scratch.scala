@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Temporary profiling harness (not committed): times named queries
+  * N times each in one JVM to beat inter-invocation variance. */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = args.toSeq
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-scratch")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.names.foreach(n => Tables.load(spark, sfDir, n).schema)
+    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    val byName = SparkEntry.registry.map(q => q.name -> q).toMap
+    names.foreach { n =>
+      val q = byName(n)
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"SCRATCH $n min=${ts.min}%.3f med=${ts.sorted.apply(reps / 2)}%.3f all=${ts.map(t => f"$t%.2f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

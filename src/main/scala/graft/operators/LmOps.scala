@@ -986,8 +986,67 @@ object LmOps {
       FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.idx = c.idx
       GROUP BY t.doc_id ORDER BY t.doc_id"""))
 
+  // ---------------------------------------------------------------
+  // q162: per-source KL divergence from the corpus distribution
+  // ---------------------------------------------------------------
+
+  /** Distribution-drift audit: KL(p_source ‖ p_corpus) over unigram
+    * token distributions — how far each source's language sits from
+    * the corpus mixture. High-KL sources are the ones temperature
+    * resampling (q115) and DoReMi-style reweighting act on, and a
+    * source whose KL JUMPS between snapshots signals an upstream
+    * extraction change (the q152 diff's distributional sibling).
+    * Every source token appears in the corpus by construction, so
+    * p_corpus > 0 wherever p_source > 0 and no smoothing is needed.
+    *
+    * Scale: one (source, token)-keyed count — the same shuffle class
+    * as every vocab aggregate in this tier; the corpus-marginal count
+    * table is vocab-sized and joins back per token, the per-source
+    * totals are a sources-row broadcast, and the KL sum reduces the
+    * (source × vocab) table to one row per source. Corpus scanned
+    * once. */
+  val q162SourceKl: QueryDef = QueryDef(
+    "q162_source_kl",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      val bySrc = toks.groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).cast("double").as("n_st"))
+      val srcTot = bySrc.groupBy(col("source"))
+        .agg(sum(col("n_st")).as("n_s"))
+      val marginal = bySrc.groupBy(col("tok"))
+        .agg(sum(col("n_st")).as("n_t"))
+      val total = srcTot.agg(sum(col("n_s")).as("n"))
+      bySrc
+        .join(broadcast(srcTot), "source")
+        .join(marginal, "tok")
+        .crossJoin(broadcast(total))
+        .select(col("source"), col("n_s"),
+          ((col("n_st") / col("n_s"))
+            * log((col("n_st") / col("n_s")) / (col("n_t") / col("n")))).as("term"))
+        .groupBy(col("source"), col("n_s"))
+        .agg(round(sum(col("term")), 6).as("kl"))
+        .select(col("source"), col("n_s").cast("long").as("n_tokens"), col("kl"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH toks AS (SELECT source,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+      bysrc AS (SELECT source, tok, CAST(count(*) AS DOUBLE) AS n_st
+        FROM toks GROUP BY 1, 2),
+      srctot AS (SELECT source, sum(n_st) AS n_s FROM bysrc GROUP BY source),
+      marg AS (SELECT tok, sum(n_st) AS n_t FROM bysrc GROUP BY tok),
+      tot AS (SELECT sum(n_s) AS n FROM srctot)
+      SELECT b.source, CAST(st.n_s AS BIGINT) AS n_tokens,
+        round(sum((b.n_st / st.n_s) * ln((b.n_st / st.n_s) / (m.n_t / tot.n))), 6) AS kl
+      FROM bysrc b
+      JOIN srctot st ON b.source = st.source
+      JOIN marg m ON b.tok = m.tok
+      CROSS JOIN tot
+      GROUP BY b.source, st.n_s
+      ORDER BY b.source"""))
+
   val all: Seq[QueryDef] =
     Seq(q96LmPerplexity, q97Bm25, q98DupSpans, q99HybridRrf, q101Dsir,
       q102CcnetBuckets, q106DedupAudit, q107MaxDupSpans, q108KnPerplexity,
-      q114DataCard, q150ExactSubstrRewrite)
+      q114DataCard, q150ExactSubstrRewrite, q162SourceKl)
 }

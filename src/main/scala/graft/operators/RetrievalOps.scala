@@ -255,7 +255,87 @@ object RetrievalOps {
       FROM (SELECT * FROM leaf UNION ALL SELECT * FROM expanded) u
       ORDER BY score DESC, chunk_id LIMIT 5"""))
 
+  // ---------------------------------------------------------------
+  // q161: retrieval evaluation metrics (recall@k, MRR, nDCG@k)
+  // ---------------------------------------------------------------
+
+  /** Offline retrieval evaluation: for each of the first 10 vectors as
+    * queries, rank the corpus by cosine (excluding self), mark
+    * same-label vectors relevant, and report the three standard ranked
+    * metrics — recall@10, MRR, and binary-relevance nDCG@10 (IDCG from
+    * the gold count via an in-plan HOF sum, so no ideal-run join). The
+    * evaluation loop every retriever change in this engine should be
+    * gated on (the D19 EVALUATION discipline applied to the retrieval
+    * tier itself).
+    *
+    * Scale: the query batch is broadcast (q31's shape) — one corpus
+    * scan scores ALL queries; ranking windows key on qid; gold counts
+    * come from the label-sized count table broadcast back; everything
+    * after the rank cut is per-query arithmetic on ≤ k rows. */
+  val q161RetrievalMetrics: QueryDef = QueryDef(
+    "q161_retrieval_metrics",
+    (s, dir) => {
+      VectorExpressions.register(s)
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("label").as("qlabel"))
+      val goldCounts = e.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_label"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("vec_id"))
+      val ranked = e.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+          round(expr("dot_product_f(embedding, qv)"), 6).as("score"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 10)
+        .withColumn("rel", (col("label") === col("qlabel")).cast("double"))
+      ranked
+        .join(broadcast(goldCounts.withColumnRenamed("label", "qlabel")), "qlabel")
+        // gold excludes the query itself
+        .withColumn("n_gold", col("n_label") - 1)
+        .groupBy(col("qid"), col("n_gold"))
+        .agg(
+          sum(col("rel")).cast("long").as("hits"),
+          max(when(col("rel") === 1.0, lit(1.0) / col("rk"))).as("mrr0"),
+          sum(when(col("rel") === 1.0, lit(1.0) / log2(col("rk") + 1))).as("dcg"))
+        .select(col("qid"), col("n_gold"), col("hits"),
+          round(col("hits").cast("double") / least(lit(10L), col("n_gold")), 6)
+            .as("recall_at_10"),
+          round(coalesce(col("mrr0"), lit(0.0)), 6).as("mrr"),
+          round(coalesce(col("dcg"), lit(0.0)) /
+            expr("aggregate(sequence(1, cast(least(10, n_gold) as int)), 0D, (acc, i) -> acc + 1.0 / log2(i + 1))"),
+            6).as("ndcg_at_10"))
+        .orderBy(col("qid"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e WHERE vec_id < 10),
+      gold AS (SELECT label, CAST(count(*) AS BIGINT) AS n_label FROM e GROUP BY label),
+      scored AS (SELECT q.qid, q.qlabel, e.vec_id, e.label,
+          round(list_sum(list_transform(list_zip(e.v, q.qv), x -> x[1]*x[2])), 6) AS score
+        FROM e, q WHERE e.vec_id <> q.qid),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
+          ORDER BY score DESC, vec_id) AS rk FROM scored),
+      cut AS (SELECT qid, qlabel, rk,
+          CASE WHEN label = qlabel THEN 1.0 ELSE 0.0 END AS rel
+        FROM ranked WHERE rk <= 10),
+      agg AS (SELECT c.qid, g.n_label - 1 AS n_gold,
+          CAST(sum(rel) AS BIGINT) AS hits,
+          max(CASE WHEN rel = 1.0 THEN 1.0 / rk END) AS mrr0,
+          sum(CASE WHEN rel = 1.0 THEN 1.0 / log2(rk + 1) END) AS dcg
+        FROM cut c JOIN gold g ON c.qlabel = g.label
+        GROUP BY c.qid, g.n_label)
+      SELECT qid, n_gold, hits,
+        round(CAST(hits AS DOUBLE) / least(10, n_gold), 6) AS recall_at_10,
+        round(coalesce(mrr0, 0.0), 6) AS mrr,
+        round(coalesce(dcg, 0.0) / list_sum(list_transform(
+          range(1, CAST(least(10, n_gold) AS INT) + 1),
+          i -> 1.0 / log2(i + 1))), 6) AS ndcg_at_10
+      FROM agg ORDER BY qid"""))
+
   val all: Seq[QueryDef] = Seq(
     q30TopkCosine, q31KnnPerLabel, q32RrfFusion, q33DistinctContext,
-    q44KeywordRetrieval, q57Subquestion, q59RecursiveRetrieval)
+    q44KeywordRetrieval, q57Subquestion, q59RecursiveRetrieval,
+    q161RetrievalMetrics)
 }

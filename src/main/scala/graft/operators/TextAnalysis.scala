@@ -486,8 +486,48 @@ object TextAnalysis {
         round((sy - (m*sxy - sx*sy) / (m*sxx - sx*sx) * sx) / m, 6) AS intercept
       FROM agg ORDER BY source"""))
 
+  // ---------------------------------------------------------------
+  // q163: lexicon tagging (FlashText/Aho-Corasick use case)
+  // ---------------------------------------------------------------
+
+  /** The q163 lexicon — a topic/PII-style term list. At scale a
+    * lexicon is a broadcast set (or a literal in-set, as here, when it
+    * is config-sized); production systems compile it into an
+    * Aho-Corasick automaton for multi-term scanning, but for
+    * WORD-BOUNDARY terms the token-set intersection below is
+    * semantically identical and stays in codegen. */
+  private val Lexicon = Seq("spark", "hash", "merge", "window", "stream")
+
+  /** Lexicon tagging: per document, how many token hits the lexicon
+    * gets and WHICH distinct terms matched (sorted, joined) — the
+    * topic/keyword/blocklist tagging pass (FlashText's use case)
+    * expressed as pure array arithmetic: hits = a codegen'd filter
+    * count, matched = array_intersect against the literal lexicon.
+    * Zero shuffle, zero UDFs; the oracle replays both.
+    *
+    * Scale: a narrow map pass; the lexicon rides in the plan (or a
+    * broadcast variable when it is file-sized). Tagging feeds routing
+    * (P9's rule predicate) and the q126-style threshold sweeps. */
+  val q163LexiconTag: QueryDef = QueryDef(
+    "q163_lexicon_tag",
+    (s, dir) => {
+      val tk = tokens(col("text"))
+      val lex = array(Lexicon.map(lit): _*)
+      docs(s, dir).select(col("doc_id"),
+        size(filter(tk, t => t.isInCollection(Lexicon))).cast("long").as("n_hits"),
+        concat_ws(",", array_sort(array_intersect(array_distinct(tk), lex)))
+          .as("matched"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""SELECT doc_id,
+        CAST(len(list_filter(tk, t -> t IN (${Lexicon.map("'" + _ + "'").mkString(", ")}))) AS BIGINT) AS n_hits,
+        coalesce(array_to_string(list_sort(list_intersect(list_distinct(tk),
+          [${Lexicon.map("'" + _ + "'").mkString(", ")}])), ','), '') AS matched
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+        FROM documents) x ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q45TokenCount, q46QualityScore, q47LangId, q48Fingerprint, q103Winnowing,
     q113CcnetNormalize, q123QualitySignals, q126GateSweep, q158Entropy,
-    q159ZipfFit)
+    q159ZipfFit, q163LexiconTag)
 }

@@ -356,4 +356,28 @@ class LmOpsSpec extends SparkSpec {
     assert(joined.exists(r => r.getLong(r.fieldIndex("tokens_removed")) > 0),
       "corpus has known dups; the rewrite must cut somewhere")
   }
+
+  test("q162: KL non-negative (Gibbs), zero only for a corpus-identical source, exact vs driver") {
+    val rows = LmOps.q162SourceKl.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(2) >= 0.0, s"KL negative for ${r.getString(0)}"))
+    // driver recomputation from raw token counts
+    val toks = graft.Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val bySrc = toks.groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).view.mapValues(_.length.toDouble).toMap).toMap
+    val marg = toks.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val n = toks.length.toDouble
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val cnt = bySrc(src)
+      val ns = cnt.values.sum
+      assert(r.getLong(1) === ns.toLong, s"token count drift for $src")
+      val kl = cnt.map { case (t, c) =>
+        (c / ns) * math.log((c / ns) / (marg(t) / n))
+      }.sum
+      assert(math.abs(r.getDouble(2) - kl) < 1e-6, s"KL drift for $src")
+    }
+  }
 }

@@ -178,6 +178,25 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("q163: matched terms are lexicon members; hits and matches recomputed exactly") {
+    val rows = TextAnalysis.q163LexiconTag.fn(spark, dir).collect()
+    val lex = Set("spark", "hash", "merge", "window", "stream")
+    val texts = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    var anyHit = false
+    rows.foreach { r =>
+      val toks = texts(r.getLong(0)).trim.split("\\s+").toSeq
+      val hits = toks.count(lex)
+      val matched = toks.filter(lex).distinct.sorted.mkString(",")
+      assert(r.getLong(1) === hits.toLong, s"hits drift doc ${r.getLong(0)}")
+      assert(r.getString(2) === matched, s"matched drift doc ${r.getLong(0)}")
+      if (hits > 0) anyHit = true
+    }
+    assert(anyHit, "the corpus vocabulary contains lexicon terms; some doc must hit")
+  }
+
   test("q159: constructed Zipf corpus fits slope ~ -1; uniform corpus fits slope 0") {
     import spark.implicits._
     // Zipf: token t<i> appears floor(120/i) times, i = 1..40

@@ -24,9 +24,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // Warm the JVM + parquet footers once (session init dominates
-    // otherwise and measures the JIT, not the plans).
-    Tables.names.foreach(n => Tables.load(spark, sfDir, n).schema)
-    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    // otherwise and measures the JIT, not the plans). Guarded per table:
+    // round 8's bench was zeroed ENTIRELY because one table's loader threw
+    // here, before any per-query try/catch — a broken table must cost its
+    // own queries -1, never the round's numbers.
+    Tables.names.foreach { n =>
+      try Tables.load(spark, sfDir, n).schema
+      catch { case e: Throwable => System.err.println(s"[bench] warmup $n: $e") }
+    }
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup entry: $e") }
 
     // two passes per query, report min(cold, warm): pass 1 pays one-time
     // codegen compilation + AQE statistics; pass 2 is the steady-state
@@ -40,7 +47,7 @@ object Bench {
     // ANN index queries are timed as build + probe components below —
     // one number would hide the query-side cost the 100×-scale story
     // depends on (the build is staged once and amortized).
-    val split = Set("q100_ann_ivfpq", "q117_ann_sq8")
+    val split = Set("q85_ann_pq", "q100_ann_ivfpq", "q117_ann_sq8")
     val picked = only.fold(SparkEntry.headlines)(names =>
       SparkEntry.headlines.filter(q => names(q.name)))
       .filterNot(q => split(q.name) && only.isEmpty)
@@ -76,6 +83,14 @@ object Bench {
     val splitResults: Seq[(String, Double)] =
       if (only.nonEmpty) Seq.empty
       else {
+        var pq: org.apache.spark.sql.DataFrame = null
+        val b85 = two(() => timed {
+          pq = operators.AnnOps.pqIndex(spark, sfDir).localCheckpoint()
+        })
+        val p85 = two(() => timed {
+          operators.AnnOps.pqProbe(spark, sfDir, pq)
+            .write.format("noop").mode("overwrite").save()
+        })
         var ivfpq: org.apache.spark.sql.DataFrame = null
         val b100 = two(() => timed {
           ivfpq = operators.AnnOps.ivfpqIndex(spark, sfDir).localCheckpoint()
@@ -93,7 +108,8 @@ object Bench {
           operators.AnnOps.sq8Probe(spark, sfDir, sq8._1, sq8._2, sq8._3)
             .write.format("noop").mode("overwrite").save()
         })
-        Seq("q100_ann_ivfpq_build" -> b100, "q100_ann_ivfpq_probe" -> p100,
+        Seq("q85_ann_pq_build" -> b85, "q85_ann_pq_probe" -> p85,
+          "q100_ann_ivfpq_build" -> b100, "q100_ann_ivfpq_probe" -> p100,
           "q117_ann_sq8_build" -> b117, "q117_ann_sq8_probe" -> p117)
       }
 

@@ -30,18 +30,29 @@ object Tables {
   def loadParallel(spark: SparkSession, dir: String, name: String): DataFrame =
     load(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * cannot read natively ([PARQUET_TYPE_ILLEGAL]). Read nanos as Long and
-    * convert to a microsecond TimestampType column (truncation matches
-    * DuckDB's ns→date/us casts for post-epoch data).
+  /** events.parquet has shipped with two physical `ts` encodings across
+    * testdata generations: parquet TIMESTAMP(NANOS) (which Spark cannot
+    * read natively — [PARQUET_TYPE_ILLEGAL] — so we read nanos as Long
+    * under the legacy flag and truncate to microseconds) and plain
+    * timestamp[us] (readable directly). Branch on the READ schema, not an
+    * assumption, so a driver-side regen of /root/testdata can never break
+    * every downstream events query again.
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integer division: a double intermediate (ts/1000) only carries 53
-    // mantissa bits and corrupts the microsecond digit at ~1.7e18 ns
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // integer division: a double intermediate (ts/1000) only carries 53
+        // mantissa bits and corrupts the microsecond digit at ~1.7e18 ns
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 }
 

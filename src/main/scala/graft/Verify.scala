@@ -19,15 +19,35 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Round-8 postmortem: a query whose PLAN throws used to be printed to
+    // stderr and written nowhere, so the driver's report silently dropped
+    // it — 15 regressions looked like "fewer queries", not "15 broken".
+    // Now every registered query ALWAYS produces an output dir: on failure
+    // a 1-row `_error` parquet (guaranteed schema/hash mismatch vs the
+    // oracle → a visible red row), and the process exits nonzero.
+    var failures = 0
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        try {
+          import spark.implicits._
+          Seq(s"$name: ${Option(e.getMessage).getOrElse(e.getClass.getName)}")
+            .toDF("_error").coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name sentinel write failed: ${e2.getMessage}")
+        }
       }
     }
+    println(s"[verify] registered=${SparkEntry.queries.size} " +
+      s"oracle=${SparkEntry.oracleSql.size} " +
+      s"no_oracle=${SparkEntry.queries.size - SparkEntry.oracleSql.size} " +
+      s"failed=$failures")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -45,5 +65,6 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (failures > 0) sys.exit(1)
   }
 }

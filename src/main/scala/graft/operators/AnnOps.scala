@@ -316,20 +316,25 @@ object AnnOps {
 
   /** PQ encode: nearest codebook centroid per (vector, subspace) →
     * (vec_id, codes) with M one-byte codes. The index-build pass — a
-    * broadcast codebook join + one groupBy (see the encode-shape note
-    * on q85). */
-  private def pqCodes(e: DataFrame): DataFrame = {
-    val wEnc = Window.partitionBy(col("vec_id"), col("j"))
-      .orderBy(col("dist"), col("k"))
+    * broadcast codebook join + two aggregations (see the encode-shape
+    * note on q85).
+    *
+    * Argmin via `min(struct(dist, k))` — lexicographic struct order
+    * gives the (min dist, then min k) tiebreak the old row_number
+    * window computed, but as a PARTIAL-AGGREGATABLE min: the K=16
+    * candidate rows per (vec_id, j) are map-side-combined to one
+    * before the shuffle, so the exchange carries M rows/vector instead
+    * of sorting M×K rows through a window (16× less shuffled data —
+    * the r8 q85 drift fix). */
+  private def pqCodes(e: DataFrame): DataFrame =
     subVectors(e, "vec_id", "embedding").join(broadcast(pqCodebook(e)), "j")
       .select(col("vec_id"), col("j"), col("k"),
         expr("l2_sq_f(sv, cv)").as("dist"))
-      .withColumn("rk", row_number().over(wEnc))
-      .filter(col("rk") === 1)
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("dist"), col("k"))).getField("k").as("k"))
       .groupBy(col("vec_id"))
       .agg(expr("transform(array_sort(collect_list(struct(j, k))), x -> x.k)")
         .as("codes"))
-  }
 
   /** Driver-side ADC table for query vec 0: the M×K matrix of
     * query-subvector ↔ codebook-centroid squared distances. */
@@ -354,31 +359,43 @@ object AnnOps {
       element_at(typedLit(dtab), (j + 1).cast("int")),
       (element_at(col("codes"), (j + 1).cast("int")) + 1).cast("int")))
 
+  /** PQ index build pass: the (vec_id, codes) table — the artifact a
+    * cluster stages once and amortizes over every query. Bench times
+    * it separately from [[pqProbe]] (the q100/q117 split). */
+  def pqIndex(s: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(s)
+    pqCodes(Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")))
+  }
+
+  /** PQ query pass over a (possibly prebuilt) code table: ADC-score
+    * every code row (narrow map over a broadcast literal M×K table),
+    * TakeOrdered shortlist, exact re-rank of the 50 candidates only. */
+  def pqProbe(s: SparkSession, dir: String, index: DataFrame): DataFrame = {
+    VectorExpressions.register(s)
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // stage 1 — ADC: sum of M lookups in subspace order (narrow map),
+    // TakeOrdered shortlist; no rounding here, the order is internal
+    val shortlist = index
+      .withColumn("approx_dist", adcScore(adcTable(e)))
+      .filter(col("vec_id") =!= 0)
+      .orderBy(col("approx_dist"), col("vec_id"))
+      .limit(PqShortlist)
+      .select(col("vec_id"))
+    // stage 2 — exact re-rank of the 50 candidates only
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    shortlist.join(e, "vec_id")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        round(expr("l2_sq_f(embedding, qv)"), 6).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(10)
+  }
+
   val q85AnnPq: QueryDef = QueryDef(
     "q85_ann_pq",
-    (s, dir) => {
-      VectorExpressions.register(s)
-      val e = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-
-      // stage 1 — ADC: sum of M lookups in subspace order (narrow map),
-      // TakeOrdered shortlist; no rounding here, the order is internal
-      val shortlist = pqCodes(e)
-        .withColumn("approx_dist", adcScore(adcTable(e)))
-        .filter(col("vec_id") =!= 0)
-        .orderBy(col("approx_dist"), col("vec_id"))
-        .limit(PqShortlist)
-        .select(col("vec_id"))
-
-      // stage 2 — exact re-rank of the 50 candidates only
-      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      shortlist.join(e, "vec_id")
-        .crossJoin(broadcast(qv))
-        .select(col("vec_id"),
-          round(expr("l2_sq_f(embedding, qv)"), 6).as("dist"))
-        .orderBy(col("dist"), col("vec_id"))
-        .limit(10)
-    },
+    (s, dir) => pqProbe(s, dir, pqIndex(s, dir)),
     Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       js AS (SELECT unnest(range(0, $PqM)) AS j),
       subs AS (SELECT e.vec_id, js.j, e.v[js.j*$PqD+1 : js.j*$PqD+$PqD] AS sv FROM e, js),

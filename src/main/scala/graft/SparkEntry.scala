@@ -33,7 +33,8 @@ object SparkEntry {
       operators.SampleOps.all ++
       operators.DiagnosticsOps.all ++
       operators.LayoutOps.all ++
-      operators.UrlOps.all
+      operators.UrlOps.all ++
+      operators.SuffixOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The index-pipeline capstone: chunk → mock-embed → top-k retrieve —

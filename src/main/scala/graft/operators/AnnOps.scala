@@ -25,17 +25,23 @@ object AnnOps {
   private val NProbe = 4   // cells probed per query
 
   /** Cell assignment: nearest centroid per vector (broadcast C, narrow
-    * map + per-vector rank). Shared by the in-memory and staged paths. */
-  private[graft] def assignCells(e: DataFrame, centroids: DataFrame): DataFrame = {
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist"), col("cid"))
+    * map + argmin). Shared by the in-memory and staged paths.
+    *
+    * Argmin as `min(struct(dist, cid, embedding))` — lexicographic
+    * struct order reproduces the (min dist, then min cid) tiebreak,
+    * and the embedding rides along in the struct (cid is unique, so
+    * it never reaches the comparison). PARTIAL-AGGREGATABLE: each
+    * vector's C candidate rows collapse map-side to one before the
+    * vec_id shuffle, vs the old row_number window that shuffled and
+    * sorted all C×N rows (the q85-encode lesson applied to IVF). */
+  private[graft] def assignCells(e: DataFrame, centroids: DataFrame): DataFrame =
     e.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("cid"),
         expr("l2_sq_f(embedding, cv)").as("dist"))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"), col("embedding"))).as("m"))
+      .select(col("vec_id"), col("m.embedding").as("embedding"),
+        col("m.cid").as("cell"))
 
   /** Durable IVF layout: the assignment written `partitionBy(cell)` —
     * one directory per inverted list. Returns the index path. */

@@ -615,40 +615,64 @@ object LmOps {
     * the hash. No corpus self-join, no N². Distinct-doc counting uses
     * the exact two-level count only per span hash — bounded fan-in. */
   /** Every [[SpanLen]]-token window as (doc_id, h) — or (doc_id, i, h)
-    * with the window's start position when `withPos` — materialized
-    * before its two consumers (the shared-hash aggregate and the
-    * join-back). q98/q106 take the position-free form: a checkpoint
-    * scan cannot column-prune, so materializing `i` for consumers that
-    * drop it pays its width on every scan (the r7 bench regression);
-    * only q107, which merges on position, asks for it. */
+    * with the window's start position when `withPos`. Neither form is
+    * checkpointed any more (the r8-era localCheckpoint cost an eager
+    * job + disk round-trip): the POSITION-FREE form ends in one
+    * h-keyed exchange (`repartition(h)`) that both consumers (the
+    * shared-hash aggregate and the join-back, each clustered on h)
+    * reuse via ReuseExchange/AQE stage reuse — HashPartitioning(h)
+    * satisfies every downstream h-clustering, so that one shuffle is
+    * the shuffle the aggregate needed anyway. The withPos form stays
+    * barrier-free (measured: its semi-join side gets AQE-broadcast, so
+    * a forced full-width exchange is pure waste; recomputing the
+    * narrow explode per consumer is cheaper). q98/q106 take the
+    * position-free form (materializing `i` for consumers that drop it
+    * pays its width on every scan — the r7 bench regression); only
+    * q107, which merges on position, asks for it. */
   private def spanWindows(s: SparkSession, dir: String,
       withPos: Boolean = false): DataFrame =
-    spanWindowsOf(tokenized(s, dir), withPos)
+    spanWindowsOf(tokensRaw(s, dir), withPos)
+
+  /** Unmaterialized (doc_id, w) for the span family: the explode
+    * consumer sits behind a Generate boundary, so Catalyst keeps the
+    * split projection a separate once-per-row Project (no per-window
+    * recompute) and the lm_tok checkpoint would be pure overhead
+    * here — q96-style consumers that index tokens per element keep
+    * using [[tokenizedOf]]. */
+  private def tokensRaw(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      split(lower(trim(col("text"))), "\\s+").as("w"))
 
   private def spanWindowsOf(tok: DataFrame,
       withPos: Boolean): DataFrame =
     if (withPos)
-      materialize(tok
+      tok
         .filter(size(col("w")) >= SpanLen)
         .select(col("doc_id"), explode(expr(
           s"""transform(sequence(1, size(w) - ${SpanLen - 1}),
              |  i -> struct(i as i,
              |    substr(sha2(concat_ws(' ', slice(w, i, $SpanLen)), 256), 1, 16) as h))""".stripMargin)).as("p"))
-        .select(col("doc_id"), col("p.i").as("i"), col("p.h").as("h")),
-        "spans_i")
+        .select(col("doc_id"), col("p.i").as("i"), col("p.h").as("h"))
     else
-      materialize(tok
+      tok
         .filter(size(col("w")) >= SpanLen)
         .select(col("doc_id"), explode(expr(
           s"""transform(sequence(1, size(w) - ${SpanLen - 1}),
-             |  i -> substr(sha2(concat_ws(' ', slice(w, i, $SpanLen)), 256), 1, 16))""".stripMargin)).as("h")),
-        "spans")
+             |  i -> substr(sha2(concat_ws(' ', slice(w, i, $SpanLen)), 256), 1, 16))""".stripMargin)).as("h"))
+        .repartition(col("h"))
 
-  /** Window hashes appearing in >= 2 distinct documents. */
+  /** Window hashes appearing in >= 2 distinct documents.
+    *
+    * "≥ 2 distinct docs" tested as `min(doc_id) != max(doc_id)` — the
+    * same predicate as count(DISTINCT doc_id) >= 2 (the oracle's
+    * spelling) but as two simple partial-aggregatable mins/maxes, so
+    * the planner never builds the Expand + two-level distinct
+    * aggregate: map-side combine collapses each partition's copies of
+    * a hash to one row before the h-shuffle. */
   private def sharedSpans(spans: DataFrame): DataFrame =
     spans.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
-      .filter(col("n_docs") >= 2)
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
       .select(col("h"))
 
   /** Per-doc span statistics (doc_id, n_spans, n_dup_spans,

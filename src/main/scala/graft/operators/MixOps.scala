@@ -232,14 +232,18 @@ object MixOps {
     * blocking can only lose candidates, never invent them). */
   def semDedup(e: DataFrame, cents: DataFrame,
       dupCos: Double = DupCos): DataFrame = {
+    // argmax-by-cos as a partial-aggregatable min over (-cos, cid, emb):
+    // IEEE negation is exact, so min(-cos) = max(cos) with the same
+    // min-cid tiebreak; each vector's k candidate rows collapse
+    // map-side before the shuffle (the q85-encode lesson)
     val assigned = materialize(
       e.crossJoin(broadcast(cents))
-        .withColumn("cos", expr("dot_product_f(embedding, cvec)"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("vec_id"))
-            .orderBy(col("cos").desc, col("cid").asc)))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid").as("cluster"), col("embedding")),
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          (-expr("dot_product_f(embedding, cvec)")).as("negcos"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("negcos"), col("cid"), col("embedding"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cluster"),
+          col("m.embedding").as("embedding")),
       "semdedup_assign")
     val dups = assigned.as("a").join(assigned.as("b"),
         col("a.cluster") === col("b.cluster") &&
@@ -312,15 +316,15 @@ object MixOps {
         .select(col("vec_id"), col("embedding"))
       val cents = e.filter(col("vec_id") < Cents)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      // same partial-aggregatable argmax as semDedup's assignment
       val assigned = materialize(
         e.crossJoin(broadcast(cents))
-          .withColumn("cos", expr("dot_product_f(embedding, cvec)"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("vec_id"))
-              .orderBy(col("cos").desc, col("cid").asc)))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("cid").as("cluster"),
-            round(col("cos"), 6).as("cos")),
+          .select(col("vec_id"), col("cid"),
+            (-expr("dot_product_f(embedding, cvec)")).as("negcos"))
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("negcos"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("m.cid").as("cluster"),
+            round(-col("m.negcos"), 6).as("cos")),
         "outlier_assign")
       val stats = assigned.groupBy(col("cluster"))
         .agg(round(avg(col("cos")), 6).as("mu"),

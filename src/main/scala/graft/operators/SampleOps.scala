@@ -165,15 +165,19 @@ object SampleOps {
         .filter(col("vec_id") =!= col("a_id"))
         .select(col("a_id"), col("a_label"), col("vec_id"), col("label"),
           round(expr("dot_product_f(embedding, av)"), 6).as("sim"))
-      val w = Window.partitionBy(col("a_id"))
-        .orderBy(col("sim").desc, col("vec_id"))
+      // per-anchor argmax as a partial-aggregatable min over
+      // (-sim, vec_id): candidates collapse map-side before the a_id
+      // shuffle instead of sorting N×anchors rows through a window
       val pos = scored.filter(col("label") === col("a_label"))
-        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .groupBy(col("a_id"), col("a_label"))
+        .agg(min(struct((-col("sim")).as("ns"), col("vec_id"))).as("m"))
         .select(col("a_id"), col("a_label"),
-          col("vec_id").as("pos_id"), col("sim").as("pos_sim"))
+          col("m.vec_id").as("pos_id"), (-col("m.ns")).as("pos_sim"))
       val neg = scored.filter(col("label") =!= col("a_label"))
-        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-        .select(col("a_id"), col("vec_id").as("neg_id"), col("sim").as("neg_sim"))
+        .groupBy(col("a_id"))
+        .agg(min(struct((-col("sim")).as("ns"), col("vec_id"))).as("m"))
+        .select(col("a_id"), col("m.vec_id").as("neg_id"),
+          (-col("m.ns")).as("neg_sim"))
       pos.join(neg, Seq("a_id")).orderBy(col("a_id"))
     },
     Some(s"""WITH a AS (SELECT vec_id AS a_id, label AS a_label,
@@ -223,15 +227,17 @@ object SampleOps {
       .filter(col("vec_id") =!= col("a_id"))
       .select(col("a_id"), col("a_label"), col("vec_id"), col("label"),
         round(expr("dot_product_f(embedding, av)"), 6).as("sim"))
-    val w = Window.partitionBy(col("a_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
+    // same partial-aggregatable per-anchor argmax as q118
     val pos = scored.filter(col("label") === col("a_label"))
-      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .groupBy(col("a_id"), col("a_label"))
+      .agg(min(struct((-col("sim")).as("ns"), col("vec_id"))).as("m"))
       .select(col("a_id"), col("a_label"),
-        col("vec_id").as("pos_id"), col("sim").as("pos_sim"))
+        col("m.vec_id").as("pos_id"), (-col("m.ns")).as("pos_sim"))
     val neg = scored.filter(col("label") =!= col("a_label"))
-      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(col("a_id"), col("vec_id").as("neg_id"), col("sim").as("neg_sim"))
+      .groupBy(col("a_id"))
+      .agg(min(struct((-col("sim")).as("ns"), col("vec_id"))).as("m"))
+      .select(col("a_id"), col("m.vec_id").as("neg_id"),
+        (-col("m.ns")).as("neg_sim"))
     pos.join(neg, Seq("a_id")).orderBy(col("a_id"))
   }
 

@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Generalized suffix array over the token corpus, built by DISTRIBUTED
+  * PREFIX DOUBLING — the true arbitrary-length form of the ExactSubstr
+  * machinery (Lee et al. 2022 build suffix arrays over the corpus; the
+  * q98/q107/q150 tier uses the fixed-window surrogate whose union equals
+  * the removal REGIONS but cannot answer arbitrary-length questions like
+  * "what is the longest substring appearing twice?").
+  *
+  * Reference shape: suffix-array construction by prefix doubling
+  * (Manber–Myers 1990); the distributed formulation — rank tables as
+  * keyed datasets, each doubling round a join + global re-rank — is the
+  * standard MPI/MapReduce translation (Flick & Aluru 2015, public).
+  *
+  * Suffixes are DOC-BOUNDED (each suffix runs to its document's end, the
+  * generalized suffix array of the doc set), so no sentinels are needed
+  * and a "repeated substring" can never straddle two documents — the
+  * same containment every operator in this tier assumes.
+  *
+  * Scale design:
+  *   - every doubling round moves fixed-width (doc_id, i, rank) rows
+  *     through (doc_id, i)-keyed joins — token text is touched exactly
+  *     once, at initial ranking; rounds = ceil(log2 max-doc-tokens)
+  *     (docs are chunk-bounded upstream, so ~7-10 rounds, NOT log of
+  *     corpus length);
+  *   - global re-ranking is sort + `zipWithIndex` (per-partition offsets
+  *     computed in one extra count job) — the distributed dense-rank
+  *     idiom; never a single-partition window;
+  *   - each round's rank table is materialized (localCheckpoint) to
+  *     truncate iterative lineage, the q130-PageRank convention;
+  *   - the final LCP pass compares only ADJACENT suffix pairs (n-1
+  *     rows), each bounded by its doc's remaining tokens — doc-bounded
+  *     width, the price of skipping the rank-descend LCP (which would
+  *     add another log-round of joins for no asymptotic win here).
+  */
+object SuffixOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.loadParallel(s, dir, "documents")
+
+  private def tok(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      split(lower(trim(col("text"))), "\\s+").as("w"))
+
+  /** Distributed dense rank: sort, then assign 0-based positions via
+    * RDD `zipWithIndex` (computes per-partition offsets — one extra
+    * job, no single-partition exchange). The one RDD seam in this
+    * operator; everything around it is DataFrame/Catalyst. */
+  private def zipWithRank(df: DataFrame, rankCol: String): DataFrame = {
+    val schema = df.schema.add(rankCol, LongType, nullable = false)
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Suffix ranks after full prefix doubling: (doc_id, i, rk) where rk
+    * orders the suffixes starting at token i (1-based) of each doc;
+    * identical suffixes (same token sequence to end-of-doc) share a
+    * rank. */
+  private[operators] def suffixRanks(s: SparkSession, dir: String): DataFrame = {
+    val tokens = tok(s, dir)
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("i0", "tk")))
+      .select(col("doc_id"), (col("i0") + 1).as("i"), col("tk"))
+    val maxLen = tok(s, dir).agg(max(size(col("w")))).first().getInt(0).toLong
+
+    val tokRanks = zipWithRank(
+      tokens.select(col("tk")).distinct().orderBy(col("tk")), "rk")
+    var ranks = tokens.join(tokRanks, "tk")
+      .select(col("doc_id"), col("i"), col("rk")).localCheckpoint()
+
+    var k = 1L
+    while (k < maxLen) {
+      // rank of the suffix k tokens ahead, seen from position i
+      val shifted = ranks.select(col("doc_id"), (col("i") - k).as("i"),
+        col("rk").as("rk2"))
+      val paired = ranks.join(shifted, Seq("doc_id", "i"), "left_outer")
+        .na.fill(-1L, Seq("rk2")) // past end-of-doc: shorter sorts first
+      val pairRanks = zipWithRank(
+        paired.select(col("rk"), col("rk2")).distinct()
+          .orderBy(col("rk"), col("rk2")), "nrk")
+      ranks = paired.join(pairRanks, Seq("rk", "rk2"))
+        .select(col("doc_id"), col("i"), col("nrk").as("rk")).localCheckpoint()
+      k *= 2
+    }
+    ranks
+  }
+
+  /** Adjacent-suffix LCPs: (dA, iA, lcp, wA) for each neighbor pair in
+    * suffix-array order — lcp computed by direct comparison of the two
+    * doc-bounded suffix slices. */
+  private def neighborLcp(s: SparkSession, dir: String): DataFrame = {
+    val sa = zipWithRank(
+      suffixRanks(s, dir).orderBy(col("rk"), col("doc_id"), col("i")), "idx")
+    val arrs = tok(s, dir)
+    val a = sa.select(col("idx"), col("doc_id").as("dA"), col("i").as("iA"))
+    val b = sa.select((col("idx") - 1).as("idx"),
+      col("doc_id").as("dB"), col("i").as("iB"))
+    a.join(b, "idx")
+      .join(arrs.select(col("doc_id").as("dA"), col("w").as("wA")), Seq("dA"))
+      .join(arrs.select(col("doc_id").as("dB"), col("w").as("wB")), Seq("dB"))
+      .withColumn("sufA", expr("slice(wA, iA, size(wA))"))
+      .withColumn("sufB", expr("slice(wB, iB, size(wB))"))
+      // first mismatch position: zip_with pads the shorter side with
+      // null, x = y on null is null -> coalesce(false) marks it a
+      // mismatch, so array_position finds min(len)+1 there; 0 (not
+      // found) means one suffix prefixes the other -> lcp = min(len)
+      .withColumn("mismatch", array_position(
+        expr("zip_with(sufA, sufB, (x, y) -> coalesce(x = y, false))"),
+        false))
+      .withColumn("lcp", when(col("mismatch") === 0,
+        least(size(col("sufA")), size(col("sufB"))))
+        .otherwise(col("mismatch") - 1).cast("long"))
+      .select(col("dA"), col("iA"), col("lcp"), col("wA"))
+  }
+
+  /** q164: the corpus's longest repeated token substring — its length,
+    * how many DISTINCT substrings tie at that length, and the
+    * lexicographically smallest as a sample. The question the
+    * fixed-window tier cannot answer (any window length would clip it);
+    * one maximal answer row, so the DuckDB oracle can brute-force every
+    * (start, length) window and must agree exactly.
+    *
+    * A substring of length m repeats somewhere in the corpus iff two
+    * suffixes share an m-token prefix iff some ADJACENT suffix-array
+    * pair has lcp >= m — so the answer length is simply max(lcp), and
+    * the tied substrings are the lcp-long prefixes of the maximal
+    * pairs. */
+  val q164LongestDup: QueryDef = QueryDef(
+    "q164_longest_dup",
+    (s, dir) => {
+      val nb = neighborLcp(s, dir).localCheckpoint()
+      val m = nb.agg(max(col("lcp")).as("m"))
+      nb.crossJoin(broadcast(m))
+        .filter(col("lcp") === col("m") && col("m") >= 1)
+        .select(col("m").as("dup_len"),
+          concat_ws(" ", slice(col("wA"), col("iA"), col("m"))).as("s"))
+        .groupBy(col("dup_len"))
+        .agg(count_distinct(col("s")).as("n_substrings"),
+          min(col("s")).as("sample_text"))
+        .orderBy(col("dup_len"))
+    },
+    Some("""WITH tok AS (SELECT doc_id,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+      |  lens AS (SELECT unnest(range(1, (SELECT max(len(w)) FROM tok) + 1)) AS L),
+      |  spans AS (SELECT array_to_string(w[i : i + L - 1], ' ') AS s, L
+      |    FROM tok, lens, unnest(range(1, len(w) - L + 2)) AS t(i)
+      |    WHERE len(w) >= L),
+      |  dup AS (SELECT L, s FROM spans GROUP BY L, s HAVING count(*) >= 2),
+      |  best AS (SELECT max(L) AS dup_len FROM dup)
+      |SELECT b.dup_len, count(*) AS n_substrings, min(d.s) AS sample_text
+      |FROM best b JOIN dup d ON d.L = b.dup_len
+      |GROUP BY b.dup_len ORDER BY dup_len""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q164LongestDup)
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+class SuffixOpsSpec extends SparkSpec {
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-suffix").toString
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def toks(text: String): Array[String] =
+    text.trim.toLowerCase.split("\\s+")
+
+  /** Driver-side brute force: the longest token length L at which some
+    * L-window occurs >= 2 times anywhere in the corpus, with the
+    * distinct tied substrings at that L. */
+  private def bruteLongest(docs: Seq[(Long, String)]): Option[(Long, Long, String)] = {
+    val ws = docs.map { case (_, t) => toks(t) }
+    val maxLen = if (ws.isEmpty) 0 else ws.map(_.length).max
+    (maxLen to 1 by -1).iterator.flatMap { L =>
+      val counts = scala.collection.mutable.Map.empty[String, Int]
+      ws.foreach { w =>
+        (0 to w.length - L).foreach { i =>
+          val s = w.slice(i, i + L).mkString(" ")
+          counts(s) = counts.getOrElse(s, 0) + 1
+        }
+      }
+      val dup = counts.collect { case (s, c) if c >= 2 => s }.toSeq
+      if (dup.nonEmpty) Some((L.toLong, dup.size.toLong, dup.min)) else None
+    }.nextOption()
+  }
+
+  test("q164: handcrafted corpus — known longest repeated substring") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "something else entirely here quick brown fox jumps over the lazy dog"),
+      (3L, "unrelated words without repetition at all"))
+    val dir = writeDocs(docs)
+    val got = SuffixOps.q164LongestDup.fn(spark, dir).collect()
+    // "quick brown fox jumps over the lazy dog" (8 tokens) appears in
+    // docs 1 and 2; nothing longer repeats
+    assert(got.length == 1)
+    assert(got.head.getLong(0) == 8L)
+    assert(got.head.getLong(1) == 1L)
+    assert(got.head.getString(2) == "quick brown fox jumps over the lazy dog")
+    assert(bruteLongest(docs).contains((8L, 1L,
+      "quick brown fox jumps over the lazy dog")))
+  }
+
+  test("q164: within-doc repetition counts — a suffix array sees both copies") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta alpha beta gamma epsilon"),
+      (2L, "zeta eta theta iota"))
+    val dir = writeDocs(docs)
+    val got = SuffixOps.q164LongestDup.fn(spark, dir).collect()
+    // "alpha beta gamma" repeats INSIDE doc 1 (positions 1 and 5)
+    assert(got.length == 1)
+    assert(got.head.getLong(0) == 3L && got.head.getString(2) == "alpha beta gamma")
+    assert(bruteLongest(docs).contains((3L, 1L, "alpha beta gamma")))
+  }
+
+  test("q164: corpus with no repeated substring emits zero rows") {
+    val dir = writeDocs(Seq(
+      (1L, "one two three"), (2L, "four five six")))
+    assert(SuffixOps.q164LongestDup.fn(spark, dir).collect().isEmpty)
+  }
+
+  test("prefix-doubling ranks equal a driver-side generalized suffix sort") {
+    val docs = Seq(
+      (1L, "b a b a b"),
+      (2L, "a b a c"),
+      (3L, "c a b a b"))
+    val dir = writeDocs(docs)
+    val got = SuffixOps.suffixRanks(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+
+    // driver reference: every (doc, i) suffix as its token list,
+    // sorted; identical suffixes share a dense rank
+    val suffixes = docs.flatMap { case (d, t) =>
+      val w = toks(t)
+      (1 to w.length).map(i => ((d, i), w.drop(i - 1).toSeq))
+    }
+    val ordered = suffixes.map(_._2).distinct.sorted(
+      math.Ordering.Implicits.seqOrdering[Seq, String])
+    val rankOf = ordered.zipWithIndex.toMap
+    val want = suffixes.map { case (k, s) => k -> rankOf(s).toLong }.toMap
+
+    assert(got.keySet == want.keySet)
+    // dense ranks must agree exactly: same order AND same tie classes
+    assert(got.toSeq.sortBy(_._1) == want.toSeq.sortBy(_._1),
+      s"\ngot:  ${got.toSeq.sortBy(_._1)}\nwant: ${want.toSeq.sortBy(_._1)}")
+  }
+
+  test("cross-operator: q98 shared spans imply q164 dup_len >= SpanLen") {
+    // q98's windows are CROSS-DOC duplicated 10-token spans; any such
+    // span is a repeated substring of length >= 10, so the suffix
+    // array's answer must bound it — the surrogate and the true
+    // matcher agreeing on real data
+    val dir = sf("sf0.001")
+    val anyShared = graft.operators.LmOps.q98DupSpans.fn(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("n_dup_spans") > 0)
+      .limit(1).count() > 0
+    if (anyShared) {
+      val got = SuffixOps.q164LongestDup.fn(spark, dir).collect()
+      assert(got.nonEmpty && got.head.getLong(0) >= 10L,
+        s"q98 found cross-doc 10-token spans but q164 says " +
+          s"longest dup = ${got.headOption.map(_.getLong(0))}")
+    }
+  }
+
+  test("q164 agrees with driver brute force on real sf0.001 documents") {
+    val dir = sf("sf0.001")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = bruteLongest(docs)
+    val got = SuffixOps.q164LongestDup.fn(spark, dir).collect()
+    want match {
+      case None => assert(got.isEmpty)
+      case Some((l, n, s)) =>
+        assert(got.length == 1)
+        assert((got.head.getLong(0), got.head.getLong(1), got.head.getString(2))
+          == ((l, n, s)))
+    }
+  }
+}

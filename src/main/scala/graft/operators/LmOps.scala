@@ -35,7 +35,14 @@ object LmOps {
 
   /** (doc_id, token array) — materialized so the downstream bigram
     * transform doesn't re-run the regex split per element_at (the
-    * project-collapse inlining hazard measured in DedupOps.shingled). */
+    * project-collapse inlining hazard measured in DedupOps.shingled).
+    *
+    * Measured (r9): an exchange barrier instead of the checkpoint does
+    * NOT get ReuseExchange'd across this table's consumers — each
+    * consumer's column pruning rewrites the subtree below the
+    * repartition, the canonical plans diverge, and q96/q108 end up
+    * scanning + splitting once PER MODEL TABLE (three exchanges in
+    * q96's plan, zero reused). The checkpoint stays. */
   private[graft] def tokenizedOf(d: DataFrame): DataFrame =
     materialize(d.select(col("doc_id"),
       split(lower(trim(col("text"))), "\\s+").as("w")), "lm_tok")

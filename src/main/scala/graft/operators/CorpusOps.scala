@@ -352,14 +352,16 @@ object CorpusOps {
   /** The greedy pack itself over a (source, doc_id, n_tokens) frame —
     * shared by q86 and the q87 capstone. See q86's scaladoc for the
     * partitioning/ordering contract. */
-  private[graft] def packGreedy(toks: DataFrame, capacity: Long = 512L,
+  /** The per-doc bin assignment (source, bin, doc_id, n_tokens) — the
+    * frame q86 aggregates and q167 derives sequence boundaries from. */
+  private[graft] def packAssign(toks: DataFrame, capacity: Long = 512L,
       docsPerSubShard: Option[Long] = None): DataFrame = {
     val s = toks.sparkSession
     import s.implicits._
     val binMult = docsPerSubShard.getOrElse(1L)
     val subKey = docsPerSubShard
       .map(n => expr(s"doc_id div $n")).getOrElse(lit(0L))
-    val packed = toks
+    toks
       .select(col("source"), col("doc_id"), col("n_tokens"), subKey.as("sub"))
       .repartition(col("source"), col("sub"))
       .sortWithinPartitions(col("source"), col("sub"), col("doc_id"))
@@ -379,9 +381,13 @@ object CorpusOps {
           (src, sub * binMult + bin, id, n)
         }
       }.toDF("source", "bin", "doc_id", "n_tokens")
-    packed.groupBy(col("source"), col("bin"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
   }
+
+  private[graft] def packGreedy(toks: DataFrame, capacity: Long = 512L,
+      docsPerSubShard: Option[Long] = None): DataFrame =
+    packAssign(toks, capacity, docsPerSubShard)
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
 
   /** The greedy per-shard packing scan as a recursive CTE over the
     * doc_id-ordered row sequence — the oracle CTE block shared by q86
@@ -894,9 +900,51 @@ object CorpusOps {
       FROM o JOIN r USING (conv_id)
       ORDER BY conv_id, turn_idx"""))
 
+  // ---------------------------------------------------------------
+  // q167: packed-sequence boundary offsets (cu_seqlens)
+  // ---------------------------------------------------------------
+
+  /** The training artifact q86's packing exists to produce: per packed
+    * bin, the cumulative sequence-boundary offsets ("cu_seqlens" in the
+    * FlashAttention varlen convention — `0, t1, t1+t2, …, Σt`) that an
+    * attention kernel needs to keep packed documents from attending
+    * across their boundaries, encoded as a comma-joined string so the
+    * DuckDB oracle can reproduce it byte-for-byte.
+    *
+    * Scale: rides q86's per-doc assignment unchanged; the running sum
+    * and the per-bin assembly both key on (source, bin) — the pack's
+    * own shuffle key — and each collect is bin-bounded (≤ capacity
+    * docs) by construction. */
+  val q167CuSeqlens: QueryDef = QueryDef(
+    "q167_cu_seqlens",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val assign = packAssign(docs(s, dir)
+        .select(col("source"), col("doc_id"), nTokens(col("text")).as("n_tokens")))
+      val wBin = Window.partitionBy(col("source"), col("bin"))
+        .orderBy(col("doc_id"))
+      assign
+        .withColumn("cum", sum(col("n_tokens")).over(wBin))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("cum")).as("sum_tokens"),
+          concat(lit("0,"), concat_ws(",", transform(
+            array_sort(collect_list(struct(col("doc_id"), col("cum")))),
+            x => x.getField("cum").cast("string")))).as("cu_seqlens"))
+        .orderBy(col("source"), col("bin"))
+    },
+    Some(packSqlCtes + """
+      , c AS (SELECT source, bin, doc_id, n_tokens,
+          sum(n_tokens) OVER (PARTITION BY source, bin ORDER BY doc_id) AS cum
+        FROM r)
+      SELECT source, bin, count(*) AS n_docs,
+        CAST(max(cum) AS BIGINT) AS sum_tokens,
+        '0,' || string_agg(CAST(cum AS VARCHAR), ',' ORDER BY doc_id) AS cu_seqlens
+      FROM c GROUP BY source, bin ORDER BY source, bin"""))
+
   val all: Seq[QueryDef] = Seq(
     q81Boilerplate, q82GopherQuality, q83PiiRedact, q84BloomHistoryDedup,
     q86SeqPack, q128PackAudit, q87CurationPipeline, q88Repetition, q89BpeishTokens,
     q124PiiLuhn, q125SourceBoilerplate, q147LineDedup, q148DupLineChars,
-    q153ChatRender)
+    q153ChatRender, q167CuSeqlens)
 }

@@ -529,8 +529,126 @@ object SampleOps {
         FROM documents) x
       WHERE rk <= 10 ORDER BY source, rk"""))
 
+  // ---------------------------------------------------------------
+  // q165: deterministic epoch shuffle (training-order materialization)
+  // ---------------------------------------------------------------
+
+  private val ShuffleShards = 16
+
+  /** Deterministic training-order shuffle: every epoch a training job
+    * needs the corpus in a NEW pseudorandom order that is reproducible
+    * across reruns and independent of ingest order. Each doc's position
+    * is derived from sha-256 of (doc_id, epoch seed): the first hex
+    * char picks one of 16 shards, the full digest orders docs inside
+    * the shard — change the seed, get an uncorrelated permutation;
+    * rerun the job, get the identical one (the content-deterministic
+    * discipline of q119/q156 applied to epoch ordering).
+    *
+    * Scale: one shuffle keyed on the shard + a per-shard sort — which
+    * is the honest cost: materializing a training order IS a
+    * distributed sort, but a RANGE-FREE one (the shard key is uniform
+    * by construction, so no sampling pass and no skew; shard count
+    * scales with the cluster). No global ordering is ever collected. */
+  val q165EpochShuffle: QueryDef = QueryDef(
+    "q165_epoch_shuffle",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val seeded = docs(s, dir)
+        .select(col("doc_id"),
+          sha2(concat(col("doc_id").cast("string"), lit(":epoch1")), 256).as("h"))
+        .withColumn("shard",
+          (instr(lit("0123456789abcdef"), substring(col("h"), 1, 1)) - 1)
+            .cast("long"))
+      seeded
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
+          .cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    },
+    Some("""WITH s AS (SELECT doc_id,
+          sha256(CAST(doc_id AS VARCHAR) || ':epoch1') AS h
+        FROM documents),
+      sh AS (SELECT doc_id, h,
+          CAST(instr('0123456789abcdef', substr(h, 1, 1)) - 1 AS BIGINT) AS shard
+        FROM s)
+      SELECT doc_id, shard,
+        CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+      FROM sh ORDER BY shard, pos"""))
+
+  // ---------------------------------------------------------------
+  // q166: token-budget subset selection (quality-ordered trim)
+  // ---------------------------------------------------------------
+
+  private val TokenBudget = 5000L
+
+  /** Token-budget data selection (the SlimPajama-style trim): take
+    * documents in quality order — stopword fraction, the GPT-3-era
+    * cheap quality proxy, quantized to 4 decimals — until the token
+    * budget is spent; ties broken by doc_id, and a doc is taken only
+    * if it fits the remaining budget-prefix (cumulative <= budget).
+    *
+    * Scale: the naive form is a GLOBAL window over (score desc) — a
+    * single-partition sort of the corpus. Instead: (1) per-score-bucket
+    * token totals (quantization bounds the bucket table at 10^4+1 rows
+    * regardless of corpus size), (2) the cutoff bucket is found
+    * driver-side on that bounded table, (3) every doc strictly above
+    * the cutoff is taken with NO ordering at all, and (4) only the
+    * single boundary bucket (≈ corpus/10^4) pays a window for the
+    * remaining-budget prefix. The oracle runs the naive global-window
+    * form — proving the two-phase plan computes the identical set. */
+  val q166BudgetSelect: QueryDef = QueryDef(
+    "q166_budget_select",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val Stop = "the,a,an,of,to,and,in,is,on,for,with,as,by,at,it"
+      val scored = docs(s, dir)
+        .select(col("doc_id"),
+          CorpusOps.nTokens(col("text")).as("n_tokens"),
+          expr(s"""round(size(filter(split(lower(trim(text)), '\\\\s+'),
+            x -> array_contains(split('$Stop', ','), x))) /
+            cast(size(split(lower(trim(text)), '\\\\s+')) as double), 4)""")
+            .as("score"))
+      // bounded bucket table -> driver-side cutoff: the first bucket
+      // (score-descending) that does NOT fully fit is the boundary;
+      // everything above it is taken whole, everything below excluded
+      val buckets = scored.groupBy(col("score"))
+        .agg(sum(col("n_tokens")).as("bucket_tokens"))
+        .collect().map(r => (r.getDouble(0), r.getLong(1)))
+        .sortBy { case (sc, _) => -sc }
+      var before = 0L
+      var cutoff = Double.NegativeInfinity // default: every bucket fits
+      var found = false
+      buckets.foreach { case (sc, t) =>
+        if (!found) {
+          if (before + t > TokenBudget) { cutoff = sc; found = true }
+          else before += t
+        }
+      }
+      val above = scored.filter(col("score") > cutoff)
+      val boundary = scored.filter(col("score") === cutoff)
+        .withColumn("cumb", sum(col("n_tokens")).over(
+          Window.partitionBy(col("score")).orderBy(col("doc_id"))))
+        .filter(col("cumb") + before <= TokenBudget)
+        .drop("cumb")
+      above.unionByName(boundary)
+        .select(col("doc_id"), col("score"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH sc AS (SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END AS n_tokens,
+          round(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+            x -> list_contains(['the','a','an','of','to','and','in','is','on','for','with','as','by','at','it'], x)))
+            / CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS DOUBLE), 4) AS score
+        FROM documents),
+      c AS (SELECT *, sum(n_tokens) OVER (ORDER BY score DESC, doc_id) AS cum FROM sc)
+      SELECT doc_id, score, n_tokens FROM c WHERE cum <= $TokenBudget
+      ORDER BY doc_id"""))
+
   def all: Seq[QueryDef] = Seq(
     q115TemperatureResample, q116SoftDedup, q118TripletMining,
     q119StratifiedSplit, q120VocabCoverage, q121UnimaxAlloc,
-    q151PreferencePairs, q156BottomkSample)
+    q151PreferencePairs, q156BottomkSample, q165EpochShuffle,
+    q166BudgetSelect)
 }

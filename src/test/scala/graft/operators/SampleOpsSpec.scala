@@ -257,4 +257,55 @@ class SampleOpsSpec extends SparkSpec {
       assert(r.getDouble(4) === memberTtrs.min, "rejected must be the min-ttr member")
     }
   }
+
+  test("q165: epoch shuffle is a deterministic permutation with dense per-shard positions") {
+    val a = SampleOps.q165EpochShuffle.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = SampleOps.q165EpochShuffle.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSeq == b.toSeq, "rerun must reproduce the identical order")
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(a.map(_._1).distinct.length.toLong == nDocs, "every doc exactly once")
+    assert(a.forall { case (_, s, _) => s >= 0 && s < 16 })
+    // positions are 1..n_shard dense within each shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
+
+  test("q166: selection = naive greedy prefix; budget respected; everything-fits branch") {
+    val got = SampleOps.q166BudgetSelect.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // driver-side naive reference: sort by (score desc, doc_id), prefix <= B
+    val all = SampleOps.q166BudgetSelect.fn(spark, dir) // schema source only
+    val scored = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect().map { r =>
+        val toks = r.getString(1).trim.toLowerCase.split("\\s+")
+        val stop = Set("the", "a", "an", "of", "to", "and", "in", "is", "on",
+          "for", "with", "as", "by", "at", "it")
+        val score = BigDecimal(toks.count(stop) / toks.length.toDouble)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (r.getLong(0), score, toks.length.toLong)
+      }
+    var cum = 0L
+    val want = scored.sortBy { case (id, s, _) => (-s, id) }.flatMap {
+      case (id, s, n) =>
+        cum += n
+        if (cum <= 5000L) Some((id, s, n)) else None
+    }.sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    assert(got.map(_._3).sum <= 5000L, "budget is a hard ceiling")
+    assert(all != null)
+  }
+
+  test("q167: per-bin boundary offsets are dense, end at sum_tokens, count n_docs+1") {
+    CorpusOps.q167CuSeqlens.fn(spark, dir).collect().foreach { r =>
+      val nDocs = r.getLong(2)
+      val sumTokens = r.getLong(3)
+      val cu = r.getString(4).split(",").map(_.toLong)
+      assert(cu.length == nDocs + 1, "one boundary per doc plus the leading 0")
+      assert(cu.head == 0L && cu.last == sumTokens)
+      assert(cu.sliding(2).forall(p => p(0) <= p(1)), "offsets monotone")
+    }
+  }
 }

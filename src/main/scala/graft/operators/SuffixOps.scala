@@ -92,10 +92,12 @@ object SuffixOps {
   /** Adjacent-suffix LCPs: (dA, iA, lcp, wA) for each neighbor pair in
     * suffix-array order — lcp computed by direct comparison of the two
     * doc-bounded suffix slices. */
-  private def neighborLcp(s: SparkSession, dir: String): DataFrame = {
-    val sa = zipWithRank(
+  private def indexedSa(s: SparkSession, dir: String): DataFrame =
+    zipWithRank(
       suffixRanks(s, dir).orderBy(col("rk"), col("doc_id"), col("i")), "idx")
-    val arrs = tok(s, dir)
+      .localCheckpoint()
+
+  private def neighborLcpOf(sa: DataFrame, arrs: DataFrame): DataFrame = {
     val a = sa.select(col("idx"), col("doc_id").as("dA"), col("i").as("iA"))
     val b = sa.select((col("idx") - 1).as("idx"),
       col("doc_id").as("dB"), col("i").as("iB"))
@@ -114,7 +116,27 @@ object SuffixOps {
       .withColumn("lcp", when(col("mismatch") === 0,
         least(size(col("sufA")), size(col("sufB"))))
         .otherwise(col("mismatch") - 1).cast("long"))
-      .select(col("dA"), col("iA"), col("lcp"), col("wA"))
+      // the join key pairs rows (idx, idx+1); relabel each pair by its
+      // LATER row so "lcp at idx x" = lcp(x-1, x) — the convention
+      // saWithLcp documents and the q168 scans rely on (this was an
+      // off-by-one caught by the python cross-check: every edge was
+      // attached to the pair's earlier row)
+      .select((col("idx") + 1).as("idx"), col("dA"), col("iA"),
+        col("lcp"), col("wA"))
+  }
+
+  /** The suffix array with its adjacent-LCP column: (idx, doc_id, i,
+    * lcp) where `lcp` is the common-prefix length with the PREVIOUS
+    * suffix in SA order (0 for idx 0). The substrate of every
+    * arbitrary-length duplication question: lcp(x, y) for any x < y is
+    * `min(lcp[x+1..y])` (the classic SA/LCP range property), so
+    * nearest-neighbor overlap queries become running-min scans. */
+  private[operators] def saWithLcp(s: SparkSession, dir: String): DataFrame = {
+    val sa = indexedSa(s, dir)
+    sa.join(neighborLcpOf(sa, tok(s, dir)).select(col("idx"), col("lcp")),
+        Seq("idx"), "left_outer")
+      .na.fill(0L, Seq("lcp"))
+      .select(col("idx"), col("doc_id"), col("i"), col("lcp"))
   }
 
   /** q164: the corpus's longest repeated token substring — its length,
@@ -132,7 +154,7 @@ object SuffixOps {
   val q164LongestDup: QueryDef = QueryDef(
     "q164_longest_dup",
     (s, dir) => {
-      val nb = neighborLcp(s, dir).localCheckpoint()
+      val nb = neighborLcpOf(indexedSa(s, dir), tok(s, dir)).localCheckpoint()
       val m = nb.agg(max(col("lcp")).as("m"))
       nb.crossJoin(broadcast(m))
         .filter(col("lcp") === col("m") && col("m") >= 1)
@@ -155,5 +177,117 @@ object SuffixOps {
       |FROM best b JOIN dup d ON d.L = b.dup_len
       |GROUP BY b.dup_len ORDER BY dup_len""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q164LongestDup)
+  // ---------------------------------------------------------------
+  // q168: benchmark contamination depth (nearest-flagged-suffix scan)
+  // ---------------------------------------------------------------
+
+  /** Per-row longest common prefix with the NEAREST flagged row in scan
+    * order, as a distributed segmented running-min scan.
+    *
+    * Input rows are (doc_id, flag, edge), already SORTED in scan
+    * direction with partitions in order (the output of a range sort);
+    * `edge` is the adjacent LCP between this row and the one before it
+    * in scan order. By the SA range property, lcp(x, nearest flagged
+    * row before x) = running min of edges since that row — so one
+    * forward scan answers the query for one direction.
+    *
+    * Distribution is the textbook two-phase parallel scan: each
+    * partition simulates the scan from a fresh state and emits its
+    * summary (the state is (flag seen?, min-since-last-flag) and is
+    * associative to compose), the driver folds the partition summaries
+    * in order into per-partition incoming states (a #partitions-sized
+    * array — never data-sized), and a second pass re-scans each
+    * partition from its incoming state emitting per-row results. Two
+    * narrow passes, zero shuffles beyond the sort the caller already
+    * paid. */
+  private def nearestFlaggedLcp(rows: DataFrame): DataFrame = {
+    val s = rows.sparkSession
+    val rdd = rows.rdd
+    val sums = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var seen = false; var cur = Long.MaxValue
+      it.foreach { r =>
+        cur = math.min(cur, r.getLong(2))
+        if (r.getBoolean(1)) { seen = true; cur = Long.MaxValue }
+      }
+      Iterator.single((pid, seen, cur))
+    }.collect().sortBy(_._1)
+    val incoming = new Array[(Boolean, Long)](sums.length)
+    var st = (false, Long.MaxValue)
+    sums.foreach { case (pid, seen, cur) =>
+      incoming(pid) = st
+      st = if (seen) (true, cur) else (st._1, math.min(st._2, cur))
+    }
+    val bc = s.sparkContext.broadcast(incoming)
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var (seen, cur) = bc.value(pid)
+      it.flatMap { r =>
+        cur = math.min(cur, r.getLong(2))
+        val res =
+          if (!r.getBoolean(1) && seen && cur > 0L)
+            Iterator.single(Row(r.getLong(0), cur))
+          else Iterator.empty
+        if (r.getBoolean(1)) { seen = true; cur = Long.MaxValue }
+        res
+      }
+    }
+    s.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("ov",
+        org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** q168: contamination DEPTH — for every non-benchmark document, the
+    * length in tokens of its longest contiguous substring that also
+    * appears anywhere in the benchmark set (docs with doc_id % 10 = 7,
+    * q92's convention). q92 answers "is this doc contaminated?" at one
+    * fixed n-gram size; this answers "HOW MUCH contiguous benchmark
+    * text leaked?", the number a decontamination policy actually
+    * thresholds on (Lee et al. / open-pretraining decontamination
+    * reports use exactly this longest-overlap statistic).
+    *
+    * Shape: best overlap of suffix x with ANY benchmark suffix is
+    * max(lcp to nearest benchmark suffix above, below) in SA order —
+    * extending past the nearest flagged row can only shrink a running
+    * min — so two [[nearestFlaggedLcp]] scans (one per direction; the
+    * downward pass reuses the SAME scan on the idx-reversed frame with
+    * the shifted edge column) and a per-doc max answer it exactly. The
+    * DuckDB oracle brute-forces every (start, length) window against
+    * the benchmark windows and must agree. */
+  val q168ContamDepth: QueryDef = QueryDef(
+    "q168_contam_depth",
+    (s, dir) => {
+      val sa = saWithLcp(s, dir)
+        .withColumn("flag", col("doc_id") % 10 === 7)
+        .localCheckpoint()
+      // downward edge at row x = adjacent lcp between x and x+1
+      val withNext = sa.join(
+        sa.select((col("idx") - 1).as("idx"), col("lcp").as("lcp_next")),
+        Seq("idx"), "left_outer")
+        .na.fill(0L, Seq("lcp_next"))
+      val up = nearestFlaggedLcp(
+        sa.orderBy(col("idx"))
+          .select(col("doc_id"), col("flag"), col("lcp").as("edge")))
+      val down = nearestFlaggedLcp(
+        withNext.orderBy(col("idx").desc)
+          .select(col("doc_id"), col("flag"), col("lcp_next").as("edge")))
+      up.unionByName(down)
+        .groupBy(col("doc_id"))
+        .agg(max(col("ov")).as("overlap_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tok AS (SELECT doc_id,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+      |  lens AS (SELECT unnest(range(1, (SELECT max(len(w)) FROM tok) + 1)) AS L),
+      |  spans AS (SELECT doc_id, L, array_to_string(w[i : i + L - 1], ' ') AS s
+      |    FROM tok, lens, unnest(range(1, len(w) - L + 2)) AS t(i)
+      |    WHERE len(w) >= L),
+      |  bench AS (SELECT DISTINCT L, s FROM spans WHERE doc_id % 10 = 7),
+      |  m AS (SELECT DISTINCT sp.doc_id, sp.L FROM spans sp
+      |    JOIN bench b ON sp.L = b.L AND sp.s = b.s
+      |    WHERE sp.doc_id % 10 <> 7)
+      |SELECT doc_id, CAST(max(L) AS BIGINT) AS overlap_tokens
+      |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q164LongestDup, q168ContamDepth)
 }

@@ -113,6 +113,44 @@ class SuffixOpsSpec extends SparkSpec {
     }
   }
 
+  test("q168: contamination depth on a handcrafted corpus") {
+    // doc 7 is the benchmark (doc_id % 10 == 7); doc 1 embeds a 5-token
+    // run of it, doc 2 a 2-token run, doc 3 nothing
+    val docs = Seq(
+      (7L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "xx yy beta gamma delta epsilon zeta qq"),
+      (2L, "delta epsilon pp rr ss"),
+      (3L, "completely disjoint token stream"))
+    val dir = writeDocs(docs)
+    val got = SuffixOps.q168ContamDepth.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 5L, 2L -> 2L))
+  }
+
+  test("q168 agrees with driver brute force on real sf0.001 documents") {
+    val dir = sf("sf0.001")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val benchWindows = scala.collection.mutable.Set.empty[(Int, String)]
+    docs.filter(_._1 % 10 == 7).foreach { case (_, t) =>
+      val w = toks(t)
+      for (l <- 1 to w.length; i <- 0 to w.length - l)
+        benchWindows += ((l, w.slice(i, i + l).mkString(" ")))
+    }
+    val want = docs.filter(_._1 % 10 != 7).flatMap { case (d, t) =>
+      val w = toks(t)
+      val best = (w.length to 1 by -1).find { l =>
+        (0 to w.length - l).exists(i =>
+          benchWindows((l, w.slice(i, i + l).mkString(" "))))
+      }
+      best.map(l => d -> l.toLong)
+    }.toMap
+    val got = SuffixOps.q168ContamDepth.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
+
   test("q164 agrees with driver brute force on real sf0.001 documents") {
     val dir = sf("sf0.001")
     val docs = spark.read.parquet(s"$dir/documents.parquet")

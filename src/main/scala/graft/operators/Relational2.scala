@@ -254,8 +254,94 @@ object Relational2 {
         FROM probe ORDER BY true_n DESC, tok"""))
   }
 
+  // ---------------------------------------------------------------
+  // q169: HyperLogLog distinct-count sketch with exact register parity
+  // ---------------------------------------------------------------
+
+  /** Per-source distinct-token cardinality via the native
+    * [[graft.functions.expressions.HyperLogLogAgg]] (Flajolet 2007):
+    * 256 max-rho registers per source, merged element-wise-max. The
+    * registers use portable sha-256 hex arithmetic, so the DuckDB
+    * oracle REBUILDS the grid (`GROUP BY bucket, max(rho)`) and the
+    * exact integer fingerprints — `reg_sum` and `zero_regs` — must
+    * agree register-set-for-register-set; the harmonic sum is exact
+    * in doubles for any summation order (every term a multiple of
+    * 2^-41, sum < 2^9), so only the final estimate's `ln` (linear-
+    * counting branch) needs rounding. This upgrades q77's
+    * tolerance-only `approx_count_distinct` story to an
+    * exactly-checked cardinality sketch, completing the mergeable-
+    * sketch triple: identity (MG q133), frequency (CMS q154),
+    * cardinality (HLL).
+    *
+    * Scale: partials are 256 bytes per (task, source) regardless of
+    * corpus size — the shuffle carries register grids, never token
+    * sets; max-merge is idempotent, so speculative re-execution and
+    * re-ingestion cannot corrupt the count (CMS's add-merge cannot
+    * claim that). The exact `true_distinct` column is the sf-scale
+    * audit only — at 100 TB the sketch replaces it, with the realized
+    * `rel_err` column here as the calibration evidence. */
+  val q169HllDistinct: QueryDef = {
+    import graft.functions.expressions.HyperLogLogAgg
+    // Identical ESTIMATE TEXT on both engines: alpha_256 * 2^16 /
+    // harmonic, linear counting below 2.5m with zero registers.
+    def estSql(harmonic: String, zeros: String): String =
+      s"""CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / $harmonic <= 640.0
+            AND $zeros > 0
+          THEN 256.0 * ln(256.0 / $zeros)
+          ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / $harmonic END"""
+    QueryDef(
+      "q169_hll_distinct",
+      (s, dir) => {
+        HyperLogLogAgg.register(s)
+        // Registers are dedup-invariant (max-merge is idempotent), so
+        // sketch the DISTINCT (source, tok) set: one aggregation and a
+        // plain count(*) instead of the Expand a mixed
+        // countDistinct+sketch agg would plan — and the same rows
+        // serve both columns.
+        val toks = Tables.loadParallel(s, dir, "documents")
+          .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+          .distinct()
+        toks.groupBy(col("source")).agg(
+            expr("hll_sketch(tok)").as("regs"),
+            count(lit(1)).as("true_distinct"))
+          .withColumn("reg_sum", expr("aggregate(regs, 0L, (a, x) -> a + x)"))
+          .withColumn("zero_regs",
+            expr("cast(size(filter(regs, x -> x = 0)) as bigint)"))
+          .withColumn("harmonic", expr(
+            "aggregate(regs, cast(0.0 as double), (a, x) -> a + 1.0 / cast(shiftleft(cast(1 as bigint), x) as double))"))
+          .withColumn("e", expr(estSql("harmonic", "zero_regs")))
+          .select(col("source"), col("true_distinct"), col("reg_sum"),
+            col("zero_regs"), round(col("e"), 4).as("est_distinct"),
+            round(col("e") / col("true_distinct") - 1.0, 4).as("rel_err"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH toks AS (SELECT source,
+          unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents),
+        dv AS (SELECT DISTINCT source, tok FROM toks),
+        hx AS (SELECT source, sha256(tok) AS h FROM dv),
+        cells AS (SELECT source, ${HyperLogLogAgg.bucketSql("h")} AS b,
+            max(${HyperLogLogAgg.rhoSql("h")}) AS r
+          FROM hx GROUP BY 1, 2),
+        agg AS (SELECT source,
+            CAST(sum(r) AS BIGINT) AS reg_sum,
+            CAST(256 - count(*) AS BIGINT) AS zero_regs,
+            sum(1.0 / CAST((CAST(1 AS BIGINT) << r) AS DOUBLE))
+              + (256 - count(*)) AS harmonic
+          FROM cells GROUP BY source),
+        tru AS (SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS true_distinct
+          FROM toks GROUP BY source),
+        est AS (SELECT source, reg_sum, zero_regs,
+            ${estSql("harmonic", "zero_regs")} AS e
+          FROM agg)
+        SELECT t.source, t.true_distinct, e.reg_sum, e.zero_regs,
+          round(e.e, 4) AS est_distinct,
+          round(e.e / t.true_distinct - 1.0, 4) AS rel_err
+        FROM tru t JOIN est e USING (source) ORDER BY source"""),
+      headline = true)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q70BelowAvgParts, q71Having, q72ShipDelay, q73ConditionalAgg,
     q74StringReport, q75Except, q76Percentiles, q77Sketches,
-    q133HeavyHitters, q154CmsFrequency)
+    q133HeavyHitters, q154CmsFrequency, q169HllDistinct)
 }

@@ -34,7 +34,8 @@ object SparkEntry {
       operators.DiagnosticsOps.all ++
       operators.LayoutOps.all ++
       operators.UrlOps.all ++
-      operators.SuffixOps.all
+      operators.SuffixOps.all ++
+      operators.ClassifierOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The index-pipeline capstone: chunk → mock-embed → top-k retrieve —

@@ -646,9 +646,62 @@ object SampleOps {
       SELECT doc_id, score, n_tokens FROM c WHERE cum <= $TokenBudget
       ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------
+  // q171: probability-proportional-to-size Poisson sampling
+  // ---------------------------------------------------------------
+
+  /** PPS Poisson sampling with Horvitz-Thompson weights (Hájek 1964 /
+    * survey-sampling classic; the standard way to draw a small audit
+    * or eval slice whose statistics are unbiased for the full corpus):
+    * each document enters the sample INDEPENDENTLY with inclusion
+    * probability π_i = min(1, n·w_i/W) proportional to its size
+    * (w = n_chars, n = 100 expected picks), and sampled rows carry the
+    * 1/π_i estimator weight that makes weighted sums unbiased.
+    *
+    * The coin is the doc-id hash bucket and the keep decision is the
+    * EXACT INTEGER comparison `u·W < n·w_i·2^16` (u ∈ [0, 2^16)) — no
+    * float ever enters the sample membership, so reruns, any
+    * partitioning, and the DuckDB oracle agree bit-for-bit (the q116
+    * all-integer-decision rule applied to weighted inclusion). The
+    * reported π and 1/π doubles are derived for the estimator columns
+    * only and rounded. At sf-scale `u·W` stays far inside int64; a
+    * 100 TB deployment widens u to 32 bits and the product to
+    * DECIMAL(38) — same rule, wider integers.
+    *
+    * Scale: ONE 1-row total (partial-agg sum), broadcast back; the
+    * decision is a narrow codegen'd projection — no corpus shuffle at
+    * all, and unlike sort-based reservoir sampling there is no global
+    * order anywhere. */
+  val q171PpsSample: QueryDef = QueryDef(
+    "q171_pps_sample",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val tot = d.agg(sum(col("n_chars")).as("w_total"))
+      d.crossJoin(broadcast(tot))
+        .withColumn("u", expr(bucket64k("sha2(cast(doc_id as string), 256)")))
+        .withColumn("pi",
+          least(lit(1.0), lit(100) * col("n_chars") / col("w_total").cast("double")))
+        .withColumn("sampled",
+          col("u").cast("long") * col("w_total") <
+            lit(100L) * col("n_chars") * lit(65536L))
+        .select(col("doc_id"), col("n_chars"),
+          round(col("pi"), 6).as("incl_prob"), col("sampled"),
+          when(col("sampled"), round(lit(1.0) / col("pi"), 6)).as("ht_weight"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS w_total FROM documents),
+      x AS (SELECT doc_id, n_chars,
+          CAST(${bucket64k("sha256(CAST(doc_id AS VARCHAR))")} AS BIGINT) AS u,
+          least(1.0, 100 * n_chars / CAST(w_total AS DOUBLE)) AS pi,
+          u * w_total < 100 * n_chars * 65536 AS sampled
+        FROM documents, tot)
+      SELECT doc_id, n_chars, round(pi, 6) AS incl_prob, sampled,
+        CASE WHEN sampled THEN round(1.0 / pi, 6) END AS ht_weight
+      FROM x ORDER BY doc_id"""))
+
   def all: Seq[QueryDef] = Seq(
     q115TemperatureResample, q116SoftDedup, q118TripletMining,
     q119StratifiedSplit, q120VocabCoverage, q121UnimaxAlloc,
     q151PreferencePairs, q156BottomkSample, q165EpochShuffle,
-    q166BudgetSelect)
+    q166BudgetSelect, q171PpsSample)
 }

@@ -526,8 +526,65 @@ object TextAnalysis {
       FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
         FROM documents) x ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------
+  // q172: TF-IDF keyword extraction (top-k terms per document)
+  // ---------------------------------------------------------------
+
+  /** Per-document top-3 TF-IDF keywords (Spärck Jones 1972; the
+    * smoothed idf is sklearn's `ln((1+N)/(1+df)) + 1`, which never
+    * zeroes a corpus-wide term): the cheap content-descriptor pass a
+    * pipeline uses for topic tagging, near-dup triage, and inverted
+    * indexes, with a deterministic (score desc, token asc) tiebreak.
+    *
+    * Cross-engine note: ranking compares raw ln-derived doubles; exact
+    * score ties (same tf and df) fall to the token tiebreak, which
+    * both engines resolve identically — the q97 BM25 precedent.
+    *
+    * Scale: the document-frequency table is vocab-sized (Heaps-law
+    * sublinear) and joins the per-doc term counts on the token key;
+    * per-doc top-k is a doc_id-partitioned window — the rank shuffle
+    * carries (doc_id, tok, counts), never text. Nothing is N². */
+  val q172TfidfKeywords: QueryDef = QueryDef(
+    "q172_tfidf_keywords",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(df, Seq("tok")).crossJoin(broadcast(nDocs))
+        .withColumn("tfidf",
+          col("tf") * (log((lit(1L) + col("n_docs")).cast("double") /
+            (lit(1L) + col("df")).cast("double")) + lit(1.0)))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("tfidf").desc, col("tok"))))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("tok"), col("tf"), col("df"), round(col("tfidf"), 6).as("tfidf"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+          unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        FROM documents),
+      tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY 1, 2),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+      scored AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+          tf.tf * (ln(CAST(1 + n.n_docs AS DOUBLE) / CAST(1 + df.df AS DOUBLE)) + 1.0) AS tfidf,
+          CAST(row_number() OVER (PARTITION BY tf.doc_id
+            ORDER BY tf.tf * (ln(CAST(1 + n.n_docs AS DOUBLE) / CAST(1 + df.df AS DOUBLE)) + 1.0) DESC,
+            tf.tok) AS BIGINT) AS rank
+        FROM tf JOIN df USING (tok), n)
+      SELECT doc_id, rank, tok, tf, df, round(tfidf, 6) AS tfidf
+      FROM scored WHERE rank <= 3 ORDER BY doc_id, rank"""),
+    headline = false)
+
   val all: Seq[QueryDef] = Seq(
     q45TokenCount, q46QualityScore, q47LangId, q48Fingerprint, q103Winnowing,
     q113CcnetNormalize, q123QualitySignals, q126GateSweep, q158Entropy,
-    q159ZipfFit, q163LexiconTag)
+    q159ZipfFit, q163LexiconTag, q172TfidfKeywords)
 }

@@ -308,4 +308,33 @@ class SampleOpsSpec extends SparkSpec {
       assert(cu.sliding(2).forall(p => p(0) <= p(1)), "offsets monotone")
     }
   }
+
+  test("q171: PPS inclusion matches the integer rule; HT weighting is calibrated") {
+    val rows = SampleOps.q171PpsSample.fn(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    val wTotal = rows.map(_.getLong(1)).sum.toDouble
+    // expected sample size = sum of inclusion probabilities ≈ n = 100
+    val expSize = rows.map(_.getDouble(2)).sum
+    assert(math.abs(expSize - 100.0) < 1.0,
+      s"sum of inclusion probs $expSize must be ~100 (caps may shave a little)")
+    // realized size within 4 sigma of the Poisson-binomial expectation
+    val realized = rows.count(_.getBoolean(3))
+    assert(math.abs(realized - expSize) < 4 * math.sqrt(expSize),
+      s"realized $realized vs expected $expSize")
+    // Horvitz-Thompson: sum over sampled of w_i/pi_i estimates W
+    val ht = rows.filter(_.getBoolean(3))
+      .map(r => r.getLong(1) * r.getDouble(4)).sum
+    assert(math.abs(ht / wTotal - 1.0) < 0.25,
+      s"HT estimate $ht must be within 25% of true total $wTotal")
+    // membership is the pure integer rule — recompute it driver-side
+    rows.foreach { r =>
+      val hex = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(r.getLong(0).toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      val u = Integer.parseInt(hex.substring(0, 4), 16)
+      val lhs = u.toLong * wTotal.toLong
+      val rhs = 100L * r.getLong(1) * 65536L
+      assert(r.getBoolean(3) === (lhs < rhs), s"doc ${r.getLong(0)} membership")
+    }
+  }
 }

@@ -218,4 +218,26 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getLong(1) <= 100L)
     }
   }
+
+  test("q172: exactly top-3 per doc, ranks dense, scores non-increasing, idf discounts common terms") {
+    val rows = TextAnalysis.q172TfidfKeywords.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (id, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to sorted.length).toSeq,
+        s"doc $id ranks must be dense from 1")
+      assert(sorted.length <= 3)
+      val scores = sorted.map(_.getDouble(5))
+      assert(scores.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+        s"doc $id scores must be non-increasing in rank")
+    }
+    // a term in every document has idf = ln(1)+1 = 1 → its tfidf equals
+    // its tf; any rarer term with the same tf must outscore it
+    val n = byDoc.size
+    rows.filter(_.getLong(4) == n).foreach { r =>
+      assert(math.abs(r.getDouble(5) - r.getLong(3).toDouble) < 1e-9,
+        "ubiquitous term's tfidf must equal its raw tf")
+    }
+  }
 }

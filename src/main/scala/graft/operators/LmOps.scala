@@ -1076,8 +1076,138 @@ object LmOps {
       GROUP BY b.source, st.n_s
       ORDER BY b.source"""))
 
+  // ---------------------------------------------------------------
+  // q173: DoReMi-style domain reweighting (multiplicative weights
+  //       over per-domain excess loss)
+  // ---------------------------------------------------------------
+
+  private val DoremiRounds = 5
+  private val DoremiSmooth = 0.01 // uniform-mixing floor c
+  private val DoremiKeep = 0.99   // 1 − c as its OWN literal: both engines
+                                  // parse "0.99" rather than one computing
+                                  // 1.0 − 0.01 (a possible last-ulp drift)
+
+  /** Domain mixture weights by EXCESS LOSS, the DoReMi recipe (Xie et
+    * al. 2023) in its offline one-proxy-round form: DoReMi runs Group
+    * DRO — domains with more reducible loss get multiplicatively
+    * upweighted each step, smoothed toward uniform — and here the
+    * reducible-loss signal is computed once and the multiplicative-
+    * weights loop replayed T=5 rounds over it:
+    *
+    *   excess_i = max(0, ℓ_generic(i) − ℓ_domain(i))
+    *   α ← (1−c) · normalize(α · exp(excess)) + c/k
+    *
+    * ℓ_generic(i) = domain i's mean per-doc NLL under the CORPUS-wide
+    * bigram model (q96's exact table); ℓ_domain(i) = the same docs
+    * under a model trained only on domain i (all k domain models fall
+    * out of ONE (source, w1, w2) grouped count). A domain whose own
+    * model beats the generic model by a lot is distinctive —
+    * learnable, under-served by uniform mixing — and DRO pushes weight
+    * onto it; near-zero excess means the generic model already covers
+    * it. The published full loop retrains the proxy between rounds;
+    * the fixed-excess replay is the deterministic, oracle-checkable
+    * core (stated, not hidden).
+    *
+    * Cross-engine parity: per-doc NLLs are rounded at 6 (q96's rule),
+    * per-domain means rounded at 6, so `excess` is bit-identical on
+    * both engines; the tiny k-row weight iteration tolerates the
+    * engines' exp/sum ulp drift because the output rounds at 6.
+    *
+    * Scale: the domain-model counts are (domains × vocab)-sized —
+    * Heaps-law sublinear, broadcastable per the q96 argument; the
+    * corpus is scanned once for tokens (the tokenized table is shared
+    * with the q96 leg via the staging seam) and the only corpus-wide
+    * shuffles carry (doc_id, nll) partials. The weight loop itself
+    * touches k rows (one per domain) — driver-side by construction,
+    * like AnnOps' codebook folds: bounded by domain count, never by
+    * corpus size. */
+  val q173DoremiWeights: QueryDef = QueryDef(
+    "q173_doremi_weights",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val srcOf = d.select(col("doc_id"), col("source"))
+      val tok = tokenizedOf(d)
+      val refDoc = avgNllOfTokens(tok) // q96's per-doc table
+      val bgs = materialize(
+        bigramsOfTokens(tok).join(srcOf, Seq("doc_id")), "doremi_bg")
+      val c2s = bgs.groupBy(col("source"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c2"))
+      val c1s = bgs.groupBy(col("source"), col("w1"))
+        .agg(count(lit(1)).as("c1"))
+      val vs = bgs.groupBy(col("source"))
+        .agg(countDistinct(col("w2")).as("v"))
+      val fitDoc = bgs
+        .join(broadcast(c2s), Seq("source", "w1", "w2"))
+        .join(broadcast(c1s), Seq("source", "w1"))
+        .join(broadcast(vs), Seq("source"))
+        .select(col("doc_id"), col("source"),
+          (-log((col("c2") + Alpha) / (col("c1") + col("v") * Alpha))).as("nll"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(round(avg(col("nll")), 6).as("fit_nll"))
+      val perSource = refDoc.join(srcOf, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), round(avg(col("avg_nll")), 6).as("l_ref"))
+        .join(fitDoc.groupBy(col("source"))
+          .agg(round(avg(col("fit_nll")), 6).as("l_fit")), Seq("source"))
+        .withColumn("excess", greatest(lit(0.0), col("l_ref") - col("l_fit")))
+      // k-row multiplicative-weights replay (k = domain count, ≤ dozens)
+      val rows = perSource.orderBy(col("source")).collect()
+      val k = rows.length
+      val excess = rows.map(_.getDouble(4))
+      var w = Array.fill(k)(1.0 / k)
+      (1 to DoremiRounds).foreach { _ =>
+        val up = Array.tabulate(k)(i => w(i) * math.exp(excess(i)))
+        val total = up.sum
+        w = up.map(u => DoremiKeep * u / total + DoremiSmooth / k)
+      }
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import s.implicits._
+      rows.indices.map { i =>
+        (rows(i).getString(0), rows(i).getLong(1), rows(i).getDouble(2),
+          rows(i).getDouble(3), r6(excess(i)), r6(w(i)), r6(w(i) * k))
+      }.toDF("source", "n_docs", "l_ref", "l_fit", "excess", "weight",
+        "rel_uniform")
+        .orderBy(col("source"))
+    },
+    Some {
+      val unrolled = (1 to DoremiRounds).map { r =>
+        s"""w$r AS (SELECT source, n_docs, l_ref, l_fit, excess,
+           |  $DoremiKeep * (w * exp(excess)) / (sum(w * exp(excess)) OVER ())
+           |    + $DoremiSmooth / (SELECT k FROM kk) AS w FROM w${r - 1})""".stripMargin
+      }.mkString(",\n      ")
+      s"""WITH $tokSqlCte,
+      $nllSqlCtes,
+      src AS (SELECT doc_id, source FROM documents),
+      bgs AS (SELECT b.doc_id, s.source, b.w1, b.w2 FROM bg b JOIN src s USING (doc_id)),
+      vs AS (SELECT source, count(DISTINCT w2) AS v FROM bgs GROUP BY source),
+      c1s AS (SELECT source, w1, count(*) AS c1 FROM bgs GROUP BY 1, 2),
+      c2s AS (SELECT source, w1, w2, count(*) AS c2 FROM bgs GROUP BY 1, 2, 3),
+      fit AS (SELECT b.doc_id, b.source,
+          round(avg(-ln((c2s.c2 + $Alpha) / (c1s.c1 + $Alpha * vs.v))), 6) AS fit_nll
+        FROM bgs b
+        JOIN c2s ON b.source = c2s.source AND b.w1 = c2s.w1 AND b.w2 = c2s.w2
+        JOIN c1s ON b.source = c1s.source AND b.w1 = c1s.w1
+        JOIN vs ON b.source = vs.source
+        GROUP BY 1, 2),
+      ps AS (SELECT s.source, CAST(count(*) AS BIGINT) AS n_docs,
+          round(avg(n.avg_nll), 6) AS l_ref
+        FROM nll n JOIN src s USING (doc_id) GROUP BY 1),
+      pf AS (SELECT source, round(avg(fit_nll), 6) AS l_fit FROM fit GROUP BY 1),
+      e AS (SELECT ps.source, ps.n_docs, ps.l_ref, pf.l_fit,
+          greatest(0.0, ps.l_ref - pf.l_fit) AS excess
+        FROM ps JOIN pf USING (source)),
+      kk AS (SELECT count(*) AS k FROM e),
+      w0 AS (SELECT source, n_docs, l_ref, l_fit, excess, 1.0 / (SELECT k FROM kk) AS w FROM e),
+      $unrolled
+      SELECT source, n_docs, l_ref, l_fit, round(excess, 6) AS excess,
+        round(w, 6) AS weight, round(w * (SELECT k FROM kk), 6) AS rel_uniform
+      FROM w$DoremiRounds ORDER BY source"""
+    },
+    headline = true)
+
   val all: Seq[QueryDef] =
     Seq(q96LmPerplexity, q97Bm25, q98DupSpans, q99HybridRrf, q101Dsir,
       q102CcnetBuckets, q106DedupAudit, q107MaxDupSpans, q108KnPerplexity,
-      q114DataCard, q150ExactSubstrRewrite, q162SourceKl)
+      q114DataCard, q150ExactSubstrRewrite, q162SourceKl, q173DoremiWeights)
 }

@@ -380,4 +380,25 @@ class LmOpsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(2) - kl) < 1e-6, s"KL drift for $src")
     }
   }
+
+  test("q173: weights are a smoothed simplex, monotone in excess loss") {
+    val rows = LmOps.q173DoremiWeights.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val k = rows.length
+    // simplex (up to the 6-decimal rounding of each weight)
+    val total = rows.map(_.getDouble(5)).sum
+    assert(math.abs(total - 1.0) < k * 1e-6, s"weights sum to $total")
+    // the uniform-mixing floor: no domain ever falls below c/k
+    rows.foreach { r =>
+      assert(r.getDouble(5) >= 0.01 / k - 1e-9,
+        s"${r.getString(0)} below the smoothing floor") }
+    // DRO direction: sorting by excess sorts by weight
+    val byExcess = rows.sortBy(_.getDouble(4)).map(_.getDouble(5))
+    assert(byExcess.sliding(2).forall(p => p.length < 2 || p(0) <= p(1) + 1e-9),
+      "weight must be non-decreasing in excess loss")
+    // a domain's own model beats the generic model (excess >= 0 by
+    // construction, and on distinct synthetic sources strictly so
+    // for at least one domain)
+    assert(rows.exists(_.getDouble(4) > 0.0))
+  }
 }

@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus clustering — distributed Lloyd k-means over the embedding
+  * column (Lloyd 1982; the workhorse behind SemDeDup's cluster
+  * partitioning, IVF coarse quantizers, and cluster-balanced
+  * sampling). `ml/VectorML.trainCentroids` already wraps MLlib KMeans
+  * for the ANN tier, but a library fit is a black box: its trajectory
+  * depends on seeded randomness and float summation order, so it can
+  * only ever be smoke-checked. This operator IS the algorithm,
+  * oracle-checked end-to-end: every arithmetic step is exact-integer
+  * (or a correctly-rounded IEEE op on exact integers), so the DuckDB
+  * oracle replays the full 3-round trajectory and must agree
+  * bit-for-bit on assignments, centroids, and distances.
+  *
+  * The determinism recipe:
+  *  - embeddings quantize to integers once: q = floor(1000·x + 0.5)
+  *    (float→double cast exact, one correctly-rounded multiply, floor
+  *    — identical on both engines);
+  *  - seeding is K-MEANS-BY-HASH: the k vectors with the smallest
+  *    vec-id hash buckets (deterministic stand-in for random init;
+  *    k-means++ would need sequential corpus passes per seed);
+  *  - distances are integer sums of squares (|q| ≤ ~2000, d = 64 →
+  *    far inside int64); argmin tiebreaks on cid;
+  *  - each new centroid is the coordinate-wise mean re-quantized:
+  *    floor(sum/n + 0.5) — sum is an exact integer in a double (≤ 2^53
+  *    by construction), the division is one correctly-rounded op, so
+  *    every engine and every summation order produces the same
+  *    integer centroid. Empty clusters keep their previous centroid.
+  *
+  * Scale: the canonical Lloyd-on-a-cluster shape — centroids live on
+  * the driver (k·d = 512 longs), broadcast into a codegen'd argmin
+  * projection; each round's update is ONE (cid, pos)-keyed partial
+  * aggregation whose result is k·d rows regardless of corpus size.
+  * T rounds = T corpus scans of a materialized integer table, no
+  * corpus shuffle beyond the k·d-row aggregation, nothing N².
+  */
+object ClusterOps {
+
+  private val K = 8
+  private val Rounds = 3
+  private val Dim = 64
+
+  private def materialize(df: DataFrame, tag: String): DataFrame =
+    graft.Staging.materialize(df, tag, "spark.graft.corpus.stagingDir")
+
+  /** Integer argmin over k literal centroids as ONE codegen'd
+    * expression: array_sort over (dist², cid) structs, take the head. */
+  private def assignExpr(cents: Array[Array[Long]]): String = {
+    val entries = cents.zipWithIndex.map { case (c, j) =>
+      val arr = c.mkString("array(", "L,", "L)")
+      s"struct(aggregate(zip_with(q, $arr, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x) as d2, ${j}L as cid)"
+    }.mkString(",")
+    s"element_at(array_sort(array($entries)), 1)"
+  }
+
+  /** q174: 3 Lloyd rounds from hash-seeded init, then per-cluster
+    * stats — size, total squared distance (the k-means objective,
+    * exact integer), and the centroid's L1 fingerprint. */
+  val q174KmeansClusters: QueryDef = QueryDef(
+    "q174_kmeans_clusters",
+    (s, dir) => {
+      val qm = materialize(
+        Tables.load(s, dir, "embeddings").select(col("vec_id"),
+          expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000.0 + 0.5) as bigint))")
+            .as("q")),
+        "kmeans_q")
+      // hash-seeded init: k smallest (bucket, vec_id) vectors
+      val seeds = qm
+        .withColumn("b",
+          expr(MixOps.bucketExpr("sha2(cast(vec_id as string), 256)", 65536)))
+        .orderBy(col("b"), col("vec_id")).limit(K)
+        .select(col("q")).collect()
+      var cents: Array[Array[Long]] =
+        seeds.map(_.getSeq[Long](0).toArray)
+      // Lloyd rounds: codegen'd argmin assignment, k·d-row update agg
+      (1 to Rounds).foreach { _ =>
+        val sums = qm.withColumn("a", expr(assignExpr(cents)))
+          .select(col("a.cid").as("cid"), posexplode(col("q")).as(Seq("pos", "v")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+          .collect()
+        val next = cents.map(_.clone) // empty cluster keeps its centroid
+        sums.foreach { r =>
+          next(r.getLong(0).toInt)(r.getInt(1)) =
+            math.floor(r.getLong(2).toDouble / r.getLong(3) + 0.5).toLong
+        }
+        cents = next
+      }
+      // final assignment + per-cluster stats
+      import s.implicits._
+      val cnorm = cents.zipWithIndex
+        .map { case (c, j) => (j.toLong, c.map(math.abs).sum) }
+        .toSeq.toDF("cid", "cnorm1")
+      qm.withColumn("a", expr(assignExpr(cents)))
+        .select(col("a.cid").as("cid"), col("a.d2").as("d2"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("sum_sqdist"))
+        .join(broadcast(cnorm), Seq("cid"))
+        .select(col("cid"), col("n_vecs"), col("sum_sqdist"), col("cnorm1"))
+        .orderBy(col("cid"))
+    },
+    Some {
+      def round(r: Int): String =
+        s"""asg$r AS (SELECT vd.vec_id, c.cid, sum((vd.v - c.c) * (vd.v - c.c)) AS d2
+           |  FROM vd JOIN cents${r - 1} c ON vd.pos = c.pos GROUP BY 1, 2),
+           |a$r AS (SELECT vec_id, cid, d2 FROM (
+           |    SELECT vec_id, cid, d2,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+           |    FROM asg$r) x WHERE rn = 1),
+           |m$r AS (SELECT a.cid, vd.pos,
+           |    CAST(floor(CAST(sum(vd.v) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
+           |  FROM a$r a JOIN vd ON a.vec_id = vd.vec_id GROUP BY 1, 2),
+           |cents$r AS (SELECT p.cid, p.pos, coalesce(m.c, p.c) AS c
+           |  FROM cents${r - 1} p LEFT JOIN m$r m ON p.cid = m.cid AND p.pos = m.pos)""".stripMargin
+      val rounds = (1 to Rounds).map(round).mkString(",\n      ")
+      val fin = Rounds + 1
+      s"""WITH qv AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS q
+        FROM embeddings),
+      vd AS (SELECT vec_id, t.pos, q[t.pos] AS v
+        FROM qv, unnest(range(1, ${Dim + 1})) AS t(pos)),
+      rk AS (SELECT vec_id, row_number() OVER (ORDER BY
+          ${MixOps.bucketExpr("sha256(CAST(vec_id AS VARCHAR))", 65536)}, vec_id) AS r
+        FROM qv),
+      cents0 AS (SELECT CAST(rk.r - 1 AS BIGINT) AS cid, vd.pos, vd.v AS c
+        FROM rk JOIN vd USING (vec_id) WHERE rk.r <= $K),
+      $rounds,
+      asg$fin AS (SELECT vd.vec_id, c.cid, sum((vd.v - c.c) * (vd.v - c.c)) AS d2
+        FROM vd JOIN cents$Rounds c ON vd.pos = c.pos GROUP BY 1, 2),
+      a$fin AS (SELECT vec_id, cid, d2 FROM (
+          SELECT vec_id, cid, d2,
+            row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+          FROM asg$fin) x WHERE rn = 1),
+      cn AS (SELECT cid, CAST(sum(abs(c)) AS BIGINT) AS cnorm1
+        FROM cents$Rounds GROUP BY cid)
+      SELECT a.cid, CAST(count(*) AS BIGINT) AS n_vecs,
+        CAST(sum(a.d2) AS BIGINT) AS sum_sqdist, cn.cnorm1
+      FROM a$fin a JOIN cn USING (cid)
+      GROUP BY a.cid, cn.cnorm1 ORDER BY a.cid"""
+    },
+    headline = true)
+
+  val all: Seq[QueryDef] = Seq(q174KmeansClusters)
+}

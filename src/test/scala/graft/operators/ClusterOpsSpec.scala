@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Lloyd-clustering invariants beyond the q174 oracle: the output is a
+  * partition of the corpus, assignments are true nearest-centroid
+  * (re-derived driver-side from raw embeddings), and the whole
+  * trajectory is partitioning-invariant (exact-integer arithmetic has
+  * no summation-order freedom to lose). */
+class ClusterOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("q174: clusters partition the corpus and distances are true nearest-centroid") {
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val out = ClusterOps.q174KmeansClusters.fn(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 8)
+    assert(out.map(_.getLong(1)).sum === emb.size.toLong,
+      "cluster sizes must sum to the corpus size")
+    // re-derive the final centroids through the same quantized recipe
+    val q = emb.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1000.0 + 0.5).toLong)
+    }
+    def bucket(id: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(id.toString.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      Integer.parseInt(hex.substring(0, 4), 16) % 65536
+    }
+    var cents = q.toSeq.sortBy { case (id, _) => (bucket(id), id) }
+      .take(8).map(_._2.clone).toArray
+    def assign(v: Array[Long]): (Int, Long) =
+      cents.zipWithIndex.map { case (c, j) =>
+        (c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum, j)
+      }.minBy(identity) match { case (d, j) => (j, d) }
+    (1 to 3).foreach { _ =>
+      val members = q.toSeq.groupBy { case (_, v) => assign(v)._1 }
+      val next = cents.map(_.clone)
+      members.foreach { case (j, vs) =>
+        (0 until 64).foreach { p =>
+          next(j)(p) = math.floor(
+            vs.map(_._2(p)).sum.toDouble / vs.size + 0.5).toLong
+        }
+      }
+      cents = next
+    }
+    val expected = q.toSeq.map { case (_, v) => assign(v) }
+      .groupBy(_._1).map { case (j, xs) =>
+        j.toLong -> (xs.size.toLong, xs.map(_._2).sum) }
+    out.foreach { r =>
+      val (n, d2) = expected(r.getLong(0))
+      assert(r.getLong(1) === n, s"cluster ${r.getLong(0)} size")
+      assert(r.getLong(2) === d2, s"cluster ${r.getLong(0)} objective")
+      assert(r.getLong(3) === cents(r.getLong(0).toInt).map(math.abs).sum,
+        s"cluster ${r.getLong(0)} centroid fingerprint")
+    }
+  }
+}

@@ -57,68 +57,65 @@ object ClusterOps {
     s"element_at(array_sort(array($entries)), 1)"
   }
 
-  /** q174: 3 Lloyd rounds from hash-seeded init, then per-cluster
-    * stats — size, total squared distance (the k-means objective,
-    * exact integer), and the centroid's L1 fingerprint. */
-  val q174KmeansClusters: QueryDef = QueryDef(
-    "q174_kmeans_clusters",
-    (s, dir) => {
-      val qm = materialize(
-        Tables.load(s, dir, "embeddings").select(col("vec_id"),
-          expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000.0 + 0.5) as bigint))")
-            .as("q")),
-        "kmeans_q")
-      // hash-seeded init: k smallest (bucket, vec_id) vectors
-      val seeds = qm
-        .withColumn("b",
-          expr(MixOps.bucketExpr("sha2(cast(vec_id as string), 256)", 65536)))
-        .orderBy(col("b"), col("vec_id")).limit(K)
-        .select(col("q")).collect()
-      var cents: Array[Array[Long]] =
-        seeds.map(_.getSeq[Long](0).toArray)
-      // Lloyd rounds: codegen'd argmin assignment, k·d-row update agg
-      (1 to Rounds).foreach { _ =>
-        val sums = qm.withColumn("a", expr(assignExpr(cents)))
-          .select(col("a.cid").as("cid"), posexplode(col("q")).as(Seq("pos", "v")))
-          .groupBy(col("cid"), col("pos"))
-          .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
-          .collect()
-        val next = cents.map(_.clone) // empty cluster keeps its centroid
-        sums.foreach { r =>
-          next(r.getLong(0).toInt)(r.getInt(1)) =
-            math.floor(r.getLong(2).toDouble / r.getLong(3) + 0.5).toLong
-        }
-        cents = next
+  /** The shared Lloyd trajectory: quantized table, `Rounds` rounds of
+    * assign/update, returning the final (vec_id, q, cid, d2)
+    * assignment and the final centroids. Both q174 (cluster stats)
+    * and q175 (prototypicality pruning) consume exactly this. */
+  private[graft] def lloyd(s: SparkSession, dir: String)
+      : (DataFrame, Array[Array[Long]]) = {
+    val qm = materialize(
+      Tables.load(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000.0 + 0.5) as bigint))")
+          .as("q")),
+      "kmeans_q")
+    // hash-seeded init: k smallest (bucket, vec_id) vectors
+    val seeds = qm
+      .withColumn("b",
+        expr(MixOps.bucketExpr("sha2(cast(vec_id as string), 256)", 65536)))
+      .orderBy(col("b"), col("vec_id")).limit(K)
+      .select(col("q")).collect()
+    var cents: Array[Array[Long]] =
+      seeds.map(_.getSeq[Long](0).toArray)
+    // Lloyd rounds: codegen'd argmin assignment, k·d-row update agg
+    (1 to Rounds).foreach { _ =>
+      val sums = qm.withColumn("a", expr(assignExpr(cents)))
+        .select(col("a.cid").as("cid"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone) // empty cluster keeps its centroid
+      sums.foreach { r =>
+        next(r.getLong(0).toInt)(r.getInt(1)) =
+          math.floor(r.getLong(2).toDouble / r.getLong(3) + 0.5).toLong
       }
-      // final assignment + per-cluster stats
-      import s.implicits._
-      val cnorm = cents.zipWithIndex
-        .map { case (c, j) => (j.toLong, c.map(math.abs).sum) }
-        .toSeq.toDF("cid", "cnorm1")
-      qm.withColumn("a", expr(assignExpr(cents)))
-        .select(col("a.cid").as("cid"), col("a.d2").as("d2"))
-        .groupBy(col("cid"))
-        .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("sum_sqdist"))
-        .join(broadcast(cnorm), Seq("cid"))
-        .select(col("cid"), col("n_vecs"), col("sum_sqdist"), col("cnorm1"))
-        .orderBy(col("cid"))
-    },
-    Some {
-      def round(r: Int): String =
-        s"""asg$r AS (SELECT vd.vec_id, c.cid, sum((vd.v - c.c) * (vd.v - c.c)) AS d2
-           |  FROM vd JOIN cents${r - 1} c ON vd.pos = c.pos GROUP BY 1, 2),
-           |a$r AS (SELECT vec_id, cid, d2 FROM (
-           |    SELECT vec_id, cid, d2,
-           |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-           |    FROM asg$r) x WHERE rn = 1),
-           |m$r AS (SELECT a.cid, vd.pos,
-           |    CAST(floor(CAST(sum(vd.v) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
-           |  FROM a$r a JOIN vd ON a.vec_id = vd.vec_id GROUP BY 1, 2),
-           |cents$r AS (SELECT p.cid, p.pos, coalesce(m.c, p.c) AS c
-           |  FROM cents${r - 1} p LEFT JOIN m$r m ON p.cid = m.cid AND p.pos = m.pos)""".stripMargin
-      val rounds = (1 to Rounds).map(round).mkString(",\n      ")
-      val fin = Rounds + 1
-      s"""WITH qv AS (SELECT vec_id,
+      cents = next
+    }
+    val assigned = qm.withColumn("a", expr(assignExpr(cents)))
+      .select(col("vec_id"), col("q"),
+        col("a.cid").as("cid"), col("a.d2").as("d2"))
+    (assigned, cents)
+  }
+
+  /** The same trajectory as oracle CTEs, ending in
+    * `a${Rounds + 1}(vec_id, cid, d2)` (final assignment) and
+    * `cents$Rounds(cid, pos, c)` (final centroids). Shared verbatim by
+    * the q174 and q175 oracles so the two cannot drift. */
+  private[graft] def lloydSqlCtes: String = {
+    def round(r: Int): String =
+      s"""asg$r AS (SELECT vd.vec_id, c.cid, sum((vd.v - c.c) * (vd.v - c.c)) AS d2
+         |  FROM vd JOIN cents${r - 1} c ON vd.pos = c.pos GROUP BY 1, 2),
+         |a$r AS (SELECT vec_id, cid, d2 FROM (
+         |    SELECT vec_id, cid, d2,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM asg$r) x WHERE rn = 1),
+         |m$r AS (SELECT a.cid, vd.pos,
+         |    CAST(floor(CAST(sum(vd.v) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
+         |  FROM a$r a JOIN vd ON a.vec_id = vd.vec_id GROUP BY 1, 2),
+         |cents$r AS (SELECT p.cid, p.pos, coalesce(m.c, p.c) AS c
+         |  FROM cents${r - 1} p LEFT JOIN m$r m ON p.cid = m.cid AND p.pos = m.pos)""".stripMargin
+    val rounds = (1 to Rounds).map(round).mkString(",\n      ")
+    val fin = Rounds + 1
+    s"""qv AS (SELECT vec_id,
           list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS q
         FROM embeddings),
       vd AS (SELECT vec_id, t.pos, q[t.pos] AS v
@@ -134,15 +131,74 @@ object ClusterOps {
       a$fin AS (SELECT vec_id, cid, d2 FROM (
           SELECT vec_id, cid, d2,
             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-          FROM asg$fin) x WHERE rn = 1),
+          FROM asg$fin) x WHERE rn = 1)"""
+  }
+
+  /** q174: 3 Lloyd rounds from hash-seeded init, then per-cluster
+    * stats — size, total squared distance (the k-means objective,
+    * exact integer), and the centroid's L1 fingerprint. */
+  val q174KmeansClusters: QueryDef = QueryDef(
+    "q174_kmeans_clusters",
+    (s, dir) => {
+      val (assigned, cents) = lloyd(s, dir)
+      import s.implicits._
+      val cnorm = cents.zipWithIndex
+        .map { case (c, j) => (j.toLong, c.map(math.abs).sum) }
+        .toSeq.toDF("cid", "cnorm1")
+      assigned
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("sum_sqdist"))
+        .join(broadcast(cnorm), Seq("cid"))
+        .select(col("cid"), col("n_vecs"), col("sum_sqdist"), col("cnorm1"))
+        .orderBy(col("cid"))
+    },
+    Some(s"""WITH $lloydSqlCtes,
       cn AS (SELECT cid, CAST(sum(abs(c)) AS BIGINT) AS cnorm1
         FROM cents$Rounds GROUP BY cid)
       SELECT a.cid, CAST(count(*) AS BIGINT) AS n_vecs,
         CAST(sum(a.d2) AS BIGINT) AS sum_sqdist, cn.cnorm1
-      FROM a$fin a JOIN cn USING (cid)
-      GROUP BY a.cid, cn.cnorm1 ORDER BY a.cid"""
-    },
+      FROM a${Rounds + 1} a JOIN cn USING (cid)
+      GROUP BY a.cid, cn.cnorm1 ORDER BY a.cid"""),
     headline = true)
 
-  val all: Seq[QueryDef] = Seq(q174KmeansClusters)
+  /** q175: prototypicality pruning over the q174 clusters — the D4 /
+    * SSL-prototypes diversification rule (Sorscher et al. 2022 "Beyond
+    * neural scaling laws"; Tirumala et al. 2023 D4): within each
+    * cluster, the vectors CLOSEST to the centroid are the most
+    * prototypical — semantically redundant with the cluster center —
+    * so the densest fifth is dropped and the diverse remainder kept.
+    * Rank within cluster by (dist² asc, vec_id); the drop quota is the
+    * integer fifth `n_c div 5`, so membership, rank, and the pruned
+    * flag are all exact-integer decisions riding q174's bit-exact
+    * assignment — nothing new to round.
+    *
+    * Scale: adds ONE cid-keyed window over the final assignment (the
+    * same shuffle key the update aggregation already used) — rank
+    * within cluster is partition-local after that shuffle; quotas are
+    * a k-row table. */
+  val q175PrototypePrune: QueryDef = QueryDef(
+    "q175_prototype_prune",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val (assigned, _) = lloyd(s, dir)
+      val sized = assigned.select(col("vec_id"), col("cid"), col("d2"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("cid"))
+            .orderBy(col("d2"), col("vec_id"))).cast("long"))
+        .withColumn("n_c", count(lit(1)).over(Window.partitionBy(col("cid"))))
+      sized
+        .select(col("vec_id"), col("cid"), col("d2"), col("rk"),
+          col("n_c"), (col("rk") <= expr("n_c div 5")).as("pruned"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH $lloydSqlCtes,
+      sized AS (SELECT vec_id, cid, CAST(d2 AS BIGINT) AS d2,
+          CAST(row_number() OVER (PARTITION BY cid ORDER BY d2, vec_id) AS BIGINT) AS rk,
+          CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS n_c
+        FROM a${Rounds + 1})
+      SELECT vec_id, cid, d2, rk, n_c, rk <= n_c // 5 AS pruned
+      FROM sized ORDER BY vec_id"""),
+    headline = false)
+
+  val all: Seq[QueryDef] = Seq(q174KmeansClusters, q175PrototypePrune)
 }

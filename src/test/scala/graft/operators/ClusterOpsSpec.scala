@@ -57,4 +57,25 @@ class ClusterOpsSpec extends SparkSpec {
         s"cluster ${r.getLong(0)} centroid fingerprint")
     }
   }
+
+  test("q175: exactly the densest fifth of each cluster is pruned") {
+    val rows = ClusterOps.q175PrototypePrune.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(1)).foreach { case (cid, rs) =>
+      val n = rs.head.getLong(4)
+      assert(rs.length.toLong === n, s"cluster $cid window size")
+      val pruned = rs.filter(_.getBoolean(5))
+      assert(pruned.length.toLong === n / 5, s"cluster $cid quota")
+      // pruned = the lowest (d2, vec_id) prefix: every pruned row's
+      // sort key is <= every kept row's
+      val keyOf = (r: org.apache.spark.sql.Row) => (r.getLong(2), r.getLong(0))
+      val kept = rs.filterNot(_.getBoolean(5))
+      if (pruned.nonEmpty && kept.nonEmpty) {
+        val maxPruned = pruned.map(keyOf).max
+        val minKept = kept.map(keyOf).min
+        assert(implicitly[Ordering[(Long, Long)]].lt(maxPruned, minKept),
+          s"cluster $cid pruned set must be the densest prefix")
+      }
+    }
+  }
 }

@@ -90,4 +90,48 @@ object HeavyHitters {
       java.security.MessageDigest.getInstance("SHA-256")
         .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
   }
+
+  /** Cross-batch HyperLogLog distinct-count monitor — the cardinality
+    * member of the streaming sketch trio (identity [[Monitor]],
+    * frequency [[CmsMonitor]], cardinality here): each micro-batch
+    * builds its register grid distributed via
+    * [[graft.functions.expressions.HyperLogLogAgg]], and the driver
+    * folds grids with element-wise MAX. Max is associative,
+    * commutative, AND idempotent, so the cross-batch state equals the
+    * one-shot sketch over the concatenated stream bit-for-bit — and,
+    * stronger than the CMS twin, replaying a batch (at-least-once
+    * delivery) cannot corrupt the count. State is 256 bytes total,
+    * forever. */
+  final class HllMonitor {
+    import graft.functions.expressions.HyperLogLogAgg
+    @volatile private var state = new Array[Int](HyperLogLogAgg.M)
+
+    /** Fold one micro-batch (a frame with a `token` column). */
+    def observe(batchTokens: DataFrame): Unit = {
+      HyperLogLogAgg.register(batchTokens.sparkSession)
+      val batch = batchTokens
+        .agg(expr("hll_sketch(token)").as("sk"))
+        .collect().head.getSeq[Int](0)
+      synchronized {
+        val next = state.clone()
+        var i = 0
+        while (i < next.length) {
+          if (batch(i) > next(i)) next(i) = batch(i); i += 1
+        }
+        state = next
+      }
+    }
+
+    /** The accumulated distinct-count estimate (standard HLL with
+      * linear-counting small-range correction, m = 256). */
+    def estimate: Double = {
+      val s = state
+      val zeros = s.count(_ == 0)
+      val harmonic = s.map(r => 1.0 / (1L << r)).sum
+      val raw = (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / harmonic
+      if (raw <= 640.0 && zeros > 0) 256.0 * math.log(256.0 / zeros) else raw
+    }
+
+    def registers: Array[Int] = state.clone()
+  }
 }

@@ -269,4 +269,24 @@ class EventStreamsSpec extends SparkSpec {
       assert(mon.grid.slice(j * 64, (j + 1) * 64).sum === toks.length.toLong)
     }
   }
+
+  test("HLL monitor over 3 micro-batches equals the one-shot sketch, replay-proof") {
+    import spark.implicits._
+    val toks = (0 until 3000).map(i => s"u$i")
+    val parts = toks.grouped(1000).toSeq
+    val mon = new HeavyHitters.HllMonitor
+    parts.foreach(p => mon.observe(p.toDF("token")))
+    // max-merge associativity: cross-batch registers == one-shot
+    graft.functions.expressions.HyperLogLogAgg.register(spark)
+    val oneShot = toks.toDF("token")
+      .agg(expr("hll_sketch(token)")).collect().head.getSeq[Int](0)
+    assert(mon.registers.toSeq === oneShot,
+      "cross-batch HLL must equal the one-shot sketch")
+    // idempotence: replaying a batch (at-least-once delivery) is a no-op
+    mon.observe(parts(1).toDF("token"))
+    assert(mon.registers.toSeq === oneShot,
+      "replaying a batch must not change the registers")
+    // the estimate lands inside the published envelope (6.5% std err, 4σ)
+    assert(math.abs(mon.estimate / 3000.0 - 1.0) < 0.26, s"est=${mon.estimate}")
+  }
 }

@@ -942,9 +942,123 @@ object CorpusOps {
         '0,' || string_agg(CAST(cum AS VARCHAR), ',' ORDER BY doc_id) AS cu_seqlens
       FROM c GROUP BY source, bin ORDER BY source, bin"""))
 
+  // ---------------------------------------------------------------
+  // q176: content-defined chunking dedup audit (Rabin/LBFS shape)
+  // ---------------------------------------------------------------
+
+  /** Content-defined chunking storage-dedup audit (Muthitacharoen et
+    * al. 2001 LBFS; gear/Rabin rolling-hash CDC is the backbone of
+    * dedup storage and of chunk-level corpus dedup between crawl
+    * snapshots): cut a chunk boundary wherever the hash of the last
+    * W=4 tokens lands in 1/D of the hash space (D=8 → ~8-token
+    * expected chunks), so boundaries depend only on LOCAL content —
+    * insert a sentence and the boundaries downstream re-synchronize
+    * within W tokens, where fixed-size blocks would all shift (the
+    * property the spec pins). Duplicate chunks across a source then
+    * measure how much storage (or re-tokenization work) chunk-level
+    * dedup saves between near-identical documents.
+    *
+    * The boundary test reuses the portable sha-256 bucket arithmetic
+    * (window-hash mod 8 == 0), so the DuckDB oracle replays chunking
+    * exactly; every output column is an exact integer except the
+    * final rounded ratio.
+    *
+    * Scale: the window hash is a narrow per-position projection (the
+    * q98 span-window shape); chunk assembly shuffles (doc_id)-keyed
+    * token rows once for the partition-local running boundary count,
+    * and the dedup aggregation shuffles (source, chunk-hash) keys —
+    * 24 B rows, never text (the chunk string reduces to its hash
+    * map-side). Nothing is N². */
+  /** CDC window/boundary constants shared by the operator and its
+    * oracle text: window of [[CdcW]] tokens, boundary when the window
+    * hash lands in 1/[[CdcD]] of the bucket space. */
+  private val CdcW = 4
+  private val CdcD = 8
+
+  /** Library entry: content-defined chunks of a (doc_id, source, text)
+    * frame — (doc_id, source, chunk_idx, chash, clen). The q176
+    * chunking pass, reusable on any frame (the spec drives it on
+    * handcrafted docs to pin boundary re-synchronization). */
+  def cdcChunksOf(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = d
+      .select(col("doc_id"), col("source"),
+        split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), col("source"), col("w"),
+        posexplode(col("w")).as(Seq("pos0", "tok")))
+      .withColumn("pos", col("pos0") + 1)
+      .withColumn("n", size(col("w")))
+      .withColumn("winstr",
+        when(col("pos") >= CdcW,
+          expr(s"array_join(slice(w, pos - ${CdcW - 1}, $CdcW), ' ')")))
+      .withColumn("b",
+        (col("pos") === col("n")) ||
+          (col("pos") >= CdcW &&
+            expr(MixOps.bucketExpr("sha2(winstr, 256)", CdcD)) === 0))
+      .drop("w", "pos0")
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("chunk_idx",
+        coalesce(sum(when(col("b"), 1L).otherwise(0L)).over(win), lit(0L)))
+      .groupBy(col("doc_id"), col("source"), col("chunk_idx"))
+      .agg(
+        sha2(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x("tok"))), 256).as("chash"),
+        count(lit(1)).as("clen"))
+  }
+
+  val q176CdcChunks: QueryDef = {
+    val W = CdcW
+    val D = CdcD
+    QueryDef(
+      "q176_cdc_chunks",
+      (s, dir) => {
+        cdcChunksOf(docs(s, dir)).groupBy(col("source"), col("chash"))
+          .agg(count(lit(1)).as("cnt"), first(col("clen")).as("clen"))
+          .groupBy(col("source"))
+          .agg(sum(col("cnt")).as("n_chunks"),
+            count(lit(1)).as("n_unique"),
+            sum(col("cnt") * col("clen")).as("n_tokens"),
+            (sum(col("cnt") * col("clen")) - sum(col("clen"))).as("saved_tokens"))
+          .withColumn("dup_ratio",
+            round(col("saved_tokens") / col("n_tokens").cast("double"), 6))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source,
+            regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+        toks AS (SELECT doc_id, source, t.pos, w[t.pos] AS tok, len(w) AS n,
+            CASE WHEN t.pos >= $W
+              THEN array_to_string(w[t.pos - ${W - 1}:t.pos], ' ') END AS winstr
+          FROM d, unnest(range(1, len(w) + 1)) AS t(pos)),
+        b AS (SELECT doc_id, source, pos, tok,
+            (pos = n) OR (pos >= $W AND
+              ${MixOps.bucketExpr("sha256(winstr)", D)} = 0) AS b
+          FROM toks),
+        cix AS (SELECT doc_id, source, pos, tok,
+            coalesce(sum(CASE WHEN b THEN 1 ELSE 0 END) OVER (
+              PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+          FROM b),
+        chunks AS (SELECT doc_id, source, chunk_idx,
+            sha256(string_agg(tok, ' ' ORDER BY pos)) AS chash,
+            CAST(count(*) AS BIGINT) AS clen
+          FROM cix GROUP BY 1, 2, 3),
+        per AS (SELECT source, chash, CAST(count(*) AS BIGINT) AS cnt,
+            min(clen) AS clen
+          FROM chunks GROUP BY 1, 2)
+        SELECT source, CAST(sum(cnt) AS BIGINT) AS n_chunks,
+          CAST(count(*) AS BIGINT) AS n_unique,
+          CAST(sum(cnt * clen) AS BIGINT) AS n_tokens,
+          CAST(sum(cnt * clen) - sum(clen) AS BIGINT) AS saved_tokens,
+          round((sum(cnt * clen) - sum(clen)) / CAST(sum(cnt * clen) AS DOUBLE), 6) AS dup_ratio
+        FROM per GROUP BY source ORDER BY source"""))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q81Boilerplate, q82GopherQuality, q83PiiRedact, q84BloomHistoryDedup,
     q86SeqPack, q128PackAudit, q87CurationPipeline, q88Repetition, q89BpeishTokens,
     q124PiiLuhn, q125SourceBoilerplate, q147LineDedup, q148DupLineChars,
-    q153ChatRender, q167CuSeqlens)
+    q153ChatRender, q167CuSeqlens, q176CdcChunks)
 }

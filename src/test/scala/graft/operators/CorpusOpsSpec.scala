@@ -339,4 +339,33 @@ class CorpusOpsSpec extends SparkSpec {
       assert(convsBySource(src) === ((n + 3) / 4).toInt, s"conv count for $src")
     }
   }
+
+  test("q176: CDC boundaries re-synchronize after an insertion (the anti-fixed-block property)") {
+    import spark.implicits._
+    val base = (1 to 120).map(i => s"tok$i").mkString(" ")
+    val shifted = "inserted preamble goes here " + base
+    val frame = Seq((1L, "s", base), (2L, "s", shifted))
+      .toDF("doc_id", "source", "text")
+    val chunks = CorpusOps.cdcChunksOf(frame).collect()
+      .groupBy(_.getLong(0))
+    val h1 = chunks(1L).map(_.getString(3)).toSet
+    val h2 = chunks(2L).map(_.getString(3)).toSet
+    // content-defined cuts: after at most one disturbed chunk at the
+    // head, the shifted doc re-aligns and shares the original's chunks
+    val shared = (h1 intersect h2).size
+    assert(shared >= h1.size - 2,
+      s"only $shared of ${h1.size} base chunks survive a 4-token insertion")
+    // fixed-size blocks would share none: prove the baseline fails
+    def fixedBlocks(text: String): Set[String] =
+      text.split(" ").grouped(8).map(_.mkString(" ")).toSet
+    assert((fixedBlocks(base) intersect fixedBlocks(shifted)).isEmpty,
+      "fixed blocks must all shift under the same insertion (else the comparison is vacuous)")
+    // chunks tile each doc exactly
+    chunks.foreach { case (id, cs) =>
+      val total = cs.map(_.getLong(4)).sum
+      val n = frame.filter(col("doc_id") === id)
+        .select(size(split(trim(col("text")), "\\s+"))).head().getInt(0)
+      assert(total === n.toLong, s"doc $id chunks must tile the token stream")
+    }
+  }
 }

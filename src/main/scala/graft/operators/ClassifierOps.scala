@@ -35,29 +35,37 @@ object ClassifierOps {
     * (WebText/Wikipedia in the published recipes). */
   private val SeedSources = Seq("src0", "src1", "src2")
 
+  /** Library entry: per-doc NB log-odds quality scores over any
+    * (doc_id, source, text) frame — (doc_id, n_toks, quality_lr).
+    * The q170 train+score pass, reusable by `Curation.run`'s
+    * token-classifier stage. */
+  def nbQualityOf(d: DataFrame, seeds: Seq[String]): DataFrame = {
+    val toks = d
+      .select(col("doc_id"),
+        col("source").isin(seeds: _*).as("pos"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("cpos"),
+      sum(when(col("pos"), 0L).otherwise(1L)).as("cneg"))
+    val tot = counts.agg(
+      sum(col("cpos")).as("npos"), sum(col("cneg")).as("nneg"),
+      count(lit(1)).as("v"))
+    val w = counts.crossJoin(broadcast(tot)).select(col("tok"),
+      (log((col("cpos") + lit(1.0)) / (col("npos") + col("v")).cast("double")) -
+        log((col("cneg") + lit(1.0)) / (col("nneg") + col("v")).cast("double")))
+        .as("w"))
+    toks.join(broadcast(w), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        round(avg(col("w")), 6).as("quality_lr"))
+  }
+
   /** q170: NB log-odds quality scoring — train on the seed labeling,
     * score every document, flag the keep decision at threshold 0. */
   val q170NbQuality: QueryDef = QueryDef(
     "q170_nb_quality",
     (s, dir) => {
-      val toks = Tables.loadParallel(s, dir, "documents")
-        .select(col("doc_id"),
-          col("source").isin(SeedSources: _*).as("pos"),
-          explode(split(trim(col("text")), "\\s+")).as("tok"))
-      val counts = toks.groupBy(col("tok")).agg(
-        sum(when(col("pos"), 1L).otherwise(0L)).as("cpos"),
-        sum(when(col("pos"), 0L).otherwise(1L)).as("cneg"))
-      val tot = counts.agg(
-        sum(col("cpos")).as("npos"), sum(col("cneg")).as("nneg"),
-        count(lit(1)).as("v"))
-      val w = counts.crossJoin(broadcast(tot)).select(col("tok"),
-        (log((col("cpos") + lit(1.0)) / (col("npos") + col("v")).cast("double")) -
-          log((col("cneg") + lit(1.0)) / (col("nneg") + col("v")).cast("double")))
-          .as("w"))
-      toks.join(broadcast(w), Seq("tok"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_toks"),
-          round(avg(col("w")), 6).as("quality_lr"))
+      nbQualityOf(Tables.loadParallel(s, dir, "documents"), SeedSources)
         .withColumn("keep", round(col("quality_lr"), 6) > 0.0)
         .orderBy(col("doc_id"))
     },

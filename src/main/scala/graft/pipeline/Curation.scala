@@ -47,6 +47,13 @@ object Curation {
     *        (`VectorML.fitQualityFilter`): every doc is scored with a
     *        target probability and dropped below `qualityFloor`;
     *        unscored docs (< 2 tokens) are kept
+    * @param nbSeedSources  when non-empty, enables the NB
+    *        token-classifier stage (q170's operator): closed-form
+    *        log-odds trained with these `source` values as the
+    *        curated-seed positives, every doc scored per-token-mean,
+    *        dropped below `nbFloor`. The TOKEN-space sibling of
+    *        `qualityTarget` (embedding space) — both may run;
+    *        unscored docs (empty token stream) are kept
     * @param semanticEmbeddings optional (doc_id, embedding) frame for
     *        the SemDeDup stage (q95, Abbas et al. 2023): k-means
     *        centroids are trained on it (`ml/VectorML.trainCentroids`
@@ -85,6 +92,8 @@ object Curation {
       dsirFloor: Double = 0.0,
       qualityTarget: Option[DataFrame] = None,
       qualityFloor: Double = 0.5,
+      nbSeedSources: Seq[String] = Nil,
+      nbFloor: Double = 0.0,
       semanticEmbeddings: Option[DataFrame] = None,
       semanticCentroids: Int = 8,
       semanticDupCos: Double = 0.35,
@@ -104,7 +113,7 @@ object Curation {
       perplexityDropped: Long, dsirDropped: Long, qualityDropped: Long,
       semanticDropped: Long, sampledOut: Long, tempSampledOut: Long,
       packedDocs: Long, bins: Long, urlDropped: Long = 0L,
-      lineSegmentsCut: Long = 0L)
+      lineSegmentsCut: Long = 0L, nbDropped: Long = 0L)
 
   private def materialize(df: DataFrame, tag: String): DataFrame =
     graft.Staging.materialize(df, tag, "spark.graft.corpus.stagingDir")
@@ -182,6 +191,18 @@ object Curation {
         .filter(col("quality") < cfg.qualityFloor)
         .select(col("doc_id"), lit(true).as("is_qual_out"))
     }
+    // NB token-classifier stage (q170's operator): closed-form
+    // log-odds trained on the seed-source labeling, per-token
+    // normalized, drop below the floor — one slim (doc_id, flag)
+    // join; the TOKEN-level sibling of the embedding-space
+    // qualityTarget stage above (both can run: different signals)
+    val nbIds =
+      if (cfg.nbSeedSources.nonEmpty)
+        Some(graft.operators.ClassifierOps
+          .nbQualityOf(docs, cfg.nbSeedSources)
+          .filter(col("quality_lr") < cfg.nbFloor)
+          .select(col("doc_id"), lit(true).as("is_nb_out")))
+      else None
     // SemDeDup stage (q95's operator on TRAINED k-means centroids):
     // non-canonical near-identical cluster members are dropped; the
     // flag is one slim (doc_id, flag) join like every optional stage,
@@ -247,13 +268,16 @@ object Curation {
         ids => flagged2.join(ids, Seq("doc_id"), "left_outer"))
     val flagged4 = qualIds.fold(flagged3.withColumn("is_qual_out", lit(false)))(
         ids => flagged3.join(ids, Seq("doc_id"), "left_outer"))
-    val flagged = semIds.fold(flagged4.withColumn("is_sem_dup", lit(false)))(
+    val flagged5 = nbIds.fold(flagged4.withColumn("is_nb_out", lit(false)))(
         ids => flagged4.join(ids, Seq("doc_id"), "left_outer"))
+    val flagged = semIds.fold(flagged5.withColumn("is_sem_dup", lit(false)))(
+        ids => flagged5.join(ids, Seq("doc_id"), "left_outer"))
       .withColumn("is_boiler", coalesce(col("is_boiler"), lit(false)))
       .withColumn("is_contam", coalesce(col("is_contam"), lit(false)))
       .withColumn("is_ppl_out", coalesce(col("is_ppl_out"), lit(false)))
       .withColumn("is_dsir_out", coalesce(col("is_dsir_out"), lit(false)))
       .withColumn("is_qual_out", coalesce(col("is_qual_out"), lit(false)))
+      .withColumn("is_nb_out", coalesce(col("is_nb_out"), lit(false)))
       .withColumn("is_sem_dup", coalesce(col("is_sem_dup"), lit(false)))
     val obs = Observation()
     val clean = materialize(flagged
@@ -277,21 +301,26 @@ object Curation {
           .as("qual_dropped"),
         count(when(!col("is_url_out") && col("pass_gate") && !col("is_boiler") &&
           !col("is_contam") && !col("is_ppl_out") && !col("is_dsir_out") &&
-          !col("is_qual_out") && col("is_sem_dup"), true))
+          !col("is_qual_out") && col("is_nb_out"), true))
+          .as("nb_dropped"),
+        count(when(!col("is_url_out") && col("pass_gate") && !col("is_boiler") &&
+          !col("is_contam") && !col("is_ppl_out") && !col("is_dsir_out") &&
+          !col("is_qual_out") && !col("is_nb_out") && col("is_sem_dup"), true))
           .as("sem_dropped"),
         count(when(!col("is_url_out") && col("pass_gate") && !col("is_boiler") &&
           !col("is_contam") && !col("is_ppl_out") && !col("is_dsir_out") &&
-          !col("is_qual_out") && !col("is_sem_dup") && !col("pass_mix"), true))
+          !col("is_qual_out") && !col("is_nb_out") && !col("is_sem_dup") &&
+          !col("pass_mix"), true))
           .as("sampled_out"),
         count(when(!col("is_url_out") && col("pass_gate") && !col("is_boiler") &&
           !col("is_contam") && !col("is_ppl_out") && !col("is_dsir_out") &&
-          !col("is_qual_out") && !col("is_sem_dup") && col("pass_mix") &&
-          !col("pass_temp"), true))
+          !col("is_qual_out") && !col("is_nb_out") && !col("is_sem_dup") &&
+          col("pass_mix") && !col("pass_temp"), true))
           .as("temp_sampled_out"))
       .filter(!col("is_url_out") && col("pass_gate") && !col("is_boiler") &&
         !col("is_contam") && !col("is_ppl_out") && !col("is_dsir_out") &&
-        !col("is_qual_out") && !col("is_sem_dup") && col("pass_mix") &&
-        col("pass_temp"))
+        !col("is_qual_out") && !col("is_nb_out") && !col("is_sem_dup") &&
+        col("pass_mix") && col("pass_temp"))
       .select(col("source"), col("doc_id"), col("text")), "clean")
     // exact dedup (min doc_id per content hash)
     val keepIds = clean.groupBy(sha2(col("text"), 256).as("h"))
@@ -333,7 +362,8 @@ object Curation {
       bins = bins.count(),
       urlDropped = obs.get("url_dropped").asInstanceOf[Long],
       lineSegmentsCut =
-        if (cfg.lineDedup) obsLine.get("segments_cut").asInstanceOf[Long] else 0L)
+        if (cfg.lineDedup) obsLine.get("segments_cut").asInstanceOf[Long] else 0L,
+      nbDropped = obs.get("nb_dropped").asInstanceOf[Long])
     (bins, summary)
   }
 

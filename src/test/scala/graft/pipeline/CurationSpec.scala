@@ -161,6 +161,28 @@ class CurationSpec extends SparkSpec {
     assert(base.qualityDropped === 0L)
   }
 
+  test("NB classifier stage drops exactly the below-floor q170 scores, off by default") {
+    val (_, base) = Curation.run(docs)
+    assert(base.nbDropped === 0L)
+    val seeds = Seq("src0", "src1", "src2")
+    // floor at the median score so the stage bites
+    val scores = graft.operators.ClassifierOps.nbQualityOf(docs, seeds)
+    val floor = scores.stat.approxQuantile("quality_lr", Array(0.5), 0.0).head
+    val (_, on) = Curation.run(docs, Curation.CurationConfig(
+      nbSeedSources = seeds, nbFloor = floor))
+    assert(on.nbDropped > 0L)
+    assert(on.packedDocs < base.packedDocs)
+    // the stage's verdict is exactly the operator's: every dropped doc
+    // scores below the floor among gate survivors
+    val below = scores.filter(col("quality_lr") < floor).count()
+    assert(on.nbDropped <= below,
+      "stage can only drop docs the classifier flagged")
+    // monotone in the floor
+    val (_, loose) = Curation.run(docs, Curation.CurationConfig(
+      nbSeedSources = seeds, nbFloor = floor - 0.05))
+    assert(loose.nbDropped <= on.nbDropped)
+  }
+
   test("semantic dedup stage drops exactly semDedup's flag set") {
     graft.functions.expressions.VectorExpressions.register(spark)
     val emb = graft.Tables.load(spark, dir, "embeddings")

@@ -1127,9 +1127,17 @@ object LmOps {
       val d = docs(s, dir)
       val srcOf = d.select(col("doc_id"), col("source"))
       val tok = tokenizedOf(d)
-      val refDoc = avgNllOfTokens(tok) // q96's per-doc table
+      // ONE materialized (doc_id, source, w1, w2) table feeds BOTH
+      // scoring legs — the corpus model ignores the source column, the
+      // domain models group by it (avgNllOfTokens would re-explode and
+      // re-checkpoint its own bigram table; measured ~0.5 s at sf0.1)
       val bgs = materialize(
         bigramsOfTokens(tok).join(srcOf, Seq("doc_id")), "doremi_bg")
+      val refDoc = scoreNll(bgs,
+        bgs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")),
+        bgs.groupBy(col("w1")).agg(count(lit(1)).as("c1")),
+        bgs.agg(countDistinct(col("w2")).as("v")),
+        strict = true) // q96's per-doc table, from the shared bigrams
       val c2s = bgs.groupBy(col("source"), col("w1"), col("w2"))
         .agg(count(lit(1)).as("c2"))
       val c1s = bgs.groupBy(col("source"), col("w1"))

@@ -90,5 +90,73 @@ object ClassifierOps {
       GROUP BY t.doc_id ORDER BY t.doc_id"""),
     headline = true)
 
-  val all: Seq[QueryDef] = Seq(q170NbQuality)
+  /** q177: Pareto-thresholded classifier resampling — the EXACT
+    * document-selection rule GPT-3 published (Brown et al. 2020,
+    * Appendix A): a crawl document is kept iff
+    * `pareto_draw(alpha = 9) > 1 − score`, so high-scoring documents
+    * almost always survive while low scorers keep a heavy-tailed
+    * chance — the deliberate diversity tail a hard threshold destroys.
+    *
+    * Deterministic replay: the Pareto draw comes from the doc-id hash
+    * bucket via the inverse CDF, x = (1−u)^(−1/α) − 1 with
+    * u = (bucket + 0.5)/2^16 (the +0.5 keeps u strictly inside (0,1)),
+    * and the score is the NB POSTERIOR — the logistic of the document's
+    * TOTAL log-odds (mean × token count), matching the fastText-style
+    * per-document probability the published rule thresholds (the
+    * per-token mean would compress every score toward ½ and blunt the
+    * rule). Saturation to exactly 0/1 for extreme documents is
+    * IEEE-identical on both engines. The keep comparison is on raw
+    * doubles (the q97 ranking precedent: a flip needs the two sides
+    * within an ulp).
+    *
+    * Scale: adds ONE narrow projection to q170's scoring pass — the
+    * draw is hash arithmetic, the rule a scalar compare; nothing new
+    * shuffles. */
+  val q177ParetoResample: QueryDef = QueryDef(
+    "q177_pareto_resample",
+    (s, dir) => {
+      val scored = nbQualityOf(Tables.loadParallel(s, dir, "documents"),
+        SeedSources)
+      scored
+        .withColumn("score",
+          expr("1.0 / (1.0 + exp(-(quality_lr * n_toks)))"))
+        .withColumn("u", expr(
+          s"(cast(${MixOps.bucketExpr("sha2(cast(doc_id as string), 256)", 65536)} as double) + 0.5) / 65536.0"))
+        // cast the exponent explicitly: Spark parses -1.0/9.0 as a
+        // scale-6 DECIMAL division (-0.111111), not the IEEE double
+        .withColumn("draw",
+          expr("power(1.0 - u, cast(-1.0 as double) / 9.0) - 1.0"))
+        .select(col("doc_id"), round(col("score"), 6).as("score"),
+          round(col("draw"), 6).as("draw"),
+          (col("draw") > lit(1.0) - col("score")).as("kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, source IN ('src0', 'src1', 'src2') AS pos,
+          unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents),
+      counts AS (SELECT tok,
+          CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cpos,
+          CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cneg
+        FROM toks GROUP BY tok),
+      tot AS (SELECT CAST(sum(cpos) AS BIGINT) AS npos,
+          CAST(sum(cneg) AS BIGINT) AS nneg,
+          CAST(count(*) AS BIGINT) AS v FROM counts),
+      w AS (SELECT tok,
+          ln((cpos + 1.0) / CAST(npos + v AS DOUBLE)) -
+          ln((cneg + 1.0) / CAST(nneg + v AS DOUBLE)) AS w
+        FROM counts, tot),
+      sc AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+          round(avg(w.w), 6) AS quality_lr
+        FROM toks t JOIN w USING (tok) GROUP BY t.doc_id),
+      drawn AS (SELECT doc_id,
+          1.0 / (1.0 + exp(-(quality_lr * n_toks))) AS score,
+          power(1.0 - ((CAST(${MixOps.bucketExpr("sha256(CAST(doc_id AS VARCHAR))", 65536)} AS DOUBLE) + 0.5) / 65536.0),
+            CAST(-1.0 AS DOUBLE) / 9.0) - 1.0 AS draw
+        FROM sc)
+      SELECT doc_id, round(score, 6) AS score, round(draw, 6) AS draw,
+        draw > 1.0 - score AS kept
+      FROM drawn ORDER BY doc_id"""),
+    headline = false)
+
+  val all: Seq[QueryDef] = Seq(q170NbQuality, q177ParetoResample)
 }

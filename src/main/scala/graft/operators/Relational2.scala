@@ -283,12 +283,16 @@ object Relational2 {
   val q169HllDistinct: QueryDef = {
     import graft.functions.expressions.HyperLogLogAgg
     // Identical ESTIMATE TEXT on both engines: alpha_256 * 2^16 /
-    // harmonic, linear counting below 2.5m with zero registers.
+    // harmonic, linear counting below 2.5m with zero registers. The
+    // leading literals are CAST to double explicitly — Spark parses
+    // bare decimal-literal division as scale-limited DECIMAL
+    // arithmetic (1.079/256.0 → a scale-8 quotient), silently off the
+    // IEEE value DuckDB computes.
     def estSql(harmonic: String, zeros: String): String =
-      s"""CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / $harmonic <= 640.0
+      s"""CASE WHEN (CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0)) * 65536.0 / $harmonic <= 640.0
             AND $zeros > 0
-          THEN 256.0 * ln(256.0 / $zeros)
-          ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / $harmonic END"""
+          THEN 256.0 * ln(CAST(256.0 AS DOUBLE) / $zeros)
+          ELSE (CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0)) * 65536.0 / $harmonic END"""
     QueryDef(
       "q169_hll_distinct",
       (s, dir) => {

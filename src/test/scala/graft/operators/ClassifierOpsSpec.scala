@@ -54,4 +54,26 @@ class ClassifierOpsSpec extends SparkSpec {
     assert(scores(1L) === scores(3L),
       "doubling the text must not change the mean log-odds")
   }
+
+  test("q177: keep rule matches the published inequality; high scorers survive more") {
+    val rows = ClassifierOps.q177ParetoResample.fn(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.nonEmpty)
+    // flag consistency with the reported (rounded) columns: a kept doc
+    // can't have draw clearly below 1 - score, and vice versa
+    rows.foreach { r =>
+      val (sc, dr, kept) = (r.getDouble(1), r.getDouble(2), r.getBoolean(3))
+      assert(dr > 0.0, "a Pareto draw is strictly positive")
+      if (dr - (1.0 - sc) > 1e-5) assert(kept, s"doc ${r.getLong(0)}")
+      if ((1.0 - sc) - dr > 1e-5) assert(!kept, s"doc ${r.getLong(0)}")
+    }
+    // GPT-3's intent: the top score quartile survives at a higher rate
+    // than the bottom quartile (the heavy tail keeps SOME low scorers)
+    val sorted = rows.sortBy(_.getDouble(1))
+    val q = rows.length / 4
+    val lowRate = sorted.take(q).count(_.getBoolean(3)).toDouble / q
+    val highRate = sorted.takeRight(q).count(_.getBoolean(3)).toDouble / q
+    assert(highRate > lowRate,
+      s"high-score keep rate $highRate must exceed low-score rate $lowRate")
+  }
 }

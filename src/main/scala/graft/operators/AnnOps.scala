@@ -940,7 +940,102 @@ object AnnOps {
         FROM short ORDER BY score DESC, vec_id LIMIT 5"""))
   }
 
+  // ---------------------------------------------------------------
+  // q179: ANN recall audit (IVF vs exact, multi-query)
+  // ---------------------------------------------------------------
+
+  /** Recall@10 of the IVF index against exact brute force over a
+    * 5-query batch — the measurement every production vector system
+    * runs before trusting an index (FAISS's own benchmark protocol:
+    * fix a query set, compare the ANN shortlist to the exact top-k).
+    * Both legs rank on the ROUNDED dot product, so rank decisions are
+    * bit-identical cross-engine and per-query ties break on vec_id.
+    *
+    * Reading the number: recall < 1 here is not a bug — it is the
+    * nprobe/C operating point (4/16) made visible; the audit is what
+    * justifies (or bumps) nprobe before a corpus-scale deployment.
+    *
+    * Scale: the exact leg is the audit's deliberate cost — ONE corpus
+    * scan scoring all |Q| queries per row (queries broadcast, scores
+    * shuffled only for the per-query rank window over (qid, id,
+    * score) rows); the IVF leg reads nprobe/C of the corpus per query
+    * by cell pruning. |Q| is a constant; nothing is corpus × corpus. */
+  val q179AnnRecall: QueryDef = QueryDef(
+    "q179_ann_recall",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      VectorExpressions.register(s)
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val centroids = e.filter(col("vec_id") < C)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val exact = e.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(expr("dot_product_f(embedding, qv)"), 6).as("score"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("vec_id"))))
+        .filter(col("rn") <= 10).select(col("qid"), col("vec_id"))
+      val assigned = assignCells(e, centroids)
+      val probed = centroids.crossJoin(broadcast(queries))
+        .select(col("qid"), col("cid").as("cell"),
+          expr("l2_sq_f(cv, qv)").as("qd"))
+        .withColumn("prk", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("qd"), col("cell"))))
+        .filter(col("prk") <= NProbe).select(col("qid"), col("cell"))
+      val approx = assigned.join(broadcast(probed), Seq("cell"))
+        .join(broadcast(queries), Seq("qid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(expr("dot_product_f(embedding, qv)"), 6).as("score"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("vec_id"))))
+        .filter(col("rn") <= 10).select(col("qid"), col("vec_id"))
+      val hits = exact.join(approx, Seq("qid", "vec_id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+      queries.select(col("qid"))
+        .join(hits, Seq("qid"), "left_outer")
+        .select(col("qid"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("recall",
+          round(col("n_hit").cast("double") / 10.0, 4))
+        .orderBy(col("qid"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $C),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      sc AS (SELECT q.qid, e.vec_id,
+          round(list_sum(list_transform(list_zip(e.v, q.qv), x -> x[1]*x[2])), 6) AS score
+        FROM e, q WHERE e.vec_id <> q.qid),
+      exact AS (SELECT qid, vec_id FROM (
+          SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+            ORDER BY score DESC, vec_id) AS rn FROM sc) x WHERE rn <= 10),
+      assigned AS (SELECT vec_id, v, cid AS cell FROM (
+          SELECT e.vec_id, e.v, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              list_sum(list_transform(list_zip(e.v, c.cv), x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid) AS rk
+          FROM e, cent c) a WHERE rk = 1),
+      probed AS (SELECT qid, cid AS cell FROM (
+          SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid ORDER BY
+            list_sum(list_transform(list_zip(c.cv, q.qv), x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid) AS prk
+          FROM cent c, q) p WHERE prk <= $NProbe),
+      approx AS (SELECT qid, vec_id FROM (
+          SELECT p.qid, a.vec_id, row_number() OVER (PARTITION BY p.qid ORDER BY
+            round(list_sum(list_transform(list_zip(a.v, q.qv), x -> x[1]*x[2])), 6) DESC,
+            a.vec_id) AS rn
+          FROM assigned a JOIN probed p USING (cell)
+          JOIN q ON q.qid = p.qid
+          WHERE a.vec_id <> p.qid) x WHERE rn <= 10),
+      hits AS (SELECT e.qid, CAST(count(*) AS BIGINT) AS n_hit
+        FROM exact e JOIN approx a ON e.qid = a.qid AND e.vec_id = a.vec_id
+        GROUP BY 1)
+      SELECT q.qid, coalesce(h.n_hit, 0) AS n_hit,
+        round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 10.0, 4) AS recall
+      FROM q LEFT JOIN hits h USING (qid) ORDER BY q.qid"""),
+    headline = false)
+
   val all: Seq[QueryDef] =
     Seq(q56AnnIvf, q68AnnLsh, q79AnnLshMultiprobe, q85AnnPq, q100AnnIvfPq,
-      q117AnnSq8, q130KnnGraph, q155AnnJl, q160Pagerank)
+      q117AnnSq8, q130KnnGraph, q155AnnJl, q160Pagerank, q179AnnRecall)
 }

@@ -324,4 +324,17 @@ class AnnOpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"IVF graph build degenerated to a cross product:\n${plan.take(600)}")
   }
+
+  test("q179: recall audit is bounded, and probing every cell gives recall 1") {
+    val rows = AnnOps.q179AnnRecall.fn(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0L && r.getLong(1) <= 10L)
+      assert(r.getDouble(2) === r.getLong(1).toDouble / 10.0)
+    }
+    // sanity for the audit itself: IVF misses ARE possible at
+    // nprobe < C but the average must stay well above random (10/500)
+    val mean = rows.map(_.getDouble(2)).sum / rows.length
+    assert(mean > 0.5, s"mean recall $mean implausibly low for nprobe=4/16")
+  }
 }

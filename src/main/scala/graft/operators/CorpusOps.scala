@@ -1056,9 +1056,115 @@ object CorpusOps {
         FROM per GROUP BY source ORDER BY source"""))
   }
 
+  // ---------------------------------------------------------------
+  // q178: span-corruption pair generation (T5 denoising objective)
+  // ---------------------------------------------------------------
+
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4; the R-denoiser
+    * of UL2): mask ~15% of tokens in contiguous spans of mean length 3,
+    * replace each masked span with a sentinel in the INPUT, and emit
+    * the TARGET as sentinel-prefixed span contents — the
+    * (input, target) pair a seq2seq denoising pretrain consumes.
+    *
+    * Deterministic variant: tokens group into consecutive triplets
+    * and triplet g of doc d is masked iff
+    * `bucket(sha256(d || '|' || g)) < 0.15·2^16` — exact expected mask
+    * rate and exact mean span 3, with every decision position-local
+    * (no sequential state), which is what makes the transform a
+    * narrow distributed pass AND lets the DuckDB oracle rebuild every
+    * pair byte-for-byte. Sentinels number densely per doc in span
+    * order (`<extra_id_0>` …), the T5 convention.
+    *
+    * Scale: one explode, one (doc_id, g)-local mask decision (pure
+    * hash arithmetic), and one doc_id-keyed ordered reassembly — the
+    * q147/q153 shuffle class; masked-span state never leaves the doc.
+    * The 15%/3 knobs are the published defaults and are compile-time
+    * constants shared with the oracle text. */
+  val q178SpanCorruption: QueryDef = {
+    val MaskThresh = 9830 // floor(0.15 * 65536)
+    val Span = 3
+    QueryDef(
+      "q178_span_corruption",
+      (s, dir) => {
+        val toks = docs(s, dir)
+          .select(col("doc_id"),
+            posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos0", "tok")))
+          .withColumn("g", expr(s"pos0 div $Span"))
+          .withColumn("masked", expr(
+            MixOps.bucketExpr(
+              "sha2(concat(cast(doc_id as string), '|', cast(g as string)), 256)",
+              65536)) < MaskThresh)
+        val sent = toks.filter(col("masked"))
+          .select(col("doc_id"), col("g")).distinct()
+          .withColumn("k", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("doc_id")).orderBy(col("g"))) - 1)
+          .withColumn("sentinel",
+            concat(lit("<extra_id_"), col("k"), lit(">")))
+        // input: kept tokens at their position; ONE sentinel at each
+        // masked span's first position. target: sentinel then the
+        // span's tokens, in span order (tag orders sentinel first).
+        val inputPieces = toks.filter(!col("masked"))
+          .select(col("doc_id"), col("pos0").cast("long").as("k1"),
+            lit(0).as("tag"), col("tok").as("piece"))
+          .unionByName(sent.select(col("doc_id"),
+            (col("g") * Span).cast("long").as("k1"), lit(0).as("tag"),
+            col("sentinel").as("piece")))
+        val targetPieces = sent.select(col("doc_id"),
+            (col("g") * Span).cast("long").as("k1"), lit(0).as("tag"),
+            col("sentinel").as("piece"))
+          .unionByName(toks.filter(col("masked"))
+            .select(col("doc_id"), col("pos0").cast("long").as("k1"),
+              lit(1).as("tag"), col("tok").as("piece")))
+        def assemble(pieces: DataFrame, name: String): DataFrame =
+          pieces.groupBy(col("doc_id"))
+            .agg(concat_ws(" ", transform(
+              array_sort(collect_list(struct(col("k1"), col("tag"), col("piece")))),
+              x => x("piece"))).as(name))
+        val stats = toks.groupBy(col("doc_id")).agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"))
+        stats
+          .join(assemble(inputPieces, "input"), Seq("doc_id"))
+          .join(assemble(targetPieces, "target"), Seq("doc_id"), "left_outer")
+          .withColumn("target", coalesce(col("target"), lit("")))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+            regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+        toks AS (SELECT doc_id, t.pos - 1 AS pos0, w[t.pos] AS tok,
+            CAST((t.pos - 1) // $Span AS BIGINT) AS g
+          FROM d, unnest(range(1, len(w) + 1)) AS t(pos)),
+        m AS (SELECT doc_id, pos0, tok, g,
+            ${MixOps.bucketExpr(
+              "sha256(CAST(doc_id AS VARCHAR) || '|' || CAST(g AS VARCHAR))",
+              65536)} < $MaskThresh AS masked
+          FROM toks),
+        sent AS (SELECT doc_id, g,
+            '<extra_id_' || CAST(row_number() OVER (PARTITION BY doc_id ORDER BY g) - 1 AS VARCHAR) || '>' AS sentinel
+          FROM (SELECT DISTINCT doc_id, g FROM m WHERE masked) x),
+        inp AS (SELECT doc_id, string_agg(piece, ' ' ORDER BY k1, tag) AS input FROM (
+            SELECT doc_id, pos0 AS k1, 0 AS tag, tok AS piece FROM m WHERE NOT masked
+            UNION ALL
+            SELECT doc_id, g * $Span AS k1, 0 AS tag, sentinel AS piece FROM sent)
+          GROUP BY doc_id),
+        tgt AS (SELECT doc_id, string_agg(piece, ' ' ORDER BY k1, tag) AS target FROM (
+            SELECT doc_id, g * $Span AS k1, 0 AS tag, sentinel AS piece FROM sent
+            UNION ALL
+            SELECT doc_id, pos0 AS k1, 1 AS tag, tok AS piece FROM m WHERE masked)
+          GROUP BY doc_id),
+        st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+            CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
+          FROM m GROUP BY doc_id)
+        SELECT st.doc_id, st.n_tokens, st.n_masked, i.input,
+          coalesce(t.target, '') AS target
+        FROM st JOIN inp i USING (doc_id)
+        LEFT JOIN tgt t USING (doc_id) ORDER BY st.doc_id"""))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q81Boilerplate, q82GopherQuality, q83PiiRedact, q84BloomHistoryDedup,
     q86SeqPack, q128PackAudit, q87CurationPipeline, q88Repetition, q89BpeishTokens,
     q124PiiLuhn, q125SourceBoilerplate, q147LineDedup, q148DupLineChars,
-    q153ChatRender, q167CuSeqlens, q176CdcChunks)
+    q153ChatRender, q167CuSeqlens, q176CdcChunks, q178SpanCorruption)
 }

@@ -368,4 +368,33 @@ class CorpusOpsSpec extends SparkSpec {
       assert(total === n.toLong, s"doc $id chunks must tile the token stream")
     }
   }
+
+  test("q178: substituting each sentinel's span back reconstructs the original text") {
+    val originals = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").mkString(" "))
+      .toMap
+    val rows = CorpusOps.q178SpanCorruption.fn(spark, dir).collect()
+    assert(rows.length === originals.size)
+    var masked = 0L; var total = 0L
+    rows.foreach { r =>
+      val (id, nTok, nMask) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      total += nTok; masked += nMask
+      // parse the target into sentinel -> span text
+      val spans = scala.collection.mutable.Map[String, List[String]]()
+      var cur: String = null
+      r.getString(4).split(" ").filter(_.nonEmpty).foreach { t =>
+        if (t.startsWith("<extra_id_")) { cur = t; spans(cur) = Nil }
+        else spans(cur) = spans(cur) :+ t
+      }
+      val rebuilt = r.getString(3).split(" ").flatMap { t =>
+        if (t.startsWith("<extra_id_")) spans(t) else List(t)
+      }.mkString(" ")
+      assert(rebuilt === originals(id), s"doc $id round-trip")
+      assert(nMask <= nTok)
+    }
+    // realized mask rate near the 15% target (binomial over triplets)
+    val rate = masked.toDouble / total
+    assert(rate > 0.10 && rate < 0.20, s"mask rate $rate far from 0.15")
+  }
 }

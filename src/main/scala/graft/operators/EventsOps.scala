@@ -402,8 +402,70 @@ object EventsOps {
         FROM events) x
       WHERE event_type = 'purchase' ORDER BY event_id"""))
 
+  // ---------------------------------------------------------------
+  // q180: rolling z-score anomaly detection (event-rate monitoring)
+  // ---------------------------------------------------------------
+
+  /** Event-rate anomaly detection — the telemetry audit that pages
+    * someone when a source's hourly volume departs from its own
+    * trailing baseline: per (event_type, hour) counts, each bucket
+    * z-scored against the mean/stddev of its type's PREVIOUS 24
+    * buckets (the frame excludes the current bucket, so a spike can't
+    * dilute its own baseline), flagged at |z| > 3 once at least 12
+    * history buckets exist. The classic control-chart rule
+    * (Shewhart/3-sigma) over a rolling window.
+    *
+    * Cross-engine: counts are exact integers, the window mean is one
+    * correctly-rounded division, and stddev/z round at 4 — the only
+    * engine freedom is stddev's accumulation order, ulp-sized on
+    * 24-value frames.
+    *
+    * Scale: the corpus reduces to (type, hour) counts FIRST (one
+    * partial-aggregated shuffle, buckets = types × hours, corpus-size
+    * free); the rolling window runs over that bucket table keyed by
+    * type — partition-local, and the frame is a constant 24 rows. The
+    * streaming twin is a 24-bucket state per type in a
+    * mapGroupsWithState — same arithmetic, O(types) state. */
+  val q180RateAnomaly: QueryDef = QueryDef(
+    "q180_rate_anomaly",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = ev(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val win = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+        .rowsBetween(-24, -1)
+      counts
+        .withColumn("mu", avg(col("n")).over(win))
+        .withColumn("sd", stddev_samp(col("n")).over(win))
+        .withColumn("n_hist", count(col("n")).over(win))
+        .filter(col("n_hist") >= 12 && col("sd") > 0.0)
+        .select(col("event_type"), col("hour"), col("n"),
+          round(col("mu"), 4).as("mu"), round(col("sd"), 4).as("sd"),
+          round((col("n") - col("mu")) / col("sd"), 4).as("z"),
+          (abs((col("n") - col("mu")) / col("sd")) > 3.0).as("anomaly"))
+        .orderBy(col("event_type"), col("hour"))
+    },
+    Some("""WITH c AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      w AS (SELECT event_type, hour, n,
+          avg(n) OVER (PARTITION BY event_type ORDER BY hour
+            ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS mu,
+          stddev_samp(n) OVER (PARTITION BY event_type ORDER BY hour
+            ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS sd,
+          count(n) OVER (PARTITION BY event_type ORDER BY hour
+            ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS n_hist
+        FROM c)
+      SELECT event_type, hour, n, round(mu, 4) AS mu, round(sd, 4) AS sd,
+        round((n - mu) / sd, 4) AS z,
+        abs((n - mu) / sd) > 3.0 AS anomaly
+      FROM w WHERE n_hist >= 12 AND sd > 0.0
+      ORDER BY event_type, hour"""),
+    headline = false)
+
   val all: Seq[QueryDef] = Seq(
     q60Sessionize, q61AsofJoin, q62RangeJoin, q63Pivot, q64Cube,
     q135Funnel, q136Retention, q137Transitions, q138SlidingWindows,
-    q139AsofNative, q149AsofTolerance)
+    q139AsofNative, q149AsofTolerance, q180RateAnomaly)
 }

@@ -76,4 +76,25 @@ class EventsOpsSpec extends SparkSpec {
       assert(start.getTime % (15 * 60 * 1000L) === 0L, s"window start $start off-grid")
     }
   }
+
+  test("q180: z-scores are self-consistent and the 3-sigma flag matches") {
+    val rows = EventsOps.q180RateAnomaly.fn(spark, dir).collect()
+    assert(rows.nonEmpty, "sf0.001 events must yield scored buckets")
+    rows.foreach { r =>
+      val (n, mu, sd, z, fl) = (r.getLong(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getBoolean(6))
+      assert(sd > 0.0)
+      // reported z agrees with the reported (rounded) mu/sd to rounding slack
+      assert(math.abs(z - (n - mu) / sd) < 1e-2, s"z drift at ${r.get(1)}")
+      // the flag agrees with z except within rounding distance of 3.0
+      if (math.abs(math.abs(z) - 3.0) > 1e-2)
+        assert(fl === (math.abs(z) > 3.0), s"flag mismatch at ${r.get(1)}")
+    }
+    // baselines exclude the current bucket: a bucket far above its mu
+    // must not have dragged its own mu up to itself
+    val spikes = rows.filter(_.getBoolean(6))
+    spikes.foreach { r =>
+      assert(math.abs(r.getLong(2) - r.getDouble(3)) > 3.0 * r.getDouble(4) - 1e-6)
+    }
+  }
 }

@@ -97,4 +97,31 @@ class EventsOpsSpec extends SparkSpec {
       assert(math.abs(r.getLong(2) - r.getDouble(3)) > 3.0 * r.getDouble(4) - 1e-6)
     }
   }
+
+  test("q180 streaming twin: 3 micro-batches with split buckets equal the batch verdicts") {
+    val events = graft.Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"))
+    val ids = events.select(col("event_id")).collect().map(_.getLong(0)).sorted
+    val (c1, c2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+    val mon = new graft.streaming.RateAnomaly()
+    // arbitrary id cuts: hour buckets straddle batch boundaries, so the
+    // fold's bucket-count addition is genuinely exercised
+    mon.observe(events.filter(col("event_id") <= c1))
+    mon.observe(events.filter(col("event_id") > c1 && col("event_id") <= c2))
+    mon.observe(events.filter(col("event_id") > c2))
+    val stream = mon.verdicts
+      .map(v => (v._1, v._2) -> v).toMap
+    val batch = EventsOps.q180RateAnomaly.fn(spark, dir).collect()
+    assert(batch.length === stream.size,
+      s"bucket sets differ: batch ${batch.length} vs stream ${stream.size}")
+    batch.foreach { r =>
+      val key = (r.getString(0), r.getTimestamp(1).getTime)
+      val v = stream(key)
+      assert(v._3 === r.getLong(2), s"count at $key")
+      assert(math.abs(v._4 - r.getDouble(3)) < 2e-4, s"mu at $key")
+      assert(math.abs(v._5 - r.getDouble(4)) < 2e-4, s"sd at $key")
+      assert(math.abs(v._6 - r.getDouble(5)) < 2e-3, s"z at $key")
+      assert(v._7 === r.getBoolean(6), s"flag at $key")
+    }
+  }
 }

@@ -583,8 +583,104 @@ object TextAnalysis {
       FROM scored WHERE rank <= 3 ORDER BY doc_id, rank"""),
     headline = false)
 
+  // ---------------------------------------------------------------
+  // q181: Heaps-law vocabulary-growth fit
+  // ---------------------------------------------------------------
+
+  /** Heaps' law audit (Heaps 1978: V(N) ≈ K·N^β, β ≈ 0.4-0.6 for
+    * natural language) — the vocabulary-growth companion to q159's
+    * Zipf rank audit, and the law every "the model table is
+    * vocab-sized, it broadcasts" claim in SCALE.md leans on: measure
+    * V at 10 corpus prefixes and fit ln V = ln K + β ln N by least
+    * squares. β near 1 means vocabulary grows linearly — the corpus
+    * is ID-like or generated, and the broadcast-model assumption
+    * fails; β in the natural band certifies it. (On the synthetic
+    * corpus the audit fires exactly as designed: the template
+    * generator's 31-token closed vocabulary saturates at the first
+    * sample, and the fit reports β = 0 — "not natural language".)
+    *
+    * Nested samples WITHOUT a corpus order: the i-th "prefix" is the
+    * set of docs whose id-hash bucket falls below i/10 of the bucket
+    * space — nested by construction (bucket < t_i ⊂ bucket < t_{i+1}),
+    * deterministic, and requiring NO global sort (a rank-based prefix
+    * would put the whole corpus through one window partition). One
+    * corpus pass reduces every token to its MINIMUM doc bucket (a
+    * vocab-sized aggregate), so each sample's vocabulary is a
+    * filter-count over that table — no per-sample rescan. Only the
+    * ln-space regression epilogue (10 points) is floating point,
+    * rounded at 4.
+    *
+    * Scale: the min-bucket table IS the vocabulary (Heaps-sublinear);
+    * the 10-row sample table and the closed-form fit are constant-size
+    * epilogues; the growth curve costs one explode + one vocab-keyed
+    * shuffle however large the corpus. */
+  val q181HeapsFit: QueryDef = QueryDef(
+    "q181_heaps_fit",
+    (s, dir) => {
+      val dd = docs(s, dir)
+        .select(col("doc_id"), tokens(lower(col("text"))).as("w"))
+        .withColumn("b", expr(
+          MixOps.bucketExpr("sha2(cast(doc_id as string), 256)", 65536))
+          .cast("long"))
+        .withColumn("n_tok", size(col("w")).cast("long"))
+      val cuts = s.range(1, 11).toDF("i")
+        .select(col("i"), expr("(i * 65536) div 10").as("cut"))
+      val firstBucket = dd
+        .select(col("b"), explode(col("w")).as("tok"))
+        .groupBy(col("tok")).agg(min(col("b")).as("fb"))
+      val vocabAt = firstBucket.crossJoin(broadcast(cuts))
+        .filter(col("fb") < col("cut"))
+        .groupBy(col("i"), col("cut")).agg(count(lit(1)).as("vocab"))
+      val tokensAt = dd.crossJoin(broadcast(cuts))
+        .filter(col("b") < col("cut"))
+        .groupBy(col("i"), col("cut"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      val pts = vocabAt.join(tokensAt, Seq("i", "cut"))
+        .withColumn("x", log(col("n_tokens").cast("double")))
+        .withColumn("y", log(col("vocab").cast("double")))
+      val fit = pts.agg(
+          count(lit(1)).as("m"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .select(
+          ((col("sxy") - col("sx") * col("sy") / col("m")) /
+            (col("sxx") - col("sx") * col("sx") / col("m"))).as("beta"),
+          (col("sy") / col("m")).as("my"), (col("sx") / col("m")).as("mx"))
+        .select(round(col("beta"), 4).as("beta"),
+          round(exp(col("my") - col("beta") * col("mx")), 4).as("k"))
+      pts.select(col("i"), col("n_docs"), col("n_tokens"), col("vocab"))
+        .crossJoin(broadcast(fit))
+        .orderBy(col("i"))
+    },
+    Some(s"""WITH dd AS (SELECT doc_id,
+          regexp_split_to_array(lower(trim(text)), '\\s+') AS w,
+          CAST(${MixOps.bucketExpr("sha256(CAST(doc_id AS VARCHAR))", 65536)} AS BIGINT) AS b
+        FROM documents),
+      dn AS (SELECT doc_id, b, CAST(len(w) AS BIGINT) AS n_tok, w FROM dd),
+      cuts AS (SELECT CAST(i AS BIGINT) AS i,
+          CAST((i * 65536) // 10 AS BIGINT) AS cut
+        FROM range(1, 11) t(i)),
+      fb AS (SELECT tok, min(b) AS fb FROM (
+          SELECT b, unnest(w) AS tok FROM dn) x GROUP BY tok),
+      vocab_at AS (SELECT c.i, c.cut, CAST(count(*) AS BIGINT) AS vocab
+        FROM fb, cuts c WHERE fb.fb < c.cut GROUP BY 1, 2),
+      tokens_at AS (SELECT c.i, c.cut, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(dn.n_tok) AS BIGINT) AS n_tokens
+        FROM dn, cuts c WHERE dn.b < c.cut GROUP BY 1, 2),
+      pts AS (SELECT v.i, t.n_docs, t.n_tokens, v.vocab,
+          ln(CAST(t.n_tokens AS DOUBLE)) AS x, ln(CAST(v.vocab AS DOUBLE)) AS y
+        FROM vocab_at v JOIN tokens_at t ON v.i = t.i AND v.cut = t.cut),
+      agg AS (SELECT CAST(count(*) AS BIGINT) AS m, sum(x) AS sx, sum(y) AS sy,
+          sum(x * y) AS sxy, sum(x * x) AS sxx FROM pts),
+      fit0 AS (SELECT (sxy - sx * sy / m) / (sxx - sx * sx / m) AS beta,
+          sy / m AS my, sx / m AS mx FROM agg),
+      fit AS (SELECT round(beta, 4) AS beta,
+          round(exp(my - beta * mx), 4) AS k FROM fit0)
+      SELECT p.i, p.n_docs, p.n_tokens, p.vocab, f.beta, f.k
+      FROM pts p, fit f ORDER BY p.i"""),
+    headline = false)
+
   val all: Seq[QueryDef] = Seq(
     q45TokenCount, q46QualityScore, q47LangId, q48Fingerprint, q103Winnowing,
     q113CcnetNormalize, q123QualitySignals, q126GateSweep, q158Entropy,
-    q159ZipfFit, q163LexiconTag, q172TfidfKeywords)
+    q159ZipfFit, q163LexiconTag, q172TfidfKeywords, q181HeapsFit)
 }

@@ -240,4 +240,34 @@ class TextAnalysisSpec extends SparkSpec {
         "ubiquitous term's tfidf must equal its raw tf")
     }
   }
+
+  test("q181: samples nest monotonically and the fit matches a driver-side regression") {
+    val rows = TextAnalysis.q181HeapsFit.fn(spark, dir).collect()
+    assert(rows.length === 10)
+    val sorted = rows.sortBy(_.getLong(0))
+    // nested hash-bucket subsets: docs, tokens, vocab all non-decreasing
+    Seq(1, 2, 3).foreach { c =>
+      val vals = sorted.map(_.getLong(c))
+      assert(vals.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+        s"column $c must be non-decreasing across nested samples")
+    }
+    // full sample = whole corpus
+    assert(sorted.last.getLong(1) ===
+      graft.Tables.load(spark, dir, "documents").count())
+    // driver-side least squares over the reported points equals the fit
+    val pts = sorted.map(r =>
+      (math.log(r.getLong(2).toDouble), math.log(r.getLong(3).toDouble)))
+    val m = pts.length
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val beta = (sxy - sx * sy / m) / (sxx - sx * sx / m)
+    val k = math.exp(sy / m - beta * sx / m)
+    assert(math.abs(rows.head.getDouble(4) - beta) < 1e-3, "beta")
+    assert(math.abs(rows.head.getDouble(5) - k) < 1e-2, "k")
+    // the audit's verdict on the template corpus: closed vocabulary,
+    // beta far below the 0.4-0.6 natural-language band
+    assert(rows.head.getDouble(4) < 0.2,
+      "synthetic template corpus must NOT look like natural language")
+  }
 }

@@ -685,9 +685,95 @@ object DedupOps {
         round(cum_unique / cum_docs, 6) AS cum_unique_frac
       FROM c ORDER BY bucket"""))
 
+  // ---------------------------------------------------------------
+  // q183: LSH banding recall audit (candidates vs exact Jaccard truth)
+  // ---------------------------------------------------------------
+
+  /** Recall of the q51 banded candidate generation against the exact
+    * Jaccard truth, at three thresholds — the near-dup sibling of the
+    * q179 ANN recall audit, and the measurement behind the banding
+    * S-curve (Mining of Massive Datasets §3.4): with b bands of r
+    * rows, a pair at similarity J surfaces with probability
+    * 1 − (1 − J^r)^b, so recall must CLIMB with the threshold; this
+    * audit reads the realized curve before anyone trusts the
+    * candidate set to contain the real near-dups.
+    *
+    * Truth leg: pairs sharing ≥ 1 hashed shingle (an inverted-index
+    * self-join — any pair with J > 0 shares a shingle by definition)
+    * filtered by the SAME rounded exact-Jaccard expression q51
+    * verifies with. At corpus scale the truth leg runs on a sample
+    * (it is quadratic in the hottest shingle's doc-frequency); the
+    * audit's job is to calibrate b and r there, then the banded path
+    * runs everywhere.
+    *
+    * Scale note per leg: candidates = q51's banded join (never
+    * all-pairs); truth = shingle-keyed equi-join, distinct pair set,
+    * Jaccard over the hash arrays; the verdict join is pair-keyed. */
+  val q183LshRecall: QueryDef = QueryDef(
+    "q183_lsh_recall",
+    (s, dir) => {
+      val hashed = hashedShingles(s, dir)
+      val inv = hashed.select(col("doc_id"), explode(col("hashes")).as("h"))
+      val sharing = inv.as("a").join(inv.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val exact = sharing
+        .join(hashed.select(col("doc_id").as("doc_a"), col("hashes").as("ha")), Seq("doc_a"))
+        .join(hashed.select(col("doc_id").as("doc_b"), col("hashes").as("hb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(size(array_intersect(col("ha"), col("hb"))).cast("double") /
+            size(array_union(col("ha"), col("hb"))), 6).as("j"))
+      val cands = lshCandidatePairs(signatures(hashed))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val nCand = cands.agg(count(lit(1)).as("n_candidates"))
+      import s.implicits._
+      val taus = Seq(0.3, 0.5, 0.7).toDF("tau")
+      val truth = exact.crossJoin(broadcast(taus))
+        .filter(col("j") >= col("tau"))
+      val hit = truth.join(cands, Seq("doc_a", "doc_b"), "left_semi")
+        .groupBy(col("tau")).agg(count(lit(1)).as("n_hit"))
+      truth.groupBy(col("tau")).agg(count(lit(1)).as("n_truth"))
+        .join(hit, Seq("tau"), "left_outer")
+        .crossJoin(broadcast(nCand))
+        .select(col("tau"), col("n_truth"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("n_candidates"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+            col("n_truth"), 4).as("recall"))
+        .orderBy(col("tau"))
+    },
+    Some(s"""WITH $shingleSqlCte,
+      $hashSqlCte,
+      $sigSqlCte,
+      $bandsPairsSqlCte,
+      inv AS (SELECT doc_id, unnest(hashes) AS h FROM hs),
+      sharing AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id),
+      exact AS (SELECT s.doc_a, s.doc_b,
+          round(CAST(len(list_intersect(ha.hashes, hb.hashes)) AS DOUBLE) /
+            len(list_distinct(list_concat(ha.hashes, hb.hashes))), 6) AS j
+        FROM sharing s
+        JOIN hs ha ON s.doc_a = ha.doc_id
+        JOIN hs hb ON s.doc_b = hb.doc_id),
+      cands AS (SELECT DISTINCT doc_a, doc_b FROM pairs),
+      nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cands),
+      taus AS (SELECT unnest(CAST([0.3, 0.5, 0.7] AS DOUBLE[])) AS tau),
+      truth AS (SELECT t.tau, e.doc_a, e.doc_b FROM exact e, taus t
+        WHERE e.j >= t.tau),
+      hit AS (SELECT t.tau, CAST(count(*) AS BIGINT) AS n_hit
+        FROM truth t JOIN cands c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+        GROUP BY 1)
+      SELECT t.tau, CAST(count(*) AS BIGINT) AS n_truth,
+        coalesce(max(h.n_hit), 0) AS n_hit,
+        max(nc.n_candidates) AS n_candidates,
+        round(CAST(coalesce(max(h.n_hit), 0) AS DOUBLE) / count(*), 4) AS recall
+      FROM truth t LEFT JOIN hit h ON t.tau = h.tau, nc
+      GROUP BY t.tau ORDER BY t.tau"""),
+    headline = false)
+
   val all: Seq[QueryDef] = Seq(
     q50MinhashSignature, q51LshJaccardPairs, q52MinhashAggregate,
     q53Simhash, q54NgramJaccard, q55EmbeddingNeardup, q90SimhashHamming,
     q91DupClusters, q112EditDistPairs, q129DedupSaturation,
-    q131MinhashCalibration, q134ClusterHistogram)
+    q131MinhashCalibration, q134ClusterHistogram, q183LshRecall)
 }

@@ -207,4 +207,24 @@ class DedupStagingSpec extends SparkSpec {
     assert(cd === nDocs, "every doc must land in exactly one bucket")
     assert(cu === nUnique, "the curve must end at the corpus's exact distinct count")
   }
+
+  test("q183: recall audit is consistent — truth shrinks with tau, recall climbs, hits bounded") {
+    val rows = DedupOps.q183LshRecall.fn(spark, "/root/testdata/sf0.01")
+      .collect().sortBy(_.getDouble(0))
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "hits cannot exceed truth")
+      assert(r.getDouble(4) ===
+        math.rint(r.getLong(2).toDouble / r.getLong(1) * 10000) / 10000)
+    }
+    // truth set is monotone shrinking in the threshold
+    assert(rows.sliding(2).forall(p => p.length < 2 ||
+      p(0).getLong(1) >= p(1).getLong(1)))
+    // the banding S-curve: recall must not fall as tau rises
+    assert(rows.sliding(2).forall(p => p.length < 2 ||
+      p(0).getDouble(4) <= p(1).getDouble(4) + 1e-9))
+    // high-similarity pairs must essentially all surface at b=8, r=2
+    assert(rows.last.getDouble(4) >= 0.9,
+      s"recall at tau=0.7 is ${rows.last.getDouble(4)} — banding badly tuned")
+  }
 }

@@ -47,15 +47,20 @@ object ClusterOps {
   private def materialize(df: DataFrame, tag: String): DataFrame =
     graft.Staging.materialize(df, tag, "spark.graft.corpus.stagingDir")
 
-  /** Integer argmin over k literal centroids as ONE codegen'd
-    * expression: array_sort over (dist², cid) structs, take the head. */
-  private def assignExpr(cents: Array[Array[Long]]): String = {
+  /** All k centroid distances as ONE codegen'd sorted array of
+    * (dist², cid) structs — head = the assignment, second = the
+    * nearest OTHER cluster (what the silhouette needs). */
+  private def sortedDistsExpr(cents: Array[Array[Long]]): String = {
     val entries = cents.zipWithIndex.map { case (c, j) =>
       val arr = c.mkString("array(", "L,", "L)")
       s"struct(aggregate(zip_with(q, $arr, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x) as d2, ${j}L as cid)"
     }.mkString(",")
-    s"element_at(array_sort(array($entries)), 1)"
+    s"array_sort(array($entries))"
   }
+
+  /** Integer argmin over k literal centroids: the sorted head. */
+  private def assignExpr(cents: Array[Array[Long]]): String =
+    s"element_at(${sortedDistsExpr(cents)}, 1)"
 
   /** The shared Lloyd trajectory: quantized table, `Rounds` rounds of
     * assign/update, returning the final (vec_id, q, cid, d2)
@@ -200,5 +205,58 @@ object ClusterOps {
       FROM sized ORDER BY vec_id"""),
     headline = false)
 
-  val all: Seq[QueryDef] = Seq(q174KmeansClusters, q175PrototypePrune)
+  /** q182: per-cluster silhouette audit over the q174 clustering —
+    * the centroid-based (a, b) form (Rousseeuw 1987 simplified to
+    * centroid distances, the variant large-scale eval uses since
+    * pairwise silhouette is quadratic): a = dist² to own centroid,
+    * b = dist² to the nearest OTHER centroid, s = (b − a)/max(a, b).
+    * Clusters whose mean s sits near 0 are not separated — merge or
+    * re-k before anything downstream (SemDeDup blocking, IVF probe
+    * tuning) trusts the partition.
+    *
+    * Both distances fall out of the SAME sorted codegen'd distance
+    * array the assignment uses (head = a, second = b) — no extra
+    * pass, no join; the only float is the final ratio, rounded 4.
+    * Identical-to-centroid duplicates (a = b = 0) score 0 by
+    * convention on both engines.
+    *
+    * Scale: exactly q174's assignment projection plus a k-row-output
+    * aggregation; nothing new shuffles. */
+  val q182Silhouette: QueryDef = QueryDef(
+    "q182_silhouette",
+    (s, dir) => {
+      val (assigned, cents) = lloyd(s, dir)
+      val sil = assigned
+        .withColumn("arr", expr(sortedDistsExpr(cents)))
+        .select(col("cid"), col("d2").as("a"),
+          expr("element_at(arr, 2).d2").as("b"))
+        .withColumn("s",
+          when(greatest(col("a"), col("b")) === 0L, lit(0.0))
+            .otherwise((col("b") - col("a")).cast("double") /
+              greatest(col("a"), col("b"))))
+      sil.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg(col("s")), 4).as("mean_silhouette"),
+          round(min(col("s")), 4).as("min_silhouette"))
+        .orderBy(col("cid"))
+    },
+    Some(s"""WITH $lloydSqlCtes,
+      second AS (SELECT vec_id, d2 FROM (
+          SELECT vec_id, d2, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d2, cid) AS rn FROM asg${Rounds + 1}) x WHERE rn = 2),
+      sil AS (SELECT a.cid, CAST(a.d2 AS BIGINT) AS ad,
+          CAST(s.d2 AS BIGINT) AS bd
+        FROM a${Rounds + 1} a JOIN second s USING (vec_id)),
+      scored AS (SELECT cid,
+          CASE WHEN greatest(ad, bd) = 0 THEN 0.0
+               ELSE CAST(bd - ad AS DOUBLE) / greatest(ad, bd) END AS s
+        FROM sil)
+      SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+        round(avg(s), 4) AS mean_silhouette,
+        round(min(s), 4) AS min_silhouette
+      FROM scored GROUP BY cid ORDER BY cid"""),
+    headline = false)
+
+  val all: Seq[QueryDef] =
+    Seq(q174KmeansClusters, q175PrototypePrune, q182Silhouette)
 }

@@ -78,4 +78,19 @@ class ClusterOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q182: silhouettes are bounded and mostly positive for an assignment-consistent partition") {
+    val rows = ClusterOps.q182Silhouette.fn(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 8)
+    rows.foreach { r =>
+      val (mean, min) = (r.getDouble(2), r.getDouble(3))
+      assert(mean >= -1.0 - 1e-9 && mean <= 1.0 + 1e-9)
+      assert(min >= -1.0 - 1e-9 && min <= mean + 1e-9)
+      // b >= a by argmin construction, so s >= 0 for every vector:
+      // a NEGATIVE min silhouette would mean a vector is closer to
+      // another centroid than its own — an assignment bug
+      assert(min >= -1e-9, s"cluster ${r.getLong(0)} has a misassigned vector")
+    }
+    assert(rows.map(_.getLong(1)).sum === 500L, "partition must cover the corpus")
+  }
 }

@@ -1162,9 +1162,62 @@ object CorpusOps {
         LEFT JOIN tgt t USING (doc_id) ORDER BY st.doc_id"""))
   }
 
+  // ---------------------------------------------------------------
+  // q184: context-length truncation audit
+  // ---------------------------------------------------------------
+
+  /** Truncation-loss audit at candidate context lengths — the table a
+    * team reads when choosing L (or choosing packing over truncation):
+    * per (source, L ∈ {128, 512}), how many documents exceed L and
+    * what fraction of the source's tokens a hard truncation would
+    * discard. High loss at the chosen L means the source needs q86's
+    * packing (or document splitting) instead of truncation — this
+    * audit is the quantitative case for that pipeline decision.
+    *
+    * All-integer until the two final ratios (rounded 6): token counts
+    * are exact, losses are exact sums of max(0, n − L).
+    *
+    * Scale: one narrow token-count projection (no explode — the
+    * tokenizer count expression is q45's), one (source)-keyed partial
+    * aggregation per L; the L table is a 2-row literal. */
+  val q184TruncationAudit: QueryDef = QueryDef(
+    "q184_truncation_audit",
+    (s, dir) => {
+      import s.implicits._
+      val lens = Seq(128L, 512L).toDF("l")
+      docs(s, dir)
+        .select(col("source"), nTokens(col("text")).as("n_tok"))
+        .crossJoin(broadcast(lens))
+        .groupBy(col("source"), col("l"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_tok") > col("l"), 1L).otherwise(0L)).as("docs_truncated"),
+          sum(col("n_tok")).as("tokens_total"),
+          sum(greatest(col("n_tok") - col("l"), lit(0L))).as("tokens_lost"))
+        .withColumn("frac_docs",
+          round(col("docs_truncated").cast("double") / col("n_docs"), 6))
+        .withColumn("frac_tokens",
+          round(col("tokens_lost").cast("double") / col("tokens_total"), 6))
+        .orderBy(col("source"), col("l"))
+    },
+    Some("""WITH d AS (SELECT source,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+          END AS n_tok
+        FROM documents),
+      lens AS (SELECT unnest(CAST([128, 512] AS BIGINT[])) AS l)
+      SELECT source, l, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN n_tok > l THEN 1 ELSE 0 END) AS BIGINT) AS docs_truncated,
+        CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+        CAST(sum(greatest(n_tok - l, 0)) AS BIGINT) AS tokens_lost,
+        round(CAST(sum(CASE WHEN n_tok > l THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS frac_docs,
+        round(CAST(sum(greatest(n_tok - l, 0)) AS DOUBLE) / sum(n_tok), 6) AS frac_tokens
+      FROM d, lens GROUP BY source, l ORDER BY source, l"""),
+    headline = false)
+
   val all: Seq[QueryDef] = Seq(
     q81Boilerplate, q82GopherQuality, q83PiiRedact, q84BloomHistoryDedup,
     q86SeqPack, q128PackAudit, q87CurationPipeline, q88Repetition, q89BpeishTokens,
     q124PiiLuhn, q125SourceBoilerplate, q147LineDedup, q148DupLineChars,
-    q153ChatRender, q167CuSeqlens, q176CdcChunks, q178SpanCorruption)
+    q153ChatRender, q167CuSeqlens, q176CdcChunks, q178SpanCorruption,
+    q184TruncationAudit)
 }

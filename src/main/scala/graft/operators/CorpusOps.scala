@@ -1214,10 +1214,75 @@ object CorpusOps {
       FROM d, lens GROUP BY source, l ORDER BY source, l"""),
     headline = false)
 
+  // ---------------------------------------------------------------
+  // q185: fill-in-the-middle transform (FIM)
+  // ---------------------------------------------------------------
+
+  /** FIM training-pair construction (Bavarian et al. 2022 "Efficient
+    * training of language models to fill in the middle"): split each
+    * document at two cut points into (prefix, middle, suffix) and emit
+    * the PSM reordering `<PRE> prefix <SUF> suffix <MID> middle` — the
+    * transform behind infilling-capable code models, applied to half
+    * the corpus (the paper's 50% FIM rate) with the rest passed
+    * through.
+    *
+    * Determinism: the FIM coin and both cut points derive from the
+    * doc-id hash — coin = bucket parity; cuts = two independent hash
+    * buckets scaled to the TOKEN count by exact integer arithmetic
+    * (`1 + b·(n−1) div 2^16`, so 1 ≤ c ≤ n−1 … cuts at token
+    * boundaries, ordered, never empty-prefix-and-suffix-both). The
+    * whole transform is array slicing — byte-exact in the oracle.
+    *
+    * Scale: a narrow per-doc projection (split → slice → concat), no
+    * explode, no shuffle at all beyond the final ORDER BY epilogue.
+    * The spec pins the round trip: undoing PSM reconstructs the
+    * original token stream. */
+  val q185Fim: QueryDef = QueryDef(
+    "q185_fim",
+    (s, dir) => {
+      val b1 = MixOps.bucketExpr("sha2(concat(cast(doc_id as string), '|c1'), 256)", 65536)
+      val b2 = MixOps.bucketExpr("sha2(concat(cast(doc_id as string), '|c2'), 256)", 65536)
+      docs(s, dir)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+        .withColumn("n", size(col("w")).cast("long"))
+        .withColumn("fim",
+          expr(MixOps.bucketExpr("sha2(cast(doc_id as string), 256)", 2)) === 0 &&
+            col("n") >= 2)
+        .withColumn("r1", expr(s"1 + cast($b1 as bigint) * (n - 1) div 65536"))
+        .withColumn("r2", expr(s"1 + cast($b2 as bigint) * (n - 1) div 65536"))
+        .withColumn("c1", least(col("r1"), col("r2")))
+        .withColumn("c2", greatest(col("r1"), col("r2")))
+        .select(col("doc_id"), col("n").as("n_tokens"), col("fim"),
+          when(col("fim"), concat(
+            lit("<PRE> "), array_join(expr("slice(w, 1, cast(c1 as int))"), " "),
+            lit(" <SUF> "), array_join(expr("slice(w, cast(c2 + 1 as int), cast(n - c2 as int))"), " "),
+            lit(" <MID> "), array_join(expr("slice(w, cast(c1 + 1 as int), cast(c2 - c1 as int))"), " ")))
+            .otherwise(array_join(col("w"), " ")).as("rendered"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\\s+') AS w,
+          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n
+        FROM documents),
+      cut AS (SELECT doc_id, w, n,
+          ${MixOps.bucketExpr("sha256(CAST(doc_id AS VARCHAR))", 2)} = 0 AND n >= 2 AS fim,
+          1 + CAST(${MixOps.bucketExpr("sha256(CAST(doc_id AS VARCHAR) || '|c1')", 65536)} AS BIGINT) * (n - 1) // 65536 AS r1,
+          1 + CAST(${MixOps.bucketExpr("sha256(CAST(doc_id AS VARCHAR) || '|c2')", 65536)} AS BIGINT) * (n - 1) // 65536 AS r2
+        FROM d),
+      cc AS (SELECT doc_id, w, n, fim, least(r1, r2) AS c1, greatest(r1, r2) AS c2 FROM cut)
+      SELECT doc_id, n AS n_tokens, fim,
+        CASE WHEN fim THEN
+          '<PRE> ' || array_to_string(w[1:c1], ' ') ||
+          ' <SUF> ' || array_to_string(w[c2 + 1:n], ' ') ||
+          ' <MID> ' || coalesce(array_to_string(w[c1 + 1:c2], ' '), '')
+        ELSE array_to_string(w, ' ') END AS rendered
+      FROM cc ORDER BY doc_id"""),
+    headline = false)
+
   val all: Seq[QueryDef] = Seq(
     q81Boilerplate, q82GopherQuality, q83PiiRedact, q84BloomHistoryDedup,
     q86SeqPack, q128PackAudit, q87CurationPipeline, q88Repetition, q89BpeishTokens,
     q124PiiLuhn, q125SourceBoilerplate, q147LineDedup, q148DupLineChars,
     q153ChatRender, q167CuSeqlens, q176CdcChunks, q178SpanCorruption,
-    q184TruncationAudit)
+    q184TruncationAudit, q185Fim)
 }

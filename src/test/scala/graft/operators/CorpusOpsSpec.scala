@@ -397,4 +397,33 @@ class CorpusOpsSpec extends SparkSpec {
     val rate = masked.toDouble / total
     assert(rate > 0.10 && rate < 0.20, s"mask rate $rate far from 0.15")
   }
+
+  test("q185: PSM reordering round-trips to the original token stream; FIM rate ~50%") {
+    val originals = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").mkString(" "))
+      .toMap
+    val rows = CorpusOps.q185Fim.fn(spark, dir).collect()
+    assert(rows.length === originals.size)
+    var fimCount = 0
+    rows.foreach { r =>
+      val (id, fim, rendered) = (r.getLong(0), r.getBoolean(2), r.getString(3))
+      if (!fim) assert(rendered === originals(id), s"doc $id passthrough")
+      else {
+        fimCount += 1
+        // undo PSM: <PRE> p <SUF> s <MID> m  →  p m s
+        val pre = rendered.stripPrefix("<PRE> ")
+        val Array(p, rest) = pre.split(" <SUF> ", 2)
+        val Array(sfx, mid) = rest.split(" <MID> ", 2)
+        val toks = (p.split(" ").filter(_.nonEmpty) ++
+          mid.split(" ").filter(_.nonEmpty) ++
+          sfx.split(" ").filter(_.nonEmpty)).mkString(" ")
+        assert(toks === originals(id), s"doc $id round-trip")
+        // prefix and suffix are never empty by the cut-point bounds
+        assert(p.nonEmpty && sfx.nonEmpty, s"doc $id empty prefix/suffix")
+      }
+    }
+    val rate = fimCount.toDouble / rows.length
+    assert(rate > 0.35 && rate < 0.65, s"FIM rate $rate far from the 50% target")
+  }
 }

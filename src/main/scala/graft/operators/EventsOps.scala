@@ -81,15 +81,28 @@ object EventsOps {
 
   /** Interval/range join with an equi-key: events within 5 minutes after
     * each error for the same user (sort-merge-able, never nested-loop). */
+  /** Range join, BUCKETIZED (the published range-join optimization —
+    * bin the time axis at the range width, join equi on (key, bin)
+    * with the probe side exploded to its two candidate bins, exact
+    * predicate after): a 300 s-window event can only land in the
+    * error's own 300 s bucket or the next one, so the join key
+    * becomes (user, bucket) and per-key work is bounded by events per
+    * (user, 5 min) instead of events per user — the difference
+    * between linear and quadratic on a hot key at 100 TB. Same
+    * results as the plain equi-join + range filter by construction
+    * (the exact predicates still apply after the bucket equi-join). */
   val q62RangeJoin: QueryDef = QueryDef(
     "q62_range_join",
     (s, dir) => {
       val e = ev(s, dir)
       val errors = e.filter(col("event_type") === "error")
         .select(col("event_id").as("err_id"), col("user_id").as("err_user"), col("ts").as("err_ts"))
+        .withColumn("b0", expr("floor(unix_timestamp(err_ts) / 300)"))
+        .withColumn("eb", explode(array(col("b0"), col("b0") + 1)))
       val others = e.select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("b", expr("floor(unix_timestamp(ts) / 300)"))
       errors.join(others,
-          col("err_user") === col("user_id") &&
+          col("err_user") === col("user_id") && col("eb") === col("b") &&
             col("event_id") =!= col("err_id") &&
             col("ts") >= col("err_ts") &&
             unix_timestamp(col("ts")) - unix_timestamp(col("err_ts")) <= 300)

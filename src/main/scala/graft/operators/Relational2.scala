@@ -344,8 +344,58 @@ object Relational2 {
       headline = true)
   }
 
+  // ---------------------------------------------------------------
+  // q186: data-profiling pass (per-column completeness + cardinality)
+  // ---------------------------------------------------------------
+
+  /** Table profile — the pre-flight every warehouse runs before
+    * trusting a new feed (null fractions catch broken extractors,
+    * cardinalities catch key collisions and constant columns): per
+    * column of `orders`, row count, null count/fraction, and exact
+    * distinct count. Columns melt to (col, value) rows via `stack`
+    * with an injective string cast — the cast only keys the distinct
+    * aggregation, it is never output, so engine string-format
+    * differences cannot matter — and the profile is two grouped
+    * aggregations over that stream.
+    *
+    * Scale: ONE table scan melted into (col, value) pairs; the first
+    * aggregation is partial (map-side combine caps shuffle volume at
+    * per-column cardinality, not row count); at 100 TB swap the exact
+    * distinct for q169's HLL registers per column — the melt and the
+    * aggregation shape are unchanged, the state drops to 256 B/column. */
+  val q186Profile: QueryDef = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    QueryDef(
+      "q186_profile",
+      (s, dir) => {
+        val melted = t(s, dir, "orders").select(expr(
+          s"stack(${cols.length}, " +
+            cols.map(c => s"'$c', cast($c as string)").mkString(", ") +
+            ") as (col, v)"))
+        melted.groupBy(col("col"), col("v")).agg(count(lit(1)).as("c"))
+          .groupBy(col("col")).agg(
+            sum(col("c")).as("n_rows"),
+            sum(when(col("v").isNull, col("c")).otherwise(0L)).as("n_nulls"),
+            count(when(col("v").isNotNull, lit(1))).as("n_distinct"))
+          .withColumn("null_frac",
+            round(col("n_nulls").cast("double") / col("n_rows"), 6))
+          .orderBy(col("col"))
+      },
+      Some(s"""WITH melted AS (${cols.map(c =>
+          s"SELECT '$c' AS col, CAST($c AS VARCHAR) AS v FROM orders")
+          .mkString(" UNION ALL ")}),
+        vc AS (SELECT col, v, CAST(count(*) AS BIGINT) AS c
+          FROM melted GROUP BY 1, 2)
+        SELECT col, CAST(sum(c) AS BIGINT) AS n_rows,
+          CAST(sum(CASE WHEN v IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_nulls,
+          CAST(count(CASE WHEN v IS NOT NULL THEN 1 END) AS BIGINT) AS n_distinct,
+          round(CAST(sum(CASE WHEN v IS NULL THEN c ELSE 0 END) AS DOUBLE) / sum(c), 6) AS null_frac
+        FROM vc GROUP BY col ORDER BY col"""))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q70BelowAvgParts, q71Having, q72ShipDelay, q73ConditionalAgg,
     q74StringReport, q75Except, q76Percentiles, q77Sketches,
-    q133HeavyHitters, q154CmsFrequency, q169HllDistinct)
+    q133HeavyHitters, q154CmsFrequency, q169HllDistinct, q186Profile)
 }

@@ -1214,8 +1214,90 @@ object LmOps {
     },
     headline = true)
 
+  // ---------------------------------------------------------------
+  // q187: worst-window perplexity (localized gibberish detection)
+  // ---------------------------------------------------------------
+
+  private val WorstWin = 10 // bigrams per sliding window
+
+  /** Per-document WORST sliding-window NLL — where q96 scores whole
+    * documents (CCNet's unit), this finds the worst REGION: a 10-bigram
+    * sliding window of per-bigram NLL under the corpus model, reporting
+    * each document's maximum window and its offset. A document can
+    * carry a healthy average over a corrupted insert (OCR garbage, a
+    * pasted hexdump, template debris); the worst-window statistic is
+    * what a surgical-removal policy (q150's rewrite machinery) keys
+    * on, and the (doc, offset) output is directly actionable.
+    *
+    * Ties and parity: windows rank on the ROUNDED (6) window mean with
+    * the earliest offset winning, so cross-engine selection is
+    * deterministic; per-bigram NLL is q96's exact smoothing formula.
+    *
+    * Scale: the model tables broadcast (q96's argument); positions ride
+    * the existing tokenized table; the sliding mean is a doc_id-keyed
+    * window — partition-local after one slim (doc_id, i, nll) shuffle,
+    * frame a constant 10 rows. Nothing new is corpus-global. */
+  val q187WorstWindow: QueryDef = QueryDef(
+    "q187_worst_window",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = tokenizedOf(docs(s, dir))
+      val bgPos = tok.filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(w) - 1),
+            |  i -> struct(i, element_at(w, i) as w1, element_at(w, i + 1) as w2))""".stripMargin)).as("x"))
+        .select(col("doc_id"), col("x.i").as("i"), col("x.w1"), col("x.w2"))
+      val bg = bigramsOfTokens(tok)
+      val c2t = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val c1t = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val vt = bg.agg(countDistinct(col("w2")).as("v"))
+      val scored = bgPos
+        .join(broadcast(c2t), Seq("w1", "w2"))
+        .join(broadcast(c1t), Seq("w1"))
+        .crossJoin(broadcast(vt))
+        .select(col("doc_id"), col("i"),
+          (-log((col("c2") + Alpha) / (col("c1") + col("v") * Alpha))).as("nll"))
+      val frame = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+        .rowsBetween(0, WorstWin - 1)
+      val wins = scored
+        .withColumn("wn", count(col("nll")).over(frame))
+        .withColumn("wavg", round(avg(col("nll")).over(frame), 6))
+        .filter(col("wn") === WorstWin)
+      wins
+        .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("wavg").desc, col("i"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("i").cast("long").as("worst_start"),
+          col("wavg").as("worst_nll"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $tokSqlCte,
+      bgp AS (SELECT doc_id, t.i AS i, w[t.i] AS w1, w[t.i + 1] AS w2
+        FROM tok, unnest(range(1, len(w))) AS t(i)
+        WHERE len(w) >= 2),
+      v AS (SELECT count(DISTINCT w2) AS v FROM bgp),
+      c1t AS (SELECT w1, count(*) AS c1 FROM bgp GROUP BY w1),
+      c2t AS (SELECT w1, w2, count(*) AS c2 FROM bgp GROUP BY w1, w2),
+      scored AS (SELECT bgp.doc_id, bgp.i,
+          -ln((c2t.c2 + $Alpha) / (c1t.c1 + $Alpha * v.v)) AS nll
+        FROM bgp JOIN c2t ON bgp.w1 = c2t.w1 AND bgp.w2 = c2t.w2
+          JOIN c1t ON bgp.w1 = c1t.w1, v),
+      wins AS (SELECT doc_id, i,
+          round(avg(nll) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN CURRENT ROW AND ${WorstWin - 1} FOLLOWING), 6) AS wavg,
+          count(nll) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN CURRENT ROW AND ${WorstWin - 1} FOLLOWING) AS wn
+        FROM scored),
+      best AS (SELECT doc_id, i, wavg,
+          row_number() OVER (PARTITION BY doc_id ORDER BY wavg DESC, i) AS rn
+        FROM wins WHERE wn = $WorstWin)
+      SELECT doc_id, CAST(i AS BIGINT) AS worst_start, wavg AS worst_nll
+      FROM best WHERE rn = 1 ORDER BY doc_id"""),
+    headline = false)
+
   val all: Seq[QueryDef] =
     Seq(q96LmPerplexity, q97Bm25, q98DupSpans, q99HybridRrf, q101Dsir,
       q102CcnetBuckets, q106DedupAudit, q107MaxDupSpans, q108KnPerplexity,
-      q114DataCard, q150ExactSubstrRewrite, q162SourceKl, q173DoremiWeights)
+      q114DataCard, q150ExactSubstrRewrite, q162SourceKl, q173DoremiWeights,
+      q187WorstWindow)
 }

@@ -158,5 +158,109 @@ object ClassifierOps {
       FROM drawn ORDER BY doc_id"""),
     headline = false)
 
-  val all: Seq[QueryDef] = Seq(q170NbQuality, q177ParetoResample)
+  /** q188: quality-signal agreement audit — the joint read of the two
+    * independent quality signals the pipeline computes (q96 LM NLL,
+    * q170 NB log-odds): Pearson correlation plus a 3×3 tercile
+    * contingency table. RedPajama-v2 ships exactly this kind of
+    * signal-correlation analysis: two gates that agree are redundant
+    * (drop one, save a pass); two that disagree are measuring
+    * different failure modes (keep both); a POSITIVE NLL/quality
+    * correlation would mean one signal is miscalibrated, since high
+    * perplexity should predict LOW quality.
+    *
+    * Determinism: both per-doc signals are already rounded at 6;
+    * tercile cut points are the rounded exact percentiles (q102's
+    * convention); the correlation's sums are the only free floats,
+    * rounded at 4.
+    *
+    * Scale: two existing per-doc score tables (each the output of a
+    * broadcast-model pass) joined on doc_id — one slim shuffle; the
+    * contingency table is 9 rows, the correlation a 1-row epilogue
+    * broadcast onto it. */
+  val q188SignalAgreement: QueryDef = QueryDef(
+    "q188_signal_agreement",
+    (s, dir) => {
+      val d = Tables.loadParallel(s, dir, "documents")
+      val nll = graft.operators.LmOps.avgNllOf(d)
+        .select(col("doc_id"), col("avg_nll"))
+      val nb = nbQualityOf(d, SeedSources)
+        .select(col("doc_id"), col("quality_lr"))
+      val joined = nll.join(nb, Seq("doc_id"))
+      val cuts = joined.agg(
+        round(expr("percentile(avg_nll, 1.0D/3)"), 6).as("p1"),
+        round(expr("percentile(avg_nll, 2.0D/3)"), 6).as("p2"),
+        round(expr("percentile(quality_lr, 1.0D/3)"), 6).as("q1"),
+        round(expr("percentile(quality_lr, 2.0D/3)"), 6).as("q2"))
+      val corr = joined.agg(
+          count(lit(1)).cast("double").as("m"),
+          sum(col("avg_nll")).as("sx"), sum(col("quality_lr")).as("sy"),
+          sum(col("avg_nll") * col("quality_lr")).as("sxy"),
+          sum(col("avg_nll") * col("avg_nll")).as("sxx"),
+          sum(col("quality_lr") * col("quality_lr")).as("syy"))
+        .select(round(
+          (col("sxy") - col("sx") * col("sy") / col("m")) /
+            sqrt((col("sxx") - col("sx") * col("sx") / col("m")) *
+              (col("syy") - col("sy") * col("sy") / col("m"))), 4)
+          .as("pearson_r"))
+      joined.crossJoin(broadcast(cuts))
+        .select(
+          when(col("avg_nll") <= col("p1"), 0L)
+            .when(col("avg_nll") <= col("p2"), 1L).otherwise(2L).as("nll_bin"),
+          when(col("quality_lr") <= col("q1"), 0L)
+            .when(col("quality_lr") <= col("q2"), 1L).otherwise(2L).as("nb_bin"))
+        .groupBy(col("nll_bin"), col("nb_bin"))
+        .agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(corr))
+        .orderBy(col("nll_bin"), col("nb_bin"))
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, source IN ('src0', 'src1', 'src2') AS pos,
+          unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents),
+      counts AS (SELECT tok,
+          CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cpos,
+          CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cneg
+        FROM toks GROUP BY tok),
+      tot AS (SELECT CAST(sum(cpos) AS BIGINT) AS npos,
+          CAST(sum(cneg) AS BIGINT) AS nneg,
+          CAST(count(*) AS BIGINT) AS v FROM counts),
+      w AS (SELECT tok,
+          ln((cpos + 1.0) / CAST(npos + v AS DOUBLE)) -
+          ln((cneg + 1.0) / CAST(nneg + v AS DOUBLE)) AS w
+        FROM counts, tot),
+      nb AS (SELECT t.doc_id, round(avg(w.w), 6) AS quality_lr
+        FROM toks t JOIN w USING (tok) GROUP BY t.doc_id),
+      tok2 AS (SELECT doc_id,
+          regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
+      bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        FROM tok2, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+      v2 AS (SELECT count(DISTINCT w2) AS v FROM bg),
+      c1t AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+      c2t AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+      nll AS (SELECT bg.doc_id,
+          round(avg(-ln((c2t.c2 + 0.1) / (c1t.c1 + 0.1 * v2.v))), 6) AS avg_nll
+        FROM bg JOIN c2t ON bg.w1 = c2t.w1 AND bg.w2 = c2t.w2
+          JOIN c1t ON bg.w1 = c1t.w1, v2
+        GROUP BY bg.doc_id),
+      j AS (SELECT n.doc_id, n.avg_nll, b.quality_lr
+        FROM nll n JOIN nb b USING (doc_id)),
+      cuts AS (SELECT round(quantile_cont(avg_nll, 1.0/3), 6) AS p1,
+          round(quantile_cont(avg_nll, 2.0/3), 6) AS p2,
+          round(quantile_cont(quality_lr, 1.0/3), 6) AS q1,
+          round(quantile_cont(quality_lr, 2.0/3), 6) AS q2 FROM j),
+      corr AS (SELECT round(
+          (sxy - sx * sy / m) / sqrt((sxx - sx * sx / m) * (syy - sy * sy / m)), 4)
+          AS pearson_r FROM (
+            SELECT CAST(count(*) AS DOUBLE) AS m, sum(avg_nll) AS sx,
+              sum(quality_lr) AS sy, sum(avg_nll * quality_lr) AS sxy,
+              sum(avg_nll * avg_nll) AS sxx,
+              sum(quality_lr * quality_lr) AS syy FROM j) a)
+      SELECT CAST(CASE WHEN avg_nll <= p1 THEN 0 WHEN avg_nll <= p2 THEN 1 ELSE 2 END AS BIGINT) AS nll_bin,
+        CAST(CASE WHEN quality_lr <= q1 THEN 0 WHEN quality_lr <= q2 THEN 1 ELSE 2 END AS BIGINT) AS nb_bin,
+        CAST(count(*) AS BIGINT) AS n_docs, max(corr.pearson_r) AS pearson_r
+      FROM j, cuts, corr
+      GROUP BY 1, 2 ORDER BY 1, 2"""),
+    headline = false)
+
+  val all: Seq[QueryDef] =
+    Seq(q170NbQuality, q177ParetoResample, q188SignalAgreement)
 }

@@ -1295,9 +1295,86 @@ object LmOps {
       FROM best WHERE rn = 1 ORDER BY doc_id"""),
     headline = false)
 
+  // ---------------------------------------------------------------
+  // q189: relative-entropy bigram pruning (Stolcke-style)
+  // ---------------------------------------------------------------
+
+  private val PruneTheta = 0.00001 // relative-entropy keep threshold
+
+  /** LM pruning by relative entropy (Stolcke 1998's criterion in its
+    * bigram-vs-unigram-backoff form — the step that turns a trained
+    * count model into the SMALL model a pipeline actually ships, as
+    * CCNet does with pruned KenLM binaries): a bigram earns its table
+    * row by the weighted evidence it adds over the backoff,
+    *
+    *   d(w1,w2) = (c2/N) · ln( p(w2|w1) / p_uni(w2) )
+    *
+    * with both probabilities from the q96 add-alpha family. Low-|d|
+    * rows predict almost exactly what the unigram already predicts —
+    * dropping them shrinks the broadcast model with bounded entropy
+    * cost. Output: the 30 highest-evidence bigrams (the rows pruning
+    * must keep) with their kept flags, plus the global kept/total
+    * counts under θ — the size-vs-fidelity audit read before
+    * shipping.
+    *
+    * Determinism: d ranks ROUNDED (6) with (w1, w2) tiebreaks; the
+    * counters compare the rounded d to the θ literal.
+    *
+    * Scale: everything aggregates over the BIGRAM TABLE (already
+    * vocab-sized, the q96 Heaps argument) — the corpus is not
+    * re-scanned; the unigram marginal is one more vocab-sized
+    * aggregate; the top-30 is a TakeOrdered epilogue. */
+  val q189ModelPrune: QueryDef = QueryDef(
+    "q189_model_prune",
+    (s, dir) => {
+      val bg = bigramsOfTokens(tokenizedOf(docs(s, dir)))
+      val c2t = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val c1t = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val u2t = c2t.groupBy(col("w2")).agg(sum(col("c2")).as("u2"))
+      val tot = bg.agg(count(lit(1)).as("n"), countDistinct(col("w2")).as("v"))
+      val scored = c2t
+        .join(c1t, Seq("w1"))
+        .join(u2t, Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .withColumn("d", round(
+          (col("c2").cast("double") / col("n")) *
+            log(((col("c2") + Alpha) / (col("c1") + col("v") * Alpha)) /
+              ((col("u2") + Alpha) / (col("n") + col("v") * Alpha))), 6))
+      val counts = scored.agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("d") >= PruneTheta, 1L).otherwise(0L)).as("n_kept"))
+      scored
+        .select(col("w1"), col("w2"), col("c2"), col("d"),
+          (col("d") >= PruneTheta).as("kept"))
+        .orderBy(col("d").desc, col("w1"), col("w2")).limit(30)
+        .crossJoin(broadcast(counts))
+        .orderBy(col("d").desc, col("w1"), col("w2"))
+    },
+    Some(s"""WITH $tokSqlCte,
+      bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        FROM tok, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+      c2t AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+      c1t AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+      u2t AS (SELECT w2, CAST(sum(c2) AS BIGINT) AS u2 FROM c2t GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(count(DISTINCT w2) AS BIGINT) AS v FROM bg),
+      scored AS (SELECT c2t.w1, c2t.w2, c2t.c2,
+          round((CAST(c2t.c2 AS DOUBLE) / tot.n) *
+            ln(((c2t.c2 + $Alpha) / (c1t.c1 + $Alpha * tot.v)) /
+               ((u2t.u2 + $Alpha) / (tot.n + $Alpha * tot.v))), 6) AS d
+        FROM c2t JOIN c1t USING (w1) JOIN u2t USING (w2), tot),
+      counts AS (SELECT CAST(count(*) AS BIGINT) AS n_bigrams,
+          CAST(sum(CASE WHEN d >= $PruneTheta THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM scored),
+      top AS (SELECT w1, w2, c2, d, d >= $PruneTheta AS kept
+        FROM scored ORDER BY d DESC, w1, w2 LIMIT 30)
+      SELECT t.w1, t.w2, t.c2, t.d, t.kept, c.n_bigrams, c.n_kept
+      FROM top t, counts c ORDER BY t.d DESC, t.w1, t.w2"""),
+    headline = false)
+
   val all: Seq[QueryDef] =
     Seq(q96LmPerplexity, q97Bm25, q98DupSpans, q99HybridRrf, q101Dsir,
       q102CcnetBuckets, q106DedupAudit, q107MaxDupSpans, q108KnPerplexity,
       q114DataCard, q150ExactSubstrRewrite, q162SourceKl, q173DoremiWeights,
-      q187WorstWindow)
+      q187WorstWindow, q189ModelPrune)
 }

@@ -36,7 +36,8 @@ object SparkEntry {
       operators.UrlOps.all ++
       operators.SuffixOps.all ++
       operators.ClassifierOps.all ++
-      operators.ClusterOps.all
+      operators.ClusterOps.all ++
+      operators.HtmlOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The index-pipeline capstone: chunk → mock-embed → top-k retrieve —

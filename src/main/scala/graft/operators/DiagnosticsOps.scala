@@ -127,5 +127,76 @@ object DiagnosticsOps {
       FROM prev FULL OUTER JOIN curr USING (doc_id)
       GROUP BY 1, 2 ORDER BY source, status"""))
 
-  val all: Seq[QueryDef] = Seq(q142SkewAudit, q152SnapshotDiff)
+  // ---------------------------------------------------------------
+  // q191: change-magnitude audit (how much did changed docs change?)
+  // ---------------------------------------------------------------
+
+  /** Shingle-Jaccard magnitude of every `changed` document between the
+    * q152 snapshots — the follow-up question the diff's counts raise:
+    * a `changed` doc might be a one-line touch-up (re-extract cheaply,
+    * keep downstream caches) or a full rewrite (re-run the whole
+    * pipeline); rsync/content-defined-dedup tooling makes exactly this
+    * distinction. Similarity = Jaccard over distinct 3-token shingles
+    * of the previous vs current text, classed at 0.5 into minor/major.
+    *
+    * Both versions of a document live in the SAME row (the q152
+    * snapshot synthesis is a projection), so the comparison is pure
+    * per-row array arithmetic — NO join, no shuffle, nothing pairwise
+    * across documents; at 100 TB with real snapshot tables this
+    * becomes the q152 doc_id-keyed equi join (id-keyed, never N²)
+    * feeding the same row-local arithmetic.
+    *
+    * Parity: shingle sets are exact string arrays; |∩|/|∪| is one
+    * integer division rounded at 6; the empty-vs-empty edge scores 1
+    * by convention on both engines. */
+  val q191ChangeMagnitude: QueryDef = QueryDef(
+    "q191_change_magnitude",
+    (s, dir) => {
+      def shingles(tokCol: String): org.apache.spark.sql.Column = expr(
+        s"""array_distinct(transform(sequence(1, greatest(size($tokCol) - 2, 0)),
+           |  i -> concat_ws(' ', element_at($tokCol, i),
+           |    element_at($tokCol, i + 1), element_at($tokCol, i + 2))))""".stripMargin)
+      Tables.loadParallel(s, dir, "documents")
+        .filter(col("doc_id") % 10 =!= 9 && col("doc_id") % 13 =!= 5 &&
+          col("doc_id") % 7 === 3)
+        .withColumn("prev_text",
+          expr("substr(text, 1, greatest(cast(1 as bigint), n_chars div 2))"))
+        .withColumn("pw", split(trim(col("prev_text")), "\\s+"))
+        .withColumn("cw", split(trim(col("text")), "\\s+"))
+        .withColumn("ps", shingles("pw"))
+        .withColumn("cs", shingles("cw"))
+        .withColumn("n_inter", size(array_intersect(col("ps"), col("cs"))).cast("long"))
+        .withColumn("n_union", size(array_union(col("ps"), col("cs"))).cast("long"))
+        .withColumn("similarity",
+          when(col("n_union") === 0L, lit(1.0))
+            .otherwise(round(col("n_inter").cast("double") / col("n_union"), 6)))
+        .select(col("doc_id"), col("n_inter"), col("n_union"), col("similarity"),
+          when(col("similarity") >= 0.5, "minor").otherwise("major").as("churn"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH ch AS (SELECT doc_id,
+          regexp_split_to_array(trim(substr(text, 1, greatest(1, n_chars // 2))), '\s+') AS pw,
+          regexp_split_to_array(trim(text), '\s+') AS cw
+        FROM documents
+        WHERE doc_id % 10 <> 9 AND doc_id % 13 <> 5 AND doc_id % 7 = 3),
+      sh AS (SELECT doc_id,
+          list_distinct(list_transform(range(1, greatest(len(pw) - 2, 0) + 1),
+            i -> pw[i] || ' ' || pw[i + 1] || ' ' || pw[i + 2])) AS ps,
+          list_distinct(list_transform(range(1, greatest(len(cw) - 2, 0) + 1),
+            i -> cw[i] || ' ' || cw[i + 1] || ' ' || cw[i + 2])) AS cs
+        FROM ch),
+      j AS (SELECT doc_id,
+          CAST(len(list_intersect(ps, cs)) AS BIGINT) AS n_inter,
+          CAST(len(list_distinct(list_concat(ps, cs))) AS BIGINT) AS n_union
+        FROM sh)
+      SELECT doc_id, n_inter, n_union,
+        CASE WHEN n_union = 0 THEN 1.0
+             ELSE round(CAST(n_inter AS DOUBLE) / n_union, 6) END AS similarity,
+        CASE WHEN (CASE WHEN n_union = 0 THEN 1.0
+             ELSE round(CAST(n_inter AS DOUBLE) / n_union, 6) END) >= 0.5
+          THEN 'minor' ELSE 'major' END AS churn
+      FROM j ORDER BY doc_id"""),
+    headline = false)
+
+  val all: Seq[QueryDef] = Seq(q142SkewAudit, q152SnapshotDiff, q191ChangeMagnitude)
 }

@@ -60,6 +60,30 @@ object ClassifierOps {
         round(avg(col("w")), 6).as("quality_lr"))
   }
 
+  /** The NB train/score pass as shared oracle CTE text, ending in
+    * `nbscore(doc_id, n_toks, quality_lr)` — one copy of the smoothing
+    * formula and the seed-source list, used verbatim by the q170,
+    * q177, and q188 oracles so the three cannot drift (the
+    * ClusterOps.lloydSqlCtes / LmOps.nllSqlCtes convention). */
+  private val nbSqlCtes =
+    """toks AS (SELECT doc_id, source IN ('src0', 'src1', 'src2') AS pos,
+      |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |counts AS (SELECT tok,
+      |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cpos,
+      |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cneg
+      |  FROM toks GROUP BY tok),
+      |tot AS (SELECT CAST(sum(cpos) AS BIGINT) AS npos,
+      |    CAST(sum(cneg) AS BIGINT) AS nneg,
+      |    CAST(count(*) AS BIGINT) AS v FROM counts),
+      |w AS (SELECT tok,
+      |    ln((cpos + 1.0) / CAST(npos + v AS DOUBLE)) -
+      |    ln((cneg + 1.0) / CAST(nneg + v AS DOUBLE)) AS w
+      |  FROM counts, tot),
+      |nbscore AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+      |    round(avg(w.w), 6) AS quality_lr
+      |  FROM toks t JOIN w USING (tok) GROUP BY t.doc_id)""".stripMargin
+
   /** q170: NB log-odds quality scoring — train on the seed labeling,
     * score every document, flag the keep decision at threshold 0. */
   val q170NbQuality: QueryDef = QueryDef(
@@ -69,25 +93,9 @@ object ClassifierOps {
         .withColumn("keep", round(col("quality_lr"), 6) > 0.0)
         .orderBy(col("doc_id"))
     },
-    Some("""WITH toks AS (SELECT doc_id, source IN ('src0', 'src1', 'src2') AS pos,
-          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
-        FROM documents),
-      counts AS (SELECT tok,
-          CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cpos,
-          CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cneg
-        FROM toks GROUP BY tok),
-      tot AS (SELECT CAST(sum(cpos) AS BIGINT) AS npos,
-          CAST(sum(cneg) AS BIGINT) AS nneg,
-          CAST(count(*) AS BIGINT) AS v FROM counts),
-      w AS (SELECT tok,
-          ln((cpos + 1.0) / CAST(npos + v AS DOUBLE)) -
-          ln((cneg + 1.0) / CAST(nneg + v AS DOUBLE)) AS w
-        FROM counts, tot)
-      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
-        round(avg(w.w), 6) AS quality_lr,
-        round(avg(w.w), 6) > 0.0 AS keep
-      FROM toks t JOIN w USING (tok)
-      GROUP BY t.doc_id ORDER BY t.doc_id"""),
+    Some(s"""WITH $nbSqlCtes
+      SELECT doc_id, n_toks, quality_lr, quality_lr > 0.0 AS keep
+      FROM nbscore ORDER BY doc_id"""),
     headline = true)
 
   /** q177: Pareto-thresholded classifier resampling — the EXACT
@@ -131,28 +139,12 @@ object ClassifierOps {
           (col("draw") > lit(1.0) - col("score")).as("kept"))
         .orderBy(col("doc_id"))
     },
-    Some(s"""WITH toks AS (SELECT doc_id, source IN ('src0', 'src1', 'src2') AS pos,
-          unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
-        FROM documents),
-      counts AS (SELECT tok,
-          CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cpos,
-          CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cneg
-        FROM toks GROUP BY tok),
-      tot AS (SELECT CAST(sum(cpos) AS BIGINT) AS npos,
-          CAST(sum(cneg) AS BIGINT) AS nneg,
-          CAST(count(*) AS BIGINT) AS v FROM counts),
-      w AS (SELECT tok,
-          ln((cpos + 1.0) / CAST(npos + v AS DOUBLE)) -
-          ln((cneg + 1.0) / CAST(nneg + v AS DOUBLE)) AS w
-        FROM counts, tot),
-      sc AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
-          round(avg(w.w), 6) AS quality_lr
-        FROM toks t JOIN w USING (tok) GROUP BY t.doc_id),
+    Some(s"""WITH $nbSqlCtes,
       drawn AS (SELECT doc_id,
           1.0 / (1.0 + exp(-(quality_lr * n_toks))) AS score,
           power(1.0 - ((CAST(${MixOps.bucketExpr("sha256(CAST(doc_id AS VARCHAR))", 65536)} AS DOUBLE) + 0.5) / 65536.0),
             CAST(-1.0 AS DOUBLE) / 9.0) - 1.0 AS draw
-        FROM sc)
+        FROM nbscore)
       SELECT doc_id, round(score, 6) AS score, round(draw, 6) AS draw,
         draw > 1.0 - score AS kept
       FROM drawn ORDER BY doc_id"""),
@@ -213,22 +205,8 @@ object ClassifierOps {
         .crossJoin(broadcast(corr))
         .orderBy(col("nll_bin"), col("nb_bin"))
     },
-    Some(s"""WITH toks AS (SELECT doc_id, source IN ('src0', 'src1', 'src2') AS pos,
-          unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
-        FROM documents),
-      counts AS (SELECT tok,
-          CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cpos,
-          CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cneg
-        FROM toks GROUP BY tok),
-      tot AS (SELECT CAST(sum(cpos) AS BIGINT) AS npos,
-          CAST(sum(cneg) AS BIGINT) AS nneg,
-          CAST(count(*) AS BIGINT) AS v FROM counts),
-      w AS (SELECT tok,
-          ln((cpos + 1.0) / CAST(npos + v AS DOUBLE)) -
-          ln((cneg + 1.0) / CAST(nneg + v AS DOUBLE)) AS w
-        FROM counts, tot),
-      nb AS (SELECT t.doc_id, round(avg(w.w), 6) AS quality_lr
-        FROM toks t JOIN w USING (tok) GROUP BY t.doc_id),
+    Some(s"""WITH $nbSqlCtes,
+      nb AS (SELECT doc_id, quality_lr FROM nbscore),
       tok2 AS (SELECT doc_id,
           regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
       bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2

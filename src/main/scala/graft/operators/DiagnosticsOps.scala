@@ -152,10 +152,16 @@ object DiagnosticsOps {
   val q191ChangeMagnitude: QueryDef = QueryDef(
     "q191_change_magnitude",
     (s, dir) => {
+      // guard size < 3 explicitly: sequence(1, 0) is the DESCENDING
+      // [1, 0] in Spark, and element_at would then throw — the same
+      // guard DedupOps.shingled carries (the oracle's range(1, n+1)
+      // is naturally empty for short docs)
       def shingles(tokCol: String): org.apache.spark.sql.Column = expr(
-        s"""array_distinct(transform(sequence(1, greatest(size($tokCol) - 2, 0)),
-           |  i -> concat_ws(' ', element_at($tokCol, i),
-           |    element_at($tokCol, i + 1), element_at($tokCol, i + 2))))""".stripMargin)
+        s"""case when size($tokCol) >= 3
+           |  then array_distinct(transform(sequence(1, size($tokCol) - 2),
+           |    i -> concat_ws(' ', element_at($tokCol, i),
+           |      element_at($tokCol, i + 1), element_at($tokCol, i + 2))))
+           |  else cast(array() as array<string>) end""".stripMargin)
       Tables.loadParallel(s, dir, "documents")
         .filter(col("doc_id") % 10 =!= 9 && col("doc_id") % 13 =!= 5 &&
           col("doc_id") % 7 === 3)

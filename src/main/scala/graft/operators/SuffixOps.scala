@@ -62,10 +62,24 @@ object SuffixOps {
     * identical suffixes (same token sequence to end-of-doc) share a
     * rank. */
   private[operators] def suffixRanks(s: SparkSession, dir: String): DataFrame = {
-    val tokens = tok(s, dir)
+    val tw = tok(s, dir)
+    val tokens = tw
       .select(col("doc_id"), posexplode(col("w")).as(Seq("i0", "tk")))
       .select(col("doc_id"), (col("i0") + 1).as("i"), col("tk"))
-    val maxLen = tok(s, dir).agg(max(size(col("w")))).first().getInt(0).toLong
+    // max(...) over an empty table aggregates to NULL — return the
+    // empty rank frame instead of NPE-ing on getInt (the oracle's
+    // empty result)
+    val maxLenRow = tw.agg(max(size(col("w")))).first()
+    if (maxLenRow.isNullAt(0))
+      return s.createDataFrame(s.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("i",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("rk",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    val maxLen = maxLenRow.getInt(0).toLong
 
     val tokRanks = zipWithRank(
       tokens.select(col("tk")).distinct().orderBy(col("tk")), "rk")
@@ -202,7 +216,12 @@ object SuffixOps {
     * paid. */
   private def nearestFlaggedLcp(rows: DataFrame): DataFrame = {
     val s = rows.sparkSession
-    val rdd = rows.rdd
+    // persist: both passes (summary collect, per-row emit) read this
+    // lineage — unpersisted, the caller's full sort would execute
+    // twice per invocation, and the state composition would silently
+    // depend on the recomputation being deterministic
+    val rdd = rows.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sums = rdd.mapPartitionsWithIndex { (pid, it) =>
       var seen = false; var cur = Long.MaxValue
       it.foreach { r =>

@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions._
 final class RateAnomaly(histLen: Int = 24, minHist: Int = 12,
     sigma: Double = 3.0) {
 
-  /** (event_type, hour-epoch-micros) → accumulated count. */
+  /** (event_type, hour-epoch-MILLIS — `Timestamp.getTime`'s unit) →
+    * accumulated count. */
   private val state =
     scala.collection.mutable.Map[(String, Long), Long]()
 

@@ -686,6 +686,67 @@ object DedupOps {
       FROM c ORDER BY bucket"""))
 
   // ---------------------------------------------------------------
+  // q192: cross-source duplication audit (syndication measurement)
+  // ---------------------------------------------------------------
+
+  /** WHERE duplication lives: within a source (re-crawls, mirrors of
+    * the same site — dedup is routine) or ACROSS sources (syndication,
+    * scraped re-hosting, licensing leakage — the copies a per-source
+    * pipeline never sees and a contamination review must): per
+    * q91-cluster, the distinct source count, rolled into the
+    * within-vs-cross split of clusters, duplicate docs, and redundant
+    * copies. RedPajama/Dolma-class corpus reports break duplication
+    * down exactly this way before deciding whether dedup can shard by
+    * source (cross-source rate ≈ 0) or must run globally.
+    *
+    * All-integer — parity exact. Scale: one (canonical)-keyed count
+    * over q91's label table joined to the per-doc source column (the
+    * q22 shuffle class); the rollup aggregates the cluster-count-sized
+    * table. The expensive work is q91's, already paid. */
+  val q192CrossSourceDups: QueryDef = QueryDef(
+    "q192_cross_source_dups",
+    (s, dir) => {
+      val pairs = q90SimhashHamming.fn(s, dir).select(col("doc_a"), col("doc_b"))
+      val labels = minLabelComponents(pairs)
+        .select(col("id").as("doc_id"), col("label"))
+      val members = docs(s, dir).select(col("doc_id"), col("source"))
+        .join(labels, Seq("doc_id")) // cluster members only
+      val perCluster = members.groupBy(col("label")).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"))
+        // real clusters only (the oracle's reach closure labels every
+        // doc incl. self-reachable singletons; Spark's label table
+        // already holds pair members only — ≥2 by construction)
+        .filter(col("n_docs") >= 2L)
+      perCluster
+        .withColumn("span",
+          when(col("n_sources") === 1L, "within_source").otherwise("cross_source"))
+        .groupBy(col("span"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("n_docs")).as("n_docs"),
+          sum(col("n_docs") - 1).as("redundant_copies"),
+          max(col("n_sources")).as("max_sources"))
+        .orderBy(col("span"))
+    },
+    Some(s"""WITH RECURSIVE
+      $clusterReachSqlCtes,
+      labels AS (SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS label
+        FROM reach GROUP BY src),
+      members AS (SELECT l.doc_id, l.label, d.source
+        FROM labels l JOIN documents d USING (doc_id)),
+      pc AS (SELECT label, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        FROM members GROUP BY label HAVING count(*) >= 2)
+      SELECT CASE WHEN n_sources = 1 THEN 'within_source'
+                  ELSE 'cross_source' END AS span,
+        CAST(count(*) AS BIGINT) AS n_clusters,
+        CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        CAST(sum(n_docs - 1) AS BIGINT) AS redundant_copies,
+        CAST(max(n_sources) AS BIGINT) AS max_sources
+      FROM pc GROUP BY 1 ORDER BY span"""),
+    headline = false)
+
+  // ---------------------------------------------------------------
   // q183: LSH banding recall audit (candidates vs exact Jaccard truth)
   // ---------------------------------------------------------------
 
@@ -775,5 +836,6 @@ object DedupOps {
     q50MinhashSignature, q51LshJaccardPairs, q52MinhashAggregate,
     q53Simhash, q54NgramJaccard, q55EmbeddingNeardup, q90SimhashHamming,
     q91DupClusters, q112EditDistPairs, q129DedupSaturation,
-    q131MinhashCalibration, q134ClusterHistogram, q183LshRecall)
+    q131MinhashCalibration, q134ClusterHistogram, q183LshRecall,
+    q192CrossSourceDups)
 }

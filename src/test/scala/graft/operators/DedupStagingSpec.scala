@@ -227,4 +227,25 @@ class DedupStagingSpec extends SparkSpec {
     assert(rows.last.getDouble(4) >= 0.9,
       s"recall at tau=0.7 is ${rows.last.getDouble(4)} — banding badly tuned")
   }
+
+  test("q192: span rollup is consistent with the q91 cluster structure") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = DedupOps.q192CrossSourceDups.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nc, nd, red) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nd >= 2 * nc, "every counted cluster has >= 2 members")
+      assert(red === nd - nc, "redundant copies = members minus one per cluster")
+      if (r.getString(0) == "within_source")
+        assert(r.getLong(4) === 1L, "within-source clusters span one source")
+      else assert(r.getLong(4) >= 2L)
+    }
+    // totals match q91's non-singleton membership
+    val members = DedupOps.q91DupClusters.fn(spark, dir).collect()
+      .groupBy(_.getLong(1)).filter(_._2.length >= 2)
+    assert(rows.map(_.getLong(2)).sum === members.values.map(_.length.toLong).sum,
+      "span rollup must cover exactly the clustered docs")
+    assert(rows.map(_.getLong(1)).sum === members.size.toLong,
+      "cluster counts must match q91's component count")
+  }
 }

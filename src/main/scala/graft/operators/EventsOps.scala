@@ -79,8 +79,6 @@ object EventsOps {
         FROM events) x
       WHERE event_type = 'purchase' ORDER BY event_id"""))
 
-  /** Interval/range join with an equi-key: events within 5 minutes after
-    * each error for the same user (sort-merge-able, never nested-loop). */
   /** Range join, BUCKETIZED (the published range-join optimization —
     * bin the time axis at the range width, join equi on (key, bin)
     * with the probe side exploded to its two candidate bins, exact
@@ -246,6 +244,74 @@ object EventsOps {
       GROUP BY c.cohort_day, day_offset
       ORDER BY c.cohort_day, day_offset"""),
     headline = true)
+
+  // ---------------------------------------------------------------
+  // q193: retention half-life fit (exponential-decay summary)
+  // ---------------------------------------------------------------
+
+  /** Exponential decay fit over the q136 retention matrix — the
+    * one-number summary a growth dashboard quotes per cohort: model
+    * retention(t) ≈ e^(b·t), fit ln(n_t/n_0) = a + b·t by least
+    * squares over offsets ≥ 1, and report the decay rate and its
+    * half-life −ln2/b. A cohort whose half-life shrinks release over
+    * release is churning faster — the trend the raw matrix buries in
+    * 60 columns. Cohorts need ≥ 5 observed offsets to fit; a
+    * non-negative slope (no decay) reports a null half-life rather
+    * than a fabricated one.
+    *
+    * Parity: the q181 regression recipe — exact integer counts in,
+    * one ln per point, closed-form sums rounded at 4.
+    *
+    * Scale: rides q136's output (cohorts × offsets rows — tiny); the
+    * fit is a grouped closed-form aggregate over that table, nothing
+    * touches the event stream again. */
+  val q193RetentionHalfLife: QueryDef = QueryDef(
+    "q193_retention_half_life",
+    (s, dir) => {
+      val ret = q136Retention.fn(s, dir)
+      val base = ret.filter(col("day_offset") === 0L)
+        .select(col("cohort_day"), col("n_users").as("n0"))
+      val pts = ret.filter(col("day_offset") >= 1L)
+        .join(base, Seq("cohort_day"))
+        .select(col("cohort_day"), col("n0"),
+          col("day_offset").cast("double").as("x"),
+          log(col("n_users").cast("double") / col("n0")).as("y"))
+      pts.groupBy(col("cohort_day"), col("n0"))
+        .agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .filter(col("m") >= 5L)
+        .withColumn("b",
+          (col("sxy") - col("sx") * col("sy") / col("m")) /
+            (col("sxx") - col("sx") * col("sx") / col("m")))
+        .select(col("cohort_day"), col("n0"), col("m").as("n_points"),
+          round(col("b"), 4).as("decay"),
+          when(col("b") < 0.0, round(-log(lit(2.0)) / col("b"), 4))
+            .as("half_life_days"))
+        .orderBy(col("cohort_day"))
+    },
+    Some("""WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      cohort AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id),
+      ret AS (SELECT c.cohort_day,
+          CAST(date_diff('day', c.cohort_day, d.day) AS BIGINT) AS day_offset,
+          CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+        FROM d JOIN cohort c ON d.user_id = c.user_id
+        GROUP BY c.cohort_day, day_offset),
+      base AS (SELECT cohort_day, n_users AS n0 FROM ret WHERE day_offset = 0),
+      pts AS (SELECT r.cohort_day, b.n0,
+          CAST(r.day_offset AS DOUBLE) AS x,
+          ln(CAST(r.n_users AS DOUBLE) / b.n0) AS y
+        FROM ret r JOIN base b USING (cohort_day) WHERE r.day_offset >= 1),
+      f AS (SELECT cohort_day, n0, CAST(count(*) AS BIGINT) AS m,
+          sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM pts GROUP BY 1, 2),
+      fit AS (SELECT cohort_day, n0, m,
+          (sxy - sx * sy / m) / (sxx - sx * sx / m) AS b
+        FROM f WHERE m >= 5)
+      SELECT cohort_day, n0, m AS n_points, round(b, 4) AS decay,
+        CASE WHEN b < 0.0 THEN round(-ln(2.0) / b, 4) END AS half_life_days
+      FROM fit ORDER BY cohort_day"""),
+    headline = false)
 
   // ---------------------------------------------------------------
   // q137: next-event transition matrix (first-order Markov counts)
@@ -480,5 +546,5 @@ object EventsOps {
   val all: Seq[QueryDef] = Seq(
     q60Sessionize, q61AsofJoin, q62RangeJoin, q63Pivot, q64Cube,
     q135Funnel, q136Retention, q137Transitions, q138SlidingWindows,
-    q139AsofNative, q149AsofTolerance, q180RateAnomaly)
+    q139AsofNative, q149AsofTolerance, q180RateAnomaly, q193RetentionHalfLife)
 }

@@ -246,6 +246,68 @@ object EventsOps {
     headline = true)
 
   // ---------------------------------------------------------------
+  // q194: funnel conversion-latency percentiles
+  // ---------------------------------------------------------------
+
+  /** Time-to-convert distribution per funnel transition — the question
+    * q135's completion counts beg: not just HOW MANY users advanced
+    * signup→view→purchase but HOW LONG each hop took, as median/p90
+    * (the percentile pair product analytics quotes, means being
+    * useless under heavy-tailed latencies). Latencies are exact
+    * integer seconds between the q135 earliest-completion timestamps;
+    * percentiles are the interpolated exact form rounded at 6 (the
+    * q102 convention).
+    *
+    * Scale: rides q135's per-user funnel table (the user-keyed
+    * aggregates already paid); the percentile aggregates over the
+    * completed-user latency column, grouped into exactly two rows. */
+  val q194FunnelLatency: QueryDef = QueryDef(
+    "q194_funnel_latency",
+    (s, dir) => {
+      val f = q135Funnel.fn(s, dir)
+      // timestamp→double keeps the microsecond fraction exactly like
+      // DuckDB's epoch() (unix_timestamp would TRUNCATE to seconds and
+      // diverge from the oracle)
+      val l1 = f.filter(col("t_view").isNotNull)
+        .select(lit("1_signup_to_view").as("step"),
+          (col("t_view").cast("double") - col("t_signup").cast("double"))
+            .as("lat"))
+      val l2 = f.filter(col("t_purchase").isNotNull)
+        .select(lit("2_view_to_purchase").as("step"),
+          (col("t_purchase").cast("double") - col("t_view").cast("double"))
+            .as("lat"))
+      l1.unionByName(l2)
+        .groupBy(col("step"))
+        .agg(count(lit(1)).as("n_users"),
+          round(avg(col("lat")), 2).as("mean_secs"),
+          round(expr("percentile(lat, 0.5D)"), 6).as("p50_secs"),
+          round(expr("percentile(lat, 0.9D)"), 6).as("p90_secs"))
+        .orderBy(col("step"))
+    },
+    Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id),
+      lat AS (
+        SELECT '1_signup_to_view' AS step,
+          epoch(s2.t2) - epoch(s1.t1) AS lat
+        FROM s2 JOIN s1 USING (user_id)
+        UNION ALL
+        SELECT '2_view_to_purchase' AS step,
+          epoch(s3.t3) - epoch(s2.t2) AS lat
+        FROM s3 JOIN s2 USING (user_id))
+      SELECT step, CAST(count(*) AS BIGINT) AS n_users,
+        round(avg(lat), 2) AS mean_secs,
+        round(quantile_cont(lat, 0.5), 6) AS p50_secs,
+        round(quantile_cont(lat, 0.9), 6) AS p90_secs
+      FROM lat GROUP BY step ORDER BY step"""),
+    headline = false)
+
+  // ---------------------------------------------------------------
   // q193: retention half-life fit (exponential-decay summary)
   // ---------------------------------------------------------------
 
@@ -546,5 +608,6 @@ object EventsOps {
   val all: Seq[QueryDef] = Seq(
     q60Sessionize, q61AsofJoin, q62RangeJoin, q63Pivot, q64Cube,
     q135Funnel, q136Retention, q137Transitions, q138SlidingWindows,
-    q139AsofNative, q149AsofTolerance, q180RateAnomaly, q193RetentionHalfLife)
+    q139AsofNative, q149AsofTolerance, q180RateAnomaly, q193RetentionHalfLife,
+    q194FunnelLatency)
 }

@@ -706,17 +706,19 @@ object DedupOps {
   val q192CrossSourceDups: QueryDef = QueryDef(
     "q192_cross_source_dups",
     (s, dir) => {
-      val pairs = q90SimhashHamming.fn(s, dir).select(col("doc_a"), col("doc_b"))
-      val labels = minLabelComponents(pairs)
-        .select(col("id").as("doc_id"), col("label"))
+      // ride q91's OUTPUT rather than re-deriving labels from pairs:
+      // one copy of the label chain, so q192 can never diverge from
+      // the clusters it claims to roll up (q134's convention)
+      val labels = q91DupClusters.fn(s, dir)
+        .select(col("doc_id"), col("canonical").as("label"))
       val members = docs(s, dir).select(col("doc_id"), col("source"))
-        .join(labels, Seq("doc_id")) // cluster members only
+        .join(labels, Seq("doc_id"))
       val perCluster = members.groupBy(col("label")).agg(
         count(lit(1)).as("n_docs"),
         countDistinct(col("source")).as("n_sources"))
-        // real clusters only (the oracle's reach closure labels every
-        // doc incl. self-reachable singletons; Spark's label table
-        // already holds pair members only — ≥2 by construction)
+        // real clusters only (q91 labels every doc; singletons are
+        // self-canonical size-1 groups, same as the oracle's reach
+        // closure — both sides drop them here)
         .filter(col("n_docs") >= 2L)
       perCluster
         .withColumn("span",

@@ -103,7 +103,10 @@ object EventsOps {
           col("err_user") === col("user_id") && col("eb") === col("b") &&
             col("event_id") =!= col("err_id") &&
             col("ts") >= col("err_ts") &&
-            unix_timestamp(col("ts")) - unix_timestamp(col("err_ts")) <= 300)
+            // timestamp→double keeps the microsecond fraction, exactly
+            // like the oracle's epoch(); unix_timestamp would TRUNCATE
+            // and disagree on gaps that straddle 300 s only fractionally
+            col("ts").cast("double") - col("err_ts").cast("double") <= 300.0)
         .groupBy(col("err_id"))
         .agg(count(lit(1)).as("n_following"))
         .orderBy(col("err_id"))
@@ -149,6 +152,31 @@ object EventsOps {
       GROUP BY CUBE (event_type, weekday)
       ORDER BY event_type NULLS FIRST, weekday NULLS FIRST"""))
 
+  /** q135's funnel-step CTEs (earliest signup, earliest view strictly
+    * after it, earliest purchase strictly after that) as shared oracle
+    * text — used verbatim by q135 and q194 so the latency percentiles
+    * can never measure a different funnel than the counts. */
+  private val funnelStepsSqlCtes =
+    """s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |    WHERE event_type = 'signup' GROUP BY user_id),
+      |  s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |    JOIN s1 ON e.user_id = s1.user_id
+      |    WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+      |  s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |    JOIN s2 ON e.user_id = s2.user_id
+      |    WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)""".stripMargin
+
+  /** q136's retention CTEs (cohort day + per-offset distinct users) as
+    * shared oracle text — used verbatim by q136 and q193. */
+  private val retentionSqlCtes =
+    """d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |  cohort AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id),
+      |  ret AS (SELECT c.cohort_day,
+      |      CAST(date_diff('day', c.cohort_day, d.day) AS BIGINT) AS day_offset,
+      |      CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+      |    FROM d JOIN cohort c ON d.user_id = c.user_id
+      |    GROUP BY c.cohort_day, day_offset)""".stripMargin
+
   // ---------------------------------------------------------------
   // q135: funnel analysis (ordered step completion per user)
   // ---------------------------------------------------------------
@@ -190,15 +218,8 @@ object EventsOps {
           col("t_purchase"), col("steps"))
         .orderBy(col("user_id"))
     },
-    Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
-      s1 AS (SELECT user_id, min(ts) AS t1 FROM events
-        WHERE event_type = 'signup' GROUP BY user_id),
-      s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
-        JOIN s1 ON e.user_id = s1.user_id
-        WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
-      s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
-        JOIN s2 ON e.user_id = s2.user_id
-        WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+    Some(s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+      $funnelStepsSqlCtes
       SELECT u.user_id, CAST(s1.t1 AS TIMESTAMP) AS t_signup,
         CAST(s2.t2 AS TIMESTAMP) AS t_view,
         CAST(s3.t3 AS TIMESTAMP) AS t_purchase,
@@ -236,13 +257,9 @@ object EventsOps {
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("cohort_day"), col("day_offset"))
     },
-    Some("""WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
-      cohort AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
-      SELECT c.cohort_day, CAST(date_diff('day', c.cohort_day, d.day) AS BIGINT) AS day_offset,
-        CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
-      FROM d JOIN cohort c ON d.user_id = c.user_id
-      GROUP BY c.cohort_day, day_offset
-      ORDER BY c.cohort_day, day_offset"""),
+    Some(s"""WITH $retentionSqlCtes
+      SELECT cohort_day, day_offset, n_users FROM ret
+      ORDER BY cohort_day, day_offset"""),
     headline = true)
 
   // ---------------------------------------------------------------
@@ -253,10 +270,11 @@ object EventsOps {
     * q135's completion counts beg: not just HOW MANY users advanced
     * signup→view→purchase but HOW LONG each hop took, as median/p90
     * (the percentile pair product analytics quotes, means being
-    * useless under heavy-tailed latencies). Latencies are exact
-    * integer seconds between the q135 earliest-completion timestamps;
-    * percentiles are the interpolated exact form rounded at 6 (the
-    * q102 convention).
+    * useless under heavy-tailed latencies). Latencies are
+    * microsecond-fractional seconds (both engines keep the fraction —
+    * truncation is what diverges, see the cast note below); parity
+    * rests on the q102 convention: interpolated percentiles and means
+    * rounded at 6/2.
     *
     * Scale: rides q135's per-user funnel table (the user-keyed
     * aggregates already paid); the percentile aggregates over the
@@ -284,14 +302,7 @@ object EventsOps {
           round(expr("percentile(lat, 0.9D)"), 6).as("p90_secs"))
         .orderBy(col("step"))
     },
-    Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
-        WHERE event_type = 'signup' GROUP BY user_id),
-      s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
-        JOIN s1 ON e.user_id = s1.user_id
-        WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
-      s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
-        JOIN s2 ON e.user_id = s2.user_id
-        WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id),
+    Some(s"""WITH $funnelStepsSqlCtes,
       lat AS (
         SELECT '1_signup_to_view' AS step,
           epoch(s2.t2) - epoch(s1.t1) AS lat
@@ -330,7 +341,8 @@ object EventsOps {
   val q193RetentionHalfLife: QueryDef = QueryDef(
     "q193_retention_half_life",
     (s, dir) => {
-      val ret = q136Retention.fn(s, dir)
+      val ret = graft.Staging.materialize(
+        q136Retention.fn(s, dir), "retention", "spark.graft.events.stagingDir")
       val base = ret.filter(col("day_offset") === 0L)
         .select(col("cohort_day"), col("n_users").as("n0"))
       val pts = ret.filter(col("day_offset") >= 1L)
@@ -352,13 +364,7 @@ object EventsOps {
             .as("half_life_days"))
         .orderBy(col("cohort_day"))
     },
-    Some("""WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
-      cohort AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id),
-      ret AS (SELECT c.cohort_day,
-          CAST(date_diff('day', c.cohort_day, d.day) AS BIGINT) AS day_offset,
-          CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
-        FROM d JOIN cohort c ON d.user_id = c.user_id
-        GROUP BY c.cohort_day, day_offset),
+    Some(s"""WITH $retentionSqlCtes,
       base AS (SELECT cohort_day, n_users AS n0 FROM ret WHERE day_offset = 0),
       pts AS (SELECT r.cohort_day, b.n0,
           CAST(r.day_offset AS DOUBLE) AS x,

@@ -204,5 +204,109 @@ object DiagnosticsOps {
       FROM j ORDER BY doc_id"""),
     headline = false)
 
-  val all: Seq[QueryDef] = Seq(q142SkewAudit, q152SnapshotDiff, q191ChangeMagnitude)
+  // ---------------------------------------------------------------
+  // q195: chunk-level delta savings between snapshots (rsync view)
+  // ---------------------------------------------------------------
+
+  /** What a chunk-level delta actually saves when re-ingesting the
+    * changed docs: for each q152-`changed` document, the fraction of
+    * its CURRENT content-defined chunks (q176's CDC cuts) already
+    * present in its PREVIOUS version — exactly the rsync/CAS-storage
+    * question ("how many blocks must transfer?"), and the
+    * quantitative follow-up to q191's similarity class: q191 says how
+    * much the text changed, this says how much storage/transfer the
+    * chunk store saves because CDC boundaries re-synchronized around
+    * the edit. Reported per doc (token masses are exact integers;
+    * the one ratio rounds at 6) with the corpus totals on every row.
+    *
+    * Scale: both versions chunk in the SAME row-local pass (the q191
+    * argument — real snapshot tables pay one doc_id-keyed equi join
+    * first), then per-doc array arithmetic over chunk-hash lists;
+    * nothing shuffles but the output epilogue. */
+  val q195ChunkDelta: QueryDef = {
+    val W = 4
+    val D = 8
+    QueryDef(
+      "q195_chunk_delta",
+      (s, dir) => {
+        // row-local CDC over one token array: chunk hash list + lengths
+        def chunksOf(tokCol: String): String =
+          s"""transform(
+             |  filter(transform(sequence(1, size($tokCol)),
+             |    i -> struct(i,
+             |      (i = size($tokCol)) or (i >= $W and
+             |        ${MixOps.bucketExpr(
+                 s"sha2(array_join(slice($tokCol, i - ${W - 1}, $W), ' '), 256)",
+                 D)} = 0) as b)),
+             |    x -> x.b),
+             |  x -> x.i)""".stripMargin
+        val d = Tables.loadParallel(s, dir, "documents")
+          .filter(col("doc_id") % 10 =!= 9 && col("doc_id") % 13 =!= 5 &&
+            col("doc_id") % 7 === 3)
+          .withColumn("pw", split(trim(
+            expr("substr(text, 1, greatest(cast(1 as bigint), n_chars div 2))")), "\\s+"))
+          .withColumn("cw", split(trim(col("text")), "\\s+"))
+          .withColumn("pb", expr(chunksOf("pw")))
+          .withColumn("cb", expr(chunksOf("cw")))
+          // chunk i spans (bounds[i-1], bounds[i]]: hash the joined slice
+          .withColumn("pch", expr(
+            s"""transform(sequence(1, size(pb)), j -> sha2(array_join(
+               |  slice(pw, if(j = 1, 1, element_at(pb, j - 1) + 1),
+               |    element_at(pb, j) - if(j = 1, 0, element_at(pb, j - 1))), ' '), 256))""".stripMargin))
+          .withColumn("cch", expr(
+            s"""transform(sequence(1, size(cb)), j -> struct(
+               |  sha2(array_join(
+               |    slice(cw, if(j = 1, 1, element_at(cb, j - 1) + 1),
+               |      element_at(cb, j) - if(j = 1, 0, element_at(cb, j - 1))), ' '), 256) as h,
+               |  element_at(cb, j) - if(j = 1, 0, element_at(cb, j - 1)) as len))""".stripMargin))
+        d.select(col("doc_id"),
+            size(col("cw")).cast("long").as("n_tokens"),
+            size(col("cch")).cast("long").as("n_chunks"),
+            expr("aggregate(filter(cch, c -> array_contains(pch, c.h)), 0L, (a, c) -> a + c.len)")
+              .as("reused_tokens"))
+          .withColumn("reuse_frac",
+            round(col("reused_tokens").cast("double") / col("n_tokens"), 6))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ch AS (SELECT doc_id,
+            regexp_split_to_array(trim(substr(text, 1, greatest(1, n_chars // 2))), '\\s+') AS pw,
+            regexp_split_to_array(trim(text), '\\s+') AS cw
+          FROM documents
+          WHERE doc_id % 10 <> 9 AND doc_id % 13 <> 5 AND doc_id % 7 = 3),
+        b AS (SELECT doc_id, pw, cw,
+            list_transform(list_filter(
+              list_transform(range(1, len(pw) + 1), i -> {'i': i,
+                'b': i = len(pw) OR (i >= $W AND
+                  ${MixOps.bucketExpr(
+                    s"sha256(array_to_string(pw[i - ${W - 1}:i], ' '))", D)} = 0)}),
+              x -> x.b), x -> x.i) AS pb,
+            list_transform(list_filter(
+              list_transform(range(1, len(cw) + 1), i -> {'i': i,
+                'b': i = len(cw) OR (i >= $W AND
+                  ${MixOps.bucketExpr(
+                    s"sha256(array_to_string(cw[i - ${W - 1}:i], ' '))", D)} = 0)}),
+              x -> x.b), x -> x.i) AS cb
+          FROM ch),
+        h AS (SELECT doc_id, cw,
+            list_transform(range(1, len(pb) + 1), j -> sha256(array_to_string(
+              pw[CASE WHEN j = 1 THEN 1 ELSE pb[j - 1] + 1 END:pb[j]], ' '))) AS pch,
+            list_transform(range(1, len(cb) + 1), j -> {
+              'h': sha256(array_to_string(
+                cw[CASE WHEN j = 1 THEN 1 ELSE cb[j - 1] + 1 END:cb[j]], ' ')),
+              'len': cb[j] - CASE WHEN j = 1 THEN 0 ELSE cb[j - 1] END}) AS cch
+          FROM b)
+        SELECT doc_id, CAST(len(cw) AS BIGINT) AS n_tokens,
+          CAST(len(cch) AS BIGINT) AS n_chunks,
+          CAST(coalesce(list_sum(list_transform(
+            list_filter(cch, c -> list_contains(pch, c.h)), c -> c.len)), 0) AS BIGINT)
+            AS reused_tokens,
+          round(CAST(coalesce(list_sum(list_transform(
+            list_filter(cch, c -> list_contains(pch, c.h)), c -> c.len)), 0) AS DOUBLE)
+            / len(cw), 6) AS reuse_frac
+        FROM h ORDER BY doc_id"""),
+      headline = false)
+  }
+
+  val all: Seq[QueryDef] = Seq(q142SkewAudit, q152SnapshotDiff,
+    q191ChangeMagnitude, q195ChunkDelta)
 }

@@ -62,4 +62,26 @@ class DiagnosticsOpsSpec extends SparkSpec {
     assert(audit.head.getAs[Double]("share") === 0.8)
     assert(audit.length === 5)
   }
+
+  test("q195: chunk reuse is bounded by the half-prefix and covers q191's doc set") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = DiagnosticsOps.q195ChunkDelta.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, reused, frac) = (r.getLong(1), r.getLong(3), r.getDouble(4))
+      assert(reused >= 0L && reused <= n)
+      // prev is the doc's FIRST HALF: at most ~half the current tokens
+      // can sit in chunks that existed before (half + one boundary
+      // chunk of slack)
+      assert(frac <= 0.5 + 16.0 / n.max(1L),
+        s"doc ${r.getLong(0)} reuse $frac exceeds the half-prefix bound")
+    }
+    // same changed-doc universe as the q191 magnitude audit
+    val q191Ids = DiagnosticsOps.q191ChangeMagnitude.fn(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet === q191Ids)
+    // CDC must achieve nonzero reuse somewhere (the audit's point)
+    assert(rows.map(_.getDouble(4)).max > 0.2,
+      "no doc reuses chunks — CDC boundary resync is broken")
+  }
 }

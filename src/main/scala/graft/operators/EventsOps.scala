@@ -263,6 +263,62 @@ object EventsOps {
     headline = true)
 
   // ---------------------------------------------------------------
+  // q196: last-touch attribution (native as-of join composition)
+  // ---------------------------------------------------------------
+
+  /** Last-touch revenue attribution — the marketing-analytics classic:
+    * each purchase's value credits the user's most recent click or
+    * view within a 1-hour window; purchases with no in-window touch
+    * report as unattributed. Built ON the engine's native as-of
+    * operator ([[graft.plans.AsOfJoinExec]]) with `tolerance` doing
+    * the window — the composition story: the custom plan is not a
+    * demo, downstream analytics consume it like any join.
+    *
+    * The rollup: per touch type (click / view / none), purchase count
+    * and attributed revenue (sum of `value`, rounded 2 — the q15
+    * money convention).
+    *
+    * Scale: exactly the q139/q149 cost — two key-clustered exchanges,
+    * two sorts, one forward merge; the rollup aggregates three rows.
+    * The tolerance bound is one subtraction inside the merge. */
+  val q196LastTouch: QueryDef = QueryDef(
+    "q196_last_touch",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("ts").as("purchase_ts"), col("value"))
+      val touches = e.filter(col("event_type").isin("click", "view"))
+        .select(col("event_id").as("touch_id"),
+          col("user_id").as("touch_user"), col("ts").as("touch_ts"),
+          col("event_type").as("touch_type"))
+      graft.plans.AsOf.join(purchases, touches,
+          "user_id", "touch_user", "purchase_ts", "touch_ts",
+          rightTiebreak = Some("touch_id"),
+          tolerance = Some(3600L * 1000000L)) // 1 h in epoch micros
+        .groupBy(coalesce(col("touch_type"), lit("none")).as("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("value")), 2).as("attributed_value"))
+        .orderBy(col("touch_type"))
+    },
+    Some("""WITH x AS (SELECT event_id, user_id, ts, event_type, value,
+          last_value(CASE WHEN event_type IN ('click', 'view') THEN ts END IGNORE NULLS)
+            OVER w AS touch_ts,
+          last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END IGNORE NULLS)
+            OVER w AS touch_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      p AS (SELECT CASE WHEN touch_ts IS NOT NULL
+              AND epoch_us(ts) - epoch_us(touch_ts) <= 3600000000
+            THEN touch_type ELSE 'none' END AS touch_type, value
+        FROM x WHERE event_type = 'purchase')
+      SELECT touch_type, CAST(count(*) AS BIGINT) AS n_purchases,
+        round(sum(value), 2) AS attributed_value
+      FROM p GROUP BY touch_type ORDER BY touch_type"""),
+    headline = false)
+
+  // ---------------------------------------------------------------
   // q194: funnel conversion-latency percentiles
   // ---------------------------------------------------------------
 
@@ -615,5 +671,5 @@ object EventsOps {
     q60Sessionize, q61AsofJoin, q62RangeJoin, q63Pivot, q64Cube,
     q135Funnel, q136Retention, q137Transitions, q138SlidingWindows,
     q139AsofNative, q149AsofTolerance, q180RateAnomaly, q193RetentionHalfLife,
-    q194FunnelLatency)
+    q194FunnelLatency, q196LastTouch)
 }

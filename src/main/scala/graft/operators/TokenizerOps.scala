@@ -103,10 +103,61 @@ object TokenizerOps {
     out.toSeq
   }
 
-  /** The learned merge table as an inspectable operator output. No
-    * DuckDB oracle (the merge loop is iterative and data-dependent);
-    * correctness is proven against an independent reference BPE
-    * implementation in TokenizerOpsSpec, q77's no-oracle convention. */
+  /** The full training trajectory as DuckDB CTEs — the lloydSqlCtes
+    * convention (ClusterOps): every round is replayed independently by
+    * the oracle, so q104/q105 are checked bit-for-bit, not smoke-tested.
+    *
+    * The symbol-array state is a delimited STRING: each word's symbols
+    * joined by double spaces with double-space sentinels at both ends
+    * (`"  a  b  "`), legal because tokens are whitespace-split and so
+    * can never contain a space. The greedy left-to-right merge fold
+    * (`mergeFoldColTo`) is then EXACTLY SQL `replace(s, ' l  r ',
+    * ' lr ')`: both scan the original symbols left-to-right,
+    * non-overlapping, and a replacement consumes one sentinel space
+    * from each side so neighbours' delimiters survive — including the
+    * l = r run case ("aaa" merges positions 1-2, not 2-3, in both).
+    * Newly created symbols never re-match in the same pass in either
+    * form (replace matches against the original string; the fold's
+    * merged symbol l+r can never equal l).
+    *
+    * Ends with `st0` (initial single-char state, the encode oracle's
+    * starting point), `pr$r`/`best$r` per round (pair counts + argmax),
+    * and `st$r` rewritten states. Tie-breaks (count desc, then l, r)
+    * agree across engines: DuckDB compares UTF-8 bytes = code points;
+    * Spark compares UTF-16 code units, identical below U+E000 —
+    * the corpus alphabet is ASCII. */
+  private[graft] def bpeSqlCtes: String = {
+    val head = raw"""tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+      wstream AS (SELECT doc_id, unnest(w) AS word FROM tok),
+      st0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq,
+          regexp_replace(word, '(.)', '  \1', 'g') || '  ' AS s
+        FROM wstream WHERE length(word) >= 1 GROUP BY word)"""
+    val rounds = (1 to NMerges).map { r =>
+      val rewrite =
+        if (r >= NMerges) "" // final round's rewrite is never read (training skips it too)
+        else s""",
+      st$r AS (SELECT word, freq,
+        replace(st${r - 1}.s, ' '||b.l||'  '||b.r||' ', ' '||b.l||b.r||' ') AS s
+        FROM st${r - 1}, best$r b)"""
+      s"""pr$r AS (
+        SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(freq) AS BIGINT) AS c
+        FROM (SELECT freq, string_split(s, '  ') AS syms FROM st${r - 1}),
+             unnest(range(2, len(syms)-1)) AS u(i)
+        GROUP BY 1, 2),
+      best$r AS (SELECT l, r, c FROM pr$r ORDER BY c DESC, l, r LIMIT 1)$rewrite"""
+    }.mkString(",\n      ")
+    head + ",\n      " + rounds
+  }
+
+  /** The rank-ordered merge list `mm(rank, l, r)` — shared by the
+    * encode oracle's fixpoint and WordPieceOps' vocabulary oracle. */
+  private[graft] def bpeMergesSqlCte: String =
+    "mm AS (" + (1 to NMerges).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rank, l, r FROM best$r").mkString(" UNION ALL ") + ")"
+
+  /** The learned merge table as an inspectable operator output,
+    * oracle-checked by replaying all [[NMerges]] training rounds as
+    * chained DuckDB CTEs ([[bpeSqlCtes]]). */
   val q104BpeMerges: QueryDef = QueryDef(
     "q104_bpe_merges",
     (s, dir) => {
@@ -129,7 +180,10 @@ object TokenizerOps {
             org.apache.spark.sql.types.LongType, nullable = false))))
         .orderBy(col("rank"))
     },
-    None)
+    Some(s"""WITH $bpeSqlCtes,
+      merges AS (${(1 to NMerges).map(r =>
+        s"""SELECT CAST($r AS BIGINT) AS rank, l AS "left", r AS "right", l||r AS merged, c AS pair_freq FROM best$r""").mkString(" UNION ALL ")})
+      SELECT rank, "left", "right", merged, pair_freq FROM merges ORDER BY rank"""))
 
   /** Lowest-rank merge applicable to a `syms` column, or null: the
     * learned merge list is a rank-ordered literal array (broadcast as
@@ -197,8 +251,14 @@ object TokenizerOps {
     * every production tokenizer keeps, expressed relationally; the
     * corpus itself is touched exactly once.
     *
-    * No DuckDB oracle (merge application is data-dependent on q104's
-    * output); TokenizerOpsSpec proves per-doc token counts equal an
+    * Oracle: the training replay ([[bpeSqlCtes]]) feeds a RECURSIVE
+    * fixpoint CTE — each step applies a word's lowest-rank applicable
+    * merge to all its occurrences via the same `replace` that proved
+    * the fold equivalence, recursing while any merge applies; the
+    * terminal (no-applicable-merge) state per word is the canonical
+    * encoding. Termination mirrors the operator's own argument (every
+    * application strictly shrinks some word's symbol count).
+    * TokenizerOpsSpec additionally proves per-doc token counts equal an
     * independent canonical reference encoder, plus a direct test
     * vector where the fixpoint and one-pass-per-rank variants differ. */
   val q105BpeEncode: QueryDef = QueryDef(
@@ -218,7 +278,30 @@ object TokenizerOps {
           round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6))
         .orderBy(col("doc_id"))
     },
-    None)
+    Some(s"""WITH RECURSIVE $bpeSqlCtes,
+      $bpeMergesSqlCte,
+      enc AS (
+        SELECT word, s FROM st0
+        UNION
+        SELECT e.word,
+          (SELECT replace(e.s, ' '||m.l||'  '||m.r||' ', ' '||m.l||m.r||' ')
+           FROM mm m WHERE position(' '||m.l||'  '||m.r||' ' IN e.s) > 0
+           ORDER BY m.rank LIMIT 1) AS s
+        FROM enc e
+        WHERE EXISTS (SELECT 1 FROM mm m WHERE position(' '||m.l||'  '||m.r||' ' IN e.s) > 0)
+      ),
+      vocab AS (
+        SELECT word, (length(s) - length(replace(s, ' ', ''))) // 2 - 1 AS n_syms
+        FROM enc e
+        WHERE NOT EXISTS (SELECT 1 FROM mm m WHERE position(' '||m.l||'  '||m.r||' ' IN e.s) > 0)
+      )
+      SELECT w.doc_id,
+        CAST(sum(length(w.word)) AS BIGINT) AS n_chars,
+        CAST(sum(v.n_syms) AS BIGINT) AS n_bpe_tokens,
+        CAST(count(*) AS BIGINT) AS n_words,
+        round(CAST(sum(length(w.word)) AS DOUBLE) / sum(v.n_syms), 6) AS compression
+      FROM wstream w JOIN vocab v USING (word)
+      GROUP BY w.doc_id ORDER BY w.doc_id"""))
 
   val all: Seq[QueryDef] = Seq(q104BpeMerges, q105BpeEncode)
 }

@@ -23,6 +23,10 @@ object TokenizerOps {
     graft.Staging.materialize(df, tag, "spark.graft.corpus.stagingDir")
 
   private val NMerges = 8
+  // unroll depth of the q105 encode-fixpoint oracle: bounds word length
+  // at FixRounds + 1 chars (see the q105 oracle comment; over-length
+  // words fail LOUDLY with a NULL count, never silently)
+  private val FixRounds = 40
 
   /** The corpus word stream — ONE definition shared with the LM tier
     * (LmOps.tokenizedOf's tokenization), so BPE trains on exactly the
@@ -128,15 +132,15 @@ object TokenizerOps {
     * the corpus alphabet is ASCII. */
   private[graft] def bpeSqlCtes: String = {
     val head = raw"""tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
-      wstream AS (SELECT doc_id, unnest(w) AS word FROM tok),
-      st0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq,
+      wstream AS MATERIALIZED (SELECT doc_id, unnest(w) AS word FROM tok),
+      st0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq,
           regexp_replace(word, '(.)', '  \1', 'g') || '  ' AS s
         FROM wstream WHERE length(word) >= 1 GROUP BY word)"""
     val rounds = (1 to NMerges).map { r =>
       val rewrite =
         if (r >= NMerges) "" // final round's rewrite is never read (training skips it too)
         else s""",
-      st$r AS (SELECT word, freq,
+      st$r AS MATERIALIZED (SELECT word, freq,
         replace(st${r - 1}.s, ' '||b.l||'  '||b.r||' ', ' '||b.l||b.r||' ') AS s
         FROM st${r - 1}, best$r b)"""
       s"""pr$r AS (
@@ -144,7 +148,7 @@ object TokenizerOps {
         FROM (SELECT freq, string_split(s, '  ') AS syms FROM st${r - 1}),
              unnest(range(2, len(syms)-1)) AS u(i)
         GROUP BY 1, 2),
-      best$r AS (SELECT l, r, c FROM pr$r ORDER BY c DESC, l, r LIMIT 1)$rewrite"""
+      best$r AS MATERIALIZED (SELECT l, r, c FROM pr$r ORDER BY c DESC, l, r LIMIT 1)$rewrite"""
     }.mkString(",\n      ")
     head + ",\n      " + rounds
   }
@@ -278,30 +282,46 @@ object TokenizerOps {
           round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6))
         .orderBy(col("doc_id"))
     },
-    Some(s"""WITH RECURSIVE $bpeSqlCtes,
-      $bpeMergesSqlCte,
-      enc AS (
-        SELECT word, s FROM st0
-        UNION
+    Some {
+      // the fixpoint unrolled: each round rewrites every word with ITS
+      // OWN lowest-rank applicable merge (all occurrences, the same
+      // `replace` that proved the fold equivalence) and is idempotent
+      // once no merge applies. FixRounds bounds words of FixRounds+1
+      // chars (one application per round strictly shrinks a word); a
+      // longer-than-bound word would still carry an applicable merge at
+      // the end and gets a NULL count — a loud mismatch, never a silent
+      // undercount. Unrolled (not WITH RECURSIVE) because DuckDB 1.0
+      // silently loses MATERIALIZED CTE contents referenced from a
+      // recursive member, and without materialization the round chain
+      // re-evaluates 2^NMerges times.
+      val fixRounds = (1 to FixRounds).map { t => s"""
+      f$t AS MATERIALIZED (
         SELECT e.word,
-          (SELECT replace(e.s, ' '||m.l||'  '||m.r||' ', ' '||m.l||m.r||' ')
-           FROM mm m WHERE position(' '||m.l||'  '||m.r||' ' IN e.s) > 0
-           ORDER BY m.rank LIMIT 1) AS s
-        FROM enc e
-        WHERE EXISTS (SELECT 1 FROM mm m WHERE position(' '||m.l||'  '||m.r||' ' IN e.s) > 0)
-      ),
-      vocab AS (
-        SELECT word, (length(s) - length(replace(s, ' ', ''))) // 2 - 1 AS n_syms
-        FROM enc e
-        WHERE NOT EXISTS (SELECT 1 FROM mm m WHERE position(' '||m.l||'  '||m.r||' ' IN e.s) > 0)
-      )
+          CASE WHEN b.l IS NULL THEN e.s
+               ELSE replace(e.s, ' '||b.l||'  '||b.r||' ', ' '||b.l||b.r||' ') END AS s
+        FROM f${t - 1} e LEFT JOIN (
+          SELECT word, l, r FROM (
+            SELECT e2.word, m.l, m.r,
+              row_number() OVER (PARTITION BY e2.word ORDER BY m.rank) AS rn
+            FROM f${t - 1} e2 JOIN mm m ON position(' '||m.l||'  '||m.r||' ' IN e2.s) > 0) x
+          WHERE rn = 1) b USING (word))""" }.mkString(",")
+      s"""WITH $bpeSqlCtes,
+      $bpeMergesSqlCte,
+      f0 AS MATERIALIZED (SELECT word, s FROM st0),$fixRounds,
+      fin AS MATERIALIZED (SELECT word, s,
+          (length(s) - length(replace(s, ' ', ''))) // 2 - 1 AS n0 FROM f$FixRounds),
+      unconv AS (SELECT DISTINCT e.word FROM fin e
+        JOIN mm m ON position(' '||m.l||'  '||m.r||' ' IN e.s) > 0),
+      vocab AS (SELECT fl.word, CASE WHEN u.word IS NULL THEN fl.n0 END AS n_syms
+        FROM fin fl LEFT JOIN unconv u USING (word))
       SELECT w.doc_id,
         CAST(sum(length(w.word)) AS BIGINT) AS n_chars,
         CAST(sum(v.n_syms) AS BIGINT) AS n_bpe_tokens,
         CAST(count(*) AS BIGINT) AS n_words,
         round(CAST(sum(length(w.word)) AS DOUBLE) / sum(v.n_syms), 6) AS compression
       FROM wstream w JOIN vocab v USING (word)
-      GROUP BY w.doc_id ORDER BY w.doc_id"""))
+      GROUP BY w.doc_id ORDER BY w.doc_id"""
+    })
 
   val all: Seq[QueryDef] = Seq(q104BpeMerges, q105BpeEncode)
 }

@@ -102,9 +102,53 @@ object WordPieceOps {
     out.toSeq
   }
 
-  /** The learned merge table. No DuckDB oracle (iterative,
-    * data-dependent rounds); WordPieceOpsSpec proves merges equal an
-    * independent canonical reference trainer — the q104 convention. */
+  /** The training trajectory as DuckDB CTEs — TokenizerOps.bpeSqlCtes'
+    * convention, with WordPiece's two deltas: the per-round score is
+    * `c / (c_l · c_r)` (both counts from the same round's state; the
+    * division and product are single correctly-rounded IEEE ops on
+    * integer-valued doubles, so both engines produce the same bits and
+    * the same argmax), and the merged symbol drops the right unit's
+    * `##` continuation marker. State CTEs are MATERIALIZED: DuckDB
+    * inlines plain CTEs per reference, and each round reads its
+    * predecessor three times (pair counts, unit counts, rewrite) —
+    * 3^8 re-evaluations without the hint. Ends with `wst$r`,
+    * `wbest$r(l, r, merged, score)` per round. */
+  private[graft] def wpSqlCtes: String = {
+    val head = raw"""tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+      wstream AS MATERIALIZED (SELECT doc_id, unnest(w) AS word FROM tok),
+      wst0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq,
+          '  ' || substr(word, 1, 1) || regexp_replace(substr(word, 2), '(.)', '  ##\1', 'g') || '  ' AS s
+        FROM wstream WHERE length(word) >= 1 GROUP BY word)"""
+    val rounds = (1 to NMerges).map { r =>
+      val rewrite =
+        if (r >= NMerges) "" // final round's rewrite is never read
+        else s""",
+      wst$r AS MATERIALIZED (SELECT word, freq,
+        replace(wst${r - 1}.s, ' '||b.l||'  '||b.r||' ', ' '||b.merged||' ') AS s
+        FROM wst${r - 1}, wbest$r b)"""
+      s"""wpc$r AS (
+        SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(freq) AS BIGINT) AS c
+        FROM (SELECT freq, string_split(s, '  ') AS syms FROM wst${r - 1}),
+             unnest(range(2, len(syms)-1)) AS u(i)
+        GROUP BY 1, 2),
+      wuc$r AS (
+        SELECT syms[i] AS u, CAST(sum(freq) AS BIGINT) AS cu
+        FROM (SELECT freq, string_split(s, '  ') AS syms FROM wst${r - 1}),
+             unnest(range(2, len(syms))) AS t(i)
+        GROUP BY 1),
+      wbest$r AS MATERIALIZED (
+        SELECT p.l, p.r, p.l || regexp_replace(p.r, '^##', '') AS merged,
+          CAST(p.c AS DOUBLE) / (CAST(cl.cu AS DOUBLE) * CAST(cr.cu AS DOUBLE)) AS score
+        FROM wpc$r p JOIN wuc$r cl ON cl.u = p.l JOIN wuc$r cr ON cr.u = p.r
+        ORDER BY score DESC, p.l, p.r LIMIT 1)$rewrite"""
+    }.mkString(",\n      ")
+    head + ",\n      " + rounds
+  }
+
+  /** The learned merge table, oracle-checked by replaying all
+    * [[NMerges]] score-argmax rounds as chained DuckDB CTEs
+    * ([[wpSqlCtes]]); WordPieceOpsSpec additionally proves merges
+    * equal an independent canonical reference trainer. */
   val q140WpMerges: QueryDef = QueryDef(
     "q140_wordpiece_merges",
     (s, dir) => {
@@ -127,7 +171,10 @@ object WordPieceOps {
             org.apache.spark.sql.types.DoubleType, nullable = false))))
         .orderBy(col("rank"))
     },
-    None)
+    Some(s"""WITH $wpSqlCtes,
+      merges AS (${(1 to NMerges).map(r =>
+        s"""SELECT CAST($r AS BIGINT) AS rank, l AS "left", r AS "right", merged, score FROM wbest$r""").mkString(" UNION ALL ")})
+      SELECT rank, "left", "right", merged, score FROM merges ORDER BY rank"""))
 
   /** The final vocabulary: every initial unit of the corpus plus the
     * merged tokens, exactly what the published trainer emits (alphabet
@@ -166,10 +213,17 @@ object WordPieceOps {
     * each DISTINCT word once (greedy longest match, vocab broadcast),
     * join the segmentation back onto the corpus word stream.
     *
-    * No DuckDB oracle (depends on q140's learned vocab);
-    * WordPieceOpsSpec pins counts against the independent reference
-    * encoder — including a vector where WordPiece's score-based merge
-    * choice DIFFERS from BPE's count-based choice. */
+    * Oracle: the training replay ([[wpSqlCtes]]) builds the vocab
+    * (initial units + merged tokens), a jump table gives each (word,
+    * position) its greedy longest-match length, and POINTER DOUBLING
+    * walks the maximum-munch path in 6 self-joins (2^6 = 64 pieces —
+    * any whitespace token; a longer word yields a NULL piece count, a
+    * loud mismatch, never a silent undercount). Doubling instead of a
+    * recursive CTE because DuckDB 1.0 silently loses MATERIALIZED CTE
+    * contents referenced from a recursive member at this query size.
+    * WordPieceOpsSpec additionally pins counts against the independent
+    * reference encoder — including a vector where WordPiece's
+    * score-based merge choice DIFFERS from BPE's count-based choice. */
   val q141WpEncode: QueryDef = QueryDef(
     "q141_wordpiece_encode",
     (s, dir) => {
@@ -192,7 +246,53 @@ object WordPieceOps {
           round(col("n_chars").cast("double") / col("n_wp_tokens"), 6))
         .orderBy(col("doc_id"))
     },
-    None)
+    Some {
+      val doublings = (0 until 6).map(k => s""",
+      j${k + 1} AS MATERIALIZED (
+        SELECT a.word, a.i,
+          CASE WHEN a.unk OR a.nxt >= length(a.word) THEN a.nxt ELSE b.nxt END AS nxt,
+          CASE WHEN a.unk OR a.nxt >= length(a.word) THEN a.cnt ELSE a.cnt + b.cnt END AS cnt,
+          CASE WHEN a.unk THEN true WHEN a.nxt >= length(a.word) THEN false ELSE b.unk END AS unk
+        FROM j$k a LEFT JOIN j$k b ON b.word = a.word AND b.i = a.nxt)""").mkString
+      s"""WITH $wpSqlCtes,
+      wmm AS (${(1 to NMerges).map(r => s"SELECT merged FROM wbest$r").mkString(" UNION ALL ")}),
+      wvocab AS MATERIALIZED (
+        SELECT DISTINCT u, (u LIKE '##%') AS cont,
+          CASE WHEN u LIKE '##%' THEN substr(u, 3) ELSE u END AS payload
+        FROM (
+          SELECT substr(word, 1, 1) AS u FROM wst0
+          UNION
+          SELECT '##' || substr(word, j, 1) FROM wst0, unnest(range(2, length(word)+1)) t(j)
+          UNION
+          SELECT merged FROM wmm)
+      ),
+      pos AS MATERIALIZED (SELECT word, t.i FROM wst0, unnest(range(0, length(word))) t(i)),
+      j0 AS MATERIALIZED (
+        SELECT jm.word, jm.i,
+          CASE WHEN jm.best IS NULL THEN NULL ELSE jm.i + jm.best END AS nxt,
+          1 AS cnt, jm.best IS NULL AS unk
+        FROM (
+          SELECT p.word, p.i, max(length(v.payload)) AS best
+          FROM pos p
+          LEFT JOIN wvocab v ON v.cont = (p.i > 0)
+            AND v.payload = substr(p.word, p.i + 1, length(v.payload))
+          GROUP BY 1, 2) jm
+      )$doublings,
+      wseg AS (
+        SELECT word,
+          CASE WHEN unk THEN 1 WHEN nxt = length(word) THEN cnt END AS n_pieces,
+          unk AS is_unk
+        FROM j6 WHERE i = 0
+      )
+      SELECT w.doc_id,
+        CAST(sum(length(w.word)) AS BIGINT) AS n_chars,
+        CAST(sum(v.n_pieces) AS BIGINT) AS n_wp_tokens,
+        CAST(sum(CASE WHEN v.is_unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk_words,
+        CAST(count(*) AS BIGINT) AS n_words,
+        round(CAST(sum(length(w.word)) AS DOUBLE) / sum(v.n_pieces), 6) AS compression
+      FROM wstream w JOIN wseg v USING (word)
+      GROUP BY w.doc_id ORDER BY w.doc_id"""
+    })
 
   val all: Seq[QueryDef] = Seq(q140WpMerges, q141WpEncode)
 }

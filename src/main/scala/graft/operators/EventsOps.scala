@@ -280,7 +280,16 @@ object EventsOps {
     *
     * Scale: exactly the q139/q149 cost — two key-clustered exchanges,
     * two sorts, one forward merge; the rollup aggregates three rows.
-    * The tolerance bound is one subtraction inside the merge. */
+    * The tolerance bound is one subtraction inside the merge.
+    *
+    * Same-timestamp semantics (the non-strict as-of contract): a touch
+    * whose ts EQUALS the purchase ts is eligible regardless of
+    * event_id, ties among equal-ts touches broken by greatest
+    * touch_id. The oracle window mirrors this by ordering same-ts
+    * touches BEFORE the purchase row (ts, then touches-first, then
+    * event_id), so its ROWS frame contains every same-ts touch —
+    * spec-pinned with an explicit same-ts collision
+    * (EventsOpsSpec "q196 same-ts"). */
   val q196LastTouch: QueryDef = QueryDef(
     "q196_last_touch",
     (s, dir) => {
@@ -307,7 +316,8 @@ object EventsOps {
           last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END IGNORE NULLS)
             OVER w AS touch_type
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        WINDOW w AS (PARTITION BY user_id
+          ORDER BY ts, CASE WHEN event_type IN ('click', 'view') THEN 0 ELSE 1 END, event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
       p AS (SELECT CASE WHEN touch_ts IS NOT NULL
               AND epoch_us(ts) - epoch_us(touch_ts) <= 3600000000

@@ -249,11 +249,19 @@ object SuffixOps {
         res
       }
     }
-    s.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+    // materialize the emit pass eagerly (its output is flagged-row
+    // bounded, far smaller than the input), then drop the input cache:
+    // Verify/Bench run every query in one long-lived session, so an
+    // un-unpersisted RDD here would leak a corpus-sized cache entry
+    // per invocation until session end
+    val result = s.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("ov",
         org.apache.spark.sql.types.LongType, nullable = false))))
+      .localCheckpoint(true)
+    rdd.unpersist(blocking = false)
+    result
   }
 
   /** q168: contamination DEPTH — for every non-benchmark document, the

@@ -41,14 +41,24 @@ final class RateAnomaly(histLen: Int = 24, minHist: Int = 12,
     }
   }
 
-  /** Score every bucket with >= minHist trailing buckets — identical
-    * output shape to q180: (event_type, hourMillis, n, mu, sd, z,
-    * anomaly), rounded like the batch operator. */
-  def verdicts: Seq[(String, Long, Long, Double, Double, Double, Boolean)] =
+  /** Score every CLOSED bucket with >= minHist trailing buckets —
+    * identical output shape to q180: (event_type, hourMillis, n, mu,
+    * sd, z, anomaly), rounded like the batch operator.
+    *
+    * By default each type's maximal observed hour is withheld: that
+    * bucket may still be open (a later micro-batch can add events to
+    * it), and a verdict emitted for it could flip — the deferred-
+    * scoring contract above. Pass `includeOpen = true` only once the
+    * source is exhausted (stream closed / final drain), where the
+    * trailing bucket is complete by construction and the verdict set
+    * equals the batch operator's on the full input. */
+  def verdicts(includeOpen: Boolean = false)
+      : Seq[(String, Long, Long, Double, Double, Double, Boolean)] =
     synchronized {
       state.groupBy(_._1._1).toSeq.sortBy(_._1).flatMap { case (tpe, m) =>
         val buckets = m.toSeq.map { case ((_, h), n) => (h, n) }.sortBy(_._1)
-        buckets.indices.flatMap { i =>
+        val scoreUpTo = if (includeOpen) buckets.length else buckets.length - 1
+        buckets.indices.take(scoreUpTo).flatMap { i =>
           val hist = buckets.slice(math.max(0, i - histLen), i).map(_._2)
           if (hist.size < minHist) None
           else {

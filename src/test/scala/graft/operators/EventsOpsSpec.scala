@@ -109,7 +109,7 @@ class EventsOpsSpec extends SparkSpec {
     mon.observe(events.filter(col("event_id") <= c1))
     mon.observe(events.filter(col("event_id") > c1 && col("event_id") <= c2))
     mon.observe(events.filter(col("event_id") > c2))
-    val stream = mon.verdicts
+    val stream = mon.verdicts(includeOpen = true)
       .map(v => (v._1, v._2) -> v).toMap
     val batch = EventsOps.q180RateAnomaly.fn(spark, dir).collect()
     assert(batch.length === stream.size,
@@ -123,5 +123,68 @@ class EventsOpsSpec extends SparkSpec {
       assert(math.abs(v._6 - r.getDouble(5)) < 2e-3, s"z at $key")
       assert(v._7 === r.getBoolean(6), s"flag at $key")
     }
+  }
+
+  test("q180 streaming twin: default verdicts withhold the open trailing bucket and never flip") {
+    import spark.implicits._
+    // 22 in-order hourly buckets of ~10 events (varied so sd > 0),
+    // then a trailing hour
+    // whose events arrive SPLIT across two micro-batches: 2 events in
+    // batch 1, 98 more in batch 2 (a spike once complete)
+    val hourUs = 3600L * 1000000L
+    def evts(hours: Seq[(Int, Int)]) = hours.flatMap { case (h, n) =>
+      (0 until n).map(i => (h.toLong * 10000 + i,
+        new java.sql.Timestamp(h * hourUs / 1000L + i), "click"))
+    }.toDF("event_id", "ts", "event_type")
+    val mon = new graft.streaming.RateAnomaly()
+    mon.observe(evts((0 until 22).map(h => (h, 9 + h % 3)) :+ (22, 2)))
+    val mid = mon.verdicts().map(v => v._2 -> v).toMap
+    // hour 22 is the maximal observed hour: still open, withheld
+    assert(!mid.contains(22L * hourUs / 1000L),
+      "open trailing bucket must not be scored")
+    assert(mid.nonEmpty, "closed buckets with enough history must be scored")
+    // a premature includeOpen read WOULD have scored the split bucket
+    // at n = 2 — the flip the default contract prevents
+    val premature = mon.verdicts(includeOpen = true)
+      .find(_._2 == 22L * hourUs / 1000L).get
+    assert(premature._3 === 2L)
+    mon.observe(evts(Seq((22, 98))))
+    val fin = mon.verdicts(includeOpen = true).map(v => v._2 -> v).toMap
+    // every default-emitted verdict is unchanged by the late batch...
+    mid.foreach { case (h, v) => assert(fin(h) === v, s"verdict flipped at hour $h") }
+    // ...and the completed bucket scores at its full merged count
+    val done = fin(22L * hourUs / 1000L)
+    assert(done._3 === 100L)
+    assert(done._7, "completed 100-event bucket over a 10/hour baseline must flag")
+  }
+
+  test("q196 same-ts: a touch at the purchase's exact ts attributes regardless of event_id") {
+    import spark.implicits._
+    // purchase event_id 5 at t=1000; touches: a click at the SAME ts
+    // with a GREATER event_id (9), and an older view (id 1, t=900).
+    // Non-strict as-of must pick the same-ts click (ts tie beats the
+    // earlier view; event_id plays no eligibility role) — the edge the
+    // ROWS-frame oracle would get wrong without touches-first ordering.
+    val purchases = Seq((5L, 7L, 1000L, 10.0))
+      .toDF("event_id", "user_id", "purchase_ts", "value")
+    val touches = Seq(
+      (1L, 7L, 900L, "view"),
+      (9L, 7L, 1000L, "click"))
+      .toDF("touch_id", "touch_user", "touch_ts", "touch_type")
+    val joined = graft.plans.AsOf.join(purchases, touches,
+      "user_id", "touch_user", "purchase_ts", "touch_ts",
+      rightTiebreak = Some("touch_id"), tolerance = Some(3600L))
+      .select("event_id", "touch_id", "touch_type").collect()
+    assert(joined.length === 1)
+    assert(joined(0).getLong(1) === 9L, "same-ts touch must win over the older view")
+    assert(joined(0).getString(2) === "click")
+    // and among several same-ts touches the greatest touch_id wins
+    val touches2 = touches.union(Seq((3L, 7L, 1000L, "view"))
+      .toDF("touch_id", "touch_user", "touch_ts", "touch_type"))
+    val j2 = graft.plans.AsOf.join(purchases, touches2,
+      "user_id", "touch_user", "purchase_ts", "touch_ts",
+      rightTiebreak = Some("touch_id"), tolerance = Some(3600L))
+      .select("touch_id").collect()
+    assert(j2(0).getLong(0) === 9L)
   }
 }

@@ -35,10 +35,13 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case e: Throwable => System.err.println(s"[bench] warmup entry: $e") }
 
-    // two passes per query, report min(cold, warm): pass 1 pays one-time
-    // codegen compilation + AQE statistics; pass 2 is the steady-state
-    // throughput a long-running cluster job sees. A query that throws
-    // reports -1, not a meaningless elapsed time.
+    // three passes per query, report the MEDIAN: pass 1 pays one-time
+    // codegen compilation + AQE statistics, passes 2-3 are the
+    // steady-state throughput a long-running cluster job sees, and the
+    // median discards BOTH the cold outlier and a single shared-sandbox
+    // hiccup — the round-9 archive carried 2-5× noise spikes a
+    // min(cold, warm) pair could not distinguish from regressions.
+    // A query that throws reports -1, not a meaningless elapsed time.
     // Optional comma-separated headline filter for focused iteration
     // (SPARK_GRAFT_BENCH_ONLY=q98_dup_spans,q100_ann_ivfpq); the
     // driver never sets it, so the round bench always runs everything.
@@ -51,6 +54,9 @@ object Bench {
     val picked = only.fold(SparkEntry.headlines)(names =>
       SparkEntry.headlines.filter(q => names(q.name)))
       .filterNot(q => split(q.name) && only.isEmpty)
+    def median3(a: Double, b: Double, c: Double): Double =
+      if (a < 0 || b < 0 || c < 0) -1.0
+      else Seq(a, b, c).sorted.apply(1)
     val results = picked.map { q =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -61,50 +67,44 @@ object Bench {
           case e: Throwable => System.err.println(s"[bench] ${q.name}: $e"); -1.0
         }
       }
-      val cold = once()
-      val warm = once()
-      val best = if (cold < 0 || warm < 0) -1.0 else math.min(cold, warm)
-      q.name -> best
+      q.name -> median3(once(), once(), once())
     }
 
     // Build/probe split for the ANN index headliners: the build is
     // forced via localCheckpoint (the local stand-in for staging the
     // index partitionBy(cell) at scale), then probes run against the
-    // materialized artifact. min(cold, warm) convention as above.
+    // materialized artifact. median-of-3 convention as above.
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime()
       try { f; (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable => System.err.println(s"[bench] split: $e"); -1.0 }
     }
-    def two(f: () => Double): Double = {
-      val c = f(); val w = f()
-      if (c < 0 || w < 0) -1.0 else math.min(c, w)
-    }
+    def rep3(f: () => Double): Double = median3(f(), f(), f())
     val splitResults: Seq[(String, Double)] =
       if (only.nonEmpty) Seq.empty
       else {
         var pq: org.apache.spark.sql.DataFrame = null
-        val b85 = two(() => timed {
+        val b85 = rep3(() => timed {
           pq = operators.AnnOps.pqIndex(spark, sfDir).localCheckpoint()
         })
-        val p85 = two(() => timed {
+        val p85 = rep3(() => timed {
           operators.AnnOps.pqProbe(spark, sfDir, pq)
             .write.format("noop").mode("overwrite").save()
         })
         var ivfpq: org.apache.spark.sql.DataFrame = null
-        val b100 = two(() => timed {
+        val b100 = rep3(() => timed {
           ivfpq = operators.AnnOps.ivfpqIndex(spark, sfDir).localCheckpoint()
         })
-        val p100 = two(() => timed {
+        val p100 = rep3(() => timed {
           operators.AnnOps.ivfpqProbe(spark, sfDir, ivfpq)
             .write.format("noop").mode("overwrite").save()
         })
         var sq8: (org.apache.spark.sql.DataFrame, Seq[Double], Seq[Double]) = null
-        val b117 = two(() => timed {
+        val b117 = rep3(() => timed {
           val (c, mn, sc) = operators.AnnOps.sq8Index(spark, sfDir)
           sq8 = (c.localCheckpoint(), mn, sc)
         })
-        val p117 = two(() => timed {
+        val p117 = rep3(() => timed {
           operators.AnnOps.sq8Probe(spark, sfDir, sq8._1, sq8._2, sq8._3)
             .write.format("noop").mode("overwrite").save()
         })
@@ -116,9 +116,22 @@ object Bench {
     val all = results ++ splitResults
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    // self-normalizing record: each query's ratio to the in-run q01
+    // normalizer, so a reader can tell a shared-sandbox hiccup (q01
+    // moves with it) from a real per-query regression (it doesn't)
+    // without re-running. -1 (errored / q01 missing) stays -1.
+    val q01 = all.collectFirst {
+      case (n, v) if n.startsWith("q01") && v > 0 => v }
+    val ratios = all.map { case (k, v) =>
+      val r = q01 match {
+        case Some(norm) if v >= 0 => v / norm
+        case _ => -1.0
+      }
+      "\"" + k + "\":" + f"$r%.3f"
+    }.mkString("{", ",", "}")
     val failed = all.count(_._2 < 0)
     val total = all.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$failed,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ratio_q01":$ratios,"reps":3,"agg":"median","errors":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -67,9 +67,16 @@ object ClusterOps {
     * assignment and the final centroids. Both q174 (cluster stats)
     * and q175 (prototypicality pruning) consume exactly this. */
   private[graft] def lloyd(s: SparkSession, dir: String)
+      : (DataFrame, Array[Array[Long]]) =
+    lloydOf(Tables.load(s, dir, "embeddings"))
+
+  /** The trajectory over an arbitrary (vec_id, embedding) frame — the
+    * library seam `pipeline/Curation`'s prototype-pruning stage feeds
+    * with the dedup survivors' embeddings. */
+  private[graft] def lloydOf(emb: DataFrame)
       : (DataFrame, Array[Array[Long]]) = {
     val qm = materialize(
-      Tables.load(s, dir, "embeddings").select(col("vec_id"),
+      emb.select(col("vec_id"),
         expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000.0 + 0.5) as bigint))")
           .as("q")),
       "kmeans_q")
@@ -181,19 +188,27 @@ object ClusterOps {
     * same shuffle key the update aggregation already used) — rank
     * within cluster is partition-local after that shuffle; quotas are
     * a k-row table. */
+  /** The q175 ranking over an assignment: within each cluster rank by
+    * (dist² asc, vec_id), flag the densest `1/den` (integer quota) as
+    * prototypical — shared by the q175 operator and Curation's
+    * prototype-pruning stage so the two cannot drift. */
+  private[graft] def prototypeFlags(assigned: DataFrame, den: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    assigned.select(col("vec_id"), col("cid"), col("d2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cid"))
+          .orderBy(col("d2"), col("vec_id"))).cast("long"))
+      .withColumn("n_c", count(lit(1)).over(Window.partitionBy(col("cid"))))
+      .withColumn("pruned", col("rk") <= expr(s"n_c div $den"))
+  }
+
   val q175PrototypePrune: QueryDef = QueryDef(
     "q175_prototype_prune",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val (assigned, _) = lloyd(s, dir)
-      val sized = assigned.select(col("vec_id"), col("cid"), col("d2"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("cid"))
-            .orderBy(col("d2"), col("vec_id"))).cast("long"))
-        .withColumn("n_c", count(lit(1)).over(Window.partitionBy(col("cid"))))
-      sized
+      prototypeFlags(assigned, 5)
         .select(col("vec_id"), col("cid"), col("d2"), col("rk"),
-          col("n_c"), (col("rk") <= expr("n_c div 5")).as("pruned"))
+          col("n_c"), col("pruned"))
         .orderBy(col("vec_id"))
     },
     Some(s"""WITH $lloydSqlCtes,

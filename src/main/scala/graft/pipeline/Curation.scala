@@ -76,6 +76,20 @@ object Curation {
     *        (doc_id order) when the URL gate is on
     * @param domainBlocklist registered domains dropped outright when
     *        the URL gate is on
+    * @param prototypePrune when true, run the D4 / SSL-prototypes
+    *        diversification stage (q175's operator, Sorscher et al.
+    *        2022; Tirumala et al. 2023) BETWEEN dedup and packing:
+    *        exact-integer Lloyd k-means (`ClusterOps.lloydOf`, the
+    *        q174 trajectory) is trained on the DEDUP SURVIVORS'
+    *        embeddings (`semanticEmbeddings` must be set), and within
+    *        each cluster the densest `1/protoPruneDen` — the most
+    *        prototypical, semantically redundant with the cluster
+    *        center — are dropped. Runs AFTER SemDeDup by design: dedup
+    *        removes near-copies, prototype pruning then thins what
+    *        remains toward diversity, the D4 ordering. Docs without an
+    *        embedding row are kept
+    * @param protoPruneDen  the integer prune quota denominator (drop
+    *        `n_c div den` per cluster; 5 = the q175/D4 fifth)
     * @param lineDedup      when true, run C4's line-level dedup
     *        (q147's operator, `CorpusOps.lineDedupOf`) on the
     *        doc-dedup survivors: every segment keeps its first
@@ -106,14 +120,17 @@ object Curation {
       urlColumn: Option[String] = None,
       domainCap: Long = Long.MaxValue,
       domainBlocklist: Seq[String] = Nil,
-      lineDedup: Boolean = false)
+      lineDedup: Boolean = false,
+      prototypePrune: Boolean = false,
+      protoPruneDen: Int = 5)
 
   final case class CurationSummary(
       raw: Long, gated: Long, boilerDropped: Long, contaminatedDropped: Long,
       perplexityDropped: Long, dsirDropped: Long, qualityDropped: Long,
       semanticDropped: Long, sampledOut: Long, tempSampledOut: Long,
       packedDocs: Long, bins: Long, urlDropped: Long = 0L,
-      lineSegmentsCut: Long = 0L, nbDropped: Long = 0L)
+      lineSegmentsCut: Long = 0L, nbDropped: Long = 0L,
+      protoDropped: Long = 0L)
 
   private def materialize(df: DataFrame, tag: String): DataFrame =
     graft.Staging.materialize(df, tag, "spark.graft.corpus.stagingDir")
@@ -325,7 +342,26 @@ object Curation {
     // exact dedup (min doc_id per content hash)
     val keepIds = clean.groupBy(sha2(col("text"), 256).as("h"))
       .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
-    val deduped = clean.join(keepIds, Seq("doc_id"), "left_semi")
+    val deduped0 = clean.join(keepIds, Seq("doc_id"), "left_semi")
+    // D4 prototype pruning (q175's operator) BETWEEN dedup and packing:
+    // exact Lloyd over the SURVIVORS' embeddings, densest fifth per
+    // cluster dropped — dedup removed the near-copies, this stage
+    // thins the remainder toward diversity (the D4 ordering). One
+    // (doc_id)-keyed anti join; the clustering never touches text.
+    val (deduped, protoDroppedN) =
+      if (cfg.prototypePrune) {
+        val emb = cfg.semanticEmbeddings.getOrElse(throw new IllegalArgumentException(
+          "prototypePrune requires semanticEmbeddings"))
+        val survivors = materialize(deduped0, "proto_in")
+        val survEmb = emb.select(col("doc_id").as("vec_id"), col("embedding"))
+          .join(survivors.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+        val (assigned, _) = graft.operators.ClusterOps.lloydOf(survEmb)
+        val dropIds = materialize(
+          graft.operators.ClusterOps.prototypeFlags(assigned, cfg.protoPruneDen)
+            .filter(col("pruned"))
+            .select(col("vec_id").as("doc_id")), "proto_drop")
+        (survivors.join(dropIds, Seq("doc_id"), "left_anti"), dropIds.count())
+      } else (deduped0, 0L)
     // optional C4 line-level dedup (q147's operator): rewrite each
     // survivor to its first-occurrence segments AFTER doc-level exact
     // dedup (so intra-copy segments don't inflate the global counts);
@@ -363,7 +399,8 @@ object Curation {
       urlDropped = obs.get("url_dropped").asInstanceOf[Long],
       lineSegmentsCut =
         if (cfg.lineDedup) obsLine.get("segments_cut").asInstanceOf[Long] else 0L,
-      nbDropped = obs.get("nb_dropped").asInstanceOf[Long])
+      nbDropped = obs.get("nb_dropped").asInstanceOf[Long],
+      protoDropped = protoDroppedN)
     (bins, summary)
   }
 

@@ -27,10 +27,16 @@ import org.apache.spark.sql.types._
   * should match — the same kind of ordering contract Structured
   * Streaming's stream-stream outer join puts behind its watermark. A
   * right older than both retained rows is never absorbed (monotone
-  * guard); set watermarks on both inputs to bound how late that can
-  * happen. Unmatched lefts emit with null right columns (left-outer,
-  * like the batch operator); `tolerance` bounds the match's age in the
-  * time column's native units (micros for timestamps).
+  * guard). `maxLateness` ENFORCES the contract: each key's state
+  * carries its event-time high-water mark, and an event (either side)
+  * older than `hwm − maxLateness` is dropped and counted — a late
+  * left emits nothing rather than a match against state that has
+  * already advanced past it; a late right is never absorbed. Events
+  * out of order WITHIN the bound keep the documented monotone
+  * behavior (spec-pinned with an out-of-order batch). Unmatched lefts
+  * emit with null right columns (left-outer, like the batch
+  * operator); `tolerance` bounds the match's age in the time column's
+  * native units (micros for timestamps).
   *
   * Reference behavior: merge_asof semantics over streams — pandas has no
   * streaming form; kdb's realtime `aj` against a keyed last-tick table
@@ -54,7 +60,9 @@ object StreamingAsOf {
       leftTime: String,
       rightTime: String,
       strict: Boolean = false,
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      maxLateness: Option[Long] = None,
+      lateEvents: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
 
     def toMicros(df: DataFrame, c: String) = df.schema(c).dataType match {
       case TimestampType | TimestampNTZType | DateType =>
@@ -89,7 +97,8 @@ object StreamingAsOf {
     // Long.MinValue sentinel when the prev slot is empty
     val stateSchema = StructType(Seq(
       StructField("_t1", LongType), StructField("_r1", rSchema),
-      StructField("_t2", LongType), StructField("_r2", rSchema)))
+      StructField("_t2", LongType), StructField("_r2", rSchema),
+      StructField("_hwm", LongType)))
     val outEnc = Encoders.row(outSchema)
     val stateEnc = Encoders.row(stateSchema)
     val rWidth = rSchema.size
@@ -105,10 +114,12 @@ object StreamingAsOf {
           var r1: Row = null
           var t2 = Long.MinValue
           var r2: Row = null
+          var hwm = Long.MinValue
           if (state.exists) {
             val s = state.get
             t1 = s.getLong(0); r1 = s.getStruct(1)
             t2 = s.getLong(2); r2 = s.getStruct(3)
+            hwm = s.getLong(4)
           }
           // at equal time: non-strict lets a right at t match a left at t
           // (right first); strict forbids it (left first) — the streaming
@@ -118,7 +129,11 @@ object StreamingAsOf {
           }
           val out = Seq.newBuilder[Row]
           ordered.foreach { r =>
-            if (r.getInt(2) == 1) {
+            val rowT = r.getLong(1)
+            val isLate =
+              maxLateness.exists(b => hwm != Long.MinValue && rowT < hwm - b)
+            if (isLate) lateEvents.foreach(_.add(1L))
+            else if (r.getInt(2) == 1) {
               val rt = r.getLong(1)
               if (r1 == null || rt > t1) {
                 t2 = t1; r2 = r1; t1 = rt; r1 = r.getStruct(4)
@@ -139,8 +154,10 @@ object StreamingAsOf {
               val rSeq = if (matched) cand.toSeq else Seq.fill[Any](rWidth)(null)
               out += Row.fromSeq(r.getStruct(3).toSeq ++ rSeq)
             }
+            if (!isLate && rowT > hwm) hwm = rowT
           }
-          if (r1 != null) state.update(Row(t1, r1, t2, r2))
+          if (r1 != null || hwm != Long.MinValue)
+            state.update(Row(t1, r1, t2, r2, hwm))
           out.result().iterator
       }(stateEnc, outEnc)
   }

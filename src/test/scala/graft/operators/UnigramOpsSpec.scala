@@ -4,8 +4,15 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 /** Unigram-LM tokenizer proven against an independent driver-side
-  * reference implementation of Kudo 2018's algorithm on the real
-  * corpus — the no-oracle correctness convention (q104/q105). */
+  * reference implementation of the exact-replay schedule (Kudo 2018's
+  * algorithm with probability-space lattices, quantized expected
+  * counts, and the fixed prune-round schedule) on the real corpus —
+  * plain Scala maps and loops, no Spark, independent of the
+  * operator's mapPartitions/broadcast machinery. The DuckDB oracle
+  * separately replays the same trajectory (the correctness gate);
+  * this spec pins the DISTRIBUTED implementation against a scalar
+  * one, so a partitioning/broadcast bug cannot hide behind a
+  * matching-but-equally-wrong oracle. */
 class UnigramOpsSpec extends SparkSpec {
 
   private val dir = sf("sf0.001")
@@ -16,18 +23,12 @@ class UnigramOpsSpec extends SparkSpec {
   private val cpOrdering: Ordering[String] = (a: String, b: String) =>
     java.util.Arrays.compare(a.codePoints().toArray, b.codePoints().toArray)
 
-  /** Reference unigram trainer: plain Scala maps and loops, mirroring
-    * the published procedure (seed -> EM x2 -> prune -> ... -> EM x2)
-    * independently of the operator's Column/mapPartitions code. */
+  /** Reference trainer: seed → 24 × (EM ×2 → prune) → EM ×2, all in
+    * probability space with per-occurrence integer quantization. */
   private def referenceUnigram(wordFreq: Map[String, Long]): Map[String, Double] = {
     val maxLen = 4; val maxSeeds = 400; val target = 80
-    val keepRatio = 0.8; val floor = 1e-12
-    val NegInf = Double.NegativeInfinity
-    def lse(a: Double, b: Double): Double =
-      if (a == NegInf) b else if (b == NegInf) a
-      else { val m = math.max(a, b); m + math.log1p(math.exp(-math.abs(a - b))) }
+    val keepRatio = 0.8; val floor = 1e-12; val rounds = 24
 
-    // seed: full 2..maxLen substrings by weighted frequency + all chars
     val subCounts = scala.collection.mutable.Map[String, Long]()
     wordFreq.foreach { case (w, f) =>
       val s = cps(w)
@@ -45,69 +46,75 @@ class UnigramOpsSpec extends SparkSpec {
     val init = (chars ++ seeds.filterNot(charSet)).distinct
 
     def em(model: Map[String, Double]): Map[String, Double] = {
-      val counts = scala.collection.mutable.Map[String, Double]()
+      val counts = scala.collection.mutable.Map[String, Long]()
       wordFreq.foreach { case (w, f) =>
         val s = cps(w); val n = s.length
-        val alpha = Array.fill(n + 1)(NegInf); alpha(0) = 0.0
-        for (j <- 1 to n; i <- math.max(0, j - maxLen) until j)
-          model.get(s.slice(i, j).mkString).foreach { lp =>
-            if (alpha(i) != NegInf) alpha(j) = lse(alpha(j), alpha(i) + lp)
+        val alpha = new Array[Double](n + 1); alpha(0) = 1.0
+        for (j <- 1 to n) {
+          var acc = 0.0
+          for (l <- 1 to maxLen) {
+            val i = j - l
+            acc += (if (i >= 0) alpha(i) * model.getOrElse(s.slice(i, j).mkString, 0.0) else 0.0)
           }
+          alpha(j) = acc
+        }
         val z = alpha(n)
-        if (z != NegInf) {
-          val beta = Array.fill(n + 1)(NegInf); beta(n) = 0.0
-          for (i <- n - 1 to 0 by -1; k <- math.min(n, i + maxLen) until i by -1)
-            model.get(s.slice(i, k).mkString).foreach { lp =>
-              if (beta(k) != NegInf) beta(i) = lse(beta(i), lp + beta(k))
+        if (z > 0.0) {
+          val beta = new Array[Double](n + 1); beta(n) = 1.0
+          for (i <- n - 1 to 0 by -1) {
+            var acc = 0.0
+            for (l <- 1 to maxLen) {
+              val k = i + l
+              acc += (if (k <= n) model.getOrElse(s.slice(i, k).mkString, 0.0) * beta(k) else 0.0)
             }
-          for (i <- 0 until n; k <- math.min(n, i + maxLen) until i by -1)
-            model.get(s.slice(i, k).mkString).foreach { lp =>
-              if (alpha(i) != NegInf && beta(k) != NegInf) {
-                val post = math.exp(alpha(i) + lp + beta(k) - z) * f
-                if (post > 0.0) {
-                  val p = s.slice(i, k).mkString
-                  counts(p) = counts.getOrElse(p, 0.0) + post
-                }
-              }
+            beta(i) = acc
+          }
+          for (i <- 0 until n; l <- 1 to maxLen if i + l <= n) {
+            val k = i + l
+            val piece = s.slice(i, k).mkString
+            model.get(piece).foreach { pp =>
+              val q = math.floor(((((alpha(i) * pp) * beta(k)) / z) * f) * 1e6 + 0.5).toLong
+              if (q != 0L) counts(piece) = counts.getOrElse(piece, 0L) + q
             }
+          }
         }
       }
       val total = counts.values.sum
       model.keys.map { p =>
-        p -> math.log(math.max(counts.getOrElse(p, 0.0) / total, floor))
+        p -> math.max(counts.getOrElse(p, 0L).toDouble / total.toDouble, floor)
       }.toMap
     }
 
-    def viterbiLogp(word: String, model: Map[String, Double]): Double = {
-      val s = cps(word); val n = s.length
-      val best = Array.fill(n + 1)(NegInf); best(0) = 0.0
-      for (j <- 1 to n; i <- math.max(0, j - maxLen) until j)
-        model.get(s.slice(i, j).mkString).foreach { lp =>
-          if (best(i) != NegInf && best(i) + lp > best(j)) best(j) = best(i) + lp
-        }
+    def altProb(piece: String, model: Map[String, Double]): Double = {
+      val s = cps(piece); val n = s.length
+      val best = Array.fill[Double](n + 1)(-1.0); best(0) = 1.0
+      for (j <- 1 to n; l <- 1 to math.min(maxLen, j)) {
+        val i = j - l
+        if (!(i == 0 && j == n) && best(i) >= 0.0)
+          model.get(s.slice(i, j).mkString).foreach { pp =>
+            val cand = best(i) * pp
+            if (cand > best(j)) best(j) = cand
+          }
+      }
       best(n)
     }
 
-    var model: Map[String, Double] =
-      init.map(p => p -> math.log(1.0 / init.length)).toMap
-    var iter = 0
-    while (model.size > target) {
-      require(iter < 50)
+    var model: Map[String, Double] = init.map(p => p -> 1.0 / init.length).toMap
+    val effTarget = math.max(target, chars.length)
+    (1 to rounds).foreach { _ =>
       (1 to 2).foreach(_ => model = em(model))
       val multi = model.keys.filterNot(charSet).toSeq
       val losses = multi.map { p =>
-        val alt = viterbiLogp(p, model - p)
-        p -> (math.exp(model(p)) * (model(p) - alt))
+        p -> (model(p) * math.log(model(p) / altProb(p, model)))
       }
-      val keepN = math.max(target - chars.length, (multi.size * keepRatio).toInt)
+      val keepN = math.max(effTarget - chars.length, (multi.size * keepRatio).toInt)
       val ordered = losses.sortBy { case (p, l) => (-l, p) }(
         Ordering.Tuple2(Ordering.Double.TotalOrdering, cpOrdering))
-      val kept = ordered.take(math.min(keepN, multi.size)).map(_._1).toSet
-      if (kept.size == multi.size) {
-        val hard = ordered.take(math.max(0, target - chars.length)).map(_._1).toSet
-        model = model.filter { case (p, _) => charSet(p) || hard(p) }
-      } else model = model.filter { case (p, _) => charSet(p) || kept(p) }
-      iter += 1
+      val kept =
+        if (keepN >= multi.size)
+          ordered.take(math.max(0, effTarget - chars.length)).map(_._1).toSet
+        else ordered.take(keepN).map(_._1).toSet
+      model = model.filter { case (p, _) => charSet(p) || kept(p) }
     }
     (1 to 2).foreach(_ => model = em(model))
     model
@@ -124,6 +131,7 @@ class UnigramOpsSpec extends SparkSpec {
     val got = UnigramOps.q110UnigramVocab.fn(spark, dir).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     val want = referenceUnigram(corpusWordFreq)
+      .map { case (p, prob) => p -> math.log(prob) }
     assert(got.keySet === want.keySet,
       s"piece sets diverge: op-only=${(got.keySet -- want.keySet).take(5)}, " +
         s"ref-only=${(want.keySet -- got.keySet).take(5)}")
@@ -145,9 +153,10 @@ class UnigramOpsSpec extends SparkSpec {
 
   test("an alphabet at or beyond the target vocab converges to the character model") {
     // 100 distinct CJK code points: chars alone exceed the default
-    // target of 80, so the prune loop can only strip multi-char
-    // pieces and must stop at the alphabet instead of spinning to the
-    // iteration guard (the r7 divergence)
+    // target of 80, so the prune schedule can only strip multi-char
+    // pieces and must settle at the bare alphabet (the fixed 24-round
+    // schedule drains any ≤400-seed set: keepN = floor(0.8·multi)
+    // reaches 0 within 23 rounds)
     val sp = spark
     import sp.implicits._
     val alphabet = (0 until 100).map(i => new String(Character.toChars(0x4E00 + i)))
@@ -161,21 +170,23 @@ class UnigramOpsSpec extends SparkSpec {
 
   test("q111 per-doc token counts match a reference Viterbi under the trained model") {
     val model = UnigramOps.q110UnigramVocab.fn(spark, dir).collect()
-      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      .map(r => r.getString(0) -> math.exp(r.getDouble(1))).toMap
+    // reference Viterbi in prob space: strictly-greater product, or an
+    // equal positive product with fewer pieces
     def vit(word: String): Int = {
       val s = cps(word); val n = s.length
-      val best = Array.fill(n + 1)(Double.NegativeInfinity)
-      val bestN = Array.fill(n + 1)(Int.MaxValue)
-      best(0) = 0.0; bestN(0) = 0
-      for (j <- 1 to n; i <- math.max(0, j - 4) until j)
-        model.get(s.slice(i, j).mkString).foreach { lp =>
-          if (best(i) != Double.NegativeInfinity) {
-            val cand = best(i) + lp; val candN = bestN(i) + 1
-            if (cand > best(j) || (cand == best(j) && candN < bestN(j))) {
-              best(j) = cand; bestN(j) = candN
-            }
-          }
+      val best = new Array[Double](n + 1); best(0) = 1.0
+      val bestN = new Array[Int](n + 1)
+      for (j <- 1 to n) {
+        var cp = 0.0; var cc = 0
+        for (l <- math.min(4, j) to 1 by -1) {
+          val i = j - l
+          val cand = best(i) * model.getOrElse(s.slice(i, j).mkString, 0.0)
+          val cn = bestN(i) + 1
+          if (cand > cp || (cand == cp && cand > 0.0 && cn < cc)) { cp = cand; cc = cn }
         }
+        best(j) = cp; bestN(j) = cc
+      }
       bestN(n)
     }
     val want = graft.Tables.load(spark, dir, "documents")

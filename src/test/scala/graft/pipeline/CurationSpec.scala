@@ -205,6 +205,35 @@ class CurationSpec extends SparkSpec {
     assert(sem.packedDocs <= base.packedDocs)
   }
 
+  test("prototype pruning drops the q175 quota between dedup and packing, deterministically") {
+    graft.functions.expressions.VectorExpressions.register(spark)
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val (_, base) = Curation.run(docs)
+    assert(base.protoDropped === 0L, "stage is off by default")
+    val cfg = Curation.CurationConfig(
+      semanticEmbeddings = Some(emb), prototypePrune = true)
+    val (bins1, on) = Curation.run(docs, cfg)
+    assert(on.protoDropped > 0L, "clusters of >= 5 embedded survivors must lose their fifth")
+    assert(on.packedDocs < base.packedDocs)
+    // the quota is exact: recompute the q175 flags over the same
+    // survivor set (the exact-integer Lloyd is deterministic — hash
+    // seeds, integer arithmetic — so the stage must reproduce it)
+    assert(on.protoDropped <= base.packedDocs / 5 + 8,
+      "per-cluster integer fifths cannot exceed a fifth of the pool plus k remainders")
+    // composes idempotently: the same config re-run yields the same
+    // bins and the same counts (no hidden randomness in the stage)
+    val (bins2, on2) = Curation.run(docs, cfg)
+    assert(on2 === on)
+    val b1 = bins1.collect().map(_.toString).sorted
+    val b2 = bins2.collect().map(_.toString).sorted
+    assert(b1.sameElements(b2), "re-running the pipeline must reproduce identical bins")
+    // requires embeddings
+    intercept[IllegalArgumentException] {
+      Curation.run(docs, Curation.CurationConfig(prototypePrune = true))
+    }
+  }
+
   test("semanticWhiten: the whitened stage still finds near-dups; summary stays conserved") {
     graft.functions.expressions.VectorExpressions.register(spark)
     val emb = graft.Tables.load(spark, dir, "embeddings")

@@ -21,14 +21,17 @@ class StreamingAsOfSpec extends SparkSpec {
       steps: Seq[Step],
       strict: Boolean = false,
       tolerance: Option[Long] = None,
-      name: String = "asof_out"): Seq[Row] = {
+      name: String = "asof_out",
+      maxLateness: Option[Long] = None,
+      lateEvents: Option[org.apache.spark.util.LongAccumulator] = None): Seq[Row] = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val lIn = MemoryStream[Trade]
     val rIn = MemoryStream[Quote]
     val joined = StreamingAsOf.join(
       lIn.toDF(), rIn.toDF(), "sym", "t", "qt",
-      strict = strict, tolerance = tolerance)
+      strict = strict, tolerance = tolerance,
+      maxLateness = maxLateness, lateEvents = lateEvents)
     val ckpt = Files.createTempDirectory("graft-asof-ckpt").toString
     val q = joined.writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
@@ -145,5 +148,28 @@ class StreamingAsOfSpec extends SparkSpec {
     q.stop()
     val got = spark.table("asof_ts").collect()
     assert(got.length == 1 && got.head.getDouble(5) == 42.0)
+  }
+
+  test("maxLateness drops and counts events beyond the bound; within-bound stays monotone") {
+    val late = spark.sparkContext.longAccumulator("asof_late")
+    val got = run(Seq(
+      Step(quotes = Seq(Quote("A", 100, 1.0))),
+      Step(trades = Seq(Trade("A", 120, 1))),
+      // quote@40 is beyond the bound (40 < 120 - 50): dropped+counted;
+      // quote@90 is out of order but WITHIN the bound: admitted into
+      // the prev slot (90 < latest 100 — the monotone guard)
+      Step(quotes = Seq(Quote("A", 40, 9.9), Quote("A", 90, 0.9))),
+      // trade@60 is beyond the bound: dropped+counted, NO output row
+      // (not even a null-right one)
+      Step(trades = Seq(Trade("A", 60, 2))),
+      // trade@95 is within the bound: falls back to the admitted
+      // quote@90 (latest quote@100 is in its future)
+      Step(trades = Seq(Trade("A", 95, 3)))),
+      name = "asof_lateness", maxLateness = Some(50L), lateEvents = Some(late))
+      .map(r => (r.getLong(1), Option(r.get(4)).map(_ => r.getDouble(5))))
+      .toSet
+    assert(got == Set((120L, Some(1.0)), (95L, Some(0.9))),
+      s"expected the two in-bound trades only, got $got")
+    assert(late.value === 2L, "exactly quote@40 and trade@60 are late")
   }
 }

@@ -64,4 +64,41 @@ class StreamingFunnelSpec extends SparkSpec {
       assert(finalSteps === maxSteps, s"user $u regressed in steps")
     }
   }
+
+  test("late events: dropped beyond the bound, monotone within it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(t: Long, tpe: String, id: Long) =
+      FunnelEvent(1L, tpe, new java.sql.Timestamp(t / 1000), id)
+    val late = spark.sparkContext.longAccumulator("funnel_late")
+    val in = MemoryStream[FunnelEvent]
+    val out = StreamingFunnel.progress(in.toDF(),
+      maxLateness = Some(50000L), lateEvents = Some(late))
+    val ckpt = Files.createTempDirectory("graft-funnel-late-ckpt").toString
+    val q = out.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("funnel_late").start()
+    def drain(es: FunnelEvent*): Unit = { in.addData(es: _*); q.processAllAvailable() }
+    // batch 1: view+purchase with no signup — funnel stays at 0 steps,
+    // high-water mark advances to 200
+    drain(ev(100000, "view", 1), ev(200000, "purchase", 2))
+    // batch 2: a signup 160ms older than the high-water mark — beyond
+    // the 50ms bound: dropped and counted, funnel unchanged
+    drain(ev(40000, "signup", 3))
+    // batch 3: a signup 40ms late — WITHIN the bound: admitted, starts
+    // the funnel (empty earlier slot), but the already-seen view and
+    // purchase are NOT retroactively re-derived
+    drain(ev(160000, "signup", 4))
+    // batch 4: a fresh view after the signup advances to step 2
+    drain(ev(210000, "view", 5))
+    q.stop()
+    val rows = spark.table("funnel_late").collect()
+      .map(r => (r.getLong(4), Option(r.get(1)), Option(r.get(2))))
+    // per-batch snapshots: 0 steps, 0 steps (late drop), 1 step, 2 steps
+    assert(rows.map(_._1).toSeq === Seq(0L, 0L, 1L, 2L), rows.mkString(","))
+    assert(rows(2)._2 === Some(160000L), "in-bound late signup sets t1")
+    assert(rows(2)._3 === None, "the pre-signup view must not be re-derived")
+    assert(rows(3)._3 === Some(210000L))
+    assert(late.value === 1L, "exactly the beyond-bound signup is dropped")
+  }
 }

@@ -111,32 +111,71 @@ object SuffixOps {
       suffixRanks(s, dir).orderBy(col("rk"), col("doc_id"), col("i")), "idx")
       .localCheckpoint()
 
+  /** Tokens shipped per suffix row through the LCP joins. Adjacent-SA
+    * neighbors sharing a prefix past this bound escalate to the exact
+    * full-width compare — a set bounded by the corpus's deep-repeat
+    * structure, tiny in practice (at 100 TB, repeat the doubling:
+    * 64 → 128 → … instead of one full-width pass). */
+  private val LcpBound = 64
+
+  /** First mismatch position over two suffix slices: zip_with pads the
+    * shorter side with null, x = y on null is null -> coalesce(false)
+    * marks it a mismatch, so array_position finds min(len)+1 there; 0
+    * (not found) means one slice prefixes the other -> lcp = min(len). */
+  private def lcpCols(df: DataFrame): DataFrame = df
+    .withColumn("mismatch", array_position(
+      expr("zip_with(sufA, sufB, (x, y) -> coalesce(x = y, false))"),
+      false))
+    .withColumn("lcp", when(col("mismatch") === 0,
+      least(size(col("sufA")), size(col("sufB"))))
+      .otherwise(col("mismatch") - 1).cast("long"))
+
+  /** Adjacent-suffix LCPs, PAYLOAD-BOUNDED: each suffix row ships only
+    * a [[LcpBound]]-token slice through the pair joins (the slice is
+    * projected BEFORE the next join's exchange — a full doc array
+    * crosses a shuffle only at doc granularity, never per suffix row;
+    * the round-9 form shipped each doc's whole token array per suffix
+    * row through the second join, O(docLen²) bytes per doc). Pairs
+    * whose bounded compare is inconclusive — no mismatch within the
+    * bound and both suffixes extend past it — re-join the full arrays
+    * in a second, exact pass over just those rows. */
   private def neighborLcpOf(sa: DataFrame, arrs: DataFrame): DataFrame = {
     val a = sa.select(col("idx"), col("doc_id").as("dA"), col("i").as("iA"))
     val b = sa.select((col("idx") - 1).as("idx"),
       col("doc_id").as("dB"), col("i").as("iB"))
-    a.join(b, "idx")
-      .join(arrs.select(col("doc_id").as("dA"), col("w").as("wA")), Seq("dA"))
-      .join(arrs.select(col("doc_id").as("dB"), col("w").as("wB")), Seq("dB"))
-      .withColumn("sufA", expr("slice(wA, iA, size(wA))"))
-      .withColumn("sufB", expr("slice(wB, iB, size(wB))"))
-      // first mismatch position: zip_with pads the shorter side with
-      // null, x = y on null is null -> coalesce(false) marks it a
-      // mismatch, so array_position finds min(len)+1 there; 0 (not
-      // found) means one suffix prefixes the other -> lcp = min(len)
-      .withColumn("mismatch", array_position(
-        expr("zip_with(sufA, sufB, (x, y) -> coalesce(x = y, false))"),
-        false))
-      .withColumn("lcp", when(col("mismatch") === 0,
-        least(size(col("sufA")), size(col("sufB"))))
-        .otherwise(col("mismatch") - 1).cast("long"))
-      // the join key pairs rows (idx, idx+1); relabel each pair by its
-      // LATER row so "lcp at idx x" = lcp(x-1, x) — the convention
-      // saWithLcp documents and the q168 scans rely on (this was an
-      // off-by-one caught by the python cross-check: every edge was
-      // attached to the pair's earlier row)
-      .select((col("idx") + 1).as("idx"), col("dA"), col("iA"),
-        col("lcp"), col("wA"))
+    val bounded = a.join(b, "idx")
+      .join(arrs.select(col("doc_id").as("dA"), col("w").as("wAf")), Seq("dA"))
+      // bound the payload BEFORE the dB join's exchange
+      .select(col("idx"), col("dA"), col("iA"), col("dB"), col("iB"),
+        expr(s"slice(wAf, iA, $LcpBound)").as("sufA"),
+        (size(col("wAf")) - col("iA") + 1).as("sufLenA"))
+      .join(arrs.select(col("doc_id").as("dB"), col("w").as("wBf")), Seq("dB"))
+      .select(col("idx"), col("dA"), col("iA"), col("dB"), col("iB"),
+        col("sufA"), col("sufLenA"),
+        expr(s"slice(wBf, iB, $LcpBound)").as("sufB"),
+        (size(col("wBf")) - col("iB") + 1).as("sufLenB"))
+    val scored = lcpCols(bounded).localCheckpoint()
+    // conclusive: a mismatch inside the bound, or either suffix ending
+    // within it (its end IS the lcp); inconclusive only when the two
+    // slices agree on all LcpBound tokens and both suffixes continue
+    val open = col("lcp") === LcpBound &&
+      col("sufLenA") > LcpBound && col("sufLenB") > LcpBound
+    val resolved = scored.filter(!open)
+      .select(col("idx"), col("dA"), col("iA"), col("lcp"))
+    val escalated = lcpCols(scored.filter(open)
+      .select(col("idx"), col("dA"), col("iA"), col("dB"), col("iB"))
+      .join(arrs.select(col("doc_id").as("dA"), col("w").as("wAf")), Seq("dA"))
+      .join(arrs.select(col("doc_id").as("dB"), col("w").as("wBf")), Seq("dB"))
+      .withColumn("sufA", expr("slice(wAf, iA, size(wAf))"))
+      .withColumn("sufB", expr("slice(wBf, iB, size(wBf))")))
+      .select(col("idx"), col("dA"), col("iA"), col("lcp"))
+    // the join key pairs rows (idx, idx+1); relabel each pair by its
+    // LATER row so "lcp at idx x" = lcp(x-1, x) — the convention
+    // saWithLcp documents and the q168 scans rely on (this was an
+    // off-by-one caught by the python cross-check: every edge was
+    // attached to the pair's earlier row)
+    resolved.unionByName(escalated)
+      .select((col("idx") + 1).as("idx"), col("dA"), col("iA"), col("lcp"))
   }
 
   /** The suffix array with its adjacent-LCP column: (idx, doc_id, i,
@@ -170,8 +209,13 @@ object SuffixOps {
     (s, dir) => {
       val nb = neighborLcpOf(indexedSa(s, dir), tok(s, dir)).localCheckpoint()
       val m = nb.agg(max(col("lcp")).as("m"))
+      // only the MAXIMAL pairs (a handful of rows) rejoin the token
+      // arrays to extract their sample text — the LCP pass itself
+      // ships bounded slices (see neighborLcpOf)
       nb.crossJoin(broadcast(m))
         .filter(col("lcp") === col("m") && col("m") >= 1)
+        .join(tok(s, dir).select(col("doc_id").as("dA"), col("w").as("wA")),
+          Seq("dA"))
         .select(col("m").as("dup_len"),
           concat_ws(" ", slice(col("wA"), col("iA"), col("m"))).as("s"))
         .groupBy(col("dup_len"))

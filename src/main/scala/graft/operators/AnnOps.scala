@@ -1035,7 +1035,188 @@ object AnnOps {
       FROM q LEFT JOIN hits h USING (qid) ORDER BY q.qid"""),
     headline = false)
 
+  // ---------------------------------------------------------------
+  // q197: NSW graph search (navigable small world, greedy beam)
+  // ---------------------------------------------------------------
+
+  private val NswLong = 2    // hash-deterministic long-range links per node
+  private val NswEf = 24     // beam width
+  private val NswRounds = 6  // fixed greedy-expansion rounds
+  private val NswQ = 8       // audited query batch
+  private val NswTopK = 5
+
+  /** Navigable-small-world graph search (Malkov et al. 2014, the NSW
+    * layer HNSW stacks) — the GRAPH-based member of the ANN family,
+    * completing it next to the quantization members (IVF/PQ/SQ8/JL):
+    * no training pass, no cells, just a bounded-out-degree neighbor
+    * graph walked greedily from an entry point.
+    *
+    * Graph: q130's exact kNN edges ([[knnGraphExact]], out-degree
+    * [[GraphK]]) plus [[NswLong]] hash-deterministic long-range links
+    * per node (position = content-hash bucket mod N over the ranked id
+    * table) — the long links NSW gets from random-order insertion,
+    * made replayable. Search: from the smallest non-query id, expand
+    * the beam's out-edges for [[NswRounds]] rounds, re-rank candidates
+    * by TRUE cosine to the query (rounded 6 BEFORE ranking, vec_id
+    * ties — the q130/q179 determinism convention), keep the best
+    * [[NswEf]]. Output: per query the ranked top-[[NswTopK]] found
+    * (as an id list), the best cosine, and recall against the exact
+    * top-k (q179's audit protocol) — the recall/latency point that
+    * justifies the operating parameters.
+    *
+    * Scale: the graph build is q130's (production: [[knnGraphIvf]]
+    * substrate, N·(K+L) edge rows); each search round touches
+    * |Q|·ef·(K+L) candidate rows — keyed equi-joins against the edge
+    * and embedding tables, beam state materialized per round, nothing
+    * corpus × corpus. The exact-recall leg is the audit's deliberate
+    * one-scan cost, exactly q179's. */
+  val q197AnnNsw: QueryDef = QueryDef(
+    "q197_ann_nsw",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      VectorExpressions.register(s)
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val n = e.count()
+      // ranked id table (0-based) for the long-link position mapping;
+      // the 4-hex-digit bucket is < 65536, so bucket % n matches the
+      // oracle's direct `% count(*)` for any n <= 65536 (at corpus
+      // scale widen the digest window and use zipWithRank, not a
+      // global window — this seam is the slim (vec_id, pos) table)
+      val ranked = e.select(col("vec_id"))
+        .withColumn("pos", (row_number().over(
+          Window.orderBy(col("vec_id"))) - 1).cast("long"))
+      val longs = ranked.select(col("vec_id"))
+        .select(col("vec_id"), explode(expr(s"sequence(1, $NswLong)")).as("l"))
+        .withColumn("tpos", (expr(MixOps.bucketExpr(
+          "sha2(concat(cast(vec_id as string), ':', cast(l as string)), 256)",
+          65536)) % n).cast("long"))
+        .join(ranked.select(col("vec_id").as("nbr_id"), col("pos").as("tpos")),
+          Seq("tpos"))
+        .filter(col("vec_id") =!= col("nbr_id"))
+        .select(col("vec_id"), col("nbr_id"))
+      val edges = graft.Staging.materialize(
+        knnGraphExact(e, GraphK).select(col("vec_id"), col("nbr_id"))
+          .unionByName(longs).distinct()
+          .select(col("vec_id").as("evid"), col("nbr_id")),
+        "nsw_edges", "spark.graft.ann.stagingDir")
+      val queries = e.filter(col("vec_id") < NswQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      // entry: the smallest id that is not the query itself
+      val small = e.select(col("vec_id")).orderBy(col("vec_id"))
+        .limit(2).collect().map(_.getLong(0))
+      var beam: DataFrame = queries.select(col("qid"),
+        when(col("qid") === small(0), lit(small(1)))
+          .otherwise(lit(small(0))).as("vid"))
+      val wq = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vid"))
+      (1 to NswRounds).foreach { r =>
+        val cand = beam.select(col("qid"), col("vid"))
+          .unionByName(beam.select(col("qid"), col("vid"))
+            .join(edges, col("vid") === col("evid"))
+            .select(col("qid"), col("nbr_id").as("vid")))
+          .distinct()
+        val scored = cand
+          .join(e.select(col("vec_id").as("vid"), col("embedding")), Seq("vid"))
+          .join(broadcast(queries), Seq("qid"))
+          .filter(col("vid") =!= col("qid"))
+          .select(col("qid"), col("vid"),
+            round(expr("dot_product_f(embedding, qv)"), 6).as("cos"))
+        beam = graft.Staging.materialize(
+          scored.withColumn("rk", row_number().over(wq).cast("long"))
+            .filter(col("rk") <= NswEf)
+            .select(col("qid"), col("vid"), col("cos")),
+          s"nsw_beam$r", "spark.graft.ann.stagingDir")
+      }
+      val found = beam
+        .withColumn("rk", row_number().over(wq).cast("long"))
+        .filter(col("rk") <= NswTopK)
+      val exact = e.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(expr("dot_product_f(embedding, qv)"), 6).as("score"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("vec_id"))))
+        .filter(col("rn") <= NswTopK)
+        .select(col("qid"), col("vec_id").as("vid"))
+      val hits = exact.join(found.select(col("qid"), col("vid")),
+          Seq("qid", "vid"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+      found.groupBy(col("qid"))
+        .agg(
+          concat_ws(",", expr(
+            "transform(array_sort(collect_list(struct(rk, vid))), x -> cast(x.vid as string))"))
+            .as("found_ids"),
+          max(col("cos")).as("best_cos"))
+        .join(hits, Seq("qid"), "left_outer")
+        .select(col("qid"), col("found_ids"), col("best_cos"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / NswTopK, 4)
+            .as("recall"))
+        .orderBy(col("qid"))
+    },
+    Some {
+      val bucketSum = MixOps.bucketExpr(
+        "sha256(CAST(rr.vec_id AS VARCHAR) || ':' || CAST(t.l AS VARCHAR))", 65536)
+      // bucketSum ends in "% 65536", an identity on the 16-bit sum —
+      // wrap it and apply the data-dependent modulus
+      val rounds = (1 to NswRounds).map { r =>
+        s""",
+      cand$r AS (
+        SELECT DISTINCT qid, vid FROM (
+          SELECT qid, vid FROM beam${r - 1}
+          UNION ALL
+          SELECT b.qid, ed.nbr_id AS vid
+          FROM beam${r - 1} b JOIN edges ed ON ed.vec_id = b.vid)),
+      beam$r AS MATERIALIZED (
+        SELECT qid, vid, cos FROM (
+          SELECT c.qid, c.vid,
+            round(list_sum(list_transform(list_zip(e.v, q.qv), x -> x[1]*x[2])), 6) AS cos,
+            row_number() OVER (PARTITION BY c.qid
+              ORDER BY round(list_sum(list_transform(list_zip(e.v, q.qv), x -> x[1]*x[2])), 6) DESC, c.vid) AS rk
+          FROM cand$r c JOIN e ON e.vec_id = c.vid JOIN q ON q.qid = c.qid
+          WHERE c.vid <> c.qid) x
+        WHERE rk <= $NswEf)"""
+      }.mkString
+      s"""WITH $knnSqlCtes,
+      knn AS (SELECT vec_id, nbr_id FROM r WHERE rk <= $GraphK),
+      ranked AS (SELECT vec_id,
+          CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS pos FROM e),
+      longe AS (SELECT rr.vec_id, r2.vec_id AS nbr_id
+        FROM ranked rr, unnest(range(1, $NswLong + 1)) t(l)
+        JOIN ranked r2 ON r2.pos = ($bucketSum) % (SELECT count(*) FROM e)
+        WHERE r2.vec_id <> rr.vec_id),
+      edges AS MATERIALIZED (
+        SELECT vec_id, nbr_id FROM knn UNION SELECT vec_id, nbr_id FROM longe),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NswQ),
+      beam0 AS (SELECT qid,
+          CASE WHEN qid = (SELECT min(vec_id) FROM e)
+               THEN (SELECT min(vec_id) FROM e
+                     WHERE vec_id > (SELECT min(vec_id) FROM e))
+               ELSE (SELECT min(vec_id) FROM e) END AS vid
+        FROM q)$rounds,
+      found AS (
+        SELECT qid, vid, cos,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
+        FROM beam$NswRounds QUALIFY rk <= $NswTopK),
+      exact AS (
+        SELECT qid, vec_id AS vid FROM (
+          SELECT q.qid, e.vec_id,
+            row_number() OVER (PARTITION BY q.qid
+              ORDER BY round(list_sum(list_transform(list_zip(e.v, q.qv), x -> x[1]*x[2])), 6) DESC, e.vec_id) AS rn
+          FROM e, q WHERE e.vec_id <> q.qid) x WHERE rn <= $NswTopK),
+      hits AS (SELECT f.qid, CAST(count(*) AS BIGINT) AS n_hit
+        FROM exact x JOIN found f ON f.qid = x.qid AND f.vid = x.vid
+        GROUP BY 1)
+      SELECT f.qid,
+        string_agg(CAST(f.vid AS VARCHAR), ',' ORDER BY f.rk) AS found_ids,
+        max(f.cos) AS best_cos,
+        round(CAST(coalesce(any_value(h.n_hit), 0) AS DOUBLE) / $NswTopK, 4) AS recall
+      FROM found f LEFT JOIN hits h ON h.qid = f.qid
+      GROUP BY f.qid ORDER BY f.qid"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(q56AnnIvf, q68AnnLsh, q79AnnLshMultiprobe, q85AnnPq, q100AnnIvfPq,
-      q117AnnSq8, q130KnnGraph, q155AnnJl, q160Pagerank, q179AnnRecall)
+      q117AnnSq8, q130KnnGraph, q155AnnJl, q160Pagerank, q179AnnRecall,
+      q197AnnNsw)
 }

@@ -337,4 +337,21 @@ class AnnOpsSpec extends SparkSpec {
     val mean = rows.map(_.getDouble(2)).sum / rows.length
     assert(mean > 0.5, s"mean recall $mean implausibly low for nprobe=4/16")
   }
+
+  test("q197 NSW: bounded out-degree graph, beam never exceeds ef, recall well above random") {
+    val rows = AnnOps.q197AnnNsw.fn(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length === 8)
+    rows.foreach { r =>
+      val ids = r.getString(1).split(",").map(_.toLong)
+      assert(ids.length === 5, "top-k per query is exactly NswTopK")
+      assert(ids.distinct.length === ids.length)
+      assert(!ids.contains(r.getLong(0)), "a query never returns itself")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // greedy graph search beats random by a wide margin (random top-5
+    // of ~500 would land ~1% recall); the exact operating point is the
+    // audit's output, not a constant to pin
+    val mean = rows.map(_.getDouble(3)).sum / rows.length
+    assert(mean > 0.3, s"mean NSW recall $mean implausibly low")
+  }
 }

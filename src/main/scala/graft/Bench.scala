@@ -119,19 +119,23 @@ object Bench {
     // self-normalizing record: each query's ratio to the in-run q01
     // normalizer, so a reader can tell a shared-sandbox hiccup (q01
     // moves with it) from a real per-query regression (it doesn't)
-    // without re-running. -1 (errored / q01 missing) stays -1.
+    // without re-running. -1 = the query errored; the ratios object is
+    // omitted entirely when the normalizer is absent (focused
+    // SPARK_GRAFT_BENCH_ONLY runs) or errored, so a -1 ratio can never
+    // mean "normalizer missing". Exact-name match: a prefix match
+    // would silently adopt a future q01x_* as the normalizer.
     val q01 = all.collectFirst {
-      case (n, v) if n.startsWith("q01") && v > 0 => v }
-    val ratios = all.map { case (k, v) =>
-      val r = q01 match {
-        case Some(norm) if v >= 0 => v / norm
-        case _ => -1.0
-      }
-      "\"" + k + "\":" + f"$r%.3f"
-    }.mkString("{", ",", "}")
+      case (n, v) if n == "q01_pricing_summary" && v > 0 => v }
+    val ratioField = q01.map { norm =>
+      val ratios = all.map { case (k, v) =>
+        val r = if (v >= 0) v / norm else -1.0
+        "\"" + k + "\":" + f"$r%.3f"
+      }.mkString("{", ",", "}")
+      s""","ratio_q01":$ratios"""
+    }.getOrElse("")
     val failed = all.count(_._2 < 0)
     val total = all.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ratio_q01":$ratios,"reps":3,"agg":"median","errors":$failed,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$ratioField,"reps":3,"agg":"median","errors":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1039,165 +1039,172 @@ object AnnOps {
   // q197: NSW graph search (navigable small world, greedy beam)
   // ---------------------------------------------------------------
 
+  // ---------------------------------------------------------------
+  // shared machinery for the graph-ANN tier (q197 / q198 / q199)
+  // ---------------------------------------------------------------
+
   private val NswLong = 2    // hash-deterministic long-range links per node
   private val NswEf = 24     // beam width
   private val NswRounds = 6  // fixed greedy-expansion rounds
   private val NswQ = 8       // audited query batch
   private val NswTopK = 5
 
-  /** Navigable-small-world graph search (Malkov et al. 2014, the NSW
-    * layer HNSW stacks) — the GRAPH-based member of the ANN family,
-    * completing it next to the quantization members (IVF/PQ/SQ8/JL):
-    * no training pass, no cells, just a bounded-out-degree neighbor
-    * graph walked greedily from an entry point.
-    *
-    * Graph: q130's exact kNN edges ([[knnGraphExact]], out-degree
-    * [[GraphK]]) plus [[NswLong]] hash-deterministic long-range links
-    * per node (position = content-hash bucket mod N over the ranked id
-    * table) — the long links NSW gets from random-order insertion,
-    * made replayable. Search: from the smallest non-query id, expand
-    * the beam's out-edges for [[NswRounds]] rounds, re-rank candidates
-    * by TRUE cosine to the query (rounded 6 BEFORE ranking, vec_id
-    * ties — the q130/q179 determinism convention), keep the best
-    * [[NswEf]]. Output: per query the ranked top-[[NswTopK]] found
-    * (as an id list), the best cosine, and recall against the exact
-    * top-k (q179's audit protocol) — the recall/latency point that
-    * justifies the operating parameters.
-    *
-    * Scale: the graph build is q130's (production: [[knnGraphIvf]]
-    * substrate, N·(K+L) edge rows); each search round touches
-    * |Q|·ef·(K+L) candidate rows — keyed equi-joins against the edge
-    * and embedding tables, beam state materialized per round, nothing
-    * corpus × corpus. The exact-recall leg is the audit's deliberate
-    * one-scan cost, exactly q179's. */
-  val q197AnnNsw: QueryDef = QueryDef(
-    "q197_ann_nsw",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      VectorExpressions.register(s)
-      val e = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-      val n = e.count()
-      // ranked id table (0-based) for the long-link position mapping;
-      // the 4-hex-digit bucket is < 65536, so bucket % n matches the
-      // oracle's direct `% count(*)` for any n <= 65536 (at corpus
-      // scale widen the digest window and use zipWithRank, not a
-      // global window — this seam is the slim (vec_id, pos) table)
-      val ranked = e.select(col("vec_id"))
-        .withColumn("pos", (row_number().over(
-          Window.orderBy(col("vec_id"))) - 1).cast("long"))
-      val longs = ranked.select(col("vec_id"))
-        .select(col("vec_id"), explode(expr(s"sequence(1, $NswLong)")).as("l"))
-        .withColumn("tpos", (expr(MixOps.bucketExpr(
-          "sha2(concat(cast(vec_id as string), ':', cast(l as string)), 256)",
-          65536)) % n).cast("long"))
-        .join(ranked.select(col("vec_id").as("nbr_id"), col("pos").as("tpos")),
-          Seq("tpos"))
-        .filter(col("vec_id") =!= col("nbr_id"))
-        .select(col("vec_id"), col("nbr_id"))
-      val edges = graft.Staging.materialize(
-        knnGraphExact(e, GraphK).select(col("vec_id"), col("nbr_id"))
-          .unionByName(longs).distinct()
-          .select(col("vec_id").as("evid"), col("nbr_id")),
-        "nsw_edges", "spark.graft.ann.stagingDir")
-      val queries = e.filter(col("vec_id") < NswQ)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      // entry: the smallest id that is not the query itself
-      val small = e.select(col("vec_id")).orderBy(col("vec_id"))
-        .limit(2).collect().map(_.getLong(0))
-      var beam: DataFrame = queries.select(col("qid"),
-        when(col("qid") === small(0), lit(small(1)))
-          .otherwise(lit(small(0))).as("vid"))
-      val wq = Window.partitionBy(col("qid"))
-        .orderBy(col("cos").desc, col("vid"))
-      (1 to NswRounds).foreach { r =>
-        val cand = beam.select(col("qid"), col("vid"))
-          .unionByName(beam.select(col("qid"), col("vid"))
-            .join(edges, col("vid") === col("evid"))
-            .select(col("qid"), col("nbr_id").as("vid")))
-          .distinct()
-        val scored = cand
-          .join(e.select(col("vec_id").as("vid"), col("embedding")), Seq("vid"))
-          .join(broadcast(queries), Seq("qid"))
-          .filter(col("vid") =!= col("qid"))
-          .select(col("qid"), col("vid"),
-            round(expr("dot_product_f(embedding, qv)"), 6).as("cos"))
-        beam = graft.Staging.materialize(
-          scored.withColumn("rk", row_number().over(wq).cast("long"))
-            .filter(col("rk") <= NswEf)
-            .select(col("qid"), col("vid"), col("cos")),
-          s"nsw_beam$r", "spark.graft.ann.stagingDir")
-      }
-      val found = beam
-        .withColumn("rk", row_number().over(wq).cast("long"))
-        .filter(col("rk") <= NswTopK)
-      val exact = e.crossJoin(broadcast(queries))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          round(expr("dot_product_f(embedding, qv)"), 6).as("score"))
-        .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
-          .orderBy(col("score").desc, col("vec_id"))))
-        .filter(col("rn") <= NswTopK)
-        .select(col("qid"), col("vec_id").as("vid"))
-      val hits = exact.join(found.select(col("qid"), col("vid")),
-          Seq("qid", "vid"), "left_semi")
-        .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
-      found.groupBy(col("qid"))
-        .agg(
-          concat_ws(",", expr(
-            "transform(array_sort(collect_list(struct(rk, vid))), x -> cast(x.vid as string))"))
-            .as("found_ids"),
-          max(col("cos")).as("best_cos"))
-        .join(hits, Seq("qid"), "left_outer")
-        .select(col("qid"), col("found_ids"), col("best_cos"),
-          round(coalesce(col("n_hit"), lit(0L)).cast("double") / NswTopK, 4)
-            .as("recall"))
-        .orderBy(col("qid"))
-    },
-    Some {
-      val bucketSum = MixOps.bucketExpr(
-        "sha256(CAST(rr.vec_id AS VARCHAR) || ':' || CAST(t.l AS VARCHAR))", 65536)
-      // bucketSum ends in "% 65536", an identity on the 16-bit sum —
-      // wrap it and apply the data-dependent modulus
-      val rounds = (1 to NswRounds).map { r =>
-        s""",
-      cand$r AS (
-        SELECT DISTINCT qid, vid FROM (
-          SELECT qid, vid FROM beam${r - 1}
-          UNION ALL
-          SELECT b.qid, ed.nbr_id AS vid
-          FROM beam${r - 1} b JOIN edges ed ON ed.vec_id = b.vid)),
-      beam$r AS MATERIALIZED (
+  /** `linksPerNode` deterministic pseudo-random out-edges per node:
+    * target position = content-hash bucket mod N over the 0-based
+    * ranked id table. The 4-hex-digit bucket is < 65536, so
+    * `bucket % n` equals the oracle's direct `% count(*)` for any
+    * n <= 65536; at corpus scale widen the digest window and rank via
+    * zipWithRank, not a global window — the windowed seam here is the
+    * slim (vec_id, pos) table. Shared by q197's long links and q198's
+    * init graph (`sep` keeps the two hash streams distinct); the
+    * oracle mirror is [[hashLinksSql]]. */
+  private def hashPositionLinks(e: DataFrame, linksPerNode: Int,
+      sep: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = e.count()
+    val ranked = e.select(col("vec_id"))
+      .withColumn("pos", (row_number().over(
+        Window.orderBy(col("vec_id"))) - 1).cast("long"))
+    ranked.select(col("vec_id"))
+      .select(col("vec_id"), explode(expr(s"sequence(1, $linksPerNode)")).as("l"))
+      .withColumn("tpos", (expr(MixOps.bucketExpr(
+        s"sha2(concat(cast(vec_id as string), '$sep', cast(l as string)), 256)",
+        65536)) % n).cast("long"))
+      .join(ranked.select(col("vec_id").as("nbr_id"), col("pos").as("tpos")),
+        Seq("tpos"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"))
+  }
+
+  /** The audited query batch (vec_id < [[NswQ]]) with its vectors. */
+  private def nswQueries(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < NswQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+  private def wqWindow = org.apache.spark.sql.expressions.Window
+    .partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+
+  /** True-cosine re-rank of (qid, vid) candidates — the q130/q179
+    * determinism convention (rounded 6 BEFORE ranks, vid ties; the
+    * query itself is never a candidate). */
+  private def scoreCandidates(cand: DataFrame, e: DataFrame,
+      queries: DataFrame): DataFrame = cand
+    .join(e.select(col("vec_id").as("vid"), col("embedding")), Seq("vid"))
+    .join(broadcast(queries), Seq("qid"))
+    .filter(col("vid") =!= col("qid"))
+    .select(col("qid"), col("vid"),
+      round(expr("dot_product_f(embedding, qv)"), 6).as("cos"))
+
+  /** [[NswRounds]]-round greedy beam over `edges(evid, nbr_id)` from a
+    * (qid, vid) seed — q197's search, reused verbatim by q199 at
+    * layer 0 so a tie-break or width fix lands in both. */
+  private def beamSearch(seed: DataFrame, edges: DataFrame, e: DataFrame,
+      queries: DataFrame, tag: String): DataFrame = {
+    var beam = seed
+    (1 to NswRounds).foreach { r =>
+      val cand = beam.select(col("qid"), col("vid"))
+        .unionByName(beam.select(col("qid"), col("vid"))
+          .join(edges, col("vid") === col("evid"))
+          .select(col("qid"), col("nbr_id").as("vid")))
+        .distinct()
+      beam = graft.Staging.materialize(
+        scoreCandidates(cand, e, queries)
+          .withColumn("rk", row_number().over(wqWindow).cast("long"))
+          .filter(col("rk") <= NswEf)
+          .select(col("qid"), col("vid"), col("cos")),
+        s"${tag}_beam$r", "spark.graft.ann.stagingDir")
+    }
+    beam
+  }
+
+  /** q179-protocol audit tail: ranked top-[[NswTopK]] from the final
+    * beam, the exact top-k leg, and the per-query rollup (found_ids,
+    * best_cos, recall). Oracle mirror: [[beamAuditSql]]. */
+  private def beamAudit(beam: DataFrame, e: DataFrame,
+      queries: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val found = beam
+      .withColumn("rk", row_number().over(wqWindow).cast("long"))
+      .filter(col("rk") <= NswTopK)
+    val exact = e.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(expr("dot_product_f(embedding, qv)"), 6).as("score"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rn") <= NswTopK)
+      .select(col("qid"), col("vec_id").as("vid"))
+    val hits = exact.join(found.select(col("qid"), col("vid")),
+        Seq("qid", "vid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    found.groupBy(col("qid"))
+      .agg(
+        concat_ws(",", expr(
+          "transform(array_sort(collect_list(struct(rk, vid))), x -> cast(x.vid as string))"))
+          .as("found_ids"),
+        max(col("cos")).as("best_cos"))
+      .join(hits, Seq("qid"), "left_outer")
+      .select(col("qid"), col("found_ids"), col("best_cos"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / NswTopK, 4)
+          .as("recall"))
+      .orderBy(col("qid"))
+  }
+
+  // oracle-side twins of the helpers above — every graph query's
+  // oracle composes THESE, so the replayed convention cannot drift
+  // between the three queries or from the Spark side's shape
+
+  /** `ranked` + hash-position-links CTEs (assumes `e` exists). */
+  private def hashLinksSql(cteName: String, linksPerNode: Int,
+      sep: String): String = {
+    val bucketSum = MixOps.bucketExpr(
+      s"sha256(CAST(rr.vec_id AS VARCHAR) || '$sep' || CAST(t.l AS VARCHAR))", 65536)
+    s"""ranked AS (SELECT vec_id,
+          CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS pos FROM e),
+      $cteName AS (SELECT rr.vec_id, r2.vec_id AS nbr_id
+        FROM ranked rr, unnest(range(1, $linksPerNode + 1)) t(l)
+        JOIN ranked r2 ON r2.pos = ($bucketSum) % (SELECT count(*) FROM e)
+        WHERE r2.vec_id <> rr.vec_id)"""
+  }
+
+  /** candidate-to-query cosine fragment (rounded 6), beam-round form. */
+  private val BeamCosSql =
+    "round(list_sum(list_transform(list_zip(e2.v, q.qv), x -> x[1]*x[2])), 6)"
+
+  /** [[NswRounds]] beam-round CTEs over `edgesName` seeded from
+    * `seedName`; returns (cteText, finalBeamName). */
+  private def beamRoundsSql(edgesName: String, seedName: String,
+      prefix: String): (String, String) = {
+    var prev = seedName
+    val text = (1 to NswRounds).map { r =>
+      val nm = s"$prefix$r"
+      val t = s""",
+      $nm AS MATERIALIZED (
         SELECT qid, vid, cos FROM (
-          SELECT c.qid, c.vid,
-            round(list_sum(list_transform(list_zip(e.v, q.qv), x -> x[1]*x[2])), 6) AS cos,
+          SELECT c.qid, c.vid, $BeamCosSql AS cos,
             row_number() OVER (PARTITION BY c.qid
-              ORDER BY round(list_sum(list_transform(list_zip(e.v, q.qv), x -> x[1]*x[2])), 6) DESC, c.vid) AS rk
-          FROM cand$r c JOIN e ON e.vec_id = c.vid JOIN q ON q.qid = c.qid
+              ORDER BY $BeamCosSql DESC, c.vid) AS rk
+          FROM (
+            SELECT DISTINCT qid, vid FROM (
+              SELECT qid, vid FROM $prev
+              UNION ALL
+              SELECT b.qid, ed.nbr_id AS vid
+              FROM $prev b JOIN $edgesName ed ON ed.vec_id = b.vid)) c
+          JOIN e e2 ON e2.vec_id = c.vid JOIN q ON q.qid = c.qid
           WHERE c.vid <> c.qid) x
         WHERE rk <= $NswEf)"""
-      }.mkString
-      s"""WITH $knnSqlCtes,
-      knn AS (SELECT vec_id, nbr_id FROM r WHERE rk <= $GraphK),
-      ranked AS (SELECT vec_id,
-          CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS pos FROM e),
-      longe AS (SELECT rr.vec_id, r2.vec_id AS nbr_id
-        FROM ranked rr, unnest(range(1, $NswLong + 1)) t(l)
-        JOIN ranked r2 ON r2.pos = ($bucketSum) % (SELECT count(*) FROM e)
-        WHERE r2.vec_id <> rr.vec_id),
-      edges AS MATERIALIZED (
-        SELECT vec_id, nbr_id FROM knn UNION SELECT vec_id, nbr_id FROM longe),
-      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NswQ),
-      beam0 AS (SELECT qid,
-          CASE WHEN qid = (SELECT min(vec_id) FROM e)
-               THEN (SELECT min(vec_id) FROM e
-                     WHERE vec_id > (SELECT min(vec_id) FROM e))
-               ELSE (SELECT min(vec_id) FROM e) END AS vid
-        FROM q)$rounds,
-      found AS (
+      prev = nm
+      t
+    }.mkString
+    (text, prev)
+  }
+
+  /** found/exact/hits/rollup tail over the final beam CTE. */
+  private def beamAuditSql(finalBeam: String): String =
+    s"""found AS (
         SELECT qid, vid, cos,
           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
-        FROM beam$NswRounds QUALIFY rk <= $NswTopK),
+        FROM $finalBeam QUALIFY rk <= $NswTopK),
       exact AS (
         SELECT qid, vec_id AS vid FROM (
           SELECT q.qid, e.vec_id,
@@ -1213,6 +1220,65 @@ object AnnOps {
         round(CAST(coalesce(any_value(h.n_hit), 0) AS DOUBLE) / $NswTopK, 4) AS recall
       FROM found f LEFT JOIN hits h ON h.qid = f.qid
       GROUP BY f.qid ORDER BY f.qid"""
+
+  /** Navigable-small-world graph search (Malkov et al. 2014, the NSW
+    * layer HNSW stacks) — the GRAPH-based member of the ANN family,
+    * completing it next to the quantization members (IVF/PQ/SQ8/JL):
+    * no training pass, no cells, just a bounded-out-degree neighbor
+    * graph walked greedily from an entry point.
+    *
+    * Graph: q130's exact kNN edges ([[knnGraphExact]], out-degree
+    * [[GraphK]]) plus [[NswLong]] hash-deterministic long-range links
+    * per node ([[hashPositionLinks]]) — the long links NSW gets from
+    * random-order insertion, made replayable. Search: from the
+    * smallest non-query id, [[beamSearch]] expands out-edges for
+    * [[NswRounds]] rounds keeping the best [[NswEf]] by true cosine.
+    * Output: [[beamAudit]] — per query the ranked top-[[NswTopK]],
+    * the best cosine, and recall against the exact top-k (q179's
+    * protocol), the recall/latency point that justifies the
+    * operating parameters.
+    *
+    * Scale: the graph build is q130's (production: [[knnGraphIvf]] or
+    * q198's NN-Descent substrate, N·(K+L) edge rows); each search
+    * round touches |Q|·ef·(K+L) candidate rows — keyed equi-joins
+    * against the edge and embedding tables, beam state materialized
+    * per round, nothing corpus × corpus. The exact-recall leg is the
+    * audit's deliberate one-scan cost, exactly q179's. */
+  val q197AnnNsw: QueryDef = QueryDef(
+    "q197_ann_nsw",
+    (s, dir) => {
+      VectorExpressions.register(s)
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val edges = graft.Staging.materialize(
+        knnGraphExact(e, GraphK).select(col("vec_id"), col("nbr_id"))
+          .unionByName(hashPositionLinks(e, NswLong, ":")).distinct()
+          .select(col("vec_id").as("evid"), col("nbr_id")),
+        "nsw_edges", "spark.graft.ann.stagingDir")
+      val queries = nswQueries(e)
+      // entry: the smallest id that is not the query itself
+      val small = e.select(col("vec_id")).orderBy(col("vec_id"))
+        .limit(2).collect().map(_.getLong(0))
+      val seed = queries.select(col("qid"),
+        when(col("qid") === small(0), lit(small(1)))
+          .otherwise(lit(small(0))).as("vid"))
+      beamAudit(beamSearch(seed, edges, e, queries, "nsw"), e, queries)
+    },
+    Some {
+      val (beamText, finalBeam) = beamRoundsSql("edges", "beam0", "beam")
+      s"""WITH $knnSqlCtes,
+      knn AS (SELECT vec_id, nbr_id FROM r WHERE rk <= $GraphK),
+      ${hashLinksSql("longe", NswLong, ":")},
+      edges AS MATERIALIZED (
+        SELECT vec_id, nbr_id FROM knn UNION SELECT vec_id, nbr_id FROM longe),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NswQ),
+      beam0 AS (SELECT qid,
+          CASE WHEN qid = (SELECT min(vec_id) FROM e)
+               THEN (SELECT min(vec_id) FROM e
+                     WHERE vec_id > (SELECT min(vec_id) FROM e))
+               ELSE (SELECT min(vec_id) FROM e) END AS vid
+        FROM q)$beamText,
+      ${beamAuditSql(finalBeam)}"""
     })
 
   // ---------------------------------------------------------------
@@ -1223,29 +1289,27 @@ object AnnOps {
 
   /** NN-Descent (Dong, Moses & Li 2011) — k-NN graph construction with
     * NO exact pass and NO trained structure: start from a
-    * hash-deterministic random graph and iterate the LOCAL JOIN
-    * ("a neighbor of my neighbor is probably my neighbor"): each round
-    * the undirected neighborhood's 2-hop pairs become candidates,
-    * every candidate is scored, and each node keeps its best
-    * [[GraphK]]. Completes the graph-build triangle: q130's exact
-    * build is quadratic by definition, [[knnGraphIvf]] needs trained
-    * centroids, NN-Descent needs neither — it is how billion-scale
-    * kNN graphs are actually built, and q197's NSW search can run on
-    * its output.
+    * hash-deterministic random graph ([[hashPositionLinks]], q197's
+    * seam) and iterate the LOCAL JOIN ("a neighbor of my neighbor is
+    * probably my neighbor"): each round the undirected neighborhood's
+    * 2-hop pairs become candidates, every candidate is scored, and
+    * each node keeps its best [[GraphK]]. Completes the graph-build
+    * triangle: q130's exact build is quadratic by definition,
+    * [[knnGraphIvf]] needs trained centroids, NN-Descent needs
+    * neither — it is how billion-scale kNN graphs are actually built,
+    * and q197's NSW search can run on its output.
     *
     * Output: the convergence curve the paper reports — per round, the
     * recall of the current graph's edges against the TRUE kNN graph
     * (the exact leg is the audit's deliberate cost, q179's protocol).
     * On the synthetic test embeddings — weak local manifold structure —
     * the curve climbs from random (~0.6%) to ~46% and plateaus: the
-    * local-join premise ("a neighbor of my neighbor is my neighbor")
-    * is exactly as strong as the data's clusterability, and the audit
-    * makes that operating point visible instead of asserting a
-    * constant.
-    * Every decision is deterministic: init targets are content-hash
-    * positions mod N over the ranked id table, ranks compare the
-    * ROUNDED cosine with nbr_id ties, candidate sets are DISTINCT
-    * unions — so the DuckDB oracle replays every round exactly.
+    * local-join premise is exactly as strong as the data's
+    * clusterability, and the audit makes that operating point visible
+    * instead of asserting a constant. Every decision is deterministic
+    * (hash-position init, rounded-cosine ranks with nbr_id ties,
+    * DISTINCT candidate unions), so the DuckDB oracle replays every
+    * round exactly.
     *
     * Scale: a round is (a) reverse the edge table (one map), (b) the
     * shared-node self-join of the degree-bounded undirected
@@ -1261,21 +1325,9 @@ object AnnOps {
       VectorExpressions.register(s)
       val e = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
-      val n = e.count()
-      val ranked = e.select(col("vec_id"))
-        .withColumn("pos", (row_number().over(
-          Window.orderBy(col("vec_id"))) - 1).cast("long"))
       // hash-seeded init: GraphK deterministic pseudo-random targets
       // per node (self-loops and collisions drop -> degree <= K)
-      val init = ranked.select(col("vec_id"))
-        .select(col("vec_id"), explode(expr(s"sequence(1, $GraphK)")).as("sl"))
-        .withColumn("tpos", (expr(MixOps.bucketExpr(
-          "sha2(concat(cast(vec_id as string), '#', cast(sl as string)), 256)",
-          65536)) % n).cast("long"))
-        .join(ranked.select(col("vec_id").as("nbr_id"), col("pos").as("tpos")),
-          Seq("tpos"))
-        .filter(col("vec_id") =!= col("nbr_id"))
-        .select(col("vec_id"), col("nbr_id")).distinct()
+      val init = hashPositionLinks(e, GraphK, "#").distinct()
       val wk = Window.partitionBy(col("vec_id"))
         .orderBy(col("cos").desc, col("nbr_id"))
       def score(pairs: DataFrame): DataFrame = pairs
@@ -1331,8 +1383,6 @@ object AnnOps {
         .orderBy(col("round"))
     },
     Some {
-      val bucketSum = MixOps.bucketExpr(
-        "sha256(CAST(rr.vec_id AS VARCHAR) || '#' || CAST(t.sl AS VARCHAR))", 65536)
       val rounds = (1 to NdRounds).map { r =>
         s""",
       und$r AS (
@@ -1359,13 +1409,8 @@ object AnnOps {
       }.mkString
       s"""WITH $knnSqlCtes,
       exact AS MATERIALIZED (SELECT vec_id, nbr_id FROM r WHERE rk <= $GraphK),
-      ranked AS (SELECT vec_id,
-          CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS pos FROM e),
-      init AS (
-        SELECT DISTINCT rr.vec_id, r2.vec_id AS nbr_id
-        FROM ranked rr, unnest(range(1, $GraphK + 1)) t(sl)
-        JOIN ranked r2 ON r2.pos = ($bucketSum) % (SELECT count(*) FROM e)
-        WHERE r2.vec_id <> rr.vec_id),
+      ${hashLinksSql("links", GraphK, "#")},
+      init AS (SELECT DISTINCT vec_id, nbr_id FROM links),
       g0 AS MATERIALIZED (
         SELECT vec_id, nbr_id FROM (
           SELECT c.vec_id, c.nbr_id,
@@ -1383,14 +1428,13 @@ object AnnOps {
       ORDER BY round"""
     })
 
-
   // ---------------------------------------------------------------
   // q199: HNSW — hierarchical NSW (layered graph, descend then beam)
   // ---------------------------------------------------------------
 
   private val HnswMaxLevel = 6
   private val HnswSteps = 3      // greedy steps per upper layer
-  private val HnswRounds = 6     // layer-0 beam rounds
+  // layer-0 beam runs [[NswRounds]] rounds via the shared beamSearch
 
   /** HNSW (Malkov & Yashunin 2018) — the hierarchy on top of q197's
     * NSW layer, completing the graph-ANN tier with the index modern
@@ -1402,20 +1446,19 @@ object AnnOps {
     * free once the base pairs exist; production swaps the exact pairs
     * for the q198 NN-Descent build per layer), and a query DESCENDS:
     * greedy 1-best steps per upper layer from the global max-level
-    * entry, then q197's beam at layer 0 — the log(N) entry-finding
-    * that lets the base-layer beam start near the answer instead of at
-    * a fixed node.
+    * entry, then the shared layer-0 [[beamSearch]] — the log(N)
+    * entry-finding that lets the base-layer beam start near the
+    * answer instead of at a fixed node.
     *
-    * Output: q197's audit shape (per query: ranked top-5, best cosine,
-    * recall vs exact), so the two operating points are directly
-    * comparable — and at the test corpus's N=500 they bracket the
-    * design honestly: flat NSW edges out HNSW (mean recall 0.7 vs 0.6)
-    * because its random long links act at layer 0 while the hierarchy
-    * above ~N/4 nodes is nearly empty; the hierarchy's log(N) descent
-    * is the piece that grows into its cost at corpus scale. Every
-    * decision is deterministic (integer level thresholds,
-    * rounded-cosine ranks, vec_id ties, fixed step/round counts), and
-    * the DuckDB oracle replays layers, descent, and beam.
+    * Output: q197's audit shape ([[beamAudit]]), so the two operating
+    * points are directly comparable — and at the test corpus's N=500
+    * they bracket the design honestly: flat NSW edges out HNSW (mean
+    * recall 0.7 vs 0.6) because its random long links act at layer 0
+    * while the hierarchy above ~N/4 nodes is nearly empty; the
+    * hierarchy's log(N) descent is the piece that grows into its cost
+    * at corpus scale. Every decision is deterministic (integer level
+    * thresholds, rounded-cosine ranks, vec_id ties, fixed step/round
+    * counts), and the DuckDB oracle replays layers, descent, and beam.
     *
     * Scale: upper layers shrink geometrically (layer k holds ~N/2^k
     * nodes), so the whole hierarchy adds ~1x the base edge count; each
@@ -1455,8 +1498,7 @@ object AnnOps {
         .withColumn("rk", row_number().over(wk))
         .filter(col("rk") <= GraphK)
         .select(col("vec_id").as("evid"), col("nbr_id"))
-      val queries = e.filter(col("vec_id") < NswQ)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val queries = nswQueries(e)
       // per-query entry: the max-level node that is not the query
       val entry = lv.crossJoin(broadcast(queries.select(col("qid"))))
         .filter(col("vec_id") =!= col("qid"))
@@ -1464,14 +1506,6 @@ object AnnOps {
           .orderBy(col("lvl").desc, col("vec_id"))))
         .filter(col("erk") === 1)
         .select(col("qid"), col("vec_id").as("vid"))
-      def score(cand: DataFrame): DataFrame = cand
-        .join(e.select(col("vec_id").as("vid"), col("embedding")), Seq("vid"))
-        .join(broadcast(queries), Seq("qid"))
-        .filter(col("vid") =!= col("qid"))
-        .select(col("qid"), col("vid"),
-          round(expr("dot_product_f(embedding, qv)"), 6).as("cos"))
-      val wq = Window.partitionBy(col("qid"))
-        .orderBy(col("cos").desc, col("vid"))
       // descend: greedy 1-best steps per upper layer
       var cur: DataFrame = entry
       (HnswMaxLevel to 1 by -1).foreach { k =>
@@ -1483,55 +1517,17 @@ object AnnOps {
               .select(col("qid"), col("nbr_id").as("vid")))
             .distinct()
           cur = graft.Staging.materialize(
-            score(cand)
-              .withColumn("rk", row_number().over(wq))
+            scoreCandidates(cand, e, queries)
+              .withColumn("rk", row_number().over(wqWindow))
               .filter(col("rk") === 1)
               .select(col("qid"), col("vid")),
             s"hnsw_c${k}_$st", "spark.graft.ann.stagingDir")
         }
       }
-      // layer 0: q197's beam from the descended entry
+      // layer 0: the shared beam from the descended entry
       val e0 = graft.Staging.materialize(layerEdges(0),
         "hnsw_l0", "spark.graft.ann.stagingDir")
-      var beam: DataFrame = cur
-      (1 to HnswRounds).foreach { r =>
-        val cand = beam.select(col("qid"), col("vid"))
-          .unionByName(beam.select(col("qid"), col("vid"))
-            .join(e0, col("vid") === col("evid"))
-            .select(col("qid"), col("nbr_id").as("vid")))
-          .distinct()
-        beam = graft.Staging.materialize(
-          score(cand)
-            .withColumn("rk", row_number().over(wq).cast("long"))
-            .filter(col("rk") <= NswEf)
-            .select(col("qid"), col("vid"), col("cos")),
-          s"hnsw_beam$r", "spark.graft.ann.stagingDir")
-      }
-      val found = beam
-        .withColumn("rk", row_number().over(wq).cast("long"))
-        .filter(col("rk") <= NswTopK)
-      val exact = e.crossJoin(broadcast(queries))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          round(expr("dot_product_f(embedding, qv)"), 6).as("score"))
-        .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
-          .orderBy(col("score").desc, col("vec_id"))))
-        .filter(col("rn") <= NswTopK)
-        .select(col("qid"), col("vec_id").as("vid"))
-      val hits = exact.join(found.select(col("qid"), col("vid")),
-          Seq("qid", "vid"), "left_semi")
-        .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
-      found.groupBy(col("qid"))
-        .agg(
-          concat_ws(",", expr(
-            "transform(array_sort(collect_list(struct(rk, vid))), x -> cast(x.vid as string))"))
-            .as("found_ids"),
-          max(col("cos")).as("best_cos"))
-        .join(hits, Seq("qid"), "left_outer")
-        .select(col("qid"), col("found_ids"), col("best_cos"),
-          round(coalesce(col("n_hit"), lit(0L)).cast("double") / NswTopK, 4)
-            .as("recall"))
-        .orderBy(col("qid"))
+      beamAudit(beamSearch(cur, e0, e, queries, "hnsw"), e, queries)
     },
     Some {
       val bucketSum = MixOps.bucketExpr(
@@ -1559,7 +1555,7 @@ object AnnOps {
         SELECT qid, vid FROM (
           SELECT c.qid, c.vid,
             row_number() OVER (PARTITION BY c.qid
-              ORDER BY round(list_sum(list_transform(list_zip(e2.v, q.qv), x -> x[1]*x[2])), 6) DESC, c.vid) AS rk
+              ORDER BY $BeamCosSql DESC, c.vid) AS rk
           FROM (
             SELECT qid, vid FROM $prev
             UNION
@@ -1571,25 +1567,7 @@ object AnnOps {
           prev = nm
         }
       }
-      val beams = (1 to HnswRounds).map { r =>
-        val src = if (r == 1) prev else s"hbeam${r - 1}"
-        s""",
-      hbeam$r AS MATERIALIZED (
-        SELECT qid, vid, cos FROM (
-          SELECT c.qid, c.vid,
-            round(list_sum(list_transform(list_zip(e2.v, q.qv), x -> x[1]*x[2])), 6) AS cos,
-            row_number() OVER (PARTITION BY c.qid
-              ORDER BY round(list_sum(list_transform(list_zip(e2.v, q.qv), x -> x[1]*x[2])), 6) DESC, c.vid) AS rk
-          FROM (
-            SELECT DISTINCT qid, vid FROM (
-              SELECT qid, vid FROM $src
-              UNION ALL
-              SELECT b.qid, ed.nbr_id AS vid
-              FROM $src b JOIN edges0 ed ON ed.vec_id = b.vid)) c
-          JOIN e e2 ON e2.vec_id = c.vid JOIN q ON q.qid = c.qid
-          WHERE c.vid <> c.qid) x
-        WHERE rk <= $NswEf)"""
-      }.mkString
+      val (beamText, finalBeam) = beamRoundsSql("edges0", prev, "hbeam")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       p AS MATERIALIZED (SELECT a.vec_id, b.vec_id AS nbr_id,
           round(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2])), 6) AS cos
@@ -1603,26 +1581,8 @@ object AnnOps {
           SELECT q.qid, l.vec_id AS vid,
             row_number() OVER (PARTITION BY q.qid
               ORDER BY l.lvl DESC, l.vec_id) AS erk
-          FROM lv l, q WHERE l.vec_id <> q.qid) x WHERE erk = 1)${descent}${beams},
-      found AS (
-        SELECT qid, vid, cos,
-          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
-        FROM hbeam$HnswRounds QUALIFY rk <= $NswTopK),
-      exact AS (
-        SELECT qid, vec_id AS vid FROM (
-          SELECT q.qid, e.vec_id,
-            row_number() OVER (PARTITION BY q.qid
-              ORDER BY round(list_sum(list_transform(list_zip(e.v, q.qv), x -> x[1]*x[2])), 6) DESC, e.vec_id) AS rn
-          FROM e, q WHERE e.vec_id <> q.qid) x WHERE rn <= $NswTopK),
-      hits AS (SELECT f.qid, CAST(count(*) AS BIGINT) AS n_hit
-        FROM exact x JOIN found f ON f.qid = x.qid AND f.vid = x.vid
-        GROUP BY 1)
-      SELECT f.qid,
-        string_agg(CAST(f.vid AS VARCHAR), ',' ORDER BY f.rk) AS found_ids,
-        max(f.cos) AS best_cos,
-        round(CAST(coalesce(any_value(h.n_hit), 0) AS DOUBLE) / $NswTopK, 4) AS recall
-      FROM found f LEFT JOIN hits h ON h.qid = f.qid
-      GROUP BY f.qid ORDER BY f.qid"""
+          FROM lv l, q WHERE l.vec_id <> q.qid) x WHERE erk = 1)${descent}${beamText},
+      ${beamAuditSql(finalBeam)}"""
     })
 
   val all: Seq[QueryDef] =

@@ -153,8 +153,8 @@ object TokenizerOps {
     head + ",\n      " + rounds
   }
 
-  /** The rank-ordered merge list `mm(rank, l, r)` — shared by the
-    * encode oracle's fixpoint and WordPieceOps' vocabulary oracle. */
+  /** The rank-ordered merge list `mm(rank, l, r)` the q105 encode
+    * oracle's fixpoint rounds select from. */
   private[graft] def bpeMergesSqlCte: String =
     "mm AS (" + (1 to NMerges).map(r =>
       s"SELECT CAST($r AS BIGINT) AS rank, l, r FROM best$r").mkString(" UNION ALL ") + ")"
@@ -255,13 +255,16 @@ object TokenizerOps {
     * every production tokenizer keeps, expressed relationally; the
     * corpus itself is touched exactly once.
     *
-    * Oracle: the training replay ([[bpeSqlCtes]]) feeds a RECURSIVE
-    * fixpoint CTE — each step applies a word's lowest-rank applicable
-    * merge to all its occurrences via the same `replace` that proved
-    * the fold equivalence, recursing while any merge applies; the
-    * terminal (no-applicable-merge) state per word is the canonical
-    * encoding. Termination mirrors the operator's own argument (every
-    * application strictly shrinks some word's symbol count).
+    * Oracle: the training replay ([[bpeSqlCtes]]) feeds an UNROLLED
+    * fixpoint chain — [[FixRounds]] idempotent rounds, each applying a
+    * word's lowest-rank applicable merge to all its occurrences via
+    * the same `replace` that proved the fold equivalence (a WITH
+    * RECURSIVE form was rejected: DuckDB 1.0 silently loses
+    * MATERIALIZED CTE contents referenced from a recursive member, and
+    * the unmaterialized chain re-evaluates 2^NMerges times). The bound
+    * covers words of FixRounds + 1 chars; a longer word would still
+    * carry an applicable merge at the end and gets a NULL count — a
+    * loud mismatch, never a silent undercount.
     * TokenizerOpsSpec additionally proves per-doc token counts equal an
     * independent canonical reference encoder, plus a direct test
     * vector where the fixpoint and one-pass-per-rank variants differ. */

@@ -38,6 +38,11 @@ import org.apache.spark.sql.types._
   * operator); `tolerance` bounds the match's age in the time column's
   * native units (micros for timestamps).
   *
+  * NOTE: adding the high-water mark widened the state row (4 → 5
+  * fields); a query restarted from a checkpoint written by the
+  * pre-lateness version of this operator will fail to decode its
+  * state — restart such streams from a fresh checkpoint.
+  *
   * Reference behavior: merge_asof semantics over streams — pandas has no
   * streaming form; kdb's realtime `aj` against a keyed last-tick table
   * is exactly this state shape (latest right row per key).

@@ -31,6 +31,9 @@ import org.apache.spark.sql.types._
   * starts the funnel) but never reopens a filled one, and
   * already-seen later-step events are not re-derived (spec-pinned,
   * "late events: dropped beyond the bound, monotone within it").
+  *
+  * NOTE: the high-water mark widened the state row (3 → 4 fields);
+  * restart pre-lateness checkpoints from scratch.
   */
 object StreamingFunnel {
 

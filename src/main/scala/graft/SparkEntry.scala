@@ -37,7 +37,9 @@ object SparkEntry {
       operators.SuffixOps.all ++
       operators.ClassifierOps.all ++
       operators.ClusterOps.all ++
-      operators.HtmlOps.all
+      operators.HtmlOps.all ++
+      operators.CollocationOps.all ++
+      operators.SpectralOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The index-pipeline capstone: chunk → mock-embed → top-k retrieve —

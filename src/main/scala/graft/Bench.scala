@@ -135,7 +135,22 @@ object Bench {
     }.getOrElse("")
     val failed = all.count(_._2 < 0)
     val total = all.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$ratioField,"reps":3,"agg":"median","errors":$failed,"sf":"$sfDir"}""")
+    // Machine-load annotation: q01 is the in-run normalizer; if it
+    // exceeds its pinned quiet-machine envelope the whole record was
+    // taken under external load and absolute times are suspect (the
+    // ratio_q01 object remains meaningful). Envelope is env-tunable
+    // because it is scale-factor-dependent; default pins sf0.1.
+    val envelope = sys.env.getOrElse("SPARK_GRAFT_Q01_ENVELOPE", "1.2").toDouble
+    val overloaded = q01.exists(_ > envelope)
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$ratioField,"reps":3,"agg":"median","errors":$failed,"overloaded":$overloaded,"q01_envelope_sec":$envelope%.1f,"sf":"$sfDir"}"""
+    println(line)
+    // Self-preserving artifact: the r10 archive lost its headline total
+    // to a truncated log tail — the file copy can never be clipped.
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, line + "\n")
+    } catch { case e: Throwable => System.err.println(s"[bench] file write: $e") }
     spark.stop()
   }
 }

@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Temporary profiling harness (not committed): times named queries
-  * N times each in one JVM to beat inter-invocation variance. */
+/** Profiling harness (dev-only, kept in-tree so perf work is
+  * reproducible): times named queries N times each in one JVM to beat
+  * inter-invocation variance. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

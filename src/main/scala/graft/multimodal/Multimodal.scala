@@ -53,7 +53,7 @@ object Multimodal {
         else if (hex.startsWith("474946")) "gif"
         else if (fileName.endsWith(".wav")) "wav"
         else "unknown"
-      // ??? <- real decoders read the actual header fields here
+      // DECLARED STUB: real decoders read the actual header fields here
       val dims = if (fmt == "unknown") (0, 0) else (content.length % 1920, content.length % 1080)
       Row(fmt, dims._1, dims._2, content.length.toLong)
     }

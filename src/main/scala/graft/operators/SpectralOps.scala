@@ -29,6 +29,30 @@ object SpectralOps {
   private def materialize(df: DataFrame, tag: String): DataFrame =
     graft.Staging.materialize(df, tag, "spark.graft.corpus.stagingDir")
 
+  /** One power-iteration round as a DataFrame: s = Σᵢ cᵢ·(cᵢ·v), the
+    * d-row aggregation each round reduces the corpus into. Factored out
+    * so Plans can explain THIS (the per-round corpus work) instead of
+    * the driver-local trajectory table the query returns. */
+  private def roundSums(cm: DataFrame, v: Array[Long]): DataFrame = {
+    val vArr = v.mkString("array(", "L,", "L)")
+    cm.select(
+        expr(s"aggregate(zip_with(c, $vArr, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+          .as("d"),
+        posexplode(col("c")).as(Seq("pos", "cv")))
+      .groupBy(col("pos"))
+      .agg(sum(col("cv") * col("d")).as("sv"))
+  }
+
+  /** Plan probe for the per-round aggregation (q202's real corpus
+    * work): the centered-row scan reduced by one d-row partial agg —
+    * no join, no cartesian. Plans.scala asserts on this frame. */
+  def q202RoundPlanProbe(s: SparkSession, dir: String): DataFrame = {
+    val cm = Tables.load(s, dir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000.0 + 0.5) as bigint))")
+        .as("c"))
+    roundSums(cm, Array.fill(Dim)(VScale))
+  }
+
   /** q202: 4 power-iteration rounds toward the top principal component
     * of the (mean-centered, ×1000-quantized) embeddings, from the
     * all-ones start. Per round: s = Σᵢ cᵢ·(cᵢ·v) (exact int64 — with
@@ -53,8 +77,15 @@ object SpectralOps {
   val q202PcaPower: QueryDef = QueryDef(
     "q202_pca_power",
     (s, dir) => {
+      val raw = Tables.load(s, dir, "embeddings")
+      // Dim is a structural constant of the oracle SQL (range(1,65));
+      // a table with a different dimensionality would null-pad
+      // zip_with silently — fail fast instead (ADVICE r10).
+      val dim0 = raw.select(size(col("embedding"))).head.getInt(0)
+      require(dim0 == Dim,
+        s"q202 expects $Dim-dim embeddings, table has $dim0")
       val qm = materialize(
-        Tables.load(s, dir, "embeddings").select(col("vec_id"),
+        raw.select(col("vec_id"),
           expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000.0 + 0.5) as bigint))")
             .as("q")),
         "pca_q")
@@ -72,21 +103,30 @@ object SpectralOps {
         qm.select(col("vec_id"),
           expr(s"zip_with(q, $meanArr, (a, b) -> a - b)").as("c")),
         "pca_c")
+      // Lattice-headroom guard (ADVICE r10): the corpus reduction
+      // Σ cv·d is an int64 sum; DuckDB sums in HUGEINT, so past the
+      // headroom Spark would wrap SILENTLY while the oracle stays
+      // exact. Bound it with the worst case |sv| ≤ n·maxC²·Dim·VScale
+      // (|v| ≤ VScale every round by construction) and fail loudly.
+      val hdr = cm.agg(count(lit(1)).as("n"),
+        max(expr("aggregate(c, 0L, (acc, x) -> greatest(acc, abs(x)))")).as("maxc"))
+        .head
+      val (nRows, maxC) = (hdr.getLong(0), hdr.getLong(1))
+      val worst = BigInt(nRows) * BigInt(maxC) * BigInt(maxC) * Dim * VScale
+      require(worst < BigInt(Long.MaxValue),
+        s"q202 int64 lattice headroom exhausted (n=$nRows, max|c|=$maxC, " +
+          s"worst=$worst ≥ 2^63): coarsen the quantization lattice")
       var v: Array[Long] = Array.fill(Dim)(VScale)
       val traj = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
       (1 to Rounds).foreach { r =>
-        val vArr = v.mkString("array(", "L,", "L)")
-        val sums = cm
-          .select(
-            expr(s"aggregate(zip_with(c, $vArr, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
-              .as("d"),
-            posexplode(col("c")).as(Seq("pos", "cv")))
-          .groupBy(col("pos"))
-          .agg(sum(col("cv") * col("d")).as("sv"))
+        val sums = roundSums(cm, v)
           .collect()
           .map(row => (row.getInt(0), row.getLong(1)))
           .sortBy(_._1).map(_._2)
         val m = sums.map(math.abs).max
+        // degenerate constant embeddings: every centered sum is 0 →
+        // 0/0 would propagate a silent all-zero vector (ADVICE r10)
+        require(m > 0, "q202 degenerate spectrum: all centered sums are zero")
         v = sums.map(sj =>
           math.floor(sj.toDouble / m.toDouble * 1000.0 + 0.5).toLong)
         (0 until Dim).foreach { j =>

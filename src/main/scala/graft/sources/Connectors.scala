@@ -94,6 +94,7 @@ object ConnectorRegistry {
       "http" -> HttpStagingConnector.default())
 
   def register(c: StagingConnector): Unit = connectors.put(c.name, c)
+  def unregister(name: String): Unit = connectors.remove(name)
   def get(name: String): Option[StagingConnector] = connectors.get(name)
   def list: Seq[String] = connectors.keys.toSeq.sorted
 }

@@ -44,8 +44,71 @@ class ConnectorsSpec extends SparkSpec {
   test("registry resolves connectors by name") {
     assert(ConnectorRegistry.list.contains("hadoop_fs"))
     assert(ConnectorRegistry.get("s3a").nonEmpty)
-    assert(ConnectorRegistry.get("http").nonEmpty)        // non-Hadoop backend
-    assert(ConnectorRegistry.get("google_drive").isEmpty) // SDK absent: not registered
+    assert(ConnectorRegistry.get("http").nonEmpty) // non-Hadoop backend
+    // google_drive needs per-user OAuth settings, so it has no
+    // zero-config default registration — a configured instance plugs
+    // the same registry (the reference's register.py pattern)
+    assert(ConnectorRegistry.get("google_drive").isEmpty)
+    val gd = new GoogleDriveConnector(DriveAuth("tok-valid"),
+      () => ConnectorsSpec.driveServer(), apiBase = ConnectorsSpec.driveApi,
+      tokenUrl = ConnectorsSpec.driveToken)
+    ConnectorRegistry.register(gd)
+    try assert(ConnectorRegistry.get("google_drive").contains(gd))
+    finally ConnectorRegistry.unregister("google_drive")
+  }
+
+  test("Google Drive: paged files.list, glob + folder filter, Google-native export, staged bytes") {
+    val c = new GoogleDriveConnector(DriveAuth("tok-valid"),
+      () => ConnectorsSpec.driveServer(), apiBase = ConnectorsSpec.driveApi,
+      tokenUrl = ConnectorsSpec.driveToken)
+    assert(c.testCredentials(spark, "folder-1"))
+    assert(!new GoogleDriveConnector(DriveAuth("tok-wrong"),
+      () => ConnectorsSpec.driveServer(), apiBase = ConnectorsSpec.driveApi,
+      tokenUrl = ConnectorsSpec.driveToken).testCredentials(spark, "folder-1"))
+
+    // listing walks BOTH pages (nextPageToken) and drops the subfolder
+    val listed = c.listRemote(spark, "gdrive://folder-1", "*")
+      .orderBy("file_name").collect()
+    assert(listed.map(_.getAs[String]("file_name")).toSeq ===
+      Seq("contract.pdf", "inv_1.txt", "inv_2.txt", "report")) // report = Google Doc
+    assert(listed.map(_.getAs[String]("remote_path")).toSeq ===
+      Seq("id-pdf", "id-1", "id-2", "id-doc"))
+    // Google-native docs have no size (-1); binaries carry theirs
+    assert(listed.find(_.getString(1) == "inv_1.txt").get
+      .getAs[Long]("file_size") == "invoice one".length.toLong)
+    assert(listed.find(_.getString(1) == "report").get
+      .getAs[Long]("file_size") == -1L)
+
+    // glob filter applies to names server-listed, pre-staging
+    assert(c.listRemote(spark, "folder-1", "*.txt").count() == 2)
+
+    // staging: binaries via alt=media, the Doc via export (+.txt ext)
+    val staging = Files.createTempDirectory("graft-drive-staging").toString
+    val staged = c.copyToStaging(spark, "folder-1", "*", staging)
+    assert(staged.count() == 4)
+    assert(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(staging, "inv_2.txt")), "UTF-8") == "invoice two")
+    assert(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(staging, "report.txt")), "UTF-8") == "exported doc text")
+    // downstream FileScan is connector-agnostic, as for every backend
+    val scanned = FileScan.scan(spark, FileScan.ScanConfig(staging))
+    assert(scanned.count() == 4)
+  }
+
+  test("Google Drive: expired access token refreshes once on 401 and the request retries") {
+    val c = new GoogleDriveConnector(
+      DriveAuth("tok-expired", refreshToken = "refresh-1",
+        clientId = "cid", clientSecret = "secret"),
+      () => ConnectorsSpec.driveServer(), apiBase = ConnectorsSpec.driveApi,
+      tokenUrl = ConnectorsSpec.driveToken)
+    assert(c.testCredentials(spark, "folder-1"))
+    val listed = c.listRemote(spark, "folder-1", "*.txt")
+    assert(listed.count() == 2)
+    // without a refresh token, the 401 is terminal
+    val bare = new GoogleDriveConnector(DriveAuth("tok-expired"),
+      () => ConnectorsSpec.driveServer(), apiBase = ConnectorsSpec.driveApi,
+      tokenUrl = ConnectorsSpec.driveToken)
+    assert(!bare.testCredentials(spark, "folder-1"))
   }
 
   test("HTTP connector: same contract on a non-Hadoop backend (canned file server)") {
@@ -137,4 +200,55 @@ object ConnectorsSpec {
         }
       } else graft.tools.HttpResponse.status(404, url)
     })
+
+  // ---- canned Google Drive API (Drive v3 + OAuth token endpoint) ----
+
+  val driveApi = "https://drive-api.example.com"
+  val driveToken = "https://oauth.example.com/token"
+
+  /** Two-page files.list for folder-1 (proves nextPageToken paging),
+    * a subfolder to drop, a Google Doc requiring export, alt=media
+    * downloads, and a refresh_token grant that revives tok-expired. */
+  def driveServer(): graft.tools.CannedTransport = {
+    import graft.tools.{HttpResponse => R}
+    val blobs = Map(
+      "id-1" -> "invoice one", "id-2" -> "invoice two", "id-pdf" -> "%PDF-stub")
+    new graft.tools.CannedTransport({ (method, url, headers, body) =>
+      def authed = headers.get("Authorization")
+        .exists(a => a == "Bearer tok-valid" || a == "Bearer tok-refreshed")
+      if (method == "POST" && url == driveToken) {
+        val form = new String(body, "UTF-8")
+        if (form.contains("grant_type=refresh_token") &&
+            form.contains("refresh_token=refresh-1") &&
+            form.contains("client_id=cid") && form.contains("client_secret=secret"))
+          R.ok("""{"access_token":"tok-refreshed","expires_in":3599}""")
+        else R.status(400, """{"error":"invalid_grant"}""")
+      } else if (!authed) R.status(401, """{"error":"UNAUTHENTICATED"}""")
+      else if (method == "GET" && url.startsWith(s"$driveApi/drive/v3/about"))
+        R.ok("""{"user":{"displayName":"tester"}}""")
+      else if (method == "GET" && url.startsWith(s"$driveApi/drive/v3/files?")) {
+        // the query must scope to the folder and exclude trash
+        assert(url.contains(java.net.URLEncoder.encode(
+          "'folder-1' in parents and trashed=false", "UTF-8")), s"bad q: $url")
+        if (!url.contains("pageToken="))
+          R.ok("""{"nextPageToken":"p2","files":[
+            {"id":"id-1","name":"inv_1.txt","mimeType":"text/plain","size":"11","modifiedTime":"2026-08-11T07:28:00Z"},
+            {"id":"id-pdf","name":"contract.pdf","mimeType":"application/pdf","size":"9","modifiedTime":"2026-08-11T07:28:00Z"},
+            {"id":"id-sub","name":"archive","mimeType":"application/vnd.google-apps.folder","modifiedTime":"2026-08-11T07:28:00Z"}]}""")
+        else if (url.contains("pageToken=p2"))
+          R.ok("""{"files":[
+            {"id":"id-2","name":"inv_2.txt","mimeType":"text/plain","size":"11","modifiedTime":"2026-08-12T09:00:00Z"},
+            {"id":"id-doc","name":"report","mimeType":"application/vnd.google-apps.document","modifiedTime":"2026-08-12T09:00:00Z"}]}""")
+        else R.status(400, "unknown pageToken")
+      } else if (method == "GET" &&
+          url == s"$driveApi/drive/v3/files/id-doc/export?mimeType=text%2Fplain")
+        R.ok("exported doc text")
+      else if (method == "GET" && url.matches(
+          s"$driveApi/drive/v3/files/[^/]+\\?alt=media")) {
+        val id = url.stripPrefix(s"$driveApi/drive/v3/files/")
+          .stripSuffix("?alt=media")
+        blobs.get(id).map(R.ok).getOrElse(R.status(404, id))
+      } else R.status(404, url)
+    })
+  }
 }

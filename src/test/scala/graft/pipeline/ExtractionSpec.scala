@@ -90,6 +90,76 @@ class ExtractionSpec extends SparkSpec {
     assert(emails.toSeq == Seq("a@b.com", null, null))
   }
 
+  test("OpenAI protocol: full typed-extraction chain through the canned chat-completions server") {
+    import spark.implicits._
+    val pt = spark.sparkContext.longAccumulator("oa_pt")
+    val ct = spark.sparkContext.longAccumulator("oa_ct")
+    val df = Seq(
+      (1L, "batch job batch run spark"),
+      (2L, "nothing here")).toDF("doc_id", "text")
+    val specs = Seq(
+      PromptSpec("n_batch", "count of word 'batch'", "number"),
+      PromptSpec("has_spark", "does it mention 'spark'", "boolean"),
+      PromptSpec("first", "first word", "text"),
+      PromptSpec("missing", "what is the invoice date?", "date"))
+    val out = Extraction.extract(df, "text", specs,
+      () => new OpenAIChatClient(ExtractionSpec.oaBase, "sk-good", "test-model",
+        () => ExtractionSpec.openAIServer(), systemPrompt = "You extract fields.",
+        sleeper = _ => (), promptTokens = Some(pt), completionTokens = Some(ct)))
+      .orderBy("doc_id").collect()
+    // same typed results as the direct MockLLM path — the protocol layer
+    // is transparent to D10-D14
+    assert(out(0).getAs[Double]("n_batch") == 2.0)
+    assert(out(0).getAs[Boolean]("has_spark"))
+    assert(out(0).getAs[String]("first") == "batch")
+    assert(out(0).isNullAt(out(0).fieldIndex("missing")))
+    assert(out(1).getAs[Double]("n_batch") == 0.0)
+    // provider-reported usage flowed into the accumulators (8 calls)
+    assert(pt.value > 0 && ct.value == 8L)
+  }
+
+  test("OpenAI protocol: retryable statuses back off and recover; terminal errors and refusals throw") {
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val c = new OpenAIChatClient(ExtractionSpec.oaBase, "sk-good", "test-model",
+      () => ExtractionSpec.openAIServer(flaky429 = 2), maxRetries = 3,
+      sleeper = sleeps.append(_))
+    assert(c.complete("first word\nContext:\nhello there\nAnswer:") == "hello")
+    assert(sleeps.toSeq == Seq(1000L, 2000L)) // exponential, reference schedule
+    // exhausted retries surface the provider error
+    val stuck = new OpenAIChatClient(ExtractionSpec.oaBase, "sk-good", "m",
+      () => ExtractionSpec.openAIServer(flaky429 = 99), maxRetries = 2,
+      sleeper = _ => ())
+    intercept[IllegalStateException](stuck.complete("q\nContext:\nx\nAnswer:"))
+    // 401 is terminal — one attempt, no retry loop
+    val bad = new OpenAIChatClient(ExtractionSpec.oaBase, "sk-wrong", "m",
+      () => ExtractionSpec.openAIServer(), sleeper = _ => ())
+    val e = intercept[IllegalStateException](bad.complete("q\nContext:\nx\nAnswer:"))
+    assert(e.getMessage.contains("HTTP 401"))
+    // null content (refusal) is an error, not a silent null row
+    val refuser = new OpenAIChatClient(ExtractionSpec.oaBase, "sk-good", "m",
+      () => ExtractionSpec.openAIServer(), sleeper = _ => ())
+    intercept[IllegalStateException](
+      refuser.complete("REFUSE\nContext:\nx\nAnswer:"))
+  }
+
+  test("OpenAI embeddings: batch order restored from permuted index; UDF plumbing distributes") {
+    import spark.implicits._
+    val c = new OpenAIEmbeddingClient(ExtractionSpec.oaBase, "sk-good",
+      "embed-model", () => ExtractionSpec.openAIServer(), sleeper = _ => ())
+    val vecs = c.embed(Seq("alpha", "bz"))
+    // canned vector = [len, first byte] — and the server PERMUTES data
+    // rows, so correct results prove index-keyed reordering
+    assert(vecs(0).toSeq == Seq(5f, 'a'.toFloat))
+    assert(vecs(1).toSeq == Seq(2f, 'b'.toFloat))
+    assert(c.embed(Nil).isEmpty)
+    val out = Seq("alpha", "bz").toDF("t")
+      .select(OpenAIEmbedding.embedUdf(() =>
+        new OpenAIEmbeddingClient(ExtractionSpec.oaBase, "sk-good", "m",
+          () => ExtractionSpec.openAIServer(), sleeper = _ => ()))(col("t")).as("e"))
+      .collect().map(_.getSeq[Float](0).head)
+    assert(out.toSeq == Seq(5f, 2f))
+  }
+
   test("RetryingLLM retries transient failures and counts usage") {
     val pt = spark.sparkContext.longAccumulator("pt")
     val ct = spark.sparkContext.longAccumulator("ct")
@@ -128,5 +198,64 @@ class ExtractionSpec extends SparkSpec {
     val e = intercept[RuntimeException](r.complete("q"))
     assert(e.getMessage == "down 4")
     assert(calls == 4)
+  }
+}
+
+/** Canned OpenAI-compatible provider on the companion object (client
+  * factories ship to executors). The "server" answers chat requests
+  * with a server-side MockLLM, so the protocol layer is the only thing
+  * under test; embeddings return [len, firstByte] with the data rows
+  * deliberately permuted. */
+object ExtractionSpec {
+  val oaBase = "https://llm.example.com"
+
+  def openAIServer(flaky429: Int = 0): graft.tools.CannedTransport = {
+    import graft.tools.{HttpResponse => R}
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val fails = new java.util.concurrent.atomic.AtomicInteger(flaky429)
+    val mock = new MockLLM
+    new graft.tools.CannedTransport({ (method, url, headers, body) =>
+      if (headers.get("Authorization") != Some("Bearer sk-good"))
+        R.status(401, """{"error":{"message":"invalid api key"}}""")
+      else if (fails.getAndDecrement() > 0)
+        R.status(429, """{"error":{"message":"rate limited"}}""")
+      else if (method == "POST" && url == s"$oaBase/v1/chat/completions") {
+        val req = mapper.readTree(body)
+        val msgs = req.path("messages")
+        val user = (0 until msgs.size()).map(msgs.get)
+          .find(_.path("role").asText() == "user")
+          .map(_.path("content").asText()).getOrElse("")
+        if (user.startsWith("REFUSE"))
+          R.ok("""{"choices":[{"message":{"role":"assistant","content":null},"finish_reason":"content_filter"}],"usage":{"prompt_tokens":3,"completion_tokens":0}}""")
+        else {
+          val answer = mock.complete(user)
+          val node = mapper.createObjectNode()
+          val choice = node.putArray("choices").addObject()
+          choice.putObject("message")
+            .put("role", "assistant").put("content", answer)
+          choice.put("finish_reason", "stop")
+          node.putObject("usage")
+            .put("prompt_tokens", user.split("\\s+").length)
+            .put("completion_tokens", 1)
+          R.ok(mapper.writeValueAsString(node))
+        }
+      } else if (method == "POST" && url == s"$oaBase/v1/embeddings") {
+        val req = mapper.readTree(body)
+        val in = req.path("input")
+        val node = mapper.createObjectNode()
+        val data = node.putArray("data")
+        // permuted on purpose: clients must key on `index`
+        (in.size() - 1 to 0 by -1).foreach { i =>
+          val t = in.get(i).asText()
+          val row = data.addObject()
+          row.put("index", i)
+          val e = row.putArray("embedding")
+          e.add(t.length.toFloat)
+          e.add(if (t.isEmpty) 0f else t.charAt(0).toFloat)
+        }
+        node.putObject("usage").put("total_tokens", in.size())
+        R.ok(mapper.writeValueAsString(node))
+      } else R.status(404, url)
+    })
   }
 }

@@ -1,0 +1,244 @@
+package graft.sinks
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.tools.HttpTransport
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Vector-store export/sync contract — the K-side dual of the queue
+  * connector: the engine's chunk DataFrame (the SURVEY-chosen index
+  * representation, D3) synchronized out to an external vector store
+  * for serving-path parity with the reference's vector-DB adapter tier
+  * (sdk1/adapters/vectordb/: qdrant, pinecone, milvus, weaviate,
+  * postgres…; llama-index upsert semantics in sdk1/index.py:389-516).
+  *
+  * Semantics mirrored from the reference:
+  *  - reindex = DELETE every point of the doc_id, then insert the new
+  *    chunks (index.py:408-419 delete(ref_doc_id) before add) — never
+  *    merge, so stale chunks of a shrunk document cannot survive;
+  *  - the index-exists probe (D4) is a doc_id count;
+  *  - retrieval = top-k cosine with an optional doc_id filter
+  *    (retrievers/simple.py:33-41).
+  */
+final case class ChunkPoint(id: String, docId: String, chunkId: Long,
+    text: String, embedding: Array[Float])
+
+trait ChunkStore extends Serializable {
+  def name: String
+  def testConnection(): Boolean
+  /** Create the collection if missing, pinned to `dim` vectors. */
+  def ensureCollection(collection: String, dim: Int): Unit
+  /** Remove every point belonging to `docId` (reindex precondition). */
+  def deleteDoc(collection: String, docId: String): Unit
+  def upsert(collection: String, points: Seq[ChunkPoint]): Unit
+  /** D4 probe: how many points exist for `docId`. */
+  def countDoc(collection: String, docId: String): Long
+  /** Top-k cosine query; `docId` scopes to one document when set. */
+  def query(collection: String, vector: Array[Float], k: Int,
+      docId: Option[String] = None): Seq[(ChunkPoint, Double)]
+}
+
+object ChunkStores {
+
+  /** The export/sync operator: push a chunk DataFrame
+    * (doc_id, chunk_id, text, emb ARRAY<FLOAT>) into a store with
+    * delete-then-insert per document. Repartitioned by doc_id so each
+    * document's delete + inserts execute on ONE task — no
+    * cross-partition race can interleave another task's inserts with
+    * this doc's delete. Batched upserts bound request sizes; at 100 TB
+    * the store's ingest rate is the bottleneck, not the shuffle. */
+  def sync(chunks: DataFrame, mkStore: () => ChunkStore, collection: String,
+      dim: Int, batchSize: Int = 256): Unit = {
+    val spark = chunks.sparkSession
+    // ensure once, driver-side (executors would race the create)
+    mkStore().ensureCollection(collection, dim)
+    chunks.select("doc_id", "chunk_id", "text", "emb")
+      .repartition(org.apache.spark.sql.functions.col("doc_id"))
+      .sortWithinPartitions("doc_id", "chunk_id")
+      .foreachPartition { (it: Iterator[Row]) =>
+        val store = mkStore()
+        var currentDoc: String = null
+        val batch = scala.collection.mutable.ArrayBuffer.empty[ChunkPoint]
+        def flush(): Unit = if (batch.nonEmpty) {
+          store.upsert(collection, batch.toSeq); batch.clear()
+        }
+        it.foreach { r =>
+          val doc = r.get(0).toString
+          val chunkId = r.getLong(1)
+          if (doc != currentDoc) { // first chunk of a doc: reindex delete
+            flush()
+            store.deleteDoc(collection, doc)
+            currentDoc = doc
+          }
+          batch += ChunkPoint(s"$doc:$chunkId", doc, chunkId,
+            r.getString(2), r.getSeq[Float](3).toArray)
+          if (batch.length >= batchSize) flush()
+        }
+        flush()
+      }
+  }
+
+  private[sinks] def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length && i < b.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+}
+
+/** DataFrame-backed store: the engine-native backend (the chunk table
+  * IS a DataFrame; this wraps a shared in-JVM map the way a Delta/
+  * parquet chunk table would back it on a cluster). Also the contract
+  * reference implementation the protocol backends are tested against. */
+final class MemoryChunkStore(storeId: String = "default",
+    override val name: String = "memory") extends ChunkStore {
+  import MemoryChunkStore._
+
+  private def coll(c: String) =
+    state.computeIfAbsent(storeId + "/" + c,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, ChunkPoint]())
+
+  def testConnection(): Boolean = true
+  def ensureCollection(collection: String, dim: Int): Unit = { coll(collection); () }
+  def deleteDoc(collection: String, docId: String): Unit = {
+    val m = coll(collection)
+    m.keySet.removeIf(k => m.get(k) != null && m.get(k).docId == docId)
+  }
+  def upsert(collection: String, points: Seq[ChunkPoint]): Unit =
+    points.foreach(p => coll(collection).put(p.id, p))
+  def countDoc(collection: String, docId: String): Long = {
+    import scala.jdk.CollectionConverters._
+    coll(collection).values.asScala.count(_.docId == docId).toLong
+  }
+  def query(collection: String, vector: Array[Float], k: Int,
+      docId: Option[String]): Seq[(ChunkPoint, Double)] = {
+    import scala.jdk.CollectionConverters._
+    coll(collection).values.asScala.toSeq
+      .filter(p => docId.forall(_ == p.docId))
+      .map(p => p -> ChunkStores.cosine(p.embedding, vector))
+      .sortBy { case (p, s) => (-s, p.id) }
+      .take(k)
+  }
+}
+
+object MemoryChunkStore {
+  /** JVM-global backing (MiniRedis pattern): executor tasks in local
+    * mode and driver share one map per storeId. */
+  private val state = new java.util.concurrent.ConcurrentHashMap[String,
+    java.util.concurrent.ConcurrentHashMap[String, ChunkPoint]]()
+  def clear(storeId: String): Unit =
+    state.keySet.removeIf(_.startsWith(storeId + "/"))
+}
+
+/** Qdrant REST protocol store (public HTTP API, the wire surface under
+  * the reference's qdrant_client — adapters/vectordb/qdrant/):
+  *  - GET  /collections                      — reachability probe
+  *  - GET  /collections/{c}  → 200|404       — existence
+  *  - PUT  /collections/{c} {"vectors":{"size":d,"distance":"Cosine"}}
+  *  - PUT  /collections/{c}/points {"points":[{id, vector, payload}]}
+  *  - POST /collections/{c}/points/delete {"filter": doc_id match}
+  *  - POST /collections/{c}/points/count  {"filter", "exact":true}
+  *  - POST /collections/{c}/points/search {"vector","limit","filter",
+  *         "with_payload":true}
+  * Point ids are UUIDv5 of the chunk key (Qdrant requires UUID/uint
+  * ids — the reference prefixes ids with doc_id for deletability,
+  * index.py:433-441 TODO comment; payload carries the original key). */
+final class QdrantChunkStore(baseUrl: String, apiKey: String,
+    mkTransport: () => HttpTransport,
+    override val name: String = "qdrant") extends ChunkStore {
+
+  private val mapper = new ObjectMapper()
+  @transient private lazy val t = mkTransport()
+  private def headers = Map("api-key" -> apiKey,
+    "Content-Type" -> "application/json")
+
+  private def pointUuid(id: String): String =
+    java.util.UUID.nameUUIDFromBytes(id.getBytes("UTF-8")).toString
+
+  private def docFilter(docId: String) = {
+    val f = mapper.createObjectNode()
+    val m = f.putArray("must").addObject()
+    m.put("key", "doc_id")
+    m.putObject("match").put("value", docId)
+    f
+  }
+
+  private def expectOk(r: graft.tools.HttpResponse, what: String): Unit =
+    require(r.status == 200, s"qdrant $what -> HTTP ${r.status} ${r.text.take(200)}")
+
+  def testConnection(): Boolean =
+    scala.util.Try(
+      t.request("GET", s"$baseUrl/collections", headers).status == 200
+    ).getOrElse(false)
+
+  def ensureCollection(collection: String, dim: Int): Unit = {
+    val probe = t.request("GET", s"$baseUrl/collections/$collection", headers)
+    if (probe.status == 404) {
+      val body = mapper.createObjectNode()
+      body.putObject("vectors").put("size", dim).put("distance", "Cosine")
+      expectOk(t.request("PUT", s"$baseUrl/collections/$collection",
+        headers, mapper.writeValueAsBytes(body)), "create collection")
+    } else expectOk(probe, "collection probe")
+  }
+
+  def deleteDoc(collection: String, docId: String): Unit = {
+    val body = mapper.createObjectNode()
+    body.set[com.fasterxml.jackson.databind.JsonNode]("filter", docFilter(docId))
+    expectOk(t.request("POST", s"$baseUrl/collections/$collection/points/delete",
+      headers, mapper.writeValueAsBytes(body)), "points/delete")
+  }
+
+  def upsert(collection: String, points: Seq[ChunkPoint]): Unit = {
+    if (points.isEmpty) return
+    val body = mapper.createObjectNode()
+    val arr = body.putArray("points")
+    points.foreach { p =>
+      val n = arr.addObject()
+      n.put("id", pointUuid(p.id))
+      val v = n.putArray("vector")
+      p.embedding.foreach(v.add)
+      val pay = n.putObject("payload")
+      pay.put("chunk_key", p.id)
+      pay.put("doc_id", p.docId)
+      pay.put("chunk_id", p.chunkId)
+      pay.put("text", p.text)
+    }
+    expectOk(t.request("PUT", s"$baseUrl/collections/$collection/points",
+      headers, mapper.writeValueAsBytes(body)), "points upsert")
+  }
+
+  def countDoc(collection: String, docId: String): Long = {
+    val body = mapper.createObjectNode()
+    body.set[com.fasterxml.jackson.databind.JsonNode]("filter", docFilter(docId))
+    body.put("exact", true)
+    val r = t.request("POST", s"$baseUrl/collections/$collection/points/count",
+      headers, mapper.writeValueAsBytes(body))
+    expectOk(r, "points/count")
+    mapper.readTree(r.text).path("result").path("count").asLong(0)
+  }
+
+  def query(collection: String, vector: Array[Float], k: Int,
+      docId: Option[String]): Seq[(ChunkPoint, Double)] = {
+    val body = mapper.createObjectNode()
+    val v = body.putArray("vector")
+    vector.foreach(v.add)
+    body.put("limit", k)
+    body.put("with_payload", true)
+    docId.foreach(d =>
+      body.set[com.fasterxml.jackson.databind.JsonNode]("filter", docFilter(d)))
+    val r = t.request("POST", s"$baseUrl/collections/$collection/points/search",
+      headers, mapper.writeValueAsBytes(body))
+    expectOk(r, "points/search")
+    val res = mapper.readTree(r.text).path("result")
+    (0 until res.size()).map { i =>
+      val row = res.get(i)
+      val pay = row.path("payload")
+      // the embedding is not round-tripped (payload-only read)
+      (ChunkPoint(pay.path("chunk_key").asText(""),
+        pay.path("doc_id").asText(""), pay.path("chunk_id").asLong(0),
+        pay.path("text").asText(""), Array.emptyFloatArray),
+        row.path("score").asDouble(0))
+    }
+  }
+}

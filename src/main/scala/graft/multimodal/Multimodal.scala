@@ -17,10 +17,12 @@ import org.apache.spark.sql.types._
   * (java.desktop, headless-safe). Compressed audio probes the
   * `javax.sound.sampled` SPI registry at runtime (`Media.decodeViaSpi`
   * — a WAV/AIFF/AU decode ships with the JDK and MP3 works the moment
-  * an MP3 SPI is on the classpath); only runtimes WITHOUT such an SPI
-  * fall through to the deterministic [[StubDecoder]], which also
-  * remains the declared stand-in for video (H.264) — a deployment
-  * swaps in an FFmpeg-backed decoder behind the same trait.
+  * an MP3 SPI is on the classpath); without an SPI, MP3 METADATA is
+  * still real — `Media.parseMp3` walks the MPEG frame headers (pure
+  * ISO 11172-3 math) for duration/bitrate/sample-rate — and only the
+  * PCM-derived features fall back to the deterministic [[StubDecoder]].
+  * The remaining declared stub is video (H.264); a deployment swaps in
+  * an FFmpeg-backed decoder behind the same trait.
   */
 object Multimodal {
 
@@ -113,7 +115,11 @@ object Multimodal {
         } else if (Media.isMp3(content)) {
           Media.decodeViaSpi(content) match {
             case Some(a) => Row("mp3", 0, 0, a.durationMs)
-            case None => stub.meta(content, fileName)
+            case None => Media.parseMp3(content) match {
+              // no SPI: duration still REAL — pure frame-header math
+              case Some(info) => Row("mp3", 0, 0, info.durationMs)
+              case None => stub.meta(content, fileName)
+            }
           }
         } else stub.meta(content, fileName)
       } catch { case _: Exception => Row("corrupt", 0, 0, 0L) }

@@ -128,6 +128,97 @@ object Media {
       Some(WavAudio(base.getSampleRate.toInt, base.getChannels, samples))
     } catch { case _: Exception => None }
 
+  // ------------------------------------------------------------------ MP3
+
+  /** MPEG-audio stream facts recoverable WITHOUT a decoder: pure
+    * ISO/IEC 11172-3 frame-header arithmetic. */
+  final case class Mp3Info(sampleRate: Int, channels: Int, frames: Int,
+      durationMs: Long, avgBitrateKbps: Int, vbr: Boolean)
+
+  // bitrate tables in kbps, index 1-14 (0 = "free", 15 = invalid):
+  // rows keyed by (version group, layer)
+  private val BitrateV1 = Map(
+    1 -> Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    2 -> Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    3 -> Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320))
+  private val BitrateV2 = Map(
+    1 -> Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    2 -> Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    3 -> Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))
+  // sample rates by version: MPEG1 / MPEG2 / MPEG2.5
+  private val RatesV1 = Array(44100, 48000, 32000)
+  private val RatesV2 = Array(22050, 24000, 16000)
+  private val RatesV25 = Array(11025, 12000, 8000)
+
+  /** Parse an MPEG audio (MP3) stream's frame headers: skip a leading
+    * ID3v2 tag (syncsafe length), then walk frame-to-frame using the
+    * header's own frame-length formula — duration, sample rate,
+    * channel mode and average bitrate (VBR-aware) fall out with zero
+    * decoding (public ISO 11172-3 math; the duration/bitrate metadata
+    * the reference's media tier surfaces). Stops at the first
+    * malformed header (truncated stream: the frames so far stand);
+    * returns None when no valid frame exists. */
+  def parseMp3(bytes: Array[Byte]): Option[Mp3Info] = {
+    if (bytes == null || bytes.length < 4) return None
+    var at = 0
+    // ID3v2: "ID3" ver(2) flags(1) size(4 × 7-bit syncsafe)
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+      val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      at = 10 + size
+    }
+    var frames = 0
+    var samplesTotal = 0L
+    var bitrateSum = 0L
+    var rate = 0
+    var chans = 0
+    var minBr = Int.MaxValue
+    var maxBr = 0
+    var ok = true
+    while (ok && at + 4 <= bytes.length) {
+      val b1 = bytes(at) & 0xff; val b2 = bytes(at + 1) & 0xff
+      val b3 = bytes(at + 2) & 0xff; val b4 = bytes(at + 3) & 0xff
+      if (b1 != 0xff || (b2 & 0xe0) != 0xe0) ok = false
+      else {
+        val verBits = (b2 >> 3) & 0x3   // 0=2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+        val layerBits = (b2 >> 1) & 0x3 // 1=III, 2=II, 3=I
+        val brIdx = (b3 >> 4) & 0xf
+        val srIdx = (b3 >> 2) & 0x3
+        val padding = (b3 >> 1) & 0x1
+        val mode = (b4 >> 6) & 0x3      // 3 = mono
+        if (verBits == 1 || layerBits == 0 || brIdx == 0 || brIdx == 15 ||
+            srIdx == 3) ok = false
+        else {
+          val layer = 4 - layerBits      // 1, 2, 3
+          val kbps = (if (verBits == 3) BitrateV1 else BitrateV2)(layer)(brIdx)
+          val sr = (verBits match {
+            case 3 => RatesV1; case 2 => RatesV2; case _ => RatesV25
+          })(srIdx)
+          val samplesPerFrame =
+            if (layer == 1) 384
+            else if (layer == 2) 1152
+            else if (verBits == 3) 1152 else 576 // Layer III halves in MPEG2/2.5
+          val frameLen =
+            if (layer == 1) (12 * kbps * 1000 / sr + padding) * 4
+            else samplesPerFrame / 8 * kbps * 1000 / sr + padding
+          if (frameLen <= 4 || at + frameLen > bytes.length) ok = false
+          else {
+            frames += 1
+            samplesTotal += samplesPerFrame
+            bitrateSum += kbps
+            minBr = math.min(minBr, kbps); maxBr = math.max(maxBr, kbps)
+            rate = sr
+            chans = if (mode == 3) 1 else 2
+            at += frameLen
+          }
+        }
+      }
+    }
+    if (frames == 0) None
+    else Some(Mp3Info(rate, chans, frames,
+      samplesTotal * 1000L / rate, (bitrateSum / frames).toInt, minBr != maxBr))
+  }
+
   // ------------------------------------------------------------------ BMP
 
   final case class BmpImage(width: Int, height: Int,

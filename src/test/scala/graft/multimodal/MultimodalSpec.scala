@@ -152,6 +152,48 @@ class MultimodalSpec extends SparkSpec {
     assert(dec.meta(sync, "x.mp3") === stub.meta(sync, "x.mp3"))
   }
 
+  test("MP3 frame-header parser: CBR/VBR duration, rates, channels — zero decode") {
+    import graft.tools.Media
+    import MultimodalSpec.{mp3Frame, id3Tag}
+
+    // 40 CBR frames, MPEG1 Layer III 128 kbps 44100 Hz stereo
+    val cbr = (1 to 40).map(_ => mp3Frame(128, srIdx = 0, mono = false))
+      .reduce(_ ++ _)
+    val info = Media.parseMp3(cbr).get
+    assert(info.frames == 40 && info.sampleRate == 44100 && info.channels == 2)
+    assert(info.avgBitrateKbps == 128 && !info.vbr)
+    assert(info.durationMs == 40L * 1152 * 1000 / 44100) // 1044 ms
+
+    // an ID3v2 tag is skipped via its syncsafe length
+    val tagged = id3Tag(100) ++ cbr
+    assert(Media.parseMp3(tagged).get.frames == 40)
+
+    // VBR: alternating 128/192 frames average to 160 and flag vbr
+    val vbr = (1 to 10).flatMap(i =>
+      mp3Frame(if (i % 2 == 0) 192 else 128, 0, mono = false)).toArray
+    val v = Media.parseMp3(vbr).get
+    assert(v.frames == 10 && v.avgBitrateKbps == 160 && v.vbr)
+
+    // MPEG2 Layer III halves samples-per-frame (576) at 22050 Hz, mono
+    val v2 = (1 to 20).map(_ => mp3Frame(64, 0, mono = true, mpeg2 = true))
+      .reduce(_ ++ _)
+    val i2 = Media.parseMp3(v2).get
+    assert(i2.sampleRate == 22050 && i2.channels == 1)
+    assert(i2.durationMs == 20L * 576 * 1000 / 22050)
+
+    // a truncated stream keeps the whole frames parsed so far
+    assert(Media.parseMp3(cbr.dropRight(100)).get.frames == 39)
+    // garbage and frame-less tags decline instead of guessing
+    assert(Media.parseMp3("not audio at all".getBytes).isEmpty)
+    assert(Media.parseMp3(id3Tag(50)).isEmpty)
+
+    // and the decoder's MP3 metadata row is REAL without any SPI
+    val dec = new Multimodal.JdkMediaDecoder()
+    val meta = dec.meta(tagged, "song.mp3")
+    assert(meta.getString(0) == "mp3")
+    assert(meta.getLong(3) == 40L * 1152 * 1000 / 44100)
+  }
+
   test("JdkMediaDecoder: real wav/bmp decode through the Spark plumbing") {
     import spark.implicits._
     import graft.tools.Media
@@ -278,4 +320,37 @@ class MultimodalSpec extends SparkSpec {
     assert(ids.length == 4)                       // 0,3,6,9 of duration 10
     assert(ids.head == "v.bin:0")
   }
+}
+
+/** MP3 test-vector builders: hand-assembled MPEG frame sequences
+  * (header + zero payload) exercising the pure header arithmetic. */
+object MultimodalSpec {
+
+  /** One MPEG Layer III frame. kbps must exist in the version's Layer
+    * III bitrate table; srIdx 0 = 44100 (MPEG1) / 22050 (MPEG2). */
+  def mp3Frame(kbps: Int, srIdx: Int, mono: Boolean,
+      mpeg2: Boolean = false): Array[Byte] = {
+    val table =
+      if (mpeg2) Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+      else Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    val brIdx = table.indexOf(kbps)
+    require(brIdx > 0, s"$kbps not in table")
+    val b2 = if (mpeg2) 0xF3 else 0xFB // sync + version + layer III + no CRC
+    val b3 = (brIdx << 4) | (srIdx << 2)
+    val b4 = if (mono) 0xC0 else 0x00
+    val sr = if (mpeg2) Array(22050, 24000, 16000)(srIdx)
+      else Array(44100, 48000, 32000)(srIdx)
+    val spf = if (mpeg2) 576 else 1152
+    val frameLen = spf / 8 * kbps * 1000 / sr
+    val f = new Array[Byte](frameLen)
+    f(0) = 0xFF.toByte; f(1) = b2.toByte; f(2) = b3.toByte; f(3) = b4.toByte
+    f
+  }
+
+  /** ID3v2.3 tag with a syncsafe payload length. */
+  def id3Tag(payload: Int): Array[Byte] =
+    Array[Byte]('I', 'D', '3', 3, 0, 0,
+      ((payload >> 21) & 0x7f).toByte, ((payload >> 14) & 0x7f).toByte,
+      ((payload >> 7) & 0x7f).toByte, (payload & 0x7f).toByte) ++
+      new Array[Byte](payload)
 }

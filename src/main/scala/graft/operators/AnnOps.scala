@@ -1456,7 +1456,11 @@ object AnnOps {
     * recall 0.7 vs 0.6) because its random long links act at layer 0
     * while the hierarchy above ~N/4 nodes is nearly empty; the
     * hierarchy's log(N) descent is the piece that grows into its cost
-    * at corpus scale. Every decision is deterministic (integer level
+    * at corpus scale — DEMONSTRATED at N=20k in AnnOpsSpec ("HNSW
+    * hierarchy populates at 20k"): same graph, same beam, descended
+    * entry recall@5 = 1.0 vs flat entry 0.25, with the 33-hop descent
+    * landing every query within 2 base positions (SCALE.md §round 11).
+    * Every decision is deterministic (integer level
     * thresholds, rounded-cosine ranks, vec_id ties, fixed step/round
     * counts), and the DuckDB oracle replays layers, descent, and beam.
     *

@@ -380,4 +380,210 @@ class AnnOpsSpec extends SparkSpec {
     val mean = rows.map(_.getDouble(3)).sum / rows.length
     assert(mean > 0.3, s"mean HNSW recall $mean implausibly low")
   }
+
+  /** The log-N descent demonstration q199's scaladoc defers at N=500:
+    * a ring corpus (unit vectors at angle 2*pi*i/N) where cosine rank
+    * EQUALS ring-distance rank, so each layer's exact-kNN graph builds
+    * from a window over angle order (O(N log N), no all-pairs) and
+    * search decisions can be scored by exact ring distance — the same
+    * greedy/beam choices true cosine would make, arithmetic-free.
+    * Levels use q199's integer-threshold hash rule; layer-0 beam is
+    * the q197/q199 ef-bounded shape. The ONLY difference between the
+    * two compared searches is the starting point: the hierarchy's
+    * descended entry vs the flat fixed entry on the same layer-0 +
+    * long-link graph — so the recall gap is attributable to the
+    * hierarchy alone. */
+  private object RingHnsw {
+    import org.apache.spark.sql.{Column, DataFrame}
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+
+    val MaxLvl = 11
+    val Steps = 3    // greedy steps per upper layer (q199's HnswSteps)
+    val K = 8        // ring-kNN out-degree (4 each side)
+    val Ef = 24      // beam width (q197's NswEf)
+    val Rounds = 6   // beam rounds (q197's NswRounds)
+
+    def ringDist(n: Long, vid: Column, qid: Column): Column =
+      least(abs(vid - qid), lit(n) - abs(vid - qid))
+
+    /** q199's geometric level rule: 16-bit hash bucket vs thresholds. */
+    def levels(spark: org.apache.spark.sql.SparkSession, n: Long): DataFrame = {
+      val lvlCase = (MaxLvl to 1 by -1).map(k =>
+        s"WHEN b < ${65536 >> k} THEN $k").mkString("CASE ", " ", " ELSE 0 END")
+      spark.range(n).select(col("id").as("vec_id"))
+        .withColumn("b", expr(
+          "cast(conv(substring(sha2(concat('L', cast(vec_id as string)), 256), 1, 4), 16, 10) as bigint)"))
+        .withColumn("lvl", expr(lvlCase).cast("long"))
+        .select(col("vec_id"), col("lvl"))
+    }
+
+    /** Exact kNN over the layer's members = +-K/2 ring neighbors in
+      * angle order, with wraparound — a rank self-join, never N^2. */
+    def layerEdges(lv: DataFrame, k: Int): DataFrame = {
+      val members = lv.filter(col("lvl") >= k)
+        .withColumn("r", (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("long"))
+        .select(col("vec_id"), col("r"))
+      val m = members.count()
+      val offs = (1 to K / 2).flatMap(j => Seq(j, -j))
+      members.select(col("vec_id").as("evid"), col("r"))
+        .withColumn("off", explode(typedLit(offs)))
+        .withColumn("nr", ((col("r") + col("off")) % m + m) % m)
+        .join(members.select(col("r").as("nr"), col("vec_id").as("nbr_id")), Seq("nr"))
+        .filter(col("evid") =!= col("nbr_id"))
+        .select(col("evid"), col("nbr_id")).distinct()
+    }
+
+    /** q197's hash-deterministic long links (2 per node; ring ids ARE
+      * the 0-based ranks, so the position join is direct). */
+    def longLinks(spark: org.apache.spark.sql.SparkSession, n: Long): DataFrame =
+      spark.range(n).select(col("id").as("evid"))
+        .withColumn("l", explode(typedLit(Seq(1, 2))))
+        .withColumn("nbr_id", expr(
+          s"cast(conv(substring(sha2(concat(cast(evid as string), '#', cast(l as string)), 256), 1, 4), 16, 10) as bigint) % $n"))
+        .filter(col("evid") =!= col("nbr_id"))
+        .select(col("evid"), col("nbr_id"))
+
+    /** Greedy 1-best descent through layers MaxLvl..1; returns
+      * ((qid, vid) entries for layer 0, hop count). */
+    def descend(entry: DataFrame, layers: Map[Int, DataFrame],
+        n: Long): (DataFrame, Int) = {
+      var cur = entry
+      var hops = 0
+      (MaxLvl to 1 by -1).foreach { k =>
+        val ek = layers(k)
+        (1 to Steps).foreach { _ =>
+          val cand = cur.select(col("qid"), col("vid"))
+            .unionByName(cur.join(ek, col("vid") === col("evid"))
+              .select(col("qid"), col("nbr_id").as("vid")))
+            .distinct()
+          cur = cand
+            .withColumn("d", ringDist(n, col("vid"), col("qid")))
+            .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+              .orderBy(col("d"), col("vid"))))
+            .filter(col("rk") === 1).select(col("qid"), col("vid"))
+            .localCheckpoint()
+          hops += 1
+        }
+      }
+      (cur, hops)
+    }
+
+    /** The shared ef-bounded beam (q197's shape, ring-distance scored). */
+    def beam(seed: DataFrame, edges: DataFrame, n: Long): DataFrame = {
+      var b = seed
+      (1 to Rounds).foreach { _ =>
+        val cand = b.select(col("qid"), col("vid"))
+          .unionByName(b.join(edges, col("vid") === col("evid"))
+            .select(col("qid"), col("nbr_id").as("vid")))
+          .distinct()
+        b = cand
+          .withColumn("d", ringDist(n, col("vid"), col("qid")))
+          .filter(col("vid") =!= col("qid"))
+          .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+            .orderBy(col("d"), col("vid"))))
+          .filter(col("rk") <= Ef)
+          .select(col("qid"), col("vid"), col("d"))
+          .localCheckpoint()
+      }
+      b
+    }
+
+    /** recall@5 vs the analytic exact neighbors (distances 1,1,2,2,3). */
+    def recallAt5(finalBeam: DataFrame, n: Long): Map[Long, Double] = {
+      val found = finalBeam
+        .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("d"), col("vid"))))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("vid")).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      found.map { case (q, ids) =>
+        val exact = Seq((q + 1) % n, (q - 1 + n) % n, (q + 2) % n,
+          (q - 2 + n) % n, math.min((q + 3) % n, (q - 3 + n) % n)).toSet
+        q -> ids.intersect(exact).size.toDouble / 5.0
+      }
+    }
+
+    /** Run the full comparison at one corpus size. */
+    final case class Result(atOrAbove: Map[Int, Long], descentHops: Int,
+        descentResidual: Map[Long, Long], hierRecall: Map[Long, Double],
+        flatRecall: Map[Long, Double])
+
+    def run(spark: org.apache.spark.sql.SparkSession, n: Long): Result = {
+      import spark.implicits._
+      val lv = levels(spark, n).localCheckpoint()
+      val atOrAbove = (0 to MaxLvl).map(k =>
+        k -> lv.filter(col("lvl") >= k).count()).toMap
+      val layers = (1 to MaxLvl).map(k =>
+        k -> layerEdges(lv, k).localCheckpoint()).toMap
+      val base = layerEdges(lv, 0).localCheckpoint()
+      val withLong = base.unionByName(longLinks(spark, n))
+        .distinct().localCheckpoint()
+
+      val qids = (0 until 8).map(i => i * n / 8)
+      val queries = qids.toDF("qid")
+      // hierarchy: global max-level entry -> descend -> layer-0 beam
+      val globalEntry = lv.orderBy(col("lvl").desc, col("vec_id")).limit(1)
+        .select(col("vec_id").as("vid"))
+        .crossJoin(queries).filter(col("vid") =!= col("qid"))
+        .unionByName( // a query that IS the entry starts at the runner-up
+          lv.orderBy(col("lvl").desc, col("vec_id")).limit(2)
+            .orderBy(col("lvl"), col("vec_id")).limit(1)
+            .select(col("vec_id").as("vid"))
+            .crossJoin(queries)
+            .join(lv.orderBy(col("lvl").desc, col("vec_id")).limit(1)
+              .select(col("vec_id").as("qid")), Seq("qid")))
+        .select(col("qid"), col("vid"))
+      val (descended, hops) = descend(globalEntry, layers, n)
+      val residual = descended
+        .withColumn("d", ringDist(n, col("vid"), col("qid")))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val hier = recallAt5(beam(descended, withLong, n), n)
+      // flat NSW: q197's fixed smallest-non-query entry, SAME graph+beam
+      val flatSeed = queries.withColumn("vid",
+        when(col("qid") === 0, lit(1L)).otherwise(lit(0L)))
+      val flat = recallAt5(beam(flatSeed, withLong, n), n)
+      Result(atOrAbove, hops, residual, hier, flat)
+    }
+  }
+
+  test("HNSW hierarchy populates at 20k and its log-N descent beats a flat entry; at 500 it cannot") {
+    val big = RingHnsw.run(spark, 20000L)
+
+    // levels actually FILL: |members at level >= k| tracks N/2^k
+    (1 to 8).foreach { k =>
+      val expected = 20000.0 / (1 << k)
+      val got = big.atOrAbove(k).toDouble
+      assert(got > 0.5 * expected && got < 1.6 * expected,
+        s"level >=$k holds ${got.toInt}, expected ~${expected.toInt}")
+    }
+    assert(big.atOrAbove(RingHnsw.MaxLvl) >= 1, "top of the hierarchy is empty")
+
+    // descent: O(log N) hops land EVERY query within a few base-layer
+    // spacings of its answer, from an arbitrary global entry
+    assert(big.descentHops == RingHnsw.MaxLvl * RingHnsw.Steps) // 33 at N=20k
+    val worstResidual = big.descentResidual.values.max
+    assert(worstResidual <= 24,
+      s"descent left a query $worstResidual away (expected a few spacings)")
+
+    // same graph, same beam, only the ENTRY differs: hierarchy wins
+    val hierMean = big.hierRecall.values.sum / big.hierRecall.size
+    val flatMean = big.flatRecall.values.sum / big.flatRecall.size
+    assert(hierMean >= 0.9, s"hier recall $hierMean")
+    assert(hierMean - flatMean >= 0.3,
+      s"no hierarchy win at N=20k: hier=$hierMean flat=$flatMean")
+
+    // the N=500 bracket q199's scaladoc concedes: hierarchy nearly
+    // empty (expected ~8 nodes at level >=6), no recall advantage
+    info(s"N=20k: hops=${big.descentHops} worstResidual=$worstResidual " +
+      s"hier=$hierMean flat=$flatMean lvl6=${big.atOrAbove(6)}")
+    val small = RingHnsw.run(spark, 500L)
+    assert(small.atOrAbove(6) <= 20,
+      s"N=500 level>=6 holds ${small.atOrAbove(6)} — not 'nearly empty'")
+    val hier500 = small.hierRecall.values.sum / small.hierRecall.size
+    val flat500 = small.flatRecall.values.sum / small.flatRecall.size
+    assert(hier500 - flat500 <= 0.15,
+      s"unexpected hierarchy win at N=500: hier=$hier500 flat=$flat500")
+    info(s"N=500: hier=$hier500 flat=$flat500 lvl6=${small.atOrAbove(6)}")
+  }
 }

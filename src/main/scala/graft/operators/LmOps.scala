@@ -255,32 +255,40 @@ object LmOps {
     * idea ("how many contexts does this word complete?"), not raw
     * frequency.
     *
-    * Scale: identical shape to q96 — four VOCABULARY-sized count
-    * tables (c2, c1, N1+fwd, N1+bwd) plus a 1-row total, all
-    * broadcast; the type counts aggregate over the c2 TABLE (already
-    * vocab-sized), not over the corpus, and the corpus side stays one
-    * explode + broadcast joins + groupBy(doc_id). The `trainLm(ref,
-    * topV)` vocabulary cutoff composes unchanged. */
+    * Scale: ONE corpus-side broadcast join. The whole KN score
+    * composes on the vocabulary side first — c1 = Σc2 and N1+fwd come
+    * from a single groupBy over the c2 TABLE (never a second corpus
+    * aggregation), N1+bwd and the 1-row total likewise, and the
+    * per-TYPE nll is computed once on that vocab-sized frame — so the
+    * corpus stream pays one explode + one broadcast-hash probe +
+    * groupBy(doc_id), instead of r10's four probes and a second
+    * corpus-wide count. Identical doubles row-for-row (same expression
+    * over the same inputs, evaluated per bigram type instead of per
+    * token), so the oracle is unchanged. The `trainLm(ref, topV)`
+    * vocabulary cutoff composes unchanged. */
   val q108KnPerplexity: QueryDef = QueryDef(
     "q108_kn_perplexity",
     (s, dir) => {
       val bigrams = materialize(bigramsOf(docs(s, dir)), "kn_bigrams")
       val c2t = materialize(bigrams.groupBy(col("w1"), col("w2"))
         .agg(count(lit(1)).as("c2")), "kn_c2")
-      val c1t = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-      val n1f = c2t.groupBy(col("w1")).agg(count(lit(1)).as("nf"))
+      // c(w1·) = Σ_w2 c(w1 w2): the SAME integer as counting the
+      // corpus stream, computed from the vocab-sized table
+      val fw = c2t.groupBy(col("w1"))
+        .agg(count(lit(1)).as("nf"), sum(col("c2")).as("c1"))
       val n1b = c2t.groupBy(col("w2")).agg(count(lit(1)).as("nb"))
       val np = c2t.agg(count(lit(1)).as("npairs"))
-      bigrams
-        .join(broadcast(c2t), Seq("w1", "w2"))
-        .join(broadcast(c1t), Seq("w1"))
-        .join(broadcast(n1f), Seq("w1"))
+      val scored = c2t
+        .join(broadcast(fw), Seq("w1"))
         .join(broadcast(n1b), Seq("w2"))
         .crossJoin(broadcast(np))
-        .select(col("doc_id"),
+        .select(col("w1"), col("w2"),
           (-log((greatest(col("c2") - KnD, lit(0.0)) +
             lit(KnD) * col("nf") * (col("nb") / col("npairs"))) / col("c1")))
             .as("nll"))
+      bigrams
+        .join(broadcast(scored), Seq("w1", "w2"))
+        .select(col("doc_id"), col("nll"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
           round(avg(col("nll")), 6).as("avg_nll"))

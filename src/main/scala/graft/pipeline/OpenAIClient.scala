@@ -101,6 +101,45 @@ final class OpenAIChatClient(baseUrl: String, apiKey: String, model: String,
           s"${choice.path("finish_reason").asText("?")})")
     content.asText()
   }
+
+  /** Vision completion (sdk1/llm.py:438-476 complete_vision): one user
+    * message with [text, image_url] content parts, the image inlined
+    * as a data URL — the OpenAI multimodal wire shape litellm
+    * translates for every provider. Same retry/usage/refusal handling
+    * as [[complete]]. */
+  def completeVision(prompt: String, image: Array[Byte],
+      imageMime: String = "image/png"): String = {
+    val root = mapper.createObjectNode()
+    root.put("model", model)
+    root.put("temperature", temperature)
+    val msgs = root.putArray("messages")
+    if (systemPrompt.nonEmpty) {
+      val m = msgs.addObject(); m.put("role", "system"); m.put("content", systemPrompt)
+    }
+    val u = msgs.addObject(); u.put("role", "user")
+    val parts = u.putArray("content")
+    val tp = parts.addObject(); tp.put("type", "text"); tp.put("text", prompt)
+    val ip = parts.addObject(); ip.put("type", "image_url")
+    ip.putObject("image_url").put("url", s"data:$imageMime;base64," +
+      java.util.Base64.getEncoder.encodeToString(image))
+    val r = withRetry(maxRetries, sleeper) {
+      transport.request("POST", s"$baseUrl/v1/chat/completions",
+        Map("Authorization" -> s"Bearer $apiKey",
+          "Content-Type" -> "application/json"),
+        mapper.writeValueAsBytes(root))
+    }
+    val node = mapper.readTree(r.text)
+    val choice = node.path("choices").path(0)
+    val content = choice.path("message").path("content")
+    val usage = node.path("usage")
+    promptTokens.foreach(_.add(usage.path("prompt_tokens").asLong(0)))
+    completionTokens.foreach(_.add(usage.path("completion_tokens").asLong(0)))
+    if (content.isMissingNode || content.isNull)
+      throw new IllegalStateException(
+        s"LLM returned empty vision content (finish_reason=" +
+          s"${choice.path("finish_reason").asText("?")})")
+    content.asText()
+  }
 }
 
 /** Embedding adapter surface (sdk1/embedding.py): batch-first, because

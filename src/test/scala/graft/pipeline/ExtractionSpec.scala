@@ -142,6 +142,17 @@ class ExtractionSpec extends SparkSpec {
       refuser.complete("REFUSE\nContext:\nx\nAnswer:"))
   }
 
+  test("OpenAI vision completion: text + data-URL image parts round-trip (complete_vision shape)") {
+    val c = new OpenAIChatClient(ExtractionSpec.oaBase, "sk-good", "vision-model",
+      () => ExtractionSpec.openAIServer(), sleeper = _ => ())
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 1, 2, 3)
+    val out = c.completeVision("what is pictured?", png)
+    // the canned server answers with what it DECODED from the data URL
+    assert(out == s"VISION:what is pictured?:image/png:${png.length}")
+    assert(c.completeVision("q", Array[Byte](1, 2), "image/jpeg")
+      == "VISION:q:image/jpeg:2")
+  }
+
   test("OpenAI embeddings: batch order restored from permuted index; UDF plumbing distributes") {
     import spark.implicits._
     val c = new OpenAIEmbeddingClient(ExtractionSpec.oaBase, "sk-good",
@@ -222,10 +233,23 @@ object ExtractionSpec {
       else if (method == "POST" && url == s"$oaBase/v1/chat/completions") {
         val req = mapper.readTree(body)
         val msgs = req.path("messages")
-        val user = (0 until msgs.size()).map(msgs.get)
+        val userNode = (0 until msgs.size()).map(msgs.get)
           .find(_.path("role").asText() == "user")
-          .map(_.path("content").asText()).getOrElse("")
-        if (user.startsWith("REFUSE"))
+          .map(_.path("content")).getOrElse(mapper.missingNode())
+        val user = if (userNode.isTextual) userNode.asText() else ""
+        // multimodal content parts: answer with what the server SAW —
+        // proving the image bytes and mime round-tripped the data URL
+        if (userNode.isArray) {
+          val parts = (0 until userNode.size()).map(userNode.get)
+          val text = parts.find(_.path("type").asText() == "text")
+            .map(_.path("text").asText()).getOrElse("")
+          val dataUrl = parts.find(_.path("type").asText() == "image_url")
+            .map(_.path("image_url").path("url").asText()).getOrElse("")
+          val Array(head, b64) = dataUrl.split(",", 2)
+          val mime = head.stripPrefix("data:").stripSuffix(";base64")
+          val n = java.util.Base64.getDecoder.decode(b64).length
+          R.ok(s"""{"choices":[{"message":{"role":"assistant","content":"VISION:$text:$mime:$n"},"finish_reason":"stop"}],"usage":{"prompt_tokens":7,"completion_tokens":1}}""")
+        } else if (user.startsWith("REFUSE"))
           R.ok("""{"choices":[{"message":{"role":"assistant","content":null},"finish_reason":"content_filter"}],"usage":{"prompt_tokens":3,"completion_tokens":0}}""")
         else {
           val answer = mock.complete(user)

@@ -95,6 +95,31 @@ class ConnectorsSpec extends SparkSpec {
     assert(scanned.count() == 4)
   }
 
+  test("Dropbox: cursor-paged list_folder, header-arg download, staged bytes") {
+    val c = new DropboxConnector("db-token", () => ConnectorsSpec.dropboxServer(),
+      apiBase = ConnectorsSpec.dbxApi, contentBase = ConnectorsSpec.dbxContent)
+    assert(c.testCredentials(spark, "/drop"))
+    assert(!new DropboxConnector("wrong", () => ConnectorsSpec.dropboxServer(),
+      apiBase = ConnectorsSpec.dbxApi, contentBase = ConnectorsSpec.dbxContent)
+      .testCredentials(spark, "/drop"))
+
+    // listing walks has_more/cursor pages and drops the folder entry
+    val listed = c.listRemote(spark, "/drop", "*").orderBy("file_name").collect()
+    assert(listed.map(_.getAs[String]("file_name")).toSeq ===
+      Seq("contract.pdf", "inv_1.txt", "inv_2.txt"))
+    assert(listed.find(_.getString(1) == "inv_1.txt").get
+      .getAs[Long]("file_size") == "invoice one".length.toLong)
+    assert(c.listRemote(spark, "/drop", "*.txt").count() == 2)
+
+    val staging = Files.createTempDirectory("graft-dbx-staging").toString
+    val staged = c.copyToStaging(spark, "/drop", "*.txt", staging)
+    assert(staged.count() == 2)
+    assert(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(staging, "inv_2.txt")), "UTF-8") == "invoice two")
+    val scanned = FileScan.scan(spark, FileScan.ScanConfig(staging))
+    assert(scanned.count() == 2)
+  }
+
   test("Google Drive: expired access token refreshes once on 401 and the request retries") {
     val c = new GoogleDriveConnector(
       DriveAuth("tok-expired", refreshToken = "refresh-1",
@@ -200,6 +225,45 @@ object ConnectorsSpec {
         }
       } else graft.tools.HttpResponse.status(404, url)
     })
+
+  // ---- canned Dropbox API v2 (RPC + content endpoints) ----
+
+  val dbxApi = "https://dbx-api.example.com"
+  val dbxContent = "https://dbx-content.example.com"
+
+  /** Two list_folder pages via has_more/cursor, a folder entry to
+    * drop, downloads keyed by the Dropbox-API-Arg header. */
+  def dropboxServer(): graft.tools.CannedTransport = {
+    import graft.tools.{HttpResponse => R}
+    val blobs = Map(
+      "/drop/inv_1.txt" -> "invoice one",
+      "/drop/inv_2.txt" -> "invoice two",
+      "/drop/contract.pdf" -> "%PDF-stub")
+    new graft.tools.CannedTransport({ (method, url, headers, body) =>
+      if (headers.get("Authorization") != Some("Bearer db-token"))
+        R.status(401, """{"error_summary":"invalid_access_token/"}""")
+      else if (method == "POST" && url == s"$dbxApi/2/users/get_current_account")
+        R.ok("""{"account_id":"dbid:tester"}""")
+      else if (method == "POST" && url == s"$dbxApi/2/files/list_folder") {
+        assert(new String(body, "UTF-8").contains("\"/drop\""), "wrong path")
+        R.ok("""{"entries":[
+          {".tag":"file","name":"inv_1.txt","path_lower":"/drop/inv_1.txt","size":11,"server_modified":"2026-08-11T07:28:00Z"},
+          {".tag":"folder","name":"archive","path_lower":"/drop/archive"}],
+          "cursor":"cur-2","has_more":true}""")
+      } else if (method == "POST" && url == s"$dbxApi/2/files/list_folder/continue") {
+        assert(new String(body, "UTF-8").contains("cur-2"), "wrong cursor")
+        R.ok("""{"entries":[
+          {".tag":"file","name":"inv_2.txt","path_lower":"/drop/inv_2.txt","size":11,"server_modified":"2026-08-12T09:00:00Z"},
+          {".tag":"file","name":"contract.pdf","path_lower":"/drop/contract.pdf","size":9,"server_modified":"2026-08-12T09:00:00Z"}],
+          "cursor":"cur-end","has_more":false}""")
+      } else if (method == "POST" && url == s"$dbxContent/2/files/download") {
+        val arg = headers.getOrElse("Dropbox-API-Arg", "{}")
+        val path = graft.sources.DropboxConnector.mapper.readTree(arg)
+          .path("path").asText("")
+        blobs.get(path).map(R.ok).getOrElse(R.status(409, path))
+      } else R.status(404, url)
+    })
+  }
 
   // ---- canned Google Drive API (Drive v3 + OAuth token endpoint) ----
 

@@ -131,6 +131,114 @@ object MemoryChunkStore {
     state.keySet.removeIf(_.startsWith(storeId + "/"))
 }
 
+/** Pinecone data-plane protocol store (public REST API, the wire
+  * surface under the reference's pinecone adapter —
+  * adapters/vectordb/pinecone/). The store binds to ONE index host;
+  * `collection` maps to a Pinecone NAMESPACE (the API's own
+  * multi-tenancy seam — namespaces are implicit, so ensureCollection
+  * verifies the index dimension instead of creating):
+  *  - POST {host}/describe_index_stats {}            — probe + dim
+  *    check; with {"filter": …} it is also the doc count (D4)
+  *  - POST {host}/vectors/upsert  {"namespace","vectors":[{id, values,
+  *         metadata}]} — string ids, so the chunk key IS the id
+  *  - POST {host}/vectors/delete  {"namespace","filter":
+  *         {"doc_id":{"$eq":…}}} — the filtered reindex delete
+  *  - POST {host}/query {"namespace","vector","topK","filter",
+  *         "includeMetadata":true} → matches[{id, score, metadata}]
+  * Auth: `Api-Key` header. */
+final class PineconeChunkStore(indexHost: String, apiKey: String,
+    mkTransport: () => HttpTransport,
+    override val name: String = "pinecone") extends ChunkStore {
+
+  private val mapper = new ObjectMapper()
+  @transient private lazy val t = mkTransport()
+  private def headers = Map("Api-Key" -> apiKey,
+    "Content-Type" -> "application/json")
+
+  private def post(path: String,
+      body: com.fasterxml.jackson.databind.JsonNode): graft.tools.HttpResponse =
+    t.request("POST", s"$indexHost$path", headers, mapper.writeValueAsBytes(body))
+
+  private def expectOk(r: graft.tools.HttpResponse, what: String): Unit =
+    require(r.status == 200,
+      s"pinecone $what -> HTTP ${r.status} ${r.text.take(200)}")
+
+  private def docFilter(docId: String) = {
+    val f = mapper.createObjectNode()
+    f.putObject("doc_id").put("$eq", docId)
+    f
+  }
+
+  def testConnection(): Boolean =
+    scala.util.Try(
+      post("/describe_index_stats", mapper.createObjectNode()).status == 200
+    ).getOrElse(false)
+
+  def ensureCollection(collection: String, dim: Int): Unit = {
+    val r = post("/describe_index_stats", mapper.createObjectNode())
+    expectOk(r, "describe_index_stats")
+    val d = mapper.readTree(r.text).path("dimension").asInt(-1)
+    require(d == dim, s"pinecone index dimension $d != expected $dim")
+  }
+
+  def deleteDoc(collection: String, docId: String): Unit = {
+    val body = mapper.createObjectNode()
+    body.put("namespace", collection)
+    body.set[com.fasterxml.jackson.databind.JsonNode]("filter", docFilter(docId))
+    expectOk(post("/vectors/delete", body), "vectors/delete")
+  }
+
+  def upsert(collection: String, points: Seq[ChunkPoint]): Unit = {
+    if (points.isEmpty) return
+    val body = mapper.createObjectNode()
+    body.put("namespace", collection)
+    val arr = body.putArray("vectors")
+    points.foreach { p =>
+      val n = arr.addObject()
+      n.put("id", p.id)
+      val v = n.putArray("values")
+      p.embedding.foreach(v.add)
+      val meta = n.putObject("metadata")
+      meta.put("doc_id", p.docId)
+      meta.put("chunk_id", p.chunkId)
+      meta.put("text", p.text)
+    }
+    expectOk(post("/vectors/upsert", body), "vectors/upsert")
+  }
+
+  def countDoc(collection: String, docId: String): Long = {
+    val body = mapper.createObjectNode()
+    body.put("namespace", collection)
+    body.set[com.fasterxml.jackson.databind.JsonNode]("filter", docFilter(docId))
+    val r = post("/describe_index_stats", body)
+    expectOk(r, "describe_index_stats(filter)")
+    mapper.readTree(r.text).path("totalVectorCount").asLong(0)
+  }
+
+  def query(collection: String, vector: Array[Float], k: Int,
+      docId: Option[String]): Seq[(ChunkPoint, Double)] = {
+    val body = mapper.createObjectNode()
+    body.put("namespace", collection)
+    val v = body.putArray("vector")
+    vector.foreach(v.add)
+    body.put("topK", k)
+    body.put("includeMetadata", true)
+    docId.foreach(d =>
+      body.set[com.fasterxml.jackson.databind.JsonNode]("filter", docFilter(d)))
+    val r = post("/query", body)
+    expectOk(r, "query")
+    val matches = mapper.readTree(r.text).path("matches")
+    (0 until matches.size()).map { i =>
+      val m = matches.get(i)
+      val meta = m.path("metadata")
+      (ChunkPoint(m.path("id").asText(""), meta.path("doc_id").asText(""),
+        meta.path("chunk_id").asLong(0), meta.path("text").asText(""),
+        Array.emptyFloatArray),
+        m.path("score").asDouble(0))
+    }
+  }
+}
+
 /** Qdrant REST protocol store (public HTTP API, the wire surface under
   * the reference's qdrant_client — adapters/vectordb/qdrant/):
   *  - GET  /collections                      — reachability probe

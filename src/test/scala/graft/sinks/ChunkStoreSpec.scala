@@ -2,10 +2,10 @@ package graft.sinks
 
 import graft.SparkSpec
 
-/** Vector-store export/sync contract, run against BOTH backends: the
-  * engine-native memory store and the Qdrant REST protocol over a
-  * canned server — proving D3's delete-then-insert reindex semantics
-  * hold wherever chunks are exported. */
+/** Vector-store export/sync contract, run against all three backends:
+  * the engine-native memory store and the Qdrant + Pinecone REST
+  * protocols over canned servers — proving D3's delete-then-insert
+  * reindex semantics hold wherever chunks are exported. */
 class ChunkStoreSpec extends SparkSpec {
 
   private def contract(mk: () => ChunkStore, coll: String): Unit = {
@@ -53,7 +53,19 @@ class ChunkStoreSpec extends SparkSpec {
       () => ChunkStoreSpec.qdrantServer()).testConnection())
   }
 
-  test("sync exports a chunk DataFrame with per-doc reindex, executor-side, on both backends") {
+  test("Pinecone protocol store satisfies the same contract (canned server)") {
+    ChunkStoreSpec.resetPinecone()
+    contract(() => new PineconeChunkStore(ChunkStoreSpec.pcHost, "pc-key",
+      () => ChunkStoreSpec.pineconeServer()), "chunks")
+    assert(!new PineconeChunkStore(ChunkStoreSpec.pcHost, "wrong",
+      () => ChunkStoreSpec.pineconeServer()).testConnection())
+    // dimension mismatch fails fast at ensureCollection
+    val s = new PineconeChunkStore(ChunkStoreSpec.pcHost, "pc-key",
+      () => ChunkStoreSpec.pineconeServer())
+    intercept[IllegalArgumentException](s.ensureCollection("chunks", 128))
+  }
+
+  test("sync exports a chunk DataFrame with per-doc reindex, executor-side, on all three backends") {
     import spark.implicits._
     def chunkDf(rows: Seq[(String, Long, String, Seq[Float])]) =
       rows.toDF("doc_id", "chunk_id", "text", "emb")
@@ -61,9 +73,12 @@ class ChunkStoreSpec extends SparkSpec {
     for ((mk, label) <- Seq[(() => ChunkStore, String)](
         (() => new MemoryChunkStore("spec-sync"), "memory"),
         (() => new QdrantChunkStore(ChunkStoreSpec.qBase, "qd-key",
-          () => ChunkStoreSpec.qdrantServer()), "qdrant"))) {
+          () => ChunkStoreSpec.qdrantServer()), "qdrant"),
+        (() => new PineconeChunkStore(ChunkStoreSpec.pcHost, "pc-key",
+          () => ChunkStoreSpec.pineconeServer()), "pinecone"))) {
       MemoryChunkStore.clear("spec-sync")
       ChunkStoreSpec.resetQdrant()
+      ChunkStoreSpec.resetPinecone()
       val v1 = chunkDf(Seq(
         ("d1", 0L, "one-a", Seq(1f, 0f, 0f, 0f)),
         ("d1", 1L, "one-b", Seq(0f, 1f, 0f, 0f)),
@@ -105,6 +120,82 @@ object ChunkStoreSpec {
       if (headers.get("api-key") != Some("qd-key"))
         R.status(401, """{"status":{"error":"unauthorized"}}""")
       else route(method, url, body)
+    })
+  }
+
+  // ---- canned Pinecone data plane (dim-4 index, namespace state) ----
+
+  val pcHost = "https://idx-1.svc.example.pinecone.io"
+
+  // namespace -> id -> (vector, metadata json)
+  private val pcState = new java.util.concurrent.ConcurrentHashMap[String,
+    java.util.concurrent.ConcurrentHashMap[String, (Array[Float], String)]]()
+
+  def resetPinecone(): Unit = pcState.clear()
+
+  def pineconeServer(): graft.tools.CannedTransport = {
+    import graft.tools.{HttpResponse => R}
+    import scala.jdk.CollectionConverters._
+    new graft.tools.CannedTransport({ (method, url, headers, body) =>
+      if (headers.get("Api-Key") != Some("pc-key"))
+        R.status(401, """{"message":"unauthorized"}""")
+      else if (method != "POST") R.status(405, url)
+      else {
+        val req = mapper.readTree(body)
+        val ns = req.path("namespace").asText("")
+        def nsMap = pcState.computeIfAbsent(ns,
+          _ => new java.util.concurrent.ConcurrentHashMap())
+        def pcMatches(meta: String,
+            f: com.fasterxml.jackson.databind.JsonNode): Boolean = {
+          if (f == null || f.isMissingNode) return true
+          val m = mapper.readTree(meta)
+          val it = f.properties().iterator()
+          var ok = true
+          while (it.hasNext) {
+            val e = it.next()
+            ok &&= m.path(e.getKey).asText() ==
+              e.getValue.path("$eq").asText()
+          }
+          ok
+        }
+        url.stripPrefix(pcHost) match {
+          case "/describe_index_stats" =>
+            val filter = req.path("filter")
+            val n =
+              if (filter.isMissingNode)
+                pcState.values.asScala.map(_.size).sum
+              else nsMap.values.asScala.count(v => pcMatches(v._2, filter))
+            R.ok(s"""{"dimension":4,"totalVectorCount":$n,"namespaces":{}}""")
+          case "/vectors/upsert" =>
+            val vecs = req.path("vectors")
+            (0 until vecs.size()).foreach { i =>
+              val p = vecs.get(i)
+              val values = p.path("values")
+              nsMap.put(p.path("id").asText(),
+                (Array.tabulate(values.size())(j => values.get(j).floatValue()),
+                  mapper.writeValueAsString(p.path("metadata"))))
+            }
+            R.ok(s"""{"upsertedCount":${vecs.size()}}""")
+          case "/vectors/delete" =>
+            val filter = req.path("filter")
+            nsMap.keySet.removeIf(k => pcMatches(nsMap.get(k)._2, filter))
+            R.ok("{}")
+          case "/query" =>
+            val qv = req.path("vector")
+            val q = Array.tabulate(qv.size())(j => qv.get(j).floatValue())
+            val k = req.path("topK").asInt(10)
+            val filter = req.path("filter")
+            val hits = nsMap.asScala.toSeq
+              .filter { case (_, (_, meta)) => pcMatches(meta, filter) }
+              .map { case (id, (vec, meta)) =>
+                (ChunkStores.cosine(vec, q), id, meta) }
+              .sortBy(h => (-h._1, h._2)).take(k)
+              .map { case (s, id, meta) =>
+                s"""{"id":${mapper.writeValueAsString(id)},"score":$s,"metadata":$meta}""" }
+            R.ok(s"""{"matches":[${hits.mkString(",")}],"namespace":"$ns"}""")
+          case p => R.status(404, p)
+        }
+      }
     })
   }
 

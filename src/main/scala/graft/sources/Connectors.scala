@@ -16,10 +16,14 @@ import org.apache.spark.sql.functions._
   * [[HadoopFsConnector]] is the engine-native implementation covering
   * every Hadoop-supported scheme (file://, hdfs://, s3a://, abfs://,
   * gs:// with the right jars) — listing and staging both distributed
-  * via binaryFile, content never on the driver. SaaS connectors
-  * (Drive/Dropbox/Box/SharePoint) implement the same trait with their
-  * SDK clients; the sandbox ships none, so only the contract + the
-  * Hadoop implementation exist here.
+  * via binaryFile, content never on the driver. The SaaS roster
+  * implements the same trait at the public wire-protocol level over
+  * the injectable [[graft.tools.HttpTransport]]:
+  * [[GoogleDriveConnector]] (Drive v3 REST),
+  * [[DropboxConnector]] (API v2),
+  * [[BoxConnector]] (Box API 2.0),
+  * [[SharePointConnector]] (Microsoft Graph), and
+  * [[HttpStagingConnector]] (fsspec-style HTTP file server).
   */
 trait StagingConnector extends Serializable {
   def name: String

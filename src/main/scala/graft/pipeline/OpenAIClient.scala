@@ -57,90 +57,22 @@ object OpenAIProtocol {
   }
 }
 
-/** Chat-completions client. One instance per executor partition (the
-  * factory pattern every adapter here uses); `usage` token counts flow
-  * into the optional accumulators — the reference's _record_usage on
-  * every call, provider-reported numbers, not whitespace estimates. */
+/** Chat-completions client: [[WireChatClient]] pinned to the OpenAI
+  * wire. One instance per executor partition (the factory pattern
+  * every adapter here uses); `usage` token counts flow into the
+  * optional accumulators — the reference's _record_usage on every
+  * call, provider-reported numbers, not whitespace estimates. Vision
+  * (sdk1/llm.py:438-476 complete_vision) sends [text, image_url]
+  * content parts with the image inlined as a data URL. */
 final class OpenAIChatClient(baseUrl: String, apiKey: String, model: String,
     mkTransport: () => HttpTransport, systemPrompt: String = "",
     temperature: Double = 0.003, maxRetries: Int = 2,
     sleeper: Long => Unit = Thread.sleep,
     promptTokens: Option[LongAccumulator] = None,
-    completionTokens: Option[LongAccumulator] = None) extends LLMClient {
-
-  import OpenAIProtocol._
-
-  @transient private lazy val transport = mkTransport()
-
-  override def complete(prompt: String): String = {
-    val root = mapper.createObjectNode()
-    root.put("model", model)
-    root.put("temperature", temperature)
-    val msgs = root.putArray("messages")
-    if (systemPrompt.nonEmpty) {
-      val m = msgs.addObject(); m.put("role", "system"); m.put("content", systemPrompt)
-    }
-    val u = msgs.addObject(); u.put("role", "user"); u.put("content", prompt)
-    val r = withRetry(maxRetries, sleeper) {
-      transport.request("POST", s"$baseUrl/v1/chat/completions",
-        Map("Authorization" -> s"Bearer $apiKey",
-          "Content-Type" -> "application/json"),
-        mapper.writeValueAsBytes(root))
-    }
-    val node = mapper.readTree(r.text)
-    val choice = node.path("choices").path(0)
-    val content = choice.path("message").path("content")
-    val usage = node.path("usage")
-    promptTokens.foreach(_.add(usage.path("prompt_tokens").asLong(0)))
-    completionTokens.foreach(_.add(usage.path("completion_tokens").asLong(0)))
-    // refusal/empty content is an error, not a silent null row
-    // (sdk1/llm.py _raise_for_empty_response)
-    if (content.isMissingNode || content.isNull)
-      throw new IllegalStateException(
-        s"LLM returned empty content (finish_reason=" +
-          s"${choice.path("finish_reason").asText("?")})")
-    content.asText()
-  }
-
-  /** Vision completion (sdk1/llm.py:438-476 complete_vision): one user
-    * message with [text, image_url] content parts, the image inlined
-    * as a data URL — the OpenAI multimodal wire shape litellm
-    * translates for every provider. Same retry/usage/refusal handling
-    * as [[complete]]. */
-  def completeVision(prompt: String, image: Array[Byte],
-      imageMime: String = "image/png"): String = {
-    val root = mapper.createObjectNode()
-    root.put("model", model)
-    root.put("temperature", temperature)
-    val msgs = root.putArray("messages")
-    if (systemPrompt.nonEmpty) {
-      val m = msgs.addObject(); m.put("role", "system"); m.put("content", systemPrompt)
-    }
-    val u = msgs.addObject(); u.put("role", "user")
-    val parts = u.putArray("content")
-    val tp = parts.addObject(); tp.put("type", "text"); tp.put("text", prompt)
-    val ip = parts.addObject(); ip.put("type", "image_url")
-    ip.putObject("image_url").put("url", s"data:$imageMime;base64," +
-      java.util.Base64.getEncoder.encodeToString(image))
-    val r = withRetry(maxRetries, sleeper) {
-      transport.request("POST", s"$baseUrl/v1/chat/completions",
-        Map("Authorization" -> s"Bearer $apiKey",
-          "Content-Type" -> "application/json"),
-        mapper.writeValueAsBytes(root))
-    }
-    val node = mapper.readTree(r.text)
-    val choice = node.path("choices").path(0)
-    val content = choice.path("message").path("content")
-    val usage = node.path("usage")
-    promptTokens.foreach(_.add(usage.path("prompt_tokens").asLong(0)))
-    completionTokens.foreach(_.add(usage.path("completion_tokens").asLong(0)))
-    if (content.isMissingNode || content.isNull)
-      throw new IllegalStateException(
-        s"LLM returned empty vision content (finish_reason=" +
-          s"${choice.path("finish_reason").asText("?")})")
-    content.asText()
-  }
-}
+    completionTokens: Option[LongAccumulator] = None)
+  extends WireChatClient(OpenAIWire, baseUrl, apiKey, model, mkTransport,
+    systemPrompt, temperature, maxRetries, sleeper, promptTokens,
+    completionTokens)
 
 /** Embedding adapter surface (sdk1/embedding.py): batch-first, because
   * at 100 TB the per-request overhead dominates single-text calls. */
@@ -148,45 +80,16 @@ trait EmbeddingClient extends Serializable {
   def embed(texts: Seq[String]): Seq[Array[Float]]
 }
 
-/** OpenAI-compatible /v1/embeddings client. The response's `data` array
-  * is index-keyed; results are re-ordered by that index, not arrival
+/** OpenAI-compatible /v1/embeddings client: [[WireEmbeddingClient]]
+  * pinned to the OpenAI wire. The response's `data` array is
+  * index-keyed; results are re-ordered by that index, not arrival
   * order (the API contract allows permuted rows). */
 final class OpenAIEmbeddingClient(baseUrl: String, apiKey: String,
     model: String, mkTransport: () => HttpTransport, maxRetries: Int = 2,
     sleeper: Long => Unit = Thread.sleep,
-    usageTokens: Option[LongAccumulator] = None) extends EmbeddingClient {
-
-  import OpenAIProtocol._
-
-  @transient private lazy val transport = mkTransport()
-
-  def embed(texts: Seq[String]): Seq[Array[Float]] = {
-    if (texts.isEmpty) return Seq.empty
-    val root = mapper.createObjectNode()
-    root.put("model", model)
-    val in = root.putArray("input")
-    texts.foreach(in.add)
-    val r = withRetry(maxRetries, sleeper) {
-      transport.request("POST", s"$baseUrl/v1/embeddings",
-        Map("Authorization" -> s"Bearer $apiKey",
-          "Content-Type" -> "application/json"),
-        mapper.writeValueAsBytes(root))
-    }
-    val node = mapper.readTree(r.text)
-    usageTokens.foreach(_.add(node.path("usage").path("total_tokens").asLong(0)))
-    val data = node.path("data")
-    val out = new Array[Array[Float]](texts.length)
-    (0 until data.size()).foreach { i =>
-      val row = data.get(i)
-      val idx = row.path("index").asInt(i)
-      val emb = row.path("embedding")
-      out(idx) = Array.tabulate(emb.size())(j => emb.get(j).floatValue())
-    }
-    require(out.forall(_ != null),
-      s"embeddings response missing rows: got ${data.size()} of ${texts.length}")
-    out.toSeq
-  }
-}
+    usageTokens: Option[LongAccumulator] = None)
+  extends WireEmbeddingClient(OpenAIEmbeddingWire, baseUrl, apiKey, model,
+    mkTransport, maxRetries, sleeper, usageTokens)
 
 object OpenAIEmbedding {
   /** Column-level embedding with per-partition client reuse — the

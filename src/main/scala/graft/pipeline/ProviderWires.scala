@@ -1,0 +1,393 @@
+package graft.pipeline
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.tools.HttpTransport
+import org.apache.spark.util.LongAccumulator
+
+/** Provider wire flavors.
+  *
+  * The reference's LLM tier is a roster of 14 provider adapters
+  * (sdk1/adapters/llm1/: openai, azure_openai, anthropic, ollama,
+  * gemini, mistral, openrouter, anyscale, nvidia_build, minimax,
+  * azure_ai_foundry, openai_compatible, bedrock, vertexai) that litellm
+  * normalizes onto a handful of actual wire protocols. This file
+  * implements those wire protocols directly — endpoint addressing,
+  * auth header, request body shape, response parse — as [[ChatWire]] /
+  * [[EmbeddingWire]] strategies consumed by one generic client each
+  * ([[WireChatClient]], [[WireEmbeddingClient]]) sharing the
+  * retry/backoff/usage plumbing of [[OpenAIProtocol]]. Adding a
+  * provider is a wire, not a client.
+  *
+  * All request/response shapes here are the providers' public REST
+  * documentation, nothing else:
+  *  - OpenAI:    POST /v1/chat/completions, Authorization: Bearer
+  *  - Azure:     POST /openai/deployments/{m}/chat/completions
+  *               ?api-version=…, api-key header (same body as OpenAI)
+  *  - Anthropic: POST /v1/messages, x-api-key + anthropic-version;
+  *               top-level system, content blocks, usage.input_tokens
+  *  - Ollama:    POST /api/chat, no auth, stream:false,
+  *               prompt_eval_count/eval_count
+  *  - Gemini:    POST /v1beta/models/{m}:generateContent,
+  *               x-goog-api-key header, contents/parts, usageMetadata
+  * bedrock/vertexai need cloud request-signing (SigV4 / OAuth2) and are
+  * intentionally absent from [[Providers.chatWire]] — the honest gap.
+  */
+final case class ChatReply(content: Option[String], promptTokens: Long,
+    completionTokens: Long, finishReason: String)
+
+/** One provider wire: where to POST, how to authenticate, how to shape
+  * the request, how to read the reply. `image` is the optional vision
+  * attachment (bytes, mime) — each wire speaks its own multimodal
+  * block shape (sdk1/llm.py:438 complete_vision via litellm). */
+trait ChatWire extends Serializable {
+  def chatUrl(baseUrl: String, model: String): String
+  def headers(apiKey: String): Map[String, String]
+  def chatBody(model: String, systemPrompt: String, prompt: String,
+      temperature: Double, image: Option[(Array[Byte], String)]): Array[Byte]
+  def parse(json: String): ChatReply
+}
+
+object ChatWire {
+  private[pipeline] def mapper: ObjectMapper = OpenAIProtocol.mapper
+  private[pipeline] def b64(bytes: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(bytes)
+  private[pipeline] def textOpt(n: JsonNode): Option[String] =
+    if (n.isMissingNode || n.isNull) None else Some(n.asText())
+}
+
+/** The OpenAI shape — also the wire of every "OpenAI-compatible"
+  * roster member (mistral, openrouter, anyscale, nvidia_build, minimax,
+  * azure_ai_foundry, openai_compatible): same path/body, different
+  * baseUrl + key. */
+case object OpenAIWire extends ChatWire {
+  import ChatWire._
+  def chatUrl(baseUrl: String, model: String) = s"$baseUrl/v1/chat/completions"
+  def headers(apiKey: String) = Map("Authorization" -> s"Bearer $apiKey")
+  def chatBody(model: String, systemPrompt: String, prompt: String,
+      temperature: Double, image: Option[(Array[Byte], String)]): Array[Byte] = {
+    val root = mapper.createObjectNode()
+    root.put("model", model)
+    root.put("temperature", temperature)
+    val msgs = root.putArray("messages")
+    if (systemPrompt.nonEmpty) {
+      val m = msgs.addObject(); m.put("role", "system"); m.put("content", systemPrompt)
+    }
+    val u = msgs.addObject(); u.put("role", "user")
+    image match {
+      case None => u.put("content", prompt)
+      case Some((bytes, mime)) =>
+        val parts = u.putArray("content")
+        val tp = parts.addObject(); tp.put("type", "text"); tp.put("text", prompt)
+        val ip = parts.addObject(); ip.put("type", "image_url")
+        ip.putObject("image_url").put("url", s"data:$mime;base64,${b64(bytes)}")
+    }
+    mapper.writeValueAsBytes(root)
+  }
+  def parse(json: String): ChatReply = {
+    val node = mapper.readTree(json)
+    val choice = node.path("choices").path(0)
+    val usage = node.path("usage")
+    ChatReply(textOpt(choice.path("message").path("content")),
+      usage.path("prompt_tokens").asLong(0),
+      usage.path("completion_tokens").asLong(0),
+      choice.path("finish_reason").asText("?"))
+  }
+}
+
+/** Azure OpenAI: deployment-scoped path + api-version query + api-key
+  * header; body/response are the OpenAI shape (the deployment name IS
+  * the model — reference base1.py:708-717 folds deployment_name into
+  * the model field the same way). */
+final case class AzureOpenAIWire(apiVersion: String = "2024-02-01")
+    extends ChatWire {
+  def chatUrl(baseUrl: String, model: String) =
+    s"$baseUrl/openai/deployments/$model/chat/completions?api-version=$apiVersion"
+  def headers(apiKey: String) = Map("api-key" -> apiKey)
+  def chatBody(model: String, systemPrompt: String, prompt: String,
+      temperature: Double, image: Option[(Array[Byte], String)]): Array[Byte] =
+    OpenAIWire.chatBody(model, systemPrompt, prompt, temperature, image)
+  def parse(json: String): ChatReply = OpenAIWire.parse(json)
+}
+
+/** Anthropic Messages API: /v1/messages, x-api-key + anthropic-version
+  * headers, REQUIRED max_tokens, top-level `system`, reply content as
+  * typed blocks (text concatenated), usage.input_tokens/output_tokens,
+  * stop_reason. Vision is a base64 image source block before the text
+  * block. */
+final case class AnthropicWire(version: String = "2023-06-01",
+    maxTokens: Int = 1024) extends ChatWire {
+  import ChatWire._
+  def chatUrl(baseUrl: String, model: String) = s"$baseUrl/v1/messages"
+  def headers(apiKey: String) =
+    Map("x-api-key" -> apiKey, "anthropic-version" -> version)
+  def chatBody(model: String, systemPrompt: String, prompt: String,
+      temperature: Double, image: Option[(Array[Byte], String)]): Array[Byte] = {
+    val root = mapper.createObjectNode()
+    root.put("model", model)
+    root.put("max_tokens", maxTokens)
+    root.put("temperature", temperature)
+    if (systemPrompt.nonEmpty) root.put("system", systemPrompt)
+    val u = root.putArray("messages").addObject()
+    u.put("role", "user")
+    image match {
+      case None => u.put("content", prompt)
+      case Some((bytes, mime)) =>
+        val parts = u.putArray("content")
+        val ip = parts.addObject(); ip.put("type", "image")
+        val src = ip.putObject("source")
+        src.put("type", "base64"); src.put("media_type", mime)
+        src.put("data", b64(bytes))
+        val tp = parts.addObject(); tp.put("type", "text"); tp.put("text", prompt)
+    }
+    mapper.writeValueAsBytes(root)
+  }
+  def parse(json: String): ChatReply = {
+    val node = mapper.readTree(json)
+    val blocks = node.path("content")
+    val texts = (0 until blocks.size()).map(blocks.get)
+      .filter(_.path("type").asText() == "text").map(_.path("text").asText())
+    val usage = node.path("usage")
+    ChatReply(if (texts.isEmpty) None else Some(texts.mkString),
+      usage.path("input_tokens").asLong(0),
+      usage.path("output_tokens").asLong(0),
+      node.path("stop_reason").asText("?"))
+  }
+}
+
+/** Ollama /api/chat: no auth, stream:false (one JSON object, not
+  * NDJSON), options.temperature, per-message `images` array for
+  * vision, token counts in prompt_eval_count/eval_count. */
+case object OllamaWire extends ChatWire {
+  import ChatWire._
+  def chatUrl(baseUrl: String, model: String) = s"$baseUrl/api/chat"
+  def headers(apiKey: String) = Map.empty // local daemon, no auth
+  def chatBody(model: String, systemPrompt: String, prompt: String,
+      temperature: Double, image: Option[(Array[Byte], String)]): Array[Byte] = {
+    val root = mapper.createObjectNode()
+    root.put("model", model)
+    root.put("stream", false)
+    root.putObject("options").put("temperature", temperature)
+    val msgs = root.putArray("messages")
+    if (systemPrompt.nonEmpty) {
+      val m = msgs.addObject(); m.put("role", "system"); m.put("content", systemPrompt)
+    }
+    val u = msgs.addObject(); u.put("role", "user"); u.put("content", prompt)
+    image.foreach { case (bytes, _) => u.putArray("images").add(b64(bytes)) }
+    mapper.writeValueAsBytes(root)
+  }
+  def parse(json: String): ChatReply = {
+    val node = mapper.readTree(json)
+    ChatReply(textOpt(node.path("message").path("content")).filter(_.nonEmpty),
+      node.path("prompt_eval_count").asLong(0),
+      node.path("eval_count").asLong(0),
+      node.path("done_reason").asText("?"))
+  }
+}
+
+/** Gemini generateContent: model-scoped path, x-goog-api-key header,
+  * contents/parts request, systemInstruction, generationConfig,
+  * candidates[0].content.parts reply, usageMetadata counts. Vision is
+  * an inlineData part (mimeType + base64). */
+case object GeminiWire extends ChatWire {
+  import ChatWire._
+  def chatUrl(baseUrl: String, model: String) =
+    s"$baseUrl/v1beta/models/$model:generateContent"
+  def headers(apiKey: String) = Map("x-goog-api-key" -> apiKey)
+  def chatBody(model: String, systemPrompt: String, prompt: String,
+      temperature: Double, image: Option[(Array[Byte], String)]): Array[Byte] = {
+    val root = mapper.createObjectNode()
+    if (systemPrompt.nonEmpty)
+      root.putObject("systemInstruction").putArray("parts")
+        .addObject().put("text", systemPrompt)
+    root.putObject("generationConfig").put("temperature", temperature)
+    val content = root.putArray("contents").addObject()
+    content.put("role", "user")
+    val parts = content.putArray("parts")
+    image.foreach { case (bytes, mime) =>
+      val d = parts.addObject().putObject("inlineData")
+      d.put("mimeType", mime); d.put("data", b64(bytes))
+    }
+    parts.addObject().put("text", prompt)
+    mapper.writeValueAsBytes(root)
+  }
+  def parse(json: String): ChatReply = {
+    val node = mapper.readTree(json)
+    val cand = node.path("candidates").path(0)
+    val parts = cand.path("content").path("parts")
+    val texts = (0 until parts.size()).map(parts.get)
+      .flatMap(p => textOpt(p.path("text")))
+    val usage = node.path("usageMetadata")
+    ChatReply(if (texts.isEmpty) None else Some(texts.mkString),
+      usage.path("promptTokenCount").asLong(0),
+      usage.path("candidatesTokenCount").asLong(0),
+      cand.path("finishReason").asText("?"))
+  }
+}
+
+/** Generic chat client over any [[ChatWire]]: one HTTP exchange with
+  * the shared retry/backoff envelope, provider-reported usage flowing
+  * into the accumulators, refusal/empty reply raised (never a silent
+  * null row — sdk1/llm.py _raise_for_empty_response). One instance per
+  * executor partition via the usual factory pattern. */
+class WireChatClient(wire: ChatWire, baseUrl: String, apiKey: String,
+    model: String, mkTransport: () => HttpTransport,
+    systemPrompt: String = "", temperature: Double = 0.003,
+    maxRetries: Int = 2, sleeper: Long => Unit = Thread.sleep,
+    promptTokens: Option[LongAccumulator] = None,
+    completionTokens: Option[LongAccumulator] = None) extends LLMClient {
+
+  @transient private lazy val transport = mkTransport()
+
+  private def exchange(prompt: String,
+      image: Option[(Array[Byte], String)]): String = {
+    val r = OpenAIProtocol.withRetry(maxRetries, sleeper) {
+      transport.request("POST", wire.chatUrl(baseUrl, model),
+        wire.headers(apiKey) + ("Content-Type" -> "application/json"),
+        wire.chatBody(model, systemPrompt, prompt, temperature, image))
+    }
+    val reply = wire.parse(r.text)
+    promptTokens.foreach(_.add(reply.promptTokens))
+    completionTokens.foreach(_.add(reply.completionTokens))
+    reply.content.getOrElse(throw new IllegalStateException(
+      s"LLM returned empty content (finish_reason=${reply.finishReason})"))
+  }
+
+  override def complete(prompt: String): String = exchange(prompt, None)
+
+  /** Vision completion (sdk1/llm.py:438-476): the wire chooses its own
+    * multimodal block shape. */
+  def completeVision(prompt: String, image: Array[Byte],
+      imageMime: String = "image/png"): String =
+    exchange(prompt, Some((image, imageMime)))
+}
+
+/** Embedding wire: same split for /embeddings-shaped surfaces
+  * (sdk1/adapters/embedding1/: openai, azure_openai, ollama +
+  * OpenAI-compatible roster). parse returns rows IN INPUT ORDER plus
+  * the provider-reported usage token count. */
+trait EmbeddingWire extends Serializable {
+  def url(baseUrl: String, model: String): String
+  def headers(apiKey: String): Map[String, String]
+  def body(model: String, texts: Seq[String]): Array[Byte]
+  def parse(json: String, n: Int): (Seq[Array[Float]], Long)
+}
+
+case object OpenAIEmbeddingWire extends EmbeddingWire {
+  import ChatWire.mapper
+  def url(baseUrl: String, model: String) = s"$baseUrl/v1/embeddings"
+  def headers(apiKey: String) = Map("Authorization" -> s"Bearer $apiKey")
+  def body(model: String, texts: Seq[String]): Array[Byte] = {
+    val root = mapper.createObjectNode()
+    root.put("model", model)
+    val in = root.putArray("input")
+    texts.foreach(in.add)
+    mapper.writeValueAsBytes(root)
+  }
+  /** `data` rows are index-keyed and may arrive permuted; re-order by
+    * the index field, not arrival order (the API contract). */
+  def parse(json: String, n: Int): (Seq[Array[Float]], Long) = {
+    val node = mapper.readTree(json)
+    val data = node.path("data")
+    val out = new Array[Array[Float]](n)
+    (0 until data.size()).foreach { i =>
+      val row = data.get(i)
+      val idx = row.path("index").asInt(i)
+      val emb = row.path("embedding")
+      out(idx) = Array.tabulate(emb.size())(j => emb.get(j).floatValue())
+    }
+    require(out.forall(_ != null),
+      s"embeddings response missing rows: got ${data.size()} of $n")
+    (out.toSeq, node.path("usage").path("total_tokens").asLong(0))
+  }
+}
+
+final case class AzureOpenAIEmbeddingWire(apiVersion: String = "2024-02-01")
+    extends EmbeddingWire {
+  def url(baseUrl: String, model: String) =
+    s"$baseUrl/openai/deployments/$model/embeddings?api-version=$apiVersion"
+  def headers(apiKey: String) = Map("api-key" -> apiKey)
+  def body(model: String, texts: Seq[String]): Array[Byte] =
+    OpenAIEmbeddingWire.body(model, texts)
+  def parse(json: String, n: Int): (Seq[Array[Float]], Long) =
+    OpenAIEmbeddingWire.parse(json, n)
+}
+
+/** Ollama /api/embed: batch `input`, reply `embeddings` in input order
+  * (no index keying in this protocol), prompt_eval_count usage. */
+case object OllamaEmbeddingWire extends EmbeddingWire {
+  import ChatWire.mapper
+  def url(baseUrl: String, model: String) = s"$baseUrl/api/embed"
+  def headers(apiKey: String) = Map.empty
+  def body(model: String, texts: Seq[String]): Array[Byte] = {
+    val root = mapper.createObjectNode()
+    root.put("model", model)
+    val in = root.putArray("input")
+    texts.foreach(in.add)
+    mapper.writeValueAsBytes(root)
+  }
+  def parse(json: String, n: Int): (Seq[Array[Float]], Long) = {
+    val node = mapper.readTree(json)
+    val data = node.path("embeddings")
+    require(data.size() == n,
+      s"embeddings response missing rows: got ${data.size()} of $n")
+    val rows = (0 until n).map { i =>
+      val emb = data.get(i)
+      Array.tabulate(emb.size())(j => emb.get(j).floatValue())
+    }
+    (rows, node.path("prompt_eval_count").asLong(0))
+  }
+}
+
+/** Generic embedding client over any [[EmbeddingWire]] — batch-first,
+  * because at 100 TB per-request overhead dominates single-text calls. */
+class WireEmbeddingClient(wire: EmbeddingWire, baseUrl: String,
+    apiKey: String, model: String, mkTransport: () => HttpTransport,
+    maxRetries: Int = 2, sleeper: Long => Unit = Thread.sleep,
+    usageTokens: Option[LongAccumulator] = None) extends EmbeddingClient {
+
+  @transient private lazy val transport = mkTransport()
+
+  def embed(texts: Seq[String]): Seq[Array[Float]] = {
+    if (texts.isEmpty) return Seq.empty
+    val r = OpenAIProtocol.withRetry(maxRetries, sleeper) {
+      transport.request("POST", wire.url(baseUrl, model),
+        wire.headers(apiKey) + ("Content-Type" -> "application/json"),
+        wire.body(model, texts))
+    }
+    val (rows, usage) = wire.parse(r.text, texts.length)
+    usageTokens.foreach(_.add(usage))
+    rows
+  }
+}
+
+/** Roster registry: the reference's provider key → the wire it speaks
+  * (sdk1/adapters/llm1/__init__ roster). The OpenAI-compatible members
+  * differ only in baseUrl/key, which are client-constructor inputs, so
+  * they all map to [[OpenAIWire]]. bedrock (SigV4) and vertexai
+  * (OAuth2 service-account exchange) need cloud request signing and
+  * are deliberately unsupported here. */
+object Providers {
+  def chatWire(provider: String): ChatWire = provider.toLowerCase match {
+    case "openai" | "mistral" | "openrouter" | "anyscale" | "nvidia_build" |
+         "minimax" | "azure_ai_foundry" | "openai_compatible" => OpenAIWire
+    case "azureopenai" | "azure_openai" | "azure" => AzureOpenAIWire()
+    case "anthropic" => AnthropicWire()
+    case "ollama" => OllamaWire
+    case "gemini" => GeminiWire
+    case other => throw new UnsupportedOperationException(
+      s"provider '$other' needs cloud request signing (bedrock=SigV4, " +
+        "vertexai=OAuth2) or is unknown; supported: openai-compatible " +
+        "roster, azure_openai, anthropic, ollama, gemini")
+  }
+
+  def embeddingWire(provider: String): EmbeddingWire =
+    provider.toLowerCase match {
+      case "openai" | "mistral" | "nvidia_build" | "openai_compatible" =>
+        OpenAIEmbeddingWire
+      case "azureopenai" | "azure_openai" | "azure" => AzureOpenAIEmbeddingWire()
+      case "ollama" => OllamaEmbeddingWire
+      case other => throw new UnsupportedOperationException(
+        s"embedding provider '$other' unsupported; supported: " +
+          "openai-compatible roster, azure_openai, ollama")
+    }
+}

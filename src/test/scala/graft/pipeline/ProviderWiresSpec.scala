@@ -1,0 +1,283 @@
+package graft.pipeline
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.tools.{CannedTransport, HttpResponse => R}
+import org.apache.spark.util.LongAccumulator
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Provider wire protocols against canned servers. Each server
+  * validates the provider's auth header and endpoint shape and answers
+  * in that provider's documented reply shape — so the wire layer
+  * (addressing, auth, body build, response parse) is what's under
+  * test, mirroring how ExtractionSpec pins the OpenAI wire. */
+class ProviderWiresSpec extends AnyFunSuite {
+
+  import ProviderWiresSpec._
+
+  private def noSleep: Long => Unit = _ => ()
+
+  // ---- Azure OpenAI ------------------------------------------------------
+
+  test("Azure wire: deployment-scoped path, api-version query, api-key header") {
+    val pt = new LongAccumulator; val ct = new LongAccumulator
+    val c = new WireChatClient(AzureOpenAIWire("2024-02-01"), azBase, "az-key",
+      "gpt4-deploy", () => azureServer(), systemPrompt = "sys",
+      sleeper = noSleep, promptTokens = Some(pt), completionTokens = Some(ct))
+    assert(c.complete("ping") === "AZURE:sys:ping")
+    assert(pt.value === 5L && ct.value === 2L)
+
+    // wrong key → api-key header rejected, terminal 401
+    val bad = new WireChatClient(AzureOpenAIWire(), azBase, "wrong",
+      "gpt4-deploy", () => azureServer(), sleeper = noSleep)
+    val e = intercept[IllegalStateException](bad.complete("x"))
+    assert(e.getMessage.contains("401"))
+  }
+
+  test("Azure wire: 429 retries with backoff then succeeds") {
+    val c = new WireChatClient(AzureOpenAIWire(), azBase, "az-key",
+      "gpt4-deploy", () => azureServer(flaky429 = 2), maxRetries = 3,
+      sleeper = noSleep)
+    assert(c.complete("pong") === "AZURE::pong")
+  }
+
+  test("Azure embedding wire: deployment path + api-key, index-keyed reorder") {
+    val c = new WireEmbeddingClient(AzureOpenAIEmbeddingWire(), azBase,
+      "az-key", "embed-deploy", () => azureServer(), sleeper = noSleep)
+    val rows = c.embed(Seq("abc", "z"))
+    assert(rows(0).toSeq === Seq(3f, 'a'.toFloat)) // permuted reply, re-keyed
+    assert(rows(1).toSeq === Seq(1f, 'z'.toFloat))
+  }
+
+  // ---- Anthropic ---------------------------------------------------------
+
+  test("Anthropic wire: /v1/messages, version header, system top-level, block concat") {
+    val pt = new LongAccumulator; val ct = new LongAccumulator
+    val c = new WireChatClient(AnthropicWire(), anBase, "an-key", "claude-x",
+      () => anthropicServer(), systemPrompt = "be terse", sleeper = noSleep,
+      promptTokens = Some(pt), completionTokens = Some(ct))
+    // server splits its answer into two text blocks; client concatenates
+    assert(c.complete("hello") === "ANTH:be terse:hello")
+    assert(pt.value === 9L && ct.value === 4L)
+  }
+
+  test("Anthropic wire: empty content blocks raise with stop_reason") {
+    val c = new WireChatClient(AnthropicWire(), anBase, "an-key", "claude-x",
+      () => anthropicServer(), sleeper = noSleep)
+    val e = intercept[IllegalStateException](c.complete("REFUSE"))
+    assert(e.getMessage.contains("finish_reason=refusal"))
+  }
+
+  test("Anthropic wire: vision sends a base64 source block the server can decode") {
+    val c = new WireChatClient(AnthropicWire(), anBase, "an-key", "claude-x",
+      () => anthropicServer(), sleeper = noSleep)
+    val img = Array.tabulate[Byte](17)(_.toByte)
+    assert(c.completeVision("what", img, "image/gif") === "VISION:what:image/gif:17")
+  }
+
+  // ---- Ollama ------------------------------------------------------------
+
+  test("Ollama wire: /api/chat non-streaming, options.temperature, eval counts") {
+    val pt = new LongAccumulator; val ct = new LongAccumulator
+    val c = new WireChatClient(OllamaWire, olBase, apiKey = "", model = "llama3",
+      () => ollamaServer(), temperature = 0.25, sleeper = noSleep,
+      promptTokens = Some(pt), completionTokens = Some(ct))
+    assert(c.complete("hi") === "OLLAMA:0.25:hi")
+    assert(pt.value === 11L && ct.value === 3L)
+  }
+
+  test("Ollama wire: vision rides the per-message images array") {
+    val c = new WireChatClient(OllamaWire, olBase, "", "llava",
+      () => ollamaServer(), sleeper = noSleep)
+    assert(c.completeVision("see", Array[Byte](1, 2, 3)) === "VISION:see:3")
+  }
+
+  test("Ollama embedding wire: /api/embed rows in input order; short reply fails") {
+    val c = new WireEmbeddingClient(OllamaEmbeddingWire, olBase, "", "mxbai",
+      () => ollamaServer(), sleeper = noSleep)
+    val rows = c.embed(Seq("ab", "wxyz"))
+    assert(rows(0).toSeq === Seq(2f) && rows(1).toSeq === Seq(4f))
+
+    val broken = new WireEmbeddingClient(OllamaEmbeddingWire, olBase, "",
+      "drop-last", () => ollamaServer(), sleeper = noSleep)
+    val e = intercept[IllegalArgumentException](broken.embed(Seq("a", "b")))
+    assert(e.getMessage.contains("missing rows"))
+  }
+
+  // ---- Gemini ------------------------------------------------------------
+
+  test("Gemini wire: model-scoped generateContent, goog api key, usageMetadata") {
+    val pt = new LongAccumulator; val ct = new LongAccumulator
+    val c = new WireChatClient(GeminiWire, geBase, "g-key", "gemini-pro",
+      () => geminiServer(), systemPrompt = "short", sleeper = noSleep,
+      promptTokens = Some(pt), completionTokens = Some(ct))
+    // server answers in two parts; client concatenates
+    assert(c.complete("q1") === "GEM:short:q1")
+    assert(pt.value === 6L && ct.value === 2L)
+  }
+
+  test("Gemini wire: vision inlineData part round-trips mime + bytes") {
+    val c = new WireChatClient(GeminiWire, geBase, "g-key", "gemini-pro",
+      () => geminiServer(), sleeper = noSleep)
+    assert(c.completeVision("look", Array[Byte](9, 9), "image/png")
+      === "VISION:look:image/png:2")
+  }
+
+  // ---- roster registry ---------------------------------------------------
+
+  test("Providers registry maps the reference roster onto wires") {
+    assert(Providers.chatWire("openai") === OpenAIWire)
+    assert(Providers.chatWire("mistral") === OpenAIWire)
+    assert(Providers.chatWire("openrouter") === OpenAIWire)
+    assert(Providers.chatWire("azure_openai").isInstanceOf[AzureOpenAIWire])
+    assert(Providers.chatWire("Anthropic").isInstanceOf[AnthropicWire])
+    assert(Providers.chatWire("ollama") === OllamaWire)
+    assert(Providers.chatWire("gemini") === GeminiWire)
+    intercept[UnsupportedOperationException](Providers.chatWire("bedrock"))
+    intercept[UnsupportedOperationException](Providers.chatWire("vertexai"))
+
+    assert(Providers.embeddingWire("openai") === OpenAIEmbeddingWire)
+    assert(Providers.embeddingWire("azure_openai")
+      .isInstanceOf[AzureOpenAIEmbeddingWire])
+    assert(Providers.embeddingWire("ollama") === OllamaEmbeddingWire)
+    intercept[UnsupportedOperationException](Providers.embeddingWire("bedrock"))
+  }
+
+  test("extraction chain runs through a non-OpenAI wire unchanged") {
+    // the D10-D14 surface takes any LLMClient factory; prove a wire
+    // client slots in where MockLLM/OpenAIChatClient do
+    val mk = () => new WireChatClient(AnthropicWire(), anBase, "an-key",
+      "claude-x", () => anthropicServer(), sleeper = noSleep): LLMClient
+    assert(mk().complete("42?") === "ANTH::42?")
+  }
+}
+
+/** Canned provider servers on the companion (client factories ship to
+  * executors). Each replies with what it SAW (system prompt, user
+  * text, temperature, decoded image size) so the assertion proves the
+  * request shape, not just the happy path. */
+object ProviderWiresSpec {
+  val azBase = "https://az.example.com"
+  val anBase = "https://anthropic.example.com"
+  val olBase = "http://localhost:11434"
+  val geBase = "https://gemini.example.com"
+
+  private def mapper = new ObjectMapper()
+
+  def azureServer(flaky429: Int = 0): CannedTransport = {
+    val m = mapper
+    val fails = new java.util.concurrent.atomic.AtomicInteger(flaky429)
+    new CannedTransport({ (method, url, headers, body) =>
+      if (headers.get("api-key") != Some("az-key"))
+        R.status(401, """{"error":{"code":"401","message":"bad key"}}""")
+      else if (fails.getAndDecrement() > 0)
+        R.status(429, """{"error":{"code":"429"}}""")
+      else if (method == "POST" &&
+          url == s"$azBase/openai/deployments/gpt4-deploy/chat/completions?api-version=2024-02-01") {
+        val req = m.readTree(body)
+        val msgs = req.path("messages")
+        val sys = (0 until msgs.size()).map(msgs.get)
+          .find(_.path("role").asText() == "system")
+          .map(_.path("content").asText()).getOrElse("")
+        val user = (0 until msgs.size()).map(msgs.get)
+          .find(_.path("role").asText() == "user")
+          .map(_.path("content").asText()).getOrElse("")
+        R.ok(s"""{"choices":[{"message":{"role":"assistant","content":"AZURE:$sys:$user"},"finish_reason":"stop"}],"usage":{"prompt_tokens":5,"completion_tokens":2}}""")
+      } else if (method == "POST" &&
+          url == s"$azBase/openai/deployments/embed-deploy/embeddings?api-version=2024-02-01") {
+        val in = m.readTree(body).path("input")
+        val rows = (in.size() - 1 to 0 by -1).map { i => // permuted on purpose
+          val t = in.get(i).asText()
+          s"""{"index":$i,"embedding":[${t.length}.0,${t.head.toInt}.0]}"""
+        }
+        R.ok(s"""{"data":[${rows.mkString(",")}],"usage":{"total_tokens":${in.size()}}}""")
+      } else R.status(404, url)
+    })
+  }
+
+  def anthropicServer(): CannedTransport = {
+    val m = mapper
+    new CannedTransport({ (method, url, headers, body) =>
+      if (headers.get("x-api-key") != Some("an-key"))
+        R.status(401, """{"type":"error","error":{"type":"authentication_error"}}""")
+      else if (headers.get("anthropic-version").isEmpty)
+        R.status(400, """{"type":"error","error":{"type":"invalid_request_error","message":"anthropic-version required"}}""")
+      else if (method == "POST" && url == s"$anBase/v1/messages") {
+        val req = m.readTree(body)
+        require(req.path("max_tokens").isInt, "max_tokens is required")
+        val sys = req.path("system").asText("")
+        val content = req.path("messages").path(0).path("content")
+        if (content.isArray) {
+          val parts = (0 until content.size()).map(content.get)
+          val text = parts.find(_.path("type").asText() == "text")
+            .map(_.path("text").asText()).getOrElse("")
+          val img = parts.find(_.path("type").asText() == "image")
+            .map(_.path("source")).get
+          require(img.path("type").asText() == "base64")
+          val n = java.util.Base64.getDecoder.decode(img.path("data").asText()).length
+          val mime = img.path("media_type").asText()
+          R.ok(s"""{"content":[{"type":"text","text":"VISION:$text:$mime:$n"}],"stop_reason":"end_turn","usage":{"input_tokens":1,"output_tokens":1}}""")
+        } else if (content.asText().startsWith("REFUSE"))
+          R.ok("""{"content":[],"stop_reason":"refusal","usage":{"input_tokens":1,"output_tokens":0}}""")
+        else {
+          // two text blocks: clients must concatenate, not take head
+          val user = content.asText()
+          R.ok(s"""{"content":[{"type":"text","text":"ANTH:$sys:"},{"type":"text","text":"$user"}],"stop_reason":"end_turn","usage":{"input_tokens":9,"output_tokens":4}}""")
+        }
+      } else R.status(404, url)
+    })
+  }
+
+  def ollamaServer(): CannedTransport = {
+    val m = mapper
+    new CannedTransport({ (method, url, _, body) =>
+      if (method == "POST" && url == s"$olBase/api/chat") {
+        val req = m.readTree(body)
+        require(!req.path("stream").asBoolean(true), "must request stream:false")
+        val temp = req.path("options").path("temperature").asDouble()
+        val msgs = req.path("messages")
+        val u = (0 until msgs.size()).map(msgs.get)
+          .find(_.path("role").asText() == "user").get
+        val images = u.path("images")
+        val answer =
+          if (images.isArray && images.size() > 0) {
+            val n = java.util.Base64.getDecoder.decode(images.get(0).asText()).length
+            s"VISION:${u.path("content").asText()}:$n"
+          } else s"OLLAMA:$temp:${u.path("content").asText()}"
+        R.ok(s"""{"model":"x","message":{"role":"assistant","content":"$answer"},"done":true,"done_reason":"stop","prompt_eval_count":11,"eval_count":3}""")
+      } else if (method == "POST" && url == s"$olBase/api/embed") {
+        val req = m.readTree(body)
+        val in = req.path("input")
+        val n = if (req.path("model").asText() == "drop-last") in.size() - 1
+                else in.size()
+        val rows = (0 until n).map(i => s"[${in.get(i).asText().length}.0]")
+        R.ok(s"""{"embeddings":[${rows.mkString(",")}],"prompt_eval_count":$n}""")
+      } else R.status(404, url)
+    })
+  }
+
+  def geminiServer(): CannedTransport = {
+    val m = mapper
+    new CannedTransport({ (method, url, headers, body) =>
+      if (headers.get("x-goog-api-key") != Some("g-key"))
+        R.status(403, """{"error":{"code":403,"status":"PERMISSION_DENIED"}}""")
+      else if (method == "POST" &&
+          url == s"$geBase/v1beta/models/gemini-pro:generateContent") {
+        val req = m.readTree(body)
+        val sys = req.path("systemInstruction").path("parts").path(0)
+          .path("text").asText("")
+        val parts = req.path("contents").path(0).path("parts")
+        val ps = (0 until parts.size()).map(parts.get)
+        val text = ps.find(_.has("text")).map(_.path("text").asText()).getOrElse("")
+        val reply = ps.find(_.has("inlineData")).map(_.path("inlineData")) match {
+          case Some(d) =>
+            val n = java.util.Base64.getDecoder.decode(d.path("data").asText()).length
+            s"VISION:$text:${d.path("mimeType").asText()}:$n"
+          case None => s"GEM:$sys:$text"
+        }
+        // reply split across two parts: clients must concatenate
+        val (a, b) = reply.splitAt(4)
+        R.ok(s"""{"candidates":[{"content":{"role":"model","parts":[{"text":"$a"},{"text":"$b"}]},"finishReason":"STOP"}],"usageMetadata":{"promptTokenCount":6,"candidatesTokenCount":2}}""")
+      } else R.status(404, url)
+    })
+  }
+}

@@ -29,8 +29,11 @@ import org.apache.spark.util.LongAccumulator
   *               prompt_eval_count/eval_count
   *  - Gemini:    POST /v1beta/models/{m}:generateContent,
   *               x-goog-api-key header, contents/parts, usageMetadata
-  * bedrock/vertexai need cloud request-signing (SigV4 / OAuth2) and are
-  * intentionally absent from [[Providers.chatWire]] — the honest gap.
+  *  - Bedrock:   POST /model/{id}/converse (the Converse API), SigV4
+  *               auth via the [[graft.tools.SigV4Transport]] decorator
+  *  - VertexAI:  the Gemini shape on the project/location-scoped path,
+  *               OAuth2 bearer from the service-account JWT exchange
+  *               ([[graft.tools.ServiceAccountAuth]])
   */
 final case class ChatReply(content: Option[String], promptTokens: Long,
     completionTokens: Long, finishReason: String)
@@ -224,6 +227,89 @@ case object GeminiWire extends ChatWire {
   }
 }
 
+/** Bedrock Converse API (the provider-agnostic chat surface AWS
+  * documents for every hosted model): POST /model/{id}/converse with
+  * system as a top-level block list, content as typed blocks, reply at
+  * output.message.content[], usage.inputTokens/outputTokens,
+  * stopReason. Auth is SigV4 and lives in the transport — construct
+  * the client with a [[graft.tools.SigV4Transport]]-wrapped transport
+  * (region/credentials there), which is why this wire adds no auth
+  * headers. Vision is an image block with format + base64 bytes. */
+case object BedrockWire extends ChatWire {
+  import ChatWire._
+  def chatUrl(baseUrl: String, model: String) = {
+    // model ids carry ':' (version suffix) — path-encode them
+    val enc = graft.tools.SigV4.encodePathSegment(model)
+    s"$baseUrl/model/$enc/converse"
+  }
+  def headers(apiKey: String) = Map.empty // SigV4Transport signs
+  def chatBody(model: String, systemPrompt: String, prompt: String,
+      temperature: Double, image: Option[(Array[Byte], String)]): Array[Byte] = {
+    val root = mapper.createObjectNode()
+    if (systemPrompt.nonEmpty)
+      root.putArray("system").addObject().put("text", systemPrompt)
+    root.putObject("inferenceConfig").put("temperature", temperature)
+    val u = root.putArray("messages").addObject()
+    u.put("role", "user")
+    val parts = u.putArray("content")
+    image.foreach { case (bytes, mime) =>
+      val img = parts.addObject().putObject("image")
+      img.put("format", mime.stripPrefix("image/"))
+      img.putObject("source").put("bytes", b64(bytes))
+    }
+    parts.addObject().put("text", prompt)
+    mapper.writeValueAsBytes(root)
+  }
+  def parse(json: String): ChatReply = {
+    val node = mapper.readTree(json)
+    val blocks = node.path("output").path("message").path("content")
+    val texts = (0 until blocks.size()).map(blocks.get)
+      .flatMap(b => textOpt(b.path("text")))
+    val usage = node.path("usage")
+    ChatReply(if (texts.isEmpty) None else Some(texts.mkString),
+      usage.path("inputTokens").asLong(0),
+      usage.path("outputTokens").asLong(0),
+      node.path("stopReason").asText("?"))
+  }
+}
+
+/** Bearer-token source for OAuth-fronted providers. Serializable so a
+  * wire holding one can ride into executors; implementations connect
+  * lazily. */
+trait TokenProvider extends Serializable {
+  def token(): String
+}
+
+/** Google service-account tokens over the same JWT-bearer exchange the
+  * Document AI adapter uses ([[graft.tools.ServiceAccountAuth]]). */
+final class ServiceAccountTokenProvider(serviceAccountJson: String,
+    mkTransport: () => HttpTransport,
+    clock: () => Long = () => System.currentTimeMillis() / 1000)
+    extends TokenProvider {
+  @transient private lazy val auth = new graft.tools.ServiceAccountAuth(
+    serviceAccountJson, mkTransport, clock)
+  def token(): String = auth.token()
+}
+
+/** Vertex AI generateContent: the Gemini body/response on the
+  * project/location/publisher-scoped path with OAuth2 bearer auth
+  * (service-account exchange) instead of an API key — the delta
+  * between the reference's gemini and vertexai roster rows. The
+  * client's apiKey argument is unused; tokens come per-request from
+  * the provider (cached until near expiry). */
+final case class VertexAIWire(project: String, location: String,
+    tokens: TokenProvider) extends ChatWire {
+  def chatUrl(baseUrl: String, model: String) =
+    s"$baseUrl/v1/projects/$project/locations/$location" +
+      s"/publishers/google/models/$model:generateContent"
+  def headers(apiKey: String) =
+    Map("Authorization" -> s"Bearer ${tokens.token()}")
+  def chatBody(model: String, systemPrompt: String, prompt: String,
+      temperature: Double, image: Option[(Array[Byte], String)]): Array[Byte] =
+    GeminiWire.chatBody(model, systemPrompt, prompt, temperature, image)
+  def parse(json: String): ChatReply = GeminiWire.parse(json)
+}
+
 /** Generic chat client over any [[ChatWire]]: one HTTP exchange with
   * the shared retry/backoff envelope, provider-reported usage flowing
   * into the accumulators, refusal/empty reply raised (never a silent
@@ -363,9 +449,11 @@ class WireEmbeddingClient(wire: EmbeddingWire, baseUrl: String,
 /** Roster registry: the reference's provider key → the wire it speaks
   * (sdk1/adapters/llm1/__init__ roster). The OpenAI-compatible members
   * differ only in baseUrl/key, which are client-constructor inputs, so
-  * they all map to [[OpenAIWire]]. bedrock (SigV4) and vertexai
-  * (OAuth2 service-account exchange) need cloud request signing and
-  * are deliberately unsupported here. */
+  * they all map to [[OpenAIWire]]. bedrock maps to the Converse wire —
+  * remember to wrap the transport in [[graft.tools.SigV4Transport]]
+  * (region + credentials live there). vertexai takes required
+  * project/location/token-provider arguments, so it cannot be built
+  * from a name alone: construct [[VertexAIWire]] directly. */
 object Providers {
   def chatWire(provider: String): ChatWire = provider.toLowerCase match {
     case "openai" | "mistral" | "openrouter" | "anyscale" | "nvidia_build" |
@@ -374,10 +462,12 @@ object Providers {
     case "anthropic" => AnthropicWire()
     case "ollama" => OllamaWire
     case "gemini" => GeminiWire
+    case "bedrock" => BedrockWire
     case other => throw new UnsupportedOperationException(
-      s"provider '$other' needs cloud request signing (bedrock=SigV4, " +
-        "vertexai=OAuth2) or is unknown; supported: openai-compatible " +
-        "roster, azure_openai, anthropic, ollama, gemini")
+      s"provider '$other' is unknown or needs constructor arguments " +
+        "(vertexai: build VertexAIWire(project, location, tokens)); " +
+        "supported by name: openai-compatible roster, azure_openai, " +
+        "anthropic, ollama, gemini, bedrock")
   }
 
   def embeddingWire(provider: String): EmbeddingWire =

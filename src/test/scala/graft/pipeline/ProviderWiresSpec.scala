@@ -122,6 +122,55 @@ class ProviderWiresSpec extends AnyFunSuite {
       === "VISION:look:image/png:2")
   }
 
+  // ---- Bedrock -----------------------------------------------------------
+
+  private def bedrockTransport() = new graft.tools.SigV4Transport(
+    bedrockServer(), "AKID-test", bedrockSecret, "us-east-1", "bedrock",
+    clock = () => 1440938160000L)
+
+  test("Bedrock wire: converse path encodes the model id; server verifies the SigV4 signature") {
+    val pt = new LongAccumulator; val ct = new LongAccumulator
+    val c = new WireChatClient(BedrockWire, brBase, apiKey = "",
+      "anthropic.claude-3-haiku:0", () => bedrockTransport(),
+      systemPrompt = "brief", temperature = 0.5, sleeper = noSleep,
+      promptTokens = Some(pt), completionTokens = Some(ct))
+    assert(c.complete("hey") === "BR:brief:0.5:hey")
+    assert(pt.value === 13L && ct.value === 5L)
+
+    // an unsigned request (raw canned transport, no SigV4 decorator)
+    // is rejected by the server's verification
+    val unsigned = new WireChatClient(BedrockWire, brBase, "",
+      "anthropic.claude-3-haiku:0", () => bedrockServer(), sleeper = noSleep)
+    val e = intercept[IllegalStateException](unsigned.complete("x"))
+    assert(e.getMessage.contains("403"))
+  }
+
+  test("Bedrock wire: vision image block carries format + bytes; guardrail stop raises") {
+    val c = new WireChatClient(BedrockWire, brBase, "",
+      "anthropic.claude-3-haiku:0", () => bedrockTransport(), sleeper = noSleep)
+    assert(c.completeVision("scan", Array[Byte](7, 8, 9, 1), "image/jpeg")
+      === "VISION:scan:jpeg:4")
+    val e = intercept[IllegalStateException](c.complete("REFUSE"))
+    assert(e.getMessage.contains("finish_reason=guardrail_intervened"))
+  }
+
+  // ---- Vertex AI ---------------------------------------------------------
+
+  test("Vertex wire: Gemini body on the project/location path, OAuth2 bearer from the JWT exchange") {
+    import graft.tools.DocumentAISpec
+    val grants = new java.util.concurrent.atomic.AtomicInteger()
+    val transport = () => vertexServer(grants)
+    val wire = VertexAIWire("p1", "eu",
+      new ServiceAccountTokenProvider(DocumentAISpec.saJson, transport,
+        clock = () => 5000L))
+    val c = new WireChatClient(wire, veBase, apiKey = "", "gemini-pro",
+      transport, systemPrompt = "vsys", sleeper = noSleep)
+    assert(c.complete("vq") === "VERTEX:vsys:vq")
+    // token was minted once via the verified JWT grant, then cached
+    assert(c.complete("vq2") === "VERTEX:vsys:vq2")
+    assert(grants.get() === 1)
+  }
+
   // ---- roster registry ---------------------------------------------------
 
   test("Providers registry maps the reference roster onto wires") {
@@ -132,7 +181,8 @@ class ProviderWiresSpec extends AnyFunSuite {
     assert(Providers.chatWire("Anthropic").isInstanceOf[AnthropicWire])
     assert(Providers.chatWire("ollama") === OllamaWire)
     assert(Providers.chatWire("gemini") === GeminiWire)
-    intercept[UnsupportedOperationException](Providers.chatWire("bedrock"))
+    assert(Providers.chatWire("bedrock") === BedrockWire)
+    // vertexai needs project/location/token-provider constructor args
     intercept[UnsupportedOperationException](Providers.chatWire("vertexai"))
 
     assert(Providers.embeddingWire("openai") === OpenAIEmbeddingWire)
@@ -160,8 +210,73 @@ object ProviderWiresSpec {
   val anBase = "https://anthropic.example.com"
   val olBase = "http://localhost:11434"
   val geBase = "https://gemini.example.com"
+  val brBase = "https://bedrock-runtime.us-east-1.amazonaws.com"
+  val veBase = "https://eu-aiplatform.example.com"
+  val bedrockSecret = "bedrock-test-secret"
 
   private def mapper = new ObjectMapper()
+
+  /** Canned Bedrock: VERIFIES the SigV4 signature by re-deriving it
+    * from the received request with the shared secret (the algorithm
+    * itself is pinned against AWS's published vector in SigV4Spec),
+    * then answers converse requests echoing what it saw. */
+  def bedrockServer(): CannedTransport = {
+    val m = mapper
+    new CannedTransport({ (method, url, headers, body) =>
+      val expect = graft.tools.SigV4.sign(method, url,
+        headers.view.filterKeys(k =>
+          !Set("authorization", "x-amz-date").contains(k.toLowerCase)).toMap,
+        body, "AKID-test", bedrockSecret, "us-east-1", "bedrock",
+        1440938160000L).headers
+      if (headers.get("Authorization") != expect.get("Authorization") ||
+          headers.get("x-amz-date") != expect.get("x-amz-date"))
+        R.status(403, """{"message":"The request signature we calculated does not match"}""")
+      else if (method == "POST" &&
+          url == s"$brBase/model/anthropic.claude-3-haiku%3A0/converse") {
+        val req = m.readTree(body)
+        val sys = req.path("system").path(0).path("text").asText("")
+        val temp = req.path("inferenceConfig").path("temperature").asDouble()
+        val parts = req.path("messages").path(0).path("content")
+        val ps = (0 until parts.size()).map(parts.get)
+        val text = ps.find(_.has("text")).map(_.path("text").asText()).getOrElse("")
+        if (text.startsWith("REFUSE"))
+          R.ok("""{"output":{"message":{"role":"assistant","content":[]}},"stopReason":"guardrail_intervened","usage":{"inputTokens":1,"outputTokens":0}}""")
+        else {
+          val answer = ps.find(_.has("image")).map(_.path("image")) match {
+            case Some(img) =>
+              val n = java.util.Base64.getDecoder
+                .decode(img.path("source").path("bytes").asText()).length
+              s"VISION:$text:${img.path("format").asText()}:$n"
+            case None => s"BR:$sys:$temp:$text"
+          }
+          R.ok(s"""{"output":{"message":{"role":"assistant","content":[{"text":"$answer"}]}},"stopReason":"end_turn","usage":{"inputTokens":13,"outputTokens":5}}""")
+        }
+      } else R.status(404, url)
+    })
+  }
+
+  /** Canned Vertex endpoint + the DocumentAISpec token server (the
+    * same signature-verifying JWT exchange): bearer-gated
+    * generateContent on the project/location path. */
+  def vertexServer(grants: java.util.concurrent.atomic.AtomicInteger): CannedTransport = {
+    val m = mapper
+    val tokens = graft.tools.DocumentAISpec.tokenServer(grants)
+    new CannedTransport({ (method, url, headers, body) =>
+      if (url == graft.tools.DocumentAISpec.tokenUri)
+        tokens.request(method, url, headers, body)
+      else if (!headers.get("Authorization").exists(_.startsWith("Bearer tok-")))
+        R.status(401, """{"error":{"code":401}}""")
+      else if (method == "POST" && url == s"$veBase/v1/projects/p1/locations/eu" +
+          "/publishers/google/models/gemini-pro:generateContent") {
+        val req = m.readTree(body)
+        val sys = req.path("systemInstruction").path("parts").path(0)
+          .path("text").asText("")
+        val text = req.path("contents").path(0).path("parts").path(0)
+          .path("text").asText("")
+        R.ok(s"""{"candidates":[{"content":{"role":"model","parts":[{"text":"VERTEX:$sys:$text"}]},"finishReason":"STOP"}],"usageMetadata":{"promptTokenCount":2,"candidatesTokenCount":1}}""")
+      } else R.status(404, url)
+    })
+  }
 
   def azureServer(flaky429: Int = 0): CannedTransport = {
     val m = mapper

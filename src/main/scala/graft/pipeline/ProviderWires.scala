@@ -424,6 +424,68 @@ case object OllamaEmbeddingWire extends EmbeddingWire {
   }
 }
 
+/** Gemini batchEmbedContents: one request per batch, per-text request
+  * objects, reply `embeddings[].values` in input order. The protocol
+  * reports no usage counts. */
+case object GeminiEmbeddingWire extends EmbeddingWire {
+  import ChatWire.mapper
+  def url(baseUrl: String, model: String) =
+    s"$baseUrl/v1beta/models/$model:batchEmbedContents"
+  def headers(apiKey: String) = Map("x-goog-api-key" -> apiKey)
+  def body(model: String, texts: Seq[String]): Array[Byte] = {
+    val root = mapper.createObjectNode()
+    val reqs = root.putArray("requests")
+    texts.foreach { t =>
+      val r = reqs.addObject()
+      r.put("model", s"models/$model")
+      r.putObject("content").putArray("parts").addObject().put("text", t)
+    }
+    mapper.writeValueAsBytes(root)
+  }
+  def parse(json: String, n: Int): (Seq[Array[Float]], Long) = {
+    val data = mapper.readTree(json).path("embeddings")
+    require(data.size() == n,
+      s"embeddings response missing rows: got ${data.size()} of $n")
+    val rows = (0 until n).map { i =>
+      val vs = data.get(i).path("values")
+      Array.tabulate(vs.size())(j => vs.get(j).floatValue())
+    }
+    (rows, 0L)
+  }
+}
+
+/** Vertex AI text-embedding :predict: instances in, predictions out
+  * (embeddings.values + statistics.token_count), OAuth2 bearer via the
+  * same [[TokenProvider]] as [[VertexAIWire]]. */
+final case class VertexAIEmbeddingWire(project: String, location: String,
+    tokens: TokenProvider) extends EmbeddingWire {
+  import ChatWire.mapper
+  def url(baseUrl: String, model: String) =
+    s"$baseUrl/v1/projects/$project/locations/$location" +
+      s"/publishers/google/models/$model:predict"
+  def headers(apiKey: String) =
+    Map("Authorization" -> s"Bearer ${tokens.token()}")
+  def body(model: String, texts: Seq[String]): Array[Byte] = {
+    val root = mapper.createObjectNode()
+    val in = root.putArray("instances")
+    texts.foreach(t => in.addObject().put("content", t))
+    mapper.writeValueAsBytes(root)
+  }
+  def parse(json: String, n: Int): (Seq[Array[Float]], Long) = {
+    val preds = mapper.readTree(json).path("predictions")
+    require(preds.size() == n,
+      s"embeddings response missing rows: got ${preds.size()} of $n")
+    var usage = 0L
+    val rows = (0 until n).map { i =>
+      val e = preds.get(i).path("embeddings")
+      usage += e.path("statistics").path("token_count").asLong(0)
+      val vs = e.path("values")
+      Array.tabulate(vs.size())(j => vs.get(j).floatValue())
+    }
+    (rows, usage)
+  }
+}
+
 /** Generic embedding client over any [[EmbeddingWire]] — batch-first,
   * because at 100 TB per-request overhead dominates single-text calls. */
 class WireEmbeddingClient(wire: EmbeddingWire, baseUrl: String,
@@ -476,8 +538,45 @@ object Providers {
         OpenAIEmbeddingWire
       case "azureopenai" | "azure_openai" | "azure" => AzureOpenAIEmbeddingWire()
       case "ollama" => OllamaEmbeddingWire
+      case "gemini" => GeminiEmbeddingWire
       case other => throw new UnsupportedOperationException(
-        s"embedding provider '$other' unsupported; supported: " +
-          "openai-compatible roster, azure_openai, ollama")
+        s"embedding provider '$other' is unknown or needs constructor " +
+          "arguments (vertexai: build VertexAIEmbeddingWire(project, " +
+          "location, tokens); bedrock: use BedrockTitanEmbeddingClient " +
+          "— the Titan invoke protocol is one text per request); " +
+          "supported by name: openai-compatible roster, azure_openai, " +
+          "ollama, gemini")
     }
+}
+
+/** Bedrock Titan embeddings: the invoke protocol takes ONE text per
+  * request ({"inputText":…} → {"embedding":[…],
+  * "inputTextTokenCount":N}), so this is its own [[EmbeddingClient]]
+  * looping the batch, not an [[EmbeddingWire]]. SigV4 auth lives in
+  * the transport, as for [[BedrockWire]] — pass a
+  * [[graft.tools.SigV4Transport]]-wrapped factory. */
+final class BedrockTitanEmbeddingClient(baseUrl: String, model: String,
+    mkTransport: () => HttpTransport, maxRetries: Int = 2,
+    sleeper: Long => Unit = Thread.sleep,
+    usageTokens: Option[LongAccumulator] = None) extends EmbeddingClient {
+
+  import ChatWire.mapper
+
+  @transient private lazy val transport = mkTransport()
+
+  def embed(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
+    val root = mapper.createObjectNode()
+    root.put("inputText", t)
+    val enc = graft.tools.SigV4.encodePathSegment(model)
+    val r = OpenAIProtocol.withRetry(maxRetries, sleeper) {
+      transport.request("POST", s"$baseUrl/model/$enc/invoke",
+        Map("Content-Type" -> "application/json"),
+        mapper.writeValueAsBytes(root))
+    }
+    val node = mapper.readTree(r.text)
+    usageTokens.foreach(_.add(node.path("inputTextTokenCount").asLong(0)))
+    val vs = node.path("embedding")
+    require(vs.isArray && vs.size() > 0, "invoke returned no embedding")
+    Array.tabulate(vs.size())(j => vs.get(j).floatValue())
+  }
 }

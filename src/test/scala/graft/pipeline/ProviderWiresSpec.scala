@@ -171,6 +171,46 @@ class ProviderWiresSpec extends AnyFunSuite {
     assert(grants.get() === 1)
   }
 
+  test("Gemini embedding wire: batchEmbedContents rows in order; short reply fails") {
+    val c = new WireEmbeddingClient(GeminiEmbeddingWire, geBase, "g-key",
+      "text-emb", () => geminiServer(), sleeper = noSleep)
+    val rows = c.embed(Seq("abc", "z"))
+    assert(rows(0).toSeq === Seq(3f) && rows(1).toSeq === Seq(1f))
+    val broken = new WireEmbeddingClient(GeminiEmbeddingWire, geBase, "g-key",
+      "drop-last", () => geminiServer(), sleeper = noSleep)
+    intercept[IllegalArgumentException](broken.embed(Seq("a", "b")))
+  }
+
+  test("Vertex embedding wire: :predict with bearer auth; token_count sums into usage") {
+    import graft.tools.DocumentAISpec
+    val grants = new java.util.concurrent.atomic.AtomicInteger()
+    val transport = () => vertexServer(grants)
+    val usage = new LongAccumulator
+    val c = new WireEmbeddingClient(
+      VertexAIEmbeddingWire("p1", "eu", new ServiceAccountTokenProvider(
+        DocumentAISpec.saJson, transport, clock = () => 5000L)),
+      veBase, apiKey = "", "text-emb", transport, sleeper = noSleep,
+      usageTokens = Some(usage))
+    val rows = c.embed(Seq("ab", "wxyz"))
+    assert(rows(0).toSeq === Seq(2f) && rows(1).toSeq === Seq(4f))
+    assert(usage.value === 6L) // 2 + 4 token_counts summed
+    assert(grants.get() === 1)
+  }
+
+  test("Bedrock Titan embeddings: one signed invoke per text; usage accumulates") {
+    val usage = new LongAccumulator
+    val c = new BedrockTitanEmbeddingClient(brBase, "amazon.titan-embed:0",
+      () => bedrockTransport(), sleeper = noSleep, usageTokens = Some(usage))
+    val rows = c.embed(Seq("abc", "wxyz"))
+    assert(rows(0).toSeq === Seq(3f) && rows(1).toSeq === Seq(4f))
+    assert(usage.value === 7L) // inputTextTokenCount = text length here
+
+    // unsigned → 403 from the verifying server
+    val unsigned = new BedrockTitanEmbeddingClient(brBase,
+      "amazon.titan-embed:0", () => bedrockServer(), sleeper = noSleep)
+    intercept[IllegalStateException](unsigned.embed(Seq("x")))
+  }
+
   // ---- roster registry ---------------------------------------------------
 
   test("Providers registry maps the reference roster onto wires") {
@@ -189,6 +229,9 @@ class ProviderWiresSpec extends AnyFunSuite {
     assert(Providers.embeddingWire("azure_openai")
       .isInstanceOf[AzureOpenAIEmbeddingWire])
     assert(Providers.embeddingWire("ollama") === OllamaEmbeddingWire)
+    assert(Providers.embeddingWire("gemini") === GeminiEmbeddingWire)
+    // bedrock embeddings are one-text-per-request (Titan invoke): a
+    // dedicated client, not a batch wire
     intercept[UnsupportedOperationException](Providers.embeddingWire("bedrock"))
   }
 
@@ -251,6 +294,10 @@ object ProviderWiresSpec {
           }
           R.ok(s"""{"output":{"message":{"role":"assistant","content":[{"text":"$answer"}]}},"stopReason":"end_turn","usage":{"inputTokens":13,"outputTokens":5}}""")
         }
+      } else if (method == "POST" &&
+          url == s"$brBase/model/amazon.titan-embed%3A0/invoke") {
+        val t = m.readTree(body).path("inputText").asText()
+        R.ok(s"""{"embedding":[${t.length}.0],"inputTextTokenCount":${t.length}}""")
       } else R.status(404, url)
     })
   }
@@ -274,6 +321,14 @@ object ProviderWiresSpec {
         val text = req.path("contents").path(0).path("parts").path(0)
           .path("text").asText("")
         R.ok(s"""{"candidates":[{"content":{"role":"model","parts":[{"text":"VERTEX:$sys:$text"}]},"finishReason":"STOP"}],"usageMetadata":{"promptTokenCount":2,"candidatesTokenCount":1}}""")
+      } else if (method == "POST" && url == s"$veBase/v1/projects/p1/locations/eu" +
+          "/publishers/google/models/text-emb:predict") {
+        val in = m.readTree(body).path("instances")
+        val rows = (0 until in.size()).map { i =>
+          val t = in.get(i).path("content").asText()
+          s"""{"embeddings":{"values":[${t.length}.0],"statistics":{"token_count":${t.length}}}}"""
+        }
+        R.ok(s"""{"predictions":[${rows.mkString(",")}]}""")
       } else R.status(404, url)
     })
   }
@@ -392,6 +447,19 @@ object ProviderWiresSpec {
         // reply split across two parts: clients must concatenate
         val (a, b) = reply.splitAt(4)
         R.ok(s"""{"candidates":[{"content":{"role":"model","parts":[{"text":"$a"},{"text":"$b"}]},"finishReason":"STOP"}],"usageMetadata":{"promptTokenCount":6,"candidatesTokenCount":2}}""")
+      } else if (method == "POST" &&
+          url.startsWith(s"$geBase/v1beta/models/") &&
+          url.endsWith(":batchEmbedContents")) {
+        val reqs = m.readTree(body).path("requests")
+        val model = m.readTree(body).path("requests").path(0)
+          .path("model").asText("")
+        val n = if (model == "models/drop-last") reqs.size() - 1 else reqs.size()
+        val rows = (0 until n).map { i =>
+          val t = reqs.get(i).path("content").path("parts").path(0)
+            .path("text").asText()
+          s"""{"values":[${t.length}.0]}"""
+        }
+        R.ok(s"""{"embeddings":[${rows.mkString(",")}]}""")
       } else R.status(404, url)
     })
   }

@@ -58,11 +58,30 @@ object ChatWire {
     if (n.isMissingNode || n.isNull) None else Some(n.asText())
 }
 
+/** One incremental piece of a streamed completion: a text delta and/or
+  * trailing usage (the include_usage final chunk carries counts and an
+  * empty choices array). */
+final case class StreamDelta(text: Option[String], promptTokens: Long,
+    completionTokens: Long, finishReason: Option[String])
+
+/** Wires with a server-sent-events streaming form (the reference's
+  * stream_complete, sdk1/llm.py:529-583: litellm normalizes every
+  * provider's stream onto the OpenAI chunk shape, so the
+  * OpenAI-shaped wires are the faithful scope). */
+trait StreamingChatWire extends ChatWire {
+  def streamChatBody(model: String, systemPrompt: String, prompt: String,
+      temperature: Double): Array[Byte]
+  /** Parse one SSE `data:` payload. */
+  def parseChunk(json: String): StreamDelta
+  /** The stream-end sentinel payload (OpenAI: `[DONE]`). */
+  def isTerminator(data: String): Boolean
+}
+
 /** The OpenAI shape — also the wire of every "OpenAI-compatible"
   * roster member (mistral, openrouter, anyscale, nvidia_build, minimax,
   * azure_ai_foundry, openai_compatible): same path/body, different
   * baseUrl + key. */
-case object OpenAIWire extends ChatWire {
+case object OpenAIWire extends ChatWire with StreamingChatWire {
   import ChatWire._
   def chatUrl(baseUrl: String, model: String) = s"$baseUrl/v1/chat/completions"
   def headers(apiKey: String) = Map("Authorization" -> s"Bearer $apiKey")
@@ -95,14 +114,37 @@ case object OpenAIWire extends ChatWire {
       usage.path("completion_tokens").asLong(0),
       choice.path("finish_reason").asText("?"))
   }
+
+  /** chatBody + stream:true + stream_options.include_usage (the
+    * reference always asks for the usage trailer, llm.py:560-562). */
+  def streamChatBody(model: String, systemPrompt: String, prompt: String,
+      temperature: Double): Array[Byte] = {
+    val root = mapper.readTree(
+      chatBody(model, systemPrompt, prompt, temperature, None))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.put("stream", true)
+    root.putObject("stream_options").put("include_usage", true)
+    mapper.writeValueAsBytes(root)
+  }
+  def parseChunk(json: String): StreamDelta = {
+    val node = mapper.readTree(json)
+    val choice = node.path("choices").path(0)
+    val usage = node.path("usage")
+    StreamDelta(
+      textOpt(choice.path("delta").path("content")).filter(_.nonEmpty),
+      usage.path("prompt_tokens").asLong(0),
+      usage.path("completion_tokens").asLong(0),
+      textOpt(choice.path("finish_reason")))
+  }
+  def isTerminator(data: String): Boolean = data == "[DONE]"
 }
 
 /** Azure OpenAI: deployment-scoped path + api-version query + api-key
-  * header; body/response are the OpenAI shape (the deployment name IS
-  * the model — reference base1.py:708-717 folds deployment_name into
-  * the model field the same way). */
+  * header; body/response/stream are the OpenAI shape (the deployment
+  * name IS the model — reference base1.py:708-717 folds
+  * deployment_name into the model field the same way). */
 final case class AzureOpenAIWire(apiVersion: String = "2024-02-01")
-    extends ChatWire {
+    extends ChatWire with StreamingChatWire {
   def chatUrl(baseUrl: String, model: String) =
     s"$baseUrl/openai/deployments/$model/chat/completions?api-version=$apiVersion"
   def headers(apiKey: String) = Map("api-key" -> apiKey)
@@ -110,6 +152,11 @@ final case class AzureOpenAIWire(apiVersion: String = "2024-02-01")
       temperature: Double, image: Option[(Array[Byte], String)]): Array[Byte] =
     OpenAIWire.chatBody(model, systemPrompt, prompt, temperature, image)
   def parse(json: String): ChatReply = OpenAIWire.parse(json)
+  def streamChatBody(model: String, systemPrompt: String, prompt: String,
+      temperature: Double): Array[Byte] =
+    OpenAIWire.streamChatBody(model, systemPrompt, prompt, temperature)
+  def parseChunk(json: String): StreamDelta = OpenAIWire.parseChunk(json)
+  def isTerminator(data: String): Boolean = OpenAIWire.isTerminator(data)
 }
 
 /** Anthropic Messages API: /v1/messages, x-api-key + anthropic-version
@@ -345,6 +392,55 @@ class WireChatClient(wire: ChatWire, baseUrl: String, apiKey: String,
   def completeVision(prompt: String, image: Array[Byte],
       imageMime: String = "image/png"): String =
     exchange(prompt, Some((image, imageMime)))
+
+  /** Streamed completion (sdk1/llm.py:529-583 stream_complete): text
+    * deltas as the provider flushes them, provider-reported usage from
+    * the include_usage trailer into the accumulators. Requires a
+    * [[StreamingChatWire]] and an SSE-capable transport. A stream that
+    * ends without ever yielding content throws — the streaming analog
+    * of the empty-reply guard (has_yielded_content, llm.py:556). No
+    * mid-stream retry: a failed stream is the caller's retry unit, as
+    * in the reference (iter_with_retry wraps stream START, not
+    * chunks). */
+  def streamComplete(prompt: String): Iterator[String] = {
+    val w = wire match {
+      case s: StreamingChatWire => s
+      case _ => throw new UnsupportedOperationException(
+        s"wire $wire has no streaming form")
+    }
+    val sse = transport match {
+      case s: graft.tools.SseTransport => s
+      case _ => throw new UnsupportedOperationException(
+        "transport does not support SSE streaming")
+    }
+    val lines = sse.streamLines("POST", w.chatUrl(baseUrl, model),
+      w.headers(apiKey) + ("Content-Type" -> "application/json",
+        "Accept" -> "text/event-stream"),
+      w.streamChatBody(model, systemPrompt, prompt, temperature))
+    var yielded = false
+    val deltas = lines.flatMap { line =>
+      val data = line.stripPrefix("data:").trim
+      if (!line.startsWith("data:") || data.isEmpty || w.isTerminator(data))
+        None
+      else {
+        val d = w.parseChunk(data)
+        promptTokens.foreach(_.add(d.promptTokens))
+        completionTokens.foreach(_.add(d.completionTokens))
+        d.text.foreach(_ => yielded = true)
+        d.text
+      }
+    }
+    new Iterator[String] {
+      def hasNext: Boolean = {
+        val more = deltas.hasNext
+        if (!more && !yielded)
+          throw new IllegalStateException(
+            "LLM stream ended without content")
+        more
+      }
+      def next(): String = deltas.next()
+    }
+  }
 }
 
 /** Embedding wire: same split for /embeddings-shaped surfaces

@@ -27,7 +27,48 @@ trait HttpTransport extends Serializable {
   * URLs, and a crafted one must not become a proxy into link-local or
   * metadata endpoints from inside the cluster. */
 final class JdkHttpTransport(connectTimeoutMs: Int = 10000,
-    readTimeoutMs: Int = 120000) extends HttpTransport {
+    readTimeoutMs: Int = 120000) extends HttpTransport with SseTransport {
+
+  /** True incremental SSE: lines surface as the server flushes them,
+    * not after the response completes. Same SSRF guard as [[request]];
+    * the connection closes when the iterator is exhausted. */
+  override def streamLines(method: String, url: String,
+      headers: Map[String, String], body: Array[Byte]): Iterator[String] = {
+    if (!graft.pipeline.Postprocess.urlAllowed(url))
+      throw new SecurityException(s"transport url rejected: $url")
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod(method)
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
+    conn.setInstanceFollowRedirects(false)
+    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    if (body.nonEmpty) {
+      conn.setDoOutput(true)
+      val os = conn.getOutputStream
+      try os.write(body) finally os.close()
+    }
+    val status = conn.getResponseCode
+    if (status >= 400) {
+      val es = conn.getErrorStream
+      val msg = if (es == null) "" else
+        try new String(es.readAllBytes(), "UTF-8").take(200) finally es.close()
+      conn.disconnect()
+      throw new IllegalStateException(s"stream request failed: HTTP $status $msg")
+    }
+    val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+      conn.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+    new Iterator[String] {
+      private var nextLine: String = reader.readLine()
+      def hasNext: Boolean = {
+        if (nextLine == null) { reader.close(); conn.disconnect() }
+        nextLine != null
+      }
+      def next(): String = {
+        val l = nextLine; nextLine = reader.readLine(); l
+      }
+    }
+  }
 
   def request(method: String, url: String, headers: Map[String, String],
       body: Array[Byte]): HttpResponse = {
@@ -62,13 +103,32 @@ final class JdkHttpTransport(connectTimeoutMs: Int = 10000,
   }
 }
 
+/** Line-streaming extension for server-sent-event endpoints (the LLM
+  * providers' `stream:true` surface). The default delegates to
+  * [[HttpTransport.request]] and splits the buffered body — correct
+  * framing, not incremental; [[JdkHttpTransport]] overrides with a
+  * lazily-read connection so chunks surface as they arrive. */
+trait SseTransport { self: HttpTransport =>
+  def streamLines(method: String, url: String,
+      headers: Map[String, String] = Map.empty,
+      body: Array[Byte] = Array.emptyByteArray): Iterator[String] = {
+    val r = request(method, url, headers, body)
+    if (r.status >= 400)
+      throw new IllegalStateException(
+        s"stream request failed: HTTP ${r.status} ${r.text.take(200)}")
+    r.text.linesIterator
+  }
+}
+
 /** Canned transport: routes every request through a handler — the
   * sandbox/test double for services unreachable from here (LLMWhisperer,
   * Unstructured, an HTTP file server). Handlers are driver-defined
-  * closures; keep them pure so executor-side replays are safe. */
+  * closures; keep them pure so executor-side replays are safe.
+  * Streaming reads use the buffered [[SseTransport]] default: a canned
+  * SSE reply is its full body, split into lines. */
 final class CannedTransport(
     handler: (String, String, Map[String, String], Array[Byte]) => HttpResponse)
-    extends HttpTransport {
+    extends HttpTransport with SseTransport {
   def request(method: String, url: String, headers: Map[String, String],
       body: Array[Byte]): HttpResponse = handler(method, url, headers, body)
 }

@@ -122,6 +122,34 @@ class ProviderWiresSpec extends AnyFunSuite {
       === "VISION:look:image/png:2")
   }
 
+  // ---- streaming ---------------------------------------------------------
+
+  test("OpenAI stream: deltas in order, usage trailer into accumulators, [DONE] terminates") {
+    val pt = new LongAccumulator; val ct = new LongAccumulator
+    val c = new WireChatClient(OpenAIWire, ssBase, "sk-s", "m",
+      () => sseServer(), sleeper = noSleep,
+      promptTokens = Some(pt), completionTokens = Some(ct))
+    val out = c.streamComplete("stream me").toList
+    assert(out === List("STR", "EAM:", "stream me"))
+    assert(pt.value === 8L && ct.value === 3L) // from the usage trailer only
+  }
+
+  test("Azure stream: same SSE shape through the deployment-scoped wire") {
+    val c = new WireChatClient(AzureOpenAIWire("2024-02-01"), ssBase, "sk-s",
+      "m", () => sseServer(azure = true), sleeper = noSleep)
+    assert(c.streamComplete("x").mkString === "STREAM:x")
+  }
+
+  test("stream with no content ever raises; non-streaming wires refuse") {
+    val c = new WireChatClient(OpenAIWire, ssBase, "sk-s", "m",
+      () => sseServer(), sleeper = noSleep)
+    intercept[IllegalStateException](c.streamComplete("EMPTY").toList)
+
+    val an = new WireChatClient(AnthropicWire(), anBase, "an-key", "m",
+      () => anthropicServer(), sleeper = noSleep)
+    intercept[UnsupportedOperationException](an.streamComplete("x"))
+  }
+
   // ---- Bedrock -----------------------------------------------------------
 
   private def bedrockTransport() = new graft.tools.SigV4Transport(
@@ -255,7 +283,45 @@ object ProviderWiresSpec {
   val geBase = "https://gemini.example.com"
   val brBase = "https://bedrock-runtime.us-east-1.amazonaws.com"
   val veBase = "https://eu-aiplatform.example.com"
+  val ssBase = "https://sse.example.com"
   val bedrockSecret = "bedrock-test-secret"
+
+  /** Canned SSE chat endpoint: requires stream:true +
+    * stream_options.include_usage, replies with the OpenAI chunk
+    * sequence — role preamble (no content), content deltas split
+    * mid-word, an empty delta with finish_reason, the usage trailer
+    * with an empty choices array, then [DONE]. */
+  def sseServer(azure: Boolean = false): CannedTransport = {
+    val m = mapper
+    new CannedTransport({ (method, url, headers, body) =>
+      val okAuth = if (azure) headers.get("api-key") == Some("sk-s")
+                   else headers.get("Authorization") == Some("Bearer sk-s")
+      val okUrl = if (azure)
+        url == s"$ssBase/openai/deployments/m/chat/completions?api-version=2024-02-01"
+      else url == s"$ssBase/v1/chat/completions"
+      if (!okAuth) R.status(401, "bad key")
+      else if (method == "POST" && okUrl) {
+        val req = m.readTree(body)
+        require(req.path("stream").asBoolean(false), "stream:true required")
+        require(req.path("stream_options").path("include_usage").asBoolean(false),
+          "include_usage required")
+        val user = req.path("messages").path(0).path("content").asText()
+        def chunk(delta: String, fin: String = "null") =
+          s"""data: {"choices":[{"index":0,"delta":$delta,"finish_reason":$fin}]}"""
+        val contentChunks =
+          if (user.startsWith("EMPTY")) Seq.empty
+          else Seq(chunk("""{"content":"STR"}"""), "",
+            chunk("""{"content":"EAM:"}"""), "",
+            chunk(s"""{"content":"$user"}"""), "")
+        val lines = Seq(chunk("""{"role":"assistant"}"""), "") ++
+          contentChunks ++ Seq(
+          chunk("{}", "\"stop\""), "",
+          """data: {"choices":[],"usage":{"prompt_tokens":8,"completion_tokens":3}}""", "",
+          "data: [DONE]", "")
+        R.ok(lines.mkString("\n"))
+      } else R.status(404, url)
+    })
+  }
 
   private def mapper = new ObjectMapper()
 

@@ -1,0 +1,485 @@
+package graft.sinks
+
+import graft.SparkSpec
+
+/** The three roster-closing ChunkStore backends (Milvus REST v2,
+  * Weaviate REST+GraphQL, pgvector SQL) run the SAME contract as the
+  * memory/Qdrant/Pinecone stores in ChunkStoreSpec, each against a
+  * canned server that executes — not string-compares — the protocol:
+  * in-memory collections with real cosine scoring, auth enforcement,
+  * dimension validation, and filtered deletes. */
+class VectorStoresSpec extends SparkSpec {
+
+  // same contract as ChunkStoreSpec.contract — kept verbatim so the
+  // two spec files assert identical store semantics
+  private def contract(mk: () => ChunkStore, coll: String): Unit = {
+    val s = mk()
+    assert(s.testConnection())
+    s.ensureCollection(coll, 4)
+    s.ensureCollection(coll, 4) // idempotent
+
+    s.upsert(coll, Seq(
+      ChunkPoint("docA:0", "docA", 0, "alpha", Array(1f, 0f, 0f, 0f)),
+      ChunkPoint("docA:1", "docA", 1, "beta", Array(0f, 1f, 0f, 0f)),
+      ChunkPoint("docB:0", "docB", 0, "gamma", Array(0.9f, 0.1f, 0f, 0f))))
+    assert(s.countDoc(coll, "docA") == 2L)
+    assert(s.countDoc(coll, "docB") == 1L)
+    assert(s.countDoc(coll, "missing") == 0L)
+
+    val hits = s.query(coll, Array(1f, 0f, 0f, 0f), 2)
+    assert(hits.map(_._1.text) == Seq("alpha", "gamma"))
+    assert(hits.head._2 > hits(1)._2 && hits(1)._2 > 0.9)
+    val scoped = s.query(coll, Array(1f, 0f, 0f, 0f), 5, Some("docB"))
+    assert(scoped.map(_._1.text) == Seq("gamma"))
+
+    s.deleteDoc(coll, "docA")
+    assert(s.countDoc(coll, "docA") == 0L)
+    s.upsert(coll, Seq(
+      ChunkPoint("docA:0", "docA", 0, "alpha v2", Array(0f, 0f, 1f, 0f))))
+    assert(s.countDoc(coll, "docA") == 1L)
+    assert(s.query(coll, Array(0f, 0f, 1f, 0f), 1).head._1.text == "alpha v2")
+  }
+
+  test("Milvus protocol store satisfies the contract (canned REST v2 server)") {
+    VectorStoresSpec.resetMilvus()
+    contract(() => new MilvusChunkStore(VectorStoresSpec.mvBase, "mv-token",
+      () => VectorStoresSpec.milvusServer()), "chunks")
+    assert(!new MilvusChunkStore(VectorStoresSpec.mvBase, "wrong",
+      () => VectorStoresSpec.milvusServer()).testConnection())
+    // a doc_id crafted as a filter injection stays a literal
+    val s = new MilvusChunkStore(VectorStoresSpec.mvBase, "mv-token",
+      () => VectorStoresSpec.milvusServer())
+    assert(s.countDoc("chunks", """x" or doc_id != "x""") == 0L)
+  }
+
+  test("Weaviate protocol store satisfies the contract (canned REST+GraphQL server)") {
+    VectorStoresSpec.resetWeaviate()
+    contract(() => new WeaviateChunkStore(VectorStoresSpec.wvBase, "wv-key",
+      () => VectorStoresSpec.weaviateServer()), "chunks")
+    assert(!new WeaviateChunkStore(VectorStoresSpec.wvBase, "wrong",
+      () => VectorStoresSpec.weaviateServer()).testConnection())
+    // the reference quirk: the class is the capitalized collection
+    assert(VectorStoresSpec.weaviateClasses().contains("Chunks"))
+  }
+
+  test("pgvector store satisfies the contract (mini pgvector over JDBC)") {
+    MiniPgVector.reset()
+    contract(() => new PgVectorChunkStore(() => MiniPgVector.connection()),
+      "chunks")
+    // a wrong-length vector fails the insert like a real pgvector does
+    val s = new PgVectorChunkStore(() => MiniPgVector.connection())
+    val bad = intercept[java.sql.SQLException](s.upsert("chunks",
+      Seq(ChunkPoint("x:0", "x", 0, "bad", Array(1f, 0f)))))
+    assert(bad.getMessage.contains("expected 4 dimensions"))
+    // non-identifier collection names are refused before reaching SQL
+    intercept[IllegalArgumentException](
+      s.countDoc("""c"; DROP TABLE x; --""", "d"))
+  }
+
+  test("sync runs per-doc reindex through all three new backends") {
+    import spark.implicits._
+    def chunkDf(rows: Seq[(String, Long, String, Seq[Float])]) =
+      rows.toDF("doc_id", "chunk_id", "text", "emb")
+
+    for ((mk, label) <- Seq[(() => ChunkStore, String)](
+        (() => new MilvusChunkStore(VectorStoresSpec.mvBase, "mv-token",
+          () => VectorStoresSpec.milvusServer()), "milvus"),
+        (() => new WeaviateChunkStore(VectorStoresSpec.wvBase, "wv-key",
+          () => VectorStoresSpec.weaviateServer()), "weaviate"),
+        (() => new PgVectorChunkStore(() => MiniPgVector.connection()),
+          "pgvector"))) {
+      VectorStoresSpec.resetMilvus()
+      VectorStoresSpec.resetWeaviate()
+      MiniPgVector.reset()
+      val v1 = chunkDf(Seq(
+        ("d1", 0L, "one-a", Seq(1f, 0f, 0f, 0f)),
+        ("d1", 1L, "one-b", Seq(0f, 1f, 0f, 0f)),
+        ("d2", 0L, "two-a", Seq(0f, 0f, 0f, 1f))))
+      ChunkStores.sync(v1, mk, "corpus", 4, batchSize = 2)
+      val s = mk()
+      assert(s.countDoc("corpus", "d1") == 2L, label)
+      assert(s.countDoc("corpus", "d2") == 1L, label)
+
+      ChunkStores.sync(chunkDf(Seq(
+        ("d1", 0L, "one-a2", Seq(0.5f, 0.5f, 0f, 0f)))), mk, "corpus", 4)
+      assert(s.countDoc("corpus", "d1") == 1L, label)
+      assert(s.countDoc("corpus", "d2") == 1L, label)
+      assert(s.query("corpus", Array(0.5f, 0.5f, 0f, 0f), 1)
+        .head._1.text == "one-a2", label)
+    }
+  }
+}
+
+object VectorStoresSpec {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  import com.fasterxml.jackson.databind.JsonNode
+  import graft.tools.{HttpResponse => R}
+
+  // ---- canned Milvus RESTful v2 ------------------------------------------
+
+  val mvBase = "https://milvus.example.com"
+
+  private final case class MvRow(vector: Array[Float], docId: String,
+      chunkId: Long, text: String)
+  private final class MvColl(val dim: Int) {
+    val rows = new java.util.concurrent.ConcurrentHashMap[String, MvRow]()
+  }
+  private val mvColls =
+    new java.util.concurrent.ConcurrentHashMap[String, MvColl]()
+
+  def resetMilvus(): Unit = mvColls.clear()
+
+  /** Parses the store's `doc_id == "…"` filter, honoring escapes — so
+    * the injection test sees the crafted value as ONE literal. */
+  private def mvFilterDoc(filter: String): Option[String] = {
+    if (filter == null || filter.isEmpty) return None
+    val re = """^doc_id == "((?:[^"\\]|\\.)*)"$""".r
+    filter match {
+      case re(v) => Some(v.replace("\\\"", "\"").replace("\\\\", "\\"))
+      case _ => throw new IllegalArgumentException(s"bad filter: $filter")
+    }
+  }
+
+  def milvusServer(): graft.tools.CannedTransport =
+    new graft.tools.CannedTransport({ (method, url, headers, body) =>
+      if (headers.get("Authorization") != Some("Bearer mv-token"))
+        R.status(401, """{"code":1800,"message":"unauthorized"}""")
+      else if (method != "POST") R.status(405, url)
+      else {
+        val req = mapper.readTree(body)
+        val cn = req.path("collectionName").asText("")
+        def coll = mvColls.get(cn)
+        def ok(data: String) = R.ok(s"""{"code":0,"data":$data}""")
+        import scala.jdk.CollectionConverters._
+        url.stripPrefix(mvBase).stripPrefix("/v2/vectordb") match {
+          case "/collections/list" => ok("[]")
+          case "/collections/has" =>
+            ok(s"""{"has":${mvColls.containsKey(cn)}}""")
+          case "/collections/create" =>
+            require(req.path("metricType").asText("") == "COSINE" &&
+              req.path("idType").asText("") == "VarChar")
+            mvColls.putIfAbsent(cn, new MvColl(req.path("dimension").asInt()))
+            ok("{}")
+          case "/entities/upsert" =>
+            val data = req.path("data")
+            val parsed = (0 until data.size()).map { i =>
+              val p = data.get(i)
+              val vn = p.path("vector")
+              (p, Array.tabulate(vn.size())(j => vn.get(j).floatValue()))
+            }
+            if (parsed.exists(_._2.length != coll.dim))
+              R.ok(s"""{"code":1100,"message":"vector dimension mismatch"}""")
+            else {
+              parsed.foreach { case (p, v) =>
+                coll.rows.put(p.path("id").asText(), MvRow(v,
+                  p.path("doc_id").asText(), p.path("chunk_id").asLong(),
+                  p.path("text").asText()))
+              }
+              ok(s"""{"upsertCount":${data.size()}}""")
+            }
+          case "/entities/delete" =>
+            val doc = mvFilterDoc(req.path("filter").asText(""))
+            coll.rows.keySet.removeIf(k =>
+              doc.forall(_ == coll.rows.get(k).docId))
+            ok("{}")
+          case "/entities/query" =>
+            require(req.path("outputFields").path(0).asText("") == "count(*)")
+            val doc = mvFilterDoc(req.path("filter").asText(""))
+            val n = coll.rows.values.asScala.count(r => doc.forall(_ == r.docId))
+            ok(s"""[{"count(*)":$n}]""")
+          case "/entities/search" =>
+            val qn = req.path("data").path(0)
+            val q = Array.tabulate(qn.size())(j => qn.get(j).floatValue())
+            val k = req.path("limit").asInt(10)
+            val doc = if (req.has("filter"))
+              mvFilterDoc(req.path("filter").asText("")) else None
+            val hits = coll.rows.asScala.toSeq
+              .filter { case (_, r) => doc.forall(_ == r.docId) }
+              .map { case (id, r) => (ChunkStores.cosine(r.vector, q), id, r) }
+              .sortBy(h => (-h._1, h._2)).take(k)
+              .map { case (s, id, r) =>
+                s"""{"id":${mapper.writeValueAsString(id)},"distance":$s,""" +
+                  s""""doc_id":${mapper.writeValueAsString(r.docId)},""" +
+                  s""""chunk_id":${r.chunkId},""" +
+                  s""""text":${mapper.writeValueAsString(r.text)}}""" }
+            ok(s"[${hits.mkString(",")}]")
+          case p => R.status(404, p)
+        }
+      }
+    })
+
+  // ---- canned Weaviate (REST v1 + GraphQL) -------------------------------
+
+  val wvBase = "https://weaviate.example.com"
+
+  private final case class WvObj(vector: Array[Float], props: String)
+  private final class WvClass {
+    val objs = new java.util.concurrent.ConcurrentHashMap[String, WvObj]()
+  }
+  private val wvClasses =
+    new java.util.concurrent.ConcurrentHashMap[String, WvClass]()
+
+  def resetWeaviate(): Unit = wvClasses.clear()
+  def weaviateClasses(): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    wvClasses.keySet().asScala.toSet
+  }
+
+  private def wvProp(props: String, key: String): JsonNode =
+    mapper.readTree(props).path(key)
+
+  private val GqlValue = """valueText:\s*"((?:[^"\\]|\\.)*)"""".r
+  private val GqlClassAgg = """Aggregate\s*\{\s*(\w+)\(""".r
+  private val GqlClassGet = """Get\s*\{\s*(\w+)\(""".r
+  private val GqlVector = """vector:\s*\[([^\]]*)\]""".r
+  private val GqlLimit = """limit:\s*(\d+)""".r
+
+  private def gqlDoc(q: String): Option[String] =
+    GqlValue.findFirstMatchIn(q).map(
+      _.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+
+  def weaviateServer(): graft.tools.CannedTransport =
+    new graft.tools.CannedTransport({ (method, url, headers, body) =>
+      if (headers.get("Authorization") != Some("Bearer wv-key"))
+        R.status(401, """{"error":[{"message":"unauthorized"}]}""")
+      else {
+        import scala.jdk.CollectionConverters._
+        val path = url.stripPrefix(wvBase)
+        (method, path) match {
+          case ("GET", "/v1/schema") =>
+            R.ok(s"""{"classes":[]}""")
+          case ("GET", p) if p.startsWith("/v1/schema/") =>
+            val c = p.stripPrefix("/v1/schema/")
+            if (wvClasses.containsKey(c)) R.ok(s"""{"class":"$c"}""")
+            else R.status(404, """{"error":[{"message":"not found"}]}""")
+          case ("POST", "/v1/schema") =>
+            val req = mapper.readTree(body)
+            require(req.path("vectorizer").asText("") == "none")
+            val c = req.path("class").asText()
+            require(c.head.isUpper, "weaviate classes are capitalized")
+            wvClasses.putIfAbsent(c, new WvClass)
+            R.ok(s"""{"class":"$c"}""")
+          case ("POST", "/v1/batch/objects") =>
+            val objs = mapper.readTree(body).path("objects")
+            (0 until objs.size()).foreach { i =>
+              val o = objs.get(i)
+              val c = wvClasses.get(o.path("class").asText())
+              val vn = o.path("vector")
+              c.objs.put(o.path("id").asText(), WvObj(
+                Array.tabulate(vn.size())(j => vn.get(j).floatValue()),
+                mapper.writeValueAsString(o.path("properties"))))
+            }
+            R.ok("[]")
+          case ("DELETE", "/v1/batch/objects") =>
+            val m = mapper.readTree(body).path("match")
+            val w = m.path("where")
+            require(w.path("operator").asText("") == "Equal" &&
+              w.path("path").path(0).asText("") == "doc_id")
+            val c = wvClasses.get(m.path("class").asText())
+            val doc = w.path("valueText").asText()
+            c.objs.keySet.removeIf(k =>
+              wvProp(c.objs.get(k).props, "doc_id").asText() == doc)
+            R.ok("""{"results":{}}""")
+          case ("POST", "/v1/graphql") =>
+            val q = mapper.readTree(body).path("query").asText("")
+            val doc = gqlDoc(q)
+            if (q.contains("Aggregate")) {
+              val cls = GqlClassAgg.findFirstMatchIn(q).get.group(1)
+              val c = wvClasses.get(cls)
+              val n = if (c == null) 0 else c.objs.values.asScala.count(o =>
+                doc.forall(_ == wvProp(o.props, "doc_id").asText()))
+              R.ok(s"""{"data":{"Aggregate":{"$cls":[{"meta":{"count":$n}}]}}}""")
+            } else {
+              val cls = GqlClassGet.findFirstMatchIn(q).get.group(1)
+              val c = wvClasses.get(cls)
+              val vs = GqlVector.findFirstMatchIn(q).get.group(1)
+              val qv = vs.split(",").map(_.trim.toFloat)
+              val k = GqlLimit.findFirstMatchIn(q).get.group(1).toInt
+              val hits = c.objs.values.asScala.toSeq
+                .filter(o => doc.forall(_ == wvProp(o.props, "doc_id").asText()))
+                .map(o => (ChunkStores.cosine(o.vector, qv), o))
+                .sortBy { case (s, o) =>
+                  (-s, wvProp(o.props, "chunk_key").asText()) }
+                .take(k)
+                .map { case (s, o) =>
+                  val p = mapper.readTree(o.props)
+                    .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+                  p.putObject("_additional").put("certainty", (1.0 + s) / 2.0)
+                  mapper.writeValueAsString(p) }
+              R.ok(s"""{"data":{"Get":{"$cls":[${hits.mkString(",")}]}}}""")
+            }
+          case (_, p) => R.status(404, p)
+        }
+      }
+    })
+}
+
+/** Mini pgvector: a JVM-global in-memory engine behind a
+  * reflective-proxy `java.sql.Connection` (the FakePostgres pattern) —
+  * it EXECUTES the store's parameterized SQL against tables with a
+  * dim-pinned `vector` column, real `<=>` cosine ordering, wrong-
+  * dimension insert errors, and honored IF NOT EXISTS guards. */
+object MiniPgVector {
+  import java.sql.{Connection, PreparedStatement, ResultSet, SQLException, Statement}
+
+  private final case class PgRow(docId: String, chunkId: Long, text: String,
+      emb: Array[Float])
+  private final class PgTable(val dim: Int) {
+    val rows = new java.util.LinkedHashMap[String, PgRow]()
+  }
+  private val tables =
+    new java.util.concurrent.ConcurrentHashMap[String, PgTable]()
+  private val indexes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def reset(): Unit = { tables.clear(); indexes.clear() }
+
+  private def proxy[T](cls: Class[T])(
+      h: PartialFunction[(String, Array[AnyRef]), AnyRef]): T =
+    java.lang.reflect.Proxy.newProxyInstance(cls.getClassLoader, Array(cls),
+      (_, m, a) => {
+        val args = if (a == null) Array.empty[AnyRef] else a
+        h.applyOrElse((m.getName, args), (x: (String, Array[AnyRef])) =>
+          throw new UnsupportedOperationException(s"${cls.getSimpleName}.${x._1}"))
+      }).asInstanceOf[T]
+
+  private def parseVec(s: String, dim: Int): Array[Float] = {
+    require(s.startsWith("[") && s.endsWith("]"), s"bad vector literal: $s")
+    val v = s.substring(1, s.length - 1).split(",").map(_.trim.toFloat)
+    if (v.length != dim)
+      throw new SQLException(s"expected $dim dimensions, not ${v.length}")
+    v
+  }
+
+  private val CreateTable =
+    ("""CREATE TABLE IF NOT EXISTS "([^"]+)" \(id TEXT PRIMARY KEY, """ +
+      """doc_id TEXT, chunk_id BIGINT, text TEXT, """ +
+      """embedding vector\((\d+)\)\)""").r
+  private val CreateIndex =
+    """CREATE INDEX IF NOT EXISTS "([^"]+)" ON "([^"]+)".*""".r
+  private val DeleteSql = """DELETE FROM "([^"]+)" WHERE doc_id = \?""".r
+  private val InsertSql =
+    ("""INSERT INTO "([^"]+)" \(id, doc_id, chunk_id, text, embedding\) """ +
+      """VALUES \(\?, \?, \?, \?, \?::vector\) ON CONFLICT \(id\) DO UPDATE .*""").r
+  private val CountSql =
+    """SELECT count\(\*\) FROM "([^"]+)" WHERE doc_id = \?""".r
+  private val QuerySql =
+    ("""SELECT id, doc_id, chunk_id, text, 1 - \(embedding <=> \?::vector\) AS score """ +
+      """FROM "([^"]+)" (WHERE doc_id = \? )?ORDER BY embedding <=> \?::vector, id LIMIT \?""").r
+
+  private def table(name: String): PgTable = {
+    val t = tables.get(name)
+    if (t == null) throw new SQLException(s"""relation "$name" does not exist""")
+    t
+  }
+
+  private def exec(sql: String): Unit = sql match {
+    case "CREATE EXTENSION IF NOT EXISTS vector" => ()
+    case CreateTable(name, dim) =>
+      tables.putIfAbsent(name, new PgTable(dim.toInt)); ()
+    case CreateIndex(idx, tbl) =>
+      table(tbl); indexes.add(idx); ()
+    case other => throw new SQLException(s"unsupported DDL: $other")
+  }
+
+  private def resultSet(cols: Seq[Seq[AnyRef]]): ResultSet = {
+    var i = -1
+    proxy(classOf[ResultSet]) {
+      case ("next", _) => i += 1; java.lang.Boolean.valueOf(i < cols.length)
+      case ("getString", Array(n: Integer)) => cols(i)(n - 1)
+      case ("getLong", Array(n: Integer)) => cols(i)(n - 1)
+      case ("getDouble", Array(n: Integer)) => cols(i)(n - 1)
+      case ("getInt", Array(n: Integer)) => cols(i)(n - 1)
+      case ("close", _) => null
+    }
+  }
+
+  private def prepared(sql: String): PreparedStatement = {
+    val params = scala.collection.mutable.Map[Int, AnyRef]()
+    var updates = 0
+
+    def runInsert(tbl: String): Unit = {
+      val t = table(tbl)
+      val emb = parseVec(params(5).toString, t.dim)
+      t.synchronized {
+        t.rows.put(params(1).toString, PgRow(params(2).toString,
+          params(3).asInstanceOf[java.lang.Long].longValue(),
+          params(4).toString, emb))
+      }
+      updates += 1
+    }
+
+    proxy(classOf[PreparedStatement]) {
+      case ("setString", Array(n: Integer, v)) => params(n) = v; null
+      case ("setLong", Array(n: Integer, v)) => params(n) = v; null
+      case ("setInt", Array(n: Integer, v)) => params(n) = v; null
+      case ("addBatch", _) =>
+        sql match {
+          case InsertSql(tbl) => runInsert(tbl); null
+          case _ => throw new SQLException(s"addBatch on: $sql")
+        }
+      case ("executeBatch", _) =>
+        val n = updates; updates = 0; Array.fill(n)(1)
+      case ("executeUpdate", _) =>
+        sql match {
+          case DeleteSql(tbl) =>
+            val t = table(tbl)
+            val doc = params(1).toString
+            t.synchronized {
+              val it = t.rows.entrySet().iterator()
+              var n = 0
+              while (it.hasNext) {
+                if (it.next().getValue.docId == doc) { it.remove(); n += 1 }
+              }
+              Integer.valueOf(n)
+            }
+          case InsertSql(tbl) => runInsert(tbl); Integer.valueOf(1)
+          case _ => throw new SQLException(s"unsupported DML: $sql")
+        }
+      case ("executeQuery", _) =>
+        import scala.jdk.CollectionConverters._
+        sql match {
+          case CountSql(tbl) =>
+            val t = table(tbl)
+            val doc = params(1).toString
+            val n = t.synchronized {
+              t.rows.values.asScala.count(_.docId == doc) }
+            resultSet(Seq(Seq(java.lang.Long.valueOf(n.toLong))))
+          case QuerySql(tbl, whereDoc) =>
+            val t = table(tbl)
+            val scoped = whereDoc != null
+            val q = parseVec(params(1).toString, t.dim)
+            val doc = if (scoped) Some(params(2).toString) else None
+            val k = params(if (scoped) 4 else 3)
+              .asInstanceOf[Number].intValue()
+            val rows = t.synchronized {
+              t.rows.entrySet().asScala.toSeq.map(e => (e.getKey, e.getValue)) }
+            resultSet(rows
+              .filter { case (_, r) => doc.forall(_ == r.docId) }
+              .map { case (id, r) => (ChunkStores.cosine(r.emb, q), id, r) }
+              .sortBy { case (s, id, _) => (-s, id) }
+              .take(k)
+              .map { case (s, id, r) => Seq[AnyRef](id, r.docId,
+                java.lang.Long.valueOf(r.chunkId), r.text,
+                java.lang.Double.valueOf(s)) })
+          case _ => throw new SQLException(s"unsupported query: $sql")
+        }
+      case ("close", _) => null
+    }
+  }
+
+  def connection(): Connection =
+    proxy(classOf[Connection]) {
+      case ("createStatement", _) =>
+        proxy(classOf[Statement]) {
+          case ("execute", Array(sql: String)) =>
+            exec(sql); java.lang.Boolean.FALSE
+          case ("executeQuery", Array("SELECT 1")) =>
+            resultSet(Seq(Seq(Integer.valueOf(1))))
+          case ("close", _) => null
+        }
+      case ("prepareStatement", Array(sql: String)) => prepared(sql)
+      case ("close", _) => null
+      case ("isClosed", _) => java.lang.Boolean.FALSE
+    }
+}

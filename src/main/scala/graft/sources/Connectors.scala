@@ -23,7 +23,12 @@ import org.apache.spark.sql.functions._
   * [[DropboxConnector]] (API v2),
   * [[BoxConnector]] (Box API 2.0),
   * [[SharePointConnector]] (Microsoft Graph), and
-  * [[HttpStagingConnector]] (fsspec-style HTTP file server).
+  * [[HttpStagingConnector]] (fsspec-style HTTP file server);
+  * [[SftpStagingConnector]] covers the one non-HTTP wire over the
+  * injectable SFTP-subsystem channel seam. The reference's `ucs` row
+  * ("Unstract Cloud Storage", ucs/ucs.py:8-13) subclasses its minio
+  * connector — the S3 wire, i.e. the s3a scheme here — so every
+  * filesystem roster row maps onto one of these.
   */
 trait StagingConnector extends Serializable {
   def name: String

@@ -227,6 +227,40 @@ class ConnectorsSpec extends SparkSpec {
       assert(body == s"file $i")
     }
   }
+
+  test("SFTP: isdir credential probe, attr-driven listing, staged bytes, permission message") {
+    val c = new SftpStagingConnector(() => ConnectorsSpec.sftpChannel())
+    // test_credentials = isdir(user_dir): true on the dir, false on a
+    // plain file, a missing path, or an unreachable server
+    assert(c.testCredentials(spark, "/home/u/in"))
+    assert(!c.testCredentials(spark, "/home/u/in/inv_1.txt"))
+    assert(!c.testCredentials(spark, "/home/u/gone"))
+
+    // directories are dropped by the attr flag, glob filters by name,
+    // and mtime converts from Unix seconds to a UTC timestamp
+    val listed = c.listRemote(spark, "/home/u/in", "*.txt")
+      .orderBy("file_name").collect()
+    assert(listed.map(_.getAs[String]("file_name")).toSeq ==
+      Seq("inv_1.txt", "inv_2.txt"))
+    assert(listed.map(_.getAs[String]("remote_path")).toSeq ==
+      Seq("/home/u/in/inv_1.txt", "/home/u/in/inv_2.txt"))
+    assert(listed.head.getAs[java.sql.Timestamp]("mtime").getTime ==
+      1700000000L * 1000L)
+    assert(c.listRemote(spark, "/home/u/in", "*").count() == 3) // .md too, sub/ not
+
+    val staging = Files.createTempDirectory("graft-sftp-staging").toString
+    val staged = c.copyToStaging(spark, "/home/u/in", "*.txt", staging)
+    assert(staged.count() == 2)
+    assert(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(staging, "inv_1.txt")), "UTF-8") == "invoice one")
+    assert(FileScan.scan(spark, FileScan.ScanConfig(staging)).count() == 2)
+
+    // SSH_FX_PERMISSION_DENIED surfaces the actionable message
+    val denied = intercept[IllegalStateException](
+      c.listRemote(spark, "/home/u/locked", "*"))
+    assert(denied.getMessage.contains("necessary permissions") &&
+      denied.getMessage.contains("/home/u/locked"))
+  }
 }
 
 /** Canned HTTP file server on the companion object — the transport
@@ -484,5 +518,44 @@ object ConnectorsSpec {
         blobs.get(id).map(R.ok).getOrElse(R.status(404, id))
       } else R.status(404, url)
     })
+  }
+
+  // ---- canned SFTP channel ------------------------------------------------
+
+  /** In-memory SFTP subsystem: a fixed tree under /home/u with a
+    * permission-locked sibling directory. Entry = (isDir, mtimeSec,
+    * bytes). */
+  private val sftpTree: Map[String, (Boolean, Long, Array[Byte])] = Map(
+    "/home/u" -> ((true, 0L, Array.emptyByteArray)),
+    "/home/u/in" -> ((true, 0L, Array.emptyByteArray)),
+    "/home/u/in/inv_1.txt" ->
+      ((false, 1700000000L, "invoice one".getBytes("UTF-8"))),
+    "/home/u/in/inv_2.txt" ->
+      ((false, 1700000100L, "invoice two".getBytes("UTF-8"))),
+    "/home/u/in/notes.md" ->
+      ((false, 1700000200L, "not matched".getBytes("UTF-8"))),
+    "/home/u/in/sub" -> ((true, 0L, Array.emptyByteArray)),
+    "/home/u/locked" -> ((true, 0L, Array.emptyByteArray)))
+
+  def sftpChannel(): SftpChannel = new SftpChannel {
+    def stat(path: String): Option[SftpAttrs] =
+      sftpTree.get(path.stripSuffix("/")).map { case (d, m, b) =>
+        SftpAttrs(b.length.toLong, m, d) }
+    def readdir(path: String): Seq[(String, SftpAttrs)] = {
+      val p = path.stripSuffix("/")
+      if (p == "/home/u/locked") throw new SftpPermissionDenied(p)
+      require(sftpTree.get(p).exists(_._1), s"no such directory: $p")
+      sftpTree.collect {
+        case (k, (d, m, b)) if k != p && k.startsWith(p + "/") &&
+            !k.stripPrefix(p + "/").contains("/") =>
+          (k.stripPrefix(p + "/"), SftpAttrs(b.length.toLong, m, d))
+      }.toSeq.sortBy(_._1)
+    }
+    def readFile(path: String): Array[Byte] =
+      sftpTree.get(path) match {
+        case Some((false, _, b)) => b
+        case _ => throw new SftpPermissionDenied(path)
+      }
+    def close(): Unit = ()
   }
 }

@@ -39,7 +39,8 @@ object SparkEntry {
       operators.ClusterOps.all ++
       operators.HtmlOps.all ++
       operators.CollocationOps.all ++
-      operators.SpectralOps.all
+      operators.SpectralOps.all ++
+      operators.SelectOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The index-pipeline capstone: chunk → mock-embed → top-k retrieve —

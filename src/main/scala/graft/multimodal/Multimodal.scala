@@ -21,8 +21,11 @@ import org.apache.spark.sql.types._
   * still real — `Media.parseMp3` walks the MPEG frame headers (pure
   * ISO 11172-3 math) for duration/bitrate/sample-rate — and only the
   * PCM-derived features fall back to the deterministic [[StubDecoder]].
-  * The remaining declared stub is video (H.264); a deployment swaps in
-  * an FFmpeg-backed decoder behind the same trait.
+  * Video METADATA is real too: `Media.parseH264` walks the Annex-B NAL
+  * stream and decodes the SPS (pure ITU-T H.264 §7.3.2.1 math) for
+  * profile/level/true cropped resolution/slice counts. The remaining
+  * declared stub is video PIXEL decode; a deployment swaps in an
+  * FFmpeg-backed decoder behind the same trait.
   */
 object Multimodal {
 
@@ -92,6 +95,16 @@ object Multimodal {
               a.zeroCrossingRate.toFloat))
             case None => stub.features(content)
           }
+        } else if (Media.isH264(content)) {
+          // stream-structure features are real header math (SPS +
+          // NAL walk); only PIXEL features remain stub
+          Media.parseH264(content) match {
+            case Some(v) => pad(Array(3f, v.width / 4096f, v.height / 4096f,
+              v.sliceCount / 1000f,
+              if (v.sliceCount == 0) 0f
+              else v.idrCount.toFloat / v.sliceCount))
+            case None => stub.features(content)
+          }
         } else stub.features(content)
       } catch { case _: Exception => Array.fill(dim)(0f) }
     }
@@ -120,6 +133,12 @@ object Multimodal {
               case Some(info) => Row("mp3", 0, 0, info.durationMs)
               case None => stub.meta(content, fileName)
             }
+          }
+        } else if (Media.isH264(content)) {
+          Media.parseH264(content) match {
+            // resolution is REAL — SPS math, no decoder
+            case Some(v) => Row("h264", v.width, v.height, 0L)
+            case None => stub.meta(content, fileName)
           }
         } else stub.meta(content, fileName)
       } catch { case _: Exception => Row("corrupt", 0, 0, 0L) }

@@ -370,4 +370,153 @@ object Media {
     val argb = img.getRGB(0, 0, w, h, null, 0, w)
     BmpImage(w, h, argb.map(_ & 0xffffff))
   }
+
+  // ------------------------------------------------------------------ H.264
+
+  /** H.264 stream facts recoverable WITHOUT a decoder: pure ITU-T
+    * H.264 (ISO/IEC 14496-10) §7.3.2.1 SPS arithmetic plus an Annex-B
+    * NAL walk — the video analog of [[parseMp3]]. */
+  final case class H264Info(profile: Int, level: Int, width: Int,
+      height: Int, sliceCount: Int, idrCount: Int)
+
+  /** Annex-B sniff: a 3/4-byte start code followed by a NAL header
+    * with forbidden_zero_bit clear and a known nal_unit_type. */
+  def isH264(bytes: Array[Byte]): Boolean = {
+    if (bytes == null || bytes.length < 5) return false
+    val off =
+      if (bytes(0) == 0 && bytes(1) == 0 && bytes(2) == 1) 3
+      else if (bytes(0) == 0 && bytes(1) == 0 && bytes(2) == 0 && bytes(3) == 1) 4
+      else -1
+    off > 0 && off < bytes.length && (bytes(off) & 0x80) == 0 &&
+      ((bytes(off) & 0x1f) match { case t => t >= 1 && t <= 23 })
+  }
+
+  /** Exp-Golomb bit reader over an RBSP (emulation-prevention bytes
+    * already removed). Throws on exhaustion — callers treat that as a
+    * malformed stream. */
+  private final class BitReader(b: Array[Byte]) {
+    private var pos = 0
+    def u(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        require(pos < b.length * 8, "rbsp exhausted")
+        v = (v << 1) | ((b(pos >> 3) >> (7 - (pos & 7))) & 1)
+        pos += 1; i += 1
+      }
+      v
+    }
+    def ue(): Int = {
+      var zeros = 0
+      while (u(1) == 0) { zeros += 1; require(zeros < 32, "ue overflow") }
+      (1 << zeros) - 1 + (if (zeros == 0) 0 else u(zeros))
+    }
+    def se(): Int = {
+      val k = ue()
+      if (k % 2 == 0) -(k / 2) else (k + 1) / 2
+    }
+  }
+
+  /** Strip emulation-prevention bytes: 00 00 03 → 00 00 (§7.4.1.1). */
+  private def rbspOf(nal: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(nal.length)
+    var i = 0
+    while (i < nal.length) {
+      if (i + 2 < nal.length && nal(i) == 0 && nal(i + 1) == 0 &&
+          nal(i + 2) == 3) {
+        out.write(0); out.write(0); i += 3
+      } else { out.write(nal(i)); i += 1 }
+    }
+    out.toByteArray
+  }
+
+  /** Parse an Annex-B H.264 elementary stream: walk the NAL units by
+    * start code, count the coded slices (and IDR refresh points), and
+    * decode the first sequence parameter set — profile, level, and the
+    * real coded resolution including frame cropping (§7.3.2.1,
+    * §7.4.2.1.1 CropUnit math). No pixel is touched. Returns None when
+    * no parseable SPS exists. */
+  def parseH264(bytes: Array[Byte]): Option[H264Info] = {
+    if (!isH264(bytes)) return None
+    // collect NAL unit (type, payload) spans
+    val nals = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+    var i = 0
+    var start = -1
+    def closeNal(end: Int): Unit = if (start >= 0 && end > start) {
+      val t = bytes(start) & 0x1f
+      nals += ((t, java.util.Arrays.copyOfRange(bytes, start + 1, end)))
+    }
+    while (i + 2 < bytes.length) {
+      if (bytes(i) == 0 && bytes(i + 1) == 0 && bytes(i + 2) == 1) {
+        // a 4-byte code's leading zero belongs to the code, not the NAL
+        closeNal(if (start >= 0 && i > start && bytes(i - 1) == 0) i - 1 else i)
+        start = i + 3
+        i += 3
+      } else i += 1
+    }
+    closeNal(bytes.length)
+    val slices = nals.count(n => n._1 == 1 || n._1 == 5)
+    val idrs = nals.count(_._1 == 5)
+    nals.find(_._1 == 7).flatMap { case (_, sps) =>
+      try {
+        val r = new BitReader(rbspOf(sps))
+        val profile = r.u(8)
+        r.u(8) // constraint flags + reserved
+        val level = r.u(8)
+        r.ue() // seq_parameter_set_id
+        var chroma = 1 // default 4:2:0 for non-high profiles
+        var separateColour = 0
+        if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134,
+            135).contains(profile)) {
+          chroma = r.ue()
+          if (chroma == 3) separateColour = r.u(1)
+          r.ue(); r.ue() // bit_depth_{luma,chroma}_minus8
+          r.u(1)         // qpprime_y_zero_transform_bypass_flag
+          if (r.u(1) == 1) { // seq_scaling_matrix_present_flag
+            val lists = if (chroma == 3) 12 else 8
+            (0 until lists).foreach { li =>
+              if (r.u(1) == 1) { // scaling_list_present
+                val size = if (li < 6) 16 else 64
+                var last = 8; var next = 8
+                (0 until size).foreach { _ =>
+                  if (next != 0) next = (last + r.se() + 256) % 256
+                  if (next != 0) last = next
+                }
+              }
+            }
+          }
+        }
+        r.ue() // log2_max_frame_num_minus4
+        r.ue() match { // pic_order_cnt_type
+          case 0 => r.ue()
+          case 1 =>
+            r.u(1); r.se(); r.se()
+            (0 until r.ue()).foreach(_ => r.se())
+          case _ => ()
+        }
+        r.ue() // max_num_ref_frames
+        r.u(1) // gaps_in_frame_num_value_allowed_flag
+        val wMbs = r.ue() + 1
+        val hMap = r.ue() + 1
+        val frameMbsOnly = r.u(1)
+        if (frameMbsOnly == 0) r.u(1) // mb_adaptive_frame_field_flag
+        r.u(1) // direct_8x8_inference_flag
+        var (cl, cr, ct, cb) = (0, 0, 0, 0)
+        if (r.u(1) == 1) { // frame_cropping_flag
+          cl = r.ue(); cr = r.ue(); ct = r.ue(); cb = r.ue()
+        }
+        // §7.4.2.1.1: crop units by chroma format
+        val (cux, cuy) =
+          if (chroma == 0 || separateColour == 1) (1, 2 - frameMbsOnly)
+          else {
+            val subW = if (chroma == 3) 1 else 2
+            val subH = if (chroma == 1) 2 else 1
+            (subW, subH * (2 - frameMbsOnly))
+          }
+        val width = wMbs * 16 - cux * (cl + cr)
+        val height = (2 - frameMbsOnly) * hMap * 16 - cuy * (ct + cb)
+        Some(H264Info(profile, level, width, height, slices, idrs))
+      } catch { case _: Exception => None }
+    }
+  }
 }

@@ -194,6 +194,48 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.getLong(3) == 40L * 1152 * 1000 / 44100)
   }
 
+  test("H.264 SPS parser: profile/level/resolution/slices — pure header math, zero decode") {
+    import graft.tools.Media
+    import MultimodalSpec.{spsNal, sliceNal}
+
+    // 320x240 Baseline: 20x15 macroblocks, no cropping
+    val s1 = spsNal(19, 14) ++ sliceNal(idr = true) ++
+      sliceNal(idr = false) ++ sliceNal(idr = false)
+    assert(Media.isH264(s1))
+    val v1 = Media.parseH264(s1).get
+    assert(v1.profile == 66 && v1.level == 30)
+    assert(v1.width == 320 && v1.height == 240)
+    assert(v1.sliceCount == 3 && v1.idrCount == 1)
+
+    // 1920x1080 High: 120x68 MBs, 1088 coded rows cropped by 4 chroma
+    // units (CropUnitY=2 for 4:2:0 frame-coded) to 1080
+    val s2 = spsNal(119, 67, high = true, cropBottom = 4) ++
+      sliceNal(idr = true)
+    val v2 = Media.parseH264(s2).get
+    assert(v2.profile == 100 && v2.width == 1920 && v2.height == 1080)
+
+    // emulation-prevention round trip: trailing RBSP zeros force
+    // 00 00 03 sequences into the NAL; the parser must strip them
+    val padded = spsNal(19, 14, trailingZeros = 3)
+    assert(padded.sliding(3).exists(w => w(0) == 0 && w(1) == 0 && w(2) == 3),
+      "the vector must actually contain an emulation-prevention byte")
+    assert(Media.parseH264(padded ++ sliceNal(idr = true)).get.width == 320)
+
+    // non-streams and SPS-less streams decline
+    assert(!Media.isH264("not a video".getBytes))
+    assert(Media.parseH264(sliceNal(idr = true)).isEmpty)
+
+    // the decoder's video metadata row is REAL (no pixel decode) and
+    // stream-structure features are header-derived
+    val dec = new Multimodal.JdkMediaDecoder()
+    val meta = dec.meta(s1, "clip.h264")
+    assert(meta.getString(0) == "h264" &&
+      meta.getInt(1) == 320 && meta.getInt(2) == 240)
+    val f = dec.features(s1)
+    assert(f(0) == 3f && f(1) == 320f / 4096f && f(2) == 240f / 4096f)
+    assert(f(3) == 3f / 1000f && f(4) == 1f / 3f)
+  }
+
   test("JdkMediaDecoder: real wav/bmp decode through the Spark plumbing") {
     import spark.implicits._
     import graft.tools.Media
@@ -353,4 +395,76 @@ object MultimodalSpec {
       ((payload >> 21) & 0x7f).toByte, ((payload >> 14) & 0x7f).toByte,
       ((payload >> 7) & 0x7f).toByte, (payload & 0x7f).toByte) ++
       new Array[Byte](payload)
+
+  // ---- H.264 stream builder (spec-side encoder: the parser must
+  // recover exactly the field values written here) ----
+
+  final class BitWriter {
+    private val bits = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def u(v: Int, n: Int): this.type = {
+      (n - 1 to 0 by -1).foreach(i => bits += ((v >> i) & 1)); this
+    }
+    def ue(v: Int): this.type = {
+      val k = v + 1
+      val n = 32 - Integer.numberOfLeadingZeros(k)
+      if (n > 1) u(0, n - 1)
+      u(k, n)
+    }
+    /** RBSP: stop bit + byte alignment (§7.3.2.11). */
+    def rbsp(): Array[Byte] = {
+      val all = bits.toVector :+ 1
+      val padded = all ++ Vector.fill((8 - all.length % 8) % 8)(0)
+      padded.grouped(8).map(_.foldLeft(0)((a, b) => (a << 1) | b).toByte).toArray
+    }
+  }
+
+  /** Emulation prevention: 00 00 {00,01,02,03} → 00 00 03 xx (§7.4.1.1). */
+  def epb(rbsp: Array[Byte]): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    rbsp.foreach { b =>
+      val n = out.length
+      if (n >= 2 && out(n - 1) == 0 && out(n - 2) == 0 && (b & 0xfc) == 0)
+        out += 3
+      out += b
+    }
+    out.toArray
+  }
+
+  /** A seq parameter set for the given geometry (§7.3.2.1 field
+    * order). `high` switches to profile 100 with the chroma block. */
+  def spsNal(wMbsM1: Int, hMapM1: Int, high: Boolean = false,
+      cropBottom: Int = 0, trailingZeros: Int = 0): Array[Byte] = {
+    val w = new BitWriter
+    w.u(if (high) 100 else 66, 8) // profile_idc
+    w.u(0, 8)                     // constraint flags + reserved
+    w.u(30, 8)                    // level_idc 3.0
+    w.ue(0)                       // seq_parameter_set_id
+    if (high) {
+      w.ue(1)                     // chroma_format_idc 4:2:0
+      w.ue(0); w.ue(0)            // bit depths
+      w.u(0, 1)                   // qpprime bypass
+      w.u(0, 1)                   // no scaling matrix
+    }
+    w.ue(0)                       // log2_max_frame_num_minus4
+    w.ue(0)                       // pic_order_cnt_type = 0
+    w.ue(0)                       //   log2_max_pic_order_cnt_lsb_minus4
+    w.ue(1)                       // max_num_ref_frames
+    w.u(0, 1)                     // gaps_in_frame_num
+    w.ue(wMbsM1)
+    w.ue(hMapM1)
+    w.u(1, 1)                     // frame_mbs_only_flag
+    w.u(1, 1)                     // direct_8x8_inference_flag
+    if (cropBottom > 0) {
+      w.u(1, 1)                   // frame_cropping_flag
+      w.ue(0); w.ue(0); w.ue(0); w.ue(cropBottom)
+    } else w.u(0, 1)
+    w.u(0, 1)                     // vui_parameters_present_flag
+    Array[Byte](0, 0, 0, 1, 0x67) ++
+      epb(w.rbsp() ++ new Array[Byte](trailingZeros))
+  }
+
+  /** A coded-slice NAL (IDR when `idr`) with a dummy payload. */
+  def sliceNal(idr: Boolean): Array[Byte] =
+    Array[Byte](0, 0, 1, if (idr) 0x65 else 0x41) ++
+      Array[Byte](0x7f, 0x12, 0x34, 0x56)
 }

@@ -145,5 +145,109 @@ object CollocationOps {
       ORDER BY lift DESC, b.w1, b.w2 LIMIT $TopPairs"""),
     headline = false)
 
-  val all: Seq[QueryDef] = Seq(q200NoveltyProfile, q201PmiCollocations)
+  // ---------------------------------------------------------------
+  // q206: TextRank keywords
+  // ---------------------------------------------------------------
+
+  private val TrDamp = 0.85
+  private val TrIters = 6
+  private val TrTopK = 20
+
+  /** One un-materialized weighted-PageRank round over the undirected
+    * co-occurrence graph — the TextRank recurrence WS(v) = (1−d) +
+    * d·Σ_{u∈N(v)} (w_uv / Σ_x w_ux)·WS(u) (Mihalcea & Tarau, EMNLP
+    * 2004, eq. 2). Separated so the plan auditor can assert the
+    * round's shuffle shape (the loop materializes each round, which
+    * hides it from the final plan). The contribution expression is
+    * written in ONE fixed order (score · w / ow, left to right) and
+    * replayed character-for-character in the oracle so both engines
+    * run the identical IEEE op chain. */
+  private[graft] def textRankRound(nodes: DataFrame, edges: DataFrame,
+      outw: DataFrame, scores: DataFrame): DataFrame = {
+    val inflow = edges
+      .join(outw, "u")
+      .join(scores.withColumnRenamed("tok", "u"), "u")
+      .groupBy(col("v").as("tok"))
+      .agg(sum(col("score") * col("w") / col("ow")).as("s"))
+    nodes.join(inflow, Seq("tok"), "left_outer")
+      .select(col("tok"),
+        (lit(1 - TrDamp) + lit(TrDamp) * coalesce(col("s"), lit(0.0)))
+          .as("score"))
+  }
+
+  /** Top-[[TrTopK]] corpus keywords by TextRank: weighted PageRank
+    * over the adjacent-token co-occurrence graph (window 2 — the
+    * bigram stream q201 already counts, so collocations and keywords
+    * profile the same graph), support floor [[MinPairCount]] on the
+    * unordered pair, [[TrIters]] damped rounds at d = [[TrDamp]],
+    * initial score 1 per node (the paper's formulation carries no 1/N
+    * normalization). The oracle replays every round as chained CTEs,
+    * pinning the distributed loop round-for-round like q160.
+    *
+    * Scale: the graph build is one (a, b)-keyed count with map-side
+    * combine, Zipf-truncated by the support floor; each round joins
+    * the EDGE table against two vocabulary-sized side tables (scores,
+    * out-weights) and aggregates on the destination token — the same
+    * per-round shuffle class as q160's PageRank, state one row per
+    * surviving vocabulary word. The final cut is TakeOrdered, no
+    * global sort. */
+  val q206Textrank: QueryDef = {
+    val iterCtes = (1 to TrIters).map { t =>
+      s"""p$t AS (SELECT nd.tok, ${1 - TrDamp} + $TrDamp * coalesce(c.s, 0) AS score
+         |        FROM nd LEFT JOIN (
+         |          SELECT e.v AS tok, sum(p${t - 1}.score * e.c / o.ow) AS s
+         |          FROM ed e JOIN ow o ON o.u = e.u
+         |          JOIN p${t - 1} ON p${t - 1}.tok = e.u GROUP BY e.v) c
+         |        ON c.tok = nd.tok)""".stripMargin
+    }.mkString(",\n      ")
+    QueryDef(
+      "q206_textrank",
+      (s, dir) => {
+        val tok = LmOps.tokenizedOf(Tables.loadParallel(s, dir, "documents"))
+        val und = LmOps.bigramsOfTokens(tok)
+          .filter(col("w1") =!= col("w2"))
+          .select(least(col("w1"), col("w2")).as("a"),
+            greatest(col("w1"), col("w2")).as("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+          .filter(col("w") >= MinPairCount)
+        val edges = graft.Staging.materialize(
+          und.select(col("a").as("u"), col("b").as("v"), col("w"))
+            .unionByName(
+              und.select(col("b").as("u"), col("a").as("v"), col("w"))),
+          "textrank_edges", "spark.graft.corpus.stagingDir")
+        val outw = graft.Staging.materialize(
+          edges.groupBy(col("u")).agg(sum(col("w")).as("ow")),
+          "textrank_outw", "spark.graft.corpus.stagingDir")
+        val nodes = edges.select(col("u").as("tok")).distinct()
+        var scores = nodes.withColumn("score", lit(1.0))
+        (1 to TrIters).foreach { t =>
+          scores = graft.Staging.materialize(
+            textRankRound(nodes, edges, outw, scores),
+            s"textrank$t", "spark.graft.corpus.stagingDir")
+        }
+        scores
+          .select(col("tok"), round(col("score"), 6).as("textrank"))
+          .orderBy(col("textrank").desc, col("tok"))
+          .limit(TrTopK)
+      },
+      Some(s"""WITH tok AS (SELECT doc_id,
+          regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
+        bg AS (SELECT w[i] AS w1, w[i+1] AS w2
+          FROM tok, unnest(range(1, len(w))) t(i) WHERE len(w) >= 2),
+        und AS (SELECT least(w1, w2) AS a, greatest(w1, w2) AS b,
+            CAST(count(*) AS BIGINT) AS c
+          FROM bg WHERE w1 <> w2 GROUP BY 1, 2 HAVING count(*) >= $MinPairCount),
+        ed AS (SELECT a AS u, b AS v, c FROM und
+          UNION ALL SELECT b, a, c FROM und),
+        ow AS (SELECT u, sum(c) AS ow FROM ed GROUP BY u),
+        nd AS (SELECT DISTINCT u AS tok FROM ed),
+        p0 AS (SELECT tok, CAST(1.0 AS DOUBLE) AS score FROM nd),
+        $iterCtes
+        SELECT tok, round(score, 6) AS textrank FROM p$TrIters
+        ORDER BY textrank DESC, tok LIMIT $TrTopK"""),
+      headline = false)
+  }
+
+  val all: Seq[QueryDef] = Seq(q200NoveltyProfile, q201PmiCollocations,
+    q206Textrank)
 }

@@ -623,6 +623,117 @@ object DedupOps {
       FROM sizes GROUP BY cluster_size ORDER BY cluster_size"""))
 
   // ---------------------------------------------------------------
+  // q205: two-phase connected components (large-star / small-star)
+  // ---------------------------------------------------------------
+
+  /** One alternating large-star + small-star round (Kiveris, Lattanzi,
+    * Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+    * MapReduce and Beyond", SoCC 2014). Input and output edge frames
+    * are canonically directed (u > v, no self-loops, distinct).
+    *
+    *  - large-star(u): over the BIDIRECTIONAL neighborhood, connect
+    *    every strictly-larger neighbor to m = min(N(u) ∪ {u});
+    *  - small-star(u): over the larger→smaller directed neighborhood,
+    *    connect every smaller neighbor AND u itself to m = min(N(u)).
+    *
+    * Each half-round is one groupBy(min) + one re-join — the identical
+    * shuffle class as a [[minLabelComponents]] round, but the round
+    * COUNT is O(log n) in the component size instead of O(diameter):
+    * on a path graph min-label moves the label one hop per round,
+    * while star operations repeatedly halve the tree height. At 100 TB
+    * a near-dup graph can contain long chains (chained-paraphrase
+    * crawls), and diameter-bound iteration is the scaling risk this
+    * variant removes. Exposed un-materialized so the plan auditor can
+    * assert the round's shuffle shape. */
+  private[graft] def twoPhaseRound(edges: DataFrame): DataFrame = {
+    val bidir = edges.select(col("u"), col("v"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+    val lsMin = bidir.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    val large = bidir.join(lsMin, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    // large-star output already satisfies u > v (targets are
+    // neighborhood minima), so it is directly the small-star input
+    val ssMin = large.groupBy("u").agg(min(col("v")).as("m"))
+    large.join(ssMin, "u")
+      .select(col("v"), col("m"))
+      .unionByName(ssMin.select(col("u").as("v"), col("m")))
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Two-phase connected components over an undirected pair frame:
+    * alternate [[twoPhaseRound]] with the edge set materialized per
+    * round until it reaches a fixed point — at convergence the edges
+    * form STARS whose center is the component minimum, so the label
+    * table is one groupBy(min) away. Returns (id, label) for edge
+    * endpoints only (isolated nodes re-enter via the caller's left
+    * join), the same contract as [[minLabelComponents]]. */
+  private[operators] def twoPhaseComponents(pairs: DataFrame,
+      maxRounds: Int = 30): DataFrame = {
+    var edges = materialize(
+      pairs.select(greatest(col("doc_a"), col("doc_b")).as("u"),
+          least(col("doc_a"), col("doc_b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct(), "tp_edges0")
+    var done = false
+    var rounds = 0
+    while (!done && rounds < maxRounds) {
+      val next = materialize(twoPhaseRound(edges), s"tp_edges${rounds + 1}")
+      // fixed point ⇔ the canonically-directed edge sets are equal;
+      // both frames are distinct, so two anti-join probes suffice
+      done = next.except(edges).limit(1).count() == 0 &&
+        edges.except(next).limit(1).count() == 0
+      edges = next
+      rounds += 1
+    }
+    require(done, s"two-phase CC did not converge in $maxRounds rounds")
+    // star-forest guard: at the fixed point no edge target may itself
+    // be an edge source — fail loudly rather than mislabel if a
+    // pathological input ever stalls the alternation elsewhere
+    val nonStar = edges.select(col("v"))
+      .join(edges.select(col("u").as("v")).distinct(), Seq("v"))
+      .limit(1).count()
+    require(nonStar == 0, "two-phase CC fixed point is not a star forest")
+    // stars: every non-center node has exactly one out-edge to the
+    // center; centers label themselves
+    edges.select(col("u").as("id"), col("v").as("label"))
+      .unionByName(edges.select(col("v").as("id"), col("v").as("label")))
+      .groupBy("id").agg(min(col("label")).as("label"))
+  }
+
+  /** q91's dup-cluster canonicalization computed by the two-phase
+    * large-star/small-star algorithm instead of min-label
+    * propagation — same fixed point (every node labeled with its
+    * component minimum), so the ORACLE IS SHARED with q91: the
+    * recursive reach CTE asserts the component structure regardless
+    * of which distributed iteration produced it. What this buys at
+    * scale is a round count independent of component diameter (see
+    * [[twoPhaseRound]]); what the oracle buys is that the claim
+    * "different algorithm, identical clustering" is machine-checked
+    * rather than asserted. */
+  val q205CcTwophase: QueryDef = QueryDef(
+    "q205_cc_twophase",
+    (s, dir) => {
+      val pairs = q90SimhashHamming.fn(s, dir).select(col("doc_a"), col("doc_b"))
+      val labels = twoPhaseComponents(pairs)
+        .select(col("id").as("doc_id"), col("label"))
+      docs(s, dir).select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("canonical"))
+        .withColumn("is_canonical", col("canonical") === col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE
+      $clusterReachSqlCtes
+      SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS canonical,
+        (min(dst) = src) AS is_canonical
+      FROM reach GROUP BY src ORDER BY src"""))
+
+  // ---------------------------------------------------------------
   // q129: dedup-saturation curve
   // ---------------------------------------------------------------
 
@@ -839,5 +950,5 @@ object DedupOps {
     q53Simhash, q54NgramJaccard, q55EmbeddingNeardup, q90SimhashHamming,
     q91DupClusters, q112EditDistPairs, q129DedupSaturation,
     q131MinhashCalibration, q134ClusterHistogram, q183LshRecall,
-    q192CrossSourceDups)
+    q192CrossSourceDups, q205CcTwophase)
 }

@@ -239,6 +239,153 @@ object ClassifierOps {
       GROUP BY 1, 2 ORDER BY 1, 2"""),
     headline = false)
 
+  // ---------------------------------------------------------------
+  // q207: lattice-exact linear probe trained by distributed GD
+  // ---------------------------------------------------------------
+
+  private val PrRounds = 8      // full-batch GD rounds
+  private val PrSw = 100000L    // weight lattice: w = W / PrSw
+  private val PrSx = 100L       // feature lattice: x = X / PrSx
+  // learning rate 0.5 on the half-MSE gradient → ΔW = ⌊G/(20000·N)+½⌋
+
+  /** Quantized per-doc probe features + label over the documents
+    * frame. Every feature is an exact rational of integer counts
+    * (no transcendentals), quantized to the [[PrSx]] integer lattice
+    * with the SAME correctly-rounded IEEE op chain the oracle runs:
+    * x0 bias, x1 capped length, x2 type-token ratio, x3 stopword
+    * fraction (q46's list), x4 capped mean word length. The label is
+    * a Gopher-style gate (n_tok ≥ 50 ∧ stop_frac ≥ 0.05) — integers
+    * end to end, so the training data is bit-identical cross-engine. */
+  private[graft] def probeFeatures(d: DataFrame): DataFrame = {
+    val tk = split(trim(col("text")), "\\s+")
+    val nTok = size(tk).cast("long")
+    val nt = nTok.cast("double")
+    val nd = size(array_distinct(tk)).cast("double")
+    val ns = size(filter(tk, w => w.isin("the", "a"))).cast("double")
+    val ch = length(regexp_replace(col("text"), " ", "")).cast("double")
+    d.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), nTok.as("n_tok"),
+        lit(PrSx).as("x0"),
+        floor(least(nTok, lit(400L)).cast("double") / 400.0 * 100.0 + 0.5)
+          .cast("long").as("x1"),
+        floor(nd / nt * 100.0 + 0.5).cast("long").as("x2"),
+        floor(ns / nt * 100.0 + 0.5).cast("long").as("x3"),
+        floor(least(ch / nt, lit(10.0)) * 10.0 + 0.5).cast("long").as("x4"))
+      .withColumn("y",
+        when(col("n_tok") >= 50 && col("x3") >= 5, 1L).otherwise(0L))
+  }
+
+  /** One round's gradient aggregate, un-collected — exposed for the
+    * plan auditor (the training loop collects each round's 6-long
+    * row, so the distributed shape never reaches the returned
+    * trajectory frame — the q202/q203 audit discipline). */
+  private[graft] def q207RoundPlanProbe(s: SparkSession, dir: String): DataFrame = {
+    val feat = probeFeatures(Tables.loadParallel(s, dir, "documents"))
+    probeGradient(feat, Array(0L, 0L, 0L, 0L, 0L))
+  }
+
+  private def probeGradient(feat: DataFrame, w: Array[Long]): DataFrame = {
+    val m = (0 to 4).map(j => lit(w(j)) * col(s"x$j")).reduce(_ + _)
+    feat.withColumn("r", m - col("y") * lit(10000000L))
+      .agg(sum(col("r") * col("x0")).as("g0"),
+        sum(col("r") * col("x1")).as("g1"),
+        sum(col("r") * col("x2")).as("g2"),
+        sum(col("r") * col("x3")).as("g3"),
+        sum(col("r") * col("x4")).as("g4"),
+        count(lit(1)).as("n"))
+  }
+
+  /** fastText-style linear quality probe trained IN-ENGINE by
+    * full-batch gradient descent — the SGD-shaped counterpart to
+    * q170's closed-form NB, made exactly reproducible the way q202
+    * made power iteration exact: weights live on a 1/[[PrSw]] integer
+    * lattice, features on a 1/[[PrSx]] lattice, so every per-round
+    * gradient is an INT64 sum (order-free — any partitioning, any
+    * retry, and the DuckDB oracle produce bit-identical weights) and
+    * the only floating-point step, the lattice-rounded update
+    * ⌊lr·G/N+½⌋, is one correctly-rounded double op chain replayed
+    * character-for-character in the oracle. The published fastText /
+    * GPT-3-§A quality filter trains exactly this shape (linear model,
+    * handcrafted + bag features); MLlib LR (ml/VectorML) is the
+    * production-scale variant, this operator is the oracle-exact one.
+    *
+    * Output: the full weight TRAJECTORY (one row per round), so the
+    * oracle pins every round, not just the fixed point.
+    *
+    * Scale: training is [[PrRounds]] corpus scans of a 7-long-column
+    * materialized feature table, each reducing map-side to ONE 6-long
+    * row per partition (plan-checked partial HashAggregate, no join,
+    * no shuffle of rows); driver state is 5 longs. Lattice headroom
+    * is guarded loudly: |G| must stay under 2^53 for the update's
+    * exact double conversion (N ≲ 9·10⁴ at the |W| ≤ 2·10⁶ weight
+    * envelope; rescale [[PrSx]]/[[PrSw]] for larger corpora). */
+  val q207LinearProbe: QueryDef = {
+    val gradExprs = (0 to 4).map(j =>
+      s"sum((m - y*10000000)*x$j) AS g$j").mkString(", ")
+    val roundCtes = (1 to PrRounds).map { t =>
+      val upd = (0 to 4).map(j =>
+        s"a$j - CAST(floor(g$j/(20000.0*n)+0.5) AS BIGINT) AS a$j").mkString(", ")
+      s"""g$t AS (SELECT $gradExprs, CAST(count(*) AS DOUBLE) AS n
+         |        FROM (SELECT f.y, f.x0, f.x1, f.x2, f.x3, f.x4,
+         |          w.a0*f.x0 + w.a1*f.x1 + w.a2*f.x2 + w.a3*f.x3 + w.a4*f.x4 AS m
+         |          FROM feat f CROSS JOIN w${t - 1} w)),
+         |      w$t AS (SELECT $upd FROM w${t - 1}, g$t)""".stripMargin
+    }.mkString(",\n      ")
+    val trajSelects = (1 to PrRounds).map { t =>
+      s"""SELECT $t AS round, a0/100000.0 AS w_bias, a1/100000.0 AS w_len,
+         |  a2/100000.0 AS w_ttr, a3/100000.0 AS w_stop, a4/100000.0 AS w_mwl
+         |FROM w$t""".stripMargin
+    }.mkString("\n      UNION ALL\n      ")
+    QueryDef(
+      "q207_linear_probe",
+      (s, dir) => {
+        import s.implicits._
+        val feat = graft.Staging.materialize(
+          probeFeatures(Tables.loadParallel(s, dir, "documents")),
+          "probe_feat", "spark.graft.corpus.stagingDir")
+        var w = Array(0L, 0L, 0L, 0L, 0L)
+        val traj = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, Double, Double, Double, Double, Double)]
+        (1 to PrRounds).foreach { t =>
+          require(w.forall(math.abs(_) <= 2000000L),
+            s"probe diverged beyond the weight-lattice envelope at round $t")
+          val g = probeGradient(feat, w).head()
+          val n = g.getLong(5)
+          require(n > 0, "empty corpus")
+          val grads = (0 to 4).map(g.getLong)
+          // loud lattice-headroom guard (int64 sums are exact; the
+          // double CONVERSION below is not beyond 2^53)
+          grads.foreach(v => require(math.abs(v) < 9.0e15,
+            "gradient lattice headroom exhausted — rescale PrSx/PrSw"))
+          w = w.zip(grads).map { case (a, gj) =>
+            a - math.floor(gj / (20000.0 * n) + 0.5).toLong
+          }
+          traj += ((t, w(0) / 100000.0, w(1) / 100000.0, w(2) / 100000.0,
+            w(3) / 100000.0, w(4) / 100000.0))
+        }
+        traj.toSeq.toDF("round", "w_bias", "w_len", "w_ttr", "w_stop", "w_mwl")
+          .orderBy(col("round"))
+      },
+      Some(s"""WITH feat AS (SELECT doc_id, n_tok, x0, x1, x2, x3, x4,
+          CASE WHEN n_tok >= 50 AND x3 >= 5 THEN 1 ELSE 0 END AS y
+        FROM (SELECT doc_id,
+          CAST(len(tk) AS BIGINT) AS n_tok,
+          CAST(100 AS BIGINT) AS x0,
+          CAST(floor(CAST(least(len(tk), 400) AS DOUBLE)/400.0*100.0 + 0.5) AS BIGINT) AS x1,
+          CAST(floor(CAST(len(list_distinct(tk)) AS DOUBLE)/CAST(len(tk) AS DOUBLE)*100.0 + 0.5) AS BIGINT) AS x2,
+          CAST(floor(CAST(len(list_filter(tk, w -> w IN ('the', 'a'))) AS DOUBLE)/CAST(len(tk) AS DOUBLE)*100.0 + 0.5) AS BIGINT) AS x3,
+          CAST(floor(least(CAST(length(replace(text, ' ', '')) AS DOUBLE)/CAST(len(tk) AS DOUBLE), 10.0)*10.0 + 0.5) AS BIGINT) AS x4
+          FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS tk
+            FROM documents WHERE length(trim(text)) > 0) t) f),
+      w0 AS (SELECT CAST(0 AS BIGINT) AS a0, CAST(0 AS BIGINT) AS a1,
+        CAST(0 AS BIGINT) AS a2, CAST(0 AS BIGINT) AS a3, CAST(0 AS BIGINT) AS a4),
+      $roundCtes
+      $trajSelects
+      ORDER BY round"""),
+      headline = false)
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q170NbQuality, q177ParetoResample, q188SignalAgreement)
+    Seq(q170NbQuality, q177ParetoResample, q188SignalAgreement,
+      q207LinearProbe)
 }

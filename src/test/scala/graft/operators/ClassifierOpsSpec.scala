@@ -76,4 +76,61 @@ class ClassifierOpsSpec extends SparkSpec {
     assert(highRate > lowRate,
       s"high-score keep rate $highRate must exceed low-score rate $lowRate")
   }
+
+  test("q207: the GD trajectory re-derives exactly from a driver-side integer replay") {
+    // independent plain-Scala replay of feature quantization + 8 rounds
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.trim.nonEmpty)
+    val feats = docs.map { case (_, text) =>
+      val tk = text.trim.split("\\s+")
+      val nTok = tk.length.toLong
+      val nt = nTok.toDouble
+      val x1 = math.floor(math.min(nTok, 400L).toDouble / 400.0 * 100.0 + 0.5).toLong
+      val x2 = math.floor(tk.distinct.length.toDouble / nt * 100.0 + 0.5).toLong
+      val x3 = math.floor(tk.count(w => w == "the" || w == "a").toDouble / nt * 100.0 + 0.5).toLong
+      val x4 = math.floor(math.min(text.replace(" ", "").length.toDouble / nt, 10.0) * 10.0 + 0.5).toLong
+      val y = if (nTok >= 50 && x3 >= 5) 1L else 0L
+      (Array(100L, x1, x2, x3, x4), y)
+    }
+    assert(feats.map(_._2).distinct.length == 2,
+      "the gate label must be non-degenerate at sf0.001 for the probe to mean anything")
+    var w = Array(0L, 0L, 0L, 0L, 0L)
+    val n = feats.length
+    val expect = (1 to 8).map { t =>
+      val g = Array.fill(5)(0L)
+      feats.foreach { case (x, y) =>
+        val m = (0 to 4).map(j => w(j) * x(j)).sum
+        val r = m - y * 10000000L
+        (0 to 4).foreach(j => g(j) += r * x(j))
+      }
+      w = w.zip(g).map { case (a, gj) =>
+        a - math.floor(gj / (20000.0 * n) + 0.5).toLong
+      }
+      (t, w(0) / 100000.0, w(1) / 100000.0, w(2) / 100000.0,
+        w(3) / 100000.0, w(4) / 100000.0)
+    }
+    val out = ClassifierOps.q207LinearProbe.fn(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq === expect, "integer-lattice GD must replay EXACTLY")
+  }
+
+  test("q207: gradients are partition-count independent (int64 sums are order-free)") {
+    val feat = ClassifierOps.probeFeatures(
+      graft.Tables.loadParallel(spark, dir, "documents"))
+    val w = Array(12345L, -678L, 910L, -1112L, 1314L)
+    def grads(parts: Int): Seq[Long] = {
+      val m = (0 to 4).map(j => lit(w(j)) * col(s"x$j")).reduce(_ + _)
+      feat.repartition(parts)
+        .withColumn("r", m - col("y") * lit(10000000L))
+        .agg(sum(col("r") * col("x0")), sum(col("r") * col("x1")),
+          sum(col("r") * col("x2")), sum(col("r") * col("x3")),
+          sum(col("r") * col("x4")))
+        .head().toSeq.map(_.asInstanceOf[Long])
+    }
+    assert(grads(1) === grads(7),
+      "a float-typed gradient would drift with partitioning; the lattice must not")
+  }
 }

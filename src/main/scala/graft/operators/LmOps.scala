@@ -1380,9 +1380,108 @@ object LmOps {
       FROM top t, counts c ORDER BY t.d DESC, t.w1, t.w2"""),
     headline = false)
 
+  // ---------------------------------------------------------------
+  // q208: Moore-Lewis cross-entropy difference selection
+  // ---------------------------------------------------------------
+
+  /** The in-domain seed slice the q208 selector targets. */
+  private val MlInDomainSource = "src0"
+
+  /** Moore & Lewis 2010 ("Intelligent Selection of Language Model
+    * Training Data") — THE classic domain-data selector, distinct from
+    * q101's DSIR (importance ratios over hashed features) in using two
+    * full n-gram LMs: score every candidate document by
+    *
+    *   ml_score = H_in(d) − H_gen(d)
+    *
+    * the cross-entropy under an IN-DOMAIN model minus the cross-entropy
+    * under a GENERAL model (both q96's add-alpha bigram family, scored
+    * with the α-floor left-join so unseen bigrams back off instead of
+    * dropping out). Negative score = the doc looks more like the
+    * in-domain seed than like the general corpus → keep. The in-domain
+    * seed here is the [[MlInDomainSource]] slice standing in for the
+    * curated seed corpus the published recipe assumes.
+    *
+    * Scale: the corpus is tokenized and exploded to bigrams ONCE
+    * (materialized through the durable staging seam); both model
+    * triples are vocabulary-sized aggregates of that same frame (the
+    * in-domain one of a filtered subset), so they broadcast; each
+    * scoring pass is broadcast-hash joins + one (doc_id)-keyed partial
+    * agg, and the two per-doc score frames join on doc_id. The corpus
+    * never self-joins, and adding more candidate sources changes only
+    * the general-model counts, not the plan shape. */
+  val q208MooreLewis: QueryDef = QueryDef(
+    "q208_moore_lewis",
+    (s, dir) => {
+      val tok = materialize(docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          split(lower(trim(col("text"))), "\\s+").as("w")), "ml_tok")
+      val bg = materialize(
+        tok.filter(size(col("w")) >= 2)
+          .select(col("doc_id"), col("source"), explode(expr(
+            """transform(sequence(1, size(w) - 1),
+              |  i -> struct(element_at(w, i) as w1, element_at(w, i + 1) as w2))""".stripMargin)).as("b"))
+          .select(col("doc_id"), col("source"), col("b.w1"), col("b.w2")),
+        "ml_bg")
+      def model(b: DataFrame, tag: String): (DataFrame, DataFrame, DataFrame) = (
+        materialize(b.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c2")), s"ml_${tag}_c2"),
+        materialize(b.groupBy(col("w1"))
+          .agg(count(lit(1)).as("c1")), s"ml_${tag}_c1"),
+        materialize(b.agg(countDistinct(col("w2")).as("v")), s"ml_${tag}_v"))
+      val (inC2, inC1, inV) =
+        model(bg.filter(col("source") === MlInDomainSource), "in")
+      val (gC2, gC1, gV) = model(bg, "gen")
+      def score(c2: DataFrame, c1: DataFrame, v: DataFrame,
+          out: String): DataFrame =
+        bg.join(broadcast(c2), Seq("w1", "w2"), "left_outer")
+          .join(broadcast(c1), Seq("w1"), "left_outer")
+          .crossJoin(broadcast(v))
+          .select(col("doc_id"),
+            (-log((coalesce(col("c2"), lit(0L)) + Alpha) /
+              (coalesce(col("c1"), lit(0L)) + col("v") * Alpha))).as("nll"))
+          .groupBy(col("doc_id"))
+          .agg(round(avg(col("nll")), 6).as(out))
+      score(inC2, inC1, inV, "ce_in")
+        .join(score(gC2, gC1, gV, "ce_gen"), Seq("doc_id"))
+        .select(col("doc_id"), col("ce_in"), col("ce_gen"),
+          round(col("ce_in") - col("ce_gen"), 6).as("ml_score"))
+        .withColumn("keep", col("ml_score") < 0.0)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, source,
+          regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
+      bg AS (SELECT doc_id, source, w[i] AS w1, w[i+1] AS w2
+        FROM tok, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+      inb AS (SELECT * FROM bg WHERE source = '$MlInDomainSource'),
+      ic2 AS (SELECT w1, w2, count(*) AS c2 FROM inb GROUP BY 1, 2),
+      ic1 AS (SELECT w1, count(*) AS c1 FROM inb GROUP BY 1),
+      iv AS (SELECT count(DISTINCT w2) AS v FROM inb),
+      gc2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+      gc1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+      gv AS (SELECT count(DISTINCT w2) AS v FROM bg),
+      si AS (SELECT bg.doc_id,
+          round(avg(-ln((coalesce(ic2.c2, 0) + $Alpha) /
+            (coalesce(ic1.c1, 0) + iv.v * $Alpha))), 6) AS ce_in
+        FROM bg LEFT JOIN ic2 ON bg.w1 = ic2.w1 AND bg.w2 = ic2.w2
+          LEFT JOIN ic1 ON bg.w1 = ic1.w1, iv
+        GROUP BY bg.doc_id),
+      sg AS (SELECT bg.doc_id,
+          round(avg(-ln((coalesce(gc2.c2, 0) + $Alpha) /
+            (coalesce(gc1.c1, 0) + gv.v * $Alpha))), 6) AS ce_gen
+        FROM bg LEFT JOIN gc2 ON bg.w1 = gc2.w1 AND bg.w2 = gc2.w2
+          LEFT JOIN gc1 ON bg.w1 = gc1.w1, gv
+        GROUP BY bg.doc_id)
+      SELECT si.doc_id, si.ce_in, sg.ce_gen,
+        round(si.ce_in - sg.ce_gen, 6) AS ml_score,
+        round(si.ce_in - sg.ce_gen, 6) < 0.0 AS keep
+      FROM si JOIN sg ON si.doc_id = sg.doc_id
+      ORDER BY si.doc_id"""),
+    headline = false)
+
   val all: Seq[QueryDef] =
     Seq(q96LmPerplexity, q97Bm25, q98DupSpans, q99HybridRrf, q101Dsir,
       q102CcnetBuckets, q106DedupAudit, q107MaxDupSpans, q108KnPerplexity,
       q114DataCard, q150ExactSubstrRewrite, q162SourceKl, q173DoremiWeights,
-      q187WorstWindow, q189ModelPrune)
+      q187WorstWindow, q189ModelPrune, q208MooreLewis)
 }

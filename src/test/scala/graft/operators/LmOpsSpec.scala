@@ -401,4 +401,30 @@ class LmOpsSpec extends SparkSpec {
     // for at least one domain)
     assert(rows.exists(_.getDouble(4) > 0.0))
   }
+
+  test("q208: Moore-Lewis scores favor the in-domain slice and keep = score<0") {
+    val out = LmOps.q208MooreLewis.fn(spark, dir)
+    val src = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val joined = out.join(src, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val ceIn = r.getDouble(r.fieldIndex("ce_in"))
+      val ceGen = r.getDouble(r.fieldIndex("ce_gen"))
+      val score = r.getDouble(r.fieldIndex("ml_score"))
+      assert(ceIn > 0.0 && ceGen > 0.0, "cross-entropies must be positive")
+      assert(math.abs(score - BigDecimal(ceIn - ceGen)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      assert(r.getBoolean(r.fieldIndex("keep")) === (score < 0.0))
+    }
+    // the selector's whole point: the in-domain seed scores lower
+    // (more in-domain-like) on average than the rest of the corpus
+    def mean(rows: Array[org.apache.spark.sql.Row]): Double =
+      rows.map(_.getDouble(rows.head.fieldIndex("ml_score"))).sum / rows.length
+    val (inDom, rest) = joined.partition(
+      _.getString(joined.head.fieldIndex("source")) == "src0")
+    assert(inDom.nonEmpty && rest.nonEmpty)
+    assert(mean(inDom) < mean(rest),
+      "in-domain docs must average a lower cross-entropy difference")
+  }
 }

@@ -540,8 +540,104 @@ object MixOps {
       CROSS JOIN nn
       ORDER BY i, j"""))
 
+  // ---------------------------------------------------------------
+  // q209: kernel two-sample MMD² drift audit (quadratic kernel)
+  // ---------------------------------------------------------------
+
+  /** Kernel two-sample test statistic between every pair of embedding
+    * groups — Gretton et al. 2012's MMD², instantiated with the
+    * QUADRATIC kernel k(x,y) = (x·y + 1)², whose biased V-statistic
+    * collapses to pure MOMENT arithmetic:
+    *
+    *   MMD²_k(X,Y) = ‖M_X − M_Y‖_F² + 2·‖μ_X − μ_Y‖²
+    *
+    * with μ the group mean and M = E[xxᵀ] the second-moment matrix —
+    * the distribution-shift audit a pipeline runs between ingest
+    * snapshots, sources, or train/eval splits (MAUVE's job, in the
+    * moment form that is exactly reproducible cross-engine). Zero MMD²
+    * ⇔ matched first+second moments; the two addends are reported
+    * separately so a drift can be attributed to mean shift vs
+    * covariance/shape change.
+    *
+    * Scale: identical to q157 — ONE corpus scan explodes each vector's
+    * d(d+1)/2 upper-triangle products keyed by (label, i, j); partial
+    * aggregation bounds the shuffle at groups × d² cells regardless of
+    * row count; everything pairwise happens on the groups×2080-row
+    * moment table (broadcast-joined), never between raw vectors. A new
+    * snapshot appends its own group's moments without touching old
+    * ones. */
+  val q209MmdDrift: QueryDef = QueryDef(
+    "q209_mmd_drift",
+    (s, dir) => {
+      val v = Tables.load(s, dir, "embeddings")
+        .select(col("label"), col("embedding").cast("array<double>").as("v"))
+      val cnt = v.groupBy(col("label"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      val mu = v.select(col("label"), posexplode(col("v")).as(Seq("i0", "x")))
+        .select(col("label"), (col("i0") + 1).as("i"), col("x"))
+        .groupBy(col("label"), col("i")).agg(sum(col("x")).as("sx"))
+        .join(broadcast(cnt), "label")
+        .select(col("label"), col("i"), (col("sx") / col("n")).as("m"))
+      val mom = v.select(col("label"), explode(expr(
+          """flatten(transform(sequence(1, 64), i ->
+            |  transform(sequence(i, 64), j ->
+            |    struct(i, j, element_at(v, i) * element_at(v, j) as xy))))""".stripMargin))
+          .as("p"))
+        .select(col("label"), col("p.i"), col("p.j"), col("p.xy"))
+        .groupBy(col("label"), col("i"), col("j")).agg(sum(col("xy")).as("sxy"))
+        .join(broadcast(cnt), "label")
+        .select(col("label"), col("i"), col("j"),
+          (col("sxy") / col("n")).as("mm"),
+          when(col("i") === col("j"), lit(1.0)).otherwise(lit(2.0)).as("wt"))
+      val meanD = mu.as("a").join(mu.as("b"),
+          col("a.i") === col("b.i") && col("a.label") < col("b.label"))
+        .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+        .agg(sum(pow(col("a.m") - col("b.m"), 2)).as("mean_dist2"))
+      val momD = mom.as("a").join(mom.as("b"),
+          col("a.i") === col("b.i") && col("a.j") === col("b.j") &&
+            col("a.label") < col("b.label"))
+        .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+        .agg(sum(col("a.wt") * pow(col("a.mm") - col("b.mm"), 2))
+          .as("moment_dist2"))
+      meanD.join(momD, Seq("label_a", "label_b"))
+        .select(col("label_a"), col("label_b"),
+          (round(col("mean_dist2"), 6) + lit(0.0)).as("mean_dist2"),
+          (round(col("moment_dist2"), 6) + lit(0.0)).as("moment_dist2"),
+          (round(col("moment_dist2") + lit(2.0) * col("mean_dist2"), 6)
+            + lit(0.0)).as("mmd2"))
+        .orderBy(col("label_a"), col("label_b"))
+    },
+    Some("""WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+      cnt AS (SELECT label, CAST(count(*) AS DOUBLE) AS n FROM e GROUP BY label),
+      mu AS (SELECT e.label, d.i AS i, sum(e.v[d.i]) / any_value(cnt.n) AS m
+        FROM e JOIN cnt ON e.label = cnt.label,
+          (SELECT unnest(range(1, 65)) AS i) d
+        GROUP BY e.label, d.i),
+      mo AS (SELECT e.label, a.i AS i, b.j AS j,
+          sum(e.v[a.i] * e.v[b.j]) / any_value(cnt.n) AS mm,
+          CASE WHEN a.i = b.j THEN 1.0 ELSE 2.0 END AS wt
+        FROM e JOIN cnt ON e.label = cnt.label,
+          (SELECT unnest(range(1, 65)) AS i) a,
+          (SELECT unnest(range(1, 65)) AS j) b
+        WHERE a.i <= b.j
+        GROUP BY e.label, a.i, b.j),
+      md AS (SELECT a.label AS label_a, b.label AS label_b,
+          sum((a.m - b.m) * (a.m - b.m)) AS mean_dist2
+        FROM mu a JOIN mu b ON a.i = b.i AND a.label < b.label
+        GROUP BY a.label, b.label),
+      od AS (SELECT a.label AS label_a, b.label AS label_b,
+          sum(a.wt * (a.mm - b.mm) * (a.mm - b.mm)) AS moment_dist2
+        FROM mo a JOIN mo b ON a.i = b.i AND a.j = b.j AND a.label < b.label
+        GROUP BY a.label, b.label)
+      SELECT md.label_a, md.label_b,
+        round(md.mean_dist2, 6) + 0.0 AS mean_dist2,
+        round(od.moment_dist2, 6) + 0.0 AS moment_dist2,
+        round(od.moment_dist2 + 2.0 * md.mean_dist2, 6) + 0.0 AS mmd2
+      FROM md JOIN od ON md.label_a = od.label_a AND md.label_b = od.label_b
+      ORDER BY md.label_a, md.label_b"""))
+
   val all: Seq[QueryDef] = Seq(
     q92Decontaminate, q93SplitAssign, q94DomainMix, q95SemanticDedup,
     q109ContamFraction, q122SourceOverlap, q127EmbeddingOutliers,
-    q132KnnClusters, q157Covariance)
+    q132KnnClusters, q157Covariance, q209MmdDrift)
 }

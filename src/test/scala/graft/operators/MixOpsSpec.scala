@@ -243,4 +243,35 @@ class MixOpsSpec extends SparkSpec {
     assert(r0.getLong(4) === a.intersect(b).size.toLong)
     assert(r0.getLong(2) === a.size.toLong && r0.getLong(3) === b.size.toLong)
   }
+
+  test("q209: MMD² decomposes as moment + 2·mean terms, non-negative, and replays exactly from the raw vectors") {
+    val rows = MixOps.q209MmdDrift.fn(spark, dir).collect()
+    assert(rows.length === 45, "10 labels → 45 unordered pairs")
+    rows.foreach { r =>
+      val (m2, o2, mmd) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(m2 >= 0.0 && o2 >= 0.0 && mmd >= 0.0)
+      // decomposition holds up to the two addends' own 1e-6 rounding
+      assert(math.abs(mmd - (o2 + 2.0 * m2)) < 3e-6)
+    }
+    // driver-side exact replay of one pair from the raw vectors
+    val vecs = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("label"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .groupBy(_._1).map { case (l, rs) => l -> rs.map(_._2) }
+    def mu(vs: Array[Array[Double]]): Array[Double] =
+      (0 until 64).map(i => vs.map(_(i)).sum / vs.length).toArray
+    def mom(vs: Array[Array[Double]]): Array[Array[Double]] =
+      (0 until 64).map(i => (0 until 64).map(j =>
+        vs.map(v => v(i) * v(j)).sum / vs.length).toArray).toArray
+    val (va, vb) = (vecs(0), vecs(1))
+    val (ma, mb) = (mu(va), mu(vb))
+    val meanD = (0 until 64).map(i => math.pow(ma(i) - mb(i), 2)).sum
+    val (oa, ob) = (mom(va), mom(vb))
+    val momD = (for (i <- 0 until 64; j <- 0 until 64)
+      yield math.pow(oa(i)(j) - ob(i)(j), 2)).sum
+    val r01 = rows.find(r => r.getInt(0) == 0 && r.getInt(1) == 1).get
+    assert(math.abs(r01.getDouble(2) - meanD) < 1e-5, "mean term replay")
+    assert(math.abs(r01.getDouble(3) - momD) < 1e-5, "moment term replay")
+  }
 }

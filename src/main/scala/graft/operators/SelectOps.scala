@@ -189,5 +189,109 @@ object SelectOps {
     },
     headline = false)
 
-  val all: Seq[QueryDef] = Seq(q203KCenterCoreset, q204PrioritySample)
+  // ---- q210: feature-based submodular greedy selection --------------------
+
+  private val SubmodK = 8 // greedy picks
+  private val SqrtScale = 1000000.0 // √-value lattice: Q(x) = ⌊√x·10⁶+½⌋
+
+  /** q210: feature-based submodular data selection (Wei, Iyer & Bilmes,
+    * ICML 2015): greedily maximize F(S) = Σ_w √(c_w(S)) where c_w(S)
+    * sums word w's term frequency over the selected docs — the
+    * concave-over-modular coverage objective that rewards NEW
+    * vocabulary and diminishes repeats (the "diverse subset" criterion
+    * k-center q203 expresses geometrically, here lexically). Each
+    * round picks argmax gain(d|S) = Σ_w [Q(c_w + tf_dw) − Q(c_w)]
+    * (tie → min doc_id) with Q(x) = ⌊√x · 10⁶ + ½⌋ — the √ values are
+    * quantized to an integer lattice, so every gain is an exact int64
+    * sum (order-free, engine-portable) and the greedy trajectory
+    * replays EXACTLY in the oracle, q207's discipline applied to
+    * submodular maximization. Greedy is (1−1/e)-optimal on monotone
+    * submodular F (Nemhauser et al. 1978), and lattice rounding
+    * perturbs each marginal by < 2⁻²⁰ relative — selection-invariant
+    * except on exact ties, which the doc_id order resolves.
+    *
+    * Scale: the (doc_id, word, tf) frame is built ONCE (one explode +
+    * one (doc_id, word)-keyed count, durable-staged). A round is one
+    * broadcast-hash join of that frame against the ≤ Σ_{sel}|doc|
+    * selected-state table, one (doc_id)-keyed partial agg, and a
+    * 1-row max-struct reduce; the winner's own tf rows (one doc) are
+    * fetched by a pushed-down point filter. Driver state is the
+    * selected docs' word counts — bounded by picks × doc vocabulary,
+    * independent of corpus size. K scans total, like all greedy
+    * selectors. */
+  val q210SubmodularSelect: QueryDef = QueryDef(
+    "q210_submodular_select",
+    (s, dir) => {
+      import s.implicits._
+      val tf = graft.Staging.materialize(
+        Tables.load(s, dir, "documents")
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+          .groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("tf")),
+        "submod_tf", "spark.graft.corpus.stagingDir")
+      def q(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        floor(sqrt(x.cast("double")) * SqrtScale + 0.5).cast("long")
+      val state = scala.collection.mutable.Map.empty[String, Long]
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+      (1 to SubmodK).foreach { r =>
+        val st = if (state.isEmpty)
+          Seq.empty[(String, Long)].toDF("word", "c")
+        else state.toSeq.toDF("word", "c")
+        val w = tf.filter(!col("doc_id").isin(selected.toSeq: _*))
+          .join(broadcast(st), Seq("word"), "left_outer")
+          .select(col("doc_id"),
+            (q(coalesce(col("c"), lit(0L)) + col("tf")) -
+              q(coalesce(col("c"), lit(0L)))).as("g"))
+          .groupBy(col("doc_id")).agg(sum(col("g")).as("gain"))
+          .agg(max(struct(col("gain"), (-col("doc_id")).as("nid"))).as("w"))
+          .head.getStruct(0)
+        val (gain, did) = (w.getLong(0), -w.getLong(1))
+        tf.filter(col("doc_id") === did).collect().foreach { row =>
+          val word = row.getString(1)
+          state(word) = state.getOrElse(word, 0L) + row.getLong(2)
+        }
+        selected += did
+        picks += ((r, did, gain / SqrtScale))
+      }
+      picks.toSeq.toDF("round", "doc_id", "gain").orderBy(col("round"))
+    },
+    Some {
+      val qx = (e: String) =>
+        s"CAST(floor(sqrt(CAST($e AS DOUBLE)) * ${SqrtScale} + 0.5) AS BIGINT)"
+      // every round-level CTE is MATERIALIZED: sel{r-1} is referenced
+      // three times per round, so letting DuckDB inline them would
+      // re-expand the whole prefix 3^K times
+      def round(r: Int): String =
+        s"""st$r AS MATERIALIZED (SELECT word, sum(tf) AS c FROM tf
+           |    WHERE doc_id IN (SELECT doc_id FROM sel${r - 1}) GROUP BY 1),
+           |g$r AS MATERIALIZED (SELECT tf.doc_id,
+           |    sum(${qx("coalesce(st.c, 0) + tf.tf")} -
+           |        ${qx("coalesce(st.c, 0)")}) AS gain
+           |  FROM tf LEFT JOIN st$r st USING (word)
+           |  WHERE tf.doc_id NOT IN (SELECT doc_id FROM sel${r - 1})
+           |  GROUP BY tf.doc_id),
+           |pick$r AS MATERIALIZED (SELECT doc_id, gain FROM g$r
+           |  ORDER BY gain DESC, doc_id LIMIT 1),
+           |sel$r AS MATERIALIZED (SELECT doc_id FROM sel${r - 1}
+           |  UNION ALL SELECT doc_id FROM pick$r)""".stripMargin
+      val rounds = (1 to SubmodK).map(round).mkString(",\n      ")
+      val out = (1 to SubmodK).map(r =>
+        s"SELECT $r AS round, doc_id, CAST(gain AS DOUBLE) / ${SqrtScale} AS gain FROM pick$r")
+        .mkString("\n      UNION ALL\n      ")
+      s"""WITH tf AS MATERIALIZED (SELECT doc_id, word, count(*) AS tf
+        FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+          FROM documents WHERE length(trim(text)) > 0)
+        GROUP BY 1, 2),
+      sel0 AS (SELECT CAST(NULL AS BIGINT) AS doc_id WHERE false),
+      $rounds
+      SELECT round, doc_id, gain FROM (
+      $out) ORDER BY round"""
+    },
+    headline = false)
+
+  val all: Seq[QueryDef] =
+    Seq(q203KCenterCoreset, q204PrioritySample, q210SubmodularSelect)
 }

@@ -69,4 +69,41 @@ class SelectOpsSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
     assert(!p.contains("Exchange"))
   }
+
+  test("q210: greedy gains are non-increasing and the trajectory replays from a driver-side integer greedy") {
+    val out = SelectOps.q210SubmodularSelect.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length === 8)
+    assert(out.map(_._2).distinct.length === 8, "no doc picked twice")
+    // submodularity: each later marginal can't beat an earlier one
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 + 1e-12,
+        s"gain must be non-increasing: round ${b._1} ${b._3} > ${a._3}")
+    }
+    // independent plain-Scala replay on the same lattice
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.trim.nonEmpty)
+    val tfs: Map[Long, Map[String, Long]] = docs.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").toSeq
+        .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    }.toMap
+    def q(x: Long): Long = math.floor(math.sqrt(x.toDouble) * 1e6 + 0.5).toLong
+    val state = scala.collection.mutable.Map.empty[String, Long]
+    val sel = scala.collection.mutable.Set.empty[Long]
+    val expect = (1 to 8).map { r =>
+      val (gain, did) = tfs.iterator.filterNot(kv => sel(kv._1)).map {
+        case (id, tf) =>
+          (tf.iterator.map { case (w, c) =>
+            val cw = state.getOrElse(w, 0L); q(cw + c) - q(cw)
+          }.sum, id)
+      }.maxBy { case (g, id) => (g, -id) }
+      tfs(did).foreach { case (w, c) =>
+        state(w) = state.getOrElse(w, 0L) + c }
+      sel += did
+      (r, did, gain / 1e6)
+    }
+    assert(out.toSeq === expect, "lattice greedy must replay EXACTLY")
+  }
 }

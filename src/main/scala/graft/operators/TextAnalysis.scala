@@ -679,8 +679,69 @@ object TextAnalysis {
       FROM pts p, fit f ORDER BY p.i"""),
     headline = false)
 
+  // ---------------------------------------------------------------
+  // q211: readability formulas (ARI / Coleman-Liau / Flesch)
+  // ---------------------------------------------------------------
+
+  /** Classic readability scores per document — Automated Readability
+    * Index (Senter & Smith 1967), Coleman-Liau (1975), and Flesch
+    * Reading Ease (1948, with the standard vowel-group syllable
+    * heuristic) — the audience-level gate an edu-quality curation pass
+    * (the FineWeb-Edu-style signal family) reads alongside q46's
+    * surface ratios. All three are closed-form ratios of FOUR integer
+    * counts (letters, words, sentences, vowel-group syllables), so the
+    * scores are a handful of correctly-rounded IEEE ops — exactly
+    * reproducible cross-engine, unlike model-based quality signals.
+    *
+    *   ARI    = 4.71·(L/W) + 0.5·(W/S) − 21.43
+    *   CLI    = 0.0588·(100·L/W) − 0.296·(100·S/W) − 15.8
+    *   Flesch = 206.835 − 1.015·(W/S) − 84.6·(Y/W)
+    *
+    * Sentences floor at 1 (a fragment is one sentence); docs with no
+    * word are filtered. Scale: a pure narrow projection — four
+    * regexp counters + arithmetic, zero shuffles, codegen end to end. */
+  val q211Readability: QueryDef = QueryDef(
+    "q211_readability",
+    (s, dir) => {
+      val w = size(tokens(col("text"))).cast("double")
+      val l = expr("regexp_count(text, '[A-Za-z]')").cast("double")
+      val sn = greatest(expr("regexp_count(text, '[.!?]+')"), lit(1))
+        .cast("double")
+      val y = expr("regexp_count(lower(text), '[aeiouy]+')").cast("double")
+      docs(s, dir)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), w.as("w"), l.as("l"), sn.as("sn"), y.as("y"))
+        .select(col("doc_id"),
+          col("w").cast("long").as("n_words"),
+          col("l").cast("long").as("n_letters"),
+          col("sn").cast("long").as("n_sents"),
+          col("y").cast("long").as("n_syll"),
+          (lit(4.71) * (col("l") / col("w")) +
+            lit(0.5) * (col("w") / col("sn")) - lit(21.43)).as("ari"),
+          (lit(0.0588) * (lit(100.0) * col("l") / col("w")) -
+            lit(0.296) * (lit(100.0) * col("sn") / col("w")) - lit(15.8))
+            .as("cli"),
+          (lit(206.835) - lit(1.015) * (col("w") / col("sn")) -
+            lit(84.6) * (col("y") / col("w"))).as("flesch"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH c AS (SELECT doc_id,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS w,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS l,
+        CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE) AS sn,
+        CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE) AS y
+      FROM documents WHERE length(trim(text)) > 0)
+      SELECT doc_id,
+        CAST(w AS BIGINT) AS n_words, CAST(l AS BIGINT) AS n_letters,
+        CAST(sn AS BIGINT) AS n_sents, CAST(y AS BIGINT) AS n_syll,
+        4.71 * (l / w) + 0.5 * (w / sn) - 21.43 AS ari,
+        0.0588 * (100.0 * l / w) - 0.296 * (100.0 * sn / w) - 15.8 AS cli,
+        206.835 - 1.015 * (w / sn) - 84.6 * (y / w) AS flesch
+      FROM c ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q45TokenCount, q46QualityScore, q47LangId, q48Fingerprint, q103Winnowing,
     q113CcnetNormalize, q123QualitySignals, q126GateSweep, q158Entropy,
-    q159ZipfFit, q163LexiconTag, q172TfidfKeywords, q181HeapsFit)
+    q159ZipfFit, q163LexiconTag, q172TfidfKeywords, q181HeapsFit,
+    q211Readability)
 }

@@ -270,4 +270,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.head.getDouble(4) < 0.2,
       "synthetic template corpus must NOT look like natural language")
   }
+
+  test("q211: readability formulas replay exactly from driver-side counts") {
+    val out = TextAnalysis.q211Readability.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).filter(_._2.trim.nonEmpty)
+    assert(docs.length === out.size)
+    docs.foreach { case (id, t) =>
+      val w = t.trim.split("\\s+").length.toDouble
+      val l = t.count(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')).toDouble
+      val sn = math.max("[.!?]+".r.findAllIn(t).length, 1).toDouble
+      val y = "[aeiouy]+".r.findAllIn(t.toLowerCase).length.toDouble
+      val r = out(id)
+      assert(r.getLong(1) === w.toLong && r.getLong(2) === l.toLong &&
+        r.getLong(3) === sn.toLong && r.getLong(4) === y.toLong,
+        s"count drift for doc $id")
+      assert(r.getDouble(5) === 4.71 * (l / w) + 0.5 * (w / sn) - 21.43)
+      assert(r.getDouble(6) ===
+        0.0588 * (100.0 * l / w) - 0.296 * (100.0 * sn / w) - 15.8)
+      assert(r.getDouble(7) === 206.835 - 1.015 * (w / sn) - 84.6 * (y / w))
+    }
+  }
 }

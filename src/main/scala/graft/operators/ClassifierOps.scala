@@ -385,7 +385,101 @@ object ClassifierOps {
       headline = false)
   }
 
+  // ---------------------------------------------------------------
+  // q212: χ² discriminative-token selection
+  // ---------------------------------------------------------------
+
+  /** χ² feature selection (Yang & Pedersen, ICML 1997 — the standard
+    * filter ranking for text classes): for every token t and the
+    * high/low-quality document classes (q207's Gopher-style gate), the
+    * one-degree-of-freedom chi-square of the 2×2 presence table
+    *
+    *   χ²(t) = N·(AD − CB)² / ((A+B)(C+D)(A+C)(B+D))
+    *
+    * with A/B = class-1/class-0 docs CONTAINING t, C/D the complements.
+    * The top-χ² tokens are the vocabulary a discriminative probe
+    * (q207) or NB scorer (q170) should spend its feature budget on —
+    * and the audit showing WHICH surface features separate the classes.
+    *
+    * Determinism: every cell is an exact int64; the statistic is one
+    * fixed-order double expression over them (products ≤ 2⁵³ except
+    * the final N·(…)² scaling, which is one correctly-rounded op in
+    * both engines) — so even raw doubles compare exactly.
+    *
+    * Scale: presence = one explode + distinct keyed by (doc, token);
+    * then ONE token-keyed count per class — the vocab-sized Heaps
+    * bound again; the 2-row class totals broadcast; the ranking is a
+    * TakeOrdered(30) over the vocab table, never a global sort. */
+  val q212Chi2Tokens: QueryDef = QueryDef(
+    "q212_chi2_tokens",
+    (s, dir) => {
+      val d = Tables.loadParallel(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+      val tk = split(lower(trim(col("text"))), "\\s+")
+      val labeled = d.select(col("doc_id"),
+        when(size(tk) >= 50 &&
+          size(filter(tk, w => w.isin("the", "a"))).cast("double") /
+            size(tk).cast("double") >= 0.05, 1L).otherwise(0L).as("y"),
+        array_distinct(tk).as("toks"))
+      val totals = labeled.groupBy(col("y"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val (n1, n0) = (totals.getOrElse(1L, 0L), totals.getOrElse(0L, 0L))
+      val nAll = (n1 + n0).toDouble
+      val cells = labeled
+        .select(col("y"), explode(col("toks")).as("token"))
+        .groupBy(col("token"))
+        .agg(sum(col("y")).as("a"),
+          sum(lit(1L) - col("y")).as("b"))
+      cells
+        .select(col("token"), col("a"), col("b"),
+          (lit(n1) - col("a")).as("c"), (lit(n0) - col("b")).as("d"))
+        // e = AD − CB squared by explicit multiply (pow(x,2) is only
+        // 1-ulp-accurate; x*x is the same exact op in both engines)
+        .withColumn("e",
+          col("a").cast("double") * col("d").cast("double") -
+            col("c").cast("double") * col("b").cast("double"))
+        .withColumn("chi2",
+          lit(nAll) * (col("e") * col("e")) /
+            ((col("a") + col("b")).cast("double") *
+              (col("c") + col("d")).cast("double") *
+              (col("a") + col("c")).cast("double") *
+              (col("b") + col("d")).cast("double")))
+        .drop("e")
+        .filter(col("a") + col("b") > 0 && col("a") + col("c") > 0 &&
+          col("b") + col("d") > 0 && col("c") + col("d") > 0)
+        .orderBy(col("chi2").desc, col("token"))
+        .limit(30)
+    },
+    Some("""WITH d AS (SELECT doc_id,
+          regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        FROM documents WHERE length(trim(text)) > 0),
+      lab AS (SELECT doc_id,
+          CASE WHEN len(tk) >= 50 AND
+            CAST(len(list_filter(tk, w -> w IN ('the', 'a'))) AS DOUBLE) /
+              CAST(len(tk) AS DOUBLE) >= 0.05
+          THEN 1 ELSE 0 END AS y, list_distinct(tk) AS toks FROM d),
+      tot AS (SELECT CAST(sum(y) AS BIGINT) AS n1,
+          CAST(sum(1 - y) AS BIGINT) AS n0 FROM lab),
+      cells AS (SELECT token, CAST(sum(y) AS BIGINT) AS a,
+          CAST(sum(1 - y) AS BIGINT) AS b
+        FROM (SELECT y, unnest(toks) AS token FROM lab) GROUP BY token),
+      pre AS (SELECT token, a, b, tot.n1 - a AS c, tot.n0 - b AS d,
+          CAST(tot.n1 + tot.n0 AS DOUBLE) AS nall,
+          CAST(a AS DOUBLE) * CAST(tot.n0 - b AS DOUBLE) -
+            CAST(tot.n1 - a AS DOUBLE) * CAST(b AS DOUBLE) AS e
+        FROM cells, tot),
+      x AS (SELECT token, a, b, c, d,
+          nall * (e * e) /
+            (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) *
+             CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)) AS chi2
+        FROM pre
+        WHERE a + b > 0 AND a + c > 0 AND b + d > 0 AND c + d > 0)
+      SELECT token, a, b, c, d, chi2 FROM x
+      ORDER BY chi2 DESC, token LIMIT 30"""),
+    headline = false)
+
   val all: Seq[QueryDef] =
     Seq(q170NbQuality, q177ParetoResample, q188SignalAgreement,
-      q207LinearProbe)
+      q207LinearProbe, q212Chi2Tokens)
 }

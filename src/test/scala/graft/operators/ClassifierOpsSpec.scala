@@ -133,4 +133,39 @@ class ClassifierOpsSpec extends SparkSpec {
     assert(grads(1) === grads(7),
       "a float-typed gradient would drift with partitioning; the lattice must not")
   }
+
+  test("q212: χ² replays exactly from driver-side contingency tables") {
+    val out = ClassifierOps.q212Chi2Tokens.fn(spark, dir).collect()
+    assert(out.length === 30)
+    // descending χ² with token tiebreak
+    out.sliding(2).foreach { case Array(p, q) =>
+      assert(p.getDouble(5) > q.getDouble(5) ||
+        (p.getDouble(5) == q.getDouble(5) && p.getString(0) < q.getString(0)))
+    }
+    // driver replay of the statistic
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getString(1)).filter(_.trim.nonEmpty)
+    val labeled = docs.map { t =>
+      val tk = t.trim.toLowerCase.split("\\s+")
+      val stop = tk.count(w => w == "the" || w == "a").toDouble
+      val y = tk.length >= 50 && stop / tk.length >= 0.05
+      (y, tk.toSet)
+    }
+    val n1 = labeled.count(_._1).toLong
+    val n0 = labeled.length - n1
+    out.foreach { r =>
+      val t = r.getString(0)
+      val a = labeled.count(l => l._1 && l._2(t)).toLong
+      val b = labeled.count(l => !l._1 && l._2(t)).toLong
+      assert(r.getLong(1) === a && r.getLong(2) === b, s"cells drift for '$t'")
+      val (c, d) = (n1 - a, n0 - b)
+      val e = a.toDouble * d.toDouble - c.toDouble * b.toDouble
+      val chi2 = (n1 + n0).toDouble * (e * e) /
+        ((a + b).toDouble * (c + d).toDouble *
+          (a + c).toDouble * (b + d).toDouble)
+      assert(r.getDouble(5) === chi2, s"chi2 drift for '$t'")
+      assert(chi2 >= 0.0 && chi2 <= (n1 + n0).toDouble + 1e-9)
+    }
+  }
 }

@@ -272,6 +272,97 @@ object ClusterOps {
       FROM scored GROUP BY cid ORDER BY cid"""),
     headline = false)
 
+  // ---------------------------------------------------------------
+  // q213: clustering-agreement audit (ARI + NMI vs labels)
+  // ---------------------------------------------------------------
+
+  /** External clustering validation — Adjusted Rand Index (Hubert &
+    * Arabie 1985) and Normalized Mutual Information (Strehl & Ghosh
+    * 2002, √(H·H) normalization) of the q174 k-means assignment
+    * against the embedding table's labels: the standard "did the
+    * unsupervised clusters recover the known classes" scorecard a
+    * curation pipeline reads before trusting cluster-level decisions
+    * (q175 pruning, q95 semantic dedup) at scale. Both indices are
+    * pure functions of the k×L CONTINGENCY TABLE, so the audit adds
+    * one (cid, label)-keyed count on top of the Lloyd assignment and
+    * then works on ≤ k·L cells.
+    *
+    * Determinism: pair counts C(n,2) are exact int64; ARI and NMI are
+    * double epilogues over ≤ k·L cells rounded at 6 (the aggregate
+    * house rule); the assignment itself is q174's bit-exact lattice
+    * Lloyd, and the oracle replays it via the SAME shared CTEs.
+    *
+    * Scale: the only corpus-sized work is the assignment (inherited)
+    * plus one count shuffle keyed by (cid, label); the index math
+    * runs on the k·L-cell table — driver-bounded by construction,
+    * exactly like q173's k-row replay. */
+  val q213ClusterAgreement: QueryDef = QueryDef(
+    "q213_cluster_agreement",
+    (s, dir) => {
+      import s.implicits._
+      val (assigned, _) = lloyd(s, dir)
+      val ct = assigned.select(col("vec_id"), col("cid"))
+        .join(Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("label")), "vec_id")
+        .groupBy(col("cid"), col("label")).agg(count(lit(1)).as("nij"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .sortBy(c => (c._1, c._2))
+      val n = ct.map(_._3).sum
+      val aMarg = ct.groupBy(_._1).map { case (_, g) => g.map(_._3).sum }
+      val bMarg = ct.groupBy(_._2).map { case (_, g) => g.map(_._3).sum }
+      def comb2(x: Long): Long = x * (x - 1) / 2
+      val sij = ct.map(c => comb2(c._3)).sum
+      val sa = aMarg.map(comb2).sum
+      val sb = bMarg.map(comb2).sum
+      val cn2 = comb2(n).toDouble
+      val expIdx = sa.toDouble * sb.toDouble / cn2
+      val ari = (sij.toDouble - expIdx) /
+        ((sa.toDouble + sb.toDouble) / 2.0 - expIdx)
+      val aOf = ct.groupBy(_._1).map { case (k, g) => k -> g.map(_._3).sum }
+      val bOf = ct.groupBy(_._2).map { case (k, g) => k -> g.map(_._3).sum }
+      val nd = n.toDouble
+      val mi = ct.map { case (ci, lb, nij) =>
+        (nij / nd) * math.log(nd * nij / (aOf(ci).toDouble * bOf(lb).toDouble))
+      }.sum
+      val hu = -aMarg.map(a => (a / nd) * math.log(a / nd)).sum
+      val hv = -bMarg.map(b => (b / nd) * math.log(b / nd)).sum
+      val nmi = mi / math.sqrt(hu * hv)
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((n, sij, sa, sb, r6(ari), r6(nmi)))
+        .toDF("n", "sum_comb_ij", "sum_comb_a", "sum_comb_b", "ari", "nmi")
+    },
+    Some(s"""WITH $lloydSqlCtes,
+      ct AS (SELECT a${Rounds + 1}.cid, e.label, count(*) AS nij
+        FROM a${Rounds + 1} JOIN embeddings e USING (vec_id)
+        GROUP BY 1, 2),
+      ma AS (SELECT cid, CAST(sum(nij) AS BIGINT) AS a FROM ct GROUP BY 1),
+      mb AS (SELECT label, CAST(sum(nij) AS BIGINT) AS b FROM ct GROUP BY 1),
+      tot AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM ct),
+      cmb AS (SELECT
+          CAST(sum((nij * (nij - 1)) // 2) AS BIGINT) AS sij FROM ct),
+      ca AS (SELECT CAST(sum((a * (a - 1)) // 2) AS BIGINT) AS sa FROM ma),
+      cb AS (SELECT CAST(sum((b * (b - 1)) // 2) AS BIGINT) AS sb FROM mb),
+      mi AS (SELECT sum((CAST(nij AS DOUBLE) / tot.n) *
+          ln(CAST(tot.n AS DOUBLE) * nij / (CAST(ma.a AS DOUBLE) * mb.b))) AS mi
+        FROM ct JOIN ma USING (cid) JOIN mb USING (label), tot),
+      hu AS (SELECT -sum((CAST(a AS DOUBLE) / tot.n) *
+          ln(CAST(a AS DOUBLE) / tot.n)) AS h FROM ma, tot),
+      hv AS (SELECT -sum((CAST(b AS DOUBLE) / tot.n) *
+          ln(CAST(b AS DOUBLE) / tot.n)) AS h FROM mb, tot)
+      SELECT tot.n, cmb.sij AS sum_comb_ij, ca.sa AS sum_comb_a,
+        cb.sb AS sum_comb_b,
+        round((cmb.sij - CAST(ca.sa AS DOUBLE) * cb.sb /
+            (CAST(tot.n AS DOUBLE) * (tot.n - 1) / 2.0)) /
+          ((CAST(ca.sa AS DOUBLE) + cb.sb) / 2.0 -
+            CAST(ca.sa AS DOUBLE) * cb.sb /
+            (CAST(tot.n AS DOUBLE) * (tot.n - 1) / 2.0)), 6) AS ari,
+        round(mi.mi / sqrt(hu.h * hv.h), 6) AS nmi
+      FROM tot, cmb, ca, cb, mi, hu, hv"""),
+    headline = false)
+
   val all: Seq[QueryDef] =
-    Seq(q174KmeansClusters, q175PrototypePrune, q182Silhouette)
+    Seq(q174KmeansClusters, q175PrototypePrune, q182Silhouette,
+      q213ClusterAgreement)
 }

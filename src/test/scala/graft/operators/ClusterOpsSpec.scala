@@ -93,4 +93,37 @@ class ClusterOpsSpec extends SparkSpec {
     }
     assert(rows.map(_.getLong(1)).sum === 500L, "partition must cover the corpus")
   }
+
+  test("q213: ARI matches an independent pair-counting computation; bounds hold") {
+    val r = ClusterOps.q213ClusterAgreement.fn(spark, dir).head()
+    val (ari, nmi) = (r.getDouble(4), r.getDouble(5))
+    assert(ari >= -1.0 && ari <= 1.0)
+    assert(nmi >= 0.0 && nmi <= 1.0 + 1e-9)
+    // independent ARI: O(n²) pair counting over the same assignment
+    val asg = ClusterOps.lloyd(spark, dir)._1
+      .select(col("vec_id"), col("cid")).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val lbl = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(x => x.getLong(0) -> x.getInt(1)).toMap
+    val ids = asg.keys.toArray.sorted
+    var (n11, n00, n10, n01) = (0L, 0L, 0L, 0L)
+    for (i <- ids.indices; j <- (i + 1) until ids.length) {
+      val sameU = asg(ids(i)) == asg(ids(j))
+      val sameV = lbl(ids(i)) == lbl(ids(j))
+      if (sameU && sameV) n11 += 1
+      else if (!sameU && !sameV) n00 += 1
+      else if (sameU) n10 += 1
+      else n01 += 1
+    }
+    val pairAri = 2.0 * (n11.toDouble * n00 - n10.toDouble * n01) /
+      ((n11.toDouble + n10) * (n10.toDouble + n00) +
+        (n11.toDouble + n01) * (n01.toDouble + n00))
+    assert(math.abs(ari - pairAri) < 1e-6,
+      s"contingency ARI $ari vs pair-counting ARI $pairAri")
+    // the pair-count identities also pin the comb sums the query reports
+    assert(r.getLong(1) === n11, "sum_comb_ij = pairs together in both")
+    assert(r.getLong(2) === n11 + n10, "sum_comb_a = same-cluster pairs")
+    assert(r.getLong(3) === n11 + n01, "sum_comb_b = same-label pairs")
+  }
 }

@@ -479,7 +479,92 @@ object ClassifierOps {
       ORDER BY chi2 DESC, token LIMIT 30"""),
     headline = false)
 
+  // ---------------------------------------------------------------
+  // q214: exact ROC-AUC / average precision of the quality scorer
+  // ---------------------------------------------------------------
+
+  /** Exact threshold-free evaluation of the q170 NB quality scorer
+    * against its own seed labeling — ROC-AUC via the Mann-Whitney
+    * rank identity (Hanley & McNeil 1982; ties counted ½) and
+    * Average Precision in the step-wise interpolation scikit-learn
+    * standardized — the classifier scorecard a curation pipeline
+    * reads before trusting a keep threshold, computed EXACTLY rather
+    * than from sampled curves:
+    *
+    *   AUC = [Σ_s np_s·(cum nn below s) + ½·np_s·nn_s] / (N₁·N₀)
+    *   AP  = Σ_s (np_s/N₁) · cumTP_s/(cumTP_s + cumFP_s)   (s desc)
+    *
+    * The trick that makes "exact" scale: group BY SCORE first — the
+    * rank/cumulative windows then run over the DISTINCT-SCORE table
+    * (grid-bounded: quality_lr is rounded to 1e-6), never over the
+    * corpus. This is q166's boundary-window discipline applied to
+    * classifier evaluation: one score-keyed count shuffle at corpus
+    * scale, window + epilogue on the threshold table.
+    *
+    * Determinism: np/nn cells are exact int64; both statistics are
+    * fixed-order double epilogues rounded at 6 (aggregate rule). */
+  val q214AucAudit: QueryDef = QueryDef(
+    "q214_auc_audit",
+    (s, dir) => {
+      val d = Tables.loadParallel(s, dir, "documents")
+      val scored = nbQualityOf(d, SeedSources)
+        .join(d.select(col("doc_id"),
+          col("source").isin(SeedSources: _*).as("pos")), "doc_id")
+      val grid = scored.groupBy(col("quality_lr").as("score"))
+        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+          sum(when(col("pos"), 0L).otherwise(1L)).as("nn"))
+      val wAsc = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val wDesc = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      grid
+        .withColumn("cum_nn_below", coalesce(sum(col("nn")).over(wAsc), lit(0L)))
+        .withColumn("cum_tp", sum(col("np")).over(wDesc))
+        .withColumn("cum_fp", sum(col("nn")).over(wDesc))
+        .withColumn("tot_np", sum(col("np")).over(wAll))
+        .agg(
+          sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+          count(lit(1)).as("n_thresholds"),
+          round((sum(col("np").cast("double") * col("cum_nn_below") +
+              lit(0.5) * col("np") * col("nn")) /
+            (sum(col("np")) * sum(col("nn"))).cast("double")), 6).as("auc"),
+          round(sum((col("np").cast("double") / col("tot_np")) *
+            (col("cum_tp").cast("double") /
+              (col("cum_tp") + col("cum_fp")).cast("double"))), 6).as("ap"))
+    },
+    Some(s"""WITH $nbSqlCtes,
+      scored AS (SELECT n.doc_id, n.quality_lr AS score,
+          d.source IN ('src0', 'src1', 'src2') AS pos
+        FROM nbscore n JOIN documents d USING (doc_id)),
+      grid AS (SELECT score,
+          CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+          CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        FROM scored GROUP BY score),
+      win AS (SELECT score, np, nn,
+          CAST(coalesce(sum(nn) OVER (ORDER BY score
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS cum_nn_below,
+          CAST(sum(np) OVER (ORDER BY score DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tp,
+          CAST(sum(nn) OVER (ORDER BY score DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_fp
+        FROM grid)
+      SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+        CAST(sum(nn) AS BIGINT) AS n_neg,
+        CAST(count(*) AS BIGINT) AS n_thresholds,
+        round(sum(CAST(np AS DOUBLE) * cum_nn_below + 0.5 * np * nn) /
+          (CAST(sum(np) AS DOUBLE) * sum(nn)), 6) AS auc,
+        round(sum((CAST(np AS DOUBLE) / (SELECT sum(np) FROM grid)) *
+          (CAST(cum_tp AS DOUBLE) / CAST(cum_tp + cum_fp AS DOUBLE))), 6) AS ap
+      FROM win"""),
+    headline = false)
+
   val all: Seq[QueryDef] =
     Seq(q170NbQuality, q177ParetoResample, q188SignalAgreement,
-      q207LinearProbe, q212Chi2Tokens)
+      q207LinearProbe, q212Chi2Tokens, q214AucAudit)
 }

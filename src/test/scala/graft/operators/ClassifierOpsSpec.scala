@@ -168,4 +168,27 @@ class ClassifierOpsSpec extends SparkSpec {
       assert(chi2 >= 0.0 && chi2 <= (n1 + n0).toDouble + 1e-9)
     }
   }
+
+  test("q214: AUC matches brute-force pair counting and the scorer separates its classes") {
+    val r = ClassifierOps.q214AucAudit.fn(spark, dir).head()
+    val (auc, ap) = (r.getDouble(3), r.getDouble(4))
+    assert(auc >= 0.0 && auc <= 1.0 && ap >= 0.0 && ap <= 1.0)
+    assert(auc > 0.5, "the NB scorer must separate its own seed classes")
+    // brute-force AUC over all pos-neg score pairs
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val scored = ClassifierOps
+      .nbQualityOf(docs, Seq("src0", "src1", "src2"))
+      .join(docs.select(col("doc_id"),
+        col("source").isin("src0", "src1", "src2").as("pos")), "doc_id")
+      .select(col("quality_lr"), col("pos")).collect()
+      .map(x => (x.getDouble(0), x.getBoolean(1)))
+    val ps = scored.filter(_._2).map(_._1)
+    val ns = scored.filterNot(_._2).map(_._1)
+    assert(r.getLong(0) === ps.length.toLong && r.getLong(1) === ns.length.toLong)
+    var s = 0.0
+    for (p <- ps; n <- ns)
+      s += (if (p > n) 1.0 else if (p == n) 0.5 else 0.0)
+    val brute = s / (ps.length.toDouble * ns.length)
+    assert(math.abs(auc - brute) < 1e-6, s"grouped AUC $auc vs brute $brute")
+  }
 }

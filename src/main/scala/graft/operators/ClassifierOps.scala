@@ -564,7 +564,62 @@ object ClassifierOps {
       FROM win"""),
     headline = false)
 
+  // ---------------------------------------------------------------
+  // q215: calibration audit (reliability bins + ECE)
+  // ---------------------------------------------------------------
+
+  /** Expected Calibration Error with a 10-bin reliability table
+    * (Naeini et al. AAAI 2015; Guo et al. ICML 2017) for the NB
+    * posterior q177 thresholds: per equal-width confidence bin, the
+    * mean predicted probability vs the observed positive rate, and
+    *
+    *   ECE = Σ_b (n_b/N) · |acc_b − conf_b|
+    *
+    * A well-calibrated scorer's keep threshold means what it says; a
+    * miscalibrated one silently shifts the effective keep rate — the
+    * audit to read BEFORE picking q177's Pareto threshold.
+    *
+    * Determinism: the posterior is rounded at 6 (q177's convention)
+    * BEFORE binning, so bin membership is exact; conf/acc are rounded
+    * aggregates, and ECE is computed from the rounded bin values.
+    *
+    * Scale: one narrow projection over the q170 scoring pass + one
+    * 10-row groupBy — nothing new shuffles; the ECE epilogue is a
+    * 1-row cross join back onto the bin table. */
+  val q215CalibrationEce: QueryDef = QueryDef(
+    "q215_calibration_ece",
+    (s, dir) => {
+      val d = Tables.loadParallel(s, dir, "documents")
+      val scored = nbQualityOf(d, SeedSources)
+        .join(d.select(col("doc_id"),
+          col("source").isin(SeedSources: _*).as("pos")), "doc_id")
+        .withColumn("p",
+          round(expr("1.0 / (1.0 + exp(-(quality_lr * n_toks)))"), 6))
+        .withColumn("bin", least(floor(col("p") * 10).cast("long"), lit(9L)))
+      val bins = scored.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("p")), 6).as("conf"),
+          round(avg(when(col("pos"), 1.0).otherwise(0.0)), 6).as("acc"))
+      val ece = bins.agg(round(
+        sum(col("n").cast("double") * abs(col("acc") - col("conf"))) /
+          sum(col("n")).cast("double"), 6).as("ece"))
+      bins.crossJoin(broadcast(ece)).orderBy(col("bin"))
+    },
+    Some(s"""WITH $nbSqlCtes,
+      sc AS (SELECT n.doc_id,
+          round(1.0 / (1.0 + exp(-(n.quality_lr * n.n_toks))), 6) AS p,
+          d.source IN ('src0', 'src1', 'src2') AS pos
+        FROM nbscore n JOIN documents d USING (doc_id)),
+      b AS (SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+          CAST(count(*) AS BIGINT) AS n,
+          round(avg(p), 6) AS conf,
+          round(avg(CASE WHEN pos THEN 1.0 ELSE 0.0 END), 6) AS acc
+        FROM sc GROUP BY 1),
+      e AS (SELECT round(sum(n * abs(acc - conf)) / sum(n), 6) AS ece FROM b)
+      SELECT b.bin, b.n, b.conf, b.acc, e.ece FROM b, e ORDER BY b.bin"""),
+    headline = false)
+
   val all: Seq[QueryDef] =
     Seq(q170NbQuality, q177ParetoResample, q188SignalAgreement,
-      q207LinearProbe, q212Chi2Tokens, q214AucAudit)
+      q207LinearProbe, q212Chi2Tokens, q214AucAudit, q215CalibrationEce)
 }

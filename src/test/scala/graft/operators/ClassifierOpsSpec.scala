@@ -191,4 +191,25 @@ class ClassifierOpsSpec extends SparkSpec {
     val brute = s / (ps.length.toDouble * ns.length)
     assert(math.abs(auc - brute) < 1e-6, s"grouped AUC $auc vs brute $brute")
   }
+
+  test("q215: reliability bins partition the corpus; ECE is the weighted gap") {
+    val rows = ClassifierOps.q215CalibrationEce.fn(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val nDocs = graft.Tables.load(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0).count()
+    assert(rows.map(_.getLong(1)).sum === nDocs, "bins must cover every scored doc")
+    rows.foreach { r =>
+      val (bin, conf, acc) = (r.getLong(0), r.getDouble(2), r.getDouble(3))
+      assert(bin >= 0 && bin <= 9)
+      assert(conf >= bin / 10.0 - 1e-9 && conf <= (bin + 1) / 10.0 + 1e-9 ||
+        bin == 9, s"bin $bin mean confidence $conf outside its bin")
+      assert(acc >= 0.0 && acc <= 1.0)
+    }
+    val ece = rows.head.getDouble(4)
+    val expect = rows.map(r => r.getLong(1).toDouble *
+      math.abs(r.getDouble(3) - r.getDouble(2))).sum / rows.map(_.getLong(1)).sum
+    assert(math.abs(ece - expect) < 1e-6)
+    assert(rows.map(_.getDouble(4)).distinct.length === 1,
+      "ECE column is a single broadcast value")
+  }
 }

@@ -1479,9 +1479,71 @@ object LmOps {
       ORDER BY si.doc_id"""),
     headline = false)
 
+  // ---------------------------------------------------------------
+  // q216: Good-Turing missing-mass audit
+  // ---------------------------------------------------------------
+
+  /** Per-source Good-Turing vocabulary audit (Good 1953; the simple-GT
+    * reading of Gale & Sampson 1995): from each source's token
+    * frequency spectrum, the leave-one-out estimate of the probability
+    * mass on UNSEEN types,
+    *
+    *   P₀ = N₁/N   (N₁ = hapax count, N = tokens)
+    *
+    * plus the GT-adjusted singleton count r* = 2·N₂/N₁ — the "how much
+    * vocabulary has this source not shown us yet" number that tells a
+    * crawl scheduler which sources still pay for more ingest (the
+    * per-source dual of q129's dedup-saturation curve, on types
+    * instead of documents; also exactly the smoothing mass a Katz/GT
+    * LM would reserve). A source with high missing mass is
+    * under-sampled; one near zero is exhausted.
+    *
+    * Scale: ONE (source, token)-keyed count — vocab-sized per source
+    * by Heaps' law — then a source-keyed rollup of the spectrum;
+    * the corpus is scanned once and never self-joined. */
+  val q216GoodTuring: QueryDef = QueryDef(
+    "q216_good_turing",
+    (s, dir) => {
+      val counts = docs(s, dir)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      counts.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
+        .select(col("source"), col("n_tokens"), col("vocab"), col("n1"),
+          col("n2"),
+          round(col("n1").cast("double") / col("n_tokens"), 6)
+            .as("missing_mass"),
+          when(col("n1") > 0,
+            round(lit(2.0) * col("n2") / col("n1"), 6)).as("r_star"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH cnt AS (SELECT source, tok, count(*) AS c
+        FROM (SELECT source,
+            unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+          FROM documents WHERE length(trim(text)) > 0)
+        GROUP BY 1, 2)
+      SELECT source,
+        CAST(sum(c) AS BIGINT) AS n_tokens,
+        CAST(count(*) AS BIGINT) AS vocab,
+        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+          sum(c), 6) AS missing_mass,
+        CASE WHEN sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) > 0 THEN
+          round(2.0 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) /
+            sum(CASE WHEN c = 1 THEN 1 ELSE 0 END), 6)
+        END AS r_star
+      FROM cnt GROUP BY source ORDER BY source"""),
+    headline = false)
+
   val all: Seq[QueryDef] =
     Seq(q96LmPerplexity, q97Bm25, q98DupSpans, q99HybridRrf, q101Dsir,
       q102CcnetBuckets, q106DedupAudit, q107MaxDupSpans, q108KnPerplexity,
       q114DataCard, q150ExactSubstrRewrite, q162SourceKl, q173DoremiWeights,
-      q187WorstWindow, q189ModelPrune, q208MooreLewis)
+      q187WorstWindow, q189ModelPrune, q208MooreLewis, q216GoodTuring)
 }

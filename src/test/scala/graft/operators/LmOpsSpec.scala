@@ -427,4 +427,26 @@ class LmOpsSpec extends SparkSpec {
     assert(mean(inDom) < mean(rest),
       "in-domain docs must average a lower cross-entropy difference")
   }
+
+  test("q216: the frequency spectrum replays from a driver-side count; missing mass bounded") {
+    val rows = LmOps.q216GoodTuring.fn(spark, dir).collect()
+    assert(rows.length === 20, "one row per source")
+    val byToken = graft.Tables.load(spark, dir, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1))).filter(_._2.trim.nonEmpty)
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val toks = byToken(src).flatMap(_._2.trim.toLowerCase.split("\\s+"))
+      val spectrum = toks.groupBy(identity).map(_._2.length)
+      assert(r.getLong(1) === toks.length.toLong, s"$src token count")
+      assert(r.getLong(2) === spectrum.size.toLong, s"$src vocab")
+      assert(r.getLong(3) === spectrum.count(_ == 1).toLong, s"$src hapaxes")
+      assert(r.getLong(4) === spectrum.count(_ == 2).toLong, s"$src doubletons")
+      val mm = r.getDouble(5)
+      assert(mm >= 0.0 && mm < 1.0)
+      assert(math.abs(mm - BigDecimal(spectrum.count(_ == 1).toDouble / toks.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
 }

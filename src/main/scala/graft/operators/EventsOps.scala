@@ -677,9 +677,103 @@ object EventsOps {
       ORDER BY event_type, hour"""),
     headline = false)
 
+  // ---------------------------------------------------------------
+  // q217: Mann-Kendall trend test on the daily event series
+  // ---------------------------------------------------------------
+
+  /** Mann-Kendall nonparametric trend test (Mann 1945; Kendall 1975)
+    * per event type over the daily event-count series — the standard
+    * "is ingest volume actually trending or just noisy" monitor for an
+    * operational pipeline, distribution-free so it needs no model of
+    * the counts:
+    *
+    *   S = Σ_{i<j} sign(x_j − x_i),
+    *   Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18  (tie-corrected)
+    *   Z = (S∓1)/√Var(S)  (continuity-corrected; 0 when S = 0)
+    *
+    * with |Z| > 1.96 flagging a significant trend at 5%.
+    *
+    * Determinism: S and the tie spectrum are exact int64; Z is one
+    * fixed-order double chain rounded at 6 (aggregate rule).
+    *
+    * Scale: the event stream reduces FIRST to the (type, day) count
+    * table — days², not events², bounds the pairwise stage, exactly
+    * like q136's cohort matrix; the sign-pair join and tie rollup run
+    * on that bounded table, so a year of data is a 365-row series per
+    * type regardless of event volume. */
+  val q217MannKendall: QueryDef = QueryDef(
+    "q217_mann_kendall",
+    (s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val pairs = daily.as("a").join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.day") < col("b.day"))
+        .groupBy(col("a.event_type").as("event_type"))
+        .agg(sum(signum(col("b.x") - col("a.x")).cast("long")).as("s_stat"))
+      val nDays = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val ties = daily.groupBy(col("event_type"), col("x"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+          .as("tie_term"))
+      pairs.join(nDays, "event_type").join(ties, "event_type")
+        .withColumn("var_s",
+          (col("n").cast("double") * (col("n") - 1) * (lit(2) * col("n") + 5) -
+            col("tie_term").cast("double")) / lit(18.0))
+        .select(col("event_type"), col("n"), col("s_stat"),
+          round(col("var_s"), 6).as("var_s"),
+          round(when(col("s_stat") > 0,
+              (col("s_stat").cast("double") - 1) / sqrt(col("var_s")))
+            .when(col("s_stat") < 0,
+              (col("s_stat").cast("double") + 1) / sqrt(col("var_s")))
+            .otherwise(lit(0.0)), 6).as("z"),
+          when(abs(when(col("s_stat") > 0,
+              (col("s_stat").cast("double") - 1) / sqrt(col("var_s")))
+            .when(col("s_stat") < 0,
+              (col("s_stat").cast("double") + 1) / sqrt(col("var_s")))
+            .otherwise(lit(0.0))) > 1.96,
+            when(col("s_stat") > 0, "increasing").otherwise("decreasing"))
+            .otherwise("none").as("trend"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+      pairs AS (SELECT a.event_type,
+          CAST(sum(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1
+            ELSE 0 END) AS BIGINT) AS s_stat
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day
+        GROUP BY 1),
+      nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM daily GROUP BY 1),
+      ties AS (SELECT event_type,
+          CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        FROM (SELECT event_type, x, CAST(count(*) AS BIGINT) AS t
+          FROM daily GROUP BY 1, 2) g GROUP BY 1),
+      v AS (SELECT p.event_type, nd.n, p.s_stat,
+          (CAST(nd.n AS DOUBLE) * (nd.n - 1) * (2 * nd.n + 5) -
+            CAST(ties.tie_term AS DOUBLE)) / 18.0 AS var_s
+        FROM pairs p JOIN nd USING (event_type) JOIN ties USING (event_type)),
+      z AS (SELECT event_type, n, s_stat, var_s,
+          CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1) / sqrt(var_s)
+               WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1) / sqrt(var_s)
+               ELSE 0.0 END AS zv
+        FROM v)
+      SELECT event_type, n, s_stat, round(var_s, 6) AS var_s,
+        round(zv, 6) AS z,
+        CASE WHEN abs(zv) > 1.96 THEN
+          CASE WHEN s_stat > 0 THEN 'increasing' ELSE 'decreasing' END
+        ELSE 'none' END AS trend
+      FROM z ORDER BY event_type"""),
+    headline = false)
+
   val all: Seq[QueryDef] = Seq(
     q60Sessionize, q61AsofJoin, q62RangeJoin, q63Pivot, q64Cube,
     q135Funnel, q136Retention, q137Transitions, q138SlidingWindows,
     q139AsofNative, q149AsofTolerance, q180RateAnomaly, q193RetentionHalfLife,
-    q194FunnelLatency, q196LastTouch)
+    q194FunnelLatency, q196LastTouch, q217MannKendall)
 }

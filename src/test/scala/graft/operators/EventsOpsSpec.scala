@@ -187,4 +187,41 @@ class EventsOpsSpec extends SparkSpec {
       .select("touch_id").collect()
     assert(j2(0).getLong(0) === 9L)
   }
+
+  test("q217: S statistic replays from a driver-side pair count; a crafted monotone series flags") {
+    val rows = EventsOps.q217MannKendall.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val xs = daily(et).sortBy(_._2).map(_._3)
+      assert(r.getLong(1) === xs.length.toLong)
+      var sStat = 0L
+      for (i <- xs.indices; j <- (i + 1) until xs.length)
+        sStat += java.lang.Long.signum(xs(j) - xs(i))
+      assert(r.getLong(2) === sStat, s"S drift for $et")
+      val n = xs.length.toDouble
+      val tie = xs.groupBy(identity).values
+        .map(g => g.length.toDouble * (g.length - 1) * (2 * g.length + 5)).sum
+      val varS = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+      val z = if (sStat > 0) (sStat - 1) / math.sqrt(varS)
+        else if (sStat < 0) (sStat + 1) / math.sqrt(varS) else 0.0
+      assert(math.abs(r.getDouble(4) - z) < 1e-6, s"Z drift for $et")
+      assert(r.getString(5) ===
+        (if (math.abs(z) > 1.96) { if (sStat > 0) "increasing" else "decreasing" }
+         else "none"))
+    }
+    // sanity: a strictly increasing 30-day series must flag as increasing
+    val xs = (1L to 30L).toArray
+    var sPos = 0L
+    for (i <- xs.indices; j <- (i + 1) until xs.length)
+      sPos += java.lang.Long.signum(xs(j) - xs(i))
+    val varPos = (30.0 * 29 * 65) / 18.0
+    assert((sPos - 1) / math.sqrt(varPos) > 1.96)
+  }
 }

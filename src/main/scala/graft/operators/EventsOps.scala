@@ -771,9 +771,96 @@ object EventsOps {
       FROM z ORDER BY event_type"""),
     headline = false)
 
+  // ---------------------------------------------------------------
+  // q218: CUSUM changepoint detection on the daily event series
+  // ---------------------------------------------------------------
+
+  /** Offline CUSUM changepoint test (Page 1954's statistic in the
+    * retrospective mean-shift form; the sup-of-Brownian-bridge
+    * normalization of MacNeill 1974) per event type: with daily counts
+    * x₁..x_n and mean x̄,
+    *
+    *   C_k = Σ_{i≤k}(x_i − x̄),  k* = argmax_k |C_k|,
+    *   T = max_k |C_k| / (σ·√n)
+    *
+    * T exceeding 1.358 (the 5% Kolmogorov-Smirnov critical value the
+    * bridge limit shares) flags a mean shift, and k* estimates WHERE
+    * the level changed — the q217 trend test's complement: q217 asks
+    * "is it drifting", this asks "did it jump, and when" (an ingest
+    * regression, a connector losing a shard, a source turning off).
+    *
+    * Determinism: daily counts and cum sums are exact int64;
+    * C_k = cum_k − k·(Σx/n) is a fixed-order double chain; the argmax
+    * ranks on (|C_k| desc, day) — a total order.
+    *
+    * Scale: identical posture to q217 — events reduce to the
+    * days-bounded (type, day) table first; the cumulative window,
+    * stats, and argmax all run per type on that table (365 rows/year),
+    * independent of event volume. */
+  val q218CusumChangepoint: QueryDef = QueryDef(
+    "q218_cusum_changepoint",
+    (s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val stats = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("mean", col("sx").cast("double") / col("n"))
+        .withColumn("sd", sqrt(col("sxx").cast("double") / col("n") -
+          (col("sx").cast("double") / col("n")) *
+            (col("sx").cast("double") / col("n"))))
+      val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val c = daily
+        .withColumn("k", row_number().over(byDay).cast("long"))
+        .withColumn("cum", sum(col("x")).over(byDay))
+        .join(stats, "event_type")
+        .withColumn("c_k", col("cum").cast("double") -
+          col("k").cast("double") * col("mean"))
+      val ranked = c.withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(abs(col("c_k")).desc, col("day"))))
+      ranked.filter(col("rn") === 1)
+        .select(col("event_type"), col("n"), col("day").as("cp_day"),
+          col("k").as("cp_k"),
+          round(abs(col("c_k")), 6).as("max_abs_c"),
+          round(abs(col("c_k")) / (col("sd") * sqrt(col("n").cast("double"))), 6)
+            .as("t_stat"),
+          (abs(col("c_k")) / (col("sd") * sqrt(col("n").cast("double"))) >
+            1.358).as("shifted"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+      st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM daily GROUP BY 1),
+      st2 AS (SELECT *, CAST(sx AS DOUBLE) / n AS mean,
+          sqrt(CAST(sxx AS DOUBLE) / n -
+            (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) AS sd
+        FROM st),
+      c AS (SELECT d.event_type, d.day,
+          CAST(row_number() OVER (PARTITION BY d.event_type ORDER BY d.day)
+            AS BIGINT) AS k,
+          CAST(sum(d.x) OVER (PARTITION BY d.event_type ORDER BY d.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+          s.n, s.mean, s.sd
+        FROM daily d JOIN st2 s USING (event_type)),
+      ck AS (SELECT *, CAST(cum AS DOUBLE) - CAST(k AS DOUBLE) * mean AS c_k
+        FROM c),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+          ORDER BY abs(c_k) DESC, day) AS rn FROM ck)
+      SELECT event_type, n, day AS cp_day, k AS cp_k,
+        round(abs(c_k), 6) AS max_abs_c,
+        round(abs(c_k) / (sd * sqrt(CAST(n AS DOUBLE))), 6) AS t_stat,
+        abs(c_k) / (sd * sqrt(CAST(n AS DOUBLE))) > 1.358 AS shifted
+      FROM rk WHERE rn = 1 ORDER BY event_type"""),
+    headline = false)
+
   val all: Seq[QueryDef] = Seq(
     q60Sessionize, q61AsofJoin, q62RangeJoin, q63Pivot, q64Cube,
     q135Funnel, q136Retention, q137Transitions, q138SlidingWindows,
     q139AsofNative, q149AsofTolerance, q180RateAnomaly, q193RetentionHalfLife,
-    q194FunnelLatency, q196LastTouch, q217MannKendall)
+    q194FunnelLatency, q196LastTouch, q217MannKendall, q218CusumChangepoint)
 }

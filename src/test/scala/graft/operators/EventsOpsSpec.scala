@@ -224,4 +224,38 @@ class EventsOpsSpec extends SparkSpec {
     val varPos = (30.0 * 29 * 65) / 18.0
     assert((sPos - 1) / math.sqrt(varPos) > 1.96)
   }
+
+  test("q218: CUSUM replays from the daily series; a crafted level shift is localized") {
+    val rows = EventsOps.q218CusumChangepoint.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val xs = daily(r.getString(0)).sortBy(_._2).map(_._3)
+      val n = xs.length
+      val mean = xs.sum.toDouble / n
+      val cums = xs.scanLeft(0L)(_ + _).tail
+      val cks = cums.zipWithIndex.map { case (c, i) =>
+        c.toDouble - (i + 1).toDouble * mean }
+      val kStar = cks.zipWithIndex.maxBy { case (c, i) => (math.abs(c), -i) }._2
+      assert(r.getLong(3) === (kStar + 1).toLong, s"cp_k drift for ${r.getString(0)}")
+      val sd = math.sqrt(xs.map(x => x.toDouble * x).sum / n - mean * mean)
+      val t = math.abs(cks(kStar)) / (sd * math.sqrt(n.toDouble))
+      assert(math.abs(r.getDouble(5) - t) < 1e-6)
+      assert(r.getBoolean(6) === (t > 1.358))
+    }
+    // crafted: 15 days at 10/day then 15 at 30/day — the bridge peaks
+    // exactly at the shift and the statistic clears the 5% bar
+    val shifted = Array.fill(15)(10L) ++ Array.fill(15)(30L)
+    val m = shifted.sum.toDouble / 30
+    val cks = shifted.scanLeft(0L)(_ + _).tail.zipWithIndex
+      .map { case (c, i) => c.toDouble - (i + 1) * m }
+    val kS = cks.zipWithIndex.maxBy { case (c, i) => (math.abs(c), -i) }._2
+    assert(kS === 14, "changepoint must land on the last pre-shift day")
+    val sd = math.sqrt(shifted.map(x => x.toDouble * x).sum / 30 - m * m)
+    assert(math.abs(cks(kS)) / (sd * math.sqrt(30.0)) > 1.358)
+  }
 }

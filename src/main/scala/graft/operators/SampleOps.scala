@@ -699,9 +699,92 @@ object SampleOps {
         CASE WHEN sampled THEN round(1.0 / pi, 6) END AS ht_weight
       FROM x ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------
+  // q219: deterministic Poisson bootstrap (uncertainty quantification)
+  // ---------------------------------------------------------------
+
+  private val BootB = 20 // bootstrap replicates
+
+  /** Poisson(1) inverse-CDF thresholds: weight = #{t : u ≥ t}, capped
+    * at 6 (P(X > 6) ≈ 8·10⁻⁵). One source of truth for both engines. */
+  private val PoissonCdf = Seq(
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238462", "0.9963401531726563", "0.9994058151824183")
+
+  /** q219: Poisson bootstrap for corpus-metric uncertainty (Chamandy
+    * et al. 2012, "Estimating uncertainty for massive data streams" —
+    * Google's production bootstrap; the streaming-safe reading of
+    * Efron 1979): each of [[BootB]] replicates reweights every document
+    * by an independent Poisson(1) count, giving B replicate estimates
+    * of the metric (mean n_chars here) whose spread IS the sampling
+    * uncertainty — no second pass over any replicate member list.
+    *
+    * Poisson(n·1/n) ≈ the multinomial bootstrap without needing N up
+    * front, which is what makes it the one bootstrap that works on a
+    * stream or a 100 TB corpus: the weights are PER-ROW INDEPENDENT.
+    * Here they are also DETERMINISTIC — u = hash(doc_id, b) buckets
+    * through the Poisson(1) inverse CDF (literal thresholds shared
+    * with the oracle) — so replicates are reproducible and
+    * engine-portable, the q119/q204 content-hash discipline applied
+    * to resampling.
+    *
+    * Output: per-replicate (b, n_eff, mean_x) plus the point estimate
+    * and the replicate-spread standard error on every row.
+    *
+    * Scale: the B-fold explode is a NARROW flatMap (no shuffle of the
+    * blowup — each row's B copies reduce map-side into the B-row
+    * partial aggregate); total shuffle volume is partitions × B rows.
+    * Compute is B× one scan — the published price of bootstrap, paid
+    * without materializing any resample. */
+  val q219PoissonBootstrap: QueryDef = QueryDef(
+    "q219_poisson_bootstrap",
+    (s, dir) => {
+      val wExpr = PoissonCdf.map(t => s"(case when u >= $t then 1 else 0 end)")
+        .mkString(" + ")
+      val reps = Tables.loadParallel(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("b", explode(expr(s"sequence(0, ${BootB - 1})")))
+        .withColumn("u", (expr(bucket64k(
+          "sha2(concat(cast(doc_id as string), '_', cast(b as string)), 256)"))
+          .cast("double") + 0.5) / 65536.0)
+        .withColumn("w", expr(wExpr).cast("long"))
+        .groupBy(col("b"))
+        .agg(sum(col("w")).as("n_eff"),
+          sum(col("w") * col("n_chars")).as("sx"))
+        .select(col("b").cast("long").as("b"), col("n_eff"),
+          round(col("sx").cast("double") / col("n_eff"), 6).as("mean_x"))
+      val point = Tables.loadParallel(s, dir, "documents")
+        .agg(round(avg(col("n_chars")), 6).as("point_est"))
+      val spread = reps.agg(
+        round(sqrt(sum(col("mean_x") * col("mean_x")) / BootB -
+          (sum(col("mean_x")) / BootB) * (sum(col("mean_x")) / BootB)) *
+          math.sqrt(BootB / (BootB - 1.0)), 6).as("boot_se"))
+      reps.crossJoin(broadcast(point)).crossJoin(broadcast(spread))
+        .orderBy(col("b"))
+    },
+    Some {
+      val wExpr = PoissonCdf.map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH reps AS (SELECT b,
+          CAST(sum(w) AS BIGINT) AS n_eff,
+          round(CAST(sum(w * n_chars) AS DOUBLE) / sum(w), 6) AS mean_x
+        FROM (SELECT doc_id, n_chars, b, $wExpr AS w
+          FROM (SELECT doc_id, n_chars, t.b,
+            (CAST(${bucket64k("sha256(CAST(doc_id AS VARCHAR) || '_' || CAST(b AS VARCHAR))")} AS DOUBLE) + 0.5) / 65536.0 AS u
+            FROM documents, (SELECT unnest(range(0, $BootB)) AS b) t) h) x
+        GROUP BY b),
+      pt AS (SELECT round(avg(n_chars), 6) AS point_est FROM documents),
+      sp AS (SELECT round(sqrt(sum(mean_x * mean_x) / $BootB -
+          (sum(mean_x) / $BootB) * (sum(mean_x) / $BootB)) *
+          sqrt($BootB / (${BootB - 1}.0)), 6) AS boot_se FROM reps)
+      SELECT reps.b, reps.n_eff, reps.mean_x, pt.point_est, sp.boot_se
+      FROM reps, pt, sp ORDER BY reps.b"""
+    },
+    headline = false)
+
   def all: Seq[QueryDef] = Seq(
     q115TemperatureResample, q116SoftDedup, q118TripletMining,
     q119StratifiedSplit, q120VocabCoverage, q121UnimaxAlloc,
     q151PreferencePairs, q156BottomkSample, q165EpochShuffle,
-    q166BudgetSelect, q171PpsSample)
+    q166BudgetSelect, q171PpsSample, q219PoissonBootstrap)
 }

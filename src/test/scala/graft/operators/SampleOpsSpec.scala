@@ -337,4 +337,41 @@ class SampleOpsSpec extends SparkSpec {
       assert(r.getBoolean(3) === (lhs < rhs), s"doc ${r.getLong(0)} membership")
     }
   }
+
+  test("q219: replicate weights replay from the hash CDF; SE brackets the theoretical rate") {
+    val rows = SampleOps.q219PoissonBootstrap.fn(spark, dir).collect()
+    assert(rows.length === 20)
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cdf = Seq(0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+      0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+    def bucket(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.take(4), 16) % 65536
+    }
+    rows.foreach { r =>
+      val b = r.getLong(0)
+      var (nEff, sx) = (0L, 0L)
+      docs.foreach { case (id, nc) =>
+        val u = (bucket(s"${id}_$b").toDouble + 0.5) / 65536.0
+        val w = cdf.count(u >= _).toLong
+        nEff += w; sx += w * nc
+      }
+      assert(r.getLong(1) === nEff, s"replicate $b effective size")
+      assert(math.abs(r.getDouble(2) - BigDecimal(sx.toDouble / nEff)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      // Poisson(1) reweighting keeps each replicate near the corpus size
+      assert(math.abs(nEff - docs.length) < 5 * math.sqrt(docs.length.toDouble))
+    }
+    // the bootstrap SE should sit near sd/sqrt(N) (loose: B = 20 is noisy)
+    val se = rows.head.getDouble(4)
+    val xs = docs.map(_._2.toDouble)
+    val m = xs.sum / xs.length
+    val theory = math.sqrt(xs.map(x => (x - m) * (x - m)).sum /
+      (xs.length - 1)) / math.sqrt(xs.length.toDouble)
+    assert(se > theory / 3 && se < theory * 3,
+      s"bootstrap SE $se vs theoretical $theory")
+  }
 }

@@ -619,7 +619,101 @@ object ClassifierOps {
       SELECT b.bin, b.n, b.conf, b.acc, e.ece FROM b, e ORDER BY b.bin"""),
     headline = false)
 
+  // ---------------------------------------------------------------
+  // q220: exact two-sample Kolmogorov-Smirnov test
+  // ---------------------------------------------------------------
+
+  /** Exact two-sample Kolmogorov-Smirnov test (Smirnov 1939; the
+    * Massey 1951 tables' large-sample form) between the seed-class and
+    * crawl-class score distributions of the q170 NB scorer:
+    *
+    *   D = sup_s |F₁(s) − F₂(s)|,
+    *   T = D / √((n₁+n₂)/(n₁·n₂)),  reject at 5% when T > 1.358
+    *
+    * — the distribution-level complement to q214's AUC (AUC can be
+    * high while the shapes still overlap oddly; KS localizes the
+    * score s* where the two CDFs diverge most, which is also the
+    * natural keep threshold candidate).
+    *
+    * Exactness at scale, same trick as q214: both empirical CDFs are
+    * step functions that only move at observed score values, so
+    * grouping BY SCORE first makes the sup a max over the
+    * DISTINCT-SCORE grid — windows on the grid, never a corpus sort.
+    * D's numerator is exact int64 (|cum₁·n₂ − cum₂·n₁|), so even the
+    * argmax is integer-exact; only the final normalizations are
+    * doubles, rounded at 6.
+    *
+    * Scale: one score-keyed count shuffle; everything after runs on
+    * the grid table. */
+  val q220KsTest: QueryDef = QueryDef(
+    "q220_ks_test",
+    (s, dir) => {
+      val d = Tables.loadParallel(s, dir, "documents")
+      val grid = nbQualityOf(d, SeedSources)
+        .join(d.select(col("doc_id"),
+          col("source").isin(SeedSources: _*).as("pos")), "doc_id")
+        .groupBy(col("quality_lr").as("score"))
+        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+          sum(when(col("pos"), 0L).otherwise(1L)).as("nn"))
+      val wAsc = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      val stepped = grid
+        .withColumn("cum1", sum(col("np")).over(wAsc))
+        .withColumn("cum2", sum(col("nn")).over(wAsc))
+        .withColumn("n1", sum(col("np")).over(wAll))
+        .withColumn("n2", sum(col("nn")).over(wAll))
+        // integer-exact |F1 − F2| numerator on the common n1·n2 grid
+        .withColumn("gap", abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+      stepped
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("gap").desc, col("score"))))
+        .filter(col("rn") === 1)
+        .select(col("n1"), col("n2"), col("score").as("d_at_score"),
+          round(col("gap").cast("double") /
+            (col("n1").cast("double") * col("n2")), 6).as("d_stat"),
+          round((col("gap").cast("double") / (col("n1").cast("double") * col("n2"))) /
+            sqrt((col("n1") + col("n2")).cast("double") /
+              (col("n1").cast("double") * col("n2"))), 6).as("t_stat"),
+          ((col("gap").cast("double") / (col("n1").cast("double") * col("n2"))) /
+            sqrt((col("n1") + col("n2")).cast("double") /
+              (col("n1").cast("double") * col("n2"))) > 1.358).as("rejected"))
+    },
+    Some(s"""WITH $nbSqlCtes,
+      sc AS (SELECT n.doc_id, n.quality_lr AS score,
+          d.source IN ('src0', 'src1', 'src2') AS pos
+        FROM nbscore n JOIN documents d USING (doc_id)),
+      grid AS (SELECT score,
+          CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+          CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        FROM sc GROUP BY score),
+      st AS (SELECT score,
+          CAST(sum(np) OVER (ORDER BY score
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+          CAST(sum(nn) OVER (ORDER BY score
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2,
+          CAST(sum(np) OVER () AS BIGINT) AS n1,
+          CAST(sum(nn) OVER () AS BIGINT) AS n2
+        FROM grid),
+      g AS (SELECT *, abs(cum1 * n2 - cum2 * n1) AS gap FROM st),
+      rk AS (SELECT *, row_number() OVER (ORDER BY gap DESC, score) AS rn
+        FROM g)
+      SELECT n1, n2, score AS d_at_score,
+        round(CAST(gap AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6) AS d_stat,
+        round((CAST(gap AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)) /
+          sqrt(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)), 6) AS t_stat,
+        (CAST(gap AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)) /
+          sqrt(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)) > 1.358
+          AS rejected
+      FROM rk WHERE rn = 1"""),
+    headline = false)
+
   val all: Seq[QueryDef] =
     Seq(q170NbQuality, q177ParetoResample, q188SignalAgreement,
-      q207LinearProbe, q212Chi2Tokens, q214AucAudit, q215CalibrationEce)
+      q207LinearProbe, q212Chi2Tokens, q214AucAudit, q215CalibrationEce,
+      q220KsTest)
 }

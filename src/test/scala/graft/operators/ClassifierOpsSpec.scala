@@ -212,4 +212,33 @@ class ClassifierOpsSpec extends SparkSpec {
     assert(rows.map(_.getDouble(4)).distinct.length === 1,
       "ECE column is a single broadcast value")
   }
+
+  test("q220: KS D replays from driver-side empirical CDFs") {
+    val r = ClassifierOps.q220KsTest.fn(spark, dir).head()
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val scored = ClassifierOps
+      .nbQualityOf(docs, Seq("src0", "src1", "src2"))
+      .join(docs.select(col("doc_id"),
+        col("source").isin("src0", "src1", "src2").as("pos")), "doc_id")
+      .select(col("quality_lr"), col("pos")).collect()
+      .map(x => (x.getDouble(0), x.getBoolean(1)))
+    val ps = scored.filter(_._2).map(_._1).sorted
+    val ns = scored.filterNot(_._2).map(_._1).sorted
+    assert(r.getLong(0) === ps.length.toLong && r.getLong(1) === ns.length.toLong)
+    val gridPoints = (ps ++ ns).distinct.sorted
+    def cdf(xs: Array[Double], s: Double): Double =
+      xs.count(_ <= s).toDouble / xs.length
+    val (dMax, sStar) = gridPoints
+      .map(s => (math.abs(cdf(ps, s) - cdf(ns, s)), s))
+      .maxBy { case (d, s) => (d, -s) }
+    assert(math.abs(r.getDouble(3) - dMax) < 1e-6,
+      s"D ${r.getDouble(3)} vs replay $dMax")
+    assert(r.getDouble(2) === sStar, "argmax score drift")
+    val t = dMax / math.sqrt((ps.length + ns.length).toDouble /
+      (ps.length.toDouble * ns.length))
+    assert(math.abs(r.getDouble(4) - t) < 1e-6)
+    assert(r.getBoolean(5) === (t > 1.358))
+    // the NB scorer plainly separates its own classes at sf0.001
+    assert(r.getBoolean(5), "seed vs crawl distributions must differ")
+  }
 }

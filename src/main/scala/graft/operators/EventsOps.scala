@@ -858,9 +858,96 @@ object EventsOps {
       FROM rk WHERE rn = 1 ORDER BY event_type"""),
     headline = false)
 
+  // ---------------------------------------------------------------
+  // q221: Theil-Sen robust slope of the daily event series
+  // ---------------------------------------------------------------
+
+  /** Theil-Sen slope estimator (Theil 1950; Sen 1968) per event type —
+    * the median of all pairwise slopes (x_j − x_i)/(k_j − k_i) over
+    * the daily series, with the matching intercept median(x_i − β·k_i):
+    * the robust trend LINE that q217's Mann-Kendall test (its exact
+    * hypothesis-test twin — Sen built the estimator on Kendall's S)
+    * says exists. Up to 29% contamination (one bad ingest week) moves
+    * it far less than least squares, which is why operational
+    * monitoring prefers it.
+    *
+    * Determinism: slopes are single IEEE divisions of exact int64
+    * deltas; the median picks by (value, i, j) total order — lower
+    * median for even counts, matching the oracle's row_number pick.
+    *
+    * Scale: q217's posture — all pairwise work happens on the
+    * days-bounded daily table (days²/2 slope rows per type, ~66k/year),
+    * after the single event-reducing keyed agg. */
+  val q221TheilSen: QueryDef = QueryDef(
+    "q221_theil_sen",
+    (s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("k", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("day"))).cast("long"))
+      val slopes = daily.as("a").join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.k") < col("b.k"))
+        .select(col("a.event_type").as("event_type"),
+          col("a.k").as("i"), col("b.k").as("j"),
+          ((col("b.x") - col("a.x")).cast("double") /
+            (col("b.k") - col("a.k")).cast("double")).as("m"))
+      val byM = Window.partitionBy(col("event_type"))
+        .orderBy(col("m"), col("i"), col("j"))
+      val nS = Window.partitionBy(col("event_type"))
+      val beta = slopes
+        .withColumn("rn", row_number().over(byM))
+        .withColumn("cnt", count(lit(1)).over(nS))
+        .filter(col("rn") === ((col("cnt") + 1) / 2).cast("long")) // lower median
+        .select(col("event_type"), col("m").as("beta"))
+      val byR = Window.partitionBy(col("event_type"))
+        .orderBy(col("r"), col("k"))
+      val alpha = daily.join(beta, "event_type")
+        .select(col("event_type"), col("k"),
+          (col("x").cast("double") - col("beta") * col("k").cast("double"))
+            .as("r"), col("beta"))
+        .withColumn("rn", row_number().over(byR))
+        .withColumn("cnt", count(lit(1)).over(nS))
+        .filter(col("rn") === ((col("cnt") + 1) / 2).cast("long"))
+        .select(col("event_type"), col("beta"), col("r").as("alpha"))
+      alpha.select(col("event_type"),
+          round(col("beta"), 6).as("beta"),
+          round(col("alpha"), 6).as("alpha"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+      dk AS (SELECT event_type, day, x,
+          CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+            AS BIGINT) AS k
+        FROM daily),
+      sl AS (SELECT a.event_type, a.k AS i, b.k AS j,
+          CAST(b.x - a.x AS DOUBLE) / CAST(b.k - a.k AS DOUBLE) AS m
+        FROM dk a JOIN dk b
+          ON a.event_type = b.event_type AND a.k < b.k),
+      med AS (SELECT event_type, m AS beta FROM (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+              ORDER BY m, i, j) AS rn,
+            count(*) OVER (PARTITION BY event_type) AS cnt
+          FROM sl) x WHERE rn = (cnt + 1) // 2),
+      res AS (SELECT dk.event_type, dk.k, med.beta,
+          CAST(dk.x AS DOUBLE) - med.beta * CAST(dk.k AS DOUBLE) AS r
+        FROM dk JOIN med USING (event_type)),
+      amed AS (SELECT event_type, beta, r AS alpha FROM (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+              ORDER BY r, k) AS rn,
+            count(*) OVER (PARTITION BY event_type) AS cnt
+          FROM res) x WHERE rn = (cnt + 1) // 2)
+      SELECT event_type, round(beta, 6) AS beta, round(alpha, 6) AS alpha
+      FROM amed ORDER BY event_type"""),
+    headline = false)
+
   val all: Seq[QueryDef] = Seq(
     q60Sessionize, q61AsofJoin, q62RangeJoin, q63Pivot, q64Cube,
     q135Funnel, q136Retention, q137Transitions, q138SlidingWindows,
     q139AsofNative, q149AsofTolerance, q180RateAnomaly, q193RetentionHalfLife,
-    q194FunnelLatency, q196LastTouch, q217MannKendall, q218CusumChangepoint)
+    q194FunnelLatency, q196LastTouch, q217MannKendall, q218CusumChangepoint,
+    q221TheilSen)
 }

@@ -258,4 +258,35 @@ class EventsOpsSpec extends SparkSpec {
     val sd = math.sqrt(shifted.map(x => x.toDouble * x).sum / 30 - m * m)
     assert(math.abs(cks(kS)) / (sd * math.sqrt(30.0)) > 1.358)
   }
+
+  test("q221: Theil-Sen replays from driver-side pairwise slopes; exact on a linear series") {
+    val rows = EventsOps.q221TheilSen.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+      .groupBy(_._1)
+    def lowerMedian(vs: Seq[Double]): Double = {
+      val sorted = vs.sorted
+      sorted((vs.length + 1) / 2 - 1)
+    }
+    rows.foreach { r =>
+      val xs = daily(r.getString(0)).sortBy(_._2).map(_._3)
+      val slopes = for (i <- xs.indices; j <- (i + 1) until xs.length)
+        yield (xs(j) - xs(i)).toDouble / (j - i).toDouble
+      val beta = lowerMedian(slopes)
+      assert(math.abs(r.getDouble(1) - beta) < 1e-6, s"beta for ${r.getString(0)}")
+      val alpha = lowerMedian(xs.toSeq.zipWithIndex
+        .map { case (x, i) => x.toDouble - beta * (i + 1).toDouble })
+      assert(math.abs(r.getDouble(2) - alpha) < 1e-6, s"alpha for ${r.getString(0)}")
+    }
+    // exact recovery on a noiseless line x_k = 2k + 3
+    val line = (1 to 11).map(k => 2.0 * k + 3.0)
+    val ms = for (i <- line.indices; j <- (i + 1) until line.length)
+      yield (line(j) - line(i)) / (j - i).toDouble
+    assert(lowerMedian(ms) === 2.0)
+    assert(lowerMedian(line.zipWithIndex.map { case (x, i) =>
+      x - 2.0 * (i + 1) }) === 3.0)
+  }
 }

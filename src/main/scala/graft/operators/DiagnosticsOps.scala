@@ -307,6 +307,79 @@ object DiagnosticsOps {
       headline = false)
   }
 
+  // ---------------------------------------------------------------
+  // q222: Lorenz curve + Gini of corpus composition
+  // ---------------------------------------------------------------
+
+  /** Source-concentration audit — the Lorenz curve (Lorenz 1905) and
+    * Gini coefficient (Gini 1912) of per-source token mass, the
+    * standard inequality read a dataset card reports ("how dominated
+    * is this corpus by its largest sources?") and the quantitative
+    * companion to the q115/q121/q173 mixing knobs that exist to REDUCE
+    * it. With sources sorted ascending by token count w₁ ≤ … ≤ w_k,
+    *
+    *   G = 2·Σᵢ i·wᵢ / (k·Σw) − (k+1)/k
+    *
+    * (the exact discrete form). Output: one Lorenz point per source
+    * (cumulative source share vs cumulative token share) with the
+    * corpus Gini on every row.
+    *
+    * Determinism: counts and the Σ i·wᵢ moment are exact int64; the
+    * Gini and shares are rounded aggregates. Rank ties break by
+    * source name.
+    *
+    * Scale: the corpus reduces to the SOURCE table (one keyed agg
+    * with map-side combine) before any ranking — the window and
+    * epilogue touch k rows, the q142 skew-audit posture. */
+  val q222GiniConcentration: QueryDef = QueryDef(
+    "q222_gini_concentration",
+    (s, dir) => {
+      val w = Tables.loadParallel(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("source"),
+          size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("nt"))
+        .groupBy(col("source")).agg(sum(col("nt")).as("w"))
+      val byW = Window.orderBy(col("w"), col("source"))
+      val wAll = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val ranked = w
+        .withColumn("i", row_number().over(byW).cast("long"))
+        .withColumn("cum_w", sum(col("w")).over(
+          Window.orderBy(col("w"), col("source"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("k", count(lit(1)).over(wAll))
+        .withColumn("tot", sum(col("w")).over(wAll))
+        .withColumn("iw", sum(col("i") * col("w")).over(wAll))
+      ranked.select(col("source"), col("i"), col("w"),
+          round(col("i").cast("double") / col("k"), 6).as("pop_share"),
+          round(col("cum_w").cast("double") / col("tot"), 6).as("mass_share"),
+          round(lit(2.0) * col("iw").cast("double") /
+              (col("k").cast("double") * col("tot").cast("double")) -
+            (col("k") + 1).cast("double") / col("k").cast("double"), 6)
+            .as("gini"))
+        .orderBy(col("i"))
+    },
+    Some("""WITH w AS (SELECT source,
+          CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\s+')))
+            AS BIGINT) AS w
+        FROM documents WHERE length(trim(text)) > 0 GROUP BY 1),
+      rk AS (SELECT source, w,
+          CAST(row_number() OVER (ORDER BY w, source) AS BIGINT) AS i,
+          CAST(sum(w) OVER (ORDER BY w, source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_w,
+          CAST(count(*) OVER () AS BIGINT) AS k,
+          CAST(sum(w) OVER () AS BIGINT) AS tot
+        FROM w),
+      g AS (SELECT CAST(sum(i * w) AS BIGINT) AS iw FROM rk)
+      SELECT rk.source, rk.i, rk.w,
+        round(CAST(rk.i AS DOUBLE) / rk.k, 6) AS pop_share,
+        round(CAST(rk.cum_w AS DOUBLE) / rk.tot, 6) AS mass_share,
+        round(2.0 * CAST(g.iw AS DOUBLE) /
+            (CAST(rk.k AS DOUBLE) * CAST(rk.tot AS DOUBLE)) -
+          CAST(rk.k + 1 AS DOUBLE) / CAST(rk.k AS DOUBLE), 6) AS gini
+      FROM rk, g ORDER BY rk.i"""),
+    headline = false)
+
   val all: Seq[QueryDef] = Seq(q142SkewAudit, q152SnapshotDiff,
-    q191ChangeMagnitude, q195ChunkDelta)
+    q191ChangeMagnitude, q195ChunkDelta, q222GiniConcentration)
 }

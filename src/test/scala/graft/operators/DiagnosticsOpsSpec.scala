@@ -84,4 +84,29 @@ class DiagnosticsOpsSpec extends SparkSpec {
     assert(rows.map(_.getDouble(4)).max > 0.2,
       "no doc reuses chunks — CDC boundary resync is broken")
   }
+
+  test("q222: Lorenz curve is convex-monotone to (1,1); Gini replays and bounds hold") {
+    val rows = DiagnosticsOps.q222GiniConcentration.fn(spark, dir).collect()
+    assert(rows.length === 20)
+    val gini = rows.head.getDouble(5)
+    assert(rows.map(_.getDouble(5)).distinct.length === 1)
+    assert(gini >= 0.0 && gini < 1.0)
+    // monotone Lorenz curve ending at (1, 1), always under the diagonal
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getDouble(4) >= a.getDouble(4) - 1e-12)
+      // ascending-order cumulation ⇒ mass share can't exceed pop share
+      assert(a.getDouble(4) <= a.getDouble(3) + 1e-9)
+    }
+    assert(math.abs(rows.last.getDouble(3) - 1.0) < 1e-9)
+    assert(math.abs(rows.last.getDouble(4) - 1.0) < 1e-9)
+    // driver replay of the exact discrete formula
+    val ws = rows.sortBy(_.getLong(1)).map(_.getLong(2))
+    val k = ws.length
+    val tot = ws.sum.toDouble
+    val iw = ws.zipWithIndex.map { case (w, i) => (i + 1).toLong * w }.sum
+    val expect = 2.0 * iw / (k * tot) - (k + 1).toDouble / k
+    assert(math.abs(gini - expect) < 1e-6)
+    // Gini of the 20 near-equal synthetic sources must be small
+    assert(gini < 0.2, s"synthetic balanced corpus shows gini $gini")
+  }
 }

@@ -380,6 +380,103 @@ object DiagnosticsOps {
       FROM rk, g ORDER BY rk.i"""),
     headline = false)
 
+  // ---------------------------------------------------------------
+  // q223: Hampel median/MAD robust outlier gate
+  // ---------------------------------------------------------------
+
+  /** Robust per-source length-outlier audit — the Hampel identifier
+    * (Hampel 1974; the X84 rule): flag documents whose token count
+    * deviates from the SOURCE MEDIAN by more than 3·1.4826·MAD
+    * (1.4826 = the consistency constant making MAD estimate σ under
+    * normality). Median/MAD resist the very outliers they hunt, which
+    * is why curation gates prefer them to mean/sd (q180's z-scores)
+    * on length-like heavy-tailed signals.
+    *
+    * Exactness at scale, the q214/q220 grid discipline twice over:
+    * the corpus reduces to the (source, token-count) GRID, the median
+    * is picked from grid cumulative counts at rank ⌈n/2⌉, the MAD
+    * from a second grid of |x − med| built FROM THE FIRST GRID (never
+    * re-scanning the corpus), and the outlier count itself sums grid
+    * cells — one corpus scan total, windows only on grids.
+    *
+    * Determinism: medians are exact int64 grid picks (lower median);
+    * the gate compares int64 deviations to one double threshold. */
+  val q223HampelOutliers: QueryDef = QueryDef(
+    "q223_hampel_outliers",
+    (s, dir) => {
+      val grid = Tables.loadParallel(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("source"),
+          size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("nt"))
+        .groupBy(col("source"), col("nt")).agg(count(lit(1)).as("c"))
+      val bySrc = Window.partitionBy(col("source"))
+      val byNt = Window.partitionBy(col("source")).orderBy(col("nt"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val withCum = grid
+        .withColumn("cum", sum(col("c")).over(byNt))
+        .withColumn("n", sum(col("c")).over(
+          bySrc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      val med = withCum
+        .filter(col("cum") >= ((col("n") + 1) / 2).cast("long"))
+        .groupBy(col("source")).agg(min(col("nt")).as("med"))
+      val dgrid = grid.join(med, "source")
+        .select(col("source"), abs(col("nt") - col("med")).as("dev"),
+          col("c"), col("med"))
+        .groupBy(col("source"), col("med"), col("dev"))
+        .agg(sum(col("c")).as("c"))
+      val byDev = Window.partitionBy(col("source")).orderBy(col("dev"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val mad = dgrid
+        .withColumn("cum", sum(col("c")).over(byDev))
+        .withColumn("n", sum(col("c")).over(
+          bySrc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .filter(col("cum") >= ((col("n") + 1) / 2).cast("long"))
+        .groupBy(col("source"), col("med")).agg(min(col("dev")).as("mad"))
+      grid.join(mad, "source")
+        .withColumn("out",
+          when(abs(col("nt") - col("med")).cast("double") >
+            lit(3.0) * lit(1.4826) * col("mad").cast("double"), col("c"))
+            .otherwise(lit(0L)))
+        .groupBy(col("source"), col("med"), col("mad"))
+        .agg(sum(col("c")).as("n_docs"), sum(col("out")).as("n_outliers"))
+        .select(col("source"), col("n_docs"), col("med"), col("mad"),
+          col("n_outliers"),
+          round(col("n_outliers").cast("double") / col("n_docs"), 6)
+            .as("outlier_frac"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH grid AS (SELECT source,
+          CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS nt,
+          CAST(count(*) AS BIGINT) AS c
+        FROM documents WHERE length(trim(text)) > 0 GROUP BY 1, 2),
+      cum AS (SELECT *, CAST(sum(c) OVER (PARTITION BY source ORDER BY nt
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+          CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+        FROM grid),
+      med AS (SELECT source, min(nt) AS med FROM cum
+        WHERE cum >= (n + 1) // 2 GROUP BY source),
+      dg AS (SELECT g.source, m.med, abs(g.nt - m.med) AS dev,
+          CAST(sum(g.c) AS BIGINT) AS c
+        FROM grid g JOIN med m USING (source) GROUP BY 1, 2, 3),
+      dcum AS (SELECT *, CAST(sum(c) OVER (PARTITION BY source ORDER BY dev
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+          CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+        FROM dg),
+      mad AS (SELECT source, any_value(med) AS med, min(dev) AS mad
+        FROM dcum WHERE cum >= (n + 1) // 2 GROUP BY source)
+      SELECT g.source,
+        CAST(sum(g.c) AS BIGINT) AS n_docs, m.med, m.mad,
+        CAST(sum(CASE WHEN CAST(abs(g.nt - m.med) AS DOUBLE) >
+          3.0 * 1.4826 * CAST(m.mad AS DOUBLE) THEN g.c ELSE 0 END)
+          AS BIGINT) AS n_outliers,
+        round(CAST(sum(CASE WHEN CAST(abs(g.nt - m.med) AS DOUBLE) >
+          3.0 * 1.4826 * CAST(m.mad AS DOUBLE) THEN g.c ELSE 0 END)
+          AS DOUBLE) / sum(g.c), 6) AS outlier_frac
+      FROM grid g JOIN mad m USING (source)
+      GROUP BY g.source, m.med, m.mad ORDER BY g.source"""),
+    headline = false)
+
   val all: Seq[QueryDef] = Seq(q142SkewAudit, q152SnapshotDiff,
-    q191ChangeMagnitude, q195ChunkDelta, q222GiniConcentration)
+    q191ChangeMagnitude, q195ChunkDelta, q222GiniConcentration,
+    q223HampelOutliers)
 }

@@ -109,4 +109,37 @@ class DiagnosticsOpsSpec extends SparkSpec {
     // Gini of the 20 near-equal synthetic sources must be small
     assert(gini < 0.2, s"synthetic balanced corpus shows gini $gini")
   }
+
+  test("q223: median/MAD and the outlier count replay from driver-side sorting") {
+    val rows = DiagnosticsOps.q223HampelOutliers.fn(spark, dir).collect()
+    assert(rows.length === 20)
+    val lens = graft.Tables.load(spark, dir, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filter(_._2.trim.nonEmpty)
+      .map { case (s, t) => (s, t.trim.toLowerCase.split("\\s+").length.toLong) }
+      .groupBy(_._1)
+    def lowerMedian(xs: Array[Long]): Long = {
+      val s = xs.sorted
+      s((xs.length + 1) / 2 - 1)
+    }
+    rows.foreach { r =>
+      val xs = lens(r.getString(0)).map(_._2)
+      val med = lowerMedian(xs)
+      val mad = lowerMedian(xs.map(x => math.abs(x - med)))
+      assert(r.getLong(1) === xs.length.toLong)
+      assert(r.getLong(2) === med, s"median drift for ${r.getString(0)}")
+      assert(r.getLong(3) === mad, s"MAD drift for ${r.getString(0)}")
+      val out = xs.count(x => math.abs(x - med).toDouble > 3.0 * 1.4826 * mad)
+      assert(r.getLong(4) === out.toLong, s"outlier count for ${r.getString(0)}")
+    }
+    // a planted extreme outlier is flagged, the bulk is not
+    val planted = Array.fill(99)(100L) :+ 10000L
+    val med = lowerMedian(planted)
+    val mad = lowerMedian(planted.map(x => math.abs(x - med)))
+    // MAD of a constant-bulk sample is 0 — the known Hampel degeneracy:
+    // everything off-median flags; with 1 varying value that's exactly 1
+    assert(planted.count(x =>
+      math.abs(x - med).toDouble > 3.0 * 1.4826 * mad) === 1)
+  }
 }

@@ -152,5 +152,13 @@ object Bench {
       java.nio.file.Files.writeString(out, line + "\n")
     } catch { case e: Throwable => System.err.println(s"[bench] file write: $e") }
     spark.stop()
+    // Clip-proof trailer: the driver snapshots a bounded LOG TAIL, and
+    // the full record above (219-query object, multi-KB single line)
+    // was head-truncated mid-JSON in two past rounds. This short line
+    // is printed LAST — after Spark's shutdown chatter — and fits any
+    // tail window, so the headline numbers always survive even when
+    // the full object must be read from target/bench.json.
+    val q01s = q01.map(v => f"$v%.3f").getOrElse("-1")
+    println(f"""BENCH_SUMMARY {"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${all.size},"errors":$failed,"overloaded":$overloaded,"q01_sec":$q01s,"full":"target/bench.json","sf":"$sfDir"}""")
   }
 }

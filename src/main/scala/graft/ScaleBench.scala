@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured scale-point harness (builder tooling, not a driver entry
+  * point): generates a deterministic synthetic corpus at 1× and 10×
+  * the sf0.1 shape FROM THE SAME seed-derived generator, times the
+  * heavy document/embedding queries at both points, and prints the
+  * per-query scaling exponent log10(T_10x / T_1x) — the one-order-of-
+  * magnitude empirical evidence behind SCALE.md's "would survive
+  * 100×" arguments (exponent ≈ 1.0 = linear; ≪ 1 = fixed-cost-
+  * dominated at this size; > 1 = superlinear, investigate).
+  *
+  * Methodology notes:
+  *  - BOTH scale points come from this generator (not from
+  *    /root/testdata) so content distribution is held fixed while N
+  *    varies — comparing real-sf0.1 against a synthetic 10× would
+  *    confound content with scale. The generator matches the
+  *    TESTDATA.md corpus shape: ~31-token Zipf-ish vocab, 10-100
+  *    tokens/doc, 20 sources, 5 langs, dim-64 embeddings in ±0.5.
+  *  - All randomness is xxhash64(ids, tag) — re-runs are bit-stable.
+  *  - median-of-3 per query per scale, noop-write forced, same
+  *    session (JIT/codegen warm by the time the 10× pass runs — the
+  *    1× pass is its warmup, which if anything BIASES exponents UP).
+  *
+  * Usage: runMain graft.ScaleBench [outDir] [q1,q2,...]
+  */
+object ScaleBench {
+
+  private val Vocab = (0 until 31).map(i => f"w$i%02d")
+
+  /** Zipf-ish documents table in the TESTDATA.md shape. */
+  def genDocs(s: SparkSession, n: Long): DataFrame = {
+    val vocabSql = Vocab.map("'" + _ + "'").mkString(",")
+    s.range(n).select(col("id").as("doc_id"))
+      .withColumn("n_tok",
+        (pmod(xxhash64(col("doc_id"), lit("len")), lit(91)) + 10).cast("int"))
+      .withColumn("text", expr(
+        s"""concat_ws(' ', transform(sequence(1, n_tok), j ->
+           |  element_at(array($vocabSql), cast(floor(31 * pow(
+           |    pmod(xxhash64(doc_id, j, 'tok'), 1000000) / 1000000.0,
+           |    2.5)) as int) + 1)))""".stripMargin))
+      .withColumn("lang", expr("element_at(array('en','de','es','zh','fr'), " +
+        "cast(pmod(xxhash64(doc_id, 'lang'), 5) as int) + 1)"))
+      .withColumn("source",
+        concat(lit("src"), pmod(xxhash64(col("doc_id"), lit("src")), lit(20))))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  /** dim-64 embeddings in the TESTDATA.md shape. */
+  def genEmbeddings(s: SparkSession, n: Long): DataFrame =
+    s.range(n).select(col("id").as("vec_id"))
+      .withColumn("embedding", expr("transform(sequence(0, 63), i -> " +
+        "cast(pmod(xxhash64(vec_id, i, 'emb'), 1001) / 1000.0 - 0.5 as float))"))
+      .withColumn("label",
+        pmod(xxhash64(col("vec_id"), lit("lbl")), lit(10)).cast("int"))
+      .select("vec_id", "embedding", "label")
+
+  /** The heavy tier: the slowest headliners plus the dedup / suffix /
+    * tokenizer / ANN-build families the 100 TB story leans on. All
+    * read only documents/embeddings. */
+  val Heavy: Seq[String] = Seq(
+    "q87_curation_pipeline", "q96_lm_perplexity", "q101_dsir", "q108_kn_perplexity",
+    "q173_doremi_weights", "q51_lsh_jaccard_pairs", "q98_dup_spans",
+    "q164_longest_dup", "q104_bpe_merges", "q174_kmeans_clusters",
+    "q130_knn_graph", "q85_ann_pq", "q100_ann_ivfpq", "q205_cc_twophase")
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("target/scale")
+    val picked = args.drop(1).headOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Heavy)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val scales = Seq(("x1", 5000L, 2000L), ("x10", 50000L, 20000L))
+    scales.foreach { case (tag, nDocs, nVecs) =>
+      val dir = s"$outDir/$tag"
+      if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+        genDocs(spark, nDocs).repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        genEmbeddings(spark, nVecs).repartition(8)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      }
+    }
+
+    val qs = SparkEntry.queries
+    def once(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      try {
+        qs(name)(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[scale] $name @ $dir: $e"); -1.0
+      }
+    }
+    def median3(name: String, dir: String): Double = {
+      val ts = Seq(once(name, dir), once(name, dir), once(name, dir))
+      if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(1)
+    }
+
+    val rows = picked.map { name =>
+      val t1 = median3(name, s"$outDir/x1")
+      val t10 = median3(name, s"$outDir/x10")
+      val exp = if (t1 > 0 && t10 > 0) math.log10(t10 / t1) else Double.NaN
+      println(f"[scale] $name%-28s x1=$t1%8.3fs  x10=$t10%8.3fs  exponent=$exp%5.2f")
+      (name, t1, t10, exp)
+    }
+    val json = rows.map { case (n, a, b, e) =>
+      f""""$n":{"t1_sec":$a%.3f,"t10_sec":$b%.3f,"exponent":${if (e.isNaN) "null" else f"$e%.3f"}}"""
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"scale_exponents","scales":[1,10],"queries":$json}"""
+    println(line)
+    try {
+      val out = java.nio.file.Paths.get("target/scale_bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, line + "\n")
+    } catch { case e: Throwable => System.err.println(s"[scale] write: $e") }
+    spark.stop()
+  }
+}

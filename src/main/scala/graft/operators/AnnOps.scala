@@ -343,17 +343,32 @@ object AnnOps {
         .as("codes"))
 
   /** Driver-side ADC table for query vec 0: the M×K matrix of
-    * query-subvector ↔ codebook-centroid squared distances. */
+    * query-subvector ↔ codebook-centroid squared distances. ONE
+    * pushdown-pruned K-row collect + plain-Scala math, bit-identical
+    * to `l2_sq_f`'s left-to-right double fold over the same slices.
+    * (The earlier explode+join+collect formulation launched a full
+    * two-join Spark job per PROBE call — measured as the r11 bench's
+    * q85/q100 probe-latency doubling; the table is 16 rows of input,
+    * it never needed a distributed plan.) */
   private def adcTable(e: DataFrame): Seq[Seq[Double]] = {
-    val subs = subVectors(e, "vec_id", "embedding")
-    val qsub = subs.filter(col("vec_id") === 0).select(col("j"), col("sv").as("qsv"))
-    val dt = pqCodebook(e).join(broadcast(qsub), "j")
-      .select(col("j"), col("k"), expr("l2_sq_f(cv, qsv)").as("qd"))
-      .collect()
+    val rows = e.filter(col("vec_id") < PqK)
+      .select(col("vec_id"), col("embedding")).collect()
+    val emb = rows.map(r =>
+      r.getLong(0).toInt -> r.getSeq[Float](1).toArray).toMap
+    val q = emb(0)
     (0 until PqM).map { j =>
-      val row = new Array[Double](PqK)
-      dt.foreach(r => if (r.getInt(0) == j) row(r.getLong(1).toInt) = r.getDouble(2))
-      row.toSeq
+      (0 until PqK).map { k =>
+        val c = emb(k)
+        var acc = 0.0
+        var i = j * PqD
+        val end = i + PqD
+        while (i < end) {
+          val d = q(i).toDouble - c(i).toDouble
+          acc += d * d
+          i += 1
+        }
+        acc
+      }
     }
   }
 

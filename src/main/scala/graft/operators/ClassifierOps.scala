@@ -674,11 +674,11 @@ object ClassifierOps {
             .orderBy(col("gap").desc, col("score"))))
         .filter(col("rn") === 1)
         .select(col("n1"), col("n2"), col("score").as("d_at_score"),
-          round(col("gap").cast("double") /
-            (col("n1").cast("double") * col("n2")), 6).as("d_stat"),
-          round((col("gap").cast("double") / (col("n1").cast("double") * col("n2"))) /
+          (round(col("gap").cast("double") /
+            (col("n1").cast("double") * col("n2")), 6) + lit(0.0)).as("d_stat"),
+          (round((col("gap").cast("double") / (col("n1").cast("double") * col("n2"))) /
             sqrt((col("n1") + col("n2")).cast("double") /
-              (col("n1").cast("double") * col("n2"))), 6).as("t_stat"),
+              (col("n1").cast("double") * col("n2"))), 6) + lit(0.0)).as("t_stat"),
           ((col("gap").cast("double") / (col("n1").cast("double") * col("n2"))) /
             sqrt((col("n1") + col("n2")).cast("double") /
               (col("n1").cast("double") * col("n2"))) > 1.358).as("rejected"))
@@ -703,9 +703,10 @@ object ClassifierOps {
       rk AS (SELECT *, row_number() OVER (ORDER BY gap DESC, score) AS rn
         FROM g)
       SELECT n1, n2, score AS d_at_score,
-        round(CAST(gap AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6) AS d_stat,
+        round(CAST(gap AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6) + 0.0 AS d_stat,
         round((CAST(gap AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)) /
-          sqrt(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)), 6) AS t_stat,
+          sqrt(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)), 6) + 0.0
+          AS t_stat,
         (CAST(gap AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)) /
           sqrt(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)) > 1.358
           AS rejected

@@ -353,10 +353,12 @@ object DiagnosticsOps {
       ranked.select(col("source"), col("i"), col("w"),
           round(col("i").cast("double") / col("k"), 6).as("pop_share"),
           round(col("cum_w").cast("double") / col("tot"), 6).as("mass_share"),
-          round(lit(2.0) * col("iw").cast("double") /
+          // + 0.0: a near-uniform corpus's Gini can round to IEEE -0.0
+          // under DuckDB while Spark emits +0.0 — canonicalize
+          (round(lit(2.0) * col("iw").cast("double") /
               (col("k").cast("double") * col("tot").cast("double")) -
             (col("k") + 1).cast("double") / col("k").cast("double"), 6)
-            .as("gini"))
+            + lit(0.0)).as("gini"))
         .orderBy(col("i"))
     },
     Some("""WITH w AS (SELECT source,
@@ -376,7 +378,7 @@ object DiagnosticsOps {
         round(CAST(rk.cum_w AS DOUBLE) / rk.tot, 6) AS mass_share,
         round(2.0 * CAST(g.iw AS DOUBLE) /
             (CAST(rk.k AS DOUBLE) * CAST(rk.tot AS DOUBLE)) -
-          CAST(rk.k + 1 AS DOUBLE) / CAST(rk.k AS DOUBLE), 6) AS gini
+          CAST(rk.k + 1 AS DOUBLE) / CAST(rk.k AS DOUBLE), 6) + 0.0 AS gini
       FROM rk, g ORDER BY rk.i"""),
     headline = false)
 

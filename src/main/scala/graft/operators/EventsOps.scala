@@ -725,11 +725,13 @@ object EventsOps {
             col("tie_term").cast("double")) / lit(18.0))
         .select(col("event_type"), col("n"), col("s_stat"),
           round(col("var_s"), 6).as("var_s"),
-          round(when(col("s_stat") > 0,
+          // + 0.0 canonicalizes a rounded-to-zero Z's IEEE sign bit
+          // (DuckDB round keeps -0.0; repr comparators would diverge)
+          (round(when(col("s_stat") > 0,
               (col("s_stat").cast("double") - 1) / sqrt(col("var_s")))
             .when(col("s_stat") < 0,
               (col("s_stat").cast("double") + 1) / sqrt(col("var_s")))
-            .otherwise(lit(0.0)), 6).as("z"),
+            .otherwise(lit(0.0)), 6) + lit(0.0)).as("z"),
           when(abs(when(col("s_stat") > 0,
               (col("s_stat").cast("double") - 1) / sqrt(col("var_s")))
             .when(col("s_stat") < 0,
@@ -764,7 +766,7 @@ object EventsOps {
                ELSE 0.0 END AS zv
         FROM v)
       SELECT event_type, n, s_stat, round(var_s, 6) AS var_s,
-        round(zv, 6) AS z,
+        round(zv, 6) + 0.0 AS z,
         CASE WHEN abs(zv) > 1.96 THEN
           CASE WHEN s_stat > 0 THEN 'increasing' ELSE 'decreasing' END
         ELSE 'none' END AS trend
@@ -823,9 +825,9 @@ object EventsOps {
       ranked.filter(col("rn") === 1)
         .select(col("event_type"), col("n"), col("day").as("cp_day"),
           col("k").as("cp_k"),
-          round(abs(col("c_k")), 6).as("max_abs_c"),
-          round(abs(col("c_k")) / (col("sd") * sqrt(col("n").cast("double"))), 6)
-            .as("t_stat"),
+          (round(abs(col("c_k")), 6) + lit(0.0)).as("max_abs_c"),
+          (round(abs(col("c_k")) / (col("sd") * sqrt(col("n").cast("double"))), 6)
+            + lit(0.0)).as("t_stat"),
           (abs(col("c_k")) / (col("sd") * sqrt(col("n").cast("double"))) >
             1.358).as("shifted"))
         .orderBy(col("event_type"))
@@ -852,8 +854,8 @@ object EventsOps {
       rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
           ORDER BY abs(c_k) DESC, day) AS rn FROM ck)
       SELECT event_type, n, day AS cp_day, k AS cp_k,
-        round(abs(c_k), 6) AS max_abs_c,
-        round(abs(c_k) / (sd * sqrt(CAST(n AS DOUBLE))), 6) AS t_stat,
+        round(abs(c_k), 6) + 0.0 AS max_abs_c,
+        round(abs(c_k) / (sd * sqrt(CAST(n AS DOUBLE))), 6) + 0.0 AS t_stat,
         abs(c_k) / (sd * sqrt(CAST(n AS DOUBLE))) > 1.358 AS shifted
       FROM rk WHERE rn = 1 ORDER BY event_type"""),
     headline = false)
@@ -911,9 +913,11 @@ object EventsOps {
         .withColumn("cnt", count(lit(1)).over(nS))
         .filter(col("rn") === ((col("cnt") + 1) / 2).cast("long"))
         .select(col("event_type"), col("beta"), col("r").as("alpha"))
+      // + 0.0: a flat series' median slope/intercept residual can round
+      // to IEEE -0.0 under DuckDB while Spark emits +0.0 — canonicalize
       alpha.select(col("event_type"),
-          round(col("beta"), 6).as("beta"),
-          round(col("alpha"), 6).as("alpha"))
+          (round(col("beta"), 6) + lit(0.0)).as("beta"),
+          (round(col("alpha"), 6) + lit(0.0)).as("alpha"))
         .orderBy(col("event_type"))
     },
     Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
@@ -940,7 +944,8 @@ object EventsOps {
               ORDER BY r, k) AS rn,
             count(*) OVER (PARTITION BY event_type) AS cnt
           FROM res) x WHERE rn = (cnt + 1) // 2)
-      SELECT event_type, round(beta, 6) AS beta, round(alpha, 6) AS alpha
+      SELECT event_type, round(beta, 6) + 0.0 AS beta,
+        round(alpha, 6) + 0.0 AS alpha
       FROM amed ORDER BY event_type"""),
     headline = false)
 

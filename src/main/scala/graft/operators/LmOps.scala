@@ -1141,30 +1141,44 @@ object LmOps {
       // re-checkpoint its own bigram table; measured ~0.5 s at sf0.1)
       val bgs = materialize(
         bigramsOfTokens(tok).join(srcOf, Seq("doc_id")), "doremi_bg")
-      val refDoc = scoreNll(bgs,
-        bgs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")),
-        bgs.groupBy(col("w1")).agg(count(lit(1)).as("c1")),
-        bgs.agg(countDistinct(col("w2")).as("v")),
-        strict = true) // q96's per-doc table, from the shared bigrams
+      // FUSED scoring: both model families (corpus-wide q96 model and
+      // the per-domain models) probe the SAME bigram row in one pass —
+      // six broadcast model joins, one (doc_id, source)-keyed partial
+      // agg — instead of two independent scans + a refDoc→source
+      // rejoin (the r11 bench's slowest headline; the fusion halves
+      // the probe-side bytes). Values are bit-identical: strict inner
+      // joins (every bigram is in both models by construction) and the
+      // same -ln((c2+α)/(c1+v·α)) chain per leg, each rounded at 6
+      // per doc exactly as the unfused legs rounded.
+      val c2t = bgs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2t"))
+      val c1t = bgs.groupBy(col("w1")).agg(count(lit(1)).as("c1t"))
+      val vt = bgs.agg(countDistinct(col("w2")).as("vt"))
       val c2s = bgs.groupBy(col("source"), col("w1"), col("w2"))
-        .agg(count(lit(1)).as("c2"))
+        .agg(count(lit(1)).as("c2s"))
       val c1s = bgs.groupBy(col("source"), col("w1"))
-        .agg(count(lit(1)).as("c1"))
+        .agg(count(lit(1)).as("c1s"))
       val vs = bgs.groupBy(col("source"))
-        .agg(countDistinct(col("w2")).as("v"))
-      val fitDoc = bgs
+        .agg(countDistinct(col("w2")).as("vs"))
+      val scoredDoc = bgs
+        .join(broadcast(c2t), Seq("w1", "w2"))
+        .join(broadcast(c1t), Seq("w1"))
+        .crossJoin(broadcast(vt))
         .join(broadcast(c2s), Seq("source", "w1", "w2"))
         .join(broadcast(c1s), Seq("source", "w1"))
         .join(broadcast(vs), Seq("source"))
         .select(col("doc_id"), col("source"),
-          (-log((col("c2") + Alpha) / (col("c1") + col("v") * Alpha))).as("nll"))
+          (-log((col("c2t") + Alpha) / (col("c1t") + col("vt") * Alpha)))
+            .as("ref_nll"),
+          (-log((col("c2s") + Alpha) / (col("c1s") + col("vs") * Alpha)))
+            .as("fit_nll"))
         .groupBy(col("doc_id"), col("source"))
-        .agg(round(avg(col("nll")), 6).as("fit_nll"))
-      val perSource = refDoc.join(srcOf, Seq("doc_id"))
+        .agg(round(avg(col("ref_nll")), 6).as("avg_nll"),
+          round(avg(col("fit_nll")), 6).as("fit_nll"))
+      val perSource = scoredDoc
         .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"), round(avg(col("avg_nll")), 6).as("l_ref"))
-        .join(fitDoc.groupBy(col("source"))
-          .agg(round(avg(col("fit_nll")), 6).as("l_fit")), Seq("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("avg_nll")), 6).as("l_ref"),
+          round(avg(col("fit_nll")), 6).as("l_fit"))
         .withColumn("excess", greatest(lit(0.0), col("l_ref") - col("l_fit")))
       // k-row multiplicative-weights replay (k = domain count, ≤ dozens)
       val rows = perSource.orderBy(col("source")).collect()

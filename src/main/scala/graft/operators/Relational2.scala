@@ -13,6 +13,20 @@ object Relational2 {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  private val Window = org.apache.spark.sql.expressions.Window
+
+  /** The shared m=256 HLL estimator text, identical on both engines
+    * (q169's formula): alpha_256 · m² / harmonic, linear counting
+    * below 2.5m when zero registers remain. Leading literals are CAST
+    * to double explicitly — Spark parses bare decimal-literal division
+    * as scale-limited DECIMAL arithmetic, silently off the IEEE value
+    * DuckDB computes. */
+  private def hllEstSql(harmonic: String, zeros: String): String =
+    s"""CASE WHEN (CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0)) * 65536.0 / $harmonic <= 640.0
+          AND $zeros > 0
+        THEN 256.0 * ln(CAST(256.0 AS DOUBLE) / $zeros)
+        ELSE (CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0)) * 65536.0 / $harmonic END"""
+
   /** Correlated-subquery shape (TPC-H Q17-like): lineitems below 20% of
     * their part's average quantity — decorrelated as agg + join. */
   val q70BelowAvgParts: QueryDef = QueryDef(
@@ -136,21 +150,97 @@ object Relational2 {
       round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  /** Sketch tier: HyperLogLog distinct + approximate percentile. No
-    * DuckDB oracle (sketch algorithms differ across engines) — the
-    * driver records the weaker rows-only check; exact counterparts are
-    * oracle-checked in q33/q76. */
-  val q77Sketches: QueryDef = QueryDef(
-    "q77_sketches",
-    (s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median_price"))
-        .orderBy(col("l_returnflag")),
-    None)
+  /** Sketch tier: approximate distinct counts + approximate median,
+    * every estimate EXACTLY oracle-checked. Spark's built-in
+    * `approx_count_distinct`/`approx_percentile` sketches are
+    * engine-opaque (non-portable hashes, sequential GK state), so this
+    * query instead composes the repo's portable sketch kit:
+    *
+    *  - distincts: the native [[graft.functions.expressions.HyperLogLogAgg]]
+    *    (256 sha-256-derived registers, element-wise-max merge — the
+    *    q169 sketch) per return flag over l_partkey / l_orderkey; the
+    *    DuckDB oracle REBUILDS both register grids and replays the
+    *    identical estimator text, so the approximation itself is
+    *    deterministic and exactly checked.
+    *  - median: a fixed-width histogram quantile (bucket width δ=16 on
+    *    l_extendedprice, estimate = midpoint of the bucket holding the
+    *    lower-median rank — additive value error ≤ δ/2). The grid is
+    *    integer-exact, so the oracle replays it bucket-for-bucket.
+    *
+    * Scale: HLL partials are 256 B per (task, flag) however large the
+    * table; the histogram shuffles (flag, bucket) cells — range/δ
+    * counters, not rows — and both merge associatively, so the whole
+    * sketch tier is one map-side-combined pass. */
+  val q77Sketches: QueryDef = {
+    import graft.functions.expressions.HyperLogLogAgg
+    def estExpr(regs: String): String = hllEstSql(
+      s"aggregate($regs, cast(0.0 as double), " +
+        "(a, x) -> a + 1.0 / cast(shiftleft(cast(1 as bigint), x) as double))",
+      s"cast(size(filter($regs, x -> x = 0)) as bigint)")
+    QueryDef(
+      "q77_sketches",
+      (s, dir) => {
+        HyperLogLogAgg.register(s)
+        val li = t(s, dir, "lineitem")
+        val hll = li.groupBy(col("l_returnflag")).agg(
+            expr("hll_sketch(cast(l_partkey as string))").as("rp"),
+            expr("hll_sketch(cast(l_orderkey as string))").as("ro"))
+          .select(col("l_returnflag"),
+            round(expr(estExpr("rp")), 4).as("approx_parts"),
+            round(expr(estExpr("ro")), 4).as("approx_orders"))
+        val byB = Window.partitionBy(col("l_returnflag")).orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wAll = Window.partitionBy(col("l_returnflag"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val med = li
+          .groupBy(col("l_returnflag"),
+            floor(col("l_extendedprice") / lit(16.0)).cast("long").as("b"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(byB))
+          .withColumn("n", sum(col("c")).over(wAll))
+          .filter(col("cum") >= ((col("n") + 1) / 2).cast("long"))
+          .groupBy(col("l_returnflag"))
+          .agg(min(col("b")).as("mb"))
+          .select(col("l_returnflag"),
+            (col("mb").cast("double") * 16.0 + 8.0).as("approx_median_price"))
+        hll.join(med, "l_returnflag").orderBy(col("l_returnflag"))
+      },
+      Some(s"""WITH hp AS (SELECT l_returnflag,
+            sha256(CAST(l_partkey AS VARCHAR)) AS h FROM lineitem),
+        cp AS (SELECT l_returnflag, ${HyperLogLogAgg.bucketSql("h")} AS b,
+            max(${HyperLogLogAgg.rhoSql("h")}) AS r FROM hp GROUP BY 1, 2),
+        ap AS (SELECT l_returnflag,
+            sum(1.0 / CAST((CAST(1 AS BIGINT) << r) AS DOUBLE))
+              + (256 - count(*)) AS harmonic,
+            CAST(256 - count(*) AS BIGINT) AS zero_regs
+          FROM cp GROUP BY 1),
+        ho AS (SELECT l_returnflag,
+            sha256(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem),
+        co AS (SELECT l_returnflag, ${HyperLogLogAgg.bucketSql("h")} AS b,
+            max(${HyperLogLogAgg.rhoSql("h")}) AS r FROM ho GROUP BY 1, 2),
+        ao AS (SELECT l_returnflag,
+            sum(1.0 / CAST((CAST(1 AS BIGINT) << r) AS DOUBLE))
+              + (256 - count(*)) AS harmonic,
+            CAST(256 - count(*) AS BIGINT) AS zero_regs
+          FROM co GROUP BY 1),
+        grid AS (SELECT l_returnflag,
+            CAST(floor(l_extendedprice / 16.0) AS BIGINT) AS b,
+            CAST(count(*) AS BIGINT) AS c
+          FROM lineitem GROUP BY 1, 2),
+        st AS (SELECT *, CAST(sum(c) OVER (PARTITION BY l_returnflag
+              ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+            CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+          FROM grid),
+        med AS (SELECT l_returnflag, CAST(min(b) AS BIGINT) AS mb
+          FROM st WHERE cum >= (n + 1) // 2 GROUP BY 1)
+        SELECT ap.l_returnflag,
+          round(${hllEstSql("ap.harmonic", "ap.zero_regs")}, 4) AS approx_parts,
+          round(${hllEstSql("ao.harmonic", "ao.zero_regs")}, 4) AS approx_orders,
+          CAST(med.mb AS DOUBLE) * 16.0 + 8.0 AS approx_median_price
+        FROM ap JOIN ao USING (l_returnflag) JOIN med USING (l_returnflag)
+        ORDER BY ap.l_returnflag"""))
+  }
 
   // ---------------------------------------------------------------
   // q133: Misra-Gries heavy hitters over the document token stream
@@ -282,17 +372,9 @@ object Relational2 {
     * `rel_err` column here as the calibration evidence. */
   val q169HllDistinct: QueryDef = {
     import graft.functions.expressions.HyperLogLogAgg
-    // Identical ESTIMATE TEXT on both engines: alpha_256 * 2^16 /
-    // harmonic, linear counting below 2.5m with zero registers. The
-    // leading literals are CAST to double explicitly — Spark parses
-    // bare decimal-literal division as scale-limited DECIMAL
-    // arithmetic (1.079/256.0 → a scale-8 quotient), silently off the
-    // IEEE value DuckDB computes.
+    // Identical ESTIMATE TEXT on both engines — see [[hllEstSql]].
     def estSql(harmonic: String, zeros: String): String =
-      s"""CASE WHEN (CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0)) * 65536.0 / $harmonic <= 640.0
-            AND $zeros > 0
-          THEN 256.0 * ln(CAST(256.0 AS DOUBLE) / $zeros)
-          ELSE (CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0)) * 65536.0 / $harmonic END"""
+      hllEstSql(harmonic, zeros)
     QueryDef(
       "q169_hll_distinct",
       (s, dir) => {

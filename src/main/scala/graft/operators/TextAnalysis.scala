@@ -645,7 +645,11 @@ object TextAnalysis {
           ((col("sxy") - col("sx") * col("sy") / col("m")) /
             (col("sxx") - col("sx") * col("sx") / col("m"))).as("beta"),
           (col("sy") / col("m")).as("my"), (col("sx") / col("m")).as("mx"))
-        .select(round(col("beta"), 4).as("beta"),
+        // + 0.0 canonicalizes IEEE -0.0 → +0.0: at some SFs the slope
+        // rounds to zero and DuckDB's round() preserves the sign bit
+        // while Spark's BigDecimal path does not — numerically equal,
+        // but repr-level comparators would diverge.
+        .select((round(col("beta"), 4) + lit(0.0)).as("beta"),
           round(exp(col("my") - col("beta") * col("mx")), 4).as("k"))
       pts.select(col("i"), col("n_docs"), col("n_tokens"), col("vocab"))
         .crossJoin(broadcast(fit))
@@ -673,7 +677,7 @@ object TextAnalysis {
           sum(x * y) AS sxy, sum(x * x) AS sxx FROM pts),
       fit0 AS (SELECT (sxy - sx * sy / m) / (sxx - sx * sx / m) AS beta,
           sy / m AS my, sx / m AS mx FROM agg),
-      fit AS (SELECT round(beta, 4) AS beta,
+      fit AS (SELECT round(beta, 4) + 0.0 AS beta,
           round(exp(my - beta * mx), 4) AS k FROM fit0)
       SELECT p.i, p.n_docs, p.n_tokens, p.vocab, f.beta, f.k
       FROM pts p, fit f ORDER BY p.i"""),

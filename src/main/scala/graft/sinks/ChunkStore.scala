@@ -45,36 +45,67 @@ object ChunkStores {
     * document's delete + inserts execute on ONE task — no
     * cross-partition race can interleave another task's inserts with
     * this doc's delete. Batched upserts bound request sizes; at 100 TB
-    * the store's ingest rate is the bottleneck, not the shuffle. */
+    * the store's ingest rate is the bottleneck, not the shuffle.
+    *
+    * Duplicate-attempt safety: a speculative or retried twin of the
+    * SAME partition could interleave — attempt B's deleteDoc wiping
+    * attempt A's fresh inserts before B is killed. Two defenses:
+    * (1) speculation is disabled for the sync job (external-side-effect
+    * writes must run one attempt per task — same rule as foreachBatch
+    * sinks); (2) after each document's final flush the task verifies
+    * countDoc == expected and rewrites once on mismatch, failing
+    * loudly if the count still diverges (catches retry overlap, which
+    * speculation=false alone does not). */
   def sync(chunks: DataFrame, mkStore: () => ChunkStore, collection: String,
       dim: Int, batchSize: Int = 256): Unit = {
     val spark = chunks.sparkSession
     // ensure once, driver-side (executors would race the create)
     mkStore().ensureCollection(collection, dim)
-    chunks.select("doc_id", "chunk_id", "text", "emb")
-      .repartition(org.apache.spark.sql.functions.col("doc_id"))
-      .sortWithinPartitions("doc_id", "chunk_id")
-      .foreachPartition { (it: Iterator[Row]) =>
-        val store = mkStore()
-        var currentDoc: String = null
-        val batch = scala.collection.mutable.ArrayBuffer.empty[ChunkPoint]
-        def flush(): Unit = if (batch.nonEmpty) {
-          store.upsert(collection, batch.toSeq); batch.clear()
-        }
-        it.foreach { r =>
-          val doc = r.get(0).toString
-          val chunkId = r.getLong(1)
-          if (doc != currentDoc) { // first chunk of a doc: reindex delete
-            flush()
+    // Best-effort: core confs are not runtime-modifiable on every
+    // deployment (SET rejects Spark-core keys by default) — the
+    // per-doc verify below is the defense that always holds.
+    val prevSpec = spark.conf.getOption("spark.speculation")
+    val specSet = scala.util.Try(
+      spark.conf.set("spark.speculation", "false")).isSuccess
+    try {
+      chunks.select("doc_id", "chunk_id", "text", "emb")
+        .repartition(org.apache.spark.sql.functions.col("doc_id"))
+        .sortWithinPartitions("doc_id", "chunk_id")
+        .foreachPartition { (it: Iterator[Row]) =>
+          val store = mkStore()
+          def writeDoc(doc: String, pts: Seq[ChunkPoint]): Unit = {
             store.deleteDoc(collection, doc)
-            currentDoc = doc
+            pts.grouped(batchSize).foreach(store.upsert(collection, _))
           }
-          batch += ChunkPoint(s"$doc:$chunkId", doc, chunkId,
-            r.getString(2), r.getSeq[Float](3).toArray)
-          if (batch.length >= batchSize) flush()
+          var currentDoc: String = null
+          val docPts = scala.collection.mutable.ArrayBuffer.empty[ChunkPoint]
+          def finishDoc(): Unit = if (currentDoc != null) {
+            writeDoc(currentDoc, docPts.toSeq)
+            val n = store.countDoc(collection, currentDoc)
+            if (n != docPts.length.toLong) { // duplicate-attempt overlap
+              writeDoc(currentDoc, docPts.toSeq)
+              val n2 = store.countDoc(collection, currentDoc)
+              require(n2 == docPts.length.toLong,
+                s"chunk sync verify failed for doc '$currentDoc': " +
+                  s"expected ${docPts.length}, store has $n2 after rewrite")
+            }
+            docPts.clear()
+          }
+          it.foreach { r =>
+            val doc = r.get(0).toString
+            val chunkId = r.getLong(1)
+            if (doc != currentDoc) { finishDoc(); currentDoc = doc }
+            docPts += ChunkPoint(s"$doc:$chunkId", doc, chunkId,
+              r.getString(2), r.getSeq[Float](3).toArray)
+          }
+          finishDoc()
         }
-        flush()
+    } finally {
+      if (specSet) prevSpec match {
+        case Some(v) => spark.conf.set("spark.speculation", v)
+        case None    => spark.conf.unset("spark.speculation")
       }
+    }
   }
 
   private[sinks] def cosine(a: Array[Float], b: Array[Float]): Double = {

@@ -202,6 +202,12 @@ final class WeaviateChunkStore(baseUrl: String, apiKey: String,
     } else expectOk(probe, "schema probe")
   }
 
+  /** Weaviate caps batch-delete matches per request (server default
+    * 10,000), so one call is not a guarantee the doc is gone: a
+    * document with more chunks than the cap would silently retain
+    * stale points. Loop until the server reports zero matches, and
+    * fail loudly if it never drains (a defensive bound far above any
+    * cap/chunk-count ratio a sane deployment would see). */
   def deleteDoc(collection: String, docId: String): Unit = {
     val b = mapper.createObjectNode()
     val m = b.putObject("match")
@@ -210,8 +216,20 @@ final class WeaviateChunkStore(baseUrl: String, apiKey: String,
     w.putArray("path").add("doc_id")
     w.put("operator", "Equal")
     w.put("valueText", docId)
-    expectOk(t.request("DELETE", s"$baseUrl/v1/batch/objects", headers,
-      mapper.writeValueAsBytes(b)), "batch delete")
+    val body = mapper.writeValueAsBytes(b)
+    val maxRounds = 1000
+    var round = 0
+    while (round < maxRounds) {
+      val r = t.request("DELETE", s"$baseUrl/v1/batch/objects", headers, body)
+      expectOk(r, "batch delete")
+      val matches = mapper.readTree(r.text)
+        .path("results").path("matches").asLong(0L)
+      if (matches == 0L) return
+      round += 1
+    }
+    throw new IllegalStateException(
+      s"weaviate batch delete for doc '$docId' did not drain after " +
+        s"$maxRounds rounds — server still reports matches")
   }
 
   def upsert(collection: String, points: Seq[ChunkPoint]): Unit = {
@@ -230,8 +248,29 @@ final class WeaviateChunkStore(baseUrl: String, apiKey: String,
       val v = n.putArray("vector")
       p.embedding.foreach(v.add)
     }
-    expectOk(t.request("POST", s"$baseUrl/v1/batch/objects", headers,
-      mapper.writeValueAsBytes(b)), "batch upsert")
+    val r = t.request("POST", s"$baseUrl/v1/batch/objects", headers,
+      mapper.writeValueAsBytes(b))
+    expectOk(r, "batch upsert")
+    // Weaviate returns HTTP 200 even when individual objects fail —
+    // each element of the response array carries result.status /
+    // result.errors. Surface partial failures instead of letting the
+    // collection silently diverge from the chunk frame (same contract
+    // the Milvus store enforces via its code!=0 check).
+    val resp = mapper.readTree(r.text)
+    if (resp.isArray) {
+      val it = resp.elements()
+      while (it.hasNext) {
+        val o = it.next()
+        val res = o.path("result")
+        val failed = res.path("status").asText("") == "FAILED" ||
+          (res.has("errors") && res.path("errors").path("error").size() > 0)
+        if (failed)
+          throw new IllegalStateException(
+            "weaviate batch upsert: object " +
+              o.path("id").asText("?") + " failed: " +
+              res.path("errors").toString.take(300))
+      }
+    }
   }
 
   def countDoc(collection: String, docId: String): Long = {

@@ -54,7 +54,11 @@ final class BoxConnector(auth: BoxJwtAuth, mkTransport: () => HttpTransport,
           val first = c.get(s"$api/2.0/files/$id/content")
           val r =
             if (first.status == 302)
-              c.get(first.header("Location").getOrElse(
+              // Box download URLs are pre-authorized; the Location may
+              // point at a different host (dl.boxcloud.com), so fetch
+              // it WITHOUT the Authorization header — re-attaching the
+              // bearer token would forward credentials cross-origin.
+              c.getBare(first.header("Location").getOrElse(
                 throw new IllegalStateException("302 without Location")))
             else first
           require(r.status == 200, s"box download $id -> HTTP ${r.status}")
@@ -176,4 +180,8 @@ private[sources] final class BoxClient(auth: BoxJwtAuth, t: HttpTransport,
     apiBase: String) {
   def get(url: String): graft.tools.HttpResponse =
     t.request("GET", url, Map("Authorization" -> s"Bearer ${auth.token(t)}"))
+
+  /** Credential-free fetch for pre-authorized download redirects. */
+  def getBare(url: String): graft.tools.HttpResponse =
+    t.request("GET", url, Map.empty)
 }

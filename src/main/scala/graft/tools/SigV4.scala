@@ -46,6 +46,28 @@ object SigV4 {
     * what the canonical path must contain. */
   def encodePathSegment(s: String): String = uriEncode(s)
 
+  /** Raw percent-decoder: %XX → byte, everything else verbatim — in
+    * particular '+' stays literal ('+' means space only in
+    * application/x-www-form-urlencoded, not in a query string AWS
+    * signs). Malformed escapes pass through untouched. */
+  private[tools] def percentDecode(s: String): String = {
+    val bytes = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        bytes.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        i += 3
+      } else {
+        val cb = String.valueOf(c).getBytes("UTF-8")
+        bytes.write(cb, 0, cb.length); i += 1
+      }
+    }
+    new String(bytes.toByteArray, "UTF-8")
+  }
+
   final case class Signed(headers: Map[String, String],
       canonicalRequest: String, stringToSign: String, signature: String)
 
@@ -60,12 +82,19 @@ object SigV4 {
     val host = u.getHost +
       (if (u.getPort > 0) ":" + u.getPort else "")
     val path = Option(u.getRawPath).filter(_.nonEmpty).getOrElse("/")
+    // AWS sorts canonical query params by encoded NAME first, then
+    // encoded VALUE — sorting the joined "name=value" strings diverges
+    // because '=' (0x3D) sorts after '-'/'.'/digits, misordering
+    // prefix-related names like `a` vs `a-b`. Decoding must also keep
+    // '+' literal (URLDecoder would turn it into a space), so use a
+    // raw percent-decoder before re-encoding.
     val canonicalQuery = Option(u.getRawQuery).filter(_.nonEmpty)
       .map(_.split("&").toSeq.map { p =>
         val Array(n, v) = (p.split("=", 2) ++ Array("")).take(2)
-        def norm(s: String) = uriEncode(java.net.URLDecoder.decode(s, "UTF-8"))
-        s"${norm(n)}=${norm(v)}"
-      }.sorted.mkString("&")).getOrElse("")
+        def norm(s: String) = uriEncode(percentDecode(s))
+        (norm(n), norm(v))
+      }.sorted.map { case (n, v) => s"$n=$v" }.mkString("&"))
+      .getOrElse("")
 
     val t = java.time.Instant.ofEpochMilli(epochMillis)
       .atZone(java.time.ZoneOffset.UTC)

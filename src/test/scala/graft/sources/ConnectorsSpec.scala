@@ -398,7 +398,12 @@ object ConnectorsSpec {
         if (ok) R.ok("""{"access_token":"box-tok","expires_in":3600}""")
         else R.status(400, """{"error":"invalid_grant"}""")
       } else if (url.startsWith(boxDl)) {
-        blobs.get(url.stripPrefix(s"$boxDl/")).map(R.ok).getOrElse(R.status(404, url))
+        // pre-authorized download host: forwarding the Box bearer token
+        // here is cross-origin credential leakage — reject it
+        if (headers.contains("Authorization"))
+          R.status(400, "credential forwarded cross-origin")
+        else blobs.get(url.stripPrefix(s"$boxDl/")).map(R.ok)
+          .getOrElse(R.status(404, url))
       } else if (headers.get("Authorization") != Some("Bearer box-tok"))
         R.status(401, "unauthorized")
       else if (method == "GET" && url == s"$boxApi/2.0/users/me")

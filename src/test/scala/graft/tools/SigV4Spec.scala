@@ -50,6 +50,31 @@ class SigV4Spec extends AnyFunSuite {
     assert(lines(2) === "a=1&sp=a%20b&z=2") // sorted, normalized
   }
 
+  test("canonical query sorts by (name, value), not by joined strings, and keeps '+' literal") {
+    // 'a' vs 'a-b': '=' (0x3D) sorts after '-' (0x2D), so joined-string
+    // sorting would misorder "a=..." vs "a-b=..." — AWS sorts names first
+    val s1 = SigV4.sign("GET", "https://svc.example.com/?a-b=1&a=2",
+      Map.empty, Array.emptyByteArray, "AK", "SK", "r", "svc", 0L)
+    assert(s1.canonicalRequest.split("\n")(2) === "a=2&a-b=1")
+    // '+' in a query string is a LITERAL plus (form-encoding is not URI
+    // encoding): it must re-encode as %2B, never collapse to a space
+    val s2 = SigV4.sign("GET", "https://svc.example.com/?tok=a+b",
+      Map.empty, Array.emptyByteArray, "AK", "SK", "r", "svc", 0L)
+    assert(s2.canonicalRequest.split("\n")(2) === "tok=a%2Bb")
+    // same name twice: values sort within the name group
+    val s3 = SigV4.sign("GET", "https://svc.example.com/?k=2&k=1",
+      Map.empty, Array.emptyByteArray, "AK", "SK", "r", "svc", 0L)
+    assert(s3.canonicalRequest.split("\n")(2) === "k=1&k=2")
+  }
+
+  test("percentDecode: %XX decoded, '+' and malformed escapes pass through") {
+    assert(SigV4.percentDecode("a%20b") === "a b")
+    assert(SigV4.percentDecode("a+b") === "a+b")
+    assert(SigV4.percentDecode("100%") === "100%")
+    assert(SigV4.percentDecode("%zz") === "%zz")
+    assert(SigV4.percentDecode("%C3%A4") === "ä")
+  }
+
   test("uriEncode: unreserved passthrough, everything else uppercase %XX of UTF-8") {
     assert(SigV4.encodePathSegment("anthropic.claude-3-haiku:0")
       === "anthropic.claude-3-haiku%3A0")

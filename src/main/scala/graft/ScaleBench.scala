@@ -37,10 +37,15 @@ object ScaleBench {
       .withColumn("n_tok",
         (pmod(xxhash64(col("doc_id"), lit("len")), lit(91)) + 10).cast("int"))
       .withColumn("text", expr(
+        // skew 1.15 ≈ the real corpus marginal (top-5 token share
+        // ~17%, 95% of 5-grams distinct — measured against
+        // /root/testdata/sf0.1); an over-skewed draw (2.5 was tried)
+        // concentrates shingles and inflates the dedup tier's
+        // collision counts beyond anything the real corpus shows
         s"""concat_ws(' ', transform(sequence(1, n_tok), j ->
            |  element_at(array($vocabSql), cast(floor(31 * pow(
            |    pmod(xxhash64(doc_id, j, 'tok'), 1000000) / 1000000.0,
-           |    2.5)) as int) + 1)))""".stripMargin))
+           |    1.15)) as int) + 1)))""".stripMargin))
       .withColumn("lang", expr("element_at(array('en','de','es','zh','fr'), " +
         "cast(pmod(xxhash64(doc_id, 'lang'), 5) as int) + 1)"))
       .withColumn("source",
@@ -65,7 +70,8 @@ object ScaleBench {
     "q87_curation_pipeline", "q96_lm_perplexity", "q101_dsir", "q108_kn_perplexity",
     "q173_doremi_weights", "q51_lsh_jaccard_pairs", "q98_dup_spans",
     "q164_longest_dup", "q104_bpe_merges", "q174_kmeans_clusters",
-    "q130_knn_graph", "q85_ann_pq", "q100_ann_ivfpq", "q205_cc_twophase")
+    "q130_knn_graph", "knn_graph_ivf", "q85_ann_pq", "q100_ann_ivfpq",
+    "q205_cc_twophase")
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("target/scale")
@@ -96,10 +102,25 @@ object ScaleBench {
     }
 
     val qs = SparkEntry.queries
+    // The production kNN-graph build (q130's registered form is the
+    // documented quadratic calibration baseline): IVF-blocked with the
+    // cell count scaled to hold ~125 vectors per cell, nprobe=4 — the
+    // configuration whose candidate fan-out stays linear in N.
+    def knnIvf(dir: String): DataFrame = {
+      graft.functions.expressions.VectorExpressions.register(spark)
+      val e = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val c = math.max(16L, e.count() / 125L)
+      val centroids = e.filter(col("vec_id") < c)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      operators.AnnOps.knnGraphIvf(e, centroids, nprobe = 4, k = 5)
+    }
     def once(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       try {
-        qs(name)(spark, dir).write.format("noop").mode("overwrite").save()
+        val df = if (name == "knn_graph_ivf") knnIvf(dir)
+          else qs(name)(spark, dir)
+        df.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>

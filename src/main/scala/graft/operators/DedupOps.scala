@@ -945,10 +945,101 @@ object DedupOps {
       GROUP BY t.tau ORDER BY t.tau"""),
     headline = false)
 
+  // ---------------------------------------------------------------
+  // q226: source-profile MinHash matrix (sketched q122)
+  // ---------------------------------------------------------------
+
+  /** Source-pair similarity from MERGED MinHash signatures: each
+    * source's K-slot signature is the element-wise min over ALL its
+    * documents' shingle hashes (min-merge is associative, commutative,
+    * idempotent — the same mergeability that makes q169's HLL
+    * re-ingestion-proof), and each pair's Jaccard ESTIMATE is the
+    * matching-slot fraction, reported against the exact shingle-set
+    * Jaccard with the realized error. This is the sketched form of
+    * q122's overlap matrix — the configuration a 100 TB assembler
+    * actually runs: per-source state is K×8 hex chars however large
+    * the source, so profiling S sources costs one corpus pass + an
+    * S²-cell epilogue instead of a gram-keyed pair join. K = 8 here
+    * (one sha-256 per shingle buys all 8 permutations); the ±1/√K
+    * estimate noise is the audit's subject, not a defect — the err
+    * column is the evidence for sizing K before trusting the sketch.
+    *
+    * Scale: the (source, shingle) DISTINCT reduce is the only corpus
+    * shuffle; the signature agg is map-side combined to K-mins per
+    * (task, source); the pair matrix is sources², driver-bounded. */
+  val q226SourceMinhash: QueryDef = {
+    val matchFrac = "size(filter(zip_with(sa, sb, (x, y) -> x = y), b -> b))"
+    QueryDef(
+      "q226_source_minhash",
+      (s, dir) => {
+        val src = docs(s, dir).select(col("doc_id"), col("source"))
+        val grams = materialize(shingled(s, dir)
+          .join(src, Seq("doc_id"))
+          .select(col("source"), explode(col("shingles")).as("sh"))
+          .distinct(), "src_sh")
+        val hs = grams.select(col("source"), sha2(col("sh"), 256).as("h"))
+        // K mins as explicit aggregate columns (one per signature slot)
+        val minCols = (0 until K).map(k =>
+          min(expr(s"substr(h, ${k * 8 + 1}, 8)")).as(s"m$k"))
+        val sig = hs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_grams"), minCols: _*)
+          .select(col("source"), col("n_grams"),
+            array((0 until K).map(k => col(s"m$k")): _*).as("sig"))
+        val exact = grams
+          .join(grams.select(col("sh"), col("source").as("source2")), Seq("sh"))
+          .filter(col("source") < col("source2"))
+          .groupBy(col("source"), col("source2"))
+          .agg(count(lit(1)).as("n_shared"))
+        sig.select(col("source"), col("sig").as("sa"), col("n_grams").as("n1"))
+          .crossJoin(broadcast(sig.select(col("source").as("source2"),
+            col("sig").as("sb"), col("n_grams").as("n2"))))
+          .filter(col("source") < col("source2"))
+          .join(exact, Seq("source", "source2"), "left_outer")
+          .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+          .select(col("source"), col("source2"),
+            round(expr(matchFrac).cast("double") / K, 6).as("est_jacc"),
+            round(col("n_shared").cast("double") /
+              (col("n1") + col("n2") - col("n_shared")), 6).as("jacc"),
+            round(expr(matchFrac).cast("double") / K -
+              col("n_shared").cast("double") /
+                (col("n1") + col("n2") - col("n_shared")), 6).as("err"))
+          .orderBy(col("source"), col("source2"))
+      },
+      Some {
+        val mins = (0 until K)
+          .map(k => s"min(substr(h, ${k * 8 + 1}, 8)) AS m$k").mkString(", ")
+        val eq = (0 until K)
+          .map(k => s"CASE WHEN a.m$k = b.m$k THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH $shingleSqlCte,
+        src AS (SELECT s.doc_id, d.source, s.shingles
+          FROM sh s JOIN documents d USING (doc_id)),
+        grams AS (SELECT DISTINCT source, unnest(shingles) AS sh FROM src),
+        hs2 AS (SELECT source, sha256(sh) AS h FROM grams),
+        sig AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams, $mins
+          FROM hs2 GROUP BY source),
+        ex AS (SELECT a.source, b.source AS source2,
+            CAST(count(*) AS BIGINT) AS n_shared
+          FROM grams a JOIN grams b ON a.sh = b.sh AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT a.source, b.source AS source2,
+          round(CAST($eq AS DOUBLE) / $K, 6) AS est_jacc,
+          round(CAST(coalesce(ex.n_shared, 0) AS DOUBLE)
+            / (a.n_grams + b.n_grams - coalesce(ex.n_shared, 0)), 6) AS jacc,
+          round(CAST($eq AS DOUBLE) / $K -
+            CAST(coalesce(ex.n_shared, 0) AS DOUBLE)
+              / (a.n_grams + b.n_grams - coalesce(ex.n_shared, 0)), 6) AS err
+        FROM sig a JOIN sig b ON a.source < b.source
+        LEFT JOIN ex ON ex.source = a.source AND ex.source2 = b.source
+        ORDER BY a.source, source2"""
+      },
+      headline = false)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q50MinhashSignature, q51LshJaccardPairs, q52MinhashAggregate,
     q53Simhash, q54NgramJaccard, q55EmbeddingNeardup, q90SimhashHamming,
     q91DupClusters, q112EditDistPairs, q129DedupSaturation,
     q131MinhashCalibration, q134ClusterHistogram, q183LshRecall,
-    q192CrossSourceDups, q205CcTwophase)
+    q192CrossSourceDups, q205CcTwophase, q226SourceMinhash)
 }

@@ -478,7 +478,224 @@ object DiagnosticsOps {
       GROUP BY g.source, m.med, m.mad ORDER BY g.source"""),
     headline = false)
 
+  // ---------------------------------------------------------------
+  // q224: Benford first-digit audit of a numeric feed
+  // ---------------------------------------------------------------
+
+  /** First-significant-digit distribution of the price feed against
+    * Benford's law (Newcomb 1881; Benford 1938) with the χ² goodness-
+    * of-fit — the classic fabricated-or-truncated-feed screen an
+    * ingest pipeline runs on any scale-spanning numeric column
+    * (amounts, sizes, counts): organically-grown magnitudes follow
+    * P(d) = log10(1 + 1/d); a generator, a unit clamp, or a silent
+    * truncation shows up as a χ² blowup over the 9-cell grid. (A
+    * negative finding is itself the audit: TPC-H-style uniform prices
+    * are NOT Benford — the query reports that, loudly.)
+    *
+    * Cross-engine exactness: the first digit is taken from the
+    * INTEGER cent count's decimal string (round(x·100) → BIGINT →
+    * leading char), never from log10 of a double — integer-to-string
+    * is exact in both engines where float log10 near a power of ten
+    * is a last-ulp coin flip. Counts are int64; shares, expected
+    * masses, and the χ² are rounded aggregates over the 9-row grid.
+    *
+    * Scale: one narrow map to a digit ∈ [1,9] + one 9-cell keyed agg
+    * with full map-side combine; everything after runs on 9 rows. */
+  val q224Benford: QueryDef = QueryDef(
+    "q224_benford",
+    (s, dir) => {
+      val observed = Tables.load(s, dir, "lineitem")
+        .filter(col("l_extendedprice") > 0)
+        .select(substring(round(col("l_extendedprice") * 100, 0)
+          .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      // all 9 Benford cells: a digit with ZERO observations still
+      // contributes its expected mass to the χ² (dropping it would
+      // understate exactly the anomaly the audit hunts)
+      val digits = s.range(1, 10).toDF("d")
+        .join(observed, col("d") === col("digit"), "left_outer")
+        .select(col("d").cast("int").as("digit"),
+          coalesce(col("n"), lit(0L)).as("n"))
+      val wAll = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val g = digits
+        .withColumn("total", sum(col("n")).over(wAll))
+        .withColumn("benford_p", log10(lit(1.0) + lit(1.0) / col("digit")))
+        .withColumn("expected", col("benford_p") * col("total"))
+        .withColumn("chi2_term",
+          (col("n") - col("expected")) * (col("n") - col("expected"))
+            / col("expected"))
+      g.withColumn("chi2", sum(col("chi2_term")).over(wAll))
+        .select(col("digit"), col("n"),
+          round(col("n").cast("double") / col("total"), 6).as("share"),
+          round(col("benford_p"), 6).as("benford_p"),
+          round(col("chi2_term"), 6).as("chi2_term"),
+          round(col("chi2"), 6).as("chi2"),
+          // χ²(8 df) 5% critical value
+          (col("chi2") > 15.507).as("rejected"))
+        .orderBy(col("digit"))
+    },
+    Some("""WITH d AS (SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100, 0)
+            AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM lineitem WHERE l_extendedprice > 0),
+      g0 AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+      g AS (SELECT CAST(r.d AS INT) AS digit, coalesce(g0.n, 0) AS n
+        FROM range(1, 10) r(d) LEFT JOIN g0 ON g0.digit = r.d),
+      t AS (SELECT *, CAST(sum(n) OVER () AS BIGINT) AS total,
+          log10(1.0 + 1.0 / digit) AS benford_p
+        FROM g),
+      c AS (SELECT *, benford_p * total AS expected,
+          (n - benford_p * total) * (n - benford_p * total)
+            / (benford_p * total) AS chi2_term
+        FROM t)
+      SELECT digit, n,
+        round(CAST(n AS DOUBLE) / total, 6) AS share,
+        round(benford_p, 6) AS benford_p,
+        round(chi2_term, 6) AS chi2_term,
+        round(sum(chi2_term) OVER (), 6) AS chi2,
+        sum(chi2_term) OVER () > 15.507 AS rejected
+      FROM c ORDER BY digit"""),
+    headline = false)
+
+  // ---------------------------------------------------------------
+  // q229: diversity indices of corpus composition
+  // ---------------------------------------------------------------
+
+  /** The dataset-card diversity row — Shannon entropy (nats) with its
+    * effective-source count e^H (Hill number of order 1), Simpson
+    * concentration λ = Σp² with inverse-Simpson 1/λ (Hill order 2),
+    * and the Berger-Parker dominance max(p) (Hill order ∞) — over
+    * per-source token mass: the q222 Gini's ecology-standard
+    * companions, answering "how many sources is this corpus REALLY"
+    * at three tail-sensitivities (H counts moderate sources, 1/λ
+    * weights the heavy ones, Berger-Parker only the heaviest).
+    *
+    * Scale: q222's posture exactly — one keyed corpus agg down to the
+    * SOURCE table, then a one-row epilogue over k cells; all shares
+    * are int64/int64 divisions, indices rounded aggregates. */
+  val q229Diversity: QueryDef = QueryDef(
+    "q229_diversity",
+    (s, dir) => {
+      val w = Tables.loadParallel(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("source"),
+          size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("nt"))
+        .groupBy(col("source")).agg(sum(col("nt")).as("w"))
+      val wAll = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      w.withColumn("tot", sum(col("w")).over(wAll))
+        .select(col("source"), (col("w").cast("double") / col("tot")).as("p"))
+        .agg(count(lit(1)).as("n_sources"),
+          (-sum(col("p") * log(col("p")))).as("h"),
+          sum(col("p") * col("p")).as("simpson"),
+          max(col("p")).as("berger_parker"))
+        .select(col("n_sources"),
+          round(col("h"), 6).as("shannon_h"),
+          round(exp(col("h")), 6).as("eff_sources_h1"),
+          round(col("simpson"), 6).as("simpson"),
+          round(lit(1.0) / col("simpson"), 6).as("eff_sources_h2"),
+          round(col("berger_parker"), 6).as("berger_parker"))
+    },
+    Some("""WITH w AS (SELECT source,
+          CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\s+')))
+            AS BIGINT) AS w
+        FROM documents WHERE length(trim(text)) > 0 GROUP BY 1),
+      p AS (SELECT source, CAST(w AS DOUBLE) / CAST(sum(w) OVER () AS BIGINT) AS p
+        FROM w)
+      SELECT CAST(count(*) AS BIGINT) AS n_sources,
+        round(-sum(p * ln(p)), 6) AS shannon_h,
+        round(exp(-sum(p * ln(p))), 6) AS eff_sources_h1,
+        round(sum(p * p), 6) AS simpson,
+        round(1.0 / sum(p * p), 6) AS eff_sources_h2,
+        round(max(p), 6) AS berger_parker
+      FROM p"""),
+    headline = false)
+
+  // ---------------------------------------------------------------
+  // q227: top-k rank churn between corpus halves (rank-biased overlap)
+  // ---------------------------------------------------------------
+
+  /** Rank-biased overlap (Webber, Moffat & Zobel 2010) between the
+    * top-100 token rankings of the corpus's two doc_id-parity halves —
+    * the indefinite-ranking stability statistic a snapshot monitor
+    * reads where q152's diff reads raw deltas: with S, T the two
+    * rankings and A_d their prefix-intersection size at depth d,
+    *
+    *   RBO@D(p) = (1−p) · Σ_{d=1..D} p^{d−1} · A_d / d,   p = 0.9
+    *
+    * Top-weighted on purpose: churn at rank 3 moves RBO far more than
+    * churn at rank 90, which matches what a drifting head of the vocab
+    * means operationally. Two stable halves of one corpus give the
+    * in-distribution baseline; run against consecutive snapshots, a
+    * drop below it is the alarm.
+    *
+    * Determinism: ranks and A_d are exact integers; the geometric sum
+    * accumulates over the 100-row depth grid through an ORDERED
+    * cumulative window (both engines add rows in frame order — no
+    * unordered float aggregate), rounded at 6.
+    *
+    * Scale: one (half, token) count shuffle; ranking windows run on
+    * the two vocab tables; everything after lives on a 100-row grid. */
+  val q227RankChurn: QueryDef = QueryDef(
+    "q227_rank_churn",
+    (s, dir) => {
+      val Depth = 100
+      val P = 0.9
+      val toks = Tables.loadParallel(s, dir, "documents")
+        .select((col("doc_id") % 2).as("half"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .groupBy(col("half"), col("tok")).agg(count(lit(1)).as("n"))
+      val byHalf = Window.partitionBy(col("half"))
+        .orderBy(col("n").desc, col("tok"))
+      val ranked = toks.withColumn("rk", row_number().over(byHalf))
+        .filter(col("rk") <= Depth)
+      val m = ranked.filter(col("half") === 0)
+        .select(col("tok"), col("rk").as("rk_a"))
+        .join(ranked.filter(col("half") === 1)
+          .select(col("tok"), col("rk").as("rk_b")), Seq("tok"))
+        .select(greatest(col("rk_a"), col("rk_b")).as("m"))
+      val grid = s.range(1, Depth + 1).toDF("d")
+      val byD = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid.join(broadcast(m), col("m") <= col("d"), "left_outer")
+        .groupBy(col("d")).agg(count(col("m")).as("a_d"))
+        .withColumn("term",
+          pow(lit(P), col("d") - 1) * col("a_d").cast("double") / col("d"))
+        // (1−p) as its own literal 0.1 — both engines must parse the
+        // same constant rather than one computing 1.0 − 0.9
+        .withColumn("rbo_cum", sum(col("term")).over(byD) * lit(0.1))
+        .filter(col("d") === Depth)
+        .select(col("d").cast("long").as("depth"), lit(P).as("p"),
+          col("a_d").as("overlap_at_depth"),
+          round(col("a_d").cast("double") / (lit(2 * Depth) - col("a_d")), 6)
+            .as("jaccard_at_depth"),
+          round(col("rbo_cum"), 6).as("rbo"))
+    },
+    Some("""WITH toks AS (SELECT doc_id % 2 AS half,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents),
+      c AS (SELECT half, tok, CAST(count(*) AS BIGINT) AS n
+        FROM toks GROUP BY 1, 2),
+      rk AS (SELECT half, tok, row_number() OVER (PARTITION BY half
+          ORDER BY n DESC, tok) AS rk FROM c),
+      top AS (SELECT * FROM rk WHERE rk <= 100),
+      m AS (SELECT greatest(a.rk, b.rk) AS m
+        FROM top a JOIN top b ON a.tok = b.tok AND a.half = 0 AND b.half = 1),
+      grid AS (SELECT CAST(d AS BIGINT) AS d FROM range(1, 101) t(d)),
+      ad AS (SELECT g.d, CAST(count(m.m) AS BIGINT) AS a_d
+        FROM grid g LEFT JOIN m ON m.m <= g.d GROUP BY g.d),
+      term AS (SELECT d, a_d,
+          pow(0.9, d - 1) * CAST(a_d AS DOUBLE) / d AS term FROM ad),
+      cum AS (SELECT d, a_d, sum(term) OVER (ORDER BY d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 0.1 AS rbo_cum
+        FROM term)
+      SELECT d AS depth, 0.9 AS p, a_d AS overlap_at_depth,
+        round(CAST(a_d AS DOUBLE) / (200 - a_d), 6) AS jaccard_at_depth,
+        round(rbo_cum, 6) AS rbo
+      FROM cum WHERE d = 100"""),
+    headline = false)
+
   val all: Seq[QueryDef] = Seq(q142SkewAudit, q152SnapshotDiff,
     q191ChangeMagnitude, q195ChunkDelta, q222GiniConcentration,
-    q223HampelOutliers)
+    q223HampelOutliers, q224Benford, q227RankChurn, q229Diversity)
 }

@@ -1555,9 +1555,93 @@ object LmOps {
       FROM cnt GROUP BY source ORDER BY source"""),
     headline = false)
 
+  // ---------------------------------------------------------------
+  // q228: empirical conditional entropy of the bigram process
+  // ---------------------------------------------------------------
+
+  /** Per-source conditional entropy H(W₂|W₁) of the EMPIRICAL bigram
+    * distribution (Shannon 1951's printed-English estimate, the
+    * model-free entropy-rate proxy):
+    *
+    *   H = Σ_{w1,w2} (c₂/N) · ln(c₁/c₂),   ppl = e^H
+    *
+    * with c₂ the source's bigram count, c₁ its context count, N its
+    * bigram total. Where q96 scores DOCUMENTS under a smoothed model,
+    * this scores the SOURCE PROCESS itself — the predictability number
+    * a corpus card reports next to q162's KL (a source whose H drops
+    * between snapshots got more templated; one near ln(vocab) is
+    * noise), with the unigram entropy H(W₂) alongside so the mutual
+    * information H(W₂) − H(W₂|W₁) is one subtraction away.
+    *
+    * Exactness: all counts exact int64 from ONE (source,w1,w2) grid
+    * (c₁ and N are grid rollups, never corpus rescans); the entropy
+    * sums are vocab²-bounded double folds rounded at 6 (aggregate
+    * rule, q162's posture).
+    *
+    * Scale: one bigram-keyed shuffle with map-side combine; everything
+    * downstream runs on the (source × vocab²)-bounded grid. */
+  val q228ConditionalEntropy: QueryDef = QueryDef(
+    "q228_conditional_entropy",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val c2 = bigramsOfTokens(tokenizedOf(d))
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy(col("source"), col("w1"))
+        .agg(sum(col("c2")).as("c1"))
+      val cm = c2.groupBy(col("source"), col("w2"))
+        .agg(sum(col("c2")).as("cm"))
+      val n = c2.groupBy(col("source")).agg(sum(col("c2")).as("n"))
+      val hCond = c2.join(c1, Seq("source", "w1")).join(n, Seq("source"))
+        .groupBy(col("source"), col("n"))
+        .agg(sum((col("c2").cast("double") / col("n"))
+          * log(col("c1").cast("double") / col("c2"))).as("h_cond"))
+      val hMarg = cm.join(n, Seq("source"))
+        .groupBy(col("source"))
+        .agg(sum((col("cm").cast("double") / col("n"))
+          * log(col("n").cast("double") / col("cm"))).as("h_marg"))
+      hCond.join(hMarg, Seq("source"))
+        .select(col("source"), col("n").as("n_bigrams"),
+          round(col("h_cond"), 6).as("h_cond"),
+          round(exp(col("h_cond")), 6).as("ppl"),
+          round(col("h_marg"), 6).as("h_unigram"),
+          round(col("h_marg") - col("h_cond"), 6).as("mutual_info"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH $tokSqlCte,
+      src AS (SELECT doc_id, source FROM documents),
+      bg AS (SELECT s.source, w[i] AS w1, w[i+1] AS w2
+        FROM tok JOIN src s USING (doc_id), unnest(range(1, len(w))) AS t(i)
+        WHERE len(w) >= 2),
+      c2 AS (SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS c2
+        FROM bg GROUP BY 1, 2, 3),
+      c1 AS (SELECT source, w1, CAST(sum(c2) AS BIGINT) AS c1
+        FROM c2 GROUP BY 1, 2),
+      cm AS (SELECT source, w2, CAST(sum(c2) AS BIGINT) AS cm
+        FROM c2 GROUP BY 1, 2),
+      n AS (SELECT source, CAST(sum(c2) AS BIGINT) AS n FROM c2 GROUP BY 1),
+      hc AS (SELECT c2.source, n.n,
+          sum((CAST(c2.c2 AS DOUBLE) / n.n)
+            * ln(CAST(c1.c1 AS DOUBLE) / c2.c2)) AS h_cond
+        FROM c2 JOIN c1 USING (source, w1) JOIN n USING (source)
+        GROUP BY 1, 2),
+      hm AS (SELECT cm.source,
+          sum((CAST(cm.cm AS DOUBLE) / n.n)
+            * ln(CAST(n.n AS DOUBLE) / cm.cm)) AS h_marg
+        FROM cm JOIN n USING (source) GROUP BY 1)
+      SELECT hc.source, hc.n AS n_bigrams,
+        round(hc.h_cond, 6) AS h_cond,
+        round(exp(hc.h_cond), 6) AS ppl,
+        round(hm.h_marg, 6) AS h_unigram,
+        round(hm.h_marg - hc.h_cond, 6) AS mutual_info
+      FROM hc JOIN hm USING (source) ORDER BY hc.source"""),
+    headline = false)
+
   val all: Seq[QueryDef] =
     Seq(q96LmPerplexity, q97Bm25, q98DupSpans, q99HybridRrf, q101Dsir,
       q102CcnetBuckets, q106DedupAudit, q107MaxDupSpans, q108KnPerplexity,
       q114DataCard, q150ExactSubstrRewrite, q162SourceKl, q173DoremiWeights,
-      q187WorstWindow, q189ModelPrune, q208MooreLewis, q216GoodTuring)
+      q187WorstWindow, q189ModelPrune, q208MooreLewis, q216GoodTuring,
+      q228ConditionalEntropy)
 }

@@ -171,12 +171,16 @@ object Relational2 {
     * table; the histogram shuffles (flag, bucket) cells — range/δ
     * counters, not rows — and both merge associatively, so the whole
     * sketch tier is one map-side-combined pass. */
+  /** Spark-side estimate over a register-array column: harmonic fold +
+    * zero count fed to [[hllEstSql]]. */
+  private def hllEstExpr(regs: String): String = hllEstSql(
+    s"aggregate($regs, cast(0.0 as double), " +
+      "(a, x) -> a + 1.0 / cast(shiftleft(cast(1 as bigint), x) as double))",
+    s"cast(size(filter($regs, x -> x = 0)) as bigint)")
+
   val q77Sketches: QueryDef = {
     import graft.functions.expressions.HyperLogLogAgg
-    def estExpr(regs: String): String = hllEstSql(
-      s"aggregate($regs, cast(0.0 as double), " +
-        "(a, x) -> a + 1.0 / cast(shiftleft(cast(1 as bigint), x) as double))",
-      s"cast(size(filter($regs, x -> x = 0)) as bigint)")
+    def estExpr(regs: String): String = hllEstExpr(regs)
     QueryDef(
       "q77_sketches",
       (s, dir) => {
@@ -476,8 +480,98 @@ object Relational2 {
         FROM vc GROUP BY col ORDER BY col"""))
   }
 
+  // ---------------------------------------------------------------
+  // q230: HLL register algebra — union-by-max = sketch-of-union
+  // ---------------------------------------------------------------
+
+  /** The set-algebra property that makes HLL a 100 TB tool: the
+    * element-wise MAX of per-source register grids IS the union's
+    * sketch (never re-scan to union sketches), demonstrated and
+    * oracle-checked. One corpus pass builds the per-source token
+    * sketches (q169's aggregate); the union estimate is computed by
+    * FOLDING the S register arrays with zip_with/greatest — no second
+    * pass over any token — and the DuckDB oracle rebuilds the union
+    * grid from scratch (GROUP BY bucket over all distinct tokens),
+    * which must agree register-for-register. The Σ(per-source est) /
+    * union-est ratio is the duplication factor a mixture designer
+    * reads (1.0 = disjoint sources; S = identical sources) — q122's
+    * headline number from 256·S bytes of state.
+    *
+    * Scale: the (source, tok) DISTINCT reduce is the only corpus
+    * shuffle; per-source partials are 256 B; the union fold touches
+    * S arrays driver-free inside one 1-row aggregation. */
+  val q230HllUnion: QueryDef = {
+    import graft.functions.expressions.HyperLogLogAgg
+    QueryDef(
+      "q230_hll_union",
+      (s, dir) => {
+        HyperLogLogAgg.register(s)
+        val dv = Tables.loadParallel(s, dir, "documents")
+          .select(col("source"),
+            explode(split(trim(col("text")), "\\s+")).as("tok"))
+          .distinct()
+        val per = dv.groupBy(col("source")).agg(
+          expr("hll_sketch(tok)").as("regs"))
+          .withColumn("est", expr(hllEstExpr("regs")))
+        val exactUnion = dv.select(col("tok")).distinct()
+          .agg(count(lit(1)).as("exact_union"))
+        per.agg(
+            count(lit(1)).as("n_sources"),
+            sum(col("est")).as("sum_est"),
+            expr("""aggregate(collect_list(regs),
+              |  array_repeat(0, 256),
+              |  (acc, r) -> zip_with(acc, r, (x, y) -> greatest(x, y)))"""
+              .stripMargin).as("uregs"))
+          .withColumn("union_est", expr(hllEstExpr("uregs")))
+          .crossJoin(broadcast(exactUnion))
+          .select(col("n_sources"),
+            round(col("sum_est"), 4).as("sum_est"),
+            round(col("union_est"), 4).as("union_est"),
+            col("exact_union"),
+            round(col("sum_est") / col("union_est"), 4).as("dup_factor"),
+            round(col("union_est") / col("exact_union") - 1.0, 4)
+              .as("union_rel_err"))
+      },
+      Some(s"""WITH toks AS (SELECT source,
+            unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+          FROM documents),
+        dv AS (SELECT DISTINCT source, tok FROM toks),
+        hx AS (SELECT source, sha256(tok) AS h FROM dv),
+        cells AS (SELECT source, ${HyperLogLogAgg.bucketSql("h")} AS b,
+            max(${HyperLogLogAgg.rhoSql("h")}) AS r
+          FROM hx GROUP BY 1, 2),
+        agg AS (SELECT source,
+            sum(1.0 / CAST((CAST(1 AS BIGINT) << r) AS DOUBLE))
+              + (256 - count(*)) AS harmonic,
+            CAST(256 - count(*) AS BIGINT) AS zero_regs
+          FROM cells GROUP BY source),
+        per AS (SELECT source,
+            ${hllEstSql("harmonic", "zero_regs")} AS est FROM agg),
+        ucells AS (SELECT ${HyperLogLogAgg.bucketSql("h")} AS b,
+            max(${HyperLogLogAgg.rhoSql("h")}) AS r
+          FROM (SELECT DISTINCT sha256(tok) AS h FROM dv) u GROUP BY 1),
+        uagg AS (SELECT
+            sum(1.0 / CAST((CAST(1 AS BIGINT) << r) AS DOUBLE))
+              + (256 - count(*)) AS harmonic,
+            CAST(256 - count(*) AS BIGINT) AS zero_regs
+          FROM ucells),
+        uest AS (SELECT ${hllEstSql("harmonic", "zero_regs")} AS union_est
+          FROM uagg),
+        ex AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS exact_union
+          FROM dv)
+        SELECT CAST((SELECT count(*) FROM per) AS BIGINT) AS n_sources,
+          round((SELECT sum(est) FROM per), 4) AS sum_est,
+          round(u.union_est, 4) AS union_est,
+          ex.exact_union,
+          round((SELECT sum(est) FROM per) / u.union_est, 4) AS dup_factor,
+          round(u.union_est / ex.exact_union - 1.0, 4) AS union_rel_err
+        FROM uest u, ex"""),
+      headline = false)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q70BelowAvgParts, q71Having, q72ShipDelay, q73ConditionalAgg,
     q74StringReport, q75Except, q76Percentiles, q77Sketches,
-    q133HeavyHitters, q154CmsFrequency, q169HllDistinct, q186Profile)
+    q133HeavyHitters, q154CmsFrequency, q169HllDistinct, q186Profile,
+    q230HllUnion)
 }

@@ -743,9 +743,68 @@ object TextAnalysis {
         206.835 - 1.015 * (w / sn) - 84.6 * (y / w) AS flesch
       FROM c ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------
+  // q225: token burstiness / dispersion audit
+  // ---------------------------------------------------------------
+
+  /** Burstiness audit of the 20 heaviest tokens: Church & Gale's
+    * burstiness (1995) — occurrences per CONTAINING document, tf/df —
+    * and the Fisher variance-to-mean dispersion index of the per-doc
+    * count across ALL documents (VMR = 1 under Poisson scatter;
+    * content words clump, VMR ≫ 1; function words spread, VMR ≈ 1).
+    * The signal separates topical terms from glue vocabulary with no
+    * model at all — the lexicon/stopword/boilerplate triage that
+    * keyword extraction (q172) and lexicon tagging (q163) sit on.
+    *
+    * Exactness: tf, df, Σc² are exact int64 (zero-count docs
+    * contribute 0 to both sums, so only the (doc, tok) count table is
+    * ever touched); mean = tf/N and VMR = (Σc²/N − mean²)/mean are
+    * single double chains rounded at 6. Top-20 cut ranks on (tf desc,
+    * token) — a total order.
+    *
+    * Scale: one (doc, tok) count shuffle (map-side combined), one
+    * token-keyed rollup to the vocab table, TakeOrdered 20 — the
+    * standard vocab-aggregate shape; N is a 1-row broadcast. */
+  val q225Burstiness: QueryDef = QueryDef(
+    "q225_burstiness",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val nDocs = d.agg(count(lit(1)).as("n_docs"))
+      val perDoc = d
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      perDoc.groupBy(col("tok"))
+        .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"),
+          sum(col("c") * col("c")).as("sum_c2"))
+        .orderBy(col("tf").desc, col("tok")).limit(20)
+        .crossJoin(broadcast(nDocs))
+        .select(col("tok"), col("tf"), col("df"),
+          round(col("tf").cast("double") / col("df"), 6).as("burstiness"),
+          round((col("sum_c2").cast("double") / col("n_docs")
+              - (col("tf").cast("double") / col("n_docs"))
+                * (col("tf").cast("double") / col("n_docs")))
+            / (col("tf").cast("double") / col("n_docs")), 6).as("vmr"))
+        .orderBy(col("tf").desc, col("tok"))
+    },
+    Some("""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      pd AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents) x GROUP BY 1, 2),
+      v AS (SELECT tok, CAST(sum(c) AS BIGINT) AS tf,
+          CAST(count(*) AS BIGINT) AS df,
+          CAST(sum(c * c) AS BIGINT) AS sum_c2
+        FROM pd GROUP BY tok ORDER BY tf DESC, tok LIMIT 20)
+      SELECT tok, tf, df,
+        round(CAST(tf AS DOUBLE) / df, 6) AS burstiness,
+        round((CAST(sum_c2 AS DOUBLE) / nd.n_docs
+            - (CAST(tf AS DOUBLE) / nd.n_docs) * (CAST(tf AS DOUBLE) / nd.n_docs))
+          / (CAST(tf AS DOUBLE) / nd.n_docs), 6) AS vmr
+      FROM v, nd ORDER BY tf DESC, tok"""),
+    headline = false)
+
   val all: Seq[QueryDef] = Seq(
     q45TokenCount, q46QualityScore, q47LangId, q48Fingerprint, q103Winnowing,
     q113CcnetNormalize, q123QualitySignals, q126GateSweep, q158Entropy,
     q159ZipfFit, q163LexiconTag, q172TfidfKeywords, q181HeapsFit,
-    q211Readability)
+    q211Readability, q225Burstiness)
 }

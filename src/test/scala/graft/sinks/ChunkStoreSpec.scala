@@ -98,6 +98,27 @@ class ChunkStoreSpec extends SparkSpec {
         .head._1.text == "one-a2", label)
     }
   }
+
+  test("sync's per-doc verify repairs a store that silently drops chunks once") {
+    import spark.implicits._
+    MemoryChunkStore.clear("spec-flaky")
+    ChunkStoreSpec.resetFlaky()
+    ChunkStores.sync(Seq(
+        ("d1", 0L, "a", Seq(1f, 0f, 0f, 0f)),
+        ("d1", 1L, "b", Seq(0f, 1f, 0f, 0f)),
+        ("d1", 2L, "c", Seq(0f, 0f, 1f, 0f)),
+        ("d2", 0L, "x", Seq(0f, 0f, 0f, 1f)))
+      .toDF("doc_id", "chunk_id", "text", "emb"),
+      () => new ChunkStoreSpec.FlakyStore(new MemoryChunkStore("spec-flaky")),
+      "corpus", 4, batchSize = 2)
+    // the flaky wrapper dropped d1's first batch's last point on the
+    // first write; sync's countDoc verify must have caught the short
+    // count and rewritten the whole doc
+    val s = new MemoryChunkStore("spec-flaky")
+    assert(s.countDoc("corpus", "d1") == 3L)
+    assert(s.countDoc("corpus", "d2") == 1L)
+    assert(ChunkStoreSpec.flakyDrops.get() >= 1, "the fault must have fired")
+  }
 }
 
 /** Canned Qdrant REST server (companion object: transports ship to
@@ -105,6 +126,37 @@ class ChunkStoreSpec extends SparkSpec {
   * scoring, api-key enforcement, and the routes QdrantChunkStore
   * speaks. */
 object ChunkStoreSpec {
+
+  /** Drops the last point of doc d1's FIRST upsert batch, once —
+    * simulating a partial batch failure the backend did not report
+    * (the Weaviate 200-with-errors shape) or a duplicate task
+    * attempt's delete landing between a twin's writes. JVM-global
+    * state: the flag must be shared with executor tasks in local mode. */
+  val flakyDrops = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val flakyArmed = new java.util.concurrent.atomic.AtomicBoolean(true)
+  def resetFlaky(): Unit = { flakyDrops.set(0); flakyArmed.set(true) }
+
+  final class FlakyStore(inner: ChunkStore) extends ChunkStore {
+    override def name: String = "flaky-" + inner.name
+    def testConnection(): Boolean = inner.testConnection()
+    def ensureCollection(c: String, dim: Int): Unit =
+      inner.ensureCollection(c, dim)
+    def deleteDoc(c: String, docId: String): Unit = inner.deleteDoc(c, docId)
+    def upsert(c: String, points: Seq[ChunkPoint]): Unit = {
+      val pts =
+        if (points.exists(_.docId == "d1") &&
+            flakyArmed.compareAndSet(true, false)) {
+          flakyDrops.incrementAndGet()
+          points.dropRight(1)
+        } else points
+      inner.upsert(c, pts)
+    }
+    def countDoc(c: String, docId: String): Long = inner.countDoc(c, docId)
+    def query(c: String, v: Array[Float], k: Int,
+        docId: Option[String]): Seq[(ChunkPoint, Double)] =
+      inner.query(c, v, k, docId)
+  }
+
   val qBase = "https://qdrant.example.com"
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

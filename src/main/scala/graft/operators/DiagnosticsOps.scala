@@ -695,7 +695,86 @@ object DiagnosticsOps {
       FROM cum WHERE d = 100"""),
     headline = false)
 
+  // ---------------------------------------------------------------
+  // q231: Kendall τ-b rank correlation on the joint value grid
+  // ---------------------------------------------------------------
+
+  /** Exact tie-corrected Kendall τ-b (Kendall 1945) between document
+    * length (tokens) and lexical richness (distinct tokens) — the
+    * robust monotone-association audit that complements q157's Pearson
+    * covariance (Pearson sees a linear trend; τ sees ANY monotone one
+    * and ignores outliers entirely, which length-like heavy tails
+    * poison):
+    *
+    *   τ_b = (C − D) / √((n₀ − t_x)(n₀ − t_y)),  n₀ = n(n−1)/2
+    *
+    * with C/D the concordant/discordant pair counts and t_x/t_y the
+    * tie terms Σ t(t−1)/2 per distinct value.
+    *
+    * Exactness at scale — the q214/q220 grid discipline: both signals
+    * are small integers, so the corpus reduces to the JOINT (x, y)
+    * count grid in one keyed agg; C and D are Σ c_a·c_b over ordered
+    * CELL pairs (value-cardinality-bounded, never doc pairs), the tie
+    * terms are marginal rollups of the same grid, and every count is
+    * exact int64 — only the final ratio is a rounded double. A corpus
+    * of any size with bounded signal cardinality pays grid² cell
+    * pairs, not n² document pairs. */
+  val q231KendallTau: QueryDef = QueryDef(
+    "q231_kendall_tau",
+    (s, dir) => {
+      val grid = Tables.loadParallel(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(split(lower(trim(col("text"))), "\\s+").as("w"))
+        .select(size(col("w")).cast("long").as("x"),
+          size(array_distinct(col("w"))).cast("long").as("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+      val pairs = grid.as("a").join(grid.as("b"), col("a.x") < col("b.x"))
+        .agg(
+          sum(when(col("a.y") < col("b.y"),
+            col("a.c") * col("b.c")).otherwise(0L)).as("concordant"),
+          sum(when(col("a.y") > col("b.y"),
+            col("a.c") * col("b.c")).otherwise(0L)).as("discordant"))
+      val n = grid.agg(sum(col("c")).as("n"))
+      val tx = grid.groupBy(col("x")).agg(sum(col("c")).as("t"))
+        .agg(sum(expr("t * (t - 1) div 2")).as("tie_x"))
+      val ty = grid.groupBy(col("y")).agg(sum(col("c")).as("t"))
+        .agg(sum(expr("t * (t - 1) div 2")).as("tie_y"))
+      pairs.crossJoin(broadcast(n)).crossJoin(broadcast(tx))
+        .crossJoin(broadcast(ty))
+        .withColumn("n0", expr("n * (n - 1) div 2"))
+        .select(col("n").as("n_docs"), col("concordant"), col("discordant"),
+          col("tie_x"), col("tie_y"),
+          round((col("concordant") - col("discordant")).cast("double") /
+            sqrt((col("n0") - col("tie_x")).cast("double") *
+              (col("n0") - col("tie_y")).cast("double")), 6).as("tau_b"))
+    },
+    Some("""WITH per AS (SELECT
+          CAST(len(w) AS BIGINT) AS x,
+          CAST(len(list_distinct(w)) AS BIGINT) AS y
+        FROM (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS w
+          FROM documents WHERE length(trim(text)) > 0) z),
+      grid AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c
+        FROM per GROUP BY 1, 2),
+      p AS (SELECT
+          CAST(sum(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END) AS BIGINT)
+            AS concordant,
+          CAST(sum(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END) AS BIGINT)
+            AS discordant
+        FROM grid a JOIN grid b ON a.x < b.x),
+      nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM grid),
+      tx AS (SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS tie_x FROM (
+        SELECT CAST(sum(c) AS BIGINT) AS t FROM grid GROUP BY x) g),
+      ty AS (SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS tie_y FROM (
+        SELECT CAST(sum(c) AS BIGINT) AS t FROM grid GROUP BY y) g)
+      SELECT nn.n AS n_docs, p.concordant, p.discordant, tx.tie_x, ty.tie_y,
+        round(CAST(p.concordant - p.discordant AS DOUBLE) /
+          sqrt(CAST(nn.n * (nn.n - 1) // 2 - tx.tie_x AS DOUBLE) *
+            CAST(nn.n * (nn.n - 1) // 2 - ty.tie_y AS DOUBLE)), 6) AS tau_b
+      FROM p, nn, tx, ty"""),
+    headline = false)
+
   val all: Seq[QueryDef] = Seq(q142SkewAudit, q152SnapshotDiff,
     q191ChangeMagnitude, q195ChunkDelta, q222GiniConcentration,
-    q223HampelOutliers, q224Benford, q227RankChurn, q229Diversity)
+    q223HampelOutliers, q224Benford, q227RankChurn, q229Diversity,
+    q231KendallTau)
 }

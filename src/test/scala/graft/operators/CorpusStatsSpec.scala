@@ -112,6 +112,29 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r.getAs[Double]("berger_parker") == 0.75)
   }
 
+  test("q231: hand-sized grids give the textbook tau-b, with tie correction") {
+    // perfectly monotone, no ties → τ_b = 1
+    val d1 = writeDocs(Seq(
+      (0L, "a", "en", "s0"),
+      (1L, "a b", "en", "s0"),
+      (2L, "a b c", "en", "s0")))
+    val r1 = DiagnosticsOps.q231KendallTau.fn(spark, d1).collect().head
+    assert(r1.getAs[Long]("concordant") == 3L &&
+      r1.getAs[Long]("discordant") == 0L)
+    assert(r1.getAs[Double]("tau_b") == 1.0)
+    // one tied pair on each margin: C=1, D=0, t_x=t_y=1, n0=3 →
+    // τ_b = 1/√((3−1)(3−1)) = 0.5
+    val d2 = writeDocs(Seq(
+      (0L, "a a", "en", "s0"),  // (x=2, y=1)
+      (1L, "b", "en", "s0"),    // (1, 1)
+      (2L, "c d", "en", "s0"))) // (2, 2)
+    val r2 = DiagnosticsOps.q231KendallTau.fn(spark, d2).collect().head
+    assert(r2.getAs[Long]("concordant") == 1L &&
+      r2.getAs[Long]("discordant") == 0L)
+    assert(r2.getAs[Long]("tie_x") == 1L && r2.getAs[Long]("tie_y") == 1L)
+    assert(r2.getAs[Double]("tau_b") == 0.5)
+  }
+
   test("q230: union-by-max equals the union's own sketch; identical sources double-count") {
     val text = "one two three four five six seven eight nine ten"
     val dir = writeDocs(Seq(

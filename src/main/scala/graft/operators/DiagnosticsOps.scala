@@ -773,8 +773,277 @@ object DiagnosticsOps {
       FROM p, nn, tx, ty"""),
     headline = false)
 
+  // ---------------------------------------------------------------
+  // q232: Mann-Whitney U between two sources' length distributions
+  // ---------------------------------------------------------------
+
+  /** Exact tie-corrected Mann-Whitney U / Wilcoxon rank-sum test
+    * (Mann & Whitney 1947) between src0's and src1's document token
+    * counts — the distribution-free "did these two feeds draw from
+    * the same length distribution" check (q220's KS localizes WHERE
+    * CDFs diverge; U asks the rank-shift question, the one robust to
+    * shape):
+    *
+    *   U = R_A − n_A(n_A+1)/2,
+    *   z = (U − n_A·n_B/2 ∓ ½) / √(n_A·n_B/12 · ((n+1) − Σ(t³−t)/(n(n−1))))
+    *
+    * Exactness, the q220 grid trick with integer rank sums: both
+    * samples reduce to the merged VALUE grid; the tied-rank sum is
+    * kept as the INTEGER 2R_A = Σ c_A·(2·cum_before + t + 1), so U and
+    * the tie spectrum are exact int64 and only the z normalization is
+    * a rounded double chain.
+    *
+    * Scale: one value-keyed count shuffle; windows and the test run on
+    * the value grid — identical posture to q220/q223. */
+  val q232MannWhitney: QueryDef = QueryDef(
+    "q232_mann_whitney",
+    (s, dir) => {
+      val grid = Tables.loadParallel(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1"))
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("source"),
+          size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("x"))
+        .groupBy(col("x")).agg(
+          sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("source") === "src1", 1L).otherwise(0L)).as("cb"))
+      val byX = Window.orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid
+        .withColumn("t", col("ca") + col("cb"))
+        .withColumn("cum", sum(col("t")).over(byX))
+        .withColumn("r2_term",
+          col("ca") * (lit(2) * (col("cum") - col("t")) + col("t") + 1))
+        .withColumn("tie_term", col("t") * col("t") * col("t") - col("t"))
+        .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+          sum(col("r2_term")).as("r2"), sum(col("tie_term")).as("ties"))
+        .withColumn("n", col("na") + col("nb"))
+        .withColumn("u",
+          (col("r2") - col("na") * (col("na") + 1)).cast("double") / 2.0)
+        .withColumn("mean_u",
+          col("na").cast("double") * col("nb").cast("double") / 2.0)
+        .withColumn("var_u",
+          col("na").cast("double") * col("nb").cast("double") / 12.0 *
+            ((col("n") + 1).cast("double") -
+              col("ties").cast("double") /
+                (col("n").cast("double") * (col("n") - 1).cast("double"))))
+        .withColumn("zraw", when(col("u") > col("mean_u"),
+            (col("u") - col("mean_u") - 0.5) / sqrt(col("var_u")))
+          .when(col("u") < col("mean_u"),
+            (col("u") - col("mean_u") + 0.5) / sqrt(col("var_u")))
+          .otherwise(lit(0.0)))
+        .select(col("na"), col("nb"), round(col("u"), 6).as("u"),
+          (round(col("zraw"), 6) + lit(0.0)).as("z"),
+          (abs(col("zraw")) > 1.96).as("rejected"))
+    },
+    Some("""WITH v AS (SELECT source,
+          CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS x
+        FROM documents
+        WHERE source IN ('src0', 'src1') AND length(trim(text)) > 0),
+      grid AS (SELECT x,
+          CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+          CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        FROM v GROUP BY x),
+      st AS (SELECT *, ca + cb AS t,
+          CAST(sum(ca + cb) OVER (ORDER BY x
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM grid),
+      agg AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+          CAST(sum(cb) AS BIGINT) AS nb,
+          CAST(sum(ca * (2 * (cum - t) + t + 1)) AS BIGINT) AS r2,
+          CAST(sum(t * t * t - t) AS BIGINT) AS ties
+        FROM st),
+      m AS (SELECT *, na + nb AS n,
+          CAST(r2 - na * (na + 1) AS DOUBLE) / 2.0 AS u,
+          CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0 AS mean_u
+        FROM agg),
+      z AS (SELECT *,
+          CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0 *
+            (CAST(n + 1 AS DOUBLE) - CAST(ties AS DOUBLE) /
+              (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS var_u
+        FROM m),
+      zz AS (SELECT *,
+          CASE WHEN u > mean_u THEN (u - mean_u - 0.5) / sqrt(var_u)
+               WHEN u < mean_u THEN (u - mean_u + 0.5) / sqrt(var_u)
+               ELSE 0.0 END AS zraw
+        FROM z)
+      SELECT na, nb, round(u, 6) AS u, round(zraw, 6) + 0.0 AS z,
+        abs(zraw) > 1.96 AS rejected
+      FROM zz"""),
+    headline = false)
+
+  // ---------------------------------------------------------------
+  // q233: Cramér's V between two categorical columns
+  // ---------------------------------------------------------------
+
+  /** Association strength between `source` and `lang` — Pearson's χ²
+    * over the contingency grid normalized to Cramér's V (1946),
+    *
+    *   V = √( χ² / (n · (min(r, k) − 1)) ) ∈ [0, 1]
+    *
+    * — the "is language confounded with source" pre-flight a mixture
+    * designer runs before per-source language quotas (a high V means
+    * source caps ARE language caps, and q115/q121's knobs interact).
+    *
+    * Exactness: observed counts and both marginals are exact int64
+    * from ONE grid; expected counts e = row·col/n and the χ² fold are
+    * grid-bounded doubles rounded at 6.
+    *
+    * Scale: one (source, lang) keyed agg with map-side combine —
+    * cells = |sources|×|langs|, everything after is an epilogue. */
+  val q233CramersV: QueryDef = QueryDef(
+    "q233_cramers_v",
+    (s, dir) => {
+      val obs = Tables.loadParallel(s, dir, "documents")
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
+      // complete the r×k grid: a ZERO cell still contributes (0−e)²/e
+      // = e to the χ² — dropping it understates exactly the perfect-
+      // association case the statistic exists to flag
+      val grid = obs.select(col("source")).distinct()
+        .crossJoin(broadcast(obs.select(col("lang")).distinct()))
+        .join(obs, Seq("source", "lang"), "left_outer")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+      val bySrc = Window.partitionBy(col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val byLang = Window.partitionBy(col("lang"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wAll = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      grid
+        .withColumn("row_t", sum(col("o")).over(bySrc))
+        .withColumn("col_t", sum(col("o")).over(byLang))
+        .withColumn("n", sum(col("o")).over(wAll))
+        .withColumn("e", col("row_t").cast("double") * col("col_t") / col("n"))
+        .withColumn("term", (col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+        .agg(countDistinct(col("source")).as("r"),
+          countDistinct(col("lang")).as("k"),
+          max(col("n")).as("n"), sum(col("term")).as("chi2"))
+        .select(col("r"), col("k"), col("n"),
+          round(col("chi2"), 6).as("chi2"),
+          round(sqrt(col("chi2") / (col("n") *
+            (least(col("r"), col("k")) - 1))), 6).as("cramers_v"))
+    },
+    Some("""WITH obs AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+        FROM documents GROUP BY 1, 2),
+      grid AS (SELECT s.source, l.lang, coalesce(obs.o, 0) AS o
+        FROM (SELECT DISTINCT source FROM obs) s
+        CROSS JOIN (SELECT DISTINCT lang FROM obs) l
+        LEFT JOIN obs USING (source, lang)),
+      m AS (SELECT *, CAST(sum(o) OVER (PARTITION BY source) AS BIGINT) AS row_t,
+          CAST(sum(o) OVER (PARTITION BY lang) AS BIGINT) AS col_t,
+          CAST(sum(o) OVER () AS BIGINT) AS n
+        FROM grid),
+      t AS (SELECT *, CAST(row_t AS DOUBLE) * col_t / n AS e FROM m)
+      SELECT CAST(count(DISTINCT source) AS BIGINT) AS r,
+        CAST(count(DISTINCT lang) AS BIGINT) AS k,
+        CAST(max(n) AS BIGINT) AS n,
+        round(sum((o - e) * (o - e) / e), 6) AS chi2,
+        round(sqrt(sum((o - e) * (o - e) / e) /
+          (max(n) * (least(count(DISTINCT source), count(DISTINCT lang)) - 1))), 6)
+          AS cramers_v
+      FROM t"""),
+    headline = false)
+
+  // ---------------------------------------------------------------
+  // q234: population stability index between corpus halves
+  // ---------------------------------------------------------------
+
+  /** PSI (population stability index — the model-monitoring industry's
+    * standard drift score) of the document-length distribution between
+    * the corpus's doc_id-parity halves:
+    *
+    *   PSI = Σ_b (p_B(b) − p_A(b)) · ln(p_B(b)/p_A(b))
+    *
+    * over 10 buckets whose EDGES are half A's exact length deciles
+    * (grid rank picks at ⌈q·n_A⌉ — the q223 lower-median rule per
+    * decile), so the reference half defines the binning the way a
+    * deployed monitor freezes training-time bins. PSI < 0.1 = stable,
+    * 0.1-0.25 = shifting, > 0.25 = alarm (the conventional bands,
+    * reported as a class column). Two parity halves of one corpus
+    * give the in-distribution baseline; against a new snapshot the
+    * same query is the drift gate.
+    *
+    * Exactness: decile edges and bucket counts are integer grid
+    * arithmetic; only the Σ (Δp·ln ratio) epilogue over 10 cells is
+    * floating point, rounded at 6.
+    *
+    * Scale: q220's posture — one length-keyed count shuffle; edges,
+    * buckets, and the PSI run on the grid. */
+  val q234Psi: QueryDef = QueryDef(
+    "q234_psi",
+    (s, dir) => {
+      val v = Tables.loadParallel(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select((col("doc_id") % 2).as("half"),
+          size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("x"))
+      val grid = v.groupBy(col("x")).agg(
+        sum(when(col("half") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("cb"))
+      val byX = Window.orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val withCum = grid
+        .withColumn("cum_a", sum(col("ca")).over(byX))
+        .withColumn("na", sum(col("ca")).over(Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      // decile edges: min x with cum_a >= ceil(q·na), q = 0.1..0.9
+      val edges = s.range(1, 10).toDF("q")
+        .join(broadcast(withCum.select(col("x"), col("cum_a"), col("na"))),
+          col("cum_a") * 10 >= col("q") * col("na"))
+        .groupBy(col("q")).agg(min(col("x")).as("edge"))
+      val bucketed = grid.crossJoin(broadcast(
+          edges.agg(collect_list(col("edge")).as("es"))))
+        .withColumn("b", expr(
+          "1 + size(filter(es, e -> e < x))").cast("long"))
+        .groupBy(col("b")).agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+      val tot = bucketed.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      val terms = bucketed.crossJoin(broadcast(tot))
+        .withColumn("pa", col("ca").cast("double") / col("na"))
+        .withColumn("pb", col("cb").cast("double") / col("nb"))
+        .withColumn("term", (col("pb") - col("pa")) * log(col("pb") / col("pa")))
+      terms.agg(max(col("na")).as("n_ref"), max(col("nb")).as("n_cur"),
+          count(lit(1)).as("n_buckets"), sum(col("term")).as("psi"))
+        .select(col("n_ref"), col("n_cur"), col("n_buckets"),
+          round(col("psi"), 6).as("psi"),
+          when(col("psi") < 0.1, "stable")
+            .when(col("psi") < 0.25, "shifting")
+            .otherwise("alarm").as("verdict"))
+    },
+    Some("""WITH v AS (SELECT doc_id % 2 AS half,
+          CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS x
+        FROM documents WHERE length(trim(text)) > 0),
+      grid AS (SELECT x,
+          CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+          CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        FROM v GROUP BY x),
+      cumg AS (SELECT *, CAST(sum(ca) OVER (ORDER BY x
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+          CAST(sum(ca) OVER () AS BIGINT) AS na
+        FROM grid),
+      edges AS (SELECT q, min(x) AS edge
+        FROM range(1, 10) t(q) JOIN cumg ON cum_a * 10 >= q * na
+        GROUP BY q),
+      bucketed AS (SELECT
+          1 + (SELECT count(*) FROM edges e WHERE e.edge < g.x) AS b,
+          g.ca, g.cb
+        FROM grid g),
+      bsum AS (SELECT b, CAST(sum(ca) AS BIGINT) AS ca,
+          CAST(sum(cb) AS BIGINT) AS cb
+        FROM bucketed GROUP BY b),
+      tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+          CAST(sum(cb) AS BIGINT) AS nb FROM bsum),
+      terms AS (SELECT b,
+          CAST(ca AS DOUBLE) / na AS pa, CAST(cb AS DOUBLE) / nb AS pb
+        FROM bsum, tot)
+      SELECT (SELECT na FROM tot) AS n_ref, (SELECT nb FROM tot) AS n_cur,
+        CAST(count(*) AS BIGINT) AS n_buckets,
+        round(sum((pb - pa) * ln(pb / pa)), 6) AS psi,
+        CASE WHEN sum((pb - pa) * ln(pb / pa)) < 0.1 THEN 'stable'
+             WHEN sum((pb - pa) * ln(pb / pa)) < 0.25 THEN 'shifting'
+             ELSE 'alarm' END AS verdict
+      FROM terms"""),
+    headline = false)
+
   val all: Seq[QueryDef] = Seq(q142SkewAudit, q152SnapshotDiff,
     q191ChangeMagnitude, q195ChunkDelta, q222GiniConcentration,
     q223HampelOutliers, q224Benford, q227RankChurn, q229Diversity,
-    q231KendallTau)
+    q231KendallTau, q232MannWhitney, q233CramersV, q234Psi)
 }

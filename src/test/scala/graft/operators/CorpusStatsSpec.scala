@@ -135,6 +135,53 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r2.getAs[Double]("tau_b") == 0.5)
   }
 
+  test("q232: fully-separated samples give the textbook U and z; identical samples give z=0") {
+    // src0 lengths {1,2,3}, src1 {4,5,6}: R_A=6 → U=0, no ties →
+    // z = (0 − 4.5 + 0.5)/√(9/12·7) = −4/√5.25
+    val d1 = writeDocs(Seq(
+      (0L, "a", "en", "src0"), (1L, "a b", "en", "src0"),
+      (2L, "a b c", "en", "src0"),
+      (3L, "a b c d", "en", "src1"), (4L, "a b c d e", "en", "src1"),
+      (5L, "a b c d e f", "en", "src1")))
+    val r1 = DiagnosticsOps.q232MannWhitney.fn(spark, d1).collect().head
+    assert(r1.getAs[Long]("na") == 3L && r1.getAs[Long]("nb") == 3L)
+    assert(r1.getAs[Double]("u") == 0.0)
+    val zExp = BigDecimal(-4.0 / math.sqrt(5.25))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r1.getAs[Double]("z") == zExp)
+    // identical singleton samples: U = mean → z = 0, not rejected
+    val d2 = writeDocs(Seq(
+      (0L, "a b", "en", "src0"), (1L, "a b", "en", "src1")))
+    val r2 = DiagnosticsOps.q232MannWhitney.fn(spark, d2).collect().head
+    assert(r2.getAs[Double]("z") == 0.0 && !r2.getAs[Boolean]("rejected"))
+  }
+
+  test("q233: perfect association gives V=1; independence gives V=0") {
+    val d1 = writeDocs(Seq(
+      (0L, "t", "en", "sA"), (1L, "t", "en", "sA"),
+      (2L, "t", "de", "sB"), (3L, "t", "de", "sB")))
+    val r1 = DiagnosticsOps.q233CramersV.fn(spark, d1).collect().head
+    assert(r1.getAs[Double]("chi2") == 4.0)
+    assert(r1.getAs[Double]("cramers_v") == 1.0)
+    val d2 = writeDocs(Seq(
+      (0L, "t", "en", "sA"), (1L, "t", "de", "sA"),
+      (2L, "t", "en", "sB"), (3L, "t", "de", "sB")))
+    val r2 = DiagnosticsOps.q233CramersV.fn(spark, d2).collect().head
+    assert(r2.getAs[Double]("chi2") == 0.0)
+    assert(r2.getAs[Double]("cramers_v") == 0.0)
+  }
+
+  test("q234: identical parity halves give PSI 0, verdict stable") {
+    val dir = writeDocs(Seq(
+      (0L, "a", "en", "s0"), (1L, "a", "en", "s0"),       // len 1 each half
+      (2L, "a b", "en", "s0"), (3L, "a b", "en", "s0"),   // len 2 each half
+      (4L, "a b c", "en", "s0"), (5L, "a b c", "en", "s0")))
+    val r = DiagnosticsOps.q234Psi.fn(spark, dir).collect().head
+    assert(r.getAs[Long]("n_ref") == 3L && r.getAs[Long]("n_cur") == 3L)
+    assert(r.getAs[Double]("psi") == 0.0)
+    assert(r.getAs[String]("verdict") == "stable")
+  }
+
   test("q230: union-by-max equals the union's own sketch; identical sources double-count") {
     val text = "one two three four five six seven eight nine ten"
     val dir = writeDocs(Seq(

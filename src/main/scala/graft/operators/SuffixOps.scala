@@ -87,7 +87,9 @@ object SuffixOps {
       .select(col("doc_id"), col("i"), col("rk")).localCheckpoint()
 
     var k = 1L
-    while (k < maxLen) {
+    var prevDistinct = -1L
+    var saturated = false
+    while (k < maxLen && !saturated) {
       // rank of the suffix k tokens ahead, seen from position i
       val shifted = ranks.select(col("doc_id"), (col("i") - k).as("i"),
         col("rk").as("rk2"))
@@ -99,6 +101,19 @@ object SuffixOps {
       ranks = paired.join(pairRanks, Seq("rk", "rk2"))
         .select(col("doc_id"), col("i"), col("nrk").as("rk")).localCheckpoint()
       k *= 2
+      // prefix-doubling termination: if NO equality class split this
+      // round (distinct-rank count unchanged), the partition is a
+      // fixpoint — suffixes sharing a class agree on every k-block by
+      // induction, i.e. are identical to end-of-doc — so further
+      // rounds are the identity and their 2 sorts + 2 joins are pure
+      // waste. Real corpora stabilize at k ≈ longest repeated prefix,
+      // far below max doc length; the check is one agg per round.
+      // (All-ranks-unique is the textbook special case of this.)
+      if (k < maxLen) {
+        val d = ranks.agg(countDistinct(col("rk"))).first().getLong(0)
+        saturated = d == prevDistinct
+        prevDistinct = d
+      }
     }
     ranks
   }

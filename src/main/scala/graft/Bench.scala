@@ -57,63 +57,125 @@ object Bench {
     def median3(a: Double, b: Double, c: Double): Double =
       if (a < 0 || b < 0 || c < 0) -1.0
       else Seq(a, b, c).sorted.apply(1)
-    val results = picked.map { q =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try {
-          q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable => System.err.println(s"[bench] ${q.name}: $e"); -1.0
+    // max/min of the WARM reps (2-3): on a quiet machine the two
+    // steady-state reps agree within a few percent, so a wide spread
+    // means external contention arrived MID-RUN — the failure mode a
+    // q01-only envelope cannot see (the r12 artifact recorded a
+    // phantom 25% regression exactly this way: q01 ran before the
+    // contention started). Rep 1 is excluded: it pays the one-time
+    // codegen + AQE-statistics cost, so an all-3 spread trips on
+    // every healthy cold start.
+    def spread3(a: Double, b: Double, c: Double): Double =
+      if (a < 0 || b < 0 || c < 0) -1.0
+      else math.max(b, c) / math.max(math.min(b, c), 1e-9)
+    // (name, median, rep spread)
+    def runAll(): Seq[(String, Double, Double)] = {
+      val results = picked.map { q =>
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try {
+            q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable => System.err.println(s"[bench] ${q.name}: $e"); -1.0
+          }
         }
-      }
-      q.name -> median3(once(), once(), once())
-    }
-
-    // Build/probe split for the ANN index headliners: the build is
-    // forced via localCheckpoint (the local stand-in for staging the
-    // index partitionBy(cell) at scale), then probes run against the
-    // materialized artifact. median-of-3 convention as above.
-    def timed(f: => Unit): Double = {
-      val t0 = System.nanoTime()
-      try { f; (System.nanoTime() - t0) / 1e9 }
-      catch { case e: Throwable => System.err.println(s"[bench] split: $e"); -1.0 }
-    }
-    def rep3(f: () => Double): Double = median3(f(), f(), f())
-    val splitResults: Seq[(String, Double)] =
-      if (only.nonEmpty) Seq.empty
-      else {
-        var pq: org.apache.spark.sql.DataFrame = null
-        val b85 = rep3(() => timed {
-          pq = operators.AnnOps.pqIndex(spark, sfDir).localCheckpoint()
-        })
-        val p85 = rep3(() => timed {
-          operators.AnnOps.pqProbe(spark, sfDir, pq)
-            .write.format("noop").mode("overwrite").save()
-        })
-        var ivfpq: org.apache.spark.sql.DataFrame = null
-        val b100 = rep3(() => timed {
-          ivfpq = operators.AnnOps.ivfpqIndex(spark, sfDir).localCheckpoint()
-        })
-        val p100 = rep3(() => timed {
-          operators.AnnOps.ivfpqProbe(spark, sfDir, ivfpq)
-            .write.format("noop").mode("overwrite").save()
-        })
-        var sq8: (org.apache.spark.sql.DataFrame, Seq[Double], Seq[Double]) = null
-        val b117 = rep3(() => timed {
-          val (c, mn, sc) = operators.AnnOps.sq8Index(spark, sfDir)
-          sq8 = (c.localCheckpoint(), mn, sc)
-        })
-        val p117 = rep3(() => timed {
-          operators.AnnOps.sq8Probe(spark, sfDir, sq8._1, sq8._2, sq8._3)
-            .write.format("noop").mode("overwrite").save()
-        })
-        Seq("q85_ann_pq_build" -> b85, "q85_ann_pq_probe" -> p85,
-          "q100_ann_ivfpq_build" -> b100, "q100_ann_ivfpq_probe" -> p100,
-          "q117_ann_sq8_build" -> b117, "q117_ann_sq8_probe" -> p117)
+        val (a, b, c) = (once(), once(), once())
+        (q.name, median3(a, b, c), spread3(a, b, c))
       }
 
-    val all = results ++ splitResults
+      // Build/probe split for the ANN index headliners: the build is
+      // forced via localCheckpoint (the local stand-in for staging the
+      // index partitionBy(cell) at scale), then probes run against the
+      // materialized artifact. median-of-3 convention as above.
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime()
+        try { f; (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable => System.err.println(s"[bench] split: $e"); -1.0 }
+      }
+      def rep3(f: () => Double): (Double, Double) = {
+        val (a, b, c) = (f(), f(), f())
+        (median3(a, b, c), spread3(a, b, c))
+      }
+      val splitResults: Seq[(String, Double, Double)] =
+        if (only.nonEmpty) Seq.empty
+        else {
+          var pq: org.apache.spark.sql.DataFrame = null
+          val b85 = rep3(() => timed {
+            pq = operators.AnnOps.pqIndex(spark, sfDir).localCheckpoint()
+          })
+          val p85 = rep3(() => timed {
+            operators.AnnOps.pqProbe(spark, sfDir, pq)
+              .write.format("noop").mode("overwrite").save()
+          })
+          var ivfpq: org.apache.spark.sql.DataFrame = null
+          val b100 = rep3(() => timed {
+            ivfpq = operators.AnnOps.ivfpqIndex(spark, sfDir).localCheckpoint()
+          })
+          val p100 = rep3(() => timed {
+            operators.AnnOps.ivfpqProbe(spark, sfDir, ivfpq)
+              .write.format("noop").mode("overwrite").save()
+          })
+          var sq8: (org.apache.spark.sql.DataFrame, Seq[Double], Seq[Double]) = null
+          val b117 = rep3(() => timed {
+            val (c, mn, sc) = operators.AnnOps.sq8Index(spark, sfDir)
+            sq8 = (c.localCheckpoint(), mn, sc)
+          })
+          val p117 = rep3(() => timed {
+            operators.AnnOps.sq8Probe(spark, sfDir, sq8._1, sq8._2, sq8._3)
+              .write.format("noop").mode("overwrite").save()
+          })
+          Seq(("q85_ann_pq_build", b85._1, b85._2),
+            ("q85_ann_pq_probe", p85._1, p85._2),
+            ("q100_ann_ivfpq_build", b100._1, b100._2),
+            ("q100_ann_ivfpq_probe", p100._1, p100._2),
+            ("q117_ann_sq8_build", b117._1, b117._2),
+            ("q117_ann_sq8_probe", p117._1, p117._2))
+        }
+      results ++ splitResults
+    }
+
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+
+    // Contention detector over one full run: any query whose median is
+    // big enough to be signal (>= 0.3 s — sub-0.3 s queries jitter past
+    // 1.5× on a healthy machine) with reps disagreeing by > 1.5×.
+    val spreadLimit =
+      sys.env.getOrElse("SPARK_GRAFT_SPREAD_LIMIT", "1.5").toDouble
+    def contended(rs: Seq[(String, Double, Double)]): Seq[String] =
+      rs.collect { case (n, med, sp) if med >= 0.3 && sp > spreadLimit => n }
+    val envelope = sys.env.getOrElse("SPARK_GRAFT_Q01_ENVELOPE", "1.2").toDouble
+    def q01Of(rs: Seq[(String, Double, Double)]): Option[Double] =
+      rs.collectFirst { case ("q01_pricing_summary", v, _) if v > 0 => v }
+    def tripped(rs: Seq[(String, Double, Double)]): Boolean =
+      q01Of(rs).exists(_ > envelope) || contended(rs).nonEmpty
+
+    val loadBefore = loadavg()
+    var run = runAll()
+    var reran = false
+    // One automatic full re-run when the first run shows contention:
+    // the artifact of record should carry the quiet measurement when a
+    // quiet window exists, and flag loudly when it does not.
+    if (tripped(run)) {
+      System.err.println("[bench] contention detected " +
+        s"(q01=${q01Of(run).getOrElse(-1.0)}, spread>${spreadLimit}x on " +
+        s"[${contended(run).mkString(",")}]) — re-running once")
+      val second = runAll()
+      reran = true
+      // keep whichever run is cleaner; totals break ties
+      def score(rs: Seq[(String, Double, Double)]) =
+        (if (tripped(rs)) 1 else 0, rs.map(_._2).filter(_ >= 0).sum)
+      if (score(second)._1 < score(run)._1 ||
+          (score(second)._1 == score(run)._1 &&
+            score(second)._2 < score(run)._2)) run = second
+    }
+    val loadAfter = loadavg()
+
+    val all = run.map { case (n, med, _) => (n, med) }
+    val spreads = run.map { case (n, _, sp) => (n, sp) }
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // self-normalizing record: each query's ratio to the in-run q01
@@ -135,14 +197,22 @@ object Bench {
     }.getOrElse("")
     val failed = all.count(_._2 < 0)
     val total = all.map(_._2).filter(_ >= 0).sum
-    // Machine-load annotation: q01 is the in-run normalizer; if it
-    // exceeds its pinned quiet-machine envelope the whole record was
-    // taken under external load and absolute times are suspect (the
-    // ratio_q01 object remains meaningful). Envelope is env-tunable
-    // because it is scale-factor-dependent; default pins sf0.1.
-    val envelope = sys.env.getOrElse("SPARK_GRAFT_Q01_ENVELOPE", "1.2").toDouble
-    val overloaded = q01.exists(_ > envelope)
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$ratioField,"reps":3,"agg":"median","errors":$failed,"overloaded":$overloaded,"q01_envelope_sec":$envelope%.1f,"sf":"$sfDir"}"""
+    // Machine-load annotation, two independent detectors ORed:
+    //  (a) q01 over its pinned quiet-machine envelope — catches load
+    //      present at run START (envelope env-tunable, default sf0.1);
+    //  (b) per-query rep spread > limit on any >= 0.3 s query —
+    //      catches contention arriving MID-RUN (the r12 phantom-
+    //      regression mode, invisible to (a) because q01 runs first).
+    // When either tripped on the first pass the bench already re-ran
+    // once (reran=true) and kept the cleaner pass; overloaded=true
+    // here means BOTH passes were dirty and absolute times are
+    // suspect (ratio_q01 stays meaningful).
+    val contendedQs = contended(run)
+    val overloaded = tripped(run)
+    val spreadJson = spreads.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    val contendedJson = contendedQs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$ratioField,"rep_spread":$spreadJson,"reps":3,"agg":"median","errors":$failed,"overloaded":$overloaded,"q01_envelope_sec":$envelope%.1f,"spread_limit":$spreadLimit%.1f,"contended_queries":$contendedJson,"reran":$reran,"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"sf":"$sfDir"}"""
     println(line)
     // Self-preserving artifact: the r10 archive lost its headline total
     // to a truncated log tail — the file copy can never be clipped.
@@ -159,6 +229,6 @@ object Bench {
     // tail window, so the headline numbers always survive even when
     // the full object must be read from target/bench.json.
     val q01s = q01.map(v => f"$v%.3f").getOrElse("-1")
-    println(f"""BENCH_SUMMARY {"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${all.size},"errors":$failed,"overloaded":$overloaded,"q01_sec":$q01s,"full":"target/bench.json","sf":"$sfDir"}""")
+    println(f"""BENCH_SUMMARY {"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${all.size},"errors":$failed,"overloaded":$overloaded,"reran":$reran,"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"q01_sec":$q01s,"full":"target/bench.json","sf":"$sfDir"}""")
   }
 }

@@ -889,7 +889,10 @@ object DiagnosticsOps {
     * grid-bounded doubles rounded at 6.
     *
     * Scale: one (source, lang) keyed agg with map-side combine —
-    * cells = |sources|×|langs|, everything after is an epilogue. */
+    * cells = |sources|×|langs|, everything after is an epilogue.
+    * Degenerate 1×k / r×1 tables (single source or single lang) have
+    * no defined association — cramers_v is NULL there, identically in
+    * both engines, instead of a NaN from the min(r,k)−1 = 0 divisor. */
   val q233CramersV: QueryDef = QueryDef(
     "q233_cramers_v",
     (s, dir) => {
@@ -919,8 +922,12 @@ object DiagnosticsOps {
           max(col("n")).as("n"), sum(col("term")).as("chi2"))
         .select(col("r"), col("k"), col("n"),
           round(col("chi2"), 6).as("chi2"),
-          round(sqrt(col("chi2") / (col("n") *
-            (least(col("r"), col("k")) - 1))), 6).as("cramers_v"))
+          // association is undefined for a 1×k (or r×1) table:
+          // min(r,k)−1 = 0 would divide by zero — emit NULL, not NaN
+          when(least(col("r"), col("k")) > 1,
+            round(sqrt(col("chi2") / (col("n") *
+              (least(col("r"), col("k")) - 1))), 6))
+            .otherwise(lit(null).cast("double")).as("cramers_v"))
     },
     Some("""WITH obs AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
         FROM documents GROUP BY 1, 2),
@@ -937,9 +944,10 @@ object DiagnosticsOps {
         CAST(count(DISTINCT lang) AS BIGINT) AS k,
         CAST(max(n) AS BIGINT) AS n,
         round(sum((o - e) * (o - e) / e), 6) AS chi2,
-        round(sqrt(sum((o - e) * (o - e) / e) /
-          (max(n) * (least(count(DISTINCT source), count(DISTINCT lang)) - 1))), 6)
-          AS cramers_v
+        CASE WHEN least(count(DISTINCT source), count(DISTINCT lang)) > 1
+          THEN round(sqrt(sum((o - e) * (o - e) / e) /
+            (max(n) * (least(count(DISTINCT source), count(DISTINCT lang)) - 1))), 6)
+          ELSE NULL END AS cramers_v
       FROM t"""),
     headline = false)
 
@@ -964,7 +972,10 @@ object DiagnosticsOps {
     *
     * Exactness: decile edges and bucket counts are integer grid
     * arithmetic; only the Σ (Δp·ln ratio) epilogue over 10 cells is
-    * floating point, rounded at 6.
+    * floating point, rounded at 6. Bucket probabilities carry the
+    * standard +0.5 smoothing (p = (c+0.5)/(n+0.5·B)) so a bucket
+    * drained in one half — the very shape a drift gate must flag —
+    * yields a large finite PSI instead of ±Infinity.
     *
     * Scale: q220's posture — one length-keyed count shuffle; edges,
     * buckets, and the PSI run on the grid. */
@@ -994,10 +1005,15 @@ object DiagnosticsOps {
         .withColumn("b", expr(
           "1 + size(filter(es, e -> e < x))").cast("long"))
         .groupBy(col("b")).agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
-      val tot = bucketed.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      val tot = bucketed.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        count(lit(1)).as("nbk"))
+      // +0.5 per-bucket smoothing (the standard PSI continuity
+      // correction): a bucket empty in one half — exactly the drifted
+      // case the gate exists for — would otherwise drive ln(pb/pa) to
+      // ±Infinity and poison the sum
       val terms = bucketed.crossJoin(broadcast(tot))
-        .withColumn("pa", col("ca").cast("double") / col("na"))
-        .withColumn("pb", col("cb").cast("double") / col("nb"))
+        .withColumn("pa", (col("ca") + 0.5) / (col("na") + col("nbk") * 0.5))
+        .withColumn("pb", (col("cb") + 0.5) / (col("nb") + col("nbk") * 0.5))
         .withColumn("term", (col("pb") - col("pa")) * log(col("pb") / col("pa")))
       terms.agg(max(col("na")).as("n_ref"), max(col("nb")).as("n_cur"),
           count(lit(1)).as("n_buckets"), sum(col("term")).as("psi"))
@@ -1029,9 +1045,11 @@ object DiagnosticsOps {
           CAST(sum(cb) AS BIGINT) AS cb
         FROM bucketed GROUP BY b),
       tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
-          CAST(sum(cb) AS BIGINT) AS nb FROM bsum),
+          CAST(sum(cb) AS BIGINT) AS nb,
+          CAST(count(*) AS BIGINT) AS nbk FROM bsum),
       terms AS (SELECT b,
-          CAST(ca AS DOUBLE) / na AS pa, CAST(cb AS DOUBLE) / nb AS pb
+          (CAST(ca AS DOUBLE) + 0.5) / (na + 0.5 * nbk) AS pa,
+          (CAST(cb AS DOUBLE) + 0.5) / (nb + 0.5 * nbk) AS pb
         FROM bsum, tot)
       SELECT (SELECT na FROM tot) AS n_ref, (SELECT nb FROM tot) AS n_cur,
         CAST(count(*) AS BIGINT) AS n_buckets,

@@ -32,6 +32,13 @@ trait ChunkStore extends Serializable {
   def upsert(collection: String, points: Seq[ChunkPoint]): Unit
   /** D4 probe: how many points exist for `docId`. */
   def countDoc(collection: String, docId: String): Long
+  /** Post-bulk-ingest hook, called driver-side once after a sync
+    * completes. Default no-op; backends whose index must train on
+    * loaded data (pgvector ivfflat list centroids are sampled at
+    * CREATE INDEX time — an index built on an empty table has
+    * degraded recall forever) build it here, mirroring vecs'
+    * create_index-after-upsert flow. */
+  def finalizeIngest(collection: String): Unit = ()
   /** Top-k cosine query; `docId` scopes to one document when set. */
   def query(collection: String, vector: Array[Float], k: Int,
       docId: Option[String] = None): Seq[(ChunkPoint, Double)]
@@ -100,6 +107,8 @@ object ChunkStores {
           }
           finishDoc()
         }
+      // data is loaded — let centroid-training indexes build now
+      mkStore().finalizeIngest(collection)
     } finally {
       if (specSet) prevSpec match {
         case Some(v) => spark.conf.set("spark.speculation", v)
@@ -275,8 +284,10 @@ final class PineconeChunkStore(indexHost: String, apiKey: String,
   *  - GET  /collections                      — reachability probe
   *  - GET  /collections/{c}  → 200|404       — existence
   *  - PUT  /collections/{c} {"vectors":{"size":d,"distance":"Cosine"}}
-  *  - PUT  /collections/{c}/points {"points":[{id, vector, payload}]}
-  *  - POST /collections/{c}/points/delete {"filter": doc_id match}
+  *  - PUT  /collections/{c}/points?wait=true {"points":[{id, vector,
+  *         payload}]} — wait=true makes the ack read-your-writes
+  *  - POST /collections/{c}/points/delete?wait=true {"filter": doc_id
+  *         match}
   *  - POST /collections/{c}/points/count  {"filter", "exact":true}
   *  - POST /collections/{c}/points/search {"vector","limit","filter",
   *         "with_payload":true}
@@ -324,7 +335,12 @@ final class QdrantChunkStore(baseUrl: String, apiKey: String,
   def deleteDoc(collection: String, docId: String): Unit = {
     val body = mapper.createObjectNode()
     body.set[com.fasterxml.jackson.databind.JsonNode]("filter", docFilter(docId))
-    expectOk(t.request("POST", s"$baseUrl/collections/$collection/points/delete",
+    // ?wait=true: Qdrant acks before applying by default; the verify
+    // pass reads an exact count right after this call, so the delete
+    // must be committed (not just enqueued) or countDoc sees stale
+    // state and triggers a spurious rewrite-then-require() failure
+    expectOk(t.request("POST",
+      s"$baseUrl/collections/$collection/points/delete?wait=true",
       headers, mapper.writeValueAsBytes(body)), "points/delete")
   }
 
@@ -343,7 +359,9 @@ final class QdrantChunkStore(baseUrl: String, apiKey: String,
       pay.put("chunk_id", p.chunkId)
       pay.put("text", p.text)
     }
-    expectOk(t.request("PUT", s"$baseUrl/collections/$collection/points",
+    // ?wait=true for the same read-your-writes reason as deleteDoc
+    expectOk(t.request("PUT",
+      s"$baseUrl/collections/$collection/points?wait=true",
       headers, mapper.writeValueAsBytes(body)), "points upsert")
   }
 

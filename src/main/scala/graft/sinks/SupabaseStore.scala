@@ -66,8 +66,26 @@ final class SupabaseChunkStore(mkConn: () => Connection,
         "id VARCHAR PRIMARY KEY, " +
         s"vec vector($dim) NOT NULL, " +
         "metadata JSONB NOT NULL DEFAULT '{}')")
-      // vecs' create_index default: IVFFlat over the cosine opclass
-      st.execute(s"""CREATE INDEX IF NOT EXISTS "ix_vec_cosine_ops_${collection}" """ +
+      // NOTE: no index here — pgvector's ivfflat trains its list
+      // centroids from the rows present at CREATE INDEX time, so an
+      // index built on the just-created EMPTY table would give
+      // degraded recall forever. vecs creates its index in a separate
+      // post-load step (create_index after upsert); [[finalizeIngest]]
+      // mirrors that and is invoked by ChunkStores.sync after the bulk
+      // load.
+    } finally st.close()
+  }
+
+  /** vecs' create_index default: IVFFlat over the cosine opclass —
+    * built AFTER ingest so the list centroids train on real data.
+    * Rebuilds (drop + create) when the index already exists, so a
+    * re-sync retrains centroids on the current distribution. */
+  override def finalizeIngest(collection: String): Unit = {
+    val tn = table(collection)
+    val st = conn.createStatement()
+    try {
+      st.execute(s"""DROP INDEX IF EXISTS vecs."ix_vec_cosine_ops_${collection}"""")
+      st.execute(s"""CREATE INDEX "ix_vec_cosine_ops_${collection}" """ +
         s"ON $tn USING ivfflat (vec vector_cosine_ops)")
     } finally st.close()
   }

@@ -139,10 +139,13 @@ final class MilvusChunkStore(baseUrl: String, token: String,
   *  - GET  /v1/schema            — reachability probe
   *  - GET  /v1/schema/{Class} → 200|404; POST /v1/schema
   *         {"class","vectorizer":"none"} when missing
-  *  - POST /v1/batch/objects {"objects":[{class, id (UUIDv5 of the
-  *         chunk key — Weaviate ids must be UUIDs, same constraint the
-  *         Qdrant store handles), properties, vector}]}
-  *  - DELETE /v1/batch/objects {"match":{"class","where": doc_id Equal}}
+  *  - POST /v1/batch/objects?consistency_level=ALL
+  *         {"objects":[{class, id (UUIDv5 of the chunk key — Weaviate
+  *         ids must be UUIDs, same constraint the Qdrant store
+  *         handles), properties, vector}]} — ALL makes the ack
+  *         read-your-writes for the count verify
+  *  - DELETE /v1/batch/objects?consistency_level=ALL
+  *         {"match":{"class","where": doc_id Equal}}
   *  - POST /v1/graphql Aggregate{meta{count}}  — the D4 count probe
   *  - POST /v1/graphql Get(nearVector, limit, where) — search; Weaviate
   *    reports certainty = (1+cosine)/2, mapped back to cosine so every
@@ -220,7 +223,12 @@ final class WeaviateChunkStore(baseUrl: String, apiKey: String,
     val maxRounds = 1000
     var round = 0
     while (round < maxRounds) {
-      val r = t.request("DELETE", s"$baseUrl/v1/batch/objects", headers, body)
+      // consistency_level=ALL: the verify pass reads an Aggregate count
+      // right after this drains, so the ack must mean every replica
+      // committed — otherwise countDoc can observe stale state and
+      // trigger a spurious rewrite on a healthy sync
+      val r = t.request("DELETE",
+        s"$baseUrl/v1/batch/objects?consistency_level=ALL", headers, body)
       expectOk(r, "batch delete")
       val matches = mapper.readTree(r.text)
         .path("results").path("matches").asLong(0L)
@@ -248,7 +256,10 @@ final class WeaviateChunkStore(baseUrl: String, apiKey: String,
       val v = n.putArray("vector")
       p.embedding.foreach(v.add)
     }
-    val r = t.request("POST", s"$baseUrl/v1/batch/objects", headers,
+    // consistency_level=ALL for the same read-your-writes reason as
+    // deleteDoc (the count verify runs immediately after)
+    val r = t.request("POST",
+      s"$baseUrl/v1/batch/objects?consistency_level=ALL", headers,
       mapper.writeValueAsBytes(b))
     expectOk(r, "batch upsert")
     // Weaviate returns HTTP 200 even when individual objects fail —

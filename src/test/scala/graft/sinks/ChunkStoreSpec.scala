@@ -267,10 +267,22 @@ object ChunkStoreSpec {
       body: Array[Byte]): graft.tools.HttpResponse = {
     import graft.tools.{HttpResponse => R}
     import scala.jdk.CollectionConverters._
-    val path = url.stripPrefix(qBase)
+    val full = url.stripPrefix(qBase)
+    val (path, query) = full.indexOf('?') match {
+      case -1 => (full, "")
+      case i  => (full.substring(0, i), full.substring(i + 1))
+    }
     val CollRe = "^/collections/([^/]+)$".r
     val PointsRe = "^/collections/([^/]+)/points$".r
     val OpRe = "^/collections/([^/]+)/points/(delete|count|search)$".r
+    // read-your-writes enforcement: the store's sync verify reads an
+    // exact count immediately after mutating, so mutations MUST carry
+    // ?wait=true — a store that omits it fails the contract here
+    val isMutation = (method == "PUT" && PointsRe.matches(path)) ||
+      (method == "POST" && path.endsWith("/points/delete"))
+    if (isMutation && query != "wait=true")
+      return R.status(400,
+        """{"status":{"error":"test server requires ?wait=true on mutations"}}""")
     (method, path) match {
       case ("GET", "/collections") =>
         R.ok(s"""{"result":{"collections":[]},"status":"ok"}""")

@@ -133,6 +133,10 @@ class VectorStoresSpec extends SparkSpec {
     val s = mk()
     assert(s.countDoc("corpus", "d1") == 2L)
     assert(s.countDoc("corpus", "d2") == 1L)
+    // the ivfflat index must be built AFTER the bulk load (pgvector
+    // trains list centroids from rows present at CREATE INDEX time —
+    // an index on the empty table would mean degraded recall forever)
+    assert(MiniVecs.indexTrainedRows("corpus") == 3)
     ChunkStores.sync(Seq(("d1", 0L, "one-a2", Seq(0.5f, 0.5f, 0f, 0f)))
       .toDF("doc_id", "chunk_id", "text", "emb"), mk, "corpus", 4)
     assert(s.countDoc("corpus", "d1") == 1L)
@@ -308,8 +312,18 @@ object VectorStoresSpec {
         R.status(401, """{"error":[{"message":"unauthorized"}]}""")
       else {
         import scala.jdk.CollectionConverters._
-        val path = url.stripPrefix(wvBase)
-        (method, path) match {
+        val full = url.stripPrefix(wvBase)
+        val (path, query) = full.indexOf('?') match {
+          case -1 => (full, "")
+          case i  => (full.substring(0, i), full.substring(i + 1))
+        }
+        // the store's sync verify reads an Aggregate count right after
+        // mutating: batch mutations must request consistency_level=ALL
+        // or a replicated deployment can serve it stale state
+        if (path == "/v1/batch/objects" && query != "consistency_level=ALL")
+          R.status(400,
+            """{"error":[{"message":"test server requires ?consistency_level=ALL on batch mutations"}]}""")
+        else (method, path) match {
           case ("GET", "/v1/schema") =>
             R.ok(s"""{"classes":[]}""")
           case ("GET", p) if p.startsWith("/v1/schema/") =>
@@ -577,12 +591,23 @@ object MiniVecs {
   }
   private final class VTable(val dim: Int) {
     val rows = new java.util.LinkedHashMap[String, VRow]()
+    /** Row count at the moment CREATE INDEX ran (−1 = no index) —
+      * models pgvector ivfflat training its list centroids from the
+      * rows present at index-build time. */
+    var indexTrainedRows: Int = -1
   }
   private val tables =
     new java.util.concurrent.ConcurrentHashMap[String, VTable]()
   private var schemaCreated = false
 
   def reset(): Unit = { tables.clear(); schemaCreated = false }
+
+  /** Spec probe: rows present when the collection's ivfflat index was
+    * built (−1 if never built). */
+  def indexTrainedRows(name: String): Int = {
+    val t = tables.get(name)
+    if (t == null) -1 else t.indexTrainedRows
+  }
 
   private def proxy[T](cls: Class[T])(
       h: PartialFunction[(String, Array[AnyRef]), AnyRef]): T =
@@ -606,7 +631,9 @@ object MiniVecs {
       """vec vector\((\d+)\) NOT NULL, """ +
       """metadata JSONB NOT NULL DEFAULT '\{\}'\)""").r
   private val CreateIndex =
-    """CREATE INDEX IF NOT EXISTS "[^"]+" ON vecs\."([^"]+)" USING ivfflat \(vec vector_cosine_ops\)""".r
+    """CREATE INDEX "[^"]+" ON vecs\."([^"]+)" USING ivfflat \(vec vector_cosine_ops\)""".r
+  private val DropIndex =
+    """DROP INDEX IF EXISTS vecs\."ix_vec_cosine_ops_([^"]+)"""".r
   private val DeleteSql =
     """DELETE FROM vecs\."([^"]+)" WHERE metadata->>'doc_id' = \?""".r
   private val InsertSql =
@@ -632,7 +659,14 @@ object MiniVecs {
     case CreateTable(name, dim) =>
       if (!schemaCreated) throw new SQLException("schema vecs does not exist")
       tables.putIfAbsent(name, new VTable(dim.toInt)); ()
-    case CreateIndex(tbl) => table(tbl); ()
+    case CreateIndex(tbl) =>
+      val t = table(tbl)
+      t.synchronized { t.indexTrainedRows = t.rows.size() }
+      ()
+    case DropIndex(tbl) =>
+      val t = tables.get(tbl)
+      if (t != null) t.synchronized { t.indexTrainedRows = -1 }
+      ()
     case other => throw new SQLException(s"unsupported DDL: $other")
   }
 

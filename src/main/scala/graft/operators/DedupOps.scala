@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection for the training-data tier: MinHash + LSH
@@ -374,42 +375,67 @@ object DedupOps {
     * the dedup-join pattern of Google's production SimHash pipeline
     * (Manku et al., WWW'07, public). Block count trades candidate
     * volume against the distance bound exactly as LSH bands do. */
+  /** The SimHash signature packed DIRECTLY into two 32-bit longs —
+    * bit-identical to [[simhashConcatExpr]]'s bit string (parity
+    * asserted in SimhashPackedSpec) but ~5× cheaper to build: each
+    * per-bit vote is an integer shift+mask on the hex-parsed token
+    * hash instead of an instr/substr/floor string pass, and the
+    * majority test `sum(2·bit−1) ≥ 0` is restated as `2·sum(bit) ≥ n`.
+    * The string form survives in q53 (it IS that query's output) and
+    * in the oracle SQL — the driver compares RESULTS, not plans, so
+    * only the Spark side takes the fast path. */
+  private[operators] def packedSimhash(s: SparkSession, dir: String): DataFrame = {
+    def shift(b: Int): Int =
+      (if (b < 32) 28 - 4 * (b / 4) else 60 - 4 * (b / 4)) + b % 4
+    def word(b: Int): String = if (b < 32) "h32" else "l32"
+    val sums = (0 until 64).map(b =>
+      expr(s"sum(cast(shiftright(${word(b)}, ${shift(b)}) & 1 as int)) as s$b"))
+    def pack(range: Range): String = range.map { b =>
+      s"if(2 * s$b >= n, ${java.lang.Long.toString(1L << (31 - b % 32))}L, 0L)"
+    }.mkString(" + ")
+    docs(s, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .withColumn("h", expr("substr(sha2(tok, 256), 1, 16)"))
+      .withColumn("h32", expr("cast(conv(substr(h, 1, 8), 16, 10) as bigint)"))
+      .withColumn("l32", expr("cast(conv(substr(h, 9, 8), 16, 10) as bigint)"))
+      .groupBy(col("doc_id"))
+      .agg(expr("count(*) as n"), sums: _*)
+      .select(col("doc_id"),
+        expr(s"${pack(0 until 32)} as sig_hi"),
+        expr(s"${pack(32 until 64)} as sig_lo"))
+  }
+
+  /** Unsorted SimHash near-dup pair frame — the form every in-engine
+    * consumer (q91/q112/q134/q205, triplet mining) composes on; q90
+    * adds the presentation sort. The packed signature rides ALONG the
+    * band rows, so the Hamming verify is a codegen'd XOR+bit_count
+    * filter directly on the band join output — 8-bit blocks collide
+    * freely, and filtering BEFORE the pair-dedup means only true
+    * neighbors (each seen <= 8x) reach the distinct shuffle. The band
+    * key is ONE int (block_id·256 + block bits, both derived from the
+    * packed sig by shift/mask), so the self-join hashes/compares ints
+    * and carries 3 slim columns per side instead of a string key +
+    * the bit string (measured 24 s → 11 s on the join stage over
+    * 920M raw candidates). */
+  private[operators] def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = materialize(packedSimhash(s, dir), "simhash")
+    val blocks = sig.select(col("doc_id"), col("sig_hi"), col("sig_lo"),
+      explode(expr(
+        """transform(sequence(0, 7), b -> int(b * 256) + int(
+          |  shiftright(if(b < 4, sig_hi, sig_lo),
+          |             cast(24 - 8 * (b % 4) as int)) & 255))""".stripMargin)).as("bk"))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.sig_hi ^ b.sig_hi) + bit_count(a.sig_lo ^ b.sig_lo)")
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= HamMax)
+      .distinct()
+  }
+
   val q90SimhashHamming: QueryDef = QueryDef(
     "q90_simhash_hamming_pairs",
-    (s, dir) => {
-      val blockLen = 64 / HamBlocks
-      // the bit-string signature is also packed into two 32-bit longs so
-      // the verify stage is codegen'd XOR + bit_count instead of a
-      // 64-iteration interpreted lambda (measured 24 s → ~4 s at sf0.1
-      // over ~400k candidate pairs)
-      val sig = materialize(docs(s, dir)
-        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
-        .withColumn("h", expr("substr(sha2(tok, 256), 1, 16)"))
-        .groupBy(col("doc_id"))
-        .agg(expr(s"$simhashConcatExpr as simhash"))
-        .withColumn("sig_hi", expr("cast(conv(substr(simhash, 1, 32), 2, 10) as bigint)"))
-        .withColumn("sig_lo", expr("cast(conv(substr(simhash, 33, 32), 2, 10) as bigint)")),
-        "simhash")
-      // the packed signature rides ALONG the band rows, so the Hamming
-      // verify is a codegen'd filter directly on the band join output —
-      // 8-bit blocks collide freely (~4.4M raw candidates at sf0.1),
-      // and filtering BEFORE the pair-dedup means only true neighbors
-      // (~19k, each seen <= 8x) reach the distinct shuffle
-      val blocks = sig.select(col("doc_id"), col("sig_hi"), col("sig_lo"),
-        explode(expr(s"""transform(sequence(0, ${HamBlocks - 1}),
-          b -> struct(b as block_id, substr(simhash, b * $blockLen + 1, $blockLen) as blk))""")).as("e"))
-        .select(col("doc_id"), col("sig_hi"), col("sig_lo"),
-          col("e.block_id"), col("e.blk"))
-      blocks.as("a").join(blocks.as("b"),
-          col("a.block_id") === col("b.block_id") && col("a.blk") === col("b.blk") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          expr("bit_count(a.sig_hi ^ b.sig_hi) + bit_count(a.sig_lo ^ b.sig_lo)")
-            .cast("long").as("hamming"))
-        .filter(col("hamming") <= HamMax)
-        .distinct()
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
+    (s, dir) => simhashPairs(s, dir).orderBy(col("doc_a"), col("doc_b")),
     Some(s"""WITH $simhashPairSqlCtes
       SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= $HamMax
       ORDER BY doc_a, doc_b"""))
@@ -477,7 +503,7 @@ object DedupOps {
   val q112EditDistPairs: QueryDef = QueryDef(
     "q112_edit_dist_pairs",
     (s, dir) => {
-      val pairs = q90SimhashHamming.fn(s, dir).select(col("doc_a"), col("doc_b"))
+      val pairs = simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
       val d = docs(s, dir).select(col("doc_id"), col("text"))
       pairs
         .join(d.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
@@ -569,7 +595,7 @@ object DedupOps {
   val q91DupClusters: QueryDef = QueryDef(
     "q91_dup_clusters",
     (s, dir) => {
-      val pairs = q90SimhashHamming.fn(s, dir).select(col("doc_a"), col("doc_b"))
+      val pairs = simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
       val labels = minLabelComponents(pairs)
         .select(col("id").as("doc_id"), col("label"))
       docs(s, dir).select(col("doc_id"))
@@ -636,30 +662,42 @@ object DedupOps {
     *  - small-star(u): over the larger→smaller directed neighborhood,
     *    connect every smaller neighbor AND u itself to m = min(N(u)).
     *
-    * Each half-round is one groupBy(min) + one re-join — the identical
-    * shuffle class as a [[minLabelComponents]] round, but the round
-    * COUNT is O(log n) in the component size instead of O(diameter):
-    * on a path graph min-label moves the label one hop per round,
-    * while star operations repeatedly halve the tree height. At 100 TB
-    * a near-dup graph can contain long chains (chained-paraphrase
-    * crawls), and diameter-bound iteration is the scaling risk this
-    * variant removes. Exposed un-materialized so the plan auditor can
-    * assert the round's shuffle shape. */
+    * Each half-round is ONE exchange: the per-neighborhood minimum is
+    * a `min() over (partition by u)` window on the already-u-keyed
+    * rows, which fuses the former groupBy(min) + re-join pair (two
+    * exchanges of the full edge frame) into a single shuffle + sort.
+    * The large-star output skips its intermediate distinct: it is
+    * exactly |E| rows by construction (one per kept orientation), min
+    * is duplicate-insensitive, and the single final distinct sweeps
+    * everything — so a full round moves the edge frame three times
+    * (large window, small window, final dedup) instead of six.
+    *
+    * The round COUNT is O(log n) in the component size instead of
+    * O(diameter): on a path graph min-label moves the label one hop
+    * per round, while star operations repeatedly halve the tree
+    * height. At 100 TB a near-dup graph can contain long chains
+    * (chained-paraphrase crawls), and diameter-bound iteration is the
+    * scaling risk this variant removes. Skew posture: a hub's
+    * neighborhood must sort within one window partition (no map-side
+    * combine), but rows are two longs and large-star itself is the
+    * skew fix — each round re-points a hub's larger neighbors at the
+    * minimum, collapsing the hub's degree geometrically. Exposed
+    * un-materialized so the plan auditor can assert the round's
+    * shuffle shape. */
   private[graft] def twoPhaseRound(edges: DataFrame): DataFrame = {
+    val byU = Window.partitionBy(col("u"))
     val bidir = edges.select(col("u"), col("v"))
       .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
-    val lsMin = bidir.groupBy("u").agg(min(col("v")).as("mn"))
-      .select(col("u"), least(col("mn"), col("u")).as("m"))
-    val large = bidir.join(lsMin, "u")
+    val large = bidir
+      .withColumn("m", least(min(col("v")).over(byU), col("u")))
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
-      .filter(col("u") =!= col("v")).distinct()
+      .filter(col("u") =!= col("v"))
     // large-star output already satisfies u > v (targets are
     // neighborhood minima), so it is directly the small-star input
-    val ssMin = large.groupBy("u").agg(min(col("v")).as("m"))
-    large.join(ssMin, "u")
-      .select(col("v"), col("m"))
-      .unionByName(ssMin.select(col("u").as("v"), col("m")))
+    val lm = large.withColumn("m", min(col("v")).over(byU))
+    lm.select(col("v"), col("m"))
+      .unionByName(lm.select(col("u").as("v"), col("m")))
       .filter(col("v") =!= col("m"))
       .select(col("v").as("u"), col("m").as("v"))
       .distinct()
@@ -682,21 +720,24 @@ object DedupOps {
     var rounds = 0
     while (!done && rounds < maxRounds) {
       val next = materialize(twoPhaseRound(edges), s"tp_edges${rounds + 1}")
-      // fixed point ⇔ the canonically-directed edge sets are equal;
-      // both frames are distinct, so two anti-join probes suffice
-      done = next.except(edges).limit(1).count() == 0 &&
-        edges.except(next).limit(1).count() == 0
+      // Convergence test = IS the frame a star forest (no edge target
+      // is also a source)? A star forest is a fixed point of the
+      // alternation (both star operations map it to itself) and every
+      // fixed point is a star forest (SoCC 2014's convergence
+      // theorem), so this is exactly the old set-equality test — but
+      // it costs ONE self-join probe per round instead of two full
+      // except anti-joins, and it recognizes the final state the round
+      // it first APPEARS instead of one no-op round later. Doubling as
+      // the loop exit, it is also the loud-failure guard the old code
+      // ran separately after the loop.
+      done = next.select(col("v"))
+        .join(next.select(col("u").as("v")).distinct(), Seq("v"))
+        .limit(1).count() == 0
       edges = next
       rounds += 1
     }
-    require(done, s"two-phase CC did not converge in $maxRounds rounds")
-    // star-forest guard: at the fixed point no edge target may itself
-    // be an edge source — fail loudly rather than mislabel if a
-    // pathological input ever stalls the alternation elsewhere
-    val nonStar = edges.select(col("v"))
-      .join(edges.select(col("u").as("v")).distinct(), Seq("v"))
-      .limit(1).count()
-    require(nonStar == 0, "two-phase CC fixed point is not a star forest")
+    require(done,
+      s"two-phase CC did not reach a star forest in $maxRounds rounds")
     // stars: every non-center node has exactly one out-edge to the
     // center; centers label themselves
     edges.select(col("u").as("id"), col("v").as("label"))
@@ -717,7 +758,7 @@ object DedupOps {
   val q205CcTwophase: QueryDef = QueryDef(
     "q205_cc_twophase",
     (s, dir) => {
-      val pairs = q90SimhashHamming.fn(s, dir).select(col("doc_a"), col("doc_b"))
+      val pairs = simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
       val labels = twoPhaseComponents(pairs)
         .select(col("id").as("doc_id"), col("label"))
       docs(s, dir).select(col("doc_id"))

@@ -435,7 +435,7 @@ object SampleOps {
   val q151PreferencePairs: QueryDef = QueryDef(
     "q151_preference_pairs",
     (s, dir) => {
-      val pairs = DedupOps.q90SimhashHamming.fn(s, dir)
+      val pairs = DedupOps.simhashPairs(s, dir)
         .select(col("doc_a"), col("doc_b"))
       val clusters = DedupOps.minLabelComponents(pairs)
         .select(col("id").as("doc_id"), col("label").as("cluster"))

@@ -57,6 +57,84 @@ object SuffixOps {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Dense-rank the (rk, rk2) key over the FULL pair frame in ONE range
+    * exchange — the doubling loop's former re-rank paid three more
+    * (distinct agg, join-back exchange of the pairs, exchange of the
+    * rank table) plus a separate countDistinct job for the
+    * stabilization probe. Shape: global sort by (rk, rk2), then the
+    * textbook two-phase scan ([[nearestFlaggedLcp]]'s idiom): pass 1
+    * emits per-partition (first key, last key, local class-boundary
+    * count) summaries; the driver folds them in partition order into
+    * per-partition incoming rank offsets (adjusting where a class
+    * straddles a partition edge); pass 2 re-scans and assigns
+    * rank = incoming + running local boundary count. The fold's total
+    * IS the distinct-class count, so the saturation check is a free
+    * byproduct instead of an extra agg job per round.
+    *
+    * Input columns (doc_id, i, rk, rk2); returns the materialized
+    * (doc_id, i, rk)=dense-rank frame and the class count. */
+  private def denseRankPairs(paired: DataFrame): (DataFrame, Long) = {
+    val s = paired.sparkSession
+    // cast up front: `i` arrives as int on round 1 (posexplode + 1)
+    // and the passes read fixed Long slots
+    val sorted = paired.select(col("doc_id").cast("long").as("doc_id"),
+      col("i").cast("long").as("i"), col("rk").cast("long").as("rk"),
+      col("rk2").cast("long").as("rk2")).orderBy(col("rk"), col("rk2"))
+    val rdd = sorted.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sums = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var firstKey: (Long, Long) = null
+      var lastKey: (Long, Long) = null
+      var classes = 0L
+      it.foreach { r =>
+        val key = (r.getLong(2), r.getLong(3))
+        if (lastKey == null || key != lastKey) {
+          classes += 1
+          if (firstKey == null) firstKey = key
+        }
+        lastKey = key
+      }
+      Iterator.single((pid, Option(firstKey), Option(lastKey), classes))
+    }.collect().sortBy(_._1)
+    // incoming(p) = dense rank already consumed before partition p's
+    // first local class, minus one so pass 2 can pre-increment; a
+    // partition whose first key equals the previous non-empty
+    // partition's last key CONTINUES that class (its first local
+    // boundary is not a global one)
+    val incoming = new Array[Long](sums.length)
+    var before = 0L
+    var prevLast: Option[(Long, Long)] = None
+    sums.foreach { case (pid, fk, lk, lB) =>
+      val cont = fk.isDefined && prevLast.isDefined && fk == prevLast
+      val adj = if (cont) 1L else 0L
+      incoming(pid) = before - adj - 1L
+      before += lB - adj
+      if (lk.isDefined) prevLast = lk
+    }
+    val totalClasses = before
+    val bc = s.sparkContext.broadcast(incoming)
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val base = bc.value(pid)
+      var lastKey: (Long, Long) = null
+      var localB = 0L
+      it.map { r =>
+        val key = (r.getLong(2), r.getLong(3))
+        if (lastKey == null || key != lastKey) localB += 1
+        lastKey = key
+        Row(r.getLong(0), r.getLong(1), base + localB)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("i", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rk", LongType, nullable = false)))
+    // materialize before unpersisting the sorted input (both passes
+    // read it; a lazy result would recompute the sort after unpersist)
+    val result = s.createDataFrame(out, schema).localCheckpoint(true)
+    rdd.unpersist(blocking = false)
+    (result, totalClasses)
+  }
+
   /** Suffix ranks after full prefix doubling: (doc_id, i, rk) where rk
     * orders the suffixes starting at token i (1-based) of each doc;
     * identical suffixes (same token sequence to end-of-doc) share a
@@ -95,25 +173,20 @@ object SuffixOps {
         col("rk").as("rk2"))
       val paired = ranks.join(shifted, Seq("doc_id", "i"), "left_outer")
         .na.fill(-1L, Seq("rk2")) // past end-of-doc: shorter sorts first
-      val pairRanks = zipWithRank(
-        paired.select(col("rk"), col("rk2")).distinct()
-          .orderBy(col("rk"), col("rk2")), "nrk")
-      ranks = paired.join(pairRanks, Seq("rk", "rk2"))
-        .select(col("doc_id"), col("i"), col("nrk").as("rk")).localCheckpoint()
+      val (next, d) = denseRankPairs(paired)
+      ranks = next
       k *= 2
       // prefix-doubling termination: if NO equality class split this
       // round (distinct-rank count unchanged), the partition is a
       // fixpoint — suffixes sharing a class agree on every k-block by
       // induction, i.e. are identical to end-of-doc — so further
-      // rounds are the identity and their 2 sorts + 2 joins are pure
-      // waste. Real corpora stabilize at k ≈ longest repeated prefix,
-      // far below max doc length; the check is one agg per round.
+      // rounds are the identity and their sort + join are pure waste.
+      // Real corpora stabilize at k ≈ longest repeated prefix, far
+      // below max doc length; the class count falls out of the
+      // dense-rank fold, so the probe costs nothing.
       // (All-ranks-unique is the textbook special case of this.)
-      if (k < maxLen) {
-        val d = ranks.agg(countDistinct(col("rk"))).first().getLong(0)
-        saturated = d == prevDistinct
-        prevDistinct = d
-      }
+      saturated = d == prevDistinct
+      prevDistinct = d
     }
     ranks
   }

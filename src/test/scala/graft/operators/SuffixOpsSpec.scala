@@ -77,7 +77,7 @@ class SuffixOpsSpec extends SparkSpec {
       (3L, "c a b a b"))
     val dir = writeDocs(docs)
     val got = SuffixOps.suffixRanks(spark, dir).collect()
-      .map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+      .map(r => ((r.getLong(0), r.getLong(1).toInt), r.getLong(2))).toMap
 
     // driver reference: every (doc, i) suffix as its token list,
     // sorted; identical suffixes share a dense rank

@@ -90,7 +90,17 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val scales = Seq(("x1", 5000L, 2000L), ("x10", 50000L, 20000L))
+    // Third decade opt-in via SPARK_GRAFT_SCALES=x1,x10,x100 — the
+    // default stays the cheap pair so iterating stays fast. At x100
+    // the documented-quadratic calibration baseline (q130's exact kNN
+    // graph, measured exponent 1.88) is skipped: it would run for
+    // hours BY DESIGN, and its blocked twin is the production path.
+    val scaleDefs = Seq(("x1", 5000L, 2000L), ("x10", 50000L, 20000L),
+      ("x100", 500000L, 200000L))
+    val wanted = sys.env.getOrElse("SPARK_GRAFT_SCALES", "x1,x10")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val scales = scaleDefs.filter(s => wanted(s._1))
+    val skipAt = Map("x100" -> Set("q130_knn_graph"))
     scales.foreach { case (tag, nDocs, nVecs) =>
       val dir = s"$outDir/$tag"
       if (!new java.io.File(s"$dir/documents.parquet").exists()) {
@@ -133,16 +143,33 @@ object ScaleBench {
     }
 
     val rows = picked.map { name =>
-      val t1 = median3(name, s"$outDir/x1")
-      val t10 = median3(name, s"$outDir/x10")
-      val exp = if (t1 > 0 && t10 > 0) math.log10(t10 / t1) else Double.NaN
-      println(f"[scale] $name%-28s x1=$t1%8.3fs  x10=$t10%8.3fs  exponent=$exp%5.2f")
-      (name, t1, t10, exp)
+      val ts = scales.map { case (tag, _, _) =>
+        if (skipAt.getOrElse(tag, Set.empty)(name)) tag -> Double.NaN
+        else tag -> median3(name, s"$outDir/$tag")
+      }
+      // exponent between each consecutive decade pair
+      val exps = ts.sliding(2).collect {
+        case Seq((ta, a), (tb, b)) =>
+          s"$ta->$tb" -> (if (a > 0 && b > 0) math.log10(b / a) else Double.NaN)
+      }.toSeq
+      val tsTxt = ts.map { case (tag, v) =>
+        if (v.isNaN) f"$tag=   skip " else f"$tag=$v%8.3fs" }.mkString("  ")
+      val expTxt = exps.map { case (k, e) =>
+        if (e.isNaN) s"$k=n/a" else f"$k=$e%5.2f" }.mkString("  ")
+      println(f"[scale] $name%-28s $tsTxt  $expTxt")
+      (name, ts, exps)
     }
-    val json = rows.map { case (n, a, b, e) =>
-      f""""$n":{"t1_sec":$a%.3f,"t10_sec":$b%.3f,"exponent":${if (e.isNaN) "null" else f"$e%.3f"}}"""
+    val json = rows.map { case (n, ts, exps) =>
+      val tj = ts.map { case (tag, v) =>
+        s""""t${tag.stripPrefix("x")}_sec":${if (v.isNaN) "null" else f"$v%.3f"}"""
+      }.mkString(",")
+      val ej = exps.map { case (k, e) =>
+        s""""exp_${k.replace("->", "_")}":${if (e.isNaN) "null" else f"$e%.3f"}"""
+      }.mkString(",")
+      s""""$n":{$tj,$ej}"""
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"scale_exponents","scales":[1,10],"queries":$json}"""
+    val scaleNums = scales.map(_._1.stripPrefix("x")).mkString("[", ",", "]")
+    val line = s"""{"metric":"scale_exponents","scales":$scaleNums,"queries":$json}"""
     println(line)
     try {
       val out = java.nio.file.Paths.get("target/scale_bench.json")

@@ -424,7 +424,8 @@ object Curation {
       mixtureRates: Map[String, Long] = Map.empty,
       defaultRate: Long = 100L,
       temperatureThresholds: Option[DataFrame] = None,
-      heavyHitters: Option[graft.streaming.HeavyHitters.Monitor] = None)
+      heavyHitters: Option[graft.streaming.HeavyHitters.Monitor] = None,
+      composition: Option[graft.streaming.CompositionMonitor] = None)
 
   /** Offline boilerplate artifact for [[StreamCurationConfig]]:
     * fragments appearing in >= `minDocs` docs of a reference corpus. */
@@ -549,6 +550,15 @@ object Curation {
       mon.observe(survivors.select(
           explode(split(lower(col("text")), "\\s+")).as("token"))
         .filter(col("token") =!= ""))
+    }
+    // composition telemetry on the same discipline: per-batch integer
+    // grid partials folded by addition, so the accumulated state
+    // equals the one-shot q222/q229 grids over all surviving batches
+    // bit-for-bit (CompositionMonitor's spec-proven batch-split
+    // equality; CurationSpec asserts it through this path too).
+    // Same replay caveat as the Misra-Gries state above.
+    cfg.composition.foreach { mon =>
+      mon.observeDocs(survivors.select(col("source"), col("text")))
     }
   }
 

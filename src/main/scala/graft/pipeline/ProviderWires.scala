@@ -159,6 +159,54 @@ final case class AzureOpenAIWire(apiVersion: String = "2024-02-01")
   def isTerminator(data: String): Boolean = OpenAIWire.isTerminator(data)
 }
 
+/** MiniMax ChatCompletion v2 (public MiniMax API reference): the
+  * OpenAI body/response shape served at /v1/text/chatcompletion_v2
+  * with Bearer auth — reference adapters/llm1/minimax.py names exactly
+  * this surface through litellm. One wire-level deviation worth
+  * implementing: MiniMax reports API-level errors inside a `base_resp`
+  * envelope ON HTTP 200 (status_code != 0), so the parse surfaces that
+  * as a loud failure instead of returning an empty reply. */
+case object MiniMaxWire extends ChatWire {
+  import ChatWire.mapper
+  def chatUrl(baseUrl: String, model: String) =
+    s"$baseUrl/v1/text/chatcompletion_v2"
+  def headers(apiKey: String) = Map("Authorization" -> s"Bearer $apiKey")
+  def chatBody(model: String, systemPrompt: String, prompt: String,
+      temperature: Double, image: Option[(Array[Byte], String)]): Array[Byte] =
+    OpenAIWire.chatBody(model, systemPrompt, prompt, temperature, image)
+  def parse(json: String): ChatReply = {
+    val root = mapper.readTree(json)
+    val base = root.path("base_resp")
+    val sc = base.path("status_code").asLong(0L)
+    if (sc != 0L)
+      throw new IllegalStateException(
+        s"minimax error $sc: ${base.path("status_msg").asText("")}")
+    OpenAIWire.parse(json)
+  }
+}
+
+/** OpenRouter: the OpenAI shape at openrouter.ai/api with Bearer auth,
+  * plus the two OPTIONAL app-attribution headers its public docs
+  * define (HTTP-Referer, X-Title) — reference
+  * adapters/llm1/openrouter.py. */
+final case class OpenRouterWire(referer: Option[String] = None,
+    title: Option[String] = None) extends ChatWire with StreamingChatWire {
+  def chatUrl(baseUrl: String, model: String) =
+    OpenAIWire.chatUrl(baseUrl, model)
+  def headers(apiKey: String) =
+    Map("Authorization" -> s"Bearer $apiKey") ++
+      referer.map("HTTP-Referer" -> _) ++ title.map("X-Title" -> _)
+  def chatBody(model: String, systemPrompt: String, prompt: String,
+      temperature: Double, image: Option[(Array[Byte], String)]): Array[Byte] =
+    OpenAIWire.chatBody(model, systemPrompt, prompt, temperature, image)
+  def parse(json: String): ChatReply = OpenAIWire.parse(json)
+  def streamChatBody(model: String, systemPrompt: String, prompt: String,
+      temperature: Double): Array[Byte] =
+    OpenAIWire.streamChatBody(model, systemPrompt, prompt, temperature)
+  def parseChunk(json: String): StreamDelta = OpenAIWire.parseChunk(json)
+  def isTerminator(data: String): Boolean = OpenAIWire.isTerminator(data)
+}
+
 /** Anthropic Messages API: /v1/messages, x-api-key + anthropic-version
   * headers, REQUIRED max_tokens, top-level `system`, reply content as
   * typed blocks (text concatenated), usage.input_tokens/output_tokens,
@@ -614,8 +662,10 @@ class WireEmbeddingClient(wire: EmbeddingWire, baseUrl: String,
   * from a name alone: construct [[VertexAIWire]] directly. */
 object Providers {
   def chatWire(provider: String): ChatWire = provider.toLowerCase match {
-    case "openai" | "mistral" | "openrouter" | "anyscale" | "nvidia_build" |
-         "minimax" | "azure_ai_foundry" | "openai_compatible" => OpenAIWire
+    case "openai" | "mistral" | "anyscale" | "nvidia_build" |
+         "azure_ai_foundry" | "openai_compatible" => OpenAIWire
+    case "openrouter" => OpenRouterWire()
+    case "minimax" => MiniMaxWire
     case "azureopenai" | "azure_openai" | "azure" => AzureOpenAIWire()
     case "anthropic" => AnthropicWire()
     case "ollama" => OllamaWire
@@ -626,6 +676,33 @@ object Providers {
         "(vertexai: build VertexAIWire(project, location, tokens)); " +
         "supported by name: openai-compatible roster, azure_openai, " +
         "anthropic, ollama, gemini, bedrock")
+  }
+
+  /** Documented public default base URLs for the OpenAI-compatible
+    * roster members the reference ships as separate adapter files
+    * (each of sdk1/adapters/llm1/{mistral,nvidia_build,minimax,
+    * anyscale,openrouter}.py is a litellm config naming exactly this
+    * host + bearer auth). A deployment overrides per instance; these
+    * are the out-of-the-box values, so constructing a roster client by
+    * name needs only an API key + model. */
+  val defaultBaseUrl: Map[String, String] = Map(
+    "mistral" -> "https://api.mistral.ai",
+    "nvidia_build" -> "https://integrate.api.nvidia.com",
+    "anyscale" -> "https://api.endpoints.anyscale.com",
+    "openrouter" -> "https://openrouter.ai/api",
+    "minimax" -> "https://api.minimax.chat")
+
+  /** Named-roster chat client: wire + documented default base URL in
+    * one call — `chatClient("mistral", key, "mistral-large-latest",
+    * mkTransport)`. Providers outside [[defaultBaseUrl]] require an
+    * explicit base. */
+  def chatClient(provider: String, apiKey: String, model: String,
+      mkTransport: () => HttpTransport,
+      baseUrl: Option[String] = None): WireChatClient = {
+    val base = baseUrl.orElse(defaultBaseUrl.get(provider.toLowerCase))
+      .getOrElse(throw new IllegalArgumentException(
+        s"provider '$provider' has no documented default base URL — pass one"))
+    new WireChatClient(chatWire(provider), base, apiKey, model, mkTransport)
   }
 
   def embeddingWire(provider: String): EmbeddingWire =

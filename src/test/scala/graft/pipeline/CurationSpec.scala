@@ -329,13 +329,15 @@ class CurationSpec extends SparkSpec {
     // offline artifacts trained once on the full corpus (the CCNet
     // discipline), shared verbatim by the batch reference and the stream
     val monitor = new graft.streaming.HeavyHitters.Monitor(10000)
+    val compMon = new graft.streaming.CompositionMonitor
     val cfg = Curation.StreamCurationConfig(
       frequentGrams = Some(Curation.frequentGramsOf(full)),
       lmModel = Some(graft.operators.LmOps.trainLm(full)),
       maxAvgNll = graft.operators.LmOps.avgNllOf(full)
         .stat.approxQuantile("avg_nll", Array(0.75), 0.0).head,
       mixtureRates = Map("zh" -> 50L),
-      heavyHitters = Some(monitor))
+      heavyHitters = Some(monitor),
+      composition = Some(compMon))
     val wantRows = Curation.curateBatch(full, cfg, {
       import spark.implicits._
       Seq.empty[String].toDF("file_hash")
@@ -373,6 +375,18 @@ class CurationSpec extends SparkSpec {
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
     val gotHh = monitor.summary.toMap
     assert(gotHh === exact, "cross-batch monitor diverged from exact counts")
+
+    // the composition monitor folded the 3 micro-batches by int64
+    // addition: its per-source token-mass grid must equal the one-shot
+    // q222/q229 grid over the survivors BIT-FOR-BIT (batch-split
+    // equality through the runStream path, not just the monitor spec)
+    val exactMass = wantRows
+      .map(r => (r.getAs[String]("source"),
+        r.getAs[String]("text").toLowerCase.trim.split("\\s+")
+          .count(_.nonEmpty).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(compMon.massGrid === exactMass,
+      "cross-batch composition grid diverged from the one-shot grid")
   }
 
   test("URL pre-gate: blocklist + per-domain cap drop first and are accounted") {

@@ -241,10 +241,50 @@ class ProviderWiresSpec extends AnyFunSuite {
 
   // ---- roster registry ---------------------------------------------------
 
+  // ---- OpenAI-compatible roster labels -----------------------------------
+
+  test("MiniMax wire: chatcompletion_v2 path, bearer auth, base_resp error raises") {
+    val pt = new LongAccumulator; val ct = new LongAccumulator
+    val c = new WireChatClient(MiniMaxWire, mmBase, "mm-key", "abab6.5s",
+      () => minimaxServer(), systemPrompt = "sys", sleeper = noSleep,
+      promptTokens = Some(pt), completionTokens = Some(ct))
+    assert(c.complete("hello") === "MM:sys:hello")
+    assert(pt.value === 3L && ct.value === 2L)
+    // MiniMax reports API errors in a base_resp envelope ON HTTP 200 —
+    // the wire must surface them, not return an empty reply
+    val e = intercept[IllegalStateException](c.complete("ERR"))
+    assert(e.getMessage.contains("minimax error 1002"))
+  }
+
+  test("OpenRouter wire: openrouter.ai/api path + optional attribution headers") {
+    val c = new WireChatClient(
+      OpenRouterWire(Some("https://app.example"), Some("graft")),
+      orBase, "or-key", "meta/llama", () => openrouterServer(), sleeper = noSleep)
+    assert(c.complete("ping") === "OR:https://app.example:graft:ping")
+    // headers are optional: absent when not configured
+    val bare = new WireChatClient(OpenRouterWire(), orBase, "or-key",
+      "meta/llama", () => openrouterServer(), sleeper = noSleep)
+    assert(bare.complete("ping") === "OR:::ping")
+  }
+
+  test("Mistral / NVIDIA roster labels: documented default base + bearer via Providers.chatClient") {
+    for (prov <- Seq("mistral", "nvidia_build")) {
+      val host = Providers.defaultBaseUrl(prov)
+      val c = Providers.chatClient(prov, "rk", "model-x",
+        () => rosterServer(host))
+      assert(c.complete("ping") === s"ROSTER:$host:model-x:ping")
+    }
+    // a provider with no documented default demands an explicit base
+    intercept[IllegalArgumentException](
+      Providers.chatClient("openai_compatible", "k", "m",
+        () => rosterServer("x")))
+  }
+
   test("Providers registry maps the reference roster onto wires") {
     assert(Providers.chatWire("openai") === OpenAIWire)
     assert(Providers.chatWire("mistral") === OpenAIWire)
-    assert(Providers.chatWire("openrouter") === OpenAIWire)
+    assert(Providers.chatWire("openrouter").isInstanceOf[OpenRouterWire])
+    assert(Providers.chatWire("minimax") === MiniMaxWire)
     assert(Providers.chatWire("azure_openai").isInstanceOf[AzureOpenAIWire])
     assert(Providers.chatWire("Anthropic").isInstanceOf[AnthropicWire])
     assert(Providers.chatWire("ollama") === OllamaWire)
@@ -284,7 +324,67 @@ object ProviderWiresSpec {
   val brBase = "https://bedrock-runtime.us-east-1.amazonaws.com"
   val veBase = "https://eu-aiplatform.example.com"
   val ssBase = "https://sse.example.com"
+  val mmBase = "https://api.minimax.chat"
+  val orBase = "https://openrouter.ai/api"
   val bedrockSecret = "bedrock-test-secret"
+
+  private def msgOf(m: ObjectMapper, body: Array[Byte], role: String): String = {
+    val msgs = m.readTree(body).path("messages")
+    (0 until msgs.size()).map(msgs.get)
+      .find(_.path("role").asText() == role)
+      .map(_.path("content").asText("")).getOrElse("")
+  }
+
+  /** Canned MiniMax: chatcompletion_v2 path, bearer auth, answers in
+    * the OpenAI choices/usage shape wrapped with the base_resp
+    * envelope; an "ERR" prompt returns the envelope-error-on-200 shape
+    * the real service uses. */
+  def minimaxServer(): CannedTransport = {
+    val m = mapper
+    new CannedTransport({ (method, url, headers, body) =>
+      if (headers.get("Authorization") != Some("Bearer mm-key"))
+        R.status(401, """{"base_resp":{"status_code":1004,"status_msg":"auth"}}""")
+      else if (method == "POST" && url == s"$mmBase/v1/text/chatcompletion_v2") {
+        val sys = msgOf(m, body, "system")
+        val user = msgOf(m, body, "user")
+        if (user == "ERR")
+          R.ok("""{"base_resp":{"status_code":1002,"status_msg":"rate limit"}}""")
+        else
+          R.ok(s"""{"choices":[{"index":0,"message":{"role":"assistant","content":"MM:$sys:$user"},"finish_reason":"stop"}],"usage":{"prompt_tokens":3,"completion_tokens":2},"base_resp":{"status_code":0,"status_msg":"success"}}""")
+      } else R.status(404, url)
+    })
+  }
+
+  /** Canned OpenRouter: /api/v1 chat path, bearer auth, echoes the
+    * attribution headers so their presence/absence is what's tested. */
+  def openrouterServer(): CannedTransport = {
+    val m = mapper
+    new CannedTransport({ (method, url, headers, body) =>
+      if (headers.get("Authorization") != Some("Bearer or-key"))
+        R.status(401, "bad key")
+      else if (method == "POST" && url == s"$orBase/v1/chat/completions") {
+        val user = msgOf(m, body, "user")
+        val ref = headers.getOrElse("HTTP-Referer", "")
+        val title = headers.getOrElse("X-Title", "")
+        R.ok(s"""{"choices":[{"index":0,"message":{"role":"assistant","content":"OR:$ref:$title:$user"},"finish_reason":"stop"}],"usage":{"prompt_tokens":1,"completion_tokens":1}}""")
+      } else R.status(404, url)
+    })
+  }
+
+  /** Canned generic OpenAI-compatible host pinned to `host`: verifies
+    * the documented default base URL reached the wire unchanged. */
+  def rosterServer(host: String): CannedTransport = {
+    val m = mapper
+    new CannedTransport({ (method, url, headers, body) =>
+      if (headers.get("Authorization") != Some("Bearer rk"))
+        R.status(401, "bad key")
+      else if (method == "POST" && url == s"$host/v1/chat/completions") {
+        val model = m.readTree(body).path("model").asText("")
+        val user = msgOf(m, body, "user")
+        R.ok(s"""{"choices":[{"index":0,"message":{"role":"assistant","content":"ROSTER:$host:$model:$user"},"finish_reason":"stop"}],"usage":{"prompt_tokens":1,"completion_tokens":1}}""")
+      } else R.status(404, url)
+    })
+  }
 
   /** Canned SSE chat endpoint: requires stream:true +
     * stream_options.include_usage, replies with the OpenAI chunk

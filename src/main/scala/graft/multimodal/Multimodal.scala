@@ -26,6 +26,17 @@ import org.apache.spark.sql.types._
   * profile/level/true cropped resolution/slice counts. The remaining
   * declared stub is video PIXEL decode; a deployment swaps in an
   * FFmpeg-backed decoder behind the same trait.
+  *
+  * Why the MP3 PCM path is exercised only when an SPI is present: the
+  * SPI decode itself is proven bit-exact on WAV (the JDK ships that
+  * codec), and adding a test-scoped MP3 SPI (javazoom/tritonus) is not
+  * possible in this build — the dependency set is frozen and the
+  * offline artifact cache carries no MP3 SPI jar (checked round 13).
+  * A deployment that puts one on the classpath gets real MP3 PCM with
+  * zero code change; a full in-repo ISO Layer-III decoder (Huffman +
+  * IMDCT + synthesis filterbank) would be thousands of lines to
+  * re-derive a codec the platform loads as a service, for a capability
+  * the reference platform does not have at all.
   */
 object Multimodal {
 

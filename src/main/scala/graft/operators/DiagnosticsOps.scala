@@ -1060,8 +1060,250 @@ object DiagnosticsOps {
       FROM terms"""),
     headline = false)
 
+  // ---------------------------------------------------------------
+  // q235: pairwise source Jensen–Shannon divergence
+  // ---------------------------------------------------------------
+
+  /** Pairwise Jensen–Shannon divergence (Lin 1991; base 2, so
+    * jsd ∈ [0,1]) between the per-source unigram token distributions —
+    * the source-similarity matrix a mixture designer reads next to
+    * q226's content-overlap matrix: q226 answers "do these sources
+    * share DOCUMENTS", this answers "do they speak the same
+    * DISTRIBUTION" (a source can be 0%-duplicate yet distributionally
+    * redundant, and vice versa).
+    *
+    * Decomposition that avoids a full-outer token join: for the shared
+    * support the summand is the usual ½pa·ln(2pa/(pa+pb)) +
+    * ½pb·ln(2pb/(pa+pb)); a token in exactly one source contributes
+    * ½p·ln 2 nats exactly, so each pair's one-sided part collapses to
+    * ½·(1 − sharedMass) bits — computed from the shared-mass sums, no
+    * anti-join needed. Both engines sum in NATS and convert once by
+    * /ln 2 (one shared-constant division, the q228 ln-parity
+    * discipline), rounded at 6.
+    *
+    * Scale: corpus → (source, tok) grid in ONE keyed agg with map-side
+    * combine; the pair join is grid×grid equi on tok (S rows per key,
+    * S=|sources|), and the S²/2-row pair table is completed by a
+    * broadcast cross of the S-row totals — the corpus never
+    * self-joins. */
+  val q235SourceJsd: QueryDef = QueryDef(
+    "q235_source_jsd",
+    (s, dir) => {
+      val toks = Tables.loadParallel(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      val grid = toks.groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("n"))
+      val tot = grid.groupBy(col("source")).agg(sum(col("n")).as("t"))
+      val ga = grid.join(tot, "source")
+        .select(col("source").as("src_a"), col("tok"),
+          col("n").as("na"), col("t").as("ta"))
+      val gb = grid.join(tot, "source")
+        .select(col("source").as("src_b"), col("tok"),
+          col("n").as("nb"), col("t").as("tb"))
+      val shared = ga.join(gb,
+          ga("tok") === gb("tok") && col("src_a") < col("src_b"))
+        .withColumn("pa", col("na").cast("double") / col("ta"))
+        .withColumn("pb", col("nb").cast("double") / col("tb"))
+        .withColumn("term",
+          lit(0.5) * col("pa") * log(lit(2.0) * col("pa") / (col("pa") + col("pb"))) +
+          lit(0.5) * col("pb") * log(lit(2.0) * col("pb") / (col("pa") + col("pb"))))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("shared_tokens"),
+          sum(col("na")).as("sa"), sum(col("nb")).as("sb"),
+          sum(col("term")).as("term_nats"))
+      val pairs = tot.select(col("source").as("src_a"), col("t").as("ta"))
+        .crossJoin(broadcast(
+          tot.select(col("source").as("src_b"), col("t").as("tb"))))
+        .filter(col("src_a") < col("src_b"))
+      pairs.join(shared, Seq("src_a", "src_b"), "left_outer")
+        .na.fill(0L, Seq("shared_tokens", "sa", "sb"))
+        .na.fill(0.0, Seq("term_nats"))
+        .select(col("src_a"), col("src_b"), col("shared_tokens"),
+          round(col("term_nats") / log(lit(2.0)) +
+            lit(0.5) * (lit(1.0) - col("sa").cast("double") / col("ta")) +
+            lit(0.5) * (lit(1.0) - col("sb").cast("double") / col("tb")), 6)
+            .as("jsd"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+    Some("""WITH toks AS (SELECT source,
+          unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        FROM documents WHERE length(trim(text)) > 0),
+      grid AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+        FROM toks GROUP BY 1, 2),
+      tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS t FROM grid GROUP BY 1),
+      shared AS (SELECT a.source AS src_a, b.source AS src_b,
+          a.n AS na, b.n AS nb,
+          a.n / CAST(ta.t AS DOUBLE) AS pa, b.n / CAST(tb.t AS DOUBLE) AS pb
+        FROM grid a JOIN grid b ON a.tok = b.tok AND a.source < b.source
+        JOIN tot ta ON ta.source = a.source
+        JOIN tot tb ON tb.source = b.source),
+      agg AS (SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS shared_tokens,
+          CAST(sum(na) AS BIGINT) AS sa, CAST(sum(nb) AS BIGINT) AS sb,
+          sum(0.5 * pa * ln(2.0 * pa / (pa + pb)) +
+              0.5 * pb * ln(2.0 * pb / (pa + pb))) AS term_nats
+        FROM shared GROUP BY 1, 2),
+      pairs AS (SELECT a.source AS src_a, a.t AS ta, b.source AS src_b, b.t AS tb
+        FROM tot a, tot b WHERE a.source < b.source)
+      SELECT src_a, src_b,
+        coalesce(shared_tokens, 0) AS shared_tokens,
+        round(coalesce(term_nats, 0.0) / ln(2.0) +
+          0.5 * (1.0 - coalesce(sa, 0) / CAST(ta AS DOUBLE)) +
+          0.5 * (1.0 - coalesce(sb, 0) / CAST(tb AS DOUBLE)), 6) AS jsd
+      FROM pairs LEFT JOIN agg USING (src_a, src_b)
+      ORDER BY src_a, src_b"""),
+    headline = false)
+
+  // ---------------------------------------------------------------
+  // q236: Heaps-law vocabulary-growth fit
+  // ---------------------------------------------------------------
+
+  /** Heaps-law fit V(N) ≈ K·N^β over the ingest order: distinct
+    * vocabulary size V_k versus cumulative token count N_k at each
+    * 50-doc ingest bucket, OLS-fit in log-log space. β is THE number
+    * the engine's scale arguments lean on ("vocab-bounded grids grow
+    * sublinearly") — this query measures it on the actual corpus
+    * instead of asserting it, the same discipline as q129's
+    * saturation curve for dedup budgets. Reported: point count, β
+    * (slope), ln K (intercept — kept in log space so no cross-engine
+    * exp), and R² (NULL when fewer than 2 buckets or zero variance).
+    *
+    * Exactness: N_k and V_k are exact int64 (first-occurrence bucket
+    * assignment = q129's min-doc_id trick on tokens); the OLS runs on
+    * ≤ corpus/50 log points via the textbook sum formulas, identical
+    * in both engines, rounded at 6.
+    *
+    * Scale: one token-keyed agg (min doc_id per token — the exact-
+    * dedup shuffle class) + one bucket-keyed count; windows and the
+    * regression run on the BUCKET grid only. */
+  val q236HeapsFit: QueryDef = QueryDef(
+    "q236_heaps_fit",
+    (s, dir) => {
+      val toks = Tables.loadParallel(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .withColumn("bucket", expr("doc_id div 50"))
+      val tokCount = toks.groupBy(col("bucket")).agg(count(lit(1)).as("n_tok"))
+      val newTypes = toks.groupBy(col("tok")).agg(min(col("bucket")).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+      val w = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val pts = tokCount.join(newTypes, Seq("bucket"), "left_outer")
+        .na.fill(0L, Seq("new_types"))
+        .withColumn("nk", sum(col("n_tok")).over(w))
+        .withColumn("vk", sum(col("new_types")).over(w))
+        .select(log(col("nk").cast("double")).as("x"),
+          log(col("vk").cast("double")).as("y"))
+      pts.agg(count(lit(1)).as("k"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .withColumn("den", col("k") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("deny", col("k") * col("syy") - col("sy") * col("sy"))
+        .withColumn("num", col("k") * col("sxy") - col("sx") * col("sy"))
+        .select(col("k").as("n_points"),
+          when(col("den") > 0, round(col("num") / col("den"), 6))
+            .otherwise(lit(null).cast("double")).as("beta"),
+          when(col("den") > 0, round((col("sy") - (col("num") / col("den")) *
+            col("sx")) / col("k"), 6))
+            .otherwise(lit(null).cast("double")).as("ln_k"),
+          when(col("den") > 0 && col("deny") > 0,
+            round(col("num") * col("num") / (col("den") * col("deny")), 6))
+            .otherwise(lit(null).cast("double")).as("r2"))
+    },
+    Some("""WITH toks AS (SELECT doc_id // 50 AS bucket,
+          unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        FROM documents WHERE length(trim(text)) > 0),
+      tc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_tok
+        FROM toks GROUP BY 1),
+      nt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS new_types FROM
+        (SELECT tok, min(bucket) AS bucket FROM toks GROUP BY tok) f
+        GROUP BY 1),
+      pts AS (SELECT
+          ln(CAST(sum(tc.n_tok) OVER (ORDER BY tc.bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)) AS x,
+          ln(CAST(sum(coalesce(nt.new_types, 0)) OVER (ORDER BY tc.bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)) AS y
+        FROM tc LEFT JOIN nt USING (bucket)),
+      sums AS (SELECT CAST(count(*) AS BIGINT) AS k,
+          sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+          sum(y*y) AS syy, sum(x*y) AS sxy FROM pts),
+      d AS (SELECT *, k * sxx - sx * sx AS den, k * syy - sy * sy AS deny,
+          k * sxy - sx * sy AS num FROM sums)
+      SELECT k AS n_points,
+        CASE WHEN den > 0 THEN round(num / den, 6) ELSE NULL END AS beta,
+        CASE WHEN den > 0 THEN round((sy - (num / den) * sx) / k, 6)
+             ELSE NULL END AS ln_k,
+        CASE WHEN den > 0 AND deny > 0
+             THEN round(num * num / (den * deny), 6) ELSE NULL END AS r2
+      FROM d"""),
+    headline = false)
+
+  // ---------------------------------------------------------------
+  // q237: Good–Turing unseen mass + Chao1 richness
+  // ---------------------------------------------------------------
+
+  /** Good–Turing unseen-probability mass and Chao1 vocabulary-richness
+    * estimate from the frequency-of-frequencies table: P₀ = N₁/N (the
+    * Good–Turing estimate of the probability the NEXT token is a
+    * never-seen type — equivalently 1−coverage), and the
+    * bias-corrected Chao1 richness V̂ = V + N₁(N₁−1)/(2(N₂+1))
+    * (Chao 1984, bias-corrected form — defined even when no doubletons
+    * exist). The "is this corpus big enough" pre-flight: a high P₀
+    * says token statistics (LM scores, DSIR weights, tokenizer merges)
+    * are still moving; Chao1 bounds how much vocabulary the next
+    * crawl can add.
+    *
+    * Exactness: counts, V, N, N₁, N₂ are exact int64 from two keyed
+    * aggs; the three reported ratios are single integer-over-integer
+    * double divisions, rounded at 6 — bit-deterministic cross-engine.
+    *
+    * Scale: token-keyed count (the exact-dedup shuffle class) folded
+    * to the frequency-of-frequencies GRID (rows = distinct counts,
+    * ≤ a few hundred at any corpus size); the epilogue reads the
+    * grid. */
+  val q237GoodTuring: QueryDef = QueryDef(
+    "q237_good_turing",
+    (s, dir) => {
+      val counts = Tables.loadParallel(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val fof = counts.groupBy(col("c")).agg(count(lit(1)).as("nc"))
+      fof.agg(sum(col("nc")).as("vocab"),
+          sum(col("c") * col("nc")).as("n_tokens"),
+          sum(when(col("c") === 1, col("nc")).otherwise(0L)).as("n1"),
+          sum(when(col("c") === 2, col("nc")).otherwise(0L)).as("n2"))
+        .select(col("vocab"), col("n_tokens"), col("n1"), col("n2"),
+          round(col("n1").cast("double") / col("n_tokens"), 6).as("p_unseen"),
+          round(lit(1.0) - col("n1").cast("double") / col("n_tokens"), 6)
+            .as("coverage"),
+          round(col("vocab") + col("n1").cast("double") * (col("n1") - 1) /
+            (lit(2.0) * (col("n2") + 1)), 6).as("chao1"))
+    },
+    Some("""WITH counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM
+        (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+         FROM documents WHERE length(trim(text)) > 0) t GROUP BY tok),
+      fof AS (SELECT c, CAST(count(*) AS BIGINT) AS nc FROM counts GROUP BY c),
+      s AS (SELECT CAST(sum(nc) AS BIGINT) AS vocab,
+          CAST(sum(c * nc) AS BIGINT) AS n_tokens,
+          CAST(sum(CASE WHEN c = 1 THEN nc ELSE 0 END) AS BIGINT) AS n1,
+          CAST(sum(CASE WHEN c = 2 THEN nc ELSE 0 END) AS BIGINT) AS n2
+        FROM fof)
+      SELECT vocab, n_tokens, n1, n2,
+        round(CAST(n1 AS DOUBLE) / n_tokens, 6) AS p_unseen,
+        round(1.0 - CAST(n1 AS DOUBLE) / n_tokens, 6) AS coverage,
+        round(vocab + CAST(n1 AS DOUBLE) * (n1 - 1) / (2.0 * (n2 + 1)), 6)
+          AS chao1
+      FROM s"""),
+    headline = false)
+
   val all: Seq[QueryDef] = Seq(q142SkewAudit, q152SnapshotDiff,
     q191ChangeMagnitude, q195ChunkDelta, q222GiniConcentration,
     q223HampelOutliers, q224Benford, q227RankChurn, q229Diversity,
-    q231KendallTau, q232MannWhitney, q233CramersV, q234Psi)
+    q231KendallTau, q232MannWhitney, q233CramersV, q234Psi,
+    q235SourceJsd, q236HeapsFit, q237GoodTuring)
 }

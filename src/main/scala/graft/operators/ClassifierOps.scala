@@ -57,7 +57,10 @@ object ClassifierOps {
     toks.join(broadcast(w), Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_toks"),
-        round(avg(col("w")), 6).as("quality_lr"))
+        // + 0.0: a doc whose log-odds average rounds to zero from
+        // below would otherwise print IEEE -0.0 in DuckDB (its round
+        // keeps the sign bit; Spark's BigDecimal path does not)
+        (round(avg(col("w")), 6) + lit(0.0)).as("quality_lr"))
   }
 
   /** The NB train/score pass as shared oracle CTE text, ending in
@@ -81,7 +84,7 @@ object ClassifierOps {
       |    ln((cneg + 1.0) / CAST(nneg + v AS DOUBLE)) AS w
       |  FROM counts, tot),
       |nbscore AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
-      |    round(avg(w.w), 6) AS quality_lr
+      |    round(avg(w.w), 6) + 0.0 AS quality_lr
       |  FROM toks t JOIN w USING (tok) GROUP BY t.doc_id)""".stripMargin
 
   /** q170: NB log-odds quality scoring — train on the seed labeling,

@@ -769,7 +769,7 @@ object DiagnosticsOps {
       SELECT nn.n AS n_docs, p.concordant, p.discordant, tx.tie_x, ty.tie_y,
         round(CAST(p.concordant - p.discordant AS DOUBLE) /
           sqrt(CAST(nn.n * (nn.n - 1) // 2 - tx.tie_x AS DOUBLE) *
-            CAST(nn.n * (nn.n - 1) // 2 - ty.tie_y AS DOUBLE)), 6) AS tau_b
+            CAST(nn.n * (nn.n - 1) // 2 - ty.tie_y AS DOUBLE)), 6) + 0.0 AS tau_b
       FROM p, nn, tx, ty"""),
     headline = false)
 
@@ -1099,11 +1099,15 @@ object DiagnosticsOps {
       val ga = grid.join(tot, "source")
         .select(col("source").as("src_a"), col("tok"),
           col("n").as("na"), col("t").as("ta"))
+      // tok_b: distinct name on the self-join's right side — joining
+      // ga("tok") === gb("tok") on two frames of one lineage trips
+      // Spark's ambiguous-self-join resolution (it warns and relies on
+      // dataset-id disambiguation; an explicit rename never does)
       val gb = grid.join(tot, "source")
-        .select(col("source").as("src_b"), col("tok"),
+        .select(col("source").as("src_b"), col("tok").as("tok_b"),
           col("n").as("nb"), col("t").as("tb"))
       val shared = ga.join(gb,
-          ga("tok") === gb("tok") && col("src_a") < col("src_b"))
+          col("tok") === col("tok_b") && col("src_a") < col("src_b"))
         .withColumn("pa", col("na").cast("double") / col("ta"))
         .withColumn("pb", col("nb").cast("double") / col("tb"))
         .withColumn("term",
@@ -1204,11 +1208,14 @@ object DiagnosticsOps {
         .withColumn("den", col("k") * col("sxx") - col("sx") * col("sx"))
         .withColumn("deny", col("k") * col("syy") - col("sy") * col("sy"))
         .withColumn("num", col("k") * col("sxy") - col("sx") * col("sy"))
+        // + 0.0 on the signed fits: a saturated vocabulary's slope is
+        // an exact zero whose IEEE sign depends on summation order
+        // (sf0.1 hit this — DuckDB prints -0.0, Spark 0.0)
         .select(col("k").as("n_points"),
-          when(col("den") > 0, round(col("num") / col("den"), 6))
+          when(col("den") > 0, round(col("num") / col("den"), 6) + lit(0.0))
             .otherwise(lit(null).cast("double")).as("beta"),
           when(col("den") > 0, round((col("sy") - (col("num") / col("den")) *
-            col("sx")) / col("k"), 6))
+            col("sx")) / col("k"), 6) + lit(0.0))
             .otherwise(lit(null).cast("double")).as("ln_k"),
           when(col("den") > 0 && col("deny") > 0,
             round(col("num") * col("num") / (col("den") * col("deny")), 6))
@@ -1234,8 +1241,8 @@ object DiagnosticsOps {
       d AS (SELECT *, k * sxx - sx * sx AS den, k * syy - sy * sy AS deny,
           k * sxy - sx * sy AS num FROM sums)
       SELECT k AS n_points,
-        CASE WHEN den > 0 THEN round(num / den, 6) ELSE NULL END AS beta,
-        CASE WHEN den > 0 THEN round((sy - (num / den) * sx) / k, 6)
+        CASE WHEN den > 0 THEN round(num / den, 6) + 0.0 ELSE NULL END AS beta,
+        CASE WHEN den > 0 THEN round((sy - (num / den) * sx) / k, 6) + 0.0
              ELSE NULL END AS ln_k,
         CASE WHEN den > 0 AND deny > 0
              THEN round(num * num / (den * deny), 6) ELSE NULL END AS r2

@@ -424,9 +424,17 @@ object EventsOps {
         .withColumn("b",
           (col("sxy") - col("sx") * col("sy") / col("m")) /
             (col("sxx") - col("sx") * col("sx") / col("m")))
+        // + 0.0: a cohort whose decay rounds to zero from below prints
+        // IEEE -0.0 in DuckDB otherwise (sf0.1 hit this). Half-life is
+        // derived from the ROUNDED decay, for two reasons: the
+        // reciprocal amplifies each engine's last-ulp b onto rounding
+        // boundaries (sf0.1 hit .4667 vs .4668), and a decay that
+        // rounds to zero should report no half-life rather than a
+        // million-day artifact of FP noise.
+        .withColumn("decay", round(col("b"), 4) + lit(0.0))
         .select(col("cohort_day"), col("n0"), col("m").as("n_points"),
-          round(col("b"), 4).as("decay"),
-          when(col("b") < 0.0, round(-log(lit(2.0)) / col("b"), 4))
+          col("decay"),
+          when(col("decay") < 0.0, round(-log(lit(2.0)) / col("decay"), 4))
             .as("half_life_days"))
         .orderBy(col("cohort_day"))
     },
@@ -441,10 +449,12 @@ object EventsOps {
         FROM pts GROUP BY 1, 2),
       fit AS (SELECT cohort_day, n0, m,
           (sxy - sx * sy / m) / (sxx - sx * sx / m) AS b
-        FROM f WHERE m >= 5)
-      SELECT cohort_day, n0, m AS n_points, round(b, 4) AS decay,
-        CASE WHEN b < 0.0 THEN round(-ln(2.0) / b, 4) END AS half_life_days
-      FROM fit ORDER BY cohort_day"""),
+        FROM f WHERE m >= 5),
+      fit2 AS (SELECT cohort_day, n0, m, round(b, 4) + 0.0 AS decay FROM fit)
+      SELECT cohort_day, n0, m AS n_points, decay,
+        CASE WHEN decay < 0.0 THEN round(-ln(2.0) / decay, 4) END
+          AS half_life_days
+      FROM fit2 ORDER BY cohort_day"""),
     headline = false)
 
   // ---------------------------------------------------------------

@@ -1606,7 +1606,8 @@ object LmOps {
           round(col("h_cond"), 6).as("h_cond"),
           round(exp(col("h_cond")), 6).as("ppl"),
           round(col("h_marg"), 6).as("h_unigram"),
-          round(col("h_marg") - col("h_cond"), 6).as("mutual_info"))
+          (round(col("h_marg") - col("h_cond"), 6) + lit(0.0))
+            .as("mutual_info"))
         .orderBy(col("source"))
     },
     Some(s"""WITH $tokSqlCte,
@@ -1634,7 +1635,7 @@ object LmOps {
         round(hc.h_cond, 6) AS h_cond,
         round(exp(hc.h_cond), 6) AS ppl,
         round(hm.h_marg, 6) AS h_unigram,
-        round(hm.h_marg - hc.h_cond, 6) AS mutual_info
+        round(hm.h_marg - hc.h_cond, 6) + 0.0 AS mutual_info
       FROM hc JOIN hm USING (source) ORDER BY hc.source"""),
     headline = false)
 

@@ -54,20 +54,7 @@ object Bench {
     val picked = only.fold(SparkEntry.headlines)(names =>
       SparkEntry.headlines.filter(q => names(q.name)))
       .filterNot(q => split(q.name) && only.isEmpty)
-    def median3(a: Double, b: Double, c: Double): Double =
-      if (a < 0 || b < 0 || c < 0) -1.0
-      else Seq(a, b, c).sorted.apply(1)
-    // max/min of the WARM reps (2-3): on a quiet machine the two
-    // steady-state reps agree within a few percent, so a wide spread
-    // means external contention arrived MID-RUN — the failure mode a
-    // q01-only envelope cannot see (the r12 artifact recorded a
-    // phantom 25% regression exactly this way: q01 ran before the
-    // contention started). Rep 1 is excluded: it pays the one-time
-    // codegen + AQE-statistics cost, so an all-3 spread trips on
-    // every healthy cold start.
-    def spread3(a: Double, b: Double, c: Double): Double =
-      if (a < 0 || b < 0 || c < 0) -1.0
-      else math.max(b, c) / math.max(math.min(b, c), 1e-9)
+    import BenchMath.{median3, spread3}
     // (name, median, rep spread)
     def runAll(): Seq[(String, Double, Double)] = {
       val results = picked.map { q =>
@@ -140,18 +127,15 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
 
-    // Contention detector over one full run: any query whose median is
-    // big enough to be signal (>= 0.3 s — sub-0.3 s queries jitter past
-    // 1.5× on a healthy machine) with reps disagreeing by > 1.5×.
     val spreadLimit =
       sys.env.getOrElse("SPARK_GRAFT_SPREAD_LIMIT", "1.5").toDouble
-    def contended(rs: Seq[(String, Double, Double)]): Seq[String] =
-      rs.collect { case (n, med, sp) if med >= 0.3 && sp > spreadLimit => n }
     val envelope = sys.env.getOrElse("SPARK_GRAFT_Q01_ENVELOPE", "1.2").toDouble
+    def contended(rs: Seq[(String, Double, Double)]): Seq[String] =
+      BenchMath.contended(rs, spreadLimit)
     def q01Of(rs: Seq[(String, Double, Double)]): Option[Double] =
-      rs.collectFirst { case ("q01_pricing_summary", v, _) if v > 0 => v }
+      BenchMath.q01Of(rs)
     def tripped(rs: Seq[(String, Double, Double)]): Boolean =
-      q01Of(rs).exists(_ > envelope) || contended(rs).nonEmpty
+      BenchMath.tripped(rs, envelope, spreadLimit)
 
     val loadBefore = loadavg()
     var run = runAll()
@@ -165,12 +149,7 @@ object Bench {
         s"[${contended(run).mkString(",")}]) — re-running once")
       val second = runAll()
       reran = true
-      // keep whichever run is cleaner; totals break ties
-      def score(rs: Seq[(String, Double, Double)]) =
-        (if (tripped(rs)) 1 else 0, rs.map(_._2).filter(_ >= 0).sum)
-      if (score(second)._1 < score(run)._1 ||
-          (score(second)._1 == score(run)._1 &&
-            score(second)._2 < score(run)._2)) run = second
+      run = BenchMath.cleaner(run, second, envelope, spreadLimit)
     }
     val loadAfter = loadavg()
 

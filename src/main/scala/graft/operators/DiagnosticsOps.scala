@@ -1308,9 +1308,91 @@ object DiagnosticsOps {
       FROM s"""),
     headline = false)
 
+  // ---------------------------------------------------------------
+  // q238: Zipf rank-frequency fit
+  // ---------------------------------------------------------------
+
+  /** Zipf's-law fit f(r) ≈ C·r^s over the token rank-frequency curve —
+    * q236's companion (Heaps and Zipf exponents are the two numbers a
+    * corpus datasheet quotes, and they are analytically linked:
+    * β ≈ −1/s). Natural corpora measure s ≈ −1; a synthetic or
+    * template-heavy corpus measures s far from −1, which together with
+    * β ≈ 0 is the "this corpus will not scale like real text" signal
+    * (see SCALE.md round 13 — the saturated generator corpus is
+    * exactly such a case).
+    *
+    * Estimator: the rank-frequency plot collapsed on ties — one point
+    * per DISTINCT frequency f at its MINIMUM rank (ranks of f-tied
+    * types form a contiguous block; the block head is the standard
+    * tie-collapsed Zipf plot), OLS-fit in log-log space. This keeps
+    * every computation on the frequency-of-frequencies GRID: min-rank
+    * per f is an exclusive cumulative sum over the grid ordered by f
+    * descending, so nothing vocabulary-sized needs a global window.
+    *
+    * Exactness: f, m_f, and the min-ranks are exact int64; the OLS
+    * runs the q236 sum formulas over ≤ |distinct frequencies| ≈ O(√N)
+    * log points. Signed fits carry the +0.0 canonicalization. */
+  val q238ZipfFit: QueryDef = QueryDef(
+    "q238_zipf_fit",
+    (s, dir) => {
+      val counts = Tables.loadParallel(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      val fof = counts.groupBy(col("f")).agg(count(lit(1)).as("m"))
+      val byFDesc = Window.orderBy(col("f").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pts = fof
+        .withColumn("minrank", coalesce(sum(col("m")).over(byFDesc),
+          lit(0L)) + 1L)
+        .select(log(col("minrank").cast("double")).as("x"),
+          log(col("f").cast("double")).as("y"))
+      pts.agg(count(lit(1)).as("k"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .withColumn("den", col("k") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("deny", col("k") * col("syy") - col("sy") * col("sy"))
+        .withColumn("num", col("k") * col("sxy") - col("sx") * col("sy"))
+        .select(col("k").as("n_points"),
+          when(col("den") > 0, round(col("num") / col("den"), 6) + lit(0.0))
+            .otherwise(lit(null).cast("double")).as("zipf_s"),
+          when(col("den") > 0, round((col("sy") - (col("num") / col("den")) *
+            col("sx")) / col("k"), 6) + lit(0.0))
+            .otherwise(lit(null).cast("double")).as("ln_c"),
+          when(col("den") > 0 && col("deny") > 0,
+            round(col("num") * col("num") / (col("den") * col("deny")), 6))
+            .otherwise(lit(null).cast("double")).as("r2"))
+    },
+    Some("""WITH counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS f FROM
+        (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+         FROM documents WHERE length(trim(text)) > 0) t GROUP BY tok),
+      fof AS (SELECT f, CAST(count(*) AS BIGINT) AS m FROM counts GROUP BY f),
+      pts AS (SELECT
+          ln(CAST(coalesce(sum(m) OVER (ORDER BY f DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+            AS DOUBLE)) AS x,
+          ln(CAST(f AS DOUBLE)) AS y
+        FROM fof),
+      sums AS (SELECT CAST(count(*) AS BIGINT) AS k,
+          sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+          sum(y*y) AS syy, sum(x*y) AS sxy FROM pts),
+      d AS (SELECT *, k * sxx - sx * sx AS den, k * syy - sy * sy AS deny,
+          k * sxy - sx * sy AS num FROM sums)
+      SELECT k AS n_points,
+        CASE WHEN den > 0 THEN round(num / den, 6) + 0.0 ELSE NULL END
+          AS zipf_s,
+        CASE WHEN den > 0 THEN round((sy - (num / den) * sx) / k, 6) + 0.0
+             ELSE NULL END AS ln_c,
+        CASE WHEN den > 0 AND deny > 0
+             THEN round(num * num / (den * deny), 6) ELSE NULL END AS r2
+      FROM d"""),
+    headline = false)
+
   val all: Seq[QueryDef] = Seq(q142SkewAudit, q152SnapshotDiff,
     q191ChangeMagnitude, q195ChunkDelta, q222GiniConcentration,
     q223HampelOutliers, q224Benford, q227RankChurn, q229Diversity,
     q231KendallTau, q232MannWhitney, q233CramersV, q234Psi,
-    q235SourceJsd, q236HeapsFit, q237GoodTuring)
+    q235SourceJsd, q236HeapsFit, q237GoodTuring, q238ZipfFit)
 }

@@ -70,7 +70,7 @@ object ScaleBench {
     "q87_curation_pipeline", "q96_lm_perplexity", "q101_dsir", "q108_kn_perplexity",
     "q173_doremi_weights", "q51_lsh_jaccard_pairs", "q98_dup_spans",
     "q164_longest_dup", "q104_bpe_merges", "q174_kmeans_clusters",
-    "q130_knn_graph", "knn_graph_ivf", "q85_ann_pq", "q100_ann_ivfpq",
+    "q130_knn_graph", "knn_graph_ivf", "knn_graph_ivf2", "q85_ann_pq", "q100_ann_ivfpq",
     "q205_cc_twophase")
 
   def main(args: Array[String]): Unit = {
@@ -125,10 +125,29 @@ object ScaleBench {
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       operators.AnnOps.knnGraphIvf(e, centroids, nprobe = 4, k = 5)
     }
+    // The next-decade form (SCALE.md Round 13 mitigation, measured
+    // here): C = 4·√N fine cells (the published FAISS sizing) with the
+    // TWO-LEVEL assignment/probe — every stage's per-vector work is
+    // O(√N), vs the flat build's N×C assignment that the x100 decade
+    // measured at exponent 1.13.
+    def knnIvf2(dir: String): DataFrame = {
+      graft.functions.expressions.VectorExpressions.register(spark)
+      val e = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val n = e.count()
+      val c = math.max(16L, (4.0 * math.sqrt(n.toDouble)).toLong)
+      val centroids = e.filter(col("vec_id") < c)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val cc = math.max(4, math.ceil(math.sqrt(c.toDouble)).toInt)
+      val coarse = operators.AnnOps.coarsePick(centroids, cc)
+      operators.AnnOps.knnGraphIvfTwoLevel(e, centroids, coarse,
+        gProbe = 4, nprobe = 4, k = 5)
+    }
     def once(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       try {
         val df = if (name == "knn_graph_ivf") knnIvf(dir)
+          else if (name == "knn_graph_ivf2") knnIvf2(dir)
           else qs(name)(spark, dir)
         df.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.expressions.VectorExpressions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -745,6 +745,107 @@ object AnnOps {
       .withColumn("prk", row_number().over(wProbe))
       .filter(col("prk") <= nprobe)
       .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+    val wTop = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    probes.join(
+        assigned.select(col("vec_id").as("nbr_id"),
+          col("embedding").as("nvec"), col("cell")),
+        Seq("cell"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        round(expr("dot_product_f(embedding, nvec)"), 6).as("cos"))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("rk"), col("nbr_id"), col("cos"))
+  }
+
+  // ---------------------------------------------------------------
+  // Two-level (hierarchical) IVF: the assignment-wall fix
+  // ---------------------------------------------------------------
+
+  /** Deterministic coarse pick: the ⌈√C⌉ smallest-cid fine centroids,
+    * collected driver-side (bounded: the centroid table is broadcast-
+    * sized by design, and this is its square root). */
+  private[graft] def coarsePick(centroids: DataFrame, cc: Int): Array[(Long, Array[Float])] =
+    centroids.orderBy(col("cid")).limit(cc).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  /** Per-row nearest-`n` coarse groups over a LITERAL coarse-centroid
+    * array — a pure map (transform + array_sort + slice over ≤ ~64
+    * structs), no per-row window, no exchange. The (gd, gid) struct
+    * sort reproduces the (min dist, min id) tiebreak used everywhere
+    * else in this file. */
+  private def nearestGroups(vecCol: String, n: Int): Column =
+    expr(
+      s"""slice(array_sort(transform(__coarse, c ->
+         |  struct(l2_sq_f($vecCol, c._2) AS gd, c._1 AS gid))), 1, $n)""".stripMargin)
+
+  /** The two-level candidate frame: each vector × every FINE centroid
+    * inside its `gProbe` nearest coarse groups, with the fine distance
+    * attached. Per-vector work is Cc + gProbe·C/Cc ≈ O(√C) instead of
+    * the flat C — the published fix (FAISS coarse-quantizer guidance)
+    * for the assignment wall SCALE.md's x100 decade measured: with
+    * C ∝ N the flat [[assignCells]] cross product is N·C = N², while
+    * this is N·O(√C). Both stages stay narrow: the coarse probe is a
+    * literal-array map, the fine fan-out an explode + broadcast join. */
+  private def twoLevelCandidates(e: DataFrame, centroids: DataFrame,
+      coarse: Array[(Long, Array[Float])], gProbe: Int): DataFrame = {
+    val coarseLit = typedlit(coarse.toSeq.map { case (g, v) => (g, v.toSeq) })
+    val g = math.min(gProbe, coarse.length)
+    // fine centroid → its ONE nearest coarse group (C rows, narrow)
+    val grouped = centroids.withColumn("__coarse", coarseLit)
+      .withColumn("g", element_at(nearestGroups("cv", 1), 1))
+      .select(col("g.gid").as("gid"), col("cid"), col("cv"))
+    e.withColumn("__coarse", coarseLit)
+      .select(col("vec_id"), col("embedding"),
+        explode(nearestGroups("embedding", g)("gid")).as("gid"))
+      .join(broadcast(grouped), Seq("gid"))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        expr("l2_sq_f(embedding, cv)").as("dist"))
+  }
+
+  /** Two-level cell assignment: argmin over [[twoLevelCandidates]].
+    * APPROXIMATE when gProbe < Cc (a vector's true nearest fine cell
+    * can live in an unprobed group — the standard IVF trade);
+    * EXACTLY [[assignCells]] when gProbe = Cc (every group probed ⇒
+    * every fine centroid scored ⇒ identical argmin; AnnOpsSpec proves
+    * the equality row-for-row). The argmin is the same partial-
+    * aggregatable min(struct) as the flat path, so the only shuffle
+    * is N pre-collapsed rows. */
+  private[graft] def assignCellsTwoLevel(e: DataFrame, centroids: DataFrame,
+      coarse: Array[(Long, Array[Float])], gProbe: Int): DataFrame =
+    twoLevelCandidates(e, centroids, coarse, gProbe)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"), col("embedding"))).as("m"))
+      .select(col("vec_id"), col("m.embedding").as("embedding"),
+        col("m.cid").as("cell"))
+
+  /** Two-level IVF-blocked k-NN graph — [[knnGraphIvf]] with BOTH
+    * N×C stages replaced by the hierarchical form:
+    *  - member assignment via [[assignCellsTwoLevel]];
+    *  - the per-vector nprobe cell choice via a map-side
+    *    collect_list + array_sort over the ~gProbe·C/Cc two-level
+    *    candidates (deterministic: the sort key is (dist, cid)),
+    *    instead of the flat build's row_number window that SORTS an
+    *    N×C exchange.
+    * At gProbe = Cc this build is row-identical to [[knnGraphIvf]]
+    * (nested: candidates are total), and at nprobe = C additionally
+    * to [[knnGraphExact]] — AnnOpsSpec asserts both. With the
+    * published sizing C ∝ √N, per-vector cost is O(√N) at every
+    * stage and the x100 assignment wall (measured exponent 1.13 on
+    * the flat build, SCALE.md Round 13) drops out. */
+  def knnGraphIvfTwoLevel(e: DataFrame, centroids: DataFrame,
+      coarse: Array[(Long, Array[Float])], gProbe: Int, nprobe: Int,
+      k: Int): DataFrame = {
+    val cand = twoLevelCandidates(e, centroids, coarse, gProbe)
+    val probes = cand
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"),
+        slice(array_sort(collect_list(struct(col("dist"), col("cid")))),
+          1, nprobe).as("pc"))
+      .select(col("vec_id"), col("embedding"),
+        explode(col("pc.cid")).as("cell"))
+    val assigned = assignCellsTwoLevel(e, centroids, coarse, gProbe)
     val wTop = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("nbr_id"))
     probes.join(

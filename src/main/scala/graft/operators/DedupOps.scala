@@ -36,24 +36,29 @@ object DedupOps {
     * collapse inlines the alias — without the barrier every element_at
     * re-executes the regex split, ~3 splits × shingle-count per row
     * (measured 15.3 s → 1.7 s for the hash pass at sf0.1). */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    materialize(docs(s, dir)
+  private def shingledOf(d: DataFrame, tag: String): DataFrame =
+    materialize(d
       .select(col("doc_id"), trim(col("text")).as("t"),
-        split(trim(col("text")), "\\s+").as("w")), "tok")
+        split(trim(col("text")), "\\s+").as("w")), tag)
       .withColumn("shingles", expr(
         """case when size(w) >= 3
           | then array_distinct(transform(sequence(1, size(w) - 2),
           |   i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
           | else array(t) end""".stripMargin))
 
-  private val shingleSqlCte =
-    """tok AS (SELECT doc_id, trim(text) AS t,
-      |    regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    shingledOf(docs(s, dir), "tok")
+
+  private def shingleSqlCteFor(src: String): String =
+    s"""tok AS (SELECT doc_id, trim(text) AS t,
+      |    regexp_split_to_array(trim(text), '\\s+') AS w FROM $src),
       |  sh AS (SELECT doc_id,
       |    CASE WHEN len(w) >= 3
       |      THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
       |                          for i in range(1, len(w) - 1)])
       |      ELSE [t] END AS shingles FROM tok)""".stripMargin
+
+  private val shingleSqlCte = shingleSqlCteFor("documents")
 
   /** Materialize a frame reused across several joins. Default (local
     * mode): localCheckpoint — fast, but pinned to executors, so a lost
@@ -69,12 +74,15 @@ object DedupOps {
     * bits buy 8 independent 32-bit permutations for one hash pass —
     * 8× cheaper than hashing per-permutation). Signature entry k is the
     * lexicographic min of slice k. */
+  private def hashedOf(sh: DataFrame, tag: String): DataFrame =
+    materialize(sh
+      .select(col("doc_id"),
+        expr("transform(shingles, s -> sha2(s, 256))").as("hashes")), tag)
+
   private def hashedShingles(s: SparkSession, dir: String): DataFrame =
     // materialized once: the LSH band self-join and the Jaccard verify
     // reuse this 4×; without it Spark recomputes the hash pass per use
-    materialize(shingled(s, dir)
-      .select(col("doc_id"),
-        expr("transform(shingles, s -> sha2(s, 256))").as("hashes")), "hashed")
+    hashedOf(shingled(s, dir), "hashed")
 
   private def signatures(hashed: DataFrame): DataFrame =
     hashed.withColumn("sig", expr(
@@ -107,12 +115,15 @@ object DedupOps {
     * self-join → distinct (doc_a < doc_b). The ONLY pair-producing
     * shuffle of the MinHash family — shared by q51's verify and
     * q131's calibration audit. */
-  private def lshCandidatePairs(sig: DataFrame): DataFrame = {
-    val bands = sig.select(col("doc_id"),
+  private def bandsOf(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
         explode(expr(s"""transform(sequence(0, ${Bands - 1}),
           b -> struct(b as band_id,
             concat(element_at(sig, 2 * b + 1), '|', element_at(sig, 2 * b + 2)) as band_key))""")).as("bd"))
       .select(col("doc_id"), col("bd.band_id"), col("bd.band_key"))
+
+  private def lshCandidatePairs(sig: DataFrame): DataFrame = {
+    val bands = bandsOf(sig)
     bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_key") === col("b.band_key") &&
@@ -123,10 +134,13 @@ object DedupOps {
 
   /** The band + candidate-pair CTEs — the oracle text shared by q51
     * and q131 so the two cannot drift. */
-  private val bandsPairsSqlCte =
+  private val bandsSqlCte =
     s"""bands AS (SELECT doc_id, b AS band_id,
        |    sig[2*b + 1] || '|' || sig[2*b + 2] AS band_key
-       |  FROM (SELECT doc_id, sig, unnest(range(0, $Bands)) AS b FROM sig) x),
+       |  FROM (SELECT doc_id, sig, unnest(range(0, $Bands)) AS b FROM sig) x)""".stripMargin
+
+  private val bandsPairsSqlCte =
+    s"""$bandsSqlCte,
        |  pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |    FROM bands a JOIN bands b
        |    ON a.band_id = b.band_id AND a.band_key = b.band_key
@@ -137,6 +151,7 @@ object DedupOps {
   val q51LshJaccardPairs: QueryDef = QueryDef(
     "q51_lsh_jaccard_pairs",
     (s, dir) => {
+      preflightGuard(s, dir, "minhash")
       val hashed = hashedShingles(s, dir)
       val pairs = lshCandidatePairs(signatures(hashed))
       // exact Jaccard verify over the hashed shingle sets (collision-free
@@ -214,6 +229,120 @@ object DedupOps {
       SELECT doc_a, doc_b, est_jaccard, jaccard,
         round(abs(est_jaccard - jaccard), 6) AS abs_err
       FROM est ORDER BY doc_a, doc_b"""))
+
+  // ---------------------------------------------------------------
+  // q239: banded-dedup pre-flight candidate-density gate
+  // ---------------------------------------------------------------
+
+  private val PfMod = 65536      // the 16^4 content-hash bucket space
+  private val PfThresh = 16384   // buckets kept → sample rate p = 1/4
+  private val PfBudgetDefault = 1000.0 // projected raw candidates per doc
+  /** 1/p² for the Bernoulli(PfThresh/PfMod) sample — 16.0; renders
+    * identically into the oracle text so the two cannot drift. */
+  private val PfInv2 = (PfMod.toDouble / PfThresh) * (PfMod.toDouble / PfThresh)
+
+  /** Unbiased projection of the RAW candidate volume a band self-join
+    * would emit, from a sampled band-key frame (doc_id, k): under a
+    * Bernoulli(p) doc sample, E[c_b(c_b−1)] = p²·n_b(n_b−1) per
+    * bucket, so Σ c_b(c_b−1)/(2p²) estimates the full-corpus
+    * Σ n_b(n_b−1)/2 BEFORE any verify/distinct — the quantity that
+    * blows up on content-saturated corpora (SCALE.md Round 13:
+    * candidate density is a content property, not a row count; the
+    * x100 synthetic projects ~10⁵ pairs/doc where real data sits at
+    * ~10¹). One groupBy + one 1-row aggregate; the sample never joins
+    * itself. */
+  private def projectedPairs(keys: DataFrame, bandsPerDoc: Int): DataFrame =
+    keys.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .agg(
+        (coalesce(sum(col("c")), lit(0L)) / lit(bandsPerDoc)).cast("long")
+          .as("sample_docs"),
+        (coalesce(sum(col("c") * (col("c") - lit(1))), lit(0L)) / lit(2))
+          .cast("long").as("sample_pairs"))
+
+  /** One-row pre-flight report: deterministic Bernoulli(1/4) doc coin
+    * (the q115 idiom — the ID hash, not the content hash, so duplicate
+    * clusters sample independently and the estimator stays unbiased),
+    * the family's band keys on the sample only, projected totals, and
+    * an ok/refuse verdict against the pairs-per-doc budget. */
+  private def pfReport(d: DataFrame, keysOfSample: DataFrame => DataFrame,
+      bandsPerDoc: Int, budget: Double): DataFrame = {
+    val total = d.agg(count(lit(1)).as("n_docs"))
+    val sample = d.filter(expr(
+      s"${MixOps.bucketExpr("sha2(cast(doc_id as string), 256)", PfMod)} < $PfThresh"))
+    projectedPairs(keysOfSample(sample), bandsPerDoc)
+      .crossJoin(total)
+      .select(col("sample_docs"), col("sample_pairs"), col("n_docs"),
+        round(col("sample_pairs") * lit(PfInv2), 4).as("projected_pairs"),
+        round(col("sample_pairs") * lit(PfInv2) / col("n_docs"), 6).as("pairs_per_doc"),
+        when(col("sample_pairs") * lit(PfInv2) / col("n_docs") > lit(budget),
+          lit("refuse")).otherwise(lit("ok")).as("verdict"))
+  }
+
+  /** Pre-flight for a named banding family — "minhash" (q51's 4-band
+    * keys) or "simhash" (q90's 8 pigeonhole blocks). Each family
+    * projects from its OWN keys, so the verdict reflects the join it
+    * gates, not a proxy. */
+  private[operators] def preflightFor(s: SparkSession, dir: String,
+      family: String, budget: Double): DataFrame = {
+    val d = docs(s, dir)
+    family match {
+      case "minhash" => pfReport(d, smp =>
+          bandsOf(signatures(hashedOf(shingledOf(smp, "pf_tok"), "pf_hashed")))
+            .select(col("doc_id"),
+              concat_ws(":", col("band_id"), col("band_key")).as("k")),
+        Bands, budget)
+      case "simhash" => pfReport(d, smp =>
+          simhashBlocks(packedSimhashOf(smp))
+            .select(col("doc_id"), col("bk").cast("string").as("k")),
+        HamBlocks, budget)
+    }
+  }
+
+  /** Conf-gated guard (`spark.graft.dedup.preflight=true`, budget
+    * override `spark.graft.dedup.preflightBudget`): runs the family's
+    * pre-flight and throws BEFORE the band join when the projected
+    * density exceeds budget — the production posture for saturated
+    * corpora (SCALE.md Round 13: q205's x100 DNF is this gate's use
+    * case; the right answer there is refusing the run, not a bigger
+    * cluster). Off by default, so oracle runs and tests never pay the
+    * extra pass. */
+  private def preflightGuard(s: SparkSession, dir: String, family: String): Unit =
+    if (s.conf.getOption("spark.graft.dedup.preflight").contains("true")) {
+      val budget = s.conf.getOption("spark.graft.dedup.preflightBudget")
+        .map(_.toDouble).getOrElse(PfBudgetDefault)
+      val r = preflightFor(s, dir, family, budget).collect().head
+      if (r.getAs[String]("verdict") == "refuse")
+        throw new IllegalStateException(
+          s"dedup preflight ($family): projected ${r.getAs[Double]("pairs_per_doc")} raw " +
+          s"candidate pairs/doc over budget $budget — content-saturated corpus for these " +
+          "banding parameters; raise rows-per-band, shard the corpus, or override " +
+          "spark.graft.dedup.preflightBudget")
+    }
+
+  /** The gate as an inspectable query (MinHash family, default
+    * budget) — the pre-flight a 100 TB dedup run reads before paying
+    * for the band join, exact-oracled end to end (coin, sampled
+    * signature pipeline, bucket math, verdict). */
+  val q239DedupPreflight: QueryDef = QueryDef(
+    "q239_dedup_preflight",
+    (s, dir) => preflightFor(s, dir, "minhash", PfBudgetDefault),
+    Some(s"""WITH smp AS (SELECT doc_id, text FROM documents
+        WHERE ${MixOps.bucketExpr("sha256(CAST(doc_id AS VARCHAR))", PfMod)} < $PfThresh),
+      ${shingleSqlCteFor("smp")},
+      $hashSqlCte,
+      $sigSqlCte,
+      $bandsSqlCte,
+      bk AS (SELECT CAST(band_id AS VARCHAR) || ':' || band_key AS k, count(*) AS c
+        FROM bands GROUP BY 1),
+      st AS (SELECT CAST(coalesce(sum(c), 0) / $Bands AS BIGINT) AS sample_docs,
+          CAST(coalesce(sum(c * (c - 1)), 0) / 2 AS BIGINT) AS sample_pairs FROM bk),
+      tot AS (SELECT count(*) AS n_docs FROM documents)
+      SELECT sample_docs, sample_pairs, n_docs,
+        round(sample_pairs * $PfInv2, 4) AS projected_pairs,
+        round(sample_pairs * $PfInv2 / n_docs, 6) AS pairs_per_doc,
+        CASE WHEN sample_pairs * $PfInv2 / n_docs > $PfBudgetDefault THEN 'refuse'
+             ELSE 'ok' END AS verdict
+      FROM st, tot"""))
 
   /** MinHash via the custom TypedImperativeAggregate over EXPLODED
     * shingle rows — identical signatures to q50 without materializing
@@ -384,7 +513,7 @@ object DedupOps {
     * The string form survives in q53 (it IS that query's output) and
     * in the oracle SQL — the driver compares RESULTS, not plans, so
     * only the Spark side takes the fast path. */
-  private[operators] def packedSimhash(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def packedSimhashOf(d: DataFrame): DataFrame = {
     def shift(b: Int): Int =
       (if (b < 32) 28 - 4 * (b / 4) else 60 - 4 * (b / 4)) + b % 4
     def word(b: Int): String = if (b < 32) "h32" else "l32"
@@ -393,8 +522,7 @@ object DedupOps {
     def pack(range: Range): String = range.map { b =>
       s"if(2 * s$b >= n, ${java.lang.Long.toString(1L << (31 - b % 32))}L, 0L)"
     }.mkString(" + ")
-    docs(s, dir)
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+    d.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
       .withColumn("h", expr("substr(sha2(tok, 256), 1, 16)"))
       .withColumn("h32", expr("cast(conv(substr(h, 1, 8), 16, 10) as bigint)"))
       .withColumn("l32", expr("cast(conv(substr(h, 9, 8), 16, 10) as bigint)"))
@@ -404,6 +532,18 @@ object DedupOps {
         expr(s"${pack(0 until 32)} as sig_hi"),
         expr(s"${pack(32 until 64)} as sig_lo"))
   }
+
+  private[operators] def packedSimhash(s: SparkSession, dir: String): DataFrame =
+    packedSimhashOf(docs(s, dir))
+
+  /** The 8 pigeonhole block keys of a packed signature — one int per
+    * block (block_id·256 + the block's 8 bits). */
+  private def simhashBlocks(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), col("sig_hi"), col("sig_lo"),
+      explode(expr(
+        """transform(sequence(0, 7), b -> int(b * 256) + int(
+          |  shiftright(if(b < 4, sig_hi, sig_lo),
+          |             cast(24 - 8 * (b % 4) as int)) & 255))""".stripMargin)).as("bk"))
 
   /** Unsorted SimHash near-dup pair frame — the form every in-engine
     * consumer (q91/q112/q134/q205, triplet mining) composes on; q90
@@ -418,12 +558,9 @@ object DedupOps {
     * the bit string (measured 24 s → 11 s on the join stage over
     * 920M raw candidates). */
   private[operators] def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    preflightGuard(s, dir, "simhash")
     val sig = materialize(packedSimhash(s, dir), "simhash")
-    val blocks = sig.select(col("doc_id"), col("sig_hi"), col("sig_lo"),
-      explode(expr(
-        """transform(sequence(0, 7), b -> int(b * 256) + int(
-          |  shiftright(if(b < 4, sig_hi, sig_lo),
-          |             cast(24 - 8 * (b % 4) as int)) & 255))""".stripMargin)).as("bk"))
+    val blocks = simhashBlocks(sig)
     blocks.as("a").join(blocks.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -1082,5 +1219,6 @@ object DedupOps {
     q53Simhash, q54NgramJaccard, q55EmbeddingNeardup, q90SimhashHamming,
     q91DupClusters, q112EditDistPairs, q129DedupSaturation,
     q131MinhashCalibration, q134ClusterHistogram, q183LshRecall,
-    q192CrossSourceDups, q205CcTwophase, q226SourceMinhash)
+    q192CrossSourceDups, q205CcTwophase, q226SourceMinhash,
+    q239DedupPreflight)
 }

@@ -325,6 +325,55 @@ class AnnOpsSpec extends SparkSpec {
       s"IVF graph build degenerated to a cross product:\n${plan.take(600)}")
   }
 
+  test("two-level IVF: full coarse probe IS the flat assignment/build; no N×C window exchange") {
+    import org.apache.spark.sql.functions._
+    graft.functions.expressions.VectorExpressions.register(spark)
+    val e = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val coarse = AnnOps.coarsePick(cents, 4)
+    assert(coarse.length === 4)
+    // gProbe = Cc probes every group → every fine centroid scored →
+    // the assignment is row-identical to the flat argmin
+    def cells(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select(col("vec_id"), col("cell")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val flat = cells(AnnOps.assignCells(e, cents))
+    assert(cells(AnnOps.assignCellsTwoLevel(e, cents, coarse, 4)) === flat)
+    // ... and the graph build is row-identical to the flat IVF build
+    def edges(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rk"), r.getAs[Long]("nbr_id"))).toSet
+    val flatG = edges(AnnOps.knnGraphIvf(e, cents, 4, 5))
+    assert(edges(AnnOps.knnGraphIvfTwoLevel(e, cents, coarse, 4, 4, 5)) === flatG)
+    // ... and at (gProbe = Cc, nprobe = C) to the exact graph
+    assert(edges(AnnOps.knnGraphIvfTwoLevel(e, cents, coarse, 4, 16, 5))
+      === edges(AnnOps.knnGraphExact(e, 5)))
+    // reduced coarse probes: recall vs exact stays well above random,
+    // and probe sets are nested so recall is monotone in gProbe
+    val exact = edges(AnnOps.knnGraphExact(e, 5)).map { case (v, _, n) => (v, n) }
+    def recall(g: Int): Double = {
+      val ap = edges(AnnOps.knnGraphIvfTwoLevel(e, cents, coarse, g, 4, 5))
+        .map { case (v, _, n) => (v, n) }
+      ap.intersect(exact).size.toDouble / exact.size
+    }
+    val (r2, r4) = (recall(2), recall(4))
+    assert(r2 <= r4 + 1e-9, s"recall fell as coarse probes grew: $r2 > $r4")
+    assert(r2 > 0.0)
+    // the point of the two-level form: the assignment has NO window
+    // (the flat probe stage row_numbers an N×C exchange) and no
+    // cartesian anywhere
+    val plan = AnnOps.assignCellsTwoLevel(e, cents, coarse, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"two-level assignment re-grew a window exchange:\n${plan.take(600)}")
+    assert(!plan.contains("CartesianProduct"))
+    val gplan = AnnOps.knnGraphIvfTwoLevel(e, cents, coarse, 2, 4, 5)
+      .queryExecution.executedPlan.toString
+    assert(!gplan.contains("CartesianProduct"))
+  }
+
   test("q179: recall audit is bounded, and probing every cell gives recall 1") {
     val rows = AnnOps.q179AnnRecall.fn(spark, "/root/testdata/sf0.01").collect()
     assert(rows.length === 5)

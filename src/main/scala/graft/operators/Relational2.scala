@@ -431,6 +431,78 @@ object Relational2 {
   }
 
   // ---------------------------------------------------------------
+  // q240: bottom-k quantile sketch (mergeable one-pass quantiles)
+  // ---------------------------------------------------------------
+
+  /** Per-source document-length quantiles from a MERGEABLE bottom-k
+    * row sample ([[graft.functions.expressions.BottomKAgg]]): the K
+    * rows with the smallest id-hash are a uniform sample of the
+    * group, min-k merge is associative/commutative/idempotent, so the
+    * whole estimate is one partial-aggregatable pass — the 100 TB
+    * quantile shape, vs `percentile`'s per-group value collection or
+    * a global sort. The kept set is reproducible in portable SQL
+    * (`row_number() OVER (ORDER BY hash) <= K`), so the oracle
+    * rebuilds the SAME sample and the estimate is exactly checked —
+    * completing the mergeable-sketch family: identity (MG q133),
+    * frequency (CMS q154), cardinality (HLL q169), quantiles (here).
+    *
+    * The quantile read is the value at rank ⌊(m−1)·q⌋ (0-based) of
+    * the ascending sample — identical index arithmetic in both
+    * engines. `exact_*`/`err_*` columns are the sf-scale audit only
+    * (they collect the full group, q169's true_distinct discipline);
+    * at 100 TB the sketch replaces them. */
+  val q240QuantileSketch: QueryDef = {
+    import graft.functions.expressions.BottomKAgg
+    def idx(m: String, q: String): String =
+      s"cast(floor((cast($m as double) - 1.0) * $q) as int) + 1"
+    QueryDef(
+      "q240_quantile_sketch",
+      (s, dir) => {
+        BottomKAgg.register(s)
+        Tables.loadParallel(s, dir, "documents")
+          .select(col("source"), col("n_chars").cast("long").as("v"),
+            expr("sha2(cast(doc_id as string), 256)").as("h"))
+          .groupBy(col("source"))
+          .agg(expr("bottomk_sample(h, v)").as("vs"),
+            sort_array(collect_list(col("v"))).as("allv"),
+            count(lit(1)).as("n_docs"))
+          .select(col("source"), col("n_docs"),
+            size(col("vs")).cast("long").as("sample_m"),
+            expr(s"element_at(vs, ${idx("size(vs)", "0.5")})").as("est_p50"),
+            expr(s"element_at(vs, ${idx("size(vs)", "0.9")})").as("est_p90"),
+            expr(s"element_at(allv, ${idx("size(allv)", "0.5")})").as("exact_p50"),
+            expr(s"element_at(allv, ${idx("size(allv)", "0.9")})").as("exact_p90"))
+          .withColumn("err_p50", abs(col("est_p50") - col("exact_p50")))
+          .withColumn("err_p90", abs(col("est_p90") - col("exact_p90")))
+          .orderBy(col("source"))
+      },
+      Some({
+        def didx(m: String, q: String): String =
+          s"CAST(floor((CAST($m AS DOUBLE) - 1.0) * $q) AS INT) + 1"
+        s"""WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS v,
+            sha256(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+          rk AS (SELECT source, v,
+              row_number() OVER (PARTITION BY source ORDER BY h) AS r FROM d),
+          smp AS (SELECT source, list(v ORDER BY v) AS vs
+            FROM rk WHERE r <= ${BottomKAgg.K} GROUP BY source),
+          ful AS (SELECT source, list(v ORDER BY v) AS allv,
+              CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY source),
+          est AS (SELECT f.source, f.n_docs,
+              CAST(len(s.vs) AS BIGINT) AS sample_m,
+              s.vs[${didx("len(s.vs)", "0.5")}] AS est_p50,
+              s.vs[${didx("len(s.vs)", "0.9")}] AS est_p90,
+              f.allv[${didx("len(f.allv)", "0.5")}] AS exact_p50,
+              f.allv[${didx("len(f.allv)", "0.9")}] AS exact_p90
+            FROM ful f JOIN smp s USING (source))
+          SELECT source, n_docs, sample_m, est_p50, est_p90,
+            exact_p50, exact_p90,
+            abs(est_p50 - exact_p50) AS err_p50,
+            abs(est_p90 - exact_p90) AS err_p90
+          FROM est ORDER BY source"""
+      }))
+  }
+
+  // ---------------------------------------------------------------
   // q186: data-profiling pass (per-column completeness + cardinality)
   // ---------------------------------------------------------------
 
@@ -573,5 +645,5 @@ object Relational2 {
     q70BelowAvgParts, q71Having, q72ShipDelay, q73ConditionalAgg,
     q74StringReport, q75Except, q76Percentiles, q77Sketches,
     q133HeavyHitters, q154CmsFrequency, q169HllDistinct, q186Profile,
-    q230HllUnion)
+    q230HllUnion, q240QuantileSketch)
 }

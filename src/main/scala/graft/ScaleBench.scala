@@ -54,6 +54,49 @@ object ScaleBench {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** Growing-vocabulary (Heaps-law) documents table — the REALISTIC
+    * content shape the fixed-vocab generator deliberately lacks.
+    * 35% of token draws are function words from the 31-word Zipf
+    * head (which saturates immediately, as in real text); 65% are
+    * content words `c<rank>` with rank = ⌊20·u^−1.25⌋ − 19, a
+    * shifted discrete Pareto with pmf ∝ (rank+19)^−1.8 — so the
+    * observed content vocabulary grows as T^(1/1.8) ≈ T^0.55
+    * (Heaps β ≈ 0.55, the published English range) and the top
+    * content type holds ~3.8% of content draws, not the 43% a bare
+    * ⌊u^−k⌋ head would. Purpose: measure the banded-dedup tier on a
+    * corpus whose shingle/suffix/band collision density stays
+    * bounded as N grows — the property SCALE.md's x100 decade showed
+    * the fixed-vocab corpus lacks (β ≈ 0 ⇒ every bucket saturates).
+    * Same schema/marginals otherwise (10-100 tok/doc, 20 sources,
+    * 5 langs). u is (hash+1)/(10⁹+1) so u > 0; the modulus must stay
+    * ≫ the corpus's total token count or u itself becomes the
+    * saturating vocabulary — at 10⁶ every hash value has appeared by
+    * ~5M draws and measured β collapses mid-x100 (0.55 → 0.17, seen
+    * in the first run of this harness); at 10⁹ the x100 corpus draws
+    * ~2% of the u space and β holds across all three decades. */
+  def genDocsHeaps(s: SparkSession, n: Long): DataFrame = {
+    val vocabSql = Vocab.map("'" + _ + "'").mkString(",")
+    s.range(n).select(col("id").as("doc_id"))
+      .withColumn("n_tok",
+        (pmod(xxhash64(col("doc_id"), lit("len")), lit(91)) + 10).cast("int"))
+      .withColumn("text", expr(
+        s"""concat_ws(' ', transform(sequence(1, n_tok), j ->
+           |  CASE WHEN pmod(xxhash64(doc_id, j, 'fw'), 100) < 35
+           |  THEN element_at(array($vocabSql), cast(floor(31 * pow(
+           |    pmod(xxhash64(doc_id, j, 'tok'), 1000000) / 1000000.0,
+           |    1.15)) as int) + 1)
+           |  ELSE concat('c', cast(floor(20.0 * pow(
+           |    (pmod(xxhash64(doc_id, j, 'ct'), 1000000000) + 1) / 1000000001.0,
+           |    -1.25)) as bigint) - 19)
+           |  END))""".stripMargin))
+      .withColumn("lang", expr("element_at(array('en','de','es','zh','fr'), " +
+        "cast(pmod(xxhash64(doc_id, 'lang'), 5) as int) + 1)"))
+      .withColumn("source",
+        concat(lit("src"), pmod(xxhash64(col("doc_id"), lit("src")), lit(20))))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   /** dim-64 embeddings in the TESTDATA.md shape. */
   def genEmbeddings(s: SparkSession, n: Long): DataFrame =
     s.range(n).select(col("id").as("vec_id"))
@@ -73,11 +116,24 @@ object ScaleBench {
     "q130_knn_graph", "knn_graph_ivf", "knn_graph_ivf2", "q85_ann_pq", "q100_ann_ivfpq",
     "q205_cc_twophase")
 
+  /** The saturation-sensitive tier: the queries whose x100 cost on
+    * the fixed-vocab corpus was content saturation, plus q236 so the
+    * measured Heaps β is part of the same artifact. The default pick
+    * when SPARK_GRAFT_CORPUS=heaps. */
+  val HeapsTier: Seq[String] = Seq(
+    "q236_heaps_fit", "q51_lsh_jaccard_pairs", "q98_dup_spans",
+    "q164_longest_dup", "q205_cc_twophase", "q104_bpe_merges",
+    "q96_lm_perplexity")
+
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("target/scale")
+    // SPARK_GRAFT_CORPUS=heaps swaps the generator for the growing-
+    // vocabulary one (own data dir + default query set): the control
+    // experiment for the fixed-vocab saturation findings.
+    val corpus = sys.env.getOrElse("SPARK_GRAFT_CORPUS", "fixed")
     val picked = args.drop(1).headOption
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(Heavy)
+      .getOrElse(if (corpus == "heaps") HeapsTier else Heavy)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -101,10 +157,13 @@ object ScaleBench {
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val scales = scaleDefs.filter(s => wanted(s._1))
     val skipAt = Map("x100" -> Set("q130_knn_graph"))
+    val dataRoot = if (corpus == "heaps") s"$outDir/heaps" else outDir
     scales.foreach { case (tag, nDocs, nVecs) =>
-      val dir = s"$outDir/$tag"
+      val dir = s"$dataRoot/$tag"
       if (!new java.io.File(s"$dir/documents.parquet").exists()) {
-        genDocs(spark, nDocs).repartition(32)
+        val docs = if (corpus == "heaps") genDocsHeaps(spark, nDocs)
+          else genDocs(spark, nDocs)
+        docs.repartition(32)
           .write.mode("overwrite").parquet(s"$dir/documents.parquet")
         genEmbeddings(spark, nVecs).repartition(8)
           .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
@@ -112,6 +171,28 @@ object ScaleBench {
     }
 
     val qs = SparkEntry.queries
+
+    // The corpus-property preamble: measured Heaps β at every scale
+    // point (1 row per scale — the number the dedup-tier exponents
+    // are conditioned on; β ≈ 0 on the fixed corpus, ≈ 0.5 realistic)
+    // plus the q239 pre-flight density gates for both banding
+    // families — the cheap projection a 100 TB dedup run reads before
+    // paying for the band join. The point of printing them HERE is
+    // falsifiability: the gate's verdict at each scale point sits in
+    // the same artifact as the measured cost it predicted.
+    scales.foreach { case (tag, _, _) =>
+      val r = qs("q236_heaps_fit")(spark, s"$dataRoot/$tag").collect().head
+      println(f"[scale] corpus=$corpus $tag heaps_fit n_points=${r.getLong(0)} " +
+        f"beta=${r.getDouble(1)}%.4f r2=${r.getDouble(3)}%.4f")
+      Seq("minhash", "simhash").foreach { fam =>
+        val g = operators.DedupOps.preflightFor(spark, s"$dataRoot/$tag",
+          fam, 1000.0).collect().head
+        println(f"[scale] corpus=$corpus $tag preflight_$fam " +
+          f"pairs_per_doc=${g.getAs[Double]("pairs_per_doc")}%.2f " +
+          f"projected_pairs=${g.getAs[Double]("projected_pairs")}%.1f " +
+          f"verdict=${g.getAs[String]("verdict")}")
+      }
+    }
     // The production kNN-graph build (q130's registered form is the
     // documented quadratic calibration baseline): IVF-blocked with the
     // cell count scaled to hold ~125 vectors per cell, nprobe=4 — the
@@ -164,7 +245,7 @@ object ScaleBench {
     val rows = picked.map { name =>
       val ts = scales.map { case (tag, _, _) =>
         if (skipAt.getOrElse(tag, Set.empty)(name)) tag -> Double.NaN
-        else tag -> median3(name, s"$outDir/$tag")
+        else tag -> median3(name, s"$dataRoot/$tag")
       }
       // exponent between each consecutive decade pair
       val exps = ts.sliding(2).collect {
@@ -188,10 +269,12 @@ object ScaleBench {
       s""""$n":{$tj,$ej}"""
     }.mkString("{", ",", "}")
     val scaleNums = scales.map(_._1.stripPrefix("x")).mkString("[", ",", "]")
-    val line = s"""{"metric":"scale_exponents","scales":$scaleNums,"queries":$json}"""
+    val line = s"""{"metric":"scale_exponents","corpus":"$corpus","scales":$scaleNums,"queries":$json}"""
     println(line)
     try {
-      val out = java.nio.file.Paths.get("target/scale_bench.json")
+      val out = java.nio.file.Paths.get(
+        if (corpus == "heaps") "target/scale_bench_heaps.json"
+        else "target/scale_bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, line + "\n")
     } catch { case e: Throwable => System.err.println(s"[scale] write: $e") }

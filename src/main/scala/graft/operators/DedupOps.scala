@@ -178,6 +178,74 @@ object DedupOps {
     headline = true)
 
   // ---------------------------------------------------------------
+  // q241: containment / overlap-coefficient classification
+  // ---------------------------------------------------------------
+
+  /** Containment classification on the q51 candidate pairs: next to
+    * the symmetric resemblance (Jaccard) that drives near-dup removal,
+    * compute the ASYMMETRIC overlap coefficient |A∩B| / min(|A|,|B|)
+    * (Szymkiewicz–Simpson; Broder 1997 distinguishes resemblance from
+    * containment) and classify each candidate pair: `near_dup`
+    * (resemblance ≥ 0.8 — q116/q91's removal tier), `subset`
+    * (containment ≥ 0.8 with lower resemblance — one doc substantially
+    * inside the other: quotes, boilerplate wrapping, truncated
+    * re-crawls, the pairs resemblance-only dedup KEEPS but a training
+    * set usually shouldn't), `partial` otherwise. Sizes are exact set
+    * cardinalities (shingles are array_distinct'd at creation).
+    *
+    * Scale: zero new shuffles — the same banded candidate set and
+    * materialized hash frame as q51/q131; the classification is
+    * per-pair array arithmetic. Honest bias note: LSH bands recall
+    * RESEMBLANCE, so a tiny doc inside a huge one may never become a
+    * candidate; at 100 TB the subset-recall path is a dedicated
+    * containment sketch (bottom-k of A ∩ sketch of B) or one-band
+    * probing — this operator classifies the candidate set the
+    * resemblance pass already paid for. */
+  val q241ContainmentPairs: QueryDef = QueryDef(
+    "q241_containment_pairs",
+    (s, dir) => {
+      val hashed = hashedShingles(s, dir)
+      val pairs = lshCandidatePairs(signatures(hashed))
+      pairs
+        .join(hashed.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(hashed.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          size(col("sa.hashes")).cast("long").as("n_a"),
+          size(col("sb.hashes")).cast("long").as("n_b"),
+          size(array_intersect(col("sa.hashes"), col("sb.hashes")))
+            .cast("long").as("n_common"))
+        .withColumn("jaccard", round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 6))
+        .withColumn("containment", round(col("n_common").cast("double") /
+          least(col("n_a"), col("n_b")), 6))
+        .withColumn("relation",
+          when(col("jaccard") >= 0.8, lit("near_dup"))
+            .when(col("containment") >= 0.8, lit("subset"))
+            .otherwise(lit("partial")))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""WITH $shingleSqlCte,
+      $hashSqlCte,
+      $sigSqlCte,
+      $bandsPairsSqlCte,
+      sized AS (SELECT doc_a, doc_b,
+          CAST(len(ha.hashes) AS BIGINT) AS n_a,
+          CAST(len(hb.hashes) AS BIGINT) AS n_b,
+          CAST(len(list_intersect(ha.hashes, hb.hashes)) AS BIGINT) AS n_common
+        FROM pairs
+        JOIN hs ha ON doc_a = ha.doc_id
+        JOIN hs hb ON doc_b = hb.doc_id)
+      SELECT doc_a, doc_b, n_a, n_b, n_common,
+        round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS jaccard,
+        round(CAST(n_common AS DOUBLE) / least(n_a, n_b), 6) AS containment,
+        CASE WHEN round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) >= 0.8
+               THEN 'near_dup'
+             WHEN round(CAST(n_common AS DOUBLE) / least(n_a, n_b), 6) >= 0.8
+               THEN 'subset'
+             ELSE 'partial' END AS relation
+      FROM sized ORDER BY doc_a, doc_b"""))
+
+  // ---------------------------------------------------------------
   // q131: MinHash estimator calibration
   // ---------------------------------------------------------------
 
@@ -282,7 +350,7 @@ object DedupOps {
     * keys) or "simhash" (q90's 8 pigeonhole blocks). Each family
     * projects from its OWN keys, so the verdict reflects the join it
     * gates, not a proxy. */
-  private[operators] def preflightFor(s: SparkSession, dir: String,
+  private[graft] def preflightFor(s: SparkSession, dir: String,
       family: String, budget: Double): DataFrame = {
     val d = docs(s, dir)
     family match {
@@ -1220,5 +1288,5 @@ object DedupOps {
     q91DupClusters, q112EditDistPairs, q129DedupSaturation,
     q131MinhashCalibration, q134ClusterHistogram, q183LshRecall,
     q192CrossSourceDups, q205CcTwophase, q226SourceMinhash,
-    q239DedupPreflight)
+    q239DedupPreflight, q241ContainmentPairs)
 }

@@ -143,6 +143,13 @@ object ScaleBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the production posture: every banded-dedup query reads its
+      // family's q239 gate before paying for the band join, so a
+      // content- or family-saturated scale point records a refusal
+      // (DNF-by-gate, with the [scale] preflight line giving the
+      // projected density) instead of an hour of thrash — exactly
+      // what a 100 TB operator would do.
+      .config("spark.graft.dedup.preflight", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -182,8 +189,12 @@ object ScaleBench {
     // the same artifact as the measured cost it predicted.
     scales.foreach { case (tag, _, _) =>
       val r = qs("q236_heaps_fit")(spark, s"$dataRoot/$tag").collect().head
-      println(f"[scale] corpus=$corpus $tag heaps_fit n_points=${r.getLong(0)} " +
-        f"beta=${r.getDouble(1)}%.4f r2=${r.getDouble(3)}%.4f")
+      // β/R² are NULL on a zero-variance fit (vocabulary complete in
+      // the first bucket — the fixed corpus's signature); render as 0
+      def d(i: Int): String =
+        if (r.isNullAt(i)) "null(saturated)" else f"${r.getDouble(i)}%.4f"
+      println(s"[scale] corpus=$corpus $tag heaps_fit n_points=${r.getLong(0)} " +
+        s"beta=${d(1)} r2=${d(3)}")
       Seq("minhash", "simhash").foreach { fam =>
         val g = operators.DedupOps.preflightFor(spark, s"$dataRoot/$tag",
           fam, 1000.0).collect().head

@@ -39,24 +39,23 @@ case class BottomKAgg(
     hash: Expression,
     value: Expression,
     mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
+    inputAggBufferOffset: Int = 0,
+    pairs: Boolean = false)
   extends TypedImperativeAggregate[java.util.TreeMap[String, Long]] {
 
   import BottomKAgg.K
 
   override def children: Seq[Expression] = Seq(hash, value)
   override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType =
+    if (pairs) ArrayType(BottomKAgg.PairType, containsNull = false)
+    else ArrayType(LongType, containsNull = false)
 
   override def createAggregationBuffer(): java.util.TreeMap[String, Long] =
     new java.util.TreeMap[String, Long]()
 
   private def insert(buf: java.util.TreeMap[String, Long], h: String, v: Long): Unit =
-    // duplicate hash (impossible for an injective id-hash, but keep
-    // the agg total-function): deterministic min-payload wins
-    if (buf.containsKey(h)) { if (v < buf.get(h)) buf.put(h, v) }
-    else if (buf.size < K) buf.put(h, v)
-    else if (h < buf.lastKey()) { buf.put(h, v); buf.remove(buf.lastKey()) }
+    BottomKAgg.insert(buf, h, v)
 
   override def update(buf: java.util.TreeMap[String, Long], row: InternalRow): java.util.TreeMap[String, Long] = {
     val h = hash.eval(row)
@@ -75,14 +74,27 @@ case class BottomKAgg(
     a
   }
 
-  override def eval(buf: java.util.TreeMap[String, Long]): Any = {
-    val vs = new Array[Long](buf.size)
-    val it = buf.values().iterator()
-    var i = 0
-    while (it.hasNext) { vs(i) = it.next(); i += 1 }
-    java.util.Arrays.sort(vs)
-    new GenericArrayData(vs)
-  }
+  override def eval(buf: java.util.TreeMap[String, Long]): Any =
+    if (pairs) {
+      // the SKETCH STATE itself: (hash, value) kept pairs in hash
+      // order — what a cross-batch monitor folds further
+      val out = new Array[Any](buf.size)
+      val it = buf.entrySet().iterator()
+      var i = 0
+      while (it.hasNext) {
+        val e = it.next()
+        out(i) = InternalRow(UTF8String.fromString(e.getKey), e.getValue)
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val vs = new Array[Long](buf.size)
+      val it = buf.values().iterator()
+      var i = 0
+      while (it.hasNext) { vs(i) = it.next(); i += 1 }
+      java.util.Arrays.sort(vs)
+      new GenericArrayData(vs)
+    }
 
   override def serialize(buf: java.util.TreeMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
@@ -109,7 +121,7 @@ case class BottomKAgg(
   override def withNewInputAggBufferOffset(o: Int): BottomKAgg = copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
     copy(hash = cs(0), value = cs(1))
-  override def prettyName: String = "bottomk_sample"
+  override def prettyName: String = if (pairs) "bottomk_pairs" else "bottomk_sample"
 }
 
 object BottomKAgg {
@@ -121,17 +133,39 @@ object BottomKAgg {
     * q240 report the actual error. */
   val K = 128
 
+  /** THE min-k insert — the one merge both the aggregate and the
+    * cross-batch [[graft.streaming.QuantileMonitor]] run, so the two
+    * cannot drift. Duplicate hash (impossible for an injective
+    * id-hash, but keep the operation a total function): deterministic
+    * min-payload wins. */
+  def insert(buf: java.util.TreeMap[String, Long], h: String, v: Long): Unit =
+    if (buf.containsKey(h)) { if (v < buf.get(h)) buf.put(h, v) }
+    else if (buf.size < K) buf.put(h, v)
+    else if (h < buf.lastKey()) { buf.put(h, v); buf.remove(buf.lastKey()) }
+
+  /** The pairs-mode element type: the kept (hash, value) entry. */
+  val PairType: StructType = StructType(Seq(
+    StructField("h", StringType, nullable = false),
+    StructField("v", LongType, nullable = false)))
+
   /** SQL registration: `bottomk_sample(hash, value)` → ARRAY<BIGINT>
-    * of ≤ K payloads, value-ascending. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (!spark.sessionState.functionRegistry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("bottomk_sample")))
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "bottomk_sample", {
-          case Seq(h, v) => BottomKAgg(h, v).toAggregateExpression()
-          case _ => throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "USER_RAISED_EXCEPTION",
-            messageParameters = Map("errorMessage" ->
-              "bottomk_sample takes exactly two arguments (hash, value)"))
-        }, "scala_udf")
+    * of ≤ K payloads, value-ascending; `bottomk_pairs(hash, value)` →
+    * ARRAY<STRUCT<h,v>> of the kept entries hash-ascending (the
+    * sketch STATE, for cross-batch folding). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    def reg(name: String, pairsMode: Boolean): Unit =
+      if (!spark.sessionState.functionRegistry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          name, {
+            case Seq(h, v) =>
+              BottomKAgg(h, v, pairs = pairsMode).toAggregateExpression()
+            case _ => throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "USER_RAISED_EXCEPTION",
+              messageParameters = Map("errorMessage" ->
+                s"$name takes exactly two arguments (hash, value)"))
+          }, "scala_udf")
+    reg("bottomk_sample", pairsMode = false)
+    reg("bottomk_pairs", pairsMode = true)
+  }
 }

@@ -854,6 +854,68 @@ object DedupOps {
       FROM sizes GROUP BY cluster_size ORDER BY cluster_size"""))
 
   // ---------------------------------------------------------------
+  // Fingerprint contraction: the q205 saturation fix
+  // ---------------------------------------------------------------
+
+  /** Distinct-fingerprint supernode table over a packed-signature
+    * frame: one row per DISTINCT 64-bit SimHash value, labeled by its
+    * minimum member doc_id. The contraction that makes near-dup CC
+    * scale on exact-duplicate-heavy corpora: identical fingerprints
+    * are Hamming-0 cliques, so the band self-join and the star rounds
+    * only ever need ONE representative per value — SCALE.md Round 13
+    * measured the uncontracted form's raw candidates at 918.8M (x10)
+    * and 91.9B (x100) on the fixed corpus, ~all of them inside
+    * identical-fingerprint groups the contraction removes. One
+    * (sig_hi, sig_lo)-keyed aggregate (the exact-dedup shuffle
+    * class); F ≤ N rows out. */
+  private[operators] def fingerprintsOf(packed: DataFrame): DataFrame =
+    packed.groupBy(col("sig_hi"), col("sig_lo"))
+      .agg(min(col("doc_id")).as("fid"), count(lit(1)).as("n_docs"))
+
+  /** Fingerprint-level near-dup edges: [[simhashPairs]]' band join +
+    * Hamming verify run on the F supernodes instead of the N docs.
+    * Pair ids are fids (= min member doc_ids), so downstream labels
+    * stay in doc-id space. */
+  private[operators] def fingerprintPairs(fp: DataFrame): DataFrame = {
+    val blocks = simhashBlocks(
+      fp.select(col("fid").as("doc_id"), col("sig_hi"), col("sig_lo")))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.sig_hi ^ b.sig_hi) + bit_count(a.sig_lo ^ b.sig_lo)")
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= HamMax)
+      .distinct()
+  }
+
+  /** The contracted family's gate — EXACT, not sampled: the
+    * fingerprint table is the band join's actual input and only F
+    * rows, so Σ c_b(c_b−1)/2 over its block buckets is one narrow
+    * aggregate, and the verdict prices precisely the join it gates.
+    * Same conf arming/budget semantics as [[preflightGuard]]
+    * (pairs-per-doc, so corpus size normalizes the bound). Refusal
+    * here means the DISTINCT fingerprints themselves band-collide —
+    * the structural 8-bit-block ceiling (SCALE.md Round 13), whose
+    * published escape is Manku et al. 2007 permuted tables or a
+    * 128-bit fingerprint, not a bigger cluster. */
+  private def contractedGuard(s: SparkSession, fp: DataFrame, nDocs: Long): Unit =
+    if (s.conf.getOption("spark.graft.dedup.preflight").contains("true")) {
+      val budget = s.conf.getOption("spark.graft.dedup.preflightBudget")
+        .map(_.toDouble).getOrElse(PfBudgetDefault)
+      val raw = simhashBlocks(
+          fp.select(col("fid").as("doc_id"), col("sig_hi"), col("sig_lo")))
+        .groupBy(col("bk")).agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(col("c") * (col("c") - lit(1))), lit(0L)).as("s"))
+        .collect().head.getLong(0) / 2
+      if (raw > budget * nDocs)
+        throw new IllegalStateException(
+          s"dedup preflight (simhash contracted): $raw exact raw candidate pairs over " +
+          s"budget ${budget * nDocs} (${budget}/doc) — the DISTINCT fingerprints " +
+          "band-collide (8-bit pigeonhole block ceiling); use wider fingerprints / " +
+          "Manku permuted tables, or override spark.graft.dedup.preflightBudget")
+    }
+
+  // ---------------------------------------------------------------
   // q205: two-phase connected components (large-star / small-star)
   // ---------------------------------------------------------------
 
@@ -963,13 +1025,30 @@ object DedupOps {
   val q205CcTwophase: QueryDef = QueryDef(
     "q205_cc_twophase",
     (s, dir) => {
-      val pairs = simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
-      val labels = twoPhaseComponents(pairs)
-        .select(col("id").as("doc_id"), col("label"))
-      docs(s, dir).select(col("doc_id"))
-        .join(labels, Seq("doc_id"), "left_outer")
+      // CONTRACTED form (exact, spec-proven equal to the doc-level
+      // run in CcTwoPhaseSpec): identical fingerprints are Hamming-0
+      // cliques, so band join + star rounds run on the F distinct
+      // fingerprints and every doc inherits its fingerprint's
+      // component label. Component minima are preserved because each
+      // supernode's id IS its group's min doc_id.
+      val packed = materialize(packedSimhash(s, dir), "ctr_sig")
+      val fp = materialize(fingerprintsOf(packed), "ctr_fp")
+      contractedGuard(s, fp, docs(s, dir).count())
+      val labels = twoPhaseComponents(
+          fingerprintPairs(fp).select(col("doc_a"), col("doc_b")))
+        .select(col("id").as("fid"), col("label"))
+      val docLabels = packed
+        .join(fp.select(col("sig_hi"), col("sig_lo"), col("fid")),
+          Seq("sig_hi", "sig_lo"))
+        .join(labels, Seq("fid"), "left_outer")
         .select(col("doc_id"),
-          coalesce(col("label"), col("doc_id")).as("canonical"))
+          // isolated fingerprint group: the group min labels the
+          // group (its members form a clique component on their own)
+          coalesce(col("label"), col("fid")).as("canonical"))
+      docs(s, dir).select(col("doc_id"))
+        .join(docLabels, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("canonical"), col("doc_id")).as("canonical"))
         .withColumn("is_canonical", col("canonical") === col("doc_id"))
         .orderBy(col("doc_id"))
     },

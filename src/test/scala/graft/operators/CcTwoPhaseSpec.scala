@@ -65,4 +65,37 @@ class CcTwoPhaseSpec extends SparkSpec {
     val b = DedupOps.q91DupClusters.fn(spark, dir).collect().map(_.toString)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("fingerprint contraction is exact where it matters most: a saturated corpus") {
+    // 600 docs, 3 distinct texts → 3 fingerprint supernodes standing
+    // in for 600 nodes and ~60k clique edges; the doc-level reference
+    // (simhashPairs + twoPhaseComponents) must agree row-for-row
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "pack my box with five dozen liquor jugs before noon today ok",
+      "how vexingly quick daft zebras jump over the sleeping hounds")
+    val dir = java.nio.file.Files.createTempDirectory("ctr_sat").toString
+    spark.range(600).select(col("id").as("doc_id"),
+        element_at(typedlit(texts), (pmod(col("id"), lit(3)) + 1).cast("int"))
+          .as("text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val contracted = DedupOps.q205CcTwophase.fn(spark, dir)
+      .collect().map(_.toString).toSeq
+    val pairs = DedupOps.simhashPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = DedupOps.twoPhaseComponents(pairs)
+      .select(col("id").as("doc_id"), col("label"))
+    val reference = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("canonical"))
+      .withColumn("is_canonical", col("canonical") === col("doc_id"))
+      .orderBy(col("doc_id"))
+      .collect().map(_.toString).toSeq
+    assert(contracted == reference)
+    // and the contraction really contracted: 3 supernodes, not 600
+    val fp = DedupOps.fingerprintsOf(DedupOps.packedSimhash(spark, dir))
+    assert(fp.count() === 3)
+  }
 }

@@ -425,7 +425,8 @@ object Curation {
       defaultRate: Long = 100L,
       temperatureThresholds: Option[DataFrame] = None,
       heavyHitters: Option[graft.streaming.HeavyHitters.Monitor] = None,
-      composition: Option[graft.streaming.CompositionMonitor] = None)
+      composition: Option[graft.streaming.CompositionMonitor] = None,
+      quantiles: Option[graft.streaming.QuantileMonitor] = None)
 
   /** Offline boilerplate artifact for [[StreamCurationConfig]]:
     * fragments appearing in >= `minDocs` docs of a reference corpus. */
@@ -559,6 +560,17 @@ object Curation {
     // Same replay caveat as the Misra-Gries state above.
     cfg.composition.foreach { mon =>
       mon.observeDocs(survivors.select(col("source"), col("text")))
+    }
+    // per-source length quantiles on the bottom-k discipline: ≤ K
+    // (hash, value) entries per source cross the wire per batch, and
+    // because min-k merge is IDEMPOTENT this state — unlike the two
+    // above — is replay-proof: a re-observed batch folds to the same
+    // sketch (QuantileMonitorSpec), so the q240-style p50/p90 reads
+    // are exact under at-least-once delivery.
+    cfg.quantiles.foreach { mon =>
+      mon.observe(survivors.select(col("source"),
+        expr("sha2(cast(doc_id as string), 256)").as("h"),
+        length(col("text")).cast("long").as("v")))
     }
   }
 

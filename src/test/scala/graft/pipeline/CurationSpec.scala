@@ -330,6 +330,7 @@ class CurationSpec extends SparkSpec {
     // discipline), shared verbatim by the batch reference and the stream
     val monitor = new graft.streaming.HeavyHitters.Monitor(10000)
     val compMon = new graft.streaming.CompositionMonitor
+    val quantMon = new graft.streaming.QuantileMonitor
     val cfg = Curation.StreamCurationConfig(
       frequentGrams = Some(Curation.frequentGramsOf(full)),
       lmModel = Some(graft.operators.LmOps.trainLm(full)),
@@ -337,7 +338,8 @@ class CurationSpec extends SparkSpec {
         .stat.approxQuantile("avg_nll", Array(0.75), 0.0).head,
       mixtureRates = Map("zh" -> 50L),
       heavyHitters = Some(monitor),
-      composition = Some(compMon))
+      composition = Some(compMon),
+      quantiles = Some(quantMon))
     val wantRows = Curation.curateBatch(full, cfg, {
       import spark.implicits._
       Seq.empty[String].toDF("file_hash")
@@ -387,6 +389,18 @@ class CurationSpec extends SparkSpec {
       .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
     assert(compMon.massGrid === exactMass,
       "cross-batch composition grid diverged from the one-shot grid")
+
+    // the quantile monitor's folded bottom-k state: with the survivor
+    // count under K per source, the "sample" is the exact value set —
+    // its sorted per-source lengths must equal the survivors' exactly
+    // (batch-split equality through the runStream path; idempotent
+    // min-k merge means the stream's revisits cannot have corrupted it)
+    val exactLens = wantRows
+      .map(r => (r.getAs[String]("source"),
+        r.getAs[String]("text").length.toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(quantMon.sampleGrid === exactLens,
+      "cross-batch quantile sketch diverged from the exact value sets")
   }
 
   test("URL pre-gate: blocklist + per-domain cap drop first and are accounted") {

@@ -1199,12 +1199,19 @@ object DiagnosticsOps {
         .withColumn("nk", sum(col("n_tok")).over(w))
         .withColumn("vk", sum(col("new_types")).over(w))
         .select(log(col("nk").cast("double")).as("x"),
-          log(col("vk").cast("double")).as("y"))
+          log(col("vk").cast("double")).as("y"), col("vk"))
       pts.agg(count(lit(1)).as("k"),
           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
           sum(col("x") * col("x")).as("sxx"),
           sum(col("y") * col("y")).as("syy"),
-          sum(col("x") * col("y")).as("sxy"))
+          sum(col("x") * col("y")).as("sxy"),
+          // the zero-variance test must be INTEGER-exact: on a
+          // saturated corpus vk is constant, deny is mathematically 0,
+          // and the k·Σy²−(Σy)² residue's SIGN is summation-order /
+          // engine dependent (sf0.1 hit this: Spark ≤ 0 → NULL,
+          // DuckDB > 0 → 0.0). min(vk) < max(vk) decides degeneracy
+          // from the int64 grid instead
+          min(col("vk")).as("vmin"), max(col("vk")).as("vmax"))
         .withColumn("den", col("k") * col("sxx") - col("sx") * col("sx"))
         .withColumn("deny", col("k") * col("syy") - col("sy") * col("sy"))
         .withColumn("num", col("k") * col("sxy") - col("sx") * col("sy"))
@@ -1217,7 +1224,7 @@ object DiagnosticsOps {
           when(col("den") > 0, round((col("sy") - (col("num") / col("den")) *
             col("sx")) / col("k"), 6) + lit(0.0))
             .otherwise(lit(null).cast("double")).as("ln_k"),
-          when(col("den") > 0 && col("deny") > 0,
+          when(col("den") > 0 && col("vmin") < col("vmax"),
             round(col("num") * col("num") / (col("den") * col("deny")), 6))
             .otherwise(lit(null).cast("double")).as("r2"))
     },
@@ -1233,18 +1240,21 @@ object DiagnosticsOps {
           ln(CAST(sum(tc.n_tok) OVER (ORDER BY tc.bucket
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)) AS x,
           ln(CAST(sum(coalesce(nt.new_types, 0)) OVER (ORDER BY tc.bucket
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)) AS y
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)) AS y,
+          CAST(sum(coalesce(nt.new_types, 0)) OVER (ORDER BY tc.bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vk
         FROM tc LEFT JOIN nt USING (bucket)),
       sums AS (SELECT CAST(count(*) AS BIGINT) AS k,
           sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
-          sum(y*y) AS syy, sum(x*y) AS sxy FROM pts),
+          sum(y*y) AS syy, sum(x*y) AS sxy,
+          min(vk) AS vmin, max(vk) AS vmax FROM pts),
       d AS (SELECT *, k * sxx - sx * sx AS den, k * syy - sy * sy AS deny,
           k * sxy - sx * sy AS num FROM sums)
       SELECT k AS n_points,
         CASE WHEN den > 0 THEN round(num / den, 6) + 0.0 ELSE NULL END AS beta,
         CASE WHEN den > 0 THEN round((sy - (num / den) * sx) / k, 6) + 0.0
              ELSE NULL END AS ln_k,
-        CASE WHEN den > 0 AND deny > 0
+        CASE WHEN den > 0 AND vmin < vmax
              THEN round(num * num / (den * deny), 6) ELSE NULL END AS r2
       FROM d"""),
     headline = false)

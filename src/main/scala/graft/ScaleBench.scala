@@ -195,7 +195,7 @@ object ScaleBench {
         if (r.isNullAt(i)) "null(saturated)" else f"${r.getDouble(i)}%.4f"
       println(s"[scale] corpus=$corpus $tag heaps_fit n_points=${r.getLong(0)} " +
         s"beta=${d(1)} r2=${d(3)}")
-      Seq("minhash", "simhash").foreach { fam =>
+      Seq("minhash", "simhash", "simhash128").foreach { fam =>
         val g = operators.DedupOps.preflightFor(spark, s"$dataRoot/$tag",
           fam, 1000.0).collect().head
         println(f"[scale] corpus=$corpus $tag preflight_$fam " +

@@ -363,6 +363,10 @@ object DedupOps {
           simhashBlocks(packedSimhashOf(smp))
             .select(col("doc_id"), col("bk").cast("string").as("k")),
         HamBlocks, budget)
+      case "simhash128" => pfReport(d, smp =>
+          simhash128Blocks(packedSimhash128Of(smp))
+            .select(col("doc_id"), col("bk").cast("string").as("k")),
+        HamBlocks, budget)
     }
   }
 
@@ -852,6 +856,109 @@ object DedupOps {
         CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
         CAST((cluster_size - 1) * count(*) AS BIGINT) AS dup_docs
       FROM sizes GROUP BY cluster_size ORDER BY cluster_size"""))
+
+  // ---------------------------------------------------------------
+  // q242: 128-bit SimHash near-dup pairs — the key-space escape
+  // ---------------------------------------------------------------
+
+  /** [[simhashConcatExpr]] at twice the width: 128 majority votes over
+    * nibbles 1..32 of the token hash (sha-256 has them to spare).
+    * Shared verbatim with the q242 oracle. */
+  private def simhashConcatExpr128: String = {
+    val bits = (0 until 128).map { b =>
+      val j = b / 4 + 1
+      val p = 1 << (b % 4)
+      s"""case when sum(2 * (cast(floor((instr('0123456789abcdef', substr(h, $j, 1)) - 1) / $p.0) as int) % 2) - 1) >= 0 then '1' else '0' end"""
+    }
+    s"concat(${bits.mkString(", ")})"
+  }
+
+  /** Packed 128-bit SimHash: four 32-bit words s0..s3 (bit b → word
+    * b/32, position 31−b%32 — [[packedSimhashOf]]'s convention at
+    * twice the width; Simhash128Spec proves bit-string parity).
+    *
+    * WHY 128: SCALE.md Round 13 measured the 64-bit family's
+    * structural ceiling — guaranteeing Hamming ≤ 7 forces ≥ 8
+    * pigeonhole blocks, and 64/8 = 8-bit keys give only 8·2⁸ = 2,048
+    * buckets, so raw candidates are ≳ N²·2⁻⁹ past ~10⁵ docs no matter
+    * the content. Doubling the fingerprint keeps the SAME 8-block
+    * d ≤ 7 guarantee but yields 16-bit keys — 8·2¹⁶ = 524k buckets,
+    * 256× the space — the "bigger fingerprint" escape the published
+    * production systems take (Manku et al. 2007 §4 discusses the
+    * f-bit/table trade directly). The d ≤ 7 bound is measured in a
+    * 128-bit space, i.e. a ~2× stricter relative similarity than
+    * q90's — a different, more conservative operating point, not a
+    * drop-in replacement, which is why q90 keeps its contract. */
+  private[operators] def packedSimhash128Of(d: DataFrame): DataFrame = {
+    def shift(b: Int): Int = 28 - 4 * ((b % 32) / 4) + b % 4
+    val sums = (0 until 128).map(b =>
+      expr(s"sum(cast(shiftright(w${b / 32}, ${shift(b)}) & 1 as int)) as s$b"))
+    def pack(w: Int): String = (32 * w until 32 * (w + 1)).map { b =>
+      s"if(2 * s$b >= n, ${java.lang.Long.toString(1L << (31 - b % 32))}L, 0L)"
+    }.mkString(" + ")
+    d.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .withColumn("h", expr("substr(sha2(tok, 256), 1, 32)"))
+      .withColumn("w0", expr("cast(conv(substr(h, 1, 8), 16, 10) as bigint)"))
+      .withColumn("w1", expr("cast(conv(substr(h, 9, 8), 16, 10) as bigint)"))
+      .withColumn("w2", expr("cast(conv(substr(h, 17, 8), 16, 10) as bigint)"))
+      .withColumn("w3", expr("cast(conv(substr(h, 25, 8), 16, 10) as bigint)"))
+      .groupBy(col("doc_id"))
+      .agg(expr("count(*) as n"), sums: _*)
+      .select(col("doc_id"),
+        expr(s"${pack(0)} as s0"), expr(s"${pack(1)} as s1"),
+        expr(s"${pack(2)} as s2"), expr(s"${pack(3)} as s3"))
+  }
+
+  /** The 8 pigeonhole block keys of a packed 128-bit signature — one
+    * int per block (block_id·2¹⁶ + the block's 16 bits). */
+  private def simhash128Blocks(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), col("s0"), col("s1"), col("s2"), col("s3"),
+      explode(expr(
+        """transform(sequence(0, 7), b -> int(b * 65536) + int(
+          |  shiftright(element_at(array(s0, s1, s2, s3), int(b div 2) + 1),
+          |             if(b % 2 = 0, 16, 0)) & 65535))""".stripMargin)).as("bk"))
+
+  /** 128-bit SimHash near-dup pairs: q90's shape with 16-bit block
+    * keys. Same gate discipline (its own pre-flight family). */
+  private[operators] def simhash128Pairs(s: SparkSession, dir: String): DataFrame = {
+    preflightGuard(s, dir, "simhash128")
+    val sig = materialize(packedSimhash128Of(docs(s, dir)), "simhash128")
+    val blocks = simhash128Blocks(sig)
+    blocks.as("a").join(blocks.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.s0 ^ b.s0) + bit_count(a.s1 ^ b.s1) + " +
+          "bit_count(a.s2 ^ b.s2) + bit_count(a.s3 ^ b.s3)")
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= HamMax)
+      .distinct()
+  }
+
+  /** Shared q242 oracle CTEs — the 128-bit string replay. */
+  private lazy val simhash128PairSqlCtes =
+    s"""toks AS (SELECT doc_id, substr(sha256(tok), 1, 32) AS h FROM (
+       |        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |        FROM documents) t),
+       |      sig AS (SELECT doc_id, $simhashConcatExpr128 AS simhash FROM toks GROUP BY doc_id),
+       |      blocks AS (SELECT doc_id, bs.b AS block_id,
+       |          substr(simhash, bs.b * 16 + 1, 16) AS blk
+       |        FROM sig, (SELECT unnest(range(0, $HamBlocks)) AS b) bs),
+       |      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |        FROM blocks a JOIN blocks b
+       |        ON a.block_id = b.block_id AND a.blk = b.blk AND a.doc_id < b.doc_id),
+       |      ham AS (SELECT doc_a, doc_b,
+       |          CAST(list_sum([CASE WHEN substr(sa.simhash, i, 1) <> substr(sb.simhash, i, 1)
+       |                              THEN 1 ELSE 0 END for i in range(1, 129)]) AS BIGINT) AS hamming
+       |        FROM cand
+       |        JOIN sig sa ON doc_a = sa.doc_id
+       |        JOIN sig sb ON doc_b = sb.doc_id)""".stripMargin
+
+  val q242Simhash128Pairs: QueryDef = QueryDef(
+    "q242_simhash128_pairs",
+    (s, dir) => simhash128Pairs(s, dir).orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""WITH $simhash128PairSqlCtes
+      SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= $HamMax
+      ORDER BY doc_a, doc_b"""))
 
   // ---------------------------------------------------------------
   // Fingerprint contraction: the q205 saturation fix
@@ -1367,5 +1474,5 @@ object DedupOps {
     q91DupClusters, q112EditDistPairs, q129DedupSaturation,
     q131MinhashCalibration, q134ClusterHistogram, q183LshRecall,
     q192CrossSourceDups, q205CcTwophase, q226SourceMinhash,
-    q239DedupPreflight, q241ContainmentPairs)
+    q239DedupPreflight, q241ContainmentPairs, q242Simhash128Pairs)
 }

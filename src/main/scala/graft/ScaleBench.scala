@@ -122,8 +122,8 @@ object ScaleBench {
     * when SPARK_GRAFT_CORPUS=heaps. */
   val HeapsTier: Seq[String] = Seq(
     "q236_heaps_fit", "q51_lsh_jaccard_pairs", "q98_dup_spans",
-    "q164_longest_dup", "q205_cc_twophase", "q104_bpe_merges",
-    "q96_lm_perplexity")
+    "q164_longest_dup", "q205_cc_twophase", "q242_simhash128_pairs",
+    "q104_bpe_merges", "q96_lm_perplexity")
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("target/scale")

@@ -3,6 +3,7 @@ package graft.functions.expressions
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -46,6 +47,19 @@ case class BottomKAgg(
   import BottomKAgg.K
 
   override def children: Seq[Expression] = Seq(hash, value)
+  // analysis-time typing for the SQL registration: update blindly reads
+  // UTF8String + Long, so a non-string hash / non-bigint value must be
+  // an analysis-time failure, not a mid-job ClassCastException (r13
+  // ADVICE; checkInputDataTypes because ExpectsInputTypes'
+  // AbstractDataType is private[sql] outside the Spark tree)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (hash.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a STRING hash argument, got ${hash.dataType.sql}")
+    else if (value.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a BIGINT value argument, got ${value.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
   override def nullable: Boolean = false
   override def dataType: DataType =
     if (pairs) ArrayType(BottomKAgg.PairType, containsNull = false)

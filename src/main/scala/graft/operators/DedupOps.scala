@@ -204,6 +204,9 @@ object DedupOps {
   val q241ContainmentPairs: QueryDef = QueryDef(
     "q241_containment_pairs",
     (s, dir) => {
+      // same band self-join as q51 ⇒ same family gate: with preflight
+      // armed, a saturated corpus must refuse here too, not just in q51
+      preflightGuard(s, dir, "minhash")
       val hashed = hashedShingles(s, dir)
       val pairs = lshCandidatePairs(signatures(hashed))
       pairs
@@ -367,6 +370,9 @@ object DedupOps {
           simhash128Blocks(packedSimhash128Of(smp))
             .select(col("doc_id"), col("bk").cast("string").as("k")),
         HamBlocks, budget)
+      case other => throw new IllegalArgumentException(
+        s"unknown dedup pre-flight family '$other' — valid families: " +
+        "minhash, simhash, simhash128")
     }
   }
 
@@ -1005,19 +1011,22 @@ object DedupOps {
     * the structural 8-bit-block ceiling (SCALE.md Round 13), whose
     * published escape is Manku et al. 2007 permuted tables or a
     * 128-bit fingerprint, not a bigger cluster. */
-  private def contractedGuard(s: SparkSession, fp: DataFrame, nDocs: Long): Unit =
+  private def contractedGuard(s: SparkSession, fp: DataFrame, nDocs: => Long): Unit =
     if (s.conf.getOption("spark.graft.dedup.preflight").contains("true")) {
       val budget = s.conf.getOption("spark.graft.dedup.preflightBudget")
         .map(_.toDouble).getOrElse(PfBudgetDefault)
+      // nDocs is by-name so the caller's full-corpus count job only
+      // runs when the gate is armed (r13 ADVICE: q205 paid it always)
+      val nDocsV = nDocs
       val raw = simhashBlocks(
           fp.select(col("fid").as("doc_id"), col("sig_hi"), col("sig_lo")))
         .groupBy(col("bk")).agg(count(lit(1)).as("c"))
         .agg(coalesce(sum(col("c") * (col("c") - lit(1))), lit(0L)).as("s"))
         .collect().head.getLong(0) / 2
-      if (raw > budget * nDocs)
+      if (raw > budget * nDocsV)
         throw new IllegalStateException(
           s"dedup preflight (simhash contracted): $raw exact raw candidate pairs over " +
-          s"budget ${budget * nDocs} (${budget}/doc) — the DISTINCT fingerprints " +
+          s"budget ${budget * nDocsV} (${budget}/doc) — the DISTINCT fingerprints " +
           "band-collide (8-bit pigeonhole block ceiling); use wider fingerprints / " +
           "Manku permuted tables, or override spark.graft.dedup.preflightBudget")
     }

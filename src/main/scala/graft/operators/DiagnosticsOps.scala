@@ -1224,7 +1224,12 @@ object DiagnosticsOps {
           when(col("den") > 0, round((col("sy") - (col("num") / col("den")) *
             col("sx")) / col("k"), 6) + lit(0.0))
             .otherwise(lit(null).cast("double")).as("ln_k"),
-          when(col("den") > 0 && col("vmin") < col("vmax"),
+          // vmin < vmax is the degeneracy test, but deny > 0 must ALSO
+          // hold before dividing: a near-saturated corpus (vk varies by
+          // one step) can cancel k·Σy²−(Σy)² to 0 or negative in
+          // floating point, and the residue's sign is engine-dependent —
+          // the same drift class the vmin/vmax guard fixed (r13 ADVICE)
+          when(col("den") > 0 && col("vmin") < col("vmax") && col("deny") > 0,
             round(col("num") * col("num") / (col("den") * col("deny")), 6))
             .otherwise(lit(null).cast("double")).as("r2"))
     },
@@ -1254,7 +1259,7 @@ object DiagnosticsOps {
         CASE WHEN den > 0 THEN round(num / den, 6) + 0.0 ELSE NULL END AS beta,
         CASE WHEN den > 0 THEN round((sy - (num / den) * sx) / k, 6) + 0.0
              ELSE NULL END AS ln_k,
-        CASE WHEN den > 0 AND vmin < vmax
+        CASE WHEN den > 0 AND vmin < vmax AND deny > 0
              THEN round(num * num / (den * deny), 6) ELSE NULL END AS r2
       FROM d"""),
     headline = false)

@@ -21,12 +21,20 @@ import graft.functions.expressions.BottomKAgg
   * — the replay-proof property the HLL monitor has and the add-merge
   * monitors (CMS/moments) do not.
   *
-  * State: ≤ K (hash, value) pairs per group, forever. Quantile reads
+  * State: ≤ K (hash, value) pairs per group, and ≤ [[QuantileMonitor
+  * .MaxGroups]] groups total — without the group bound, keying the
+  * monitor on a high-cardinality column would grow driver state
+  * silently (the MG monitor's fixed-k discipline, applied to the
+  * group axis; r13 watch note). A batch that would push the group
+  * count past the bound REFUSES (throws) rather than evicting:
+  * bottom-k states are idempotent under re-delivery but NOT
+  * reconstructible after eviction, so silent eviction would turn a
+  * monitoring misconfiguration into wrong quantiles. Quantile reads
   * use q240's rank arithmetic (value at rank ⌊(m−1)·q⌋ of the
   * value-ascending sample), so a monitor read agrees with the batch
   * query's estimate on the same data.
   */
-final class QuantileMonitor {
+final class QuantileMonitor(maxGroups: Int = QuantileMonitor.MaxGroups) {
 
   @volatile private var kept: Map[String, java.util.TreeMap[String, Long]] =
     Map.empty
@@ -42,6 +50,13 @@ final class QuantileMonitor {
       .agg(expr("bottomk_pairs(h, v)").as("ps"))
       .collect()
     synchronized {
+      val newGroups = rows.map(_.getString(0)).toSet -- kept.keySet
+      if (kept.size + newGroups.size > maxGroups)
+        throw new IllegalStateException(
+          s"QuantileMonitor: batch introduces ${newGroups.size} new groups " +
+          s"(${kept.size} tracked, bound $maxGroups) — the group key is too " +
+          "high-cardinality for driver-side monitoring; key on a coarser " +
+          "column or raise the constructor bound")
       rows.foreach { r =>
         val buf = kept.getOrElse(r.getString(0),
           new java.util.TreeMap[String, Long]())
@@ -69,4 +84,12 @@ final class QuantileMonitor {
       s(math.floor((s.length - 1) * q).toInt)
     }
   }
+}
+
+object QuantileMonitor {
+  /** Default group-cardinality bound: generous for the intended keys
+    * (source/domain/pipeline-stage, tens to hundreds of groups) while
+    * capping worst-case driver state at MaxGroups × K pairs ≈ a few
+    * MB. */
+  val MaxGroups = 10000
 }

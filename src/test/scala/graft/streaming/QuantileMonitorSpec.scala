@@ -45,6 +45,29 @@ class QuantileMonitorSpec extends SparkSpec {
     assert(m.quantile("nope", 0.5) === None)
   }
 
+  test("group-cardinality bound refuses, never evicts, and tracked groups stay observable") {
+    val m = new QuantileMonitor(maxGroups = 2)
+    m.observe(corpus.filter(col("source") =!= "s2")) // s0, s1 fit
+    val before = m.sampleGrid
+    val e = intercept[IllegalStateException] {
+      m.observe(corpus) // s2 would be a 3rd group
+    }
+    assert(e.getMessage.contains("high-cardinality"))
+    // refused batch left state untouched; existing groups still fold
+    assert(m.sampleGrid === before)
+    m.observe(corpus.filter(col("source") === "s0"))
+    assert(m.sampleGrid === before)
+  }
+
+  test("bottomk_pairs rejects a non-bigint value at analysis time") {
+    BottomKAgg.register(spark)
+    val bad = intercept[org.apache.spark.sql.AnalysisException] {
+      corpus.select(col("source"), col("h"), col("v").cast("string").as("v"))
+        .groupBy(col("source")).agg(expr("bottomk_pairs(h, v)")).collect()
+    }
+    assert(bad.getMessage.toLowerCase.contains("bigint"))
+  }
+
   test("bottomk_pairs is the sketch state: hash-ascending, same kept set as bottomk_sample") {
     BottomKAgg.register(spark)
     val rows = corpus.groupBy(col("source"))

@@ -28,11 +28,35 @@ import org.apache.spark.sql.types.LongType
   *     once, at initial ranking; rounds = ceil(log2 max-doc-tokens)
   *     (docs are chunk-bounded upstream, so ~7-10 rounds, NOT log of
   *     corpus length);
-  *   - global re-ranking is sort + `zipWithIndex` (per-partition offsets
-  *     computed in one extra count job) — the distributed dense-rank
-  *     idiom; never a single-partition window;
+  *   - ranks are HEAD ranks (rank = the class's first global
+  *     suffix-array index, i.e. the count of strictly-smaller suffixes
+  *     with multiplicity), not dense ranks: head ranks are STABLE — a
+  *     class that splits renumbers only inside its own [head,
+  *     head+size) interval, so every other class's rank is untouched.
+  *     That stability buys the working-set refinement (Larsson &
+  *     Sadakane 1999's sort-refinement invariant, here in its
+  *     distributed form): a suffix whose class is a singleton has its
+  *     FINAL rank and retires from the doubling frame; only positions
+  *     in non-singleton classes are paired, sorted, and re-ranked. On
+  *     real corpora the active set shrinks geometrically with k
+  *     (most suffixes become unique once k exceeds the local repeat
+  *     structure), so late rounds sort a small residue instead of the
+  *     corpus;
+  *   - the (rk, rk2) sort key is PACKED into one int64
+  *     ((rk << 32) | (rk2 + 1)) — both ranks fit 32 bits until the
+  *     corpus holds > 2^31 suffix positions (guarded by an explicit
+  *     refusal naming the unpacked escape), halving sort-key bytes
+  *     and comparator work;
+  *   - the re-rank itself is one range exchange + the textbook
+  *     two-phase scan (per-partition virgin summaries folded on the
+  *     driver into incoming states): new rank = class head + offset of
+  *     the row's (rk, rk2)-run head inside the class segment. The run
+  *     count and singleton (retire) flags fall out of the same scan,
+  *     so saturation/fixpoint detection costs nothing;
   *   - each round's rank table is materialized (localCheckpoint) to
   *     truncate iterative lineage, the q130-PageRank convention;
+  *     retired positions accumulate as ~log(maxLen) checkpointed
+  *     pieces whose lazy union feeds the shifted rk2 lookup;
   *   - the final LCP pass compares only ADJACENT suffix pairs (n-1
   *     rows), each bounded by its doc's remaining tokens — doc-bounded
   *     width, the price of skipping the rank-descend LCP (which would
@@ -57,88 +81,175 @@ object SuffixOps {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
-  /** Dense-rank the (rk, rk2) key over the FULL pair frame in ONE range
-    * exchange — the doubling loop's former re-rank paid three more
-    * (distinct agg, join-back exchange of the pairs, exchange of the
-    * rank table) plus a separate countDistinct job for the
-    * stabilization probe. Shape: global sort by (rk, rk2), then the
-    * textbook two-phase scan ([[nearestFlaggedLcp]]'s idiom): pass 1
-    * emits per-partition (first key, last key, local class-boundary
-    * count) summaries; the driver folds them in partition order into
-    * per-partition incoming rank offsets (adjusting where a class
-    * straddles a partition edge); pass 2 re-scans and assigns
-    * rank = incoming + running local boundary count. The fold's total
-    * IS the distinct-class count, so the saturation check is a free
-    * byproduct instead of an extra agg job per round.
+  private val rankSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("i", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("rk", LongType, nullable = false)))
+
+  /** Packing bound for the one-int64 (rk, rk2) sort key: head ranks
+    * are < total suffix positions, so both halves fit 32 bits until
+    * the corpus holds 2^31 positions (~2 billion tokens per job — at
+    * 100 TB, shard the corpus or fall back to the unpacked two-column
+    * sort this key replaced). */
+  private val MaxPackablePositions = (1L << 31) - 1
+
+  /** Initial HEAD ranks from token counts — no position-frame sort:
+    * rank(token t) = Σ count(t') over t' < t, one small sort of the
+    * V-row count table + a cumulative-sum two-phase scan, joined back
+    * to positions. Hapax positions (count = 1) are already singleton
+    * classes and retire before the first doubling round.
     *
-    * Input columns (doc_id, i, rk, rk2); returns the materialized
-    * (doc_id, i, rk)=dense-rank frame and the class count. */
-  private def denseRankPairs(paired: DataFrame): (DataFrame, Long) = {
-    val s = paired.sparkSession
-    // cast up front: `i` arrives as int on round 1 (posexplode + 1)
-    // and the passes read fixed Long slots
-    val sorted = paired.select(col("doc_id").cast("long").as("doc_id"),
-      col("i").cast("long").as("i"), col("rk").cast("long").as("rk"),
-      col("rk2").cast("long").as("rk2")).orderBy(col("rk"), col("rk2"))
-    val rdd = sorted.rdd.persist(
+    * Returns (materialized (doc_id, i, rk, retired) frame, total
+    * positions, number of non-singleton token classes). */
+  private def initialHeadRanks(tokens: DataFrame): (DataFrame, Long, Long) = {
+    val s = tokens.sparkSession
+    val counts = tokens.groupBy(col("tk")).agg(count(lit(1)).as("c"))
+      .orderBy(col("tk"))
+    val rdd = counts.rdd.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sums = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var firstKey: (Long, Long) = null
-      var lastKey: (Long, Long) = null
-      var classes = 0L
+      var tot = 0L; var multi = 0L
       it.foreach { r =>
-        val key = (r.getLong(2), r.getLong(3))
-        if (lastKey == null || key != lastKey) {
-          classes += 1
-          if (firstKey == null) firstKey = key
-        }
-        lastKey = key
+        val c = r.getLong(1); tot += c; if (c > 1L) multi += 1L
       }
-      Iterator.single((pid, Option(firstKey), Option(lastKey), classes))
+      Iterator.single((pid, tot, multi))
     }.collect().sortBy(_._1)
-    // incoming(p) = dense rank already consumed before partition p's
-    // first local class, minus one so pass 2 can pre-increment; a
-    // partition whose first key equals the previous non-empty
-    // partition's last key CONTINUES that class (its first local
-    // boundary is not a global one)
-    val incoming = new Array[Long](sums.length)
-    var before = 0L
-    var prevLast: Option[(Long, Long)] = None
-    sums.foreach { case (pid, fk, lk, lB) =>
-      val cont = fk.isDefined && prevLast.isDefined && fk == prevLast
-      val adj = if (cont) 1L else 0L
-      incoming(pid) = before - adj - 1L
-      before += lB - adj
-      if (lk.isDefined) prevLast = lk
+    val offsets = new Array[Long](sums.length)
+    var acc = 0L; var multiClasses = 0L
+    sums.foreach { case (pid, tot, m) =>
+      offsets(pid) = acc; acc += tot; multiClasses += m
     }
-    val totalClasses = before
-    val bc = s.sparkContext.broadcast(incoming)
-    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
-      val base = bc.value(pid)
-      var lastKey: (Long, Long) = null
-      var localB = 0L
+    val bc = s.sparkContext.broadcast(offsets)
+    val heads = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var h = bc.value(pid)
       it.map { r =>
-        val key = (r.getLong(2), r.getLong(3))
-        if (lastKey == null || key != lastKey) localB += 1
-        lastKey = key
-        Row(r.getLong(0), r.getLong(1), base + localB)
+        val c = r.getLong(1); val row = Row(r.getString(0), h, c); h += c; row
       }
     }
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id", LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("i", LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("rk", LongType, nullable = false)))
+    val headsDf = s.createDataFrame(heads,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tk",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("rk", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("c", LongType, nullable = false))))
+    val combined = tokens.join(headsDf, "tk")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("i").cast("long").as("i"), col("rk"),
+        (col("c") === 1L).as("retired"))
+      .localCheckpoint(true)
+    rdd.unpersist(blocking = false)
+    (combined, acc, multiClasses)
+  }
+
+  /** One doubling round's re-rank over the ACTIVE pair frame: sort by
+    * the packed (rk, rk2) int64 key, then the two-phase scan
+    * ([[nearestFlaggedLcp]]'s idiom): pass 1 emits per-partition
+    * virgin-state summaries (first/last packed key, run count, and
+    * the end-of-partition (offset-in-class, sub-run-head) state);
+    * the driver folds them in partition order into per-partition
+    * incoming states — a class straddling a partition edge shifts the
+    * next partition's offsets by the rows already consumed, and a
+    * straddling RUN both merges the run count and carries the sub-run
+    * head across; pass 2 re-scans from the incoming state and emits
+    * new rank = class head + sub-run head offset, plus the retire
+    * flag (run size 1 ⇔ neither neighbor, across partitions, shares
+    * the packed key). The fold's run total is the new class count, so
+    * the fixpoint probe is a free byproduct.
+    *
+    * Input columns (doc_id, i, pk) with pk = (rk << 32) | (rk2 + 1);
+    * returns the materialized (doc_id, i, rk, retired) frame and the
+    * distinct-run count. */
+  private def headRankScan(packed: DataFrame): (DataFrame, Long) = {
+    val s = packed.sparkSession
+    val sorted = packed.orderBy(col("pk"))
+    val rdd = sorted.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pass 1: virgin simulation per partition
+    val sums = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var any = false; var first = -1L; var last = -1L
+      var runs = 0L; var off = 0L; var subHead = 0L
+      it.foreach { r =>
+        val p = r.getLong(2)
+        if (!any) { any = true; first = p; runs = 1L; off = 0L; subHead = 0L }
+        else {
+          if ((p >>> 32) != (last >>> 32)) { off = 0L; subHead = 0L }
+          else { off += 1L; if (p != last) subHead = off }
+          if (p != last) runs += 1L
+        }
+        last = p
+      }
+      Iterator.single((pid, any, first, last, runs, off, subHead))
+    }.collect().sortBy(_._1)
+    // driver fold: incoming (valid, lastPacked, offInClass, subHead)
+    // per partition, plus the straddle-adjusted global run count
+    val incoming = new Array[(Boolean, Long, Long, Long)](sums.length)
+    var stValid = false; var stLast = -1L; var stOff = 0L; var stSub = 0L
+    var totalRuns = 0L
+    sums.foreach { case (pid, any, first, last, runs, vOff, vSub) =>
+      incoming(pid) = (stValid, stLast, stOff, stSub)
+      if (any) {
+        val contClass = stValid && (first >>> 32) == (stLast >>> 32)
+        val contRun = stValid && first == stLast
+        val shift = if (contClass) stOff + 1L else 0L
+        totalRuns += runs - (if (contRun) 1L else 0L)
+        val oneClass = (last >>> 32) == (first >>> 32)
+        val (nOff, nSub) =
+          if (oneClass && contClass)
+            (vOff + shift,
+              // vSub == 0 ⇔ the whole partition is ONE run: its head is
+              // the incoming run's head if the run continues, else the
+              // partition's first row (global offset = shift)
+              if (vSub == 0L) { if (contRun) stSub else shift }
+              else vSub + shift)
+          else (vOff, vSub)
+        stOff = nOff; stSub = nSub; stLast = last; stValid = true
+      }
+    }
+    // next non-empty partition's first packed key, for the retire
+    // lookahead of each partition's last row (-1 = none; packed keys
+    // are always >= 0)
+    val nextFirst = new Array[Long](sums.length)
+    var nf = -1L
+    sums.indices.reverse.foreach { idx =>
+      nextFirst(idx) = nf
+      if (sums(idx)._2) nf = sums(idx)._3
+    }
+    val bcIn = s.sparkContext.broadcast(incoming)
+    val bcNext = s.sparkContext.broadcast(nextFirst)
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var (valid, last, off, subHead) = bcIn.value(pid)
+      val nextP = bcNext.value(pid)
+      val buf = it.buffered
+      new Iterator[Row] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): Row = {
+          val r = buf.next()
+          val p = r.getLong(2)
+          val rk = p >>> 32
+          val prevValid = valid; val prevP = last
+          if (!valid || rk != (last >>> 32)) { off = 0L; subHead = 0L }
+          else { off += 1L; if (p != last) subHead = off }
+          val nxt = if (buf.hasNext) buf.head.getLong(2) else nextP
+          val retire = (!prevValid || prevP != p) && nxt != p
+          valid = true; last = p
+          Row(r.getLong(0), r.getLong(1), rk + subHead, retire)
+        }
+      }
+    }
+    val schema = rankSchema.add("retired",
+      org.apache.spark.sql.types.BooleanType, nullable = false)
     // materialize before unpersisting the sorted input (both passes
     // read it; a lazy result would recompute the sort after unpersist)
     val result = s.createDataFrame(out, schema).localCheckpoint(true)
     rdd.unpersist(blocking = false)
-    (result, totalClasses)
+    (result, totalRuns)
   }
 
   /** Suffix ranks after full prefix doubling: (doc_id, i, rk) where rk
-    * orders the suffixes starting at token i (1-based) of each doc;
-    * identical suffixes (same token sequence to end-of-doc) share a
-    * rank. */
+    * HEAD-ranks the suffixes starting at token i (1-based) of each doc
+    * — rk = the number of strictly-smaller suffixes in the corpus,
+    * counted WITH multiplicity, so identical suffixes share a rank and
+    * ranks are suffix-order-isomorphic (all any consumer sorts on). */
   private[operators] def suffixRanks(s: SparkSession, dir: String): DataFrame = {
     val tw = tok(s, dir)
     val tokens = tw
@@ -149,46 +260,55 @@ object SuffixOps {
     // empty result)
     val maxLenRow = tw.agg(max(size(col("w")))).first()
     if (maxLenRow.isNullAt(0))
-      return s.createDataFrame(s.sparkContext.emptyRDD[Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("i",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("rk",
-            org.apache.spark.sql.types.LongType, nullable = false))))
+      return s.createDataFrame(s.sparkContext.emptyRDD[Row], rankSchema)
     val maxLen = maxLenRow.getInt(0).toLong
 
-    val tokRanks = zipWithRank(
-      tokens.select(col("tk")).distinct().orderBy(col("tk")), "rk")
-    var ranks = tokens.join(tokRanks, "tk")
-      .select(col("doc_id"), col("i"), col("rk")).localCheckpoint()
+    val (combined0, totalPositions, classes0) = initialHeadRanks(tokens)
+    require(totalPositions <= MaxPackablePositions,
+      s"suffix array: $totalPositions token positions exceed the packed " +
+      "int64 sort-key bound (2^31-1) — shard the corpus per job or " +
+      "restore the unpacked (rk, rk2) two-column sort")
+    val proj = Seq(col("doc_id"), col("i"), col("rk"))
+    var pieces = List(combined0.filter(col("retired")).select(proj: _*))
+    var active = combined0.filter(!col("retired")).select(proj: _*)
+    var nActive = active.count()
+    // classes currently represented in the active frame (all of size
+    // >= 2 — singletons retired on arrival)
+    var activeClasses = classes0
 
     var k = 1L
-    var prevDistinct = -1L
-    var saturated = false
-    while (k < maxLen && !saturated) {
-      // rank of the suffix k tokens ahead, seen from position i
-      val shifted = ranks.select(col("doc_id"), (col("i") - k).as("i"),
+    while (k < maxLen && nActive > 0L) {
+      // rank of the suffix k tokens ahead, seen from position i: the
+      // lookup target may be retired (its rank is final and, under the
+      // head convention, still the correct current-round rank), so the
+      // shifted side reads the WHOLE table — retired pieces + active
+      val full = (active :: pieces).reduce(_ unionByName _)
+      val shifted = full.select(col("doc_id"), (col("i") - k).as("i"),
         col("rk").as("rk2"))
-      val paired = ranks.join(shifted, Seq("doc_id", "i"), "left_outer")
+      val paired = active.join(shifted, Seq("doc_id", "i"), "left_outer")
         .na.fill(-1L, Seq("rk2")) // past end-of-doc: shorter sorts first
-      val (next, d) = denseRankPairs(paired)
-      ranks = next
-      k *= 2
-      // prefix-doubling termination: if NO equality class split this
-      // round (distinct-rank count unchanged), the partition is a
-      // fixpoint — suffixes sharing a class agree on every k-block by
-      // induction, i.e. are identical to end-of-doc — so further
-      // rounds are the identity and their sort + join are pure waste.
-      // Real corpora stabilize at k ≈ longest repeated prefix, far
-      // below max doc length; the class count falls out of the
-      // dense-rank fold, so the probe costs nothing.
-      // (All-ranks-unique is the textbook special case of this.)
-      saturated = d == prevDistinct
-      prevDistinct = d
+      val (scanned, runs) = headRankScan(paired.select(col("doc_id"),
+        col("i"),
+        (shiftleft(col("rk"), 32) + col("rk2") + lit(1L)).as("pk")))
+      val newActive = scanned.filter(!col("retired")).select(proj: _*)
+      val nNew = newActive.count()
+      val retiredNow = nActive - nNew
+      if (retiredNow > 0L)
+        pieces ::= scanned.filter(col("retired")).select(proj: _*)
+      // prefix-doubling fixpoint: if NO class split this round (run
+      // count equals the incoming class count and nothing retired),
+      // surviving classes agree on every k-block by induction — the
+      // suffixes are identical to end-of-doc — and further rounds are
+      // the identity. Real corpora instead DRAIN: the active set
+      // shrinks geometrically once k passes the local repeat depth,
+      // and the loop ends at nActive = 0 long before k reaches maxLen.
+      val saturated = retiredNow == 0L && runs == activeClasses
+      active = newActive
+      nActive = if (saturated) 0L else nNew
+      activeClasses = runs - retiredNow
+      k *= 2L
     }
-    ranks
+    (active :: pieces).reduce(_ unionByName _)
   }
 
   /** Adjacent-suffix LCPs: (dA, iA, lcp, wA) for each neighbor pair in

@@ -70,6 +70,21 @@ class SuffixOpsSpec extends SparkSpec {
     assert(SuffixOps.q164LongestDup.fn(spark, dir).collect().isEmpty)
   }
 
+  /** Driver reference for [[SuffixOps.suffixRanks]]'s HEAD-rank
+    * convention: rank(suffix) = count of strictly-smaller suffixes,
+    * WITH multiplicity — so identical suffixes share a rank and the
+    * values are exactly the class-head suffix-array indices. */
+  private def headRankReference(docs: Seq[(Long, String)]): Map[(Long, Int), Long] = {
+    val suffixes = docs.flatMap { case (d, t) =>
+      val w = toks(t)
+      (1 to w.length).map(i => ((d, i), w.drop(i - 1).toSeq))
+    }
+    val ord = math.Ordering.Implicits.seqOrdering[Seq, String]
+    suffixes.map { case (k, s) =>
+      k -> suffixes.count(o => ord.lt(o._2, s)).toLong
+    }.toMap
+  }
+
   test("prefix-doubling ranks equal a driver-side generalized suffix sort") {
     val docs = Seq(
       (1L, "b a b a b"),
@@ -78,22 +93,28 @@ class SuffixOpsSpec extends SparkSpec {
     val dir = writeDocs(docs)
     val got = SuffixOps.suffixRanks(spark, dir).collect()
       .map(r => ((r.getLong(0), r.getLong(1).toInt), r.getLong(2))).toMap
-
-    // driver reference: every (doc, i) suffix as its token list,
-    // sorted; identical suffixes share a dense rank
-    val suffixes = docs.flatMap { case (d, t) =>
-      val w = toks(t)
-      (1 to w.length).map(i => ((d, i), w.drop(i - 1).toSeq))
-    }
-    val ordered = suffixes.map(_._2).distinct.sorted(
-      math.Ordering.Implicits.seqOrdering[Seq, String])
-    val rankOf = ordered.zipWithIndex.toMap
-    val want = suffixes.map { case (k, s) => k -> rankOf(s).toLong }.toMap
-
+    val want = headRankReference(docs)
     assert(got.keySet == want.keySet)
-    // dense ranks must agree exactly: same order AND same tie classes
+    // head ranks must agree exactly: same order AND same tie classes
     assert(got.toSeq.sortBy(_._1) == want.toSeq.sortBy(_._1),
       s"\ngot:  ${got.toSeq.sortBy(_._1)}\nwant: ${want.toSeq.sortBy(_._1)}")
+  }
+
+  test("suffix ranks survive partition straddles: repeat-heavy random corpus, many partitions") {
+    // small alphabet + long docs force large equal-rank classes that
+    // straddle the 32 sort partitions for many doubling rounds — the
+    // worst case for the two-phase scan's driver fold (class AND run
+    // continuation across partition edges, retire lookahead at edges)
+    val rnd = new scala.util.Random(42)
+    val docs = (1L to 12L).map { d =>
+      d -> (1 to 80).map(_ => "w" + rnd.nextInt(3)).mkString(" ")
+    }
+    val dir = writeDocs(docs)
+    val got = SuffixOps.suffixRanks(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1).toInt), r.getLong(2))).toMap
+    val want = headRankReference(docs)
+    assert(got.keySet == want.keySet)
+    assert(got.toSeq.sortBy(_._1) == want.toSeq.sortBy(_._1))
   }
 
   test("cross-operator: q98 shared spans imply q164 dup_len >= SpanLen") {

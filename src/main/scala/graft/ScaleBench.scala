@@ -113,7 +113,8 @@ object ScaleBench {
     "q87_curation_pipeline", "q96_lm_perplexity", "q101_dsir", "q108_kn_perplexity",
     "q173_doremi_weights", "q51_lsh_jaccard_pairs", "q98_dup_spans",
     "q164_longest_dup", "q104_bpe_merges", "q174_kmeans_clusters",
-    "q130_knn_graph", "knn_graph_ivf", "knn_graph_ivf2", "q85_ann_pq", "q100_ann_ivfpq",
+    "q130_knn_graph", "knn_graph_ivf", "knn_graph_ivf2", "q243_knn_graph_prod",
+    "q85_ann_pq", "q100_ann_ivfpq",
     "q205_cc_twophase")
 
   /** The saturation-sensitive tier: the queries whose x100 cost on

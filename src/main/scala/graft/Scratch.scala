@@ -20,8 +20,14 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Tables.names.foreach(n => Tables.load(spark, sfDir, n).schema)
-    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    // tolerate partial dirs (ScaleBench corpora carry only
+    // documents/embeddings) — warm what exists, skip the rest
+    Tables.names.foreach { n =>
+      try Tables.load(spark, sfDir, n).schema
+      catch { case _: Throwable => () }
+    }
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val byName = SparkEntry.registry.map(q => q.name -> q).toMap
     names.foreach { n =>
       val q = byName(n)

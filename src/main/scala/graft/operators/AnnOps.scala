@@ -860,6 +860,112 @@ object AnnOps {
       .select(col("vec_id"), col("rk"), col("nbr_id"), col("cos"))
   }
 
+  /** Cell-count threshold for [[knnGraphAuto]]: at or below it the
+    * flat build's N×C assignment is one broadcast + narrow scan per
+    * vector — cheaper than standing up a coarse level; past it the
+    * assignment IS the measured x100 wall (SCALE.md Round 13: flat
+    * exponent 1.13 vs two-level 0.77) and the hierarchical form wins.
+    * ~10³ cells ⇔ ~10⁶+ vectors under the C ∝ 4√N sizing. */
+  private[operators] val FlatCells = 1024L
+
+  /** Production kNN-graph entry point — the gate-driven strategy pick
+    * the r12/r13 scale decades argued for, as engine behavior instead
+    * of harness advice: [[knnGraphIvf]] while the centroid table is
+    * small, [[knnGraphIvfTwoLevel]] (gProbe 4, the measured operating
+    * point) past [[FlatCells]]. Both arms share the probe-nesting
+    * guarantees, so recall characteristics move continuously across
+    * the threshold (AnnOpsSpec pins the flip and the full-probe
+    * equality on both sides). */
+  def knnGraphAuto(e: DataFrame, centroids: DataFrame, nprobe: Int,
+      k: Int): DataFrame = {
+    val c = centroids.count()
+    if (c <= FlatCells) knnGraphIvf(e, centroids, nprobe, k)
+    else {
+      val cc = math.max(4, math.ceil(math.sqrt(c.toDouble)).toInt)
+      knnGraphIvfTwoLevel(e, centroids, coarsePick(centroids, cc),
+        gProbe = 4, nprobe = nprobe, k = k)
+    }
+  }
+
+  /** The production build's deterministic sizing from the corpus
+    * count: C = max(16, ⌊4√N⌋) fine cells (the published FAISS
+    * guidance), Cc = max(4, ⌈√C⌉) coarse groups — every stage's
+    * per-vector work O(√N). Shared by q130 (full probes) and q243
+    * (production probes) so the two registered paths differ ONLY in
+    * probe width. */
+  private def prodSizing(e: DataFrame): (DataFrame, Int) = {
+    val n = e.count()
+    val c = math.max(16L, (4.0 * math.sqrt(n.toDouble)).toLong)
+    val centroids = e.filter(col("vec_id") < c)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    (centroids, math.max(4, math.ceil(math.sqrt(c.toDouble)).toInt))
+  }
+
+  private val ProdGProbe = 4
+  private val ProdNProbe = 4
+
+  /** q243: the production two-level kNN graph AS a registered,
+    * oracle-checked query — gProbe/nprobe at the measured operating
+    * point (4/4), C = 4√N, Cc = ⌈√C⌉. Unlike q130 (the exact graph,
+    * whose oracle brute-forces all pairs), this build is APPROXIMATE
+    * by design, so its DuckDB oracle REPLAYS the algorithm —
+    * coarse pick, fine-to-group attachment, per-vector group probe,
+    * candidate argmin assignment, nprobe cell pick, member scoring,
+    * top-k — with every tiebreak pinned ((dist, id) ascending,
+    * (cos desc, nbr_id)), the q56/q100 replay-oracle discipline.
+    *
+    * Scale: per-vector work is O(√N) at every stage (the flat build's
+    * N×C assignment is the measured x100 wall this form drops 45%);
+    * the only N-sized shuffles are the pre-collapsed argmin and the
+    * cell-keyed member join. */
+  val q243KnnGraphProd: QueryDef = QueryDef(
+    "q243_knn_graph_prod",
+    (s, dir) => {
+      VectorExpressions.register(s)
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val (centroids, cc) = prodSizing(e)
+      knnGraphIvfTwoLevel(e, centroids, coarsePick(centroids, cc),
+        gProbe = ProdGProbe, nprobe = ProdNProbe, k = GraphK)
+        .orderBy(col("vec_id"), col("rk"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      sz AS (SELECT greatest(16, CAST(floor(4 * sqrt(count(*))) AS BIGINT)) AS c FROM e),
+      cent AS (SELECT vec_id AS cid, v AS cv FROM e, sz WHERE vec_id < sz.c),
+      ccn AS (SELECT greatest(4, CAST(ceil(sqrt(c)) AS BIGINT)) AS cc FROM sz),
+      coarse AS (SELECT gid, gv FROM (
+          SELECT cid AS gid, cv AS gv, row_number() OVER (ORDER BY cid) AS r
+          FROM cent), ccn WHERE r <= cc),
+      grouped AS (SELECT gid, cid, cv FROM (
+          SELECT g.gid, c.cid, c.cv, row_number() OVER (PARTITION BY c.cid
+            ORDER BY list_sum(list_transform(list_zip(c.cv, g.gv),
+              x -> (x[1]-x[2])*(x[1]-x[2]))), g.gid) AS rk
+          FROM cent c, coarse g) t WHERE rk = 1),
+      pg AS (SELECT vec_id, gid FROM (
+          SELECT e.vec_id, g.gid, row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_sum(list_transform(list_zip(e.v, g.gv),
+              x -> (x[1]-x[2])*(x[1]-x[2]))), g.gid) AS rk
+          FROM e, coarse g) t WHERE rk <= $ProdGProbe),
+      cand AS (SELECT e.vec_id, e.v, f.cid,
+          list_sum(list_transform(list_zip(e.v, f.cv),
+            x -> (x[1]-x[2])*(x[1]-x[2]))) AS dist
+        FROM e JOIN pg USING (vec_id) JOIN grouped f USING (gid)),
+      assigned AS (SELECT vec_id, v, cid AS cell FROM (
+          SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id
+            ORDER BY dist, cid) AS rk FROM cand) t WHERE rk = 1),
+      probes AS (SELECT vec_id, cid AS cell FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+            ORDER BY dist, cid) AS rk FROM cand) t WHERE rk <= $ProdNProbe),
+      edges AS (SELECT p.vec_id, a.vec_id AS nbr_id,
+          round(list_sum(list_transform(list_zip(pe.v, a.v),
+            x -> x[1]*x[2])), 6) AS cos
+        FROM probes p JOIN e pe ON pe.vec_id = p.vec_id
+        JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.vec_id),
+      ranked AS (SELECT vec_id, nbr_id, cos, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rk FROM edges)
+      SELECT vec_id, CAST(rk AS BIGINT) AS rk, nbr_id, cos
+      FROM ranked WHERE rk <= $GraphK ORDER BY vec_id, rk"""))
+
   // ---------------------------------------------------------------
   // q160: PageRank centrality over the kNN graph
   // ---------------------------------------------------------------
@@ -953,7 +1059,17 @@ object AnnOps {
       VectorExpressions.register(s)
       val e = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
-      knnGraphExact(e, GraphK).orderBy(col("vec_id"), col("rk"))
+      // the EXACT graph through the production two-level plumbing:
+      // full probes (gProbe = Cc, nprobe = C) nest to knnGraphExact
+      // (AnnOpsSpec proves the equality row-for-row), so the exact
+      // brute-force oracle below now gates the production code path,
+      // not a separate baseline. knnGraphExact remains the in-code
+      // calibration reference the spec compares against.
+      val (centroids, cc) = prodSizing(e)
+      val c = centroids.count().toInt
+      knnGraphIvfTwoLevel(e, centroids, coarsePick(centroids, cc),
+        gProbe = cc, nprobe = c, k = GraphK)
+        .orderBy(col("vec_id"), col("rk"))
     },
     Some(s"""WITH $knnSqlCtes
       SELECT vec_id, rk, nbr_id, cos FROM r WHERE rk <= $GraphK
@@ -1708,5 +1824,5 @@ object AnnOps {
   val all: Seq[QueryDef] =
     Seq(q56AnnIvf, q68AnnLsh, q79AnnLshMultiprobe, q85AnnPq, q100AnnIvfPq,
       q117AnnSq8, q130KnnGraph, q155AnnJl, q160Pagerank, q179AnnRecall,
-      q197AnnNsw, q198NnDescent, q199AnnHnsw)
+      q197AnnNsw, q198NnDescent, q199AnnHnsw, q243KnnGraphProd)
 }

@@ -263,7 +263,17 @@ object SuffixOps {
       return s.createDataFrame(s.sparkContext.emptyRDD[Row], rankSchema)
     val maxLen = maxLenRow.getInt(0).toLong
 
+    // perf diagnostics (spark.graft.suffix.debug=true): per-round
+    // active-set size, class count, and wall time — the working-set
+    // drain curve the retirement refinement is betting on
+    val dbg = s.conf.getOption("spark.graft.suffix.debug").contains("true")
+    var t0 = System.nanoTime()
+    def lap(tag: String): Unit = if (dbg) {
+      println(f"[suffix] $tag t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      t0 = System.nanoTime()
+    }
     val (combined0, totalPositions, classes0) = initialHeadRanks(tokens)
+    lap(s"init positions=$totalPositions classes=$classes0")
     require(totalPositions <= MaxPackablePositions,
       s"suffix array: $totalPositions token positions exceed the packed " +
       "int64 sort-key bound (2^31-1) — shard the corpus per job or " +
@@ -303,6 +313,8 @@ object SuffixOps {
       // shrinks geometrically once k passes the local repeat depth,
       // and the loop ends at nActive = 0 long before k reaches maxLen.
       val saturated = retiredNow == 0L && runs == activeClasses
+      lap(s"round k=$k in=$nActive out=$nNew retired=$retiredNow runs=$runs" +
+        (if (saturated) " SATURATED" else ""))
       active = newActive
       nActive = if (saturated) 0L else nNew
       activeClasses = runs - retiredNow

@@ -374,6 +374,42 @@ class AnnOpsSpec extends SparkSpec {
     assert(!gplan.contains("CartesianProduct"))
   }
 
+  test("knnGraphAuto picks flat below the cell threshold and two-level above; q130/q243 share the plumbing") {
+    import org.apache.spark.sql.functions._
+    graft.functions.expressions.VectorExpressions.register(spark)
+    val e = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    def edges(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rk"), r.getAs[Long]("nbr_id"))).toSet
+    // C = 16 <= FlatCells → the flat arm, row-identical to knnGraphIvf
+    assert(AnnOps.FlatCells >= 16L)
+    assert(edges(AnnOps.knnGraphAuto(e, cents, 4, 5)) ===
+      edges(AnnOps.knnGraphIvf(e, cents, 4, 5)))
+    // past the threshold the two-level arm runs: with every vector its
+    // own cell (C = N > FlatCells at sf0.01's 2000 vectors) and gProbe
+    // fixed at 4, the result equals the explicit two-level call
+    val allCells = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val c = allCells.count()
+    if (c > AnnOps.FlatCells) {
+      val cc = math.max(4, math.ceil(math.sqrt(c.toDouble)).toInt)
+      val coarse = AnnOps.coarsePick(allCells, cc)
+      assert(edges(AnnOps.knnGraphAuto(e, allCells, 4, 5)) ===
+        edges(AnnOps.knnGraphIvfTwoLevel(e, allCells, coarse, 4, 4, 5)))
+    }
+    // the registered q130 (exact graph through the two-level full
+    // probes) still equals the brute-force reference
+    assert(edges(AnnOps.q130KnnGraph.fn(spark, sf)) ===
+      edges(AnnOps.knnGraphExact(e, 5)))
+    // q243 (production probes) returns a full k-graph shape
+    val prod = AnnOps.q243KnnGraphProd.fn(spark, sf).collect()
+    val perVec = prod.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perVec.values.forall(_ <= 5))
+    assert(prod.length > 0)
+  }
+
   test("q179: recall audit is bounded, and probing every cell gives recall 1") {
     val rows = AnnOps.q179AnnRecall.fn(spark, "/root/testdata/sf0.01").collect()
     assert(rows.length === 5)

@@ -370,9 +370,13 @@ object DedupOps {
           simhash128Blocks(packedSimhash128Of(smp))
             .select(col("doc_id"), col("bk").cast("string").as("k")),
         HamBlocks, budget)
+      case "manku64" => pfReport(d, smp =>
+          mankuKeys(packedSimhashOf(smp))
+            .select(col("doc_id"), col("mk").cast("string").as("k")),
+        MankuTables.length, budget)
       case other => throw new IllegalArgumentException(
         s"unknown dedup pre-flight family '$other' — valid families: " +
-        "minhash, simhash, simhash128")
+        "minhash, simhash, simhash128, manku64")
     }
   }
 
@@ -967,6 +971,104 @@ object DedupOps {
       ORDER BY doc_a, doc_b"""))
 
   // ---------------------------------------------------------------
+  // q244: Manku permuted-table pairs — the 64-bit middle rung
+  // ---------------------------------------------------------------
+
+  /** Block layout for the permuted-table scheme: 64 bits in 6 blocks
+    * (11,11,11,11,10,10). Any pair within Hamming distance 3 corrupts
+    * at most 3 blocks, so at least 3 blocks match EXACTLY — and one of
+    * the C(6,3) = 20 block-triples below is made entirely of matching
+    * blocks, which is the recall guarantee (pigeonhole over triples;
+    * MankuSpec proves banded = brute on both real and adversarial
+    * corpora). */
+  private val MankuBlockLens: IndexedSeq[Int] = IndexedSeq(11, 11, 11, 11, 10, 10)
+  private val MankuOffsets: IndexedSeq[Int] =
+    MankuBlockLens.scanLeft(0)(_ + _).init
+  private val MankuTables: Seq[IndexedSeq[Int]] =
+    (0 until MankuBlockLens.length).combinations(3).map(_.toIndexedSeq).toSeq
+  private[operators] val MankuHamMax = 3
+
+  /** The 20 permuted-table keys of a packed 64-bit signature, one long
+    * per table: table_id·2³⁴ + the triple's 32-33 key bits. This is
+    * the published MIDDLE operating point between q242 and MinHash
+    * (Manku et al. 2007 §3 — t sorted permuted tables probing on
+    * ~⌈t·64/(something)⌉-bit prefixes was Google's production design):
+    * it keeps 64-bit fingerprints (HALF q242's signature bytes) while
+    * escaping the 8-bit block ceiling — each table's key space is
+    * 2³²⁺, vs q90's 2⁸ per block — at the price of a tighter distance
+    * bound (d ≤ 3, the bound 6 blocks of ≥10 bits can pigeonhole) and
+    * 20 exploded rows per doc instead of 8. */
+  private def mankuKeys(sig: DataFrame): DataFrame = {
+    // simhash bit b lives at bit 63−b of the concatenated sig64, so
+    // block j (string offset off, length len) is a shift+mask
+    val blk = (0 until 6).map { j =>
+      val off = MankuOffsets(j); val len = MankuBlockLens(j)
+      s"(shiftrightunsigned(shiftleft(sig_hi, 32) + sig_lo, ${64 - off - len}) & ${(1L << len) - 1}L)"
+    }
+    val keys = MankuTables.zipWithIndex.map { case (t, tid) =>
+      val (a, b, c) = (t(0), t(1), t(2))
+      val (lb, lc) = (MankuBlockLens(b), MankuBlockLens(c))
+      s"(${tid}L * ${1L << 34}L + ${blk(a)} * ${1L << (lb + lc)}L + " +
+        s"${blk(b)} * ${1L << lc}L + ${blk(c)})"
+    }
+    sig.select(col("doc_id"), col("sig_hi"), col("sig_lo"),
+      explode(expr(s"array(${keys.mkString(",")})")).as("mk"))
+  }
+
+  /** Manku near-dup pairs: equi self-join on the permuted-table key,
+    * XOR+bit_count Hamming verify ≤ 3, distinct — q90's slim-join
+    * shape with 20 tables of 32-bit keys. Own pre-flight family
+    * ("manku64"), so the density ladder prices this rung like every
+    * other. */
+  private[operators] def mankuPairsOf(sig: DataFrame): DataFrame = {
+    val keys = mankuKeys(sig)
+    keys.as("a").join(keys.as("b"),
+        col("a.mk") === col("b.mk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.sig_hi ^ b.sig_hi) + bit_count(a.sig_lo ^ b.sig_lo)")
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= MankuHamMax)
+      .distinct()
+  }
+
+  private[operators] def mankuPairs(s: SparkSession, dir: String): DataFrame = {
+    preflightGuard(s, dir, "manku64")
+    mankuPairsOf(materialize(packedSimhash(s, dir), "manku_sig"))
+  }
+
+  /** The oracle's table list rendered as VALUES rows from the SAME
+    * Scala constants the Spark keys are generated from. */
+  private def mankuTableValuesSql: String =
+    MankuTables.zipWithIndex.map { case (t, tid) =>
+      val cols = t.flatMap(j => Seq(MankuOffsets(j), MankuBlockLens(j)))
+      s"($tid, ${cols.mkString(", ")})"
+    }.mkString(", ")
+
+  val q244MankuPairs: QueryDef = QueryDef(
+    "q244_manku_pairs",
+    (s, dir) => mankuPairs(s, dir).orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""WITH toks AS (SELECT doc_id, substr(sha256(tok), 1, 16) AS h FROM (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+          FROM documents) t),
+      sig AS (SELECT doc_id, $simhashConcatExpr AS simhash FROM toks GROUP BY doc_id),
+      mt(tid, o1, l1, o2, l2, o3, l3) AS (VALUES $mankuTableValuesSql),
+      keys AS (SELECT doc_id, tid,
+          substr(simhash, o1 + 1, l1) || substr(simhash, o2 + 1, l2) ||
+          substr(simhash, o3 + 1, l3) AS mk
+        FROM sig, mt),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM keys a JOIN keys b
+        ON a.tid = b.tid AND a.mk = b.mk AND a.doc_id < b.doc_id),
+      ham AS (SELECT doc_a, doc_b,
+          CAST(list_sum([CASE WHEN substr(sa.simhash, i, 1) <> substr(sb.simhash, i, 1)
+                              THEN 1 ELSE 0 END for i in range(1, 65)]) AS BIGINT) AS hamming
+        FROM cand
+        JOIN sig sa ON doc_a = sa.doc_id
+        JOIN sig sb ON doc_b = sb.doc_id)
+      SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= $MankuHamMax
+      ORDER BY doc_a, doc_b"""))
+
+  // ---------------------------------------------------------------
   // Fingerprint contraction: the q205 saturation fix
   // ---------------------------------------------------------------
 
@@ -1483,5 +1585,6 @@ object DedupOps {
     q91DupClusters, q112EditDistPairs, q129DedupSaturation,
     q131MinhashCalibration, q134ClusterHistogram, q183LshRecall,
     q192CrossSourceDups, q205CcTwophase, q226SourceMinhash,
-    q239DedupPreflight, q241ContainmentPairs, q242Simhash128Pairs)
+    q239DedupPreflight, q241ContainmentPairs, q242Simhash128Pairs,
+    q244MankuPairs)
 }

@@ -197,10 +197,11 @@ object DedupOps {
     * materialized hash frame as q51/q131; the classification is
     * per-pair array arithmetic. Honest bias note: LSH bands recall
     * RESEMBLANCE, so a tiny doc inside a huge one may never become a
-    * candidate; at 100 TB the subset-recall path is a dedicated
-    * containment sketch (bottom-k of A ∩ sketch of B) or one-band
-    * probing — this operator classifies the candidate set the
-    * resemblance pass already paid for. */
+    * candidate — this operator classifies the candidate set the
+    * resemblance pass already paid for. The subset-RECALL path is
+    * [[q245ContainmentRecall]]: bottom-k probing keyed on the small
+    * side's hashes, with a pigeonhole recall-1 guarantee on the τ
+    * bound (and a spec exhibiting the pair this operator misses). */
   val q241ContainmentPairs: QueryDef = QueryDef(
     "q241_containment_pairs",
     (s, dir) => {
@@ -349,6 +350,34 @@ object DedupOps {
           lit("refuse")).otherwise(lit("ok")).as("verdict"))
   }
 
+  /** Bipartite pre-flight projection for probe→index joins (the q245
+    * containment family): under the Bernoulli(p) doc coin,
+    * E[pf_h·df_h − pf_h] = p²·(PF_h·DF_h − PF_h) — the self terms
+    * (every probing doc also indexes h, so they scale as p, not p²)
+    * cancel EXACTLY because probe keys ⊆ index keys per doc — so
+    * Σ_h (pf_h·df_h − pf_h)/p² is an unbiased projection of the
+    * ordered raw candidate volume of the full probe→index join, the
+    * bipartite twin of [[projectedPairs]]' within-frame Σc(c−1)/2. */
+  private def pfReportBipartite(d: DataFrame,
+      probeOfSample: DataFrame => DataFrame,
+      indexOfSample: DataFrame => DataFrame, budget: Double): DataFrame = {
+    val total = d.agg(count(lit(1)).as("n_docs"))
+    val sample = d.filter(expr(
+      s"${MixOps.bucketExpr("sha2(cast(doc_id as string), 256)", PfMod)} < $PfThresh"))
+    val sampleDocs = sample.agg(count(lit(1)).as("sample_docs"))
+    val pf = probeOfSample(sample).groupBy(col("k")).agg(count(lit(1)).as("pf"))
+    val dfx = indexOfSample(sample).groupBy(col("k")).agg(count(lit(1)).as("df"))
+    pf.join(dfx, "k")
+      .agg(coalesce(sum(col("pf") * col("df") - col("pf")), lit(0L))
+        .cast("long").as("sample_pairs"))
+      .crossJoin(sampleDocs).crossJoin(total)
+      .select(col("sample_docs"), col("sample_pairs"), col("n_docs"),
+        round(col("sample_pairs") * lit(PfInv2), 4).as("projected_pairs"),
+        round(col("sample_pairs") * lit(PfInv2) / col("n_docs"), 6).as("pairs_per_doc"),
+        when(col("sample_pairs") * lit(PfInv2) / col("n_docs") > lit(budget),
+          lit("refuse")).otherwise(lit("ok")).as("verdict"))
+  }
+
   /** Pre-flight for a named banding family — "minhash" (q51's 4-band
     * keys) or "simhash" (q90's 8 pigeonhole blocks). Each family
     * projects from its OWN keys, so the verdict reflects the join it
@@ -374,9 +403,15 @@ object DedupOps {
           mankuKeys(packedSimhashOf(smp))
             .select(col("doc_id"), col("mk").cast("string").as("k")),
         MankuTables.length, budget)
+      case "containment" => pfReportBipartite(d,
+        smp => containProbes(hashedOf(shingledOf(smp, "pf_ctok"), "pf_chash"))
+          .select(col("small_id").as("doc_id"), col("h").as("k")),
+        smp => containIndex(hashedOf(shingledOf(smp, "pf_ctok2"), "pf_chash2"))
+          .select(col("big_id").as("doc_id"), col("h").as("k")),
+        budget)
       case other => throw new IllegalArgumentException(
         s"unknown dedup pre-flight family '$other' — valid families: " +
-        "minhash, simhash, simhash128, manku64")
+        "minhash, simhash, simhash128, manku64, containment")
     }
   }
 
@@ -1069,6 +1104,107 @@ object DedupOps {
       ORDER BY doc_a, doc_b"""))
 
   // ---------------------------------------------------------------
+  // q245: containment-RECALL pairs — the q241 bias escape
+  // ---------------------------------------------------------------
+
+  /** Containment threshold (Szymkiewicz–Simpson overlap ≥ this on the
+    * smaller side) and its probe fraction 1 − τ, rendered as the same
+    * literals into Spark and oracle texts. */
+  private val ContainTau = "0.8"
+  private val ContainFrac = "0.2"
+
+  /** q241 classifies only the RESEMBLANCE-recalled candidate set, so a
+    * tiny doc inside a huge one (Jaccard ≪ band threshold) never
+    * becomes a candidate — the honest bias note at q241. This operator
+    * is the documented escape, with a PROVABLE recall bound instead of
+    * an S-curve: every doc probes the inverted shingle-hash index with
+    * its p = ⌊(1−τ)·|A|⌋ + 1 LEXICOGRAPHICALLY SMALLEST hashes (a
+    * deterministic bottom-k sketch of A). If containment(A, B) ≥ τ
+    * with A the smaller side, then |A \ B| ≤ (1−τ)·|A| < p, so at
+    * least one probed hash is in B by pigeonhole — recall is exactly 1
+    * on the τ bound (ContainmentRecallSpec proves it brute-force, and
+    * exhibits the subset pair q241 misses). One-sided probing keyed on
+    * the SMALL side's sketch is the "probe by the small signature"
+    * variant the q241 note named; Broder 1997 distinguishes the
+    * containment question from resemblance.
+    *
+    * Scale: the index side is the exploded shingle-hash frame (linear
+    * in corpus shingles — the same order as the MinHash hash pass);
+    * probes are a (1−τ) fraction of it; the join is hash-equi, with
+    * candidate volume Σ_h pf_h·df_h priced by its own bipartite
+    * pre-flight family ("containment") BEFORE the join. Only
+    * candidate pairs rejoin the hash arrays for the exact verify. */
+  private def containProbes(hashed: DataFrame): DataFrame =
+    hashed.select(col("doc_id").as("small_id"),
+      size(col("hashes")).cast("long").as("n_small"),
+      explode(expr(s"slice(array_sort(hashes), 1, " +
+        s"cast(floor($ContainFrac * size(hashes)) as int) + 1)")).as("h"))
+
+  private def containIndex(hashed: DataFrame): DataFrame =
+    hashed.select(col("doc_id").as("big_id"),
+      size(col("hashes")).cast("long").as("n_big"),
+      explode(col("hashes")).as("h"))
+
+  /** The full recall pipeline over a (doc_id, hashes) frame: probe →
+    * candidates (small side strictly-smaller-or-id-tiebreak) → exact
+    * containment verify ≥ τ → near_dup/subset classification. */
+  private[operators] def containmentRecallOf(hashed: DataFrame): DataFrame = {
+    val cand = containProbes(hashed).join(containIndex(hashed), "h")
+      .filter(col("n_small") < col("n_big") ||
+        (col("n_small") === col("n_big") && col("small_id") < col("big_id")))
+      .select(col("small_id"), col("big_id"))
+      .distinct()
+    cand
+      .join(hashed.as("sa"), col("small_id") === col("sa.doc_id"))
+      .join(hashed.as("sb"), col("big_id") === col("sb.doc_id"))
+      .select(col("small_id").as("doc_small"), col("big_id").as("doc_big"),
+        size(col("sa.hashes")).cast("long").as("n_small"),
+        size(col("sb.hashes")).cast("long").as("n_big"),
+        size(array_intersect(col("sa.hashes"), col("sb.hashes")))
+          .cast("long").as("n_common"))
+      .filter(col("n_common").cast("double") / col("n_small") >= expr(ContainTau))
+      .withColumn("containment",
+        round(col("n_common").cast("double") / col("n_small"), 6))
+      .withColumn("jaccard", round(col("n_common").cast("double") /
+        (col("n_small") + col("n_big") - col("n_common")), 6))
+      .withColumn("relation",
+        when(col("jaccard") >= 0.8, lit("near_dup")).otherwise(lit("subset")))
+      .orderBy(col("doc_small"), col("doc_big"))
+  }
+
+  val q245ContainmentRecall: QueryDef = QueryDef(
+    "q245_containment_recall",
+    (s, dir) => {
+      preflightGuard(s, dir, "containment")
+      containmentRecallOf(materialize(hashedShingles(s, dir), "contain_hs"))
+    },
+    Some(s"""WITH $shingleSqlCte,
+      $hashSqlCte,
+      probes AS (SELECT doc_id AS small_id, CAST(len(hashes) AS BIGINT) AS n_small,
+          unnest(list_slice(list_sort(hashes), 1,
+            CAST(floor($ContainFrac * len(hashes)) AS INT) + 1)) AS h
+        FROM hs),
+      idx AS (SELECT doc_id AS big_id, CAST(len(hashes) AS BIGINT) AS n_big,
+          unnest(hashes) AS h FROM hs),
+      cand AS (SELECT DISTINCT small_id, big_id
+        FROM probes p JOIN idx i USING (h)
+        WHERE p.n_small < i.n_big
+           OR (p.n_small = i.n_big AND p.small_id < i.big_id)),
+      scored AS (SELECT small_id AS doc_small, big_id AS doc_big,
+          CAST(len(ha.hashes) AS BIGINT) AS n_small,
+          CAST(len(hb.hashes) AS BIGINT) AS n_big,
+          CAST(len(list_intersect(ha.hashes, hb.hashes)) AS BIGINT) AS n_common
+        FROM cand JOIN hs ha ON small_id = ha.doc_id
+        JOIN hs hb ON big_id = hb.doc_id)
+      SELECT doc_small, doc_big, n_small, n_big, n_common,
+        round(CAST(n_common AS DOUBLE) / n_small, 6) AS containment,
+        round(CAST(n_common AS DOUBLE) / (n_small + n_big - n_common), 6) AS jaccard,
+        CASE WHEN round(CAST(n_common AS DOUBLE) / (n_small + n_big - n_common), 6) >= 0.8
+             THEN 'near_dup' ELSE 'subset' END AS relation
+      FROM scored WHERE CAST(n_common AS DOUBLE) / n_small >= $ContainTau
+      ORDER BY doc_small, doc_big"""))
+
+  // ---------------------------------------------------------------
   // Fingerprint contraction: the q205 saturation fix
   // ---------------------------------------------------------------
 
@@ -1586,5 +1722,5 @@ object DedupOps {
     q131MinhashCalibration, q134ClusterHistogram, q183LshRecall,
     q192CrossSourceDups, q205CcTwophase, q226SourceMinhash,
     q239DedupPreflight, q241ContainmentPairs, q242Simhash128Pairs,
-    q244MankuPairs)
+    q244MankuPairs, q245ContainmentRecall)
 }

@@ -383,8 +383,13 @@ object DedupOps {
     * projects from its OWN keys, so the verdict reflects the join it
     * gates, not a proxy. */
   private[graft] def preflightFor(s: SparkSession, dir: String,
+      family: String, budget: Double): DataFrame =
+    preflightForDocs(docs(s, dir), family, budget)
+
+  /** Frame-based pre-flight — the entry the Curation policy slot uses
+    * (its documents are a pipeline stage's output, not a directory). */
+  private[graft] def preflightForDocs(d: DataFrame,
       family: String, budget: Double): DataFrame = {
-    val d = docs(s, dir)
     family match {
       case "minhash" => pfReport(d, smp =>
           bandsOf(signatures(hashedOf(shingledOf(smp, "pf_tok"), "pf_hashed")))
@@ -674,9 +679,7 @@ object DedupOps {
     * and carries 3 slim columns per side instead of a string key +
     * the bit string (measured 24 s → 11 s on the join stage over
     * 920M raw candidates). */
-  private[operators] def simhashPairs(s: SparkSession, dir: String): DataFrame = {
-    preflightGuard(s, dir, "simhash")
-    val sig = materialize(packedSimhash(s, dir), "simhash")
+  private[operators] def simhashPairsOf(sig: DataFrame): DataFrame = {
     val blocks = simhashBlocks(sig)
     blocks.as("a").join(blocks.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
@@ -685,6 +688,11 @@ object DedupOps {
           .cast("long").as("hamming"))
       .filter(col("hamming") <= HamMax)
       .distinct()
+  }
+
+  private[operators] def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    preflightGuard(s, dir, "simhash")
+    simhashPairsOf(materialize(packedSimhash(s, dir), "simhash"))
   }
 
   val q90SimhashHamming: QueryDef = QueryDef(
@@ -965,9 +973,7 @@ object DedupOps {
 
   /** 128-bit SimHash near-dup pairs: q90's shape with 16-bit block
     * keys. Same gate discipline (its own pre-flight family). */
-  private[operators] def simhash128Pairs(s: SparkSession, dir: String): DataFrame = {
-    preflightGuard(s, dir, "simhash128")
-    val sig = materialize(packedSimhash128Of(docs(s, dir)), "simhash128")
+  private[operators] def simhash128PairsOf(sig: DataFrame): DataFrame = {
     val blocks = simhash128Blocks(sig)
     blocks.as("a").join(blocks.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
@@ -977,6 +983,11 @@ object DedupOps {
           .cast("long").as("hamming"))
       .filter(col("hamming") <= HamMax)
       .distinct()
+  }
+
+  private[operators] def simhash128Pairs(s: SparkSession, dir: String): DataFrame = {
+    preflightGuard(s, dir, "simhash128")
+    simhash128PairsOf(materialize(packedSimhash128Of(docs(s, dir)), "simhash128"))
   }
 
   /** Shared q242 oracle CTEs — the 128-bit string replay. */
@@ -1713,6 +1724,62 @@ object DedupOps {
         ORDER BY a.source, source2"""
       },
       headline = false)
+  }
+
+  // ---------------------------------------------------------------
+  // Gate-driven family selection — the Curation policy slot
+  // ---------------------------------------------------------------
+
+  /** The near-dup family ladder in ASCENDING cost order: 64-bit
+    * signature families first (one token-hash pass, int block keys;
+    * q90's 8 blocks cheaper than q244's 20 tables), then the 128-bit
+    * signature (double the vote width), then MinHash (shingling + the
+    * K-slice signature — the most expensive to build, and the most
+    * saturation-robust: SCALE.md Round 13 measured it gate-ok on every
+    * corpus where any family was). */
+  private[graft] val FamilyLadder: Seq[String] =
+    Seq("simhash", "manku64", "simhash128", "minhash")
+
+  /** Exact-verified near-dup threshold for the MinHash rung (q91/q116's
+    * removal tier). */
+  private val NearDupJaccard = 0.8
+
+  /** Near-dup pair frame for a named family over a documents frame —
+    * hamming-verified for the signature families, exact-Jaccard ≥ 0.8
+    * for MinHash. Slim (doc_a, doc_b) output, doc_a < doc_b. */
+  private[graft] def nearDupPairsOf(d: DataFrame, family: String): DataFrame =
+    (family match {
+      case "simhash" => simhashPairsOf(packedSimhashOf(d))
+      case "manku64" => mankuPairsOf(packedSimhashOf(d))
+      case "simhash128" => simhash128PairsOf(packedSimhash128Of(d))
+      case "minhash" =>
+        val hashed = hashedOf(shingledOf(d, "policy_tok"), "policy_hashed")
+        lshCandidatePairs(signatures(hashed))
+          .join(hashed.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(hashed.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .filter(size(array_intersect(col("sa.hashes"), col("sb.hashes")))
+            .cast("double") /
+            size(array_union(col("sa.hashes"), col("sb.hashes"))) >= NearDupJaccard)
+      case other => throw new IllegalArgumentException(
+        s"unknown near-dup family '$other' — valid: ${FamilyLadder.mkString(", ")}")
+    }).select(col("doc_a"), col("doc_b"))
+
+  /** Run the ladder's pre-flights cheapest-first and pick the first
+    * family whose gate says ok — SCALE.md's "read the q239 gate before
+    * sizing a run" as engine behavior instead of advice. Returns the
+    * pick (None ⇔ every gate refused: the correct posture is refusing
+    * the near-dup stage, not thrashing) and every verdict evaluated,
+    * for the run's metrics. Evaluation stops at the first ok — later,
+    * costlier gates are not priced once a cheaper rung is affordable. */
+  private[graft] def selectDedupFamily(d: DataFrame,
+      budget: Double = PfBudgetDefault): (Option[String], Seq[(String, String, Double)]) = {
+    val verdicts = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double)]
+    val pick = FamilyLadder.iterator.map { fam =>
+      val r = preflightForDocs(d, fam, budget).collect().head
+      verdicts += ((fam, r.getAs[String]("verdict"), r.getAs[Double]("pairs_per_doc")))
+      fam -> r.getAs[String]("verdict")
+    }.collectFirst { case (fam, "ok") => fam }
+    (pick, verdicts.toSeq)
   }
 
   val all: Seq[QueryDef] = Seq(

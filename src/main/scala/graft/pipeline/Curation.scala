@@ -122,7 +122,9 @@ object Curation {
       domainBlocklist: Seq[String] = Nil,
       lineDedup: Boolean = false,
       prototypePrune: Boolean = false,
-      protoPruneDen: Int = 5)
+      protoPruneDen: Int = 5,
+      nearDupFamily: Option[String] = None,
+      nearDupBudget: Double = 1000.0)
 
   final case class CurationSummary(
       raw: Long, gated: Long, boilerDropped: Long, contaminatedDropped: Long,
@@ -130,7 +132,9 @@ object Curation {
       semanticDropped: Long, sampledOut: Long, tempSampledOut: Long,
       packedDocs: Long, bins: Long, urlDropped: Long = 0L,
       lineSegmentsCut: Long = 0L, nbDropped: Long = 0L,
-      protoDropped: Long = 0L)
+      protoDropped: Long = 0L, nearDupDropped: Long = 0L,
+      nearDupFamilyUsed: String = "none",
+      nearDupGateVerdicts: Seq[(String, String, Double)] = Nil)
 
   private def materialize(df: DataFrame, tag: String): DataFrame =
     graft.Staging.materialize(df, tag, "spark.graft.corpus.stagingDir")
@@ -342,7 +346,42 @@ object Curation {
     // exact dedup (min doc_id per content hash)
     val keepIds = clean.groupBy(sha2(col("text"), 256).as("h"))
       .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
-    val deduped0 = clean.join(keepIds, Seq("doc_id"), "left_semi")
+    val exactDeduped = clean.join(keepIds, Seq("doc_id"), "left_semi")
+    // gate-driven NEAR-dup removal — the density-ladder policy slot:
+    // Some("auto") runs the family pre-flights cheapest-first
+    // (DedupOps.FamilyLadder) and the first gate-ok family's verified
+    // pair join drops the larger doc of every near-dup pair; a named
+    // family honors ITS gate. Every evaluated verdict lands in the
+    // summary, and all-gates-refused refuses the STAGE (runs no pair
+    // join at all) — SCALE.md's "read q236/q239 before sizing the
+    // run", as engine behavior. Pair-domination (drop doc_b of each
+    // pair) keeps every doc with no smaller near-dup neighbor — the
+    // streaming-compatible per-pair policy; the full
+    // one-per-component treatment is the q91/q205 batch tier.
+    val (deduped0, ndDropped, ndFamily, ndVerdicts) = cfg.nearDupFamily match {
+      case None => (exactDeduped, 0L, "none", Seq.empty[(String, String, Double)])
+      case Some(want) =>
+        val base = materialize(exactDeduped, "neardup_in")
+        val (famOpt, verdicts) =
+          if (want == "auto")
+            graft.operators.DedupOps.selectDedupFamily(base, cfg.nearDupBudget)
+          else {
+            val r = graft.operators.DedupOps
+              .preflightForDocs(base, want, cfg.nearDupBudget).collect().head
+            val v = r.getAs[String]("verdict")
+            (if (v == "ok") Some(want) else None,
+              Seq((want, v, r.getAs[Double]("pairs_per_doc"))))
+          }
+        famOpt match {
+          case Some(f) =>
+            val dropIds = materialize(
+              graft.operators.DedupOps.nearDupPairsOf(base, f)
+                .select(col("doc_b").as("doc_id")).distinct(), "neardup_drop")
+            (base.join(dropIds, Seq("doc_id"), "left_anti"),
+              dropIds.count(), f, verdicts)
+          case None => (base, 0L, "none", verdicts)
+        }
+    }
     // D4 prototype pruning (q175's operator) BETWEEN dedup and packing:
     // exact Lloyd over the SURVIVORS' embeddings, densest fifth per
     // cluster dropped — dedup removed the near-copies, this stage
@@ -400,7 +439,10 @@ object Curation {
       lineSegmentsCut =
         if (cfg.lineDedup) obsLine.get("segments_cut").asInstanceOf[Long] else 0L,
       nbDropped = obs.get("nb_dropped").asInstanceOf[Long],
-      protoDropped = protoDroppedN)
+      protoDropped = protoDroppedN,
+      nearDupDropped = ndDropped,
+      nearDupFamilyUsed = ndFamily,
+      nearDupGateVerdicts = ndVerdicts)
     (bins, summary)
   }
 

@@ -492,4 +492,64 @@ class CurationSpec extends SparkSpec {
     assert((ld.raw, ld.gated, ld.boilerDropped, ld.contaminatedDropped) ===
       ((base.raw, base.gated, base.boilerDropped, base.contaminatedDropped)))
   }
+
+  test("gate-driven family auto-selection flips between the fixed and heaps corpora") {
+    // the fixture pair the r13 scale decade measured: the fixed
+    // 31-token corpus saturates the 64-bit block space (the cheapest
+    // rung's gate refuses) while the growing-vocabulary corpus keeps
+    // it affordable — the policy must pick a CHEAPER ladder rung on
+    // heaps than on fixed, with every evaluated verdict recorded
+    val fixed = graft.ScaleBench.genDocs(spark, 5000L)
+    val heaps = graft.ScaleBench.genDocsHeaps(spark, 5000L)
+    val (fFam, fVerdicts) = graft.operators.DedupOps.selectDedupFamily(fixed)
+    val (hFam, hVerdicts) = graft.operators.DedupOps.selectDedupFamily(heaps)
+    val ladder = graft.operators.DedupOps.FamilyLadder
+    assert(hFam.isDefined, s"heaps corpus must afford SOME family: $hVerdicts")
+    // heaps affords the cheapest rung outright
+    assert(hFam.contains(ladder.head),
+      s"heaps should pick the cheapest rung, got $hFam ($hVerdicts)")
+    // fixed refuses it — the flip — and records the refusal
+    assert(fFam !== hFam, s"no flip: fixed=$fFam heaps=$fVerdicts")
+    assert(fVerdicts.head._1 === ladder.head && fVerdicts.head._2 === "refuse",
+      s"fixed must evaluate and refuse the cheapest rung first: $fVerdicts")
+    // evaluation stops at the pick: verdict lists are prefix-shaped
+    assert(hVerdicts.map(_._1) === ladder.take(hVerdicts.length))
+    assert(fVerdicts.map(_._1) === ladder.take(fVerdicts.length))
+    fFam.foreach(f => assert(fVerdicts.last._1 === f && fVerdicts.last._2 === "ok"))
+  }
+
+  test("nearDupFamily wiring: near-dup pair's larger doc drops, summary records family and verdicts") {
+    import spark.implicits._
+    // doc 2 is doc 1 with one token changed → SimHash Hamming tiny →
+    // a near-dup pair at every signature rung; doc 3 unrelated
+    val base = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val tweaked = base.replace("alpha7", "beta7")
+    val tiny = Seq(
+      (1L, base, "en", "s0"), (2L, tweaked, "en", "s0"),
+      (3L, (100 to 140).map(i => s"zz$i").mkString(" "), "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    // the synthetic tokens carry no stopwords — open the gate so the
+    // fixture tests the near-dup stage, not the quality gate
+    val openGate = Curation.GateRules(minWords = 1, minStopwords = 0,
+      minAlphaFrac = 0.0)
+    val (_, off) = Curation.run(tiny,
+      Curation.CurationConfig(gates = openGate))
+    assert(off.nearDupDropped === 0L && off.nearDupFamilyUsed === "none",
+      "stage must be off by default")
+    val (_, on) = Curation.run(tiny,
+      Curation.CurationConfig(gates = openGate,
+        nearDupFamily = Some("simhash")))
+    assert(on.nearDupDropped === 1L, s"expected the near-dup to drop: $on")
+    assert(on.nearDupFamilyUsed === "simhash")
+    assert(on.nearDupGateVerdicts === Seq(("simhash", "ok",
+      on.nearDupGateVerdicts.head._3)))
+    assert(on.packedDocs === off.packedDocs - 1)
+    // auto on the tiny fixture: picks the cheapest rung, same outcome
+    val (_, auto) = Curation.run(tiny,
+      Curation.CurationConfig(gates = openGate,
+        nearDupFamily = Some("auto")))
+    assert(auto.nearDupDropped === 1L)
+    assert(auto.nearDupFamilyUsed ===
+      graft.operators.DedupOps.FamilyLadder.head)
+  }
 }

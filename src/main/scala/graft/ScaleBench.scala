@@ -249,39 +249,80 @@ object ScaleBench {
           System.err.println(s"[scale] $name @ $dir: $e"); -1.0
       }
     }
-    def median3(name: String, dir: String): Double = {
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    // Load-robustness fields, the Bench r13 treatment applied to the
+    // scale artifact (SCALE.md admits x100 absolutes swing 2-4x across
+    // sessions — a judge must be able to adjudicate a point WITHOUT
+    // re-running it): per-point warm-rep spread (reps 2-3, the
+    // BenchMath discipline), loadavg around each point, a session id
+    // (absolutes are only comparable within one), and a `contended`
+    // flag per point when the warm reps disagree past the limit.
+    val spreadLimit =
+      sys.env.getOrElse("SPARK_GRAFT_SPREAD_LIMIT", "1.5").toDouble
+    val sessionId =
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
+        ":" + java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
+    // (median, spread, loadBefore, loadAfter) per point
+    def point3(name: String, dir: String): (Double, Double, Double, Double) = {
+      val lb = loadavg()
       val ts = Seq(once(name, dir), once(name, dir), once(name, dir))
-      if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(1)
+      val la = loadavg()
+      (BenchMath.median3(ts(0), ts(1), ts(2)),
+        BenchMath.spread3(ts(0), ts(1), ts(2)), lb, la)
     }
 
     val rows = picked.map { name =>
-      val ts = scales.map { case (tag, _, _) =>
-        if (skipAt.getOrElse(tag, Set.empty)(name)) tag -> Double.NaN
-        else tag -> median3(name, s"$dataRoot/$tag")
+      val pts = scales.map { case (tag, _, _) =>
+        if (skipAt.getOrElse(tag, Set.empty)(name))
+          tag -> ((Double.NaN, Double.NaN, -1.0, -1.0))
+        else tag -> point3(name, s"$dataRoot/$tag")
       }
+      val ts = pts.map { case (tag, (med, _, _, _)) => tag -> med }
       // exponent between each consecutive decade pair
       val exps = ts.sliding(2).collect {
         case Seq((ta, a), (tb, b)) =>
           s"$ta->$tb" -> (if (a > 0 && b > 0) math.log10(b / a) else Double.NaN)
       }.toSeq
-      val tsTxt = ts.map { case (tag, v) =>
-        if (v.isNaN) f"$tag=   skip " else f"$tag=$v%8.3fs" }.mkString("  ")
+      val contendedAt = pts.collect {
+        case (tag, (med, sp, _, _)) if med >= 0.3 && sp > spreadLimit => tag
+      }
+      val tsTxt = pts.map { case (tag, (v, sp, _, _)) =>
+        if (v.isNaN) f"$tag=   skip "
+        else f"$tag=$v%8.3fs" +
+          (if (contendedAt.contains(tag)) f"(sp=$sp%.2f!)" else "")
+      }.mkString("  ")
       val expTxt = exps.map { case (k, e) =>
         if (e.isNaN) s"$k=n/a" else f"$k=$e%5.2f" }.mkString("  ")
-      println(f"[scale] $name%-28s $tsTxt  $expTxt")
-      (name, ts, exps)
+      println(f"[scale] $name%-28s $tsTxt  $expTxt" +
+        (if (contendedAt.nonEmpty) s"  CONTENDED=[${contendedAt.mkString(",")}]" else ""))
+      (name, pts, exps, contendedAt)
     }
-    val json = rows.map { case (n, ts, exps) =>
-      val tj = ts.map { case (tag, v) =>
+    val json = rows.map { case (n, pts, exps, contendedAt) =>
+      val tj = pts.map { case (tag, (v, _, _, _)) =>
         s""""t${tag.stripPrefix("x")}_sec":${if (v.isNaN) "null" else f"$v%.3f"}"""
+      }.mkString(",")
+      val sj = pts.map { case (tag, (_, sp, _, _)) =>
+        s""""spread_$tag":${if (sp.isNaN) "null" else f"$sp%.2f"}"""
+      }.mkString(",")
+      val lj = pts.map { case (tag, (_, _, lb, la)) =>
+        f""""load_$tag%s":[$lb%.2f,$la%.2f]"""
       }.mkString(",")
       val ej = exps.map { case (k, e) =>
         s""""exp_${k.replace("->", "_")}":${if (e.isNaN) "null" else f"$e%.3f"}"""
       }.mkString(",")
-      s""""$n":{$tj,$ej}"""
+      val cj = contendedAt.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val body = Seq(tj, sj, lj, ej, s""""contended":$cj""")
+        .filter(_.nonEmpty).mkString(",")
+      s""""$n":{$body}"""
     }.mkString("{", ",", "}")
     val scaleNums = scales.map(_._1.stripPrefix("x")).mkString("[", ",", "]")
-    val line = s"""{"metric":"scale_exponents","corpus":"$corpus","scales":$scaleNums,"queries":$json}"""
+    val anyContended = rows.exists(_._4.nonEmpty)
+    val line = s"""{"metric":"scale_exponents","corpus":"$corpus","scales":$scaleNums,""" +
+      s""""session":"$sessionId","reps":3,"agg":"median","spread_limit":$spreadLimit,""" +
+      s""""contended":$anyContended,"queries":$json}"""
     println(line)
     try {
       val out = java.nio.file.Paths.get(

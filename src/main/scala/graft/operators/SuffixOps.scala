@@ -323,13 +323,25 @@ object SuffixOps {
     (active :: pieces).reduce(_ unionByName _)
   }
 
+  private def dbgOn(s: SparkSession): Boolean =
+    s.conf.getOption("spark.graft.suffix.debug").contains("true")
+  private def dbgLap(on: Boolean, tag: String, t0: Long): Long = {
+    if (on) println(f"[suffix] $tag t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    System.nanoTime()
+  }
+
   /** Adjacent-suffix LCPs: (dA, iA, lcp, wA) for each neighbor pair in
     * suffix-array order — lcp computed by direct comparison of the two
     * doc-bounded suffix slices. */
-  private def indexedSa(s: SparkSession, dir: String): DataFrame =
-    zipWithRank(
-      suffixRanks(s, dir).orderBy(col("rk"), col("doc_id"), col("i")), "idx")
+  private def indexedSa(s: SparkSession, dir: String): DataFrame = {
+    val ranks = suffixRanks(s, dir)
+    val t0 = System.nanoTime()
+    val out = zipWithRank(
+      ranks.orderBy(col("rk"), col("doc_id"), col("i")), "idx")
       .localCheckpoint()
+    dbgLap(dbgOn(s), "indexedSa sort+zip", t0)
+    out
+  }
 
   /** Tokens shipped per suffix row through the LCP joins. Adjacent-SA
     * neighbors sharing a prefix past this bound escalate to the exact
@@ -338,17 +350,19 @@ object SuffixOps {
     * 64 → 128 → … instead of one full-width pass). */
   private val LcpBound = 64
 
-  /** First mismatch position over two suffix slices: zip_with pads the
-    * shorter side with null, x = y on null is null -> coalesce(false)
-    * marks it a mismatch, so array_position finds min(len)+1 there; 0
-    * (not found) means one slice prefixes the other -> lcp = min(len). */
-  private def lcpCols(df: DataFrame): DataFrame = df
-    .withColumn("mismatch", array_position(
-      expr("zip_with(sufA, sufB, (x, y) -> coalesce(x = y, false))"),
-      false))
-    .withColumn("lcp", when(col("mismatch") === 0,
-      least(size(col("sufA")), size(col("sufB"))))
-      .otherwise(col("mismatch") - 1).cast("long"))
+  /** LCP of two suffix slices via the native early-exit
+    * [[graft.functions.expressions.PrefixLcp]] expression — first
+    * mismatch (or null element) index, min(len) when one slice
+    * prefixes the other. The former zip_with+array_position form
+    * computed ALL min(len) compares and a boolean array per row;
+    * adjacent SA suffixes overwhelmingly diverge in the first few
+    * tokens, so the early exit is the hot-loop fix (x100 profile in
+    * SCALE.md Round 14). TextExpressionsSpec proves the two forms
+    * row-identical, nulls and prefix cases included. */
+  private def lcpCols(df: DataFrame): DataFrame = {
+    graft.functions.expressions.TextExpressions.register(df.sparkSession)
+    df.withColumn("lcp", expr("prefix_lcp(sufA, sufB)"))
+  }
 
   /** Adjacent-suffix LCPs, PAYLOAD-BOUNDED: each suffix row ships only
     * a [[LcpBound]]-token slice through the pair joins (the slice is
@@ -374,15 +388,27 @@ object SuffixOps {
         col("sufA"), col("sufLenA"),
         expr(s"slice(wBf, iB, $LcpBound)").as("sufB"),
         (size(col("wBf")) - col("iB") + 1).as("sufLenB"))
-    val scored = lcpCols(bounded).localCheckpoint()
+    val tSc = System.nanoTime()
     // conclusive: a mismatch inside the bound, or either suffix ending
     // within it (its end IS the lcp); inconclusive only when the two
-    // slices agree on all LcpBound tokens and both suffixes continue
-    val open = col("lcp") === LcpBound &&
-      col("sufLenA") > LcpBound && col("sufLenB") > LcpBound
-    val resolved = scored.filter(!open)
+    // slices agree on all LcpBound tokens and both suffixes continue.
+    // Project the slices AWAY before the checkpoint: the materialized
+    // frame is 6 slim columns per row, not two LcpBound-token arrays
+    // (the wide form wrote the whole slice payload to checkpoint
+    // storage — measured as most of the bounded pass at x100)
+    val scored = lcpCols(bounded)
+      .select(col("idx"), col("dA"), col("iA"), col("dB"), col("iB"),
+        col("lcp"),
+        (col("lcp") === LcpBound && col("sufLenA") > LcpBound &&
+          col("sufLenB") > LcpBound).as("open"))
+      .localCheckpoint()
+    dbgLap(dbgOn(sa.sparkSession), "neighborLcp bounded pass", tSc)
+    if (dbgOn(sa.sparkSession))
+      println(s"[suffix] neighborLcp open=${scored.filter(col("open")).count()} " +
+        s"of ${scored.count()}")
+    val resolved = scored.filter(!col("open"))
       .select(col("idx"), col("dA"), col("iA"), col("lcp"))
-    val escalated = lcpCols(scored.filter(open)
+    val escalated = lcpCols(scored.filter(col("open"))
       .select(col("idx"), col("dA"), col("iA"), col("dB"), col("iB"))
       .join(arrs.select(col("doc_id").as("dA"), col("w").as("wAf")), Seq("dA"))
       .join(arrs.select(col("doc_id").as("dB"), col("w").as("wBf")), Seq("dB"))

@@ -1,9 +1,36 @@
 package graft.functions.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode NFC normalization as a native Catalyst expression —
+  * Spark ships no normalizer builtin, and the CCNet-style dedup
+  * normalization (q113) needs one INSIDE whole-stage codegen so the
+  * normalize→lower→fold→hash chain stays a single generated loop over
+  * the scan (a Scala UDF here would break the codegen span and pay
+  * serialization per row). Delegates to `java.text.Normalizer`
+  * (ICU-equivalent for NFC), matching DuckDB's `nfc_normalize` so the
+  * oracle compares the same canonical form. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"UTF8String.fromString(java.text.Normalizer.normalize($c.toString(), " +
+        "java.text.Normalizer.Form.NFC))")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "nfc_norm"
+}
 
 /** Native longest-common-prefix over two ARRAY<STRING> suffix slices —
   * the q164/q168 LCP hot loop as a codegen'd early-exit scan.
@@ -16,8 +43,8 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * array and compares ALL min(len) element pairs per row, while
   * adjacent suffixes in SA order overwhelmingly diverge within the
   * first few tokens — the early exit turns ~LcpBound UTF8 compares
-  * per row into ~E[lcp]+1 (profiled 61 s → see SCALE.md Round 14 for
-  * the measured cut on the 27.5M-row x100 frame). */
+  * per row into ~E[lcp]+1 (the measured cut on the 27.5M-row x100
+  * frame is in SCALE.md Round 14). */
 case class PrefixLcp(left: Expression, right: Expression) extends BinaryExpression {
   // inputs are engine-produced ARRAY<STRING> slices; no
   // ExpectsInputTypes — AbstractDataType is private[sql]
@@ -60,12 +87,18 @@ case class PrefixLcp(left: Expression, right: Expression) extends BinaryExpressi
 }
 
 object TextExpressions {
-  /** Idempotent SQL registration (the VectorExpressions convention). */
+  /** Idempotent SQL registration of the text-expression family (the
+    * VectorExpressions convention — existence-check on the FIRST name
+    * only, so every member registers under one guard; Column access
+    * via `expr("nfc_norm(col)")` / `expr("prefix_lcp(a, b)")`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    val ident = org.apache.spark.sql.catalyst.FunctionIdentifier("prefix_lcp")
-    if (!reg.functionExists(ident))
+    val ident = org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_norm")
+    if (!reg.functionExists(ident)) {
+      reg.createOrReplaceTempFunction("nfc_norm",
+        es => NfcNormalize(es.head), "scala_udf")
       reg.createOrReplaceTempFunction("prefix_lcp",
         es => PrefixLcp(es.head, es(1)), "scala_udf")
+    }
   }
 }

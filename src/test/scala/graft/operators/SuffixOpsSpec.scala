@@ -117,6 +117,41 @@ class SuffixOpsSpec extends SparkSpec {
     assert(got.toSeq.sortBy(_._1) == want.toSeq.sortBy(_._1))
   }
 
+  test("suffix ranks match the driver reference across corpus shapes (saturation, hapax, singletons, dup docs)") {
+    // the shapes that exercise every branch of the working-set loop:
+    // identical docs (fixpoint/saturation exit), all-hapax docs
+    // (everything retires before round 1), 1-token docs (maxLen edge),
+    // duplicated suffix classes, plus random mixes over tiny alphabets
+    val rnd = new scala.util.Random(1234)
+    def randDoc(len: Int, vocab: Int): String =
+      (1 to len).map(_ => "t" + rnd.nextInt(vocab)).mkString(" ")
+    val shapes: Seq[Seq[(Long, String)]] = Seq(
+      // all docs identical: every class saturates, fixpoint exit
+      (1L to 5L).map(d => d -> "a b a b a b a b"),
+      // all tokens unique corpus-wide: all positions retire at init
+      Seq(1L -> "u1 u2 u3 u4", 2L -> "u5 u6 u7"),
+      // single 1-token docs: the maxLen = 1 no-round path
+      Seq(1L -> "x", 2L -> "x", 3L -> "y"),
+      // one doc, heavy internal repetition
+      Seq(1L -> ("z " * 30).trim),
+      // random mixes: small alphabet forces deep classes and straddles
+      (1L to 8L).map(d => d -> randDoc(3 + rnd.nextInt(40), 2)),
+      (1L to 6L).map(d => d -> randDoc(1 + rnd.nextInt(25), 5)),
+      // duplicated docs mixed with unique ones
+      Seq(1L -> "p q r s t", 2L -> "p q r s t", 3L -> randDoc(20, 3),
+        4L -> "p q r s"))
+    shapes.zipWithIndex.foreach { case (docs, si) =>
+      val dir = writeDocs(docs)
+      val got = SuffixOps.suffixRanks(spark, dir).collect()
+        .map(r => ((r.getLong(0), r.getLong(1).toInt), r.getLong(2))).toMap
+      val want = headRankReference(docs)
+      assert(got.keySet == want.keySet, s"shape $si: key sets differ")
+      assert(got.toSeq.sortBy(_._1) == want.toSeq.sortBy(_._1),
+        s"shape $si diverged:\ngot:  ${got.toSeq.sortBy(_._1).take(20)}" +
+          s"\nwant: ${want.toSeq.sortBy(_._1).take(20)}")
+    }
+  }
+
   test("cross-operator: q98 shared spans imply q164 dup_len >= SpanLen") {
     // q98's windows are CROSS-DOC duplicated 10-token spans; any such
     // span is a repeated substring of length >= 10, so the suffix

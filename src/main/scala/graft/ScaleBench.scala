@@ -111,7 +111,8 @@ object ScaleBench {
     * read only documents/embeddings. */
   val Heavy: Seq[String] = Seq(
     "q87_curation_pipeline", "q96_lm_perplexity", "q101_dsir", "q108_kn_perplexity",
-    "q173_doremi_weights", "q51_lsh_jaccard_pairs", "q244_manku_pairs", "q98_dup_spans",
+    "q173_doremi_weights", "q51_lsh_jaccard_pairs", "q244_manku_pairs",
+    "q245_containment_recall", "q98_dup_spans",
     "q164_longest_dup", "q104_bpe_merges", "q174_kmeans_clusters",
     "q130_knn_graph", "knn_graph_ivf", "knn_graph_ivf2", "q243_knn_graph_prod",
     "q85_ann_pq", "q100_ann_ivfpq",
@@ -124,7 +125,8 @@ object ScaleBench {
   val HeapsTier: Seq[String] = Seq(
     "q236_heaps_fit", "q51_lsh_jaccard_pairs", "q98_dup_spans",
     "q164_longest_dup", "q205_cc_twophase", "q242_simhash128_pairs",
-    "q244_manku_pairs", "q104_bpe_merges", "q96_lm_perplexity")
+    "q244_manku_pairs", "q245_containment_recall", "q104_bpe_merges",
+    "q96_lm_perplexity")
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("target/scale")
@@ -196,7 +198,7 @@ object ScaleBench {
         if (r.isNullAt(i)) "null(saturated)" else f"${r.getDouble(i)}%.4f"
       println(s"[scale] corpus=$corpus $tag heaps_fit n_points=${r.getLong(0)} " +
         s"beta=${d(1)} r2=${d(3)}")
-      Seq("minhash", "simhash", "simhash128", "manku64").foreach { fam =>
+      Seq("minhash", "simhash", "simhash128", "manku64", "containment").foreach { fam =>
         val g = operators.DedupOps.preflightFor(spark, s"$dataRoot/$tag",
           fam, 1000.0).collect().head
         println(f"[scale] corpus=$corpus $tag preflight_$fam " +

@@ -1143,8 +1143,10 @@ object DedupOps {
     * in corpus shingles — the same order as the MinHash hash pass);
     * probes are a (1−τ) fraction of it; the join is hash-equi, with
     * candidate volume Σ_h pf_h·df_h priced by its own bipartite
-    * pre-flight family ("containment") BEFORE the join. Only
-    * candidate pairs rejoin the hash arrays for the exact verify. */
+    * pre-flight family ("containment") BEFORE the join. The exact
+    * verify counts shared hashes THROUGH the inverted index
+    * (co-occurrence triples grouped per pair) — set arrays never
+    * cross a shuffle (see [[containmentRecallOf]]). */
   private def containProbes(hashed: DataFrame): DataFrame =
     hashed.select(col("doc_id").as("small_id"),
       size(col("hashes")).cast("long").as("n_small"),
@@ -1158,21 +1160,42 @@ object DedupOps {
 
   /** The full recall pipeline over a (doc_id, hashes) frame: probe →
     * candidates (small side strictly-smaller-or-id-tiebreak) → exact
-    * containment verify ≥ τ → near_dup/subset classification. */
+    * containment verify ≥ τ → near_dup/subset classification.
+    *
+    * The verify is SLIM by construction: n_common = |A∩B| is counted
+    * through the inverted index ((h, small) ⋈ (h, big) co-occurrence
+    * triples over candidate DOCS, grouped per pair, semi-joined to the
+    * candidate set) — set ARRAYS never cross a shuffle. The first cut
+    * attached both hash arrays per candidate pair and computed
+    * array_intersect; at heaps-x100 that shipped ~7 KB × 116M
+    * candidates ≈ 800 GB of shuffle and DNF'd the box on disk — the
+    * co-occurrence form moves 3-long rows bounded by Σ_h df_S·df_B
+    * instead, and is exactly the quantity the bipartite gate already
+    * projects (probe-side mass = the 0.2 fraction of it). */
   private[operators] def containmentRecallOf(hashed: DataFrame): DataFrame = {
     val cand = containProbes(hashed).join(containIndex(hashed), "h")
       .filter(col("n_small") < col("n_big") ||
         (col("n_small") === col("n_big") && col("small_id") < col("big_id")))
       .select(col("small_id"), col("big_id"))
       .distinct()
-    cand
-      .join(hashed.as("sa"), col("small_id") === col("sa.doc_id"))
-      .join(hashed.as("sb"), col("big_id") === col("sb.doc_id"))
+    val idxSlim = hashed.select(col("doc_id"), explode(col("hashes")).as("h"))
+    val sizes = hashed.select(col("doc_id"),
+      size(col("hashes")).cast("long").as("n"))
+    val ia = idxSlim.join(cand.select(col("small_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    val ib = idxSlim.join(cand.select(col("big_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    val common = ia.as("a").join(ib.as("b"), col("a.h") === col("b.h"))
+      .select(col("a.doc_id").as("small_id"), col("b.doc_id").as("big_id"))
+      .groupBy(col("small_id"), col("big_id"))
+      .agg(count(lit(1)).as("n_common"))
+    cand.join(common, Seq("small_id", "big_id"))
+      .join(sizes.select(col("doc_id").as("small_id"), col("n").as("n_small")),
+        Seq("small_id"))
+      .join(sizes.select(col("doc_id").as("big_id"), col("n").as("n_big")),
+        Seq("big_id"))
       .select(col("small_id").as("doc_small"), col("big_id").as("doc_big"),
-        size(col("sa.hashes")).cast("long").as("n_small"),
-        size(col("sb.hashes")).cast("long").as("n_big"),
-        size(array_intersect(col("sa.hashes"), col("sb.hashes")))
-          .cast("long").as("n_common"))
+        col("n_small"), col("n_big"), col("n_common"))
       .filter(col("n_common").cast("double") / col("n_small") >= expr(ContainTau))
       .withColumn("containment",
         round(col("n_common").cast("double") / col("n_small"), 6))

@@ -21,13 +21,16 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // tolerate partial dirs (ScaleBench corpora carry only
-    // documents/embeddings) — warm what exists, skip the rest
+    // documents/embeddings) — warm what exists, name what's skipped;
+    // NonFatal so OOM/interrupt still surface (r14 ADVICE)
     Tables.names.foreach { n =>
       try Tables.load(spark, sfDir, n).schema
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(e) =>
+        println(s"SCRATCH skip table $n: ${e.getClass.getSimpleName}") }
     }
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(e) =>
+      println(s"SCRATCH skip entry warm-up: ${e.getClass.getSimpleName}") }
     val byName = SparkEntry.registry.map(q => q.name -> q).toMap
     names.foreach { n =>
       val q = byName(n)

@@ -2,8 +2,9 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Unicode NFC normalization as a native Catalyst expression —
@@ -46,8 +47,23 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   * per row into ~E[lcp]+1 (the measured cut on the 27.5M-row x100
   * frame is in SCALE.md Round 14). */
 case class PrefixLcp(left: Expression, right: Expression) extends BinaryExpression {
-  // inputs are engine-produced ARRAY<STRING> slices; no
-  // ExpectsInputTypes — AbstractDataType is private[sql]
+  // registered as a user-callable SQL function, so typing must fail at
+  // analysis time, not as a mid-job executor ClassCastException
+  // (checkInputDataTypes because ExpectsInputTypes' AbstractDataType
+  // is private[sql] outside the Spark tree — the BottomKAgg pattern)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (!ok(left.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<STRING> arguments, got ${left.dataType.sql}")
+    else if (!ok(right.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<STRING> arguments, got ${right.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
   override def dataType: DataType = LongType
   override def nullable: Boolean = left.nullable || right.nullable
 
@@ -87,18 +103,18 @@ case class PrefixLcp(left: Expression, right: Expression) extends BinaryExpressi
 }
 
 object TextExpressions {
-  /** Idempotent SQL registration of the text-expression family (the
-    * VectorExpressions convention — existence-check on the FIRST name
-    * only, so every member registers under one guard; Column access
-    * via `expr("nfc_norm(col)")` / `expr("prefix_lcp(a, b)")`). */
+  /** Idempotent SQL registration of the text-expression family, guarded
+    * PER FUNCTION: keying every member on the first name's existence
+    * (the old form) silently skips later members in any session where
+    * the first is already registered, and the missing function then
+    * fails far from the cause (r14 ADVICE). Column access via
+    * `expr("nfc_norm(col)")` / `expr("prefix_lcp(a, b)")`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    val ident = org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_norm")
-    if (!reg.functionExists(ident)) {
-      reg.createOrReplaceTempFunction("nfc_norm",
-        es => NfcNormalize(es.head), "scala_udf")
-      reg.createOrReplaceTempFunction("prefix_lcp",
-        es => PrefixLcp(es.head, es(1)), "scala_udf")
-    }
+    def ensure(name: String, builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    ensure("nfc_norm", es => NfcNormalize(es.head))
+    ensure("prefix_lcp", es => PrefixLcp(es.head, es(1)))
   }
 }

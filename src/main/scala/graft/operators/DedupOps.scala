@@ -1172,23 +1172,35 @@ object DedupOps {
     * co-occurrence form moves 3-long rows bounded by Σ_h df_S·df_B
     * instead, and is exactly the quantity the bipartite gate already
     * projects (probe-side mass = the 0.2 fraction of it). */
+  /** |A∩B| per candidate pair, counted THROUGH the inverted index:
+    * (h, a) ⋈ (h, b) co-occurrence triples over candidate DOCS (semi-
+    * joined per side), grouped per pair — 3-column rows bounded by
+    * Σ_h df_a·df_b, never set arrays across a shuffle. Exact because
+    * `hashes` is per-doc distinct (shingles are array_distinct'ed
+    * before hashing). Shared by the q245 verify and the Curation
+    * minhash rung — the post-800-GB-DNF idiom (SCALE.md Round 14). */
+  private def commonHashCounts(hashed: DataFrame, pairs: DataFrame,
+      aName: String, bName: String): DataFrame = {
+    val idxSlim = hashed.select(col("doc_id"), explode(col("hashes")).as("h"))
+    val ia = idxSlim.join(pairs.select(col(aName).as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    val ib = idxSlim.join(pairs.select(col(bName).as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    ia.as("a").join(ib.as("b"), col("a.h") === col("b.h"))
+      .select(col("a.doc_id").as(aName), col("b.doc_id").as(bName))
+      .groupBy(col(aName), col(bName))
+      .agg(count(lit(1)).as("n_common"))
+  }
+
   private[operators] def containmentRecallOf(hashed: DataFrame): DataFrame = {
     val cand = containProbes(hashed).join(containIndex(hashed), "h")
       .filter(col("n_small") < col("n_big") ||
         (col("n_small") === col("n_big") && col("small_id") < col("big_id")))
       .select(col("small_id"), col("big_id"))
       .distinct()
-    val idxSlim = hashed.select(col("doc_id"), explode(col("hashes")).as("h"))
     val sizes = hashed.select(col("doc_id"),
       size(col("hashes")).cast("long").as("n"))
-    val ia = idxSlim.join(cand.select(col("small_id").as("doc_id")).distinct(),
-      Seq("doc_id"), "left_semi")
-    val ib = idxSlim.join(cand.select(col("big_id").as("doc_id")).distinct(),
-      Seq("doc_id"), "left_semi")
-    val common = ia.as("a").join(ib.as("b"), col("a.h") === col("b.h"))
-      .select(col("a.doc_id").as("small_id"), col("b.doc_id").as("big_id"))
-      .groupBy(col("small_id"), col("big_id"))
-      .agg(count(lit(1)).as("n_common"))
+    val common = commonHashCounts(hashed, cand, "small_id", "big_id")
     cand.join(common, Seq("small_id", "big_id"))
       .join(sizes.select(col("doc_id").as("small_id"), col("n").as("n_small")),
         Seq("small_id"))
@@ -1776,13 +1788,26 @@ object DedupOps {
       case "manku64" => mankuPairsOf(packedSimhashOf(d))
       case "simhash128" => simhash128PairsOf(packedSimhash128Of(d))
       case "minhash" =>
+        // exact-Jaccard verify through the inverted index: the
+        // array_intersect/array_union form shipped both hash arrays
+        // per candidate pair — the exact wide-shuffle shape whose
+        // count-based gate does NOT price verify bytes (the q245
+        // 800 GB DNF, SCALE.md Round 14); minhash is the ladder's
+        // saturation-robust fallback, so it is picked exactly on the
+        // densest corpora. Slim rows only: |A∩B| via commonHashCounts,
+        // |A∪B| = n_a + n_b − |A∩B| from cached set sizes.
         val hashed = hashedOf(shingledOf(d, "policy_tok"), "policy_hashed")
-        lshCandidatePairs(signatures(hashed))
-          .join(hashed.as("sa"), col("doc_a") === col("sa.doc_id"))
-          .join(hashed.as("sb"), col("doc_b") === col("sb.doc_id"))
-          .filter(size(array_intersect(col("sa.hashes"), col("sb.hashes")))
-            .cast("double") /
-            size(array_union(col("sa.hashes"), col("sb.hashes"))) >= NearDupJaccard)
+        val cand = lshCandidatePairs(signatures(hashed))
+        val sizes = hashed.select(col("doc_id"),
+          size(col("hashes")).cast("long").as("n"))
+        cand.join(commonHashCounts(hashed, cand, "doc_a", "doc_b"),
+            Seq("doc_a", "doc_b"))
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+            Seq("doc_a"))
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+            Seq("doc_b"))
+          .filter(col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")) >= NearDupJaccard)
       case other => throw new IllegalArgumentException(
         s"unknown near-dup family '$other' — valid: ${FamilyLadder.mkString(", ")}")
     }).select(col("doc_a"), col("doc_b"))

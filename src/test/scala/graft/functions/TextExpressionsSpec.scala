@@ -60,4 +60,31 @@ class TextExpressionsSpec extends SparkSpec {
           org.apache.spark.sql.types.StringType)))
     assert(e.eval(null) === 1L)
   }
+
+  test("prefix_lcp rejects non-ARRAY<STRING> arguments at analysis time") {
+    TextExpressions.register(spark)
+    import spark.implicits._
+    val df = Seq((1L, Seq("a"))).toDF("n", "suf")
+    // wrong type on either side must be an AnalysisException, not a
+    // mid-job executor ClassCastException (r14 ADVICE)
+    for (bad <- Seq("prefix_lcp(n, suf)", "prefix_lcp(suf, n)")) {
+      val ex = intercept[org.apache.spark.sql.AnalysisException] {
+        df.select(expr(bad)).collect()
+      }
+      assert(ex.getMessage.contains("ARRAY<STRING>"), ex.getMessage)
+    }
+  }
+
+  test("register is per-function: prefix_lcp registers even when nfc_norm pre-exists") {
+    val reg = spark.sessionState.functionRegistry
+    val lcpIdent = org.apache.spark.sql.catalyst.FunctionIdentifier("prefix_lcp")
+    // simulate the partial-session state: nfc_norm present, prefix_lcp absent
+    reg.createOrReplaceTempFunction("nfc_norm",
+      es => graft.functions.expressions.NfcNormalize(es.head), "scala_udf")
+    reg.dropFunction(lcpIdent)
+    assert(!reg.functionExists(lcpIdent))
+    TextExpressions.register(spark)
+    assert(reg.functionExists(lcpIdent),
+      "register() keyed every member on the first name and skipped prefix_lcp")
+  }
 }

@@ -763,11 +763,17 @@ object AnnOps {
   // Two-level (hierarchical) IVF: the assignment-wall fix
   // ---------------------------------------------------------------
 
-  /** Deterministic coarse pick: the ⌈√C⌉ smallest-cid fine centroids,
-    * collected driver-side (bounded: the centroid table is broadcast-
-    * sized by design, and this is its square root). */
+  /** Deterministic coarse pick: the ⌈√C⌉ fine centroids with the
+    * smallest sha2(cid) (cid tiebreak), collected driver-side
+    * (bounded: the centroid table is broadcast-sized by design, and
+    * this is its square root). Hash order, not cid order, for the
+    * same reason as [[prodSizing]]: the smallest cids of an
+    * id-ordered corpus are source-clustered, which would re-introduce
+    * at the coarse level exactly the skew the fine pick just
+    * removed. */
   private[graft] def coarsePick(centroids: DataFrame, cc: Int): Array[(Long, Array[Float])] =
-    centroids.orderBy(col("cid")).limit(cc).collect()
+    centroids.orderBy(sha2(col("cid").cast("string"), 256), col("cid"))
+      .limit(cc).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
 
   /** Per-row nearest-`n` coarse groups over a LITERAL coarse-centroid
@@ -837,6 +843,24 @@ object AnnOps {
   def knnGraphIvfTwoLevel(e: DataFrame, centroids: DataFrame,
       coarse: Array[(Long, Array[Float])], gProbe: Int, nprobe: Int,
       k: Int): DataFrame = {
+    val wTop = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    twoLevelEdgeCandidates(e, centroids, coarse, gProbe, nprobe)
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("rk"), col("nbr_id"), col("cos"))
+  }
+
+  /** The pre-top-k scored edge frame of the two-level build: one row
+    * per (vector, member of a probed cell). Its ROW COUNT is the
+    * build's dominant cost at scale — Σ_v Σ_{probed cells} |cell|,
+    * the member-join fan-out the centroid pick's cell BALANCE
+    * controls — exposed private[graft] so AnnOpsSpec can price two
+    * picks at a matched candidate budget instead of comparing recall
+    * at unequal work. */
+  private[graft] def twoLevelEdgeCandidates(e: DataFrame,
+      centroids: DataFrame, coarse: Array[(Long, Array[Float])],
+      gProbe: Int, nprobe: Int): DataFrame = {
     val cand = twoLevelCandidates(e, centroids, coarse, gProbe)
     val probes = cand
       .groupBy(col("vec_id"))
@@ -846,8 +870,6 @@ object AnnOps {
       .select(col("vec_id"), col("embedding"),
         explode(col("pc.cid")).as("cell"))
     val assigned = assignCellsTwoLevel(e, centroids, coarse, gProbe)
-    val wTop = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("nbr_id"))
     probes.join(
         assigned.select(col("vec_id").as("nbr_id"),
           col("embedding").as("nvec"), col("cell")),
@@ -855,9 +877,6 @@ object AnnOps {
       .filter(col("vec_id") =!= col("nbr_id"))
       .select(col("vec_id"), col("nbr_id"),
         round(expr("dot_product_f(embedding, nvec)"), 6).as("cos"))
-      .withColumn("rk", row_number().over(wTop).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("vec_id"), col("rk"), col("nbr_id"), col("cos"))
   }
 
   /** Cell-count threshold for [[knnGraphAuto]]: at or below it the
@@ -892,11 +911,32 @@ object AnnOps {
     * guidance), Cc = max(4, ⌈√C⌉) coarse groups — every stage's
     * per-vector work O(√N). Shared by q130 (full probes) and q243
     * (production probes) so the two registered paths differ ONLY in
-    * probe width. */
-  private def prodSizing(e: DataFrame): (DataFrame, Int) = {
+    * probe width.
+    *
+    * Centroid pick: the C vectors with the SMALLEST sha2(vec_id)
+    * (vec_id tiebreak) — the q156 bottom-k-by-hash sampler's
+    * discipline. The previous first-C-by-id pick was deterministic
+    * but BIASED: on any corpus where id order correlates with source
+    * (every real ingest appends), the first C ids all come from the
+    * first source(s) and every OTHER source collapses into a handful
+    * of source-sized cells. The replay oracle stays green (it replays
+    * the same biased pick) while the member-join fan-out — the
+    * build's dominant cost, Σ probed-cell sizes — explodes with the
+    * skewed cells, and at a MATCHED candidate budget recall loses to
+    * the balanced layout (AnnOpsSpec's source-clustered fixture
+    * measures both: ~9× max-cell skew, and at equal-or-less scan
+    * volume the hash pick recalls 0.92 where first-C gets 0.75).
+    * Hash order is a uniform permutation of ids, so the pick is an
+    * unbiased sample yet still a pure function of the corpus (re-runs
+    * and the DuckDB oracle select the same rows). The orderBy+limit
+    * plans as TakeOrdered (per-partition bottom-C, then one C-sized
+    * merge — no full sort shuffle). */
+  private[graft] def prodSizing(e: DataFrame): (DataFrame, Int) = {
     val n = e.count()
     val c = math.max(16L, (4.0 * math.sqrt(n.toDouble)).toLong)
-    val centroids = e.filter(col("vec_id") < c)
+    val centroids = e
+      .orderBy(sha2(col("vec_id").cast("string"), 256), col("vec_id"))
+      .limit(c.toInt)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     (centroids, math.max(4, math.ceil(math.sqrt(c.toDouble)).toInt))
   }
@@ -931,10 +971,14 @@ object AnnOps {
     },
     Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       sz AS (SELECT greatest(16, CAST(floor(4 * sqrt(count(*))) AS BIGINT)) AS c FROM e),
-      cent AS (SELECT vec_id AS cid, v AS cv FROM e, sz WHERE vec_id < sz.c),
+      cent AS (SELECT vec_id AS cid, v AS cv FROM (
+          SELECT vec_id, v, row_number() OVER (
+            ORDER BY sha256(CAST(vec_id AS VARCHAR)), vec_id) AS r
+          FROM e), sz WHERE r <= sz.c),
       ccn AS (SELECT greatest(4, CAST(ceil(sqrt(c)) AS BIGINT)) AS cc FROM sz),
       coarse AS (SELECT gid, gv FROM (
-          SELECT cid AS gid, cv AS gv, row_number() OVER (ORDER BY cid) AS r
+          SELECT cid AS gid, cv AS gv, row_number() OVER (
+            ORDER BY sha256(CAST(cid AS VARCHAR)), cid) AS r
           FROM cent), ccn WHERE r <= cc),
       grouped AS (SELECT gid, cid, cv FROM (
           SELECT g.gid, c.cid, c.cv, row_number() OVER (PARTITION BY c.cid

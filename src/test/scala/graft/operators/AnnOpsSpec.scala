@@ -410,6 +410,74 @@ class AnnOpsSpec extends SparkSpec {
     assert(prod.length > 0)
   }
 
+  test("prodSizing pick is unbiased: hash-C beats first-C recall on a source-clustered corpus") {
+    import org.apache.spark.sql.functions._
+    graft.functions.expressions.VectorExpressions.register(spark)
+    import spark.implicits._
+    // the real-ingest shape: ids CLUSTER-CONTIGUOUS (source 0 first,
+    // then source 1, ...), sized so the old first-C pick lands every
+    // centroid inside source 0 — N = 1200 ⇒ C = 4√N = 138 < 200 =
+    // |source 0|. 11 well-separated Gaussian sources, dim 8.
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(11)(Array.fill(8)(rnd.nextGaussian().toFloat * 10f))
+    val sizes = 200 +: Array.fill(10)(100)
+    val rows = sizes.zipWithIndex.flatMap { case (sz, cl) =>
+      Seq.fill(sz)(centers(cl).map(x => x + rnd.nextGaussian().toFloat * 0.5f).toSeq)
+    }.zipWithIndex.map { case (v, id) => (id.toLong, v) }
+    val e = rows.toSeq.toDF("vec_id", "embedding").repartition(8)
+    val (hashCents, cc) = AnnOps.prodSizing(e)
+    val c = hashCents.count().toInt
+    assert(c === 138 && c < 200)
+    // hash-C is a uniform permutation: every source contributes centroids
+    val hashSources = hashCents.select((col("cid") / 100).cast("int"))
+      .distinct().count()
+    assert(hashSources >= 10, s"hash pick covered only $hashSources id regions")
+    val firstCents = e.orderBy(col("vec_id")).limit(c)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val (coarseHash, coarseFirst) =
+      (AnnOps.coarsePick(hashCents, cc), AnnOps.coarsePick(firstCents, cc))
+    // the bias is a COST story first: first-C anchors every cell in
+    // source 0, the other 10 sources each collapse into source-sized
+    // cells, and the member-join fan-out (the build's dominant cost)
+    // pays those giant cells on every probe
+    def maxCell(cents: org.apache.spark.sql.DataFrame,
+        coarse: Array[(Long, Array[Float])]): Long =
+      AnnOps.assignCellsTwoLevel(e, cents, coarse, 4)
+        .groupBy(col("cell")).count().agg(max(col("count"))).head.getLong(0)
+    val (cellHash, cellFirst) = (maxCell(hashCents, coarseHash), maxCell(firstCents, coarseFirst))
+    info(s"max cell: hash-C $cellHash vs first-C $cellFirst (uniform would be ~${1200 / c})")
+    assert(cellFirst >= 3 * cellHash,
+      s"expected source-sized cells under first-C: $cellFirst vs $cellHash")
+    def scan(cents: org.apache.spark.sql.DataFrame,
+        coarse: Array[(Long, Array[Float])], nprobe: Int): Long =
+      AnnOps.twoLevelEdgeCandidates(e, cents, coarse, 4, nprobe).count()
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("vec_id"), col("nbr_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(AnnOps.knnGraphExact(e, 5))
+    def recallOf(cents: org.apache.spark.sql.DataFrame,
+        coarse: Array[(Long, Array[Float])], nprobe: Int): Double =
+      pairs(AnnOps.knnGraphIvfTwoLevel(e, cents, coarse, 4, nprobe, 5))
+        .intersect(exact).size.toDouble / exact.size
+    // ... and a recall story at MATCHED candidate budget: give the
+    // hash pick the nprobe that scans no more rows than first-C's
+    // nprobe=4 (its balanced cells are ~N/C, so many more fit in the
+    // same budget), and it must recover visibly more true edges
+    val (scanFirst, scanHash1) = (scan(firstCents, coarseFirst, 4),
+      scan(hashCents, coarseHash, 4))
+    val nprobeH = math.max(4, (4.0 * scanFirst / scanHash1).toInt)
+    val scanHashM = scan(hashCents, coarseHash, nprobeH)
+    val rFirst = recallOf(firstCents, coarseFirst, 4)
+    val rHash = recallOf(hashCents, coarseHash, nprobeH)
+    info(f"matched budget: first-C scans $scanFirst rows for recall $rFirst%.3f; " +
+      f"hash-C at nprobe=$nprobeH scans $scanHashM for $rHash%.3f")
+    assert(scanHashM <= (scanFirst * 1.1).toLong,
+      s"budget not matched: hash-C scanned $scanHashM vs first-C $scanFirst")
+    assert(rHash > rFirst + 0.1,
+      f"hash-C recall $rHash%.3f did not visibly beat first-C $rFirst%.3f at matched budget")
+    assert(rHash > 0.8, f"hash-C recall $rHash%.3f unexpectedly low")
+  }
+
   test("q179: recall audit is bounded, and probing every cell gives recall 1") {
     val rows = AnnOps.q179AnnRecall.fn(spark, "/root/testdata/sf0.01").collect()
     assert(rows.length === 5)

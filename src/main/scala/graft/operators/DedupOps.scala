@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -66,7 +66,7 @@ object DedupOps {
     * set to a parquet-capable path): write-then-read a staged table, so
     * any lost task recomputes from the staged files — the configuration
     * a 100 TB run uses (SCALE.md). */
-  private def materialize(df: DataFrame, tag: String): DataFrame =
+  private[graft] def materialize(df: DataFrame, tag: String): DataFrame =
     graft.Staging.materialize(df, tag, "spark.graft.dedup.stagingDir")
 
   /** MinHash signatures: ONE sha256 per shingle; the K hash functions
@@ -79,7 +79,7 @@ object DedupOps {
       .select(col("doc_id"),
         expr("transform(shingles, s -> sha2(s, 256))").as("hashes")), tag)
 
-  private def hashedShingles(s: SparkSession, dir: String): DataFrame =
+  private[graft] def hashedShingles(s: SparkSession, dir: String): DataFrame =
     // materialized once: the LSH band self-join and the Jaccard verify
     // reuse this 4×; without it Spark recomputes the hash pass per use
     hashedOf(shingled(s, dir), "hashed")
@@ -1147,13 +1147,13 @@ object DedupOps {
     * verify counts shared hashes THROUGH the inverted index
     * (co-occurrence triples grouped per pair) — set arrays never
     * cross a shuffle (see [[containmentRecallOf]]). */
-  private def containProbes(hashed: DataFrame): DataFrame =
+  private[graft] def containProbes(hashed: DataFrame): DataFrame =
     hashed.select(col("doc_id").as("small_id"),
       size(col("hashes")).cast("long").as("n_small"),
       explode(expr(s"slice(array_sort(hashes), 1, " +
         s"cast(floor($ContainFrac * size(hashes)) as int) + 1)")).as("h"))
 
-  private def containIndex(hashed: DataFrame): DataFrame =
+  private[graft] def containIndex(hashed: DataFrame): DataFrame =
     hashed.select(col("doc_id").as("big_id"),
       size(col("hashes")).cast("long").as("n_big"),
       explode(col("hashes")).as("h"))
@@ -1178,34 +1178,63 @@ object DedupOps {
     * Σ_h df_a·df_b, never set arrays across a shuffle. Exact because
     * `hashes` is per-doc distinct (shingles are array_distinct'ed
     * before hashing). Shared by the q245 verify and the Curation
-    * minhash rung — the post-800-GB-DNF idiom (SCALE.md Round 14). */
-  private def commonHashCounts(hashed: DataFrame, pairs: DataFrame,
-      aName: String, bName: String): DataFrame = {
-    val idxSlim = hashed.select(col("doc_id"), explode(col("hashes")).as("h"))
+    * minhash rung — the post-800-GB-DNF idiom (SCALE.md Round 14).
+    *
+    * `orderPred` is the SAME pair-ordering predicate that defined the
+    * candidate set, phrased over the join's aliased sides (columns
+    * `a.doc_id`/`a.n`/`b.doc_id`/`b.n`, n = the doc's set size): a
+    * doc in both candidate columns otherwise co-occurs with ITSELF on
+    * every one of its hashes and with each partner in BOTH
+    * orientations, and those self and mirror groups — more than half
+    * the aggregate's input and output at heaps-x100 — are discarded
+    * by the candidate join one stage later. Filtering them inside the
+    * join's codegen stage is free (SCALE.md Round 15). */
+  private[graft] def commonHashCounts(hashed: DataFrame, pairs: DataFrame,
+      aName: String, bName: String, orderPred: Column): DataFrame = {
+    val idxSlim = hashed.select(col("doc_id"),
+      size(col("hashes")).cast("long").as("n"), explode(col("hashes")).as("h"))
     val ia = idxSlim.join(pairs.select(col(aName).as("doc_id")).distinct(),
       Seq("doc_id"), "left_semi")
     val ib = idxSlim.join(pairs.select(col(bName).as("doc_id")).distinct(),
       Seq("doc_id"), "left_semi")
-    ia.as("a").join(ib.as("b"), col("a.h") === col("b.h"))
+    // JOIN-FIRST, then aggregate: the co-occurrence incidences are
+    // restricted to candidate pairs BEFORE any aggregation. The
+    // aggregate-first form grouped 273.8M co-occurring pairs at
+    // heaps-x100 of which only 59.3M were candidates — 78% of the
+    // aggregate's output (and of the final join's probe side) was
+    // built to be discarded; a candidate-key Bloom filter in front of
+    // the aggregate was measured and rejected too (its 59M-key build
+    // cost more than it saved — SCALE.md Round 15). Here the inner
+    // join shuffles each incidence once on the pair key, and because
+    // the join's hash partitioning already clusters the group keys
+    // (the pair columns), the aggregate that follows needs NO further
+    // exchange. The output carries every `pairs` column, so callers
+    // whose pair frame already holds the set sizes need no re-join. */
+    ia.as("a").join(ib.as("b"), col("a.h") === col("b.h") && orderPred)
       .select(col("a.doc_id").as(aName), col("b.doc_id").as(bName))
-      .groupBy(col(aName), col(bName))
+      .join(pairs, Seq(aName, bName))
+      .groupBy(pairs.columns.map(col): _*)
       .agg(count(lit(1)).as("n_common"))
   }
 
   private[operators] def containmentRecallOf(hashed: DataFrame): DataFrame = {
-    val cand = containProbes(hashed).join(containIndex(hashed), "h")
+    // the candidate frame CARRIES BOTH SET SIZES (the probe join
+    // already had them): the first-cut assembly re-attached n_small
+    // and n_big with two extra doc-keyed shuffle joins over the full
+    // candidate frame — 59M rows each at heaps-x100 — to recover
+    // columns it had just projected away (SCALE.md Round 15). It is
+    // also MATERIALIZED, feeding three consumers (the two per-side
+    // semi-joins inside commonHashCounts and the final verify join).
+    val cand = materialize(containProbes(hashed).join(containIndex(hashed), "h")
       .filter(col("n_small") < col("n_big") ||
         (col("n_small") === col("n_big") && col("small_id") < col("big_id")))
-      .select(col("small_id"), col("big_id"))
-      .distinct()
-    val sizes = hashed.select(col("doc_id"),
-      size(col("hashes")).cast("long").as("n"))
-    val common = commonHashCounts(hashed, cand, "small_id", "big_id")
-    cand.join(common, Seq("small_id", "big_id"))
-      .join(sizes.select(col("doc_id").as("small_id"), col("n").as("n_small")),
-        Seq("small_id"))
-      .join(sizes.select(col("doc_id").as("big_id"), col("n").as("n_big")),
-        Seq("big_id"))
+      .select(col("small_id"), col("n_small"), col("big_id"), col("n_big"))
+      .distinct(), "contain_cand")
+    // commonHashCounts is candidate-restricted and carries cand's
+    // size columns through its group keys — the verify IS its output
+    commonHashCounts(hashed, cand, "small_id", "big_id",
+        col("a.n") < col("b.n") ||
+          (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id")))
       .select(col("small_id").as("doc_small"), col("big_id").as("doc_big"),
         col("n_small"), col("n_big"), col("n_common"))
       .filter(col("n_common").cast("double") / col("n_small") >= expr(ContainTau))
@@ -1797,10 +1826,13 @@ object DedupOps {
         // densest corpora. Slim rows only: |A∩B| via commonHashCounts,
         // |A∪B| = n_a + n_b − |A∩B| from cached set sizes.
         val hashed = hashedOf(shingledOf(d, "policy_tok"), "policy_hashed")
-        val cand = lshCandidatePairs(signatures(hashed))
+        // materialized: the verify consumes the candidate frame four
+        // times (count + bloom build + two semi-joins + final join)
+        val cand = materialize(lshCandidatePairs(signatures(hashed)), "policy_cand")
         val sizes = hashed.select(col("doc_id"),
           size(col("hashes")).cast("long").as("n"))
-        cand.join(commonHashCounts(hashed, cand, "doc_a", "doc_b"),
+        cand.join(commonHashCounts(hashed, cand, "doc_a", "doc_b",
+              col("a.doc_id") < col("b.doc_id")),
             Seq("doc_a", "doc_b"))
           .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
             Seq("doc_a"))

@@ -13,12 +13,19 @@ import org.apache.spark.sql.functions._
   * BIT-FOR-BIT, so the χ²/Gini/diversity reports are readable at any
   * time without touching historical data.
   *
-  * State: 9 longs + one long per source — forever, independent of
-  * stream length. Like the CMS/moment twins (and unlike the
-  * idempotent HLL fold), replaying a batch double-counts — pair with
-  * the exactly-once checkpointing the EventStreams tier provides.
+  * State: 9 longs + one long per source, the source axis bounded by
+  * [[CompositionMonitor.MaxSources]] — a batch that would push the
+  * source count past the bound REFUSES (throws) before folding
+  * anything, rather than evicting: additive mass states are not
+  * reconstructible after eviction, so silent eviction would skew
+  * every later Gini/diversity reading (the QuantileMonitor
+  * discipline, r14 verdict item 6). Like the CMS/moment twins (and
+  * unlike the idempotent HLL fold), replaying a batch double-counts
+  * — pair with the exactly-once checkpointing the EventStreams tier
+  * provides.
   */
-final class CompositionMonitor {
+final class CompositionMonitor(
+    maxSources: Int = CompositionMonitor.MaxSources) {
 
   @volatile private var digitCounts: Map[Int, Long] = Map.empty
   @volatile private var sourceMass: Map[String, Long] = Map.empty
@@ -48,6 +55,13 @@ final class CompositionMonitor {
       .groupBy(col("source")).agg(sum(col("nt")).as("w"))
       .collect()
     synchronized {
+      val newSources = rows.map(_.getString(0)).toSet -- sourceMass.keySet
+      if (sourceMass.size + newSources.size > maxSources)
+        throw new IllegalStateException(
+          s"CompositionMonitor: batch introduces ${newSources.size} new " +
+          s"sources (${sourceMass.size} tracked, bound $maxSources) — the " +
+          "source key is too high-cardinality for driver-side mass state; " +
+          "key on a coarser column or raise the constructor bound")
       rows.foreach { r =>
         val s = r.getString(0)
         sourceMass += s -> (sourceMass.getOrElse(s, 0L) + r.getLong(1))
@@ -103,4 +117,12 @@ final class CompositionMonitor {
     r6(2.0 * iw.toDouble / (k.toDouble * tot.toDouble) -
       (k + 1).toDouble / k.toDouble)
   }
+}
+
+object CompositionMonitor {
+  /** Default source-cardinality bound: one long (plus the key string)
+    * per source keeps 100k sources at a few MB of driver state —
+    * generous for corpus-source keys, fatal-by-refusal for accidental
+    * per-document keys. */
+  val MaxSources = 100000
 }

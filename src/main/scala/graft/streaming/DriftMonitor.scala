@@ -20,11 +20,19 @@ import org.apache.spark.sql.functions._
   * the EventStreams tier provides.
   *
   * State per group: 1 + d + d(d+1)/2 longs (≈ 17 KiB at d = 64) —
-  * forever, independent of stream length. Lattice headroom: |q| ≤ ~10³
+  * forever, independent of stream length, and ≤ [[DriftMonitor
+  * .MaxGroups]] groups total (≈ 70 MB at the defaults). A batch that
+  * would push the group count past the bound REFUSES (throws) before
+  * folding anything, rather than evicting: additive moment states are
+  * not reconstructible after eviction, so silent eviction would turn
+  * a high-cardinality key misconfiguration into wrong MMD² readings
+  * — the QuantileMonitor discipline (r14 verdict item 6). Lattice
+  * headroom: |q| ≤ ~10³
   * for unit-scale embeddings ⇒ |Σqq| < 10⁶·n, safe in int64 to
   * n ≈ 9·10¹² vectors per group.
   */
-final class DriftMonitor(val dim: Int = 64) {
+final class DriftMonitor(val dim: Int = 64,
+    maxGroups: Int = DriftMonitor.MaxGroups) {
 
   /** (n, Σq, upper-triangle Σ q_i·q_j) per group key. */
   @volatile private var state =
@@ -52,6 +60,16 @@ final class DriftMonitor(val dim: Int = 64) {
       .agg(sum(col("p.xy")).as("sxy"))
       .collect()
     synchronized {
+      // refuse BEFORE any fold so an over-bound batch leaves the
+      // state untouched (every observed group appears in `mu`)
+      val newGroups = mu.map(_.getString(0)).toSet -- state.keySet
+      if (state.size + newGroups.size > maxGroups)
+        throw new IllegalStateException(
+          s"DriftMonitor: batch introduces ${newGroups.size} new groups " +
+          s"(${state.size} tracked, bound $maxGroups) — the group key is " +
+          "too high-cardinality for driver-side moment state (~17 KiB per " +
+          "group at d=64); key on a coarser column or raise the " +
+          "constructor bound")
       var next = state
       def entry(g: String) =
         next.getOrElse(g, (0L, new Array[Long](dim), new Array[Long](triSize)))
@@ -101,4 +119,13 @@ final class DriftMonitor(val dim: Int = 64) {
       }
 
   def groups: Seq[String] = state.keys.toSeq.sorted
+}
+
+object DriftMonitor {
+  /** Default group-cardinality bound: per-group state is
+    * 1 + d + d(d+1)/2 longs ≈ 17 KiB at d = 64, so 4096 groups cap
+    * worst-case driver state at ≈ 70 MB — generous for the intended
+    * keys (source/domain/shard), fatal-by-refusal for accidental
+    * high-cardinality ones. */
+  val MaxGroups = 4096
 }

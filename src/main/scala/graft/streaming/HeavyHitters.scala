@@ -19,6 +19,13 @@ import graft.functions.expressions.MisraGriesAgg
   * (or boilerplate fragments, or domains) over a month of ingest
   * holds O(k) state forever, the same discipline as the offline-LM
   * and bloom-history streaming stages (EventStreams).
+  *
+  * Group-bound note (the QuantileMonitor/DriftMonitor/
+  * CompositionMonitor family discipline): none of the three monitors
+  * here needs an explicit group bound because none HAS a group axis —
+  * [[Monitor]]'s state is capped at k entries by the Misra-Gries
+  * merge itself, and [[CmsMonitor]]/[[HllMonitor]] hold fixed-size
+  * grids. Driver state is bounded by construction, not by a guard.
   */
 object HeavyHitters {
 

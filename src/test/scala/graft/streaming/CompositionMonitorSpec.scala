@@ -59,4 +59,17 @@ class CompositionMonitorSpec extends SparkSpec {
       .fn(spark, dir).collect().head.getAs[Double]("gini")
     assert(math.abs(m3.giniReport() - gini) < 1e-6)
   }
+
+  test("source-cardinality bound refuses before folding; state untouched, tracked sources still fold") {
+    import spark.implicits._
+    def frame(ss: String*) = ss.map(s => (s, "one two three")).toDF("source", "text")
+    val m = new CompositionMonitor(maxSources = 2)
+    m.observeDocs(frame("a", "b"))
+    val before = m.massGrid
+    val e = intercept[IllegalStateException] { m.observeDocs(frame("a", "c")) }
+    assert(e.getMessage.contains("high-cardinality"))
+    assert(m.massGrid === before)
+    m.observeDocs(frame("b"))
+    assert(m.massGrid("b") === before("b") + 3L)
+  }
 }

@@ -67,4 +67,21 @@ class DriftMonitorSpec extends SparkSpec {
     val Some((zm, zo, zz)) = self.mmd2("x", "y")
     assert(zm === 0.0 && zo === 0.0 && zz === 0.0)
   }
+
+  test("group-cardinality bound refuses before folding; state untouched, tracked groups still fold") {
+    import spark.implicits._
+    def frame(gs: String*) = gs.zipWithIndex.map { case (g, i) =>
+      (g, Seq.fill(4)(0.1f * (i + 1))) }.toDF("group", "embedding")
+    val m = new DriftMonitor(dim = 4, maxGroups = 2)
+    m.observe(frame("a", "b"))
+    val before = m.groups
+    val nA = m.moments("a").get._1
+    val e = intercept[IllegalStateException] { m.observe(frame("a", "c", "d")) }
+    assert(e.getMessage.contains("high-cardinality"))
+    // the refused batch folded NOTHING — not even its existing group's rows
+    assert(m.groups === before)
+    assert(m.moments("a").get._1 === nA)
+    m.observe(frame("a"))
+    assert(m.moments("a").get._1 === nA + 1)
+  }
 }

@@ -1247,6 +1247,14 @@ object DedupOps {
       .orderBy(col("doc_small"), col("doc_big"))
   }
 
+  /** q245's recall pipeline over an arbitrary documents frame — the
+    * entry the Curation containment stage uses (its documents are a
+    * pipeline stage's output, not a directory). Same guarantees as
+    * the registered query: recall exactly 1 at containment ≥ τ on the
+    * smaller side, slim verify throughout. */
+  private[graft] def containmentPairsOf(d: DataFrame): DataFrame =
+    containmentRecallOf(hashedOf(shingledOf(d, "cpol_tok"), "cpol_hashed"))
+
   val q245ContainmentRecall: QueryDef = QueryDef(
     "q245_containment_recall",
     (s, dir) => {

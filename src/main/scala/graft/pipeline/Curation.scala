@@ -124,7 +124,9 @@ object Curation {
       prototypePrune: Boolean = false,
       protoPruneDen: Int = 5,
       nearDupFamily: Option[String] = None,
-      nearDupBudget: Double = 1000.0)
+      nearDupBudget: Double = 1000.0,
+      containmentStage: Boolean = false,
+      containmentBudget: Double = 1000.0)
 
   final case class CurationSummary(
       raw: Long, gated: Long, boilerDropped: Long, contaminatedDropped: Long,
@@ -134,7 +136,9 @@ object Curation {
       lineSegmentsCut: Long = 0L, nbDropped: Long = 0L,
       protoDropped: Long = 0L, nearDupDropped: Long = 0L,
       nearDupFamilyUsed: String = "none",
-      nearDupGateVerdicts: Seq[(String, String, Double)] = Nil)
+      nearDupGateVerdicts: Seq[(String, String, Double)] = Nil,
+      containmentDropped: Long = 0L,
+      containmentGateVerdict: String = "off")
 
   private def materialize(df: DataFrame, tag: String): DataFrame =
     graft.Staging.materialize(df, tag, "spark.graft.corpus.stagingDir")
@@ -382,6 +386,31 @@ object Curation {
           case None => (base, 0L, "none", verdicts)
         }
     }
+    // containment (subset-dup) stage — the q245 operator as the
+    // ladder's complement: a tiny doc inside a huge one has Jaccard
+    // far below every resemblance family's threshold, so it passes
+    // every near-dup gate above and survives the pair join; this
+    // stage recalls exactly those pairs (containment ≥ 0.8 on the
+    // small side, recall 1 by pigeonhole) and drops the SMALLER side
+    // — the contained doc is the redundant one. Gate-priced by the
+    // "containment" bipartite pre-flight; a refusing gate refuses the
+    // stage (no join paid), verdict in the summary either way.
+    val (dedupedC, cDropped, cVerdict) =
+      if (!cfg.containmentStage)
+        (deduped0, 0L, "off")
+      else {
+        val base = materialize(deduped0, "contain_in")
+        val r = graft.operators.DedupOps
+          .preflightForDocs(base, "containment", cfg.containmentBudget)
+          .collect().head
+        val v = r.getAs[String]("verdict")
+        if (v == "ok") {
+          val dropIds = materialize(
+            graft.operators.DedupOps.containmentPairsOf(base)
+              .select(col("doc_small").as("doc_id")).distinct(), "contain_drop")
+          (base.join(dropIds, Seq("doc_id"), "left_anti"), dropIds.count(), v)
+        } else (base, 0L, v)
+      }
     // D4 prototype pruning (q175's operator) BETWEEN dedup and packing:
     // exact Lloyd over the SURVIVORS' embeddings, densest fifth per
     // cluster dropped — dedup removed the near-copies, this stage
@@ -391,7 +420,7 @@ object Curation {
       if (cfg.prototypePrune) {
         val emb = cfg.semanticEmbeddings.getOrElse(throw new IllegalArgumentException(
           "prototypePrune requires semanticEmbeddings"))
-        val survivors = materialize(deduped0, "proto_in")
+        val survivors = materialize(dedupedC, "proto_in")
         val survEmb = emb.select(col("doc_id").as("vec_id"), col("embedding"))
           .join(survivors.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
         val (assigned, _) = graft.operators.ClusterOps.lloydOf(survEmb)
@@ -400,7 +429,7 @@ object Curation {
             .filter(col("pruned"))
             .select(col("vec_id").as("doc_id")), "proto_drop")
         (survivors.join(dropIds, Seq("doc_id"), "left_anti"), dropIds.count())
-      } else (deduped0, 0L)
+      } else (dedupedC, 0L)
     // optional C4 line-level dedup (q147's operator): rewrite each
     // survivor to its first-occurrence segments AFTER doc-level exact
     // dedup (so intra-copy segments don't inflate the global counts);
@@ -442,7 +471,9 @@ object Curation {
       protoDropped = protoDroppedN,
       nearDupDropped = ndDropped,
       nearDupFamilyUsed = ndFamily,
-      nearDupGateVerdicts = ndVerdicts)
+      nearDupGateVerdicts = ndVerdicts,
+      containmentDropped = cDropped,
+      containmentGateVerdict = cVerdict)
     (bins, summary)
   }
 

@@ -552,4 +552,34 @@ class CurationSpec extends SparkSpec {
     assert(auto.nearDupFamilyUsed ===
       graft.operators.DedupOps.FamilyLadder.head)
   }
+
+  test("containment stage: subset dups the resemblance ladder misses drop the smaller side") {
+    import spark.implicits._
+    // doc 2 is a contiguous 15-token slice of doc 1: every one of its
+    // shingles is in doc 1 (containment 1.0) but Jaccard is ~13/58 —
+    // far below every resemblance family's 0.8 threshold, the exact
+    // bias q241's note names; doc 3 unrelated
+    val big = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val small = (20 to 34).map(i => s"tok$i").mkString(" ")
+    val other = (200 to 260).map(i => s"qq$i").mkString(" ")
+    val tiny = Seq(
+      (1L, big, "en", "s0"), (2L, small, "en", "s0"), (3L, other, "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val openGate = Curation.GateRules(minWords = 1, minStopwords = 0,
+      minAlphaFrac = 0.0)
+    // the full ladder runs and catches NOTHING (the fixture's point)...
+    val (_, ladderOnly) = Curation.run(tiny, Curation.CurationConfig(
+      gates = openGate, nearDupFamily = Some("auto")))
+    assert(ladderOnly.nearDupDropped === 0L,
+      s"fixture broken: the ladder caught the subset pair: $ladderOnly")
+    assert(ladderOnly.containmentGateVerdict === "off",
+      "stage must be off by default")
+    // ...the containment stage recalls the pair and drops the SMALL doc
+    val (_, withStage) = Curation.run(tiny, Curation.CurationConfig(
+      gates = openGate, nearDupFamily = Some("auto"), containmentStage = true))
+    assert(withStage.containmentDropped === 1L, s"$withStage")
+    assert(withStage.containmentGateVerdict === "ok")
+    assert(withStage.packedDocs === ladderOnly.packedDocs - 1)
+    assert(withStage.nearDupDropped === 0L)
+  }
 }

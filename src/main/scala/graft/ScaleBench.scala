@@ -134,9 +134,18 @@ object ScaleBench {
     // vocabulary one (own data dir + default query set): the control
     // experiment for the fixed-vocab saturation findings.
     val corpus = sys.env.getOrElse("SPARK_GRAFT_CORPUS", "fixed")
+    // q130's exact graph is the documented-quadratic CALIBRATION
+    // baseline (measured exponent 1.88, x10 ≈ 44 s): its story cannot
+    // change, so re-measuring it every session only burns the
+    // artifact's minutes. Opt back in with SPARK_GRAFT_N2_BASELINE=1
+    // (or by naming it in the args list, which always wins).
+    val includeN2 = sys.env.get("SPARK_GRAFT_N2_BASELINE").contains("1")
     val picked = args.drop(1).headOption
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(if (corpus == "heaps") HeapsTier else Heavy)
+      .getOrElse {
+        val defaults = if (corpus == "heaps") HeapsTier else Heavy
+        if (includeN2) defaults else defaults.filterNot(_ == "q130_knn_graph")
+      }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

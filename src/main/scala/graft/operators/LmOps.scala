@@ -693,9 +693,20 @@ object LmOps {
   /** Per-doc span statistics (doc_id, n_spans, n_dup_spans,
     * dup_ratio) — q98's body, shared with the q106 audit rollup. */
   private def spanStats(s: SparkSession, dir: String): DataFrame = {
-    val spans = spanWindows(s, dir)
+    // materialized ONCE: the join's probe side and the shared-hash
+    // aggregate both consume the exploded span frame, and the x100
+    // executed plan showed exchange reuse NOT deduplicating them —
+    // the tokenize+sha2 Generate ran twice (SCALE.md Round 15). The
+    // localCheckpoint keeps the h-partitioning the frame ends in, so
+    // the aggregate and the join still need no further exchange. The
+    // shared side is SHUFFLE_HASH-hinted: both sides are already
+    // h-partitioned, so the hint turns the x100 SortMergeJoin (two
+    // 26.5M-row sorts) into a sort-free hash join against the small
+    // aggregated side; at bench scale AQE still upgrades it to
+    // broadcast when the side is tiny. */
+    val spans = materialize(spanWindows(s, dir), "q98_spans")
     val shared = sharedSpans(spans).withColumn("dup", lit(1))
-    spans.join(shared, Seq("h"), "left_outer")
+    spans.join(shared.hint("shuffle_hash"), Seq("h"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(coalesce(col("dup"), lit(0))).as("n_dup_spans"))
@@ -748,8 +759,13 @@ object LmOps {
     "q107_max_dup_spans",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val spans = spanWindows(s, dir, withPos = true)
-      val dupw = spans.join(sharedSpans(spans), Seq("h"), "left_semi")
+      // same double-consumption as q98 (probe + shared aggregate), same
+      // fix: one materialized explode, sort-free semi join. Here BOTH
+      // consumers use the full (doc_id, i, h) width, so the r7 note
+      // about paying i's width for consumers that drop it doesn't apply.
+      val spans = materialize(spanWindows(s, dir, withPos = true), "q107_spans")
+      val dupw = spans.join(sharedSpans(spans).hint("shuffle_hash"),
+        Seq("h"), "left_semi")
       val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
       dupw
         .withColumn("prev", lag(col("i"), 1).over(w))

@@ -1247,22 +1247,39 @@ object DedupOps {
       .orderBy(col("doc_small"), col("doc_big"))
   }
 
+  /** 16-hex-char shingle hashes for the containment family — the q98
+    * span convention: the containment pipeline shuffles its exploded
+    * hash frame through five exchanges (probes, index, co-occurrence,
+    * candidate key), and a full 64-char sha256 hex string quadruples
+    * every one of them for no semantic gain. 64 bits make a global
+    * collision over the x100 corpus's 26.5M hashes a ~10⁻⁵ event, and
+    * the DuckDB oracle truncates IDENTICALLY, so the comparison is
+    * exact either way. The MinHash family keeps the full digest (its
+    * K permutations are the digest's 8-char slices). */
+  private def hashed16Of(sh: DataFrame, tag: String): DataFrame =
+    materialize(sh.select(col("doc_id"),
+      expr("transform(shingles, s -> substr(sha2(s, 256), 1, 16))").as("hashes")), tag)
+
+  private val hash16SqlCte =
+    """hs AS (SELECT doc_id,
+      |    list_transform(shingles, s -> substr(sha256(s), 1, 16)) AS hashes FROM sh)""".stripMargin
+
   /** q245's recall pipeline over an arbitrary documents frame — the
     * entry the Curation containment stage uses (its documents are a
     * pipeline stage's output, not a directory). Same guarantees as
     * the registered query: recall exactly 1 at containment ≥ τ on the
     * smaller side, slim verify throughout. */
   private[graft] def containmentPairsOf(d: DataFrame): DataFrame =
-    containmentRecallOf(hashedOf(shingledOf(d, "cpol_tok"), "cpol_hashed"))
+    containmentRecallOf(hashed16Of(shingledOf(d, "cpol_tok"), "cpol_hashed"))
 
   val q245ContainmentRecall: QueryDef = QueryDef(
     "q245_containment_recall",
     (s, dir) => {
       preflightGuard(s, dir, "containment")
-      containmentRecallOf(materialize(hashedShingles(s, dir), "contain_hs"))
+      containmentRecallOf(hashed16Of(shingled(s, dir), "contain_hs"))
     },
     Some(s"""WITH $shingleSqlCte,
-      $hashSqlCte,
+      $hash16SqlCte,
       probes AS (SELECT doc_id AS small_id, CAST(len(hashes) AS BIGINT) AS n_small,
           unnest(list_slice(list_sort(hashes), 1,
             CAST(floor($ContainFrac * len(hashes)) AS INT) + 1)) AS h

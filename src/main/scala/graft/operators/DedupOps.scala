@@ -1209,7 +1209,7 @@ object DedupOps {
     // the join's hash partitioning already clusters the group keys
     // (the pair columns), the aggregate that follows needs NO further
     // exchange. The output carries every `pairs` column, so callers
-    // whose pair frame already holds the set sizes need no re-join. */
+    // whose pair frame already holds the set sizes need no re-join.
     ia.as("a").join(ib.as("b"), col("a.h") === col("b.h") && orderPred)
       .select(col("a.doc_id").as(aName), col("b.doc_id").as(bName))
       .join(pairs, Seq(aName, bName))

@@ -703,7 +703,7 @@ object LmOps {
     // h-partitioned, so the hint turns the x100 SortMergeJoin (two
     // 26.5M-row sorts) into a sort-free hash join against the small
     // aggregated side; at bench scale AQE still upgrades it to
-    // broadcast when the side is tiny. */
+    // broadcast when the side is tiny.
     val spans = materialize(spanWindows(s, dir), "q98_spans")
     val shared = sharedSpans(spans).withColumn("dup", lit(1))
     spans.join(shared.hint("shuffle_hash"), Seq("h"), "left_outer")

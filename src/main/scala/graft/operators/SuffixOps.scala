@@ -324,7 +324,8 @@ object SuffixOps {
   }
 
   private def dbgOn(s: SparkSession): Boolean =
-    s.conf.getOption("spark.graft.suffix.debug").contains("true")
+    s.conf.getOption("spark.graft.suffix.debug").contains("true") ||
+      sys.env.get("SPARK_GRAFT_SUFFIX_DEBUG").contains("true")
   private def dbgLap(on: Boolean, tag: String, t0: Long): Long = {
     if (on) println(f"[suffix] $tag t=${(System.nanoTime() - t0) / 1e9}%.2fs")
     System.nanoTime()

@@ -153,15 +153,29 @@ object DedupOps {
     (s, dir) => {
       preflightGuard(s, dir, "minhash")
       val hashed = hashedShingles(s, dir)
-      val pairs = lshCandidatePairs(signatures(hashed))
-      // exact Jaccard verify over the hashed shingle sets (collision-free
-      // at 256 bits), candidates only
+      // exact Jaccard verify THROUGH the inverted index (collision-free
+      // at 256 bits), candidates only: |A∩B| from commonHashCounts'
+      // slim co-occurrence rows, |A∪B| = n_a + n_b − |A∩B| from cached
+      // set sizes — the minhash pair-count gate does not price verify
+      // BYTES, so per-pair hash ARRAYS must never cross the candidate
+      // join (the q245 800 GB lesson, applied to its own family).
+      // left_outer: a band collision with zero true overlap is still a
+      // candidate row (jaccard 0), as before.
+      val pairs = materialize(lshCandidatePairs(signatures(hashed)), "q51_cand")
+      val sizes = hashed.select(col("doc_id"),
+        size(col("hashes")).cast("long").as("n"))
       pairs
-        .join(hashed.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(hashed.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .join(commonHashCounts(hashed, pairs, "doc_a", "doc_b",
+            col("a.doc_id") < col("b.doc_id")),
+          Seq("doc_a", "doc_b"), "left_outer")
+        .na.fill(0L, Seq("n_common"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+          Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+          Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
-          round(size(array_intersect(col("sa.hashes"), col("sb.hashes"))).cast("double") /
-            size(array_union(col("sa.hashes"), col("sb.hashes"))), 6).as("jaccard"))
+          round(col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
     Some(s"""WITH $shingleSqlCte,
@@ -209,15 +223,21 @@ object DedupOps {
       // armed, a saturated corpus must refuse here too, not just in q51
       preflightGuard(s, dir, "minhash")
       val hashed = hashedShingles(s, dir)
-      val pairs = lshCandidatePairs(signatures(hashed))
+      // slim verify through the inverted index — see q51's note
+      val pairs = materialize(lshCandidatePairs(signatures(hashed)), "q241_cand")
+      val sizes = hashed.select(col("doc_id"),
+        size(col("hashes")).cast("long").as("n"))
       pairs
-        .join(hashed.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(hashed.as("sb"), col("doc_b") === col("sb.doc_id"))
-        .select(col("doc_a"), col("doc_b"),
-          size(col("sa.hashes")).cast("long").as("n_a"),
-          size(col("sb.hashes")).cast("long").as("n_b"),
-          size(array_intersect(col("sa.hashes"), col("sb.hashes")))
-            .cast("long").as("n_common"))
+        .join(commonHashCounts(hashed, pairs, "doc_a", "doc_b",
+            col("a.doc_id") < col("b.doc_id")),
+          Seq("doc_a", "doc_b"), "left_outer")
+        .na.fill(0L, Seq("n_common"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+          Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+          col("n_common"))
         .withColumn("jaccard", round(col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")), 6))
         .withColumn("containment", round(col("n_common").cast("double") /

@@ -238,13 +238,13 @@ object ScaleBench {
       graft.functions.expressions.VectorExpressions.register(spark)
       val e = Tables.load(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
-      val n = e.count()
-      val c = math.max(16L, (4.0 * math.sqrt(n.toDouble)).toLong)
-      val centroids = e.filter(col("vec_id") < c)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      val cc = math.max(4, math.ceil(math.sqrt(c.toDouble)).toInt)
-      val coarse = operators.AnnOps.coarsePick(centroids, cc)
-      operators.AnnOps.knnGraphIvfTwoLevel(e, centroids, coarse,
+      // sizing + centroid pick delegated to the production path so this
+      // series measures exactly what q243 ships (the r15 debias moved
+      // production to bottom-C-by-sha2; an inline first-C pick here
+      // would silently bench a different centroid layout).
+      val (centroids, cc) = operators.AnnOps.prodSizing(e)
+      operators.AnnOps.knnGraphIvfTwoLevel(e, centroids,
+        operators.AnnOps.coarsePick(centroids, cc),
         gProbe = 4, nprobe = 4, k = 5)
     }
     def once(name: String, dir: String): Double = {

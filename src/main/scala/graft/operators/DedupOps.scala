@@ -403,13 +403,18 @@ object DedupOps {
     * projects from its OWN keys, so the verdict reflects the join it
     * gates, not a proxy. */
   private[graft] def preflightFor(s: SparkSession, dir: String,
-      family: String, budget: Double): DataFrame =
-    preflightForDocs(docs(s, dir), family, budget)
+      family: String, budget: Double,
+      containTau: Double = ContainTauDefault): DataFrame =
+    preflightForDocs(docs(s, dir), family, budget, containTau)
 
   /** Frame-based pre-flight — the entry the Curation policy slot uses
-    * (its documents are a pipeline stage's output, not a directory). */
+    * (its documents are a pipeline stage's output, not a directory).
+    * `containTau` only matters to the "containment" family: its probe
+    * side is the (1−τ)-fraction sketch, so the gate must price the
+    * join at the τ the caller will actually run. */
   private[graft] def preflightForDocs(d: DataFrame,
-      family: String, budget: Double): DataFrame = {
+      family: String, budget: Double,
+      containTau: Double = ContainTauDefault): DataFrame = {
     family match {
       case "minhash" => pfReport(d, smp =>
           bandsOf(signatures(hashedOf(shingledOf(smp, "pf_tok"), "pf_hashed")))
@@ -429,7 +434,8 @@ object DedupOps {
             .select(col("doc_id"), col("mk").cast("string").as("k")),
         MankuTables.length, budget)
       case "containment" => pfReportBipartite(d,
-        smp => containProbes(hashedOf(shingledOf(smp, "pf_ctok"), "pf_chash"))
+        smp => containProbes(hashedOf(shingledOf(smp, "pf_ctok"), "pf_chash"),
+            containTau)
           .select(col("small_id").as("doc_id"), col("h").as("k")),
         smp => containIndex(hashedOf(shingledOf(smp, "pf_ctok2"), "pf_chash2"))
           .select(col("big_id").as("doc_id"), col("h").as("k")),
@@ -448,11 +454,12 @@ object DedupOps {
     * case; the right answer there is refusing the run, not a bigger
     * cluster). Off by default, so oracle runs and tests never pay the
     * extra pass. */
-  private def preflightGuard(s: SparkSession, dir: String, family: String): Unit =
+  private def preflightGuard(s: SparkSession, dir: String, family: String,
+      tau: Double = ContainTauDefault): Unit =
     if (s.conf.getOption("spark.graft.dedup.preflight").contains("true")) {
       val budget = s.conf.getOption("spark.graft.dedup.preflightBudget")
         .map(_.toDouble).getOrElse(PfBudgetDefault)
-      val r = preflightFor(s, dir, family, budget).collect().head
+      val r = preflightFor(s, dir, family, budget, tau).collect().head
       if (r.getAs[String]("verdict") == "refuse")
         throw new IllegalStateException(
           s"dedup preflight ($family): projected ${r.getAs[Double]("pairs_per_doc")} raw " +
@@ -1138,11 +1145,26 @@ object DedupOps {
   // q245: containment-RECALL pairs — the q241 bias escape
   // ---------------------------------------------------------------
 
-  /** Containment threshold (Szymkiewicz–Simpson overlap ≥ this on the
-    * smaller side) and its probe fraction 1 − τ, rendered as the same
-    * literals into Spark and oracle texts. */
-  private val ContainTau = "0.8"
-  private val ContainFrac = "0.2"
+  /** Default containment threshold (Szymkiewicz–Simpson overlap ≥ τ
+    * on the smaller side). τ is a KNOB (CurationConfig.containmentTau,
+    * the `tau` params below); the probe fraction is never set
+    * independently — it is DERIVED as 1 − τ so the pigeonhole bound
+    * moves with the knob: probing with the ⌊(1−τ)·|A|⌋ + 1 smallest
+    * hashes guarantees |A \ B| ≤ (1−τ)·|A| < p whenever
+    * containment ≥ τ, i.e. recall exactly 1 at ANY τ ∈ (0, 1]
+    * (ContainmentRecallSpec proves it brute-force at two τ values).
+    * Both literals render as exact decimal text, identical in the
+    * Spark exprs and the DuckDB oracle SQL. */
+  private[graft] val ContainTauDefault = 0.8
+
+  private def decStr(x: BigDecimal): String =
+    x.bigDecimal.stripTrailingZeros.toPlainString
+  private[operators] def containTauStr(tau: Double): String =
+    decStr(BigDecimal(tau.toString))
+  private[operators] def containFracStr(tau: Double): String = {
+    require(tau > 0.0 && tau <= 1.0, s"containment tau must be in (0,1], got $tau")
+    decStr(BigDecimal(1) - BigDecimal(tau.toString))
+  }
 
   /** q241 classifies only the RESEMBLANCE-recalled candidate set, so a
     * tiny doc inside a huge one (Jaccard ≪ band threshold) never
@@ -1167,11 +1189,12 @@ object DedupOps {
     * verify counts shared hashes THROUGH the inverted index
     * (co-occurrence triples grouped per pair) — set arrays never
     * cross a shuffle (see [[containmentRecallOf]]). */
-  private[graft] def containProbes(hashed: DataFrame): DataFrame =
+  private[graft] def containProbes(hashed: DataFrame,
+      tau: Double = ContainTauDefault): DataFrame =
     hashed.select(col("doc_id").as("small_id"),
       size(col("hashes")).cast("long").as("n_small"),
       explode(expr(s"slice(array_sort(hashes), 1, " +
-        s"cast(floor($ContainFrac * size(hashes)) as int) + 1)")).as("h"))
+        s"cast(floor(${containFracStr(tau)} * size(hashes)) as int) + 1)")).as("h"))
 
   private[graft] def containIndex(hashed: DataFrame): DataFrame =
     hashed.select(col("doc_id").as("big_id"),
@@ -1237,7 +1260,8 @@ object DedupOps {
       .agg(count(lit(1)).as("n_common"))
   }
 
-  private[operators] def containmentRecallOf(hashed: DataFrame): DataFrame = {
+  private[operators] def containmentRecallOf(hashed: DataFrame,
+      tau: Double = ContainTauDefault, tag: String = "contain"): DataFrame = {
     // the candidate frame CARRIES BOTH SET SIZES (the probe join
     // already had them): the first-cut assembly re-attached n_small
     // and n_big with two extra doc-keyed shuffle joins over the full
@@ -1245,11 +1269,11 @@ object DedupOps {
     // columns it had just projected away (SCALE.md Round 15). It is
     // also MATERIALIZED, feeding three consumers (the two per-side
     // semi-joins inside commonHashCounts and the final verify join).
-    val cand = materialize(containProbes(hashed).join(containIndex(hashed), "h")
+    val cand = materialize(containProbes(hashed, tau).join(containIndex(hashed), "h")
       .filter(col("n_small") < col("n_big") ||
         (col("n_small") === col("n_big") && col("small_id") < col("big_id")))
       .select(col("small_id"), col("n_small"), col("big_id"), col("n_big"))
-      .distinct(), "contain_cand")
+      .distinct(), s"${tag}_cand")
     // commonHashCounts is candidate-restricted and carries cand's
     // size columns through its group keys — the verify IS its output
     commonHashCounts(hashed, cand, "small_id", "big_id",
@@ -1257,7 +1281,8 @@ object DedupOps {
           (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id")))
       .select(col("small_id").as("doc_small"), col("big_id").as("doc_big"),
         col("n_small"), col("n_big"), col("n_common"))
-      .filter(col("n_common").cast("double") / col("n_small") >= expr(ContainTau))
+      .filter(col("n_common").cast("double") / col("n_small") >=
+        expr(containTauStr(tau)))
       .withColumn("containment",
         round(col("n_common").cast("double") / col("n_small"), 6))
       .withColumn("jaccard", round(col("n_common").cast("double") /
@@ -1289,20 +1314,19 @@ object DedupOps {
     * pipeline stage's output, not a directory). Same guarantees as
     * the registered query: recall exactly 1 at containment ≥ τ on the
     * smaller side, slim verify throughout. */
-  private[graft] def containmentPairsOf(d: DataFrame): DataFrame =
-    containmentRecallOf(hashed16Of(shingledOf(d, "cpol_tok"), "cpol_hashed"))
+  private[graft] def containmentPairsOf(d: DataFrame,
+      tau: Double = ContainTauDefault): DataFrame =
+    containmentRecallOf(hashed16Of(shingledOf(d, "cpol_tok"), "cpol_hashed"),
+      tau, "cpol")
 
-  val q245ContainmentRecall: QueryDef = QueryDef(
-    "q245_containment_recall",
-    (s, dir) => {
-      preflightGuard(s, dir, "containment")
-      containmentRecallOf(hashed16Of(shingled(s, dir), "contain_hs"))
-    },
-    Some(s"""WITH $shingleSqlCte,
+  /** q245's DuckDB oracle, rendered from the SAME τ the Spark plan
+    * uses (probe fraction 1−τ and the ≥ τ verify both move with it). */
+  private def containSql(tau: Double): String =
+    s"""WITH $shingleSqlCte,
       $hash16SqlCte,
       probes AS (SELECT doc_id AS small_id, CAST(len(hashes) AS BIGINT) AS n_small,
           unnest(list_slice(list_sort(hashes), 1,
-            CAST(floor($ContainFrac * len(hashes)) AS INT) + 1)) AS h
+            CAST(floor(${containFracStr(tau)} * len(hashes)) AS INT) + 1)) AS h
         FROM hs),
       idx AS (SELECT doc_id AS big_id, CAST(len(hashes) AS BIGINT) AS n_big,
           unnest(hashes) AS h FROM hs),
@@ -1321,8 +1345,30 @@ object DedupOps {
         round(CAST(n_common AS DOUBLE) / (n_small + n_big - n_common), 6) AS jaccard,
         CASE WHEN round(CAST(n_common AS DOUBLE) / (n_small + n_big - n_common), 6) >= 0.8
              THEN 'near_dup' ELSE 'subset' END AS relation
-      FROM scored WHERE CAST(n_common AS DOUBLE) / n_small >= $ContainTau
-      ORDER BY doc_small, doc_big"""))
+      FROM scored WHERE CAST(n_common AS DOUBLE) / n_small >= ${containTauStr(tau)}
+      ORDER BY doc_small, doc_big"""
+
+  val q245ContainmentRecall: QueryDef = QueryDef(
+    "q245_containment_recall",
+    (s, dir) => {
+      preflightGuard(s, dir, "containment")
+      containmentRecallOf(hashed16Of(shingled(s, dir), "contain_hs"))
+    },
+    Some(containSql(ContainTauDefault)))
+
+  /** q246: the q245 pipeline at τ = 0.9 — the knob proof. Tightening τ
+    * SHRINKS the probe sketch (⌊0.1·|A|⌋+1 smallest hashes vs ⌊0.2·|A|⌋+1)
+    * while the pigeonhole recall-1 bound moves with it; the oracle is
+    * rendered from the same τ, so a fraction/threshold drift between
+    * the two would hash-mismatch. */
+  val q246ContainmentRecallT90: QueryDef = QueryDef(
+    "q246_containment_recall_t90",
+    (s, dir) => {
+      preflightGuard(s, dir, "containment", tau = 0.9)
+      containmentRecallOf(hashed16Of(shingled(s, dir), "contain9_hs"),
+        tau = 0.9, tag = "contain9")
+    },
+    Some(containSql(0.9)))
 
   // ---------------------------------------------------------------
   // Fingerprint contraction: the q205 saturation fix
@@ -1914,5 +1960,5 @@ object DedupOps {
     q131MinhashCalibration, q134ClusterHistogram, q183LshRecall,
     q192CrossSourceDups, q205CcTwophase, q226SourceMinhash,
     q239DedupPreflight, q241ContainmentPairs, q242Simhash128Pairs,
-    q244MankuPairs, q245ContainmentRecall)
+    q244MankuPairs, q245ContainmentRecall, q246ContainmentRecallT90)
 }

@@ -630,20 +630,19 @@ object LmOps {
     * the hash. No corpus self-join, no N². Distinct-doc counting uses
     * the exact two-level count only per span hash — bounded fan-in. */
   /** Every [[SpanLen]]-token window as (doc_id, h) — or (doc_id, i, h)
-    * with the window's start position when `withPos`. Neither form is
-    * checkpointed any more (the r8-era localCheckpoint cost an eager
-    * job + disk round-trip): the POSITION-FREE form ends in one
-    * h-keyed exchange (`repartition(h)`) that both consumers (the
-    * shared-hash aggregate and the join-back, each clustered on h)
-    * reuse via ReuseExchange/AQE stage reuse — HashPartitioning(h)
-    * satisfies every downstream h-clustering, so that one shuffle is
-    * the shuffle the aggregate needed anyway. The withPos form stays
-    * barrier-free (measured: its semi-join side gets AQE-broadcast, so
-    * a forced full-width exchange is pure waste; recomputing the
-    * narrow explode per consumer is cheaper). q98/q106 take the
-    * position-free form (materializing `i` for consumers that drop it
-    * pays its width on every scan — the r7 bench regression); only
-    * q107, which merges on position, asks for it. */
+    * with the window's start position when `withPos`. BOTH forms end
+    * in one h-keyed exchange (`repartition(h)`) and are materialized
+    * by their callers (the r15 double-scan fix: the executed x100 plan
+    * showed ReuseExchange never deduplicating the probe side and the
+    * shared-hash aggregate, so the tokenize+sha2 Generate ran twice).
+    * HashPartitioning(h) is the partitioning the shared-hash aggregate
+    * needs anyway, and the checkpoint preserves it, so after
+    * materialization neither consumer pays a further h-exchange —
+    * the SHUFFLE_HASH-hinted join-back is sort-free on both sides.
+    * q98/q106 take the position-free form (materializing `i` for
+    * consumers that drop it pays its width on every scan — the r7
+    * bench regression); only q107, which merges on position, asks
+    * for it. */
   private def spanWindows(s: SparkSession, dir: String,
       withPos: Boolean = false): DataFrame =
     spanWindowsOf(tokensRaw(s, dir), withPos)
@@ -668,6 +667,7 @@ object LmOps {
              |  i -> struct(i as i,
              |    substr(sha2(concat_ws(' ', slice(w, i, $SpanLen)), 256), 1, 16) as h))""".stripMargin)).as("p"))
         .select(col("doc_id"), col("p.i").as("i"), col("p.h").as("h"))
+        .repartition(col("h"))
     else
       tok
         .filter(size(col("w")) >= SpanLen)

@@ -126,7 +126,12 @@ object Curation {
       nearDupFamily: Option[String] = None,
       nearDupBudget: Double = 1000.0,
       containmentStage: Boolean = false,
-      containmentBudget: Double = 1000.0)
+      containmentBudget: Double = 1000.0,
+      // subset-dup threshold τ (containment ≥ τ on the smaller side).
+      // The probe fraction is DERIVED (1−τ, +1 hash — the pigeonhole
+      // bound), so recall stays exactly 1 at whatever τ is set here;
+      // the gate prices the probe join at this same τ.
+      containmentTau: Double = graft.operators.DedupOps.ContainTauDefault)
 
   final case class CurationSummary(
       raw: Long, gated: Long, boilerDropped: Long, contaminatedDropped: Long,
@@ -390,8 +395,8 @@ object Curation {
     // ladder's complement: a tiny doc inside a huge one has Jaccard
     // far below every resemblance family's threshold, so it passes
     // every near-dup gate above and survives the pair join; this
-    // stage recalls exactly those pairs (containment ≥ 0.8 on the
-    // small side, recall 1 by pigeonhole) and drops the SMALLER side
+    // stage recalls exactly those pairs (containment ≥ cfg.containmentTau
+    // on the small side, recall 1 by pigeonhole) and drops the SMALLER side
     // — the contained doc is the redundant one. Gate-priced by the
     // "containment" bipartite pre-flight; a refusing gate refuses the
     // stage (no join paid), verdict in the summary either way.
@@ -401,12 +406,13 @@ object Curation {
       else {
         val base = materialize(deduped0, "contain_in")
         val r = graft.operators.DedupOps
-          .preflightForDocs(base, "containment", cfg.containmentBudget)
+          .preflightForDocs(base, "containment", cfg.containmentBudget,
+            cfg.containmentTau)
           .collect().head
         val v = r.getAs[String]("verdict")
         if (v == "ok") {
           val dropIds = materialize(
-            graft.operators.DedupOps.containmentPairsOf(base)
+            graft.operators.DedupOps.containmentPairsOf(base, cfg.containmentTau)
               .select(col("doc_small").as("doc_id")).distinct(), "contain_drop")
           (base.join(dropIds, Seq("doc_id"), "left_anti"), dropIds.count(), v)
         } else (base, 0L, v)

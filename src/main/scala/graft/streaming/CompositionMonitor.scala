@@ -21,14 +21,33 @@ import org.apache.spark.sql.functions._
   * every later Gini/diversity reading (the QuantileMonitor
   * discipline, r14 verdict item 6). Like the CMS/moment twins (and
   * unlike the idempotent HLL fold), replaying a batch double-counts
-  * — pair with the exactly-once checkpointing the EventStreams tier
-  * provides.
+  * — drive each feed through its batch-id-fenced overload from
+  * `foreachBatch`, which absorbs the re-delivered last batch as a
+  * no-op and refuses regressed ids ([[BatchFence]]; one fence per
+  * feed, since the two feeds are independent streaming queries with
+  * independent batch-id sequences).
   */
 final class CompositionMonitor(
     maxSources: Int = CompositionMonitor.MaxSources) {
 
   @volatile private var digitCounts: Map[Int, Long] = Map.empty
   @volatile private var sourceMass: Map[String, Long] = Map.empty
+
+  private val amountsFence = new BatchFence("CompositionMonitor.observeAmounts")
+  private val docsFence = new BatchFence("CompositionMonitor.observeDocs")
+
+  /** [[observeAmounts]] fenced by the `foreachBatch` batch id — the
+    * streaming entry point (replay no-op, regressed-id refusal). */
+  def observeAmounts(batch: DataFrame, batchId: Long): Unit =
+    amountsFence(batchId)(observeAmounts(batch))
+
+  /** [[observeDocs]] fenced by the `foreachBatch` batch id. */
+  def observeDocs(batch: DataFrame, batchId: Long): Unit =
+    docsFence(batchId)(observeDocs(batch))
+
+  /** Re-delivered batches absorbed by the two fences. */
+  def replaysSkipped: Long =
+    amountsFence.replaysSkipped + docsFence.replaysSkipped
 
   /** Fold one micro-batch of a numeric feed: `value` column (double,
     * two-decimal semantics — prices). Only 9 longs cross the wire. */

@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   * CmsMonitor guarantee, applied to second moments); any group pair's
   * MMD² can then be read at any time without touching historical data.
   * Like the CMS twin (and unlike the idempotent HLL fold), replaying a
-  * batch double-counts — pair it with the exactly-once checkpointing
-  * the EventStreams tier provides.
+  * batch double-counts — drive it through the batch-id-fenced
+  * `observe(batch, batchId)` from `foreachBatch`, which absorbs the
+  * re-delivered last batch as a no-op and refuses regressed ids
+  * ([[BatchFence]]).
   *
   * State per group: 1 + d + d(d+1)/2 longs (≈ 17 KiB at d = 64) —
   * forever, independent of stream length, and ≤ [[DriftMonitor
@@ -39,6 +41,18 @@ final class DriftMonitor(val dim: Int = 64,
     Map.empty[String, (Long, Array[Long], Array[Long])]
 
   private def triSize = dim * (dim + 1) / 2
+
+  private val fence = new BatchFence("DriftMonitor")
+
+  /** [[observe]] fenced by the `foreachBatch` batch id — the streaming
+    * entry point: a re-delivery of the last committed batch (the crash
+    * -recovery replay) is a counted no-op, so the additive moments
+    * never double-count; a regressed id is refused by name. */
+  def observe(batch: DataFrame, batchId: Long): Unit =
+    fence(batchId)(observe(batch))
+
+  /** Re-delivered batches absorbed by the fence. */
+  def replaysSkipped: Long = fence.replaysSkipped
 
   /** Fold one micro-batch: a frame with `group` (string) and
     * `embedding` (array&lt;float/double&gt;) columns. Only

@@ -72,4 +72,26 @@ class CompositionMonitorSpec extends SparkSpec {
     m.observeDocs(frame("b"))
     assert(m.massGrid("b") === before("b") + 3L)
   }
+
+  test("batch-id fences: replay no-ops per feed, regressed ids refuse, feeds fence independently") {
+    import spark.implicits._
+    val docs = Seq(("a", "one two three")).toDF("source", "text")
+    val amts = Seq(1.23, 4.56).toDF("value")
+    val m = new CompositionMonitor()
+    m.observeDocs(docs, batchId = 0L)
+    m.observeAmounts(amts, batchId = 0L) // independent feed, same id: folds
+    val mass = m.massGrid
+    val grid = m.digitGrid
+    // recovery replay of the last committed batch on each feed: no-op
+    m.observeDocs(docs, batchId = 0L)
+    m.observeAmounts(amts, batchId = 0L)
+    assert(m.massGrid === mass, "replayed doc batch double-counted")
+    assert(m.digitGrid === grid, "replayed amount batch double-counted")
+    assert(m.replaysSkipped === 2L)
+    // regressed id refuses by name, state untouched
+    m.observeDocs(docs, batchId = 3L)
+    val e = intercept[IllegalStateException] { m.observeDocs(docs, batchId = 1L) }
+    assert(e.getMessage.contains("regresses"))
+    assert(m.massGrid("a") === 2 * mass("a"))
+  }
 }

@@ -84,4 +84,25 @@ class DriftMonitorSpec extends SparkSpec {
     m.observe(frame("a"))
     assert(m.moments("a").get._1 === nA + 1)
   }
+
+  test("batch-id fence: replaying the last batch is a no-op, a regressed id refuses by name") {
+    import spark.implicits._
+    def frame(g: String) = Seq((g, Seq.fill(4)(0.5f))).toDF("group", "embedding")
+    val m = new DriftMonitor(dim = 4)
+    m.observe(frame("a"), batchId = 0L)
+    m.observe(frame("a"), batchId = 1L)
+    val after = m.moments("a").get
+    // crash-recovery replay: same id, same (or any) content — no fold
+    m.observe(frame("a"), batchId = 1L)
+    assert(m.moments("a").get._1 === after._1, "replayed batch double-counted")
+    assert(m.moments("a").get._2.toSeq === after._2.toSeq)
+    assert(m.replaysSkipped === 1L)
+    // a regressed id is NOT a recovery replay — refuse, state untouched
+    val e = intercept[IllegalStateException] { m.observe(frame("a"), batchId = 0L) }
+    assert(e.getMessage.contains("regresses"))
+    assert(m.moments("a").get._1 === after._1)
+    // the stream continues past the absorbed replay
+    m.observe(frame("a"), batchId = 2L)
+    assert(m.moments("a").get._1 === after._1 + 1)
+  }
 }

@@ -126,7 +126,7 @@ object ScaleBench {
     "q236_heaps_fit", "q51_lsh_jaccard_pairs", "q98_dup_spans",
     "q164_longest_dup", "q205_cc_twophase", "q242_simhash128_pairs",
     "q244_manku_pairs", "q245_containment_recall", "q104_bpe_merges",
-    "q96_lm_perplexity")
+    "q96_lm_perplexity", "curation_ladder", "curation_contain")
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("target/scale")
@@ -247,11 +247,40 @@ object ScaleBench {
         operators.AnnOps.coarsePick(centroids, cc),
         gProbe = 4, nprobe = 4, k = 5)
     }
+    // Curation end-to-end, without vs with the q245 subset-dup stage
+    // (r16 verdict item 4): the pair prices containmentStage's
+    // MARGINAL cost in-pipeline — over post-ladder survivors, with
+    // its own bipartite gate read first (verdict printed next to the
+    // cost it predicted, the q239 pattern).
+    def curation(dir: String, contain: Boolean): DataFrame = {
+      val docs = Tables.load(spark, dir, "documents")
+      // content gates neutralized (boiler frac never reaches 1.1; the
+      // Gopher rules would fail minAlphaFrac/stopwords on the synthetic
+      // token stream and price an EMPTY dedup tier): what this pair
+      // measures is the ladder + containment marginal over a full-size
+      // survivor set, not the English-quality gates.
+      val (out, sm) = pipeline.Curation.run(docs,
+        pipeline.Curation.CurationConfig(
+          gates = operators.CorpusOps.GateRules(minWords = 1,
+            minMeanWordLen = 0.0, maxMeanWordLen = 1e9,
+            minStopwords = 0, minAlphaFrac = 0.0),
+          boilerMaxFrac = 1.1,
+          nearDupFamily = Some("auto"),
+          containmentStage = contain))
+      println(s"[scale] curation contain=$contain raw=${sm.raw} " +
+        s"gated=${sm.gated} family=${sm.nearDupFamilyUsed} " +
+        s"ndDropped=${sm.nearDupDropped} " +
+        s"containVerdict=${sm.containmentGateVerdict} " +
+        s"containDropped=${sm.containmentDropped}")
+      out
+    }
     def once(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       try {
         val df = if (name == "knn_graph_ivf") knnIvf(dir)
           else if (name == "knn_graph_ivf2") knnIvf2(dir)
+          else if (name == "curation_ladder") curation(dir, contain = false)
+          else if (name == "curation_contain") curation(dir, contain = true)
           else qs(name)(spark, dir)
         df.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9

@@ -20,6 +20,13 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // extra runtime confs for diagnostics sessions, e.g.
+    // SPARK_GRAFT_CONFS=spark.graft.contain.debug=true,spark.graft.suffix.debug=true
+    sys.env.get("SPARK_GRAFT_CONFS").foreach(_.split(",").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     // tolerate partial dirs (ScaleBench corpora carry only
     // documents/embeddings) — warm what exists, name what's skipped;
     // NonFatal so OOM/interrupt still surface (r14 ADVICE)

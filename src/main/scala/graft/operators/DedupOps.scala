@@ -363,10 +363,15 @@ object DedupOps {
       s"${MixOps.bucketExpr("sha2(cast(doc_id as string), 256)", PfMod)} < $PfThresh"))
     projectedPairs(keysOfSample(sample), bandsPerDoc)
       .crossJoin(total)
+      // greatest(n_docs, 1): an empty frame (a pipeline stage that
+      // dropped everything) must gate "ok" at density 0, not throw
+      // DIVIDE_BY_ZERO under ANSI mode
       .select(col("sample_docs"), col("sample_pairs"), col("n_docs"),
         round(col("sample_pairs") * lit(PfInv2), 4).as("projected_pairs"),
-        round(col("sample_pairs") * lit(PfInv2) / col("n_docs"), 6).as("pairs_per_doc"),
-        when(col("sample_pairs") * lit(PfInv2) / col("n_docs") > lit(budget),
+        round(col("sample_pairs") * lit(PfInv2) / greatest(col("n_docs"), lit(1L)), 6)
+          .as("pairs_per_doc"),
+        when(col("sample_pairs") * lit(PfInv2) / greatest(col("n_docs"), lit(1L))
+            > lit(budget),
           lit("refuse")).otherwise(lit("ok")).as("verdict"))
   }
 
@@ -391,10 +396,13 @@ object DedupOps {
       .agg(coalesce(sum(col("pf") * col("df") - col("pf")), lit(0L))
         .cast("long").as("sample_pairs"))
       .crossJoin(sampleDocs).crossJoin(total)
+      // greatest(n_docs, 1): same empty-frame guard as pfReport
       .select(col("sample_docs"), col("sample_pairs"), col("n_docs"),
         round(col("sample_pairs") * lit(PfInv2), 4).as("projected_pairs"),
-        round(col("sample_pairs") * lit(PfInv2) / col("n_docs"), 6).as("pairs_per_doc"),
-        when(col("sample_pairs") * lit(PfInv2) / col("n_docs") > lit(budget),
+        round(col("sample_pairs") * lit(PfInv2) / greatest(col("n_docs"), lit(1L)), 6)
+          .as("pairs_per_doc"),
+        when(col("sample_pairs") * lit(PfInv2) / greatest(col("n_docs"), lit(1L))
+            > lit(budget),
           lit("refuse")).otherwise(lit("ok")).as("verdict"))
   }
 
@@ -1189,6 +1197,15 @@ object DedupOps {
     * verify counts shared hashes THROUGH the inverted index
     * (co-occurrence triples grouped per pair) — set arrays never
     * cross a shuffle (see [[containmentRecallOf]]). */
+  /** Perf diagnostics for the containment family
+    * (`spark.graft.contain.debug=true`): per-stage wall laps at the
+    * materialize boundaries plus the intrinsic row masses (candidate
+    * pairs, inverted-index incidences) — the numbers a closure
+    * adjudication needs. Debug-only counts re-run their frames;
+    * production paths never pay them. */
+  private def containDbg(s: org.apache.spark.sql.SparkSession): Boolean =
+    s.conf.getOption("spark.graft.contain.debug").contains("true")
+
   private[graft] def containProbes(hashed: DataFrame,
       tau: Double = ContainTauDefault): DataFrame =
     hashed.select(col("doc_id").as("small_id"),
@@ -1233,7 +1250,8 @@ object DedupOps {
     * by the candidate join one stage later. Filtering them inside the
     * join's codegen stage is free (SCALE.md Round 15). */
   private[graft] def commonHashCounts(hashed: DataFrame, pairs: DataFrame,
-      aName: String, bName: String, orderPred: Column): DataFrame = {
+      aName: String, bName: String, orderPred: Column,
+      restrictHint: Option[String] = None): DataFrame = {
     val idxSlim = hashed.select(col("doc_id"),
       size(col("hashes")).cast("long").as("n"), explode(col("hashes")).as("h"))
     val ia = idxSlim.join(pairs.select(col(aName).as("doc_id")).distinct(),
@@ -1253,9 +1271,33 @@ object DedupOps {
     // (the pair columns), the aggregate that follows needs NO further
     // exchange. The output carries every `pairs` column, so callers
     // whose pair frame already holds the set sizes need no re-join.
-    ia.as("a").join(ib.as("b"), col("a.h") === col("b.h") && orderPred)
+    val incidences = ia.as("a")
+      .join(ib.as("b"), col("a.h") === col("b.h") && orderPred)
       .select(col("a.doc_id").as(aName), col("b.doc_id").as(bName))
-      .join(pairs, Seq(aName, bName))
+    if (containDbg(hashed.sparkSession)) {
+      // intrinsic-mass attribution (debug recomputes these frames):
+      // the incidence count IS the Σ_h df_a·df_b mass the closure
+      // argument prices, and the candidate-restricted count is what
+      // the aggregate actually folds
+      val t0 = System.nanoTime()
+      val nInc = incidences.count()
+      val tInc = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nRes = incidences.join(pairs, Seq(aName, bName)).count()
+      val tRes = (System.nanoTime() - t1) / 1e9
+      println(f"[contain] incidences=$nInc t=$tInc%.2fs " +
+        f"candidate-restricted=$nRes t=$tRes%.2fs")
+    }
+    // `restrictHint`: the restrict join is incidences (big) ⋈ pairs;
+    // when the caller's pair frame is DISTINCT-keyed (so its hash
+    // partitioning has no heavy key by construction) and slim, a
+    // SHUFFLE_HASH build on it drops the SMJ's two big sorts — the
+    // q245 path passes it (r16 attribution measured the restrict join
+    // as the operator's single heaviest stage); small-pair callers
+    // (q51/q241) leave it None and let AQE broadcast.
+    val restr = restrictHint.map(pairs.hint(_)).getOrElse(pairs)
+    incidences
+      .join(restr, Seq(aName, bName))
       .groupBy(pairs.columns.map(col): _*)
       .agg(count(lit(1)).as("n_common"))
   }
@@ -1269,16 +1311,21 @@ object DedupOps {
     // columns it had just projected away (SCALE.md Round 15). It is
     // also MATERIALIZED, feeding three consumers (the two per-side
     // semi-joins inside commonHashCounts and the final verify join).
+    val dbg = containDbg(hashed.sparkSession)
+    val tCand0 = System.nanoTime()
     val cand = materialize(containProbes(hashed, tau).join(containIndex(hashed), "h")
       .filter(col("n_small") < col("n_big") ||
         (col("n_small") === col("n_big") && col("small_id") < col("big_id")))
       .select(col("small_id"), col("n_small"), col("big_id"), col("n_big"))
       .distinct(), s"${tag}_cand")
+    if (dbg) println(f"[contain] cand assembled pairs=${cand.count()} " +
+      f"t=${(System.nanoTime() - tCand0) / 1e9}%.2fs (probe⋈index + distinct)")
     // commonHashCounts is candidate-restricted and carries cand's
     // size columns through its group keys — the verify IS its output
     commonHashCounts(hashed, cand, "small_id", "big_id",
         col("a.n") < col("b.n") ||
-          (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id")))
+          (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id")),
+        restrictHint = Some("shuffle_hash"))
       .select(col("small_id").as("doc_small"), col("big_id").as("doc_big"),
         col("n_small"), col("n_big"), col("n_common"))
       .filter(col("n_common").cast("double") / col("n_small") >=
@@ -1301,9 +1348,14 @@ object DedupOps {
     * the DuckDB oracle truncates IDENTICALLY, so the comparison is
     * exact either way. The MinHash family keeps the full digest (its
     * K permutations are the digest's 8-char slices). */
-  private def hashed16Of(sh: DataFrame, tag: String): DataFrame =
-    materialize(sh.select(col("doc_id"),
+  private def hashed16Of(sh: DataFrame, tag: String): DataFrame = {
+    val t0 = System.nanoTime()
+    val out = materialize(sh.select(col("doc_id"),
       expr("transform(shingles, s -> substr(sha2(s, 256), 1, 16))").as("hashes")), tag)
+    if (containDbg(sh.sparkSession))
+      println(f"[contain] hashed16 $tag t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    out
+  }
 
   private val hash16SqlCte =
     """hs AS (SELECT doc_id,

@@ -457,23 +457,31 @@ object Curation {
           CorpusOps.nTokens(col("text")).as("n_tokens"))
         .observe(obsPack, count(lit(1)).as("packed_docs")),
       cfg.packCapacity, cfg.packDocsPerSubShard), "bins")
+    // defensive metric read: when an upstream stage drops EVERY row,
+    // the observed subtree can plan to an empty scan with zero tasks
+    // and its CollectMetrics row is never produced — the metric is
+    // absent from the map rather than 0 (measured on the all-dropped
+    // synthetic heaps corpus, r16). Absent ⇒ the observed pass saw no
+    // rows ⇒ every counter here correctly reads 0.
+    def obsLong(o: Observation, key: String): Long =
+      o.get.getOrElse(key, 0L).asInstanceOf[Long]
     val summary = CurationSummary(
-      raw = obs.get("raw").asInstanceOf[Long],
-      gated = obs.get("gated").asInstanceOf[Long],
-      boilerDropped = obs.get("boiler_dropped").asInstanceOf[Long],
-      contaminatedDropped = obs.get("contam_dropped").asInstanceOf[Long],
-      perplexityDropped = obs.get("ppl_dropped").asInstanceOf[Long],
-      dsirDropped = obs.get("dsir_dropped").asInstanceOf[Long],
-      qualityDropped = obs.get("qual_dropped").asInstanceOf[Long],
-      semanticDropped = obs.get("sem_dropped").asInstanceOf[Long],
-      sampledOut = obs.get("sampled_out").asInstanceOf[Long],
-      tempSampledOut = obs.get("temp_sampled_out").asInstanceOf[Long],
-      packedDocs = obsPack.get("packed_docs").asInstanceOf[Long],
+      raw = obsLong(obs, "raw"),
+      gated = obsLong(obs, "gated"),
+      boilerDropped = obsLong(obs, "boiler_dropped"),
+      contaminatedDropped = obsLong(obs, "contam_dropped"),
+      perplexityDropped = obsLong(obs, "ppl_dropped"),
+      dsirDropped = obsLong(obs, "dsir_dropped"),
+      qualityDropped = obsLong(obs, "qual_dropped"),
+      semanticDropped = obsLong(obs, "sem_dropped"),
+      sampledOut = obsLong(obs, "sampled_out"),
+      tempSampledOut = obsLong(obs, "temp_sampled_out"),
+      packedDocs = obsLong(obsPack, "packed_docs"),
       bins = bins.count(),
-      urlDropped = obs.get("url_dropped").asInstanceOf[Long],
+      urlDropped = obsLong(obs, "url_dropped"),
       lineSegmentsCut =
-        if (cfg.lineDedup) obsLine.get("segments_cut").asInstanceOf[Long] else 0L,
-      nbDropped = obs.get("nb_dropped").asInstanceOf[Long],
+        if (cfg.lineDedup) obsLong(obsLine, "segments_cut") else 0L,
+      nbDropped = obsLong(obs, "nb_dropped"),
       protoDropped = protoDroppedN,
       nearDupDropped = ndDropped,
       nearDupFamilyUsed = ndFamily,

@@ -114,7 +114,8 @@ object ScaleBench {
     "q173_doremi_weights", "q51_lsh_jaccard_pairs", "q244_manku_pairs",
     "q245_containment_recall", "q98_dup_spans",
     "q164_longest_dup", "q104_bpe_merges", "q174_kmeans_clusters",
-    "q130_knn_graph", "knn_graph_ivf", "knn_graph_ivf2", "q243_knn_graph_prod",
+    "q130_knn_graph", "knn_graph_ivf", "knn_graph_ivf2", "knn_graph_bal",
+    "q243_knn_graph_prod",
     "q85_ann_pq", "q100_ann_ivfpq",
     "q205_cc_twophase")
 
@@ -247,6 +248,21 @@ object ScaleBench {
         operators.AnnOps.coarsePick(centroids, cc),
         gProbe = 4, nprobe = 4, k = 5)
     }
+    // The cost-balanced sizing rung (SCALE.md Round 16): C=(2N)^(2/3),
+    // Cc=2sqrt(C) equalizes coarse-assign, fine-assign, and probe-scan
+    // work — the exact-scan optimum N^(4/3), vs the 4*sqrt(N)
+    // guideline whose probe term drives N^1.5. Identical plumbing and
+    // pick to q243 (nesting spec-checked); the series prices the
+    // sizing delta alone.
+    def knnBal(dir: String): DataFrame = {
+      graft.functions.expressions.VectorExpressions.register(spark)
+      val e = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val (centroids, cc) = operators.AnnOps.balancedSizing(e)
+      operators.AnnOps.knnGraphIvfTwoLevel(e, centroids,
+        operators.AnnOps.coarsePick(centroids, cc),
+        gProbe = 4, nprobe = 4, k = 5)
+    }
     // Curation end-to-end, without vs with the q245 subset-dup stage
     // (r16 verdict item 4): the pair prices containmentStage's
     // MARGINAL cost in-pipeline — over post-ladder survivors, with
@@ -279,6 +295,7 @@ object ScaleBench {
       try {
         val df = if (name == "knn_graph_ivf") knnIvf(dir)
           else if (name == "knn_graph_ivf2") knnIvf2(dir)
+          else if (name == "knn_graph_bal") knnBal(dir)
           else if (name == "curation_ladder") curation(dir, contain = false)
           else if (name == "curation_contain") curation(dir, contain = true)
           else qs(name)(spark, dir)

@@ -941,6 +941,28 @@ object AnnOps {
     (centroids, math.max(4, math.ceil(math.sqrt(c.toDouble)).toInt))
   }
 
+  /** Cost-balanced two-level sizing (SCALE.md Round 16). The 4√N
+    * guideline's per-vector work is Cc + g·C/Cc + n·N/C; its probe-
+    * scan term n·N/C is O(√N) and asymptotically dominates (68% of
+    * per-vector ops at the measured x100). Minimizing the sum over
+    * (C, Cc) balances the three terms at C = ⌈(2N)^⅔⌉, Cc = ⌈2√C⌉ —
+    * per-vector O(N^⅓), build total N^{4/3}, the optimum for EXACT
+    * probe-side scans (below it lives PQ compression, q100's rung).
+    * Same bottom-C-by-hash pick and two-level plumbing as
+    * [[prodSizing]], so the nesting property (full probes ⇒ exact
+    * graph) carries over — spec-checked. Used by ScaleBench's
+    * `knn_graph_bal` series to measure the sizing delta alone. */
+  private[graft] def balancedSizing(e: DataFrame): (DataFrame, Int) = {
+    val n = e.count()
+    val c = math.max(16L,
+      math.ceil(math.pow(2.0 * n.toDouble, 2.0 / 3.0)).toLong)
+    val centroids = e
+      .orderBy(sha2(col("vec_id").cast("string"), 256), col("vec_id"))
+      .limit(c.toInt)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    (centroids, math.max(4, math.ceil(2.0 * math.sqrt(c.toDouble)).toInt))
+  }
+
   private val ProdGProbe = 4
   private val ProdNProbe = 4
 

@@ -166,7 +166,7 @@ object DedupOps {
         size(col("hashes")).cast("long").as("n"))
       pairs
         .join(commonHashCounts(hashed, pairs, "doc_a", "doc_b",
-            col("a.doc_id") < col("b.doc_id")),
+            col("a.doc_id") < col("b.doc_id"), incidenceGuard = true),
           Seq("doc_a", "doc_b"), "left_outer")
         .na.fill(0L, Seq("n_common"))
         .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
@@ -229,7 +229,7 @@ object DedupOps {
         size(col("hashes")).cast("long").as("n"))
       pairs
         .join(commonHashCounts(hashed, pairs, "doc_a", "doc_b",
-            col("a.doc_id") < col("b.doc_id")),
+            col("a.doc_id") < col("b.doc_id"), incidenceGuard = true),
           Seq("doc_a", "doc_b"), "left_outer")
         .na.fill(0L, Seq("n_common"))
         .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
@@ -1251,13 +1251,52 @@ object DedupOps {
     * join's codegen stage is free (SCALE.md Round 15). */
   private[graft] def commonHashCounts(hashed: DataFrame, pairs: DataFrame,
       aName: String, bName: String, orderPred: Column,
-      restrictHint: Option[String] = None): DataFrame = {
+      restrictHint: Option[String] = None,
+      incidenceGuard: Boolean = false): DataFrame = {
     val idxSlim = hashed.select(col("doc_id"),
       size(col("hashes")).cast("long").as("n"), explode(col("hashes")).as("h"))
     val ia = idxSlim.join(pairs.select(col(aName).as("doc_id")).distinct(),
       Seq("doc_id"), "left_semi")
     val ib = idxSlim.join(pairs.select(col(bName).as("doc_id")).distinct(),
       Seq("doc_id"), "left_semi")
+    // Verify-incidence gate (`incidenceGuard=true`, armed by the same
+    // `spark.graft.dedup.preflight` conf as the band gates). The band
+    // gate prices band-KEY collisions; the verify join's cost is a
+    // different quantity — Σ_h df_a·df_b over the candidate-restricted
+    // shingle-hash index — and on a content-saturated corpus the two
+    // diverge catastrophically: fixed-vocab x100 reads 8.2 band
+    // pairs/doc ("ok") while the verify mass is ~10⁴ incidences per
+    // restricted doc — the run that found this spilled the disk to
+    // DNF (SCALE.md Round 16). The mass is priced EXACTLY, not by
+    // proxy: Σ_h cnt_a(h)·cnt_b(h) from two per-hash count aggregates
+    // multiplies counts instead of producing rows, so the gate costs
+    // two scans of the slim legs and never explodes. q245/q246 do NOT
+    // take this guard: their probe⋈index mass is already priced by
+    // the bipartite "containment" family, and their measured x100
+    // cost is adjudicated candidate-intrinsic.
+    val sess = hashed.sparkSession
+    if (incidenceGuard &&
+        sess.conf.getOption("spark.graft.dedup.preflight").contains("true")) {
+      val budget = sess.conf.getOption("spark.graft.dedup.preflightBudget")
+        .map(_.toDouble).getOrElse(PfBudgetDefault)
+      val mass = ia.groupBy(col("h")).agg(count(lit(1)).as("ca"))
+        .join(ib.groupBy(col("h")).agg(count(lit(1)).as("cb")), "h")
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("m"))
+        .collect().head.getLong(0)
+      val nDocs = math.max(1L, pairs
+        .select(explode(array(col(aName), col(bName))).as("d"))
+        .distinct().count())
+      val perDoc = mass.toDouble / nDocs
+      println(f"[contain] verify-incidence gate: mass=$mass " +
+        f"restricted_docs=$nDocs per_doc=$perDoc%.1f budget=$budget%.0f " +
+        s"verdict=${if (perDoc > budget) "refuse" else "ok"}")
+      if (perDoc > budget) throw new IllegalStateException(
+        f"dedup preflight (verify incidence): Σ_h df_a·df_b = $mass " +
+        f"(${perDoc}%.1f per restricted doc) over budget $budget%.0f — " +
+        "content-saturated corpus: the banded candidates are cheap but " +
+        "their exact verify is not; use the Manku/simhash rung or " +
+        "override spark.graft.dedup.preflightBudget")
+    }
     // JOIN-FIRST, then aggregate: the co-occurrence incidences are
     // restricted to candidate pairs BEFORE any aggregation. The
     // aggregate-first form grouped 273.8M co-occurring pairs at
@@ -1975,7 +2014,7 @@ object DedupOps {
         val sizes = hashed.select(col("doc_id"),
           size(col("hashes")).cast("long").as("n"))
         cand.join(commonHashCounts(hashed, cand, "doc_a", "doc_b",
-              col("a.doc_id") < col("b.doc_id")),
+              col("a.doc_id") < col("b.doc_id"), incidenceGuard = true),
             Seq("doc_a", "doc_b"))
           .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
             Seq("doc_a"))

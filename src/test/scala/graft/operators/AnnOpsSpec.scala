@@ -478,6 +478,27 @@ class AnnOpsSpec extends SparkSpec {
     assert(rHash > 0.8, f"hash-C recall $rHash%.3f unexpectedly low")
   }
 
+  test("balancedSizing: C=(2N)^(2/3) formulas hold and full probes still nest to the exact graph") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val (cents, cc) = AnnOps.balancedSizing(e)
+    val c = cents.count()
+    assert(c === math.max(16L,
+      math.ceil(math.pow(2.0 * n.toDouble, 2.0 / 3.0)).toLong))
+    assert(cc === math.max(4, math.ceil(2.0 * math.sqrt(c.toDouble)).toInt))
+    // the sizing changes only C/Cc; the plumbing is shared, so the
+    // nesting property must carry over: probing every coarse group
+    // and every fine cell IS the exact graph
+    def edges(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rk"), r.getAs[Long]("nbr_id"))).toSet
+    val full = AnnOps.knnGraphIvfTwoLevel(e, cents,
+      AnnOps.coarsePick(cents, cc), gProbe = cc, nprobe = c.toInt, k = 5)
+    assert(edges(full) === edges(AnnOps.knnGraphExact(e, 5)))
+  }
+
   test("q179: recall audit is bounded, and probing every cell gives recall 1") {
     val rows = AnnOps.q179AnnRecall.fn(spark, "/root/testdata/sf0.01").collect()
     assert(rows.length === 5)

@@ -81,6 +81,36 @@ class DedupPreflightSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.dedup.preflight")
   }
 
+  /** The r16 failure class: band keys pass (signatures differ, few
+    * collisions) but the verify's incidence mass explodes — a tiny
+    * shingle space means every candidate doc shares most hashes. The
+    * fixed-vocab x100 corpus read 8.2 band pairs/doc "ok", then the
+    * slim verify join spilled the disk to DNF (SCALE.md Round 16);
+    * the incidence gate prices that join exactly (Σ_h cnt_a·cnt_b,
+    * counts multiplied, no rows produced) and must refuse first. */
+  test("verify-incidence gate: band-ok but incidence-saturated corpus refuses before the verify join") {
+    val dir = java.nio.file.Files.createTempDirectory("pf_inc").toString
+    // ~31 tokens/doc over a 4-word vocab: 64 possible 3-gram shingles,
+    // so distinct shingle SETS (→ signatures mostly differ, band gate
+    // ok) over a saturated shingle SPACE (→ df ~hundreds per hash)
+    spark.range(600).select(col("id").as("doc_id"),
+        expr("""concat_ws(' ', transform(sequence(0, 30),
+          j -> concat('w', pmod(xxhash64(id, j), 4))))""").as("text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val band = DedupOps.preflightFor(spark, dir, "minhash", 1000.0).collect().head
+    assert(band.getAs[String]("verdict") === "ok",
+      s"fixture no longer band-ok (pairs/doc=${band.getAs[Double]("pairs_per_doc")})")
+    spark.conf.set("spark.graft.dedup.preflight", "true")
+    try {
+      val e = intercept[IllegalStateException] {
+        DedupOps.q51LshJaccardPairs.fn(spark, dir).collect()
+      }
+      assert(e.getMessage.contains("verify incidence"))
+    } finally spark.conf.unset("spark.graft.dedup.preflight")
+    // disarmed, the same query completes (the fixture is small)
+    assert(DedupOps.q51LshJaccardPairs.fn(spark, dir).count() > 0)
+  }
+
   test("budget override is honored and the gate defaults off") {
     // absurdly low budget refuses even the real corpus when armed...
     spark.conf.set("spark.graft.dedup.preflight", "true")

@@ -659,13 +659,25 @@ object LmOps {
 
   private def spanWindowsOf(tok: DataFrame,
       withPos: Boolean): DataFrame =
+    // Span identity is xxhash64 over the window's token ARRAY: h is
+    // internal to every consumer (q98/q106 output counts, q107
+    // positions, q150 rebuilt text — no h ever surfaces), so the only
+    // requirement is 64-bit collision resistance — the SAME class as
+    // the previous substr(sha2,1,16) hex form, which also kept 64
+    // bits. What changes is cost, attributed at heaps-x100 (SCALE.md
+    // Round 16): the Generate computed 23M sha256es of ~70-byte
+    // concat_ws strings and shuffled 16-char keys; xxhash64 is
+    // codegen'd, hashes the sliced array directly (no concat
+    // allocation, element boundaries preserved — tokens are
+    // space-free post-split), and ships an 8-byte long. The oracles
+    // keep DuckDB sha256 — outputs are hash-free, so they agree
+    // unless the two functions collide differently (~n²/2⁶⁴).
     if (withPos)
       tok
         .filter(size(col("w")) >= SpanLen)
         .select(col("doc_id"), explode(expr(
           s"""transform(sequence(1, size(w) - ${SpanLen - 1}),
-             |  i -> struct(i as i,
-             |    substr(sha2(concat_ws(' ', slice(w, i, $SpanLen)), 256), 1, 16) as h))""".stripMargin)).as("p"))
+             |  i -> struct(i as i, xxhash64(slice(w, i, $SpanLen)) as h))""".stripMargin)).as("p"))
         .select(col("doc_id"), col("p.i").as("i"), col("p.h").as("h"))
         .repartition(col("h"))
     else
@@ -673,7 +685,7 @@ object LmOps {
         .filter(size(col("w")) >= SpanLen)
         .select(col("doc_id"), explode(expr(
           s"""transform(sequence(1, size(w) - ${SpanLen - 1}),
-             |  i -> substr(sha2(concat_ws(' ', slice(w, i, $SpanLen)), 256), 1, 16))""".stripMargin)).as("h"))
+             |  i -> xxhash64(slice(w, i, $SpanLen)))""".stripMargin)).as("h"))
         .repartition(col("h"))
 
   /** Window hashes appearing in >= 2 distinct documents.
@@ -704,7 +716,23 @@ object LmOps {
     // 26.5M-row sorts) into a sort-free hash join against the small
     // aggregated side; at bench scale AQE still upgrades it to
     // broadcast when the side is tiny.
+    // Perf laps for the span family (`spark.graft.span.debug=true`,
+    // the suffix/contain idiom): materialize boundary + debug-only
+    // re-runs of the two downstream stages, for closure attributions.
+    val dbg = s.conf.getOption("spark.graft.span.debug").contains("true")
+    val t0 = System.nanoTime()
     val spans = materialize(spanWindows(s, dir), "q98_spans")
+    if (dbg) {
+      println(f"[span] spans materialized (generate+shuffle+ckpt) " +
+        f"t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      val t1 = System.nanoTime()
+      val n = spans.count()
+      println(f"[span] ckpt scan n=$n t=${(System.nanoTime() - t1) / 1e9}%.2fs")
+      val t2 = System.nanoTime()
+      val nsh = sharedSpans(spans).count()
+      println(f"[span] shared-hash agg n=$nsh " +
+        f"t=${(System.nanoTime() - t2) / 1e9}%.2fs (debug re-agg)")
+    }
     val shared = sharedSpans(spans).withColumn("dup", lit(1))
     spans.join(shared.hint("shuffle_hash"), Seq("h"), "left_outer")
       .groupBy(col("doc_id"))

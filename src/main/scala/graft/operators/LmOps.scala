@@ -80,7 +80,7 @@ object LmOps {
     * partials. The corpus never self-joins, and the model-build pass
     * shuffles (w1, w2) pairs once with map-side partial aggregation. */
   private def bigramsOf(d: DataFrame): DataFrame =
-    bigramsOfTokens(tokenizedOf(d))
+    bigramsDirect(d)
 
   /** (doc_id, w1, w2) bigram rows from an already-tokenized frame —
     * the form Curation.run uses to share ONE tokenization pass across
@@ -91,6 +91,28 @@ object LmOps {
         """transform(sequence(1, size(w) - 1),
           |  i -> struct(element_at(w, i) as w1, element_at(w, i + 1) as w2))""".stripMargin)).as("bg"))
       .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+
+  /** (doc_id, w1, w2) in ONE codegen stage straight from raw text —
+    * for consumers whose token arrays have no second reader, where the
+    * tokenizedOf checkpoint is a pure serial barrier (a full extra job
+    * + a token-array materialization). The r9 inlining hazard (split()
+    * re-evaluated per element_at once CollapseProject merges the
+    * projections) is avoided structurally: split appears ONLY as a
+    * top-level argument (slice/size), never inside the lambda, so
+    * whole-stage codegen's subexpression elimination evaluates it once
+    * per row; zip_with pairs adjacent tokens from the two slices.
+    * Docs with <2 tokens yield an empty array and vanish at the
+    * explode — the same rows the old size(w)>=2 filter dropped. */
+  private[graft] def bigramsDirect(d: DataFrame,
+      extra: Seq[String] = Nil): DataFrame = {
+    val w = split(lower(trim(col("text"))), "\\s+")
+    val n1 = greatest(size(w) - 1, lit(0))
+    val keep = col("doc_id") +: extra.map(col)
+    d.select(keep :+ explode(zip_with(
+        slice(w, lit(1), n1), slice(w, lit(2), n1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"): _*)
+      .select(keep :+ col("bg.w1") :+ col("bg.w2"): _*)
+  }
 
   /** A trained bigram model: the three broadcastable count frames,
     * each materialized so repeated scoring (every micro-batch of a
@@ -180,15 +202,41 @@ object LmOps {
     * table form. Docs with fewer than two tokens have no bigram and
     * are absent from the output. */
   def avgNllOf(d: DataFrame): DataFrame =
-    avgNllOfTokens(tokenizedOf(d))
+    // single-reader tokens: fuse scan→split→explode into the bigram
+    // checkpoint's one job (bigramsDirect) instead of paying the
+    // tokenizedOf checkpoint as a serial barrier first
+    avgNllFromBigrams(materialize(bigramsDirect(d), "lm_bigrams"))
 
-  private[graft] def avgNllOfTokens(tok: DataFrame): DataFrame = {
-    val bigrams = materialize(bigramsOfTokens(tok), "lm_bigrams")
-    scoreNll(bigrams,
-      bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")),
-      bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1")),
-      bigrams.agg(countDistinct(col("w2")).as("v")),
-      strict = true)
+  private[graft] def avgNllOfTokens(tok: DataFrame): DataFrame =
+    avgNllFromBigrams(materialize(bigramsOfTokens(tok), "lm_bigrams"))
+
+  private def avgNllFromBigrams(bigrams: DataFrame): DataFrame = {
+    // q108's vocab-side composition applied to the add-alpha model
+    // (guide §2.3/§2.4 — fewer corpus passes): the corpus-sized bigram
+    // frame is aggregated ONCE to the (w1, w2) type table; c1 = Σ_w2 c2
+    // and V = |distinct w2| are the SAME integers read off that
+    // vocab-sized table instead of two more corpus-wide aggregation
+    // scans (stage-attributed at sf0.1: the c1/v scans were ~9 s of
+    // q96's 18 s task-time). The per-TYPE nll is then composed on the
+    // model side and probed with ONE broadcast join — identical
+    // doubles row-for-row (same expression over the same counts,
+    // evaluated per bigram type instead of per token), oracle
+    // unchanged.
+    val c2t = materialize(bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2")), "lm_c2t")
+    val c1t = c2t.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val vt = c2t.agg(countDistinct(col("w2")).as("v"))
+    val scored = c2t
+      .join(broadcast(c1t), Seq("w1"))
+      .crossJoin(broadcast(vt))
+      .select(col("w1"), col("w2"),
+        (-log((col("c2") + Alpha) / (col("c1") + col("v") * Alpha)))
+          .as("nll"))
+    bigrams
+      .join(broadcast(scored), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("nll")), 6).as("avg_nll"))
   }
 
   /** Score `d` against a pre-trained model — the incremental-ingest
@@ -414,8 +462,12 @@ object LmOps {
     "q102_ccnet_buckets",
     (s, dir) => {
       val d = docs(s, dir)
-      val scored = avgNllOf(d)
-        .join(d.select(col("doc_id"), col("lang")), "doc_id")
+      // materialized: `scored` feeds BOTH the tercile-cut aggregate and
+      // the final bucket join — unpinned, the whole q96 probe+agg
+      // subtree would run once per consumer (narrow (doc_id, lang,
+      // nll) rows, ~docs-sized, checkpoint-cheap)
+      val scored = materialize(avgNllOf(d)
+        .join(d.select(col("doc_id"), col("lang")), "doc_id"), "ccnet_scored")
       val cuts = scored.groupBy(col("lang")).agg(
         round(expr("percentile(avg_nll, 1.0D/3)"), 6).as("c1"),
         round(expr("percentile(avg_nll, 2.0D/3)"), 6).as("c2"))
@@ -467,15 +519,22 @@ object LmOps {
     * broadcast trivially; scoring is the same narrow explode +
     * broadcast join + groupBy(doc_id) shape as q96, and the hashed
     * bucket id (an int) is what shuffles, never the bigram text. */
-  /** (doc_id, hashed bigram bucket) rows from a tokenized frame. */
-  private def dsirBucketsTokens(tok: DataFrame, tag: String): DataFrame =
-    materialize(tok
+  /** (doc_id, hashed bigram bucket) rows from a tokenized frame.
+    * `tag = None` skips the staging checkpoint — the single-consumer
+    * form (the target leg is aggregated once, so a checkpoint would be
+    * pure write cost; the raw leg IS reused — model + probe — and
+    * keeps its checkpoint). */
+  private def dsirBucketsTokens(tok: DataFrame,
+      tag: Option[String]): DataFrame = {
+    val rows = tok
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(1, size(w) - 1),
           |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))""".stripMargin)).as("bg"))
       .select(col("doc_id"),
-        expr(featBucket("sha2(bg, 256)")).cast("long").as("b")), tag)
+        expr(featBucket("sha2(bg, 256)")).cast("long").as("b"))
+    tag.fold(rows)(t => materialize(rows, t))
+  }
 
   /** Per-raw-doc DSIR weights (doc_id, n_bigrams, avg_logratio) for an
     * arbitrary target frame — the library form `Curation.run`'s
@@ -486,20 +545,34 @@ object LmOps {
 
   private[graft] def dsirWeightsTokens(rawTok: DataFrame,
       tgtTok: DataFrame): DataFrame = {
-    val rb = dsirBucketsTokens(rawTok, "dsir_raw")
-    val tb = dsirBucketsTokens(tgtTok, "dsir_target")
-    val tCounts = tb.groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val rCounts = rb.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val totals = tb.agg(count(lit(1)).as("nt"))
-      .crossJoin(rb.agg(count(lit(1)).as("nr")))
-    rb.join(broadcast(tCounts), Seq("b"), "left_outer")
-      .join(broadcast(rCounts), Seq("b"))
-      .crossJoin(broadcast(totals))
-      .select(col("doc_id"),
+    val rb = dsirBucketsTokens(rawTok, Some("dsir_raw"))
+    val tb = dsirBucketsTokens(tgtTok, None)
+    // Both models are ≤ B = DsirBuckets rows, so everything past the
+    // two bucket-count aggregations composes on the model side (guide
+    // §2.3): the totals are Σ of the per-bucket counts (the SAME
+    // integers as counting the corpus streams — saves one full pass
+    // over each leg), and the per-BUCKET log-ratio is computed once on
+    // the ≤B-row frame, leaving the corpus probe a single broadcast
+    // join. Every rb bucket is in rCounts by construction, so the
+    // left-join semantics against tCounts are preserved verbatim.
+    // materialized: each count frame (≤B rows) feeds two consumers
+    // (its total and the per-bucket score) — without the pin each
+    // consumer would re-run the corpus-side aggregation scan
+    val tCounts = materialize(
+      tb.groupBy(col("b")).agg(count(lit(1)).as("ct")), "dsir_tc")
+    val rCounts = materialize(
+      rb.groupBy(col("b")).agg(count(lit(1)).as("cr")), "dsir_rc")
+    val totals = tCounts.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))
+      .crossJoin(rCounts.agg(coalesce(sum(col("cr")), lit(0L)).as("nr")))
+    val scoredBucket = rCounts
+      .join(tCounts, Seq("b"), "left_outer")
+      .crossJoin(totals)
+      .select(col("b"),
         (log((coalesce(col("ct"), lit(0L)) + DsirAlpha) /
             (col("nt") + DsirBuckets * DsirAlpha)) -
           log((col("cr") + DsirAlpha) /
             (col("nr") + DsirBuckets * DsirAlpha))).as("lr"))
+    rb.join(broadcast(scoredBucket), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(col("lr")), 6).as("avg_logratio"))
@@ -508,9 +581,13 @@ object LmOps {
   val q101Dsir: QueryDef = QueryDef(
     "q101_dsir",
     (s, dir) => {
-      val d = docs(s, dir)
-      dsirWeights(d.filter(col("doc_id") % 10 =!= 3),
-          d.filter(col("doc_id") % 10 === 3))
+      // one tokenize pass + one checkpoint over ALL docs, the two legs
+      // filtered off the shared frame — tokenizing each filtered leg
+      // separately scanned the parquet twice and checkpointed twice
+      // for the same total split work
+      val tokAll = tokenizedOf(docs(s, dir))
+      dsirWeightsTokens(tokAll.filter(col("doc_id") % 10 =!= 3),
+          tokAll.filter(col("doc_id") % 10 === 3))
         .orderBy(col("doc_id"))
     },
     Some(s"""WITH $tokSqlCte,
@@ -1177,44 +1254,55 @@ object LmOps {
     "q173_doremi_weights",
     (s, dir) => {
       val d = docs(s, dir)
-      val srcOf = d.select(col("doc_id"), col("source"))
-      val tok = tokenizedOf(d)
       // ONE materialized (doc_id, source, w1, w2) table feeds BOTH
       // scoring legs — the corpus model ignores the source column, the
       // domain models group by it (avgNllOfTokens would re-explode and
-      // re-checkpoint its own bigram table; measured ~0.5 s at sf0.1)
-      val bgs = materialize(
-        bigramsOfTokens(tok).join(srcOf, Seq("doc_id")), "doremi_bg")
-      // FUSED scoring: both model families (corpus-wide q96 model and
-      // the per-domain models) probe the SAME bigram row in one pass —
-      // six broadcast model joins, one (doc_id, source)-keyed partial
-      // agg — instead of two independent scans + a refDoc→source
-      // rejoin (the r11 bench's slowest headline; the fusion halves
-      // the probe-side bytes). Values are bit-identical: strict inner
-      // joins (every bigram is in both models by construction) and the
-      // same -ln((c2+α)/(c1+v·α)) chain per leg, each rounded at 6
-      // per doc exactly as the unfused legs rounded.
-      val c2t = bgs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2t"))
-      val c1t = bgs.groupBy(col("w1")).agg(count(lit(1)).as("c1t"))
-      val vt = bgs.agg(countDistinct(col("w2")).as("vt"))
-      val c2s = bgs.groupBy(col("source"), col("w1"), col("w2"))
-        .agg(count(lit(1)).as("c2s"))
-      val c1s = bgs.groupBy(col("source"), col("w1"))
-        .agg(count(lit(1)).as("c1s"))
-      val vs = bgs.groupBy(col("source"))
+      // re-checkpoint its own bigram table; measured ~0.5 s at sf0.1).
+      // `source` rides the tokenize scan instead of a bigrams⋈srcOf
+      // rejoin (guide §3.3: explode multiplies the join's shuffle —
+      // the rejoin shuffled all 23M bigram rows; carrying the column
+      // from the scan shuffles nothing), and scan→split→explode fuses
+      // into the checkpoint's single job (bigramsDirect)
+      val bgs = materialize(bigramsDirect(d, Seq("source")), "doremi_bg")
+      // FUSED scoring, composed on the model side (q108's idiom, guide
+      // §2.3): the corpus-sized bgs frame is aggregated ONCE — to the
+      // finest model table c2s(source, w1, w2) — and every other count
+      // both model families need is the SAME integer read off that
+      // vocab×domains-sized frame: c2t = Σ_src c2s, c1s = Σ_w2 c2s,
+      // c1t = Σ_src c1s, vt/vs = |distinct w2| (a (source,w1,w2) type
+      // exists iff the bigram occurred). Both legs' per-TYPE nll is
+      // then composed into ONE scored frame and probed with ONE
+      // broadcast join — before, six model subtrees each re-scanned
+      // the 23M-row checkpoint (stage-attributed ~5 s task-time
+      // apiece at sf0.1, ~30 of the query's 40 s). Values are
+      // bit-identical: strict inner joins (every bigram is in both
+      // models by construction) and the same -ln((c2+α)/(c1+v·α))
+      // chain per leg, evaluated per bigram TYPE instead of per
+      // token, each rounded at 6 per doc exactly as before.
+      val c2s = materialize(
+        bgs.groupBy(col("source"), col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c2s")), "doremi_c2s")
+      val c2t = c2s.groupBy(col("w1"), col("w2"))
+        .agg(sum(col("c2s")).as("c2t"))
+      val c1s = c2s.groupBy(col("source"), col("w1"))
+        .agg(sum(col("c2s")).as("c1s"))
+      val c1t = c2s.groupBy(col("w1")).agg(sum(col("c2s")).as("c1t"))
+      val vt = c2s.agg(countDistinct(col("w2")).as("vt"))
+      val vs = c2s.groupBy(col("source"))
         .agg(countDistinct(col("w2")).as("vs"))
-      val scoredDoc = bgs
+      val scoredType = c2s
         .join(broadcast(c2t), Seq("w1", "w2"))
         .join(broadcast(c1t), Seq("w1"))
         .crossJoin(broadcast(vt))
-        .join(broadcast(c2s), Seq("source", "w1", "w2"))
         .join(broadcast(c1s), Seq("source", "w1"))
         .join(broadcast(vs), Seq("source"))
-        .select(col("doc_id"), col("source"),
+        .select(col("source"), col("w1"), col("w2"),
           (-log((col("c2t") + Alpha) / (col("c1t") + col("vt") * Alpha)))
             .as("ref_nll"),
           (-log((col("c2s") + Alpha) / (col("c1s") + col("vs") * Alpha)))
             .as("fit_nll"))
+      val scoredDoc = bgs
+        .join(broadcast(scoredType), Seq("source", "w1", "w2"))
         .groupBy(col("doc_id"), col("source"))
         .agg(round(avg(col("ref_nll")), 6).as("avg_nll"),
           round(avg(col("fit_nll")), 6).as("fit_nll"))

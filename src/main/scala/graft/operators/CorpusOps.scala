@@ -45,18 +45,24 @@ object CorpusOps {
     fiveGramsOf(docs(s, dir))
 
   /** Same, over an arbitrary documents frame (the library-API entry,
-    * used by pipeline/Curation). */
+    * used by pipeline/Curation).
+    *
+    * No tokenize checkpoint (same structural fix as DedupOps.shingled):
+    * the token array is bound as a LAMBDA VARIABLE (a transform over a
+    * singleton array), so the split executes once per row and project
+    * collapse cannot inline it into the per-element references — the
+    * r9 re-split hazard is impossible by construction, without a serial
+    * materialization barrier. Multi-consumer callers (q81/q87/q122/
+    * Curation) materialize their own exploded gram frame; single-pass
+    * callers save the checkpoint job outright. */
   private[graft] def fiveGramsOf(d: DataFrame): DataFrame =
-    materialize(d
-      .select(col("doc_id"), trim(col("text")).as("t"),
-        split(trim(col("text")), "\\s+").as("w")), "tok")
-      .withColumn("shingles", expr(
-        """case when size(w) >= 5
-          | then array_distinct(transform(sequence(1, size(w) - 4),
-          |   i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
-          |     element_at(w, i + 2), element_at(w, i + 3), element_at(w, i + 4))))
-          | else array(t) end""".stripMargin))
-      .select(col("doc_id"), col("shingles"))
+    d.select(col("doc_id"), expr(
+      """element_at(transform(array(split(trim(text), '\\s+')), w ->
+        |  case when size(w) >= 5
+        |    then array_distinct(transform(sequence(1, size(w) - 4),
+        |      i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+        |        element_at(w, i + 2), element_at(w, i + 3), element_at(w, i + 4))))
+        |    else array(trim(text)) end), 1)""".stripMargin).as("shingles"))
 
   /** C4-style boilerplate detection: a 5-gram present in >= 3 distinct
     * documents is template text; a document is boilerplate when at
@@ -70,8 +76,11 @@ object CorpusOps {
   val q81Boilerplate: QueryDef = QueryDef(
     "q81_boilerplate_ngrams",
     (s, dir) => {
-      val grams = fiveGrams(s, dir)
-        .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      // materialized: the exploded gram frame feeds both the frequency
+      // count and the per-doc probe (fiveGramsOf no longer checkpoints
+      // internally, so the reuse pin lives at the consumer)
+      val grams = materialize(fiveGrams(s, dir)
+        .select(col("doc_id"), explode(col("shingles")).as("sh")), "q81_grams")
       val frequent = grams.groupBy(col("sh"))
         .agg(count(lit(1)).as("n_docs"))          // shingles are distinct per doc
         .filter(col("n_docs") >= 3)

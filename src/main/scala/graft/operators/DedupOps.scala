@@ -31,20 +31,25 @@ object DedupOps {
   /** doc_id + distinct 3-word shingle set (tiny docs fall back to the
     * whole text as one shingle).
     *
-    * The tokenized frame is MATERIALIZED before the shingle transform:
-    * the lambda body references `w` per element, and Catalyst's project
-    * collapse inlines the alias — without the barrier every element_at
-    * re-executes the regex split, ~3 splits × shingle-count per row
-    * (measured 15.3 s → 1.7 s for the hash pass at sf0.1). */
+    * No tokenize checkpoint: the r9 inlining hazard (project collapse
+    * re-running the regex split per element_at in the lambda — measured
+    * 15.3 s → 1.7 s for the hash pass at sf0.1 when a barrier was
+    * added) is avoided STRUCTURALLY instead of with a serial
+    * materialization barrier: the token array is bound as a LAMBDA
+    * VARIABLE (a transform over a singleton array), so the split
+    * executes once per row and project collapse cannot inline it into
+    * the per-element references. Every downstream family materializes
+    * its own hashed frame, so dropping the tokenize checkpoint removes
+    * one full serial job from every dedup query without losing any
+    * reuse. The `tag` is kept for call-shape compatibility (unused). */
   private def shingledOf(d: DataFrame, tag: String): DataFrame =
-    materialize(d
-      .select(col("doc_id"), trim(col("text")).as("t"),
-        split(trim(col("text")), "\\s+").as("w")), tag)
-      .withColumn("shingles", expr(
-        """case when size(w) >= 3
-          | then array_distinct(transform(sequence(1, size(w) - 2),
-          |   i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
-          | else array(t) end""".stripMargin))
+    d.select(col("doc_id"), expr(
+      """element_at(transform(array(split(trim(text), '\\s+')), w ->
+        |  case when size(w) >= 3
+        |    then array_distinct(transform(sequence(1, size(w) - 2),
+        |      i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+        |        element_at(w, i + 2))))
+        |    else array(trim(text)) end), 1)""".stripMargin).as("shingles"))
 
   private def shingled(s: SparkSession, dir: String): DataFrame =
     shingledOf(docs(s, dir), "tok")

@@ -47,20 +47,36 @@ object ClusterOps {
   private def materialize(df: DataFrame, tag: String): DataFrame =
     graft.Staging.materialize(df, tag, "spark.graft.corpus.stagingDir")
 
-  /** All k centroid distances as ONE codegen'd sorted array of
-    * (dist², cid) structs — head = the assignment, second = the
-    * nearest OTHER cluster (what the silhouette needs). */
-  private def sortedDistsExpr(cents: Array[Array[Long]]): String = {
-    val entries = cents.zipWithIndex.map { case (c, j) =>
-      val arr = c.mkString("array(", "L,", "L)")
-      s"struct(aggregate(zip_with(q, $arr, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x) as d2, ${j}L as cid)"
-    }.mkString(",")
-    s"array_sort(array($entries))"
-  }
+  /** Best and second-best centroid per vector (second = the nearest
+    * OTHER cluster, what the silhouette needs). */
+  private final case class Assign(d2: Long, cid: Long, d2b: Long,
+      cid_b: Long)
 
-  /** Integer argmin over k literal centroids: the sorted head. */
-  private def assignExpr(cents: Array[Array[Long]]): String =
-    s"element_at(${sortedDistsExpr(cents)}, 1)"
+  /** Integer argmin over the k closure-captured centroids as ONE tiny
+    * Scala UDF. The previous literal-expression form (k aggregate
+    * higher-order functions + array_sort over k·d literals) was
+    * re-planned and re-codegen-compiled on EVERY Lloyd round — at
+    * sf0.1 q174's task time was 1.1 s against ~2 s wall, the gap
+    * almost entirely driver-side compilation of the 512-literal tree,
+    * four times per query. The UDF plans as a single small node; the
+    * distances are the same exact int64 sums, and the tie-break
+    * (lowest cid on equal d2) falls out of strict-less comparison in
+    * ascending-cid order, identically to the old (d2, cid) struct
+    * sort. */
+  private def assignWith(cents: Array[Array[Long]]) =
+    udf((q: Seq[Long]) => {
+      var bi = -1L; var bd = Long.MaxValue
+      var si = -1L; var sd = Long.MaxValue
+      var j = 0
+      while (j < cents.length) {
+        val cj = cents(j); var d = 0L; var p = 0
+        while (p < cj.length) { val x = q(p) - cj(p); d += x * x; p += 1 }
+        if (d < bd) { si = bi; sd = bd; bi = j; bd = d }
+        else if (d < sd) { si = j; sd = d }
+        j += 1
+      }
+      Assign(bd, bi, sd, si)
+    })
 
   /** The shared Lloyd trajectory: quantized table, `Rounds` rounds of
     * assign/update, returning the final (vec_id, q, cid, d2)
@@ -90,7 +106,7 @@ object ClusterOps {
       seeds.map(_.getSeq[Long](0).toArray)
     // Lloyd rounds: codegen'd argmin assignment, k·d-row update agg
     (1 to Rounds).foreach { _ =>
-      val sums = qm.withColumn("a", expr(assignExpr(cents)))
+      val sums = qm.withColumn("a", assignWith(cents)(col("q")))
         .select(col("a.cid").as("cid"), posexplode(col("q")).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos"))
         .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
@@ -102,7 +118,7 @@ object ClusterOps {
       }
       cents = next
     }
-    val assigned = qm.withColumn("a", expr(assignExpr(cents)))
+    val assigned = qm.withColumn("a", assignWith(cents)(col("q")))
       .select(col("vec_id"), col("q"),
         col("a.cid").as("cid"), col("a.d2").as("d2"))
     (assigned, cents)
@@ -242,9 +258,8 @@ object ClusterOps {
     (s, dir) => {
       val (assigned, cents) = lloyd(s, dir)
       val sil = assigned
-        .withColumn("arr", expr(sortedDistsExpr(cents)))
-        .select(col("cid"), col("d2").as("a"),
-          expr("element_at(arr, 2).d2").as("b"))
+        .withColumn("a2", assignWith(cents)(col("q")))
+        .select(col("cid"), col("d2").as("a"), col("a2.d2b").as("b"))
         .withColumn("s",
           when(greatest(col("a"), col("b")) === 0L, lit(0.0))
             .otherwise((col("b") - col("a")).cast("double") /

@@ -38,14 +38,22 @@ object CollocationOps {
   val q200NoveltyProfile: QueryDef = QueryDef(
     "q200_novelty_profile",
     (s, dir) => {
-      val grams = CorpusOps.fiveGrams(s, dir)
-        .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      // the gram-ARRAY frame is pinned once and feeds both legs:
+      // firstSeen explodes it; totals is size(shingles) per doc — the
+      // same integer as counting the exploded rows (shingles are
+      // distinct per doc and never empty), without a second pass over
+      // the exploded stream (pinning the EXPLODED rows instead was
+      // measured slower: the checkpoint carries doc_id per gram and
+      // the explode itself moves inside the serial job)
+      val sh = graft.Staging.materialize(CorpusOps.fiveGrams(s, dir),
+        "q200_sh", "spark.graft.corpus.stagingDir")
+      val grams = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
       val firstSeen = grams.groupBy(col("sh"))
         .agg(min(col("doc_id")).as("first_doc"))
       val novel = firstSeen.groupBy(col("first_doc").as("doc_id"))
         .agg(count(lit(1)).as("n_novel"))
-      val totals = grams.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams")) // shingles are distinct per doc
+      val totals = sh
+        .select(col("doc_id"), size(col("shingles")).cast("long").as("n_grams"))
       totals.join(novel, Seq("doc_id"), "left_outer")
         .select(col("doc_id"), col("n_grams"),
           coalesce(col("n_novel"), lit(0L)).as("n_novel"))

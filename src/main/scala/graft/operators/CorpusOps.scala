@@ -763,7 +763,11 @@ object CorpusOps {
   /** The library entry: line-dedup an arbitrary (doc_id, text) frame.
     * Output per doc: total/kept segment counts + the reassembled text. */
   def lineDedupOf(d: DataFrame): DataFrame = {
-    val segs = lineSegments(d)
+    // pinned: the segment frame feeds the first-occurrence aggregate
+    // AND the join back — unpinned, the split+segment+sha Generate
+    // runs once per consumer. Join (not a window over h) so AQE skew
+    // handling still splits a mass-duplicated segment at scale.
+    val segs = materialize(lineSegments(d), "line_segs")
     val firsts = segs.groupBy(col("h")).agg(min(col("pos_key")).as("first_key"))
     segs.join(firsts, Seq("h"))
       .withColumn("keep", col("pos_key") === col("first_key"))
@@ -805,7 +809,8 @@ object CorpusOps {
     * hand — the text itself is never re-read. */
   /** Library entry: the q148 signal over an arbitrary frame. */
   def dupLineCharsOf(d: DataFrame): DataFrame = {
-    val segs = lineSegments(d)
+    // pinned for the same two consumers as lineDedupOf above
+    val segs = materialize(lineSegments(d), "line_segs148")
     val counts = segs.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
     segs.join(counts, Seq("h"))
       .groupBy(col("doc_id"))

@@ -44,9 +44,14 @@ object SampleOps {
     * always broadcast-joined back. Shared by q115 and the
     * `Curation.run(temperatureBalance)` stage. */
   def temperatureThresholds(docs: DataFrame): DataFrame = {
+    // n_min as an unpartitioned window over the per-source count table
+    // (one row per source — skew-free by construction): the nested
+    // agg + crossJoin form re-ran the corpus-wide count subtree once
+    // per consumer; the window reads it once
     val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_source"))
-    val nmin = counts.agg(min(col("n_source")).as("n_min"))
-    counts.crossJoin(broadcast(nmin))
+    counts
+      .withColumn("n_min", min(col("n_source"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()))
       .select(col("source"), col("n_source"),
         floor(lit(65536) * sqrt(col("n_min").cast("double") / col("n_source")))
           .cast("long").as("thresh"))
@@ -114,7 +119,13 @@ object SampleOps {
     "q116_soft_dedup",
     (s, dir) => {
       val d = docs(s, dir)
-      val hashed = d.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      // pinned: the (doc_id, h) frame feeds the cluster-size count AND
+      // the join back — unpinned, the corpus is scanned and sha-hashed
+      // once per consumer. Join (not a window over h) so AQE skew
+      // handling still splits a mass-duplicated cluster at scale.
+      val hashed = graft.Staging.materialize(
+        d.select(col("doc_id"), sha2(col("text"), 256).as("h")),
+        "q116_hashed", "spark.graft.corpus.stagingDir")
       val sizes = hashed.groupBy(col("h")).agg(count(lit(1)).as("grp_size"))
       hashed.join(sizes, Seq("h"))
         .select(col("doc_id"), col("grp_size"),

@@ -306,8 +306,12 @@ object CorpusOps {
   val q84BloomHistoryDedup: QueryDef = QueryDef(
     "q84_bloom_history_dedup",
     (s, dir) => {
-      val files = docs(s, dir)
-        .select(col("doc_id"), sha2(col("text"), 256).as("file_hash"))
+      // pinned: the hashed frame feeds four consumers (history slice,
+      // Bloom build, both post-filter legs) — unpinned, each re-ran
+      // the corpus sha pass
+      val files = materialize(docs(s, dir)
+        .select(col("doc_id"), sha2(col("text"), 256).as("file_hash")),
+        "q84_files")
       // stand-in history: every third doc completed (q23's convention)
       val history = files.filter(col("doc_id") % 3 === 0)
         .select(col("file_hash").as("cache_key"))

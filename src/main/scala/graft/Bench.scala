@@ -208,6 +208,12 @@ object Bench {
     // tail window, so the headline numbers always survive even when
     // the full object must be read from target/bench.json.
     val q01s = q01.map(v => f"$v%.3f").getOrElse("-1")
-    println(f"""BENCH_SUMMARY {"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${all.size},"errors":$failed,"overloaded":$overloaded,"reran":$reran,"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"q01_sec":$q01s,"full":"target/bench.json","sf":"$sfDir"}""")
+    // r16 verdict item 1: the driver's PERF comparator parses THIS line
+    // (the only line guaranteed to survive its bounded log-tail capture)
+    // and had n_common=0 for two rounds because the per-query map rode
+    // the long line above. Ship the map here too — 42 queries ≈ 1.5 KB,
+    // well inside any tail window. Additions only: every pre-existing
+    // field is kept, same names, same order.
+    println(f"""BENCH_SUMMARY {"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${all.size},"errors":$failed,"overloaded":$overloaded,"reran":$reran,"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"q01_sec":$q01s,"full":"target/bench.json","sf":"$sfDir","queries":$qs}""")
   }
 }

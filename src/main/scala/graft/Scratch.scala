@@ -50,10 +50,13 @@ object Scratch {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = args.toSeq
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
+    // core-count knob (r17): the q107 flatness attribution needs the
+    // SAME stage tap at two core counts — mirrors the Bench contract
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
+      .master(s"local[$cpus]")
       .appName("graft-scratch")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -62,9 +62,17 @@ object ClusterOps {
     * distances are the same exact int64 sums, and the tie-break
     * (lowest cid on equal d2) falls out of strict-less comparison in
     * ascending-cid order, identically to the old (d2, cid) struct
-    * sort. */
+    * sort.
+    *
+    * The input is a PRIMITIVE Array[Long] (r16 verdict item 5): the
+    * Seq[Long] signature deserialized every row into an object array
+    * of boxed Longs and boxed again on each q(p) read — per-row
+    * executor cost that the driver-compile win paid for at sf0.1 but
+    * would not at 100 TB. Array[Long] deserializes via
+    * UnsafeArrayData.toLongArray (one copy, no boxing) and the loop
+    * reads primitives. */
   private def assignWith(cents: Array[Array[Long]]) =
-    udf((q: Seq[Long]) => {
+    udf((q: Array[Long]) => {
       var bi = -1L; var bd = Long.MaxValue
       var si = -1L; var sd = Long.MaxValue
       var j = 0
@@ -77,6 +85,31 @@ object ClusterOps {
       }
       Assign(bd, bi, sd, si)
     })
+
+  /** The r15 literal-expression argmin, kept ONLY as the A/B control
+    * behind `spark.graft.kmeans.exprArgmin=true` (dev flag, never set
+    * in any query path): k aggregate higher-order functions over k·d
+    * array literals + one array_sort, with the sorted array bound as a
+    * lambda variable so head/second are read without re-sorting. Same
+    * exact int64 distances and the same (d2, cid) tie-break as the
+    * UDF; exists so ScaleBench/Scratch can price the UDF against
+    * codegen'd expressions in the executor-bound regime (the sf0.1 win
+    * was driver-side compile time — the 100 TB question is per-row
+    * cost, and this flag lets both forms run on the same corpus). */
+  private def assignExprCol(cents: Array[Array[Long]]) = {
+    val entries = cents.zipWithIndex.map { case (c, j) =>
+      val arr = c.mkString("array(", "L,", "L)")
+      s"struct(aggregate(zip_with(q, $arr, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x) as d2, ${j}L as cid)"
+    }.mkString(",")
+    expr(s"""element_at(transform(array(array_sort(array($entries))), sd ->
+      named_struct('d2', sd[0].d2, 'cid', sd[0].cid,
+        'd2b', sd[1].d2, 'cid_b', sd[1].cid)), 1)""")
+  }
+
+  private def assignCol(s: SparkSession, cents: Array[Array[Long]]) =
+    if (s.conf.getOption("spark.graft.kmeans.exprArgmin").contains("true"))
+      assignExprCol(cents)
+    else assignWith(cents)(col("q"))
 
   /** The shared Lloyd trajectory: quantized table, `Rounds` rounds of
     * assign/update, returning the final (vec_id, q, cid, d2)
@@ -104,9 +137,10 @@ object ClusterOps {
       .select(col("q")).collect()
     var cents: Array[Array[Long]] =
       seeds.map(_.getSeq[Long](0).toArray)
+    val sess = emb.sparkSession
     // Lloyd rounds: codegen'd argmin assignment, k·d-row update agg
     (1 to Rounds).foreach { _ =>
-      val sums = qm.withColumn("a", assignWith(cents)(col("q")))
+      val sums = qm.withColumn("a", assignCol(sess, cents))
         .select(col("a.cid").as("cid"), posexplode(col("q")).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos"))
         .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
@@ -118,7 +152,7 @@ object ClusterOps {
       }
       cents = next
     }
-    val assigned = qm.withColumn("a", assignWith(cents)(col("q")))
+    val assigned = qm.withColumn("a", assignCol(sess, cents))
       .select(col("vec_id"), col("q"),
         col("a.cid").as("cid"), col("a.d2").as("d2"))
     (assigned, cents)
@@ -258,7 +292,7 @@ object ClusterOps {
     (s, dir) => {
       val (assigned, cents) = lloyd(s, dir)
       val sil = assigned
-        .withColumn("a2", assignWith(cents)(col("q")))
+        .withColumn("a2", assignCol(s, cents))
         .select(col("cid"), col("d2").as("a"), col("a2.d2b").as("b"))
         .withColumn("s",
           when(greatest(col("a"), col("b")) === 0L, lit(0.0))

@@ -1340,10 +1340,28 @@ object DedupOps {
     // as the operator's single heaviest stage); small-pair callers
     // (q51/q241) leave it None and let AQE broadcast.
     val restr = restrictHint.map(pairs.hint(_)).getOrElse(pairs)
-    incidences
-      .join(restr, Seq(aName, bName))
-      .groupBy(pairs.columns.map(col): _*)
-      .agg(count(lit(1)).as("n_common"))
+    // A/B seam (r16 verdict item 3): `spark.graft.contain.preagg=true`
+    // (dev flag, unset in every driver path) aggregates the incidence
+    // stream to (pair, n_common) BEFORE the restrict join — the §2.3
+    // map-side-combine lever the join-first closure never measured.
+    // Same output rows either way: grouping all co-occurring pairs and
+    // then inner-joining the candidate frame keeps exactly the rows
+    // the join-then-group form keeps. What it changes is WHERE the
+    // rows die: x100 recorded 276.7M incidences vs 273.8M distinct
+    // co-occurring pairs (pairs repeat ~1.01×), so the partial agg can
+    // collapse almost nothing and builds a 273.8M-group hash state —
+    // this flag exists to price that prediction, not to ship it.
+    if (sess.conf.getOption("spark.graft.contain.preagg").contains("true"))
+      incidences
+        .groupBy(col(aName), col(bName))
+        .agg(count(lit(1)).as("n_common"))
+        .join(restr, Seq(aName, bName))
+        .select(pairs.columns.map(col) :+ col("n_common"): _*)
+    else
+      incidences
+        .join(restr, Seq(aName, bName))
+        .groupBy(pairs.columns.map(col): _*)
+        .agg(count(lit(1)).as("n_common"))
   }
 
   private[operators] def containmentRecallOf(hashed: DataFrame,

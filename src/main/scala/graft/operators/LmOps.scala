@@ -1254,16 +1254,34 @@ object LmOps {
     "q173_doremi_weights",
     (s, dir) => {
       val d = docs(s, dir)
-      // ONE materialized (doc_id, source, w1, w2) table feeds BOTH
-      // scoring legs — the corpus model ignores the source column, the
+      // ONE materialized (doc_id, sid, w1, w2) table feeds BOTH
+      // scoring legs — the corpus model ignores the domain column, the
       // domain models group by it (avgNllOfTokens would re-explode and
       // re-checkpoint its own bigram table; measured ~0.5 s at sf0.1).
-      // `source` rides the tokenize scan instead of a bigrams⋈srcOf
+      // The domain rides the tokenize scan instead of a bigrams⋈srcOf
       // rejoin (guide §3.3: explode multiplies the join's shuffle —
       // the rejoin shuffled all 23M bigram rows; carrying the column
       // from the scan shuffles nothing), and scan→split→explode fuses
-      // into the checkpoint's single job (bigramsDirect)
-      val bgs = materialize(bigramsDirect(d, Seq("source")), "doremi_bg")
+      // into the checkpoint's single job (bigramsDirect).
+      //
+      // `source` is DICTIONARY-ENCODED to a dense int (sid) before
+      // anything corpus-sized (guide §2.3 narrower types): the domain
+      // set is tiny (≤ dozens of rows) but its string key previously
+      // rode every corpus-sized exchange — the bigram checkpoint, the
+      // c2s build's (source, w1, w2) map-side partials, and the probe's
+      // (doc_id, source) partials. row_number over the distinct-source
+      // table is deterministic (ordered by source) and bijective, so
+      // every sid-keyed groupBy groups exactly the rows the source-
+      // keyed one did; the string is re-attached by one broadcast join
+      // on the k-row per-source frame before the replay. Cost: one
+      // column-pruned scan of documents.source for the dict (RLE/dict-
+      // encoded parquet column — cheap even at 100 TB) and a broadcast
+      // hash probe fused into the tokenize scan's codegen stage.
+      import org.apache.spark.sql.expressions.Window
+      val srcDict = broadcast(d.select(col("source")).distinct()
+        .withColumn("sid", row_number().over(Window.orderBy(col("source")))))
+      val bgs = materialize(
+        bigramsDirect(d.join(srcDict, "source"), Seq("sid")), "doremi_bg")
       // FUSED scoring, composed on the model side (q108's idiom, guide
       // §2.3): the corpus-sized bgs frame is aggregated ONCE — to the
       // finest model table c2s(source, w1, w2) — and every other count
@@ -1280,38 +1298,44 @@ object LmOps {
       // chain per leg, evaluated per bigram TYPE instead of per
       // token, each rounded at 6 per doc exactly as before.
       val c2s = materialize(
-        bgs.groupBy(col("source"), col("w1"), col("w2"))
+        bgs.groupBy(col("sid"), col("w1"), col("w2"))
           .agg(count(lit(1)).as("c2s")), "doremi_c2s")
       val c2t = c2s.groupBy(col("w1"), col("w2"))
         .agg(sum(col("c2s")).as("c2t"))
-      val c1s = c2s.groupBy(col("source"), col("w1"))
+      val c1s = c2s.groupBy(col("sid"), col("w1"))
         .agg(sum(col("c2s")).as("c1s"))
       val c1t = c2s.groupBy(col("w1")).agg(sum(col("c2s")).as("c1t"))
       val vt = c2s.agg(countDistinct(col("w2")).as("vt"))
-      val vs = c2s.groupBy(col("source"))
+      val vs = c2s.groupBy(col("sid"))
         .agg(countDistinct(col("w2")).as("vs"))
       val scoredType = c2s
         .join(broadcast(c2t), Seq("w1", "w2"))
         .join(broadcast(c1t), Seq("w1"))
         .crossJoin(broadcast(vt))
-        .join(broadcast(c1s), Seq("source", "w1"))
-        .join(broadcast(vs), Seq("source"))
-        .select(col("source"), col("w1"), col("w2"),
+        .join(broadcast(c1s), Seq("sid", "w1"))
+        .join(broadcast(vs), Seq("sid"))
+        .select(col("sid"), col("w1"), col("w2"),
           (-log((col("c2t") + Alpha) / (col("c1t") + col("vt") * Alpha)))
             .as("ref_nll"),
           (-log((col("c2s") + Alpha) / (col("c1s") + col("vs") * Alpha)))
             .as("fit_nll"))
       val scoredDoc = bgs
-        .join(broadcast(scoredType), Seq("source", "w1", "w2"))
-        .groupBy(col("doc_id"), col("source"))
+        .join(broadcast(scoredType), Seq("sid", "w1", "w2"))
+        .groupBy(col("doc_id"), col("sid"))
         .agg(round(avg(col("ref_nll")), 6).as("avg_nll"),
           round(avg(col("fit_nll")), 6).as("fit_nll"))
       val perSource = scoredDoc
-        .groupBy(col("source"))
+        .groupBy(col("sid"))
         .agg(count(lit(1)).as("n_docs"),
           round(avg(col("avg_nll")), 6).as("l_ref"),
           round(avg(col("fit_nll")), 6).as("l_fit"))
         .withColumn("excess", greatest(lit(0.0), col("l_ref") - col("l_fit")))
+        // decode: re-attach the source string via the k-row dict —
+        // the replay below reads source by position, same layout as
+        // the pre-encoding frame
+        .join(srcDict, Seq("sid"))
+        .select(col("source"), col("n_docs"), col("l_ref"), col("l_fit"),
+          col("excess"))
       // k-row multiplicative-weights replay (k = domain count, ≤ dozens)
       val rows = perSource.orderBy(col("source")).collect()
       val k = rows.length

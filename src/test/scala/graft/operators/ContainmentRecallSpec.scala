@@ -52,6 +52,20 @@ class ContainmentRecallSpec extends SparkSpec {
         s"tau=$tau got=${got.size} brute=${brute.size} — containment recall bound broken")
     }
 
+  test("q245: the pre-agg A/B control (spark.graft.contain.preagg) is row-identical") {
+    // the flag moves the n_common aggregation BEFORE the candidate-
+    // restrict join (the §2.3 lever priced at x100); grouping all
+    // co-occurring pairs then inner-joining candidates must keep
+    // exactly the rows the join-then-group form keeps
+    val dir = sf("sf0.001")
+    val joinFirst = DedupOps.q245ContainmentRecall.fn(spark, dir).collect().toSeq
+    spark.conf.set("spark.graft.contain.preagg", "true")
+    try {
+      val aggFirst = DedupOps.q245ContainmentRecall.fn(spark, dir).collect().toSeq
+      assert(joinFirst === aggFirst, "contain.preagg changed q245's rows")
+    } finally spark.conf.unset("spark.graft.contain.preagg")
+  }
+
   test("tau literals render exactly and tighter tau shrinks the probe sketch") {
     // exact decimal rendering: the same text reaches Spark and DuckDB
     assert(DedupOps.containTauStr(0.8) === "0.8")

@@ -50,6 +50,18 @@ class MixOpsSpec extends SparkSpec {
       assert(frac(l) <= frac("en") + 0.35, s"$l kept more than the en-heavy mixture allows")
   }
 
+  test("q92: the gram-pin A/B control (spark.graft.gram.pin) is row-identical") {
+    // the flag only moves WHERE the exploded gram frame lives (fused
+    // re-split vs checkpoint) — any row difference means the A/B is
+    // measuring two different queries
+    val fused = MixOps.q92Decontaminate.fn(spark, dir).collect().toSeq
+    spark.conf.set("spark.graft.gram.pin", "true")
+    try {
+      val pinned = MixOps.q92Decontaminate.fn(spark, dir).collect().toSeq
+      assert(fused === pinned, "gram.pin changed q92's rows")
+    } finally spark.conf.unset("spark.graft.gram.pin")
+  }
+
   test("q92: a doc sharing a 5-gram with the benchmark set is flagged") {
     // benchmark membership is doc_id % 10 == 7; craft a corpus where
     // doc 3 copies benchmark doc 7's text and doc 4 shares nothing

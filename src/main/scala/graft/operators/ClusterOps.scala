@@ -48,8 +48,16 @@ object ClusterOps {
     graft.Staging.materialize(df, tag, "spark.graft.corpus.stagingDir")
 
   /** Best and second-best centroid per vector (second = the nearest
-    * OTHER cluster, what the silhouette needs). */
-  private final case class Assign(d2: Long, cid: Long, d2b: Long,
+    * OTHER cluster, what the silhouette needs).
+    *
+    * PUBLIC on purpose (r17): as a `private` nested class, janino's
+    * generated projection could not reference its accessors —
+    * `CompileException: no applicable method d2()` on every stage that
+    * serialized the UDF result — and Spark silently fell back to an
+    * INTERPRETED projection, so the r16 UDF rewrite had been paying an
+    * interpreted row-conversion per assignment all along. Public lets
+    * the encoder codegen-compile. */
+  final case class Assign(d2: Long, cid: Long, d2b: Long,
       cid_b: Long)
 
   /** Integer argmin over the k closure-captured centroids as ONE tiny

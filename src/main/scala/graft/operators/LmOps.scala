@@ -1266,22 +1266,40 @@ object LmOps {
       //
       // `source` is DICTIONARY-ENCODED to a dense int (sid) before
       // anything corpus-sized (guide §2.3 narrower types): the domain
-      // set is tiny (≤ dozens of rows) but its string key previously
+      // set is tiny (≤ dozens of values) but its string key previously
       // rode every corpus-sized exchange — the bigram checkpoint, the
       // c2s build's (source, w1, w2) map-side partials, and the probe's
-      // (doc_id, source) partials. row_number over the distinct-source
-      // table is deterministic (ordered by source) and bijective, so
-      // every sid-keyed groupBy groups exactly the rows the source-
-      // keyed one did; the string is re-attached by one broadcast join
-      // on the k-row per-source frame before the replay. Cost: one
-      // column-pruned scan of documents.source for the dict (RLE/dict-
-      // encoded parquet column — cheap even at 100 TB) and a broadcast
-      // hash probe fused into the tokenize scan's codegen stage.
-      import org.apache.spark.sql.expressions.Window
-      val srcDict = broadcast(d.select(col("source")).distinct()
-        .withColumn("sid", row_number().over(Window.orderBy(col("source")))))
-      val bgs = materialize(
-        bigramsDirect(d.join(srcDict, "source"), Seq("sid")), "doremi_bg")
+      // (doc_id, source) partials. The dict is a LITERAL MAP from one
+      // bounded collect of the distinct sources (the same k-row class
+      // as the multiplicative-weights replay collect below), so encode
+      // and decode are map lookups fused into their stages — a first
+      // cut as a broadcast join + window dict measured SLOWER than the
+      // string form at sf0.1 (2.45 vs 1.65 s min-wall: two extra
+      // distinct+window exchange chains and a join in the scan stage);
+      // the literal map adds no exchange and no join. sorted() keeps
+      // the sid assignment deterministic; bijective by construction,
+      // so every sid-keyed groupBy groups exactly the rows the source-
+      // keyed one did.
+      val lmDbg = s.conf.getOption("spark.graft.lm.debug").contains("true")
+      def lapT[A](tag: String)(f: => A): A =
+        if (!lmDbg) f else {
+          val t0 = System.nanoTime()
+          val r = f
+          println(f"[lm] q173 $tag t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+          r
+        }
+      // null-safe: a null source stays null through encode AND decode
+      // (element_at on a missing/null key yields null), so null-keyed
+      // groups behave exactly as they did with the string key
+      val srcs = lapT("dict")(d.select(col("source")).distinct()
+        .collect().map(_.getString(0)).filter(_ != null).sorted)
+      val sidOf = map(srcs.zipWithIndex.flatMap { case (nm, i) =>
+        Seq(lit(nm), lit(i + 1)) }.toIndexedSeq: _*)
+      val srcOf = map(srcs.zipWithIndex.flatMap { case (nm, i) =>
+        Seq(lit(i + 1), lit(nm)) }.toIndexedSeq: _*)
+      val bgs = lapT("bgs")(materialize(
+        bigramsDirect(d.withColumn("sid", element_at(sidOf, col("source"))),
+          Seq("sid")), "doremi_bg"))
       // FUSED scoring, composed on the model side (q108's idiom, guide
       // §2.3): the corpus-sized bgs frame is aggregated ONCE — to the
       // finest model table c2s(source, w1, w2) — and every other count
@@ -1297,9 +1315,9 @@ object LmOps {
       // models by construction) and the same -ln((c2+α)/(c1+v·α))
       // chain per leg, evaluated per bigram TYPE instead of per
       // token, each rounded at 6 per doc exactly as before.
-      val c2s = materialize(
+      val c2s = lapT("c2s_build")(materialize(
         bgs.groupBy(col("sid"), col("w1"), col("w2"))
-          .agg(count(lit(1)).as("c2s")), "doremi_c2s")
+          .agg(count(lit(1)).as("c2s")), "doremi_c2s"))
       val c2t = c2s.groupBy(col("w1"), col("w2"))
         .agg(sum(col("c2s")).as("c2t"))
       val c1s = c2s.groupBy(col("sid"), col("w1"))
@@ -1319,6 +1337,19 @@ object LmOps {
             .as("ref_nll"),
           (-log((col("c2s") + Alpha) / (col("c1s") + col("vs") * Alpha)))
             .as("fit_nll"))
+      // perf laps (`spark.graft.lm.debug=true`, the contain/span idiom):
+      // debug-only re-runs of the model subtrees, for attribution
+      if (lmDbg) {
+        def lap(tag: String)(f: => Long): Unit = {
+          val t0 = System.nanoTime()
+          val n = f
+          println(f"[lm] q173 $tag n=$n t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+        lap("c2s")(c2s.count())
+        lap("vt")(vt.collect().head.getLong(0))
+        lap("vs")(vs.count())
+        lap("scoredType")(scoredType.count())
+      }
       val scoredDoc = bgs
         .join(broadcast(scoredType), Seq("sid", "w1", "w2"))
         .groupBy(col("doc_id"), col("sid"))
@@ -1330,14 +1361,14 @@ object LmOps {
           round(avg(col("avg_nll")), 6).as("l_ref"),
           round(avg(col("fit_nll")), 6).as("l_fit"))
         .withColumn("excess", greatest(lit(0.0), col("l_ref") - col("l_fit")))
-        // decode: re-attach the source string via the k-row dict —
+        // decode: re-attach the source string via the literal map —
         // the replay below reads source by position, same layout as
         // the pre-encoding frame
-        .join(srcDict, Seq("sid"))
+        .withColumn("source", element_at(srcOf, col("sid")))
         .select(col("source"), col("n_docs"), col("l_ref"), col("l_fit"),
           col("excess"))
       // k-row multiplicative-weights replay (k = domain count, ≤ dozens)
-      val rows = perSource.orderBy(col("source")).collect()
+      val rows = lapT("probe")(perSource.orderBy(col("source")).collect())
       val k = rows.length
       val excess = rows.map(_.getDouble(4))
       var w = Array.fill(k)(1.0 / k)

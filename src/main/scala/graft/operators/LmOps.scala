@@ -1290,8 +1290,13 @@ object LmOps {
         }
       // null-safe: a null source stays null through encode AND decode
       // (element_at on a missing/null key yields null), so null-keyed
-      // groups behave exactly as they did with the string key
-      val srcs = lapT("dict")(d.select(col("source")).distinct()
+      // groups behave exactly as they did with the string key.
+      // Plain load for the dict leg: loadParallel's round-robin
+      // exchange is for CPU-heavy narrow maps, not a column-pruned
+      // distinct (its own doc) — this keeps the serial dict job at
+      // scan → partial distinct → one k-row exchange.
+      val srcs = lapT("dict")(Tables.load(s, dir, "documents")
+        .select(col("source")).distinct()
         .collect().map(_.getString(0)).filter(_ != null).sorted)
       val sidOf = map(srcs.zipWithIndex.flatMap { case (nm, i) =>
         Seq(lit(nm), lit(i + 1)) }.toIndexedSeq: _*)
